@@ -1,0 +1,147 @@
+"""CdcEngine — the reference's public surface, Spark-native.
+
+API parity map (SURVEY.md §7.5):
+
+    CdcEngine(spark, output_dir, state_dir)  ≈ NewDuckDBReader   (duckdb_cdc.go:39)
+      .snapshot(df, table)                   ≈ captureTableState (duckdb_cdc.go:217)
+      .checksum(df)                          ≈ the C3 fingerprint (duckdb_cdc.go:175)
+      .diff(prev, cur, keys)                 — row-level INSERT/UPDATE/DELETE (F3)
+      .poll_once(tables)                     ≈ one monitor tick   (duckdb_cdc.go:92-127)
+      .monitor(tables, interval)             ≈ StartMonitoring    (duckdb_cdc.go:77-88)
+      .changes(table)                        — read the JSONL log (A8)
+
+Differences by design (all strictly stronger, documented divergences —
+SURVEY.md §7.4): no DB-file copy (parquet reads are snapshot-consistent);
+exactly-once log emission via task commit; no same-second overwrite; row
+diffs available, not only whole-table SNAPSHOT.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_lite_spark.envelope import SNAPSHOT, snapshot_envelope
+from cdc_lite_spark.operators.checksum import table_checksum_value
+from cdc_lite_spark.operators.diff import snapshot_diff
+from cdc_lite_spark.operators.latest import latest_per_key
+from cdc_lite_spark.sources.changelog import append_changes, read_changes
+
+#: ``table_checksums`` state schema (reference DDL, duckdb_cdc.go:66-73).
+CHECKSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("checksum", T.StringType(), False),
+        T.StructField("timestamp", T.TimestampType(), False),
+    ]
+)
+
+
+class CdcEngine:
+    """Poll DataFrame-shaped tables, detect drift by fingerprint, append
+    change envelopes to a JSONL log.
+
+    The checksum state lives in an append-only parquet directory (tiny: one
+    row per table per detected change) replacing the reference's metadata
+    DuckDB (duckdb_cdc.go:39-43).  "Latest checksum per table" is a
+    max_by aggregation over it — same semantics as the reference's
+    ``ORDER BY timestamp DESC LIMIT 1`` (duckdb_cdc.go:190-195).
+    """
+
+    def __init__(self, spark: SparkSession, output_dir: str, state_dir: str):
+        self.spark = spark
+        self.output_dir = output_dir
+        self.state_dir = state_dir
+
+    # -- core operators -----------------------------------------------------
+
+    def snapshot(self, df: DataFrame, table: str) -> DataFrame:
+        """Envelope every row as a SNAPSHOT change record (B3+B4)."""
+        return snapshot_envelope(df, table, operation=SNAPSHOT)
+
+    def checksum(self, df: DataFrame) -> str:
+        """Order-insensitive whole-table fingerprint (C1-C3)."""
+        return table_checksum_value(df)
+
+    def diff(self, prev: DataFrame, cur: DataFrame, keys: list[str]) -> DataFrame:
+        """Row-level snapshot diff → operation ∈ INSERT/UPDATE/DELETE (F1-F3)."""
+        return snapshot_diff(prev, cur, keys)
+
+    # -- checksum state ------------------------------------------------------
+
+    def _state(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(CHECKSUM_SCHEMA).parquet(self.state_dir)
+        except Exception:
+            return self.spark.createDataFrame([], CHECKSUM_SCHEMA)
+
+    def latest_checksums(self) -> dict[str, str]:
+        """Latest recorded fingerprint per table (D1/G1 over state)."""
+        latest = latest_per_key(
+            self._state(), ["table_name"], ["timestamp"], via_agg=True
+        )
+        return {r["table_name"]: r["checksum"] for r in latest.collect()}
+
+    def record_checksum(self, table: str, checksum: str) -> None:
+        """Append one state row (A7) — written *after* a successful capture,
+        matching the reference's retry-on-failure ordering (duckdb_cdc.go:200-208)."""
+        row = self.spark.createDataFrame(
+            [(table, checksum)], "table_name string, checksum string"
+        ).withColumn("timestamp", F.current_timestamp())
+        row.write.mode("append").parquet(self.state_dir)
+
+    # -- the poll loop -------------------------------------------------------
+
+    def poll_once(self, tables: dict[str, DataFrame]) -> list[str]:
+        """One monitor tick over all tables (≈ monitorTables loop body,
+        duckdb_cdc.go:114-120 + checkTableChanges :161-214).
+
+        Returns the tables whose change was captured this tick.  Errors are
+        isolated per table (H6): one bad table logs and the loop continues.
+        """
+        previous = self.latest_checksums()
+        captured: list[str] = []
+        for table, df in tables.items():
+            try:
+                current = self.checksum(df)
+                if previous.get(table) == current:
+                    continue  # short-circuit: skip capture when unchanged (§4)
+                append_changes(self.snapshot(df, table), self.output_dir)
+                self.record_checksum(table, current)
+                captured.append(table)
+            except Exception as exc:  # noqa: BLE001 — per-table isolation (H6)
+                print(f"cdc_lite_spark: error checking table {table}: {exc}")
+        return captured
+
+    def monitor(self, tables: dict[str, DataFrame], interval_seconds: float = 1.0):
+        """Continuous monitoring as a Structured Streaming query (H1-H6).
+
+        A rate source ticks at ``interval_seconds``; each micro-batch runs
+        ``poll_once`` inside ``foreachBatch``.  Returns the StreamingQuery —
+        call ``.stop()`` for the reference's SIGINT path (main.go:31-38).
+        """
+        from cdc_lite_spark.streaming.monitor import start_monitor
+
+        return start_monitor(self, tables, interval_seconds)
+
+    # -- consuming the log ----------------------------------------------------
+
+    def changes(self, table: str | None = None) -> DataFrame:
+        """Batch-read captured change records (test-consumer path,
+        duckdb_cdc_test.go:172-197)."""
+        return read_changes(self.spark, self.output_dir, table)
+
+    def wait_for_changes(self, table: str, timeout_s: float = 10.0, min_rows: int = 1) -> bool:
+        """Test helper — poll the log until `table` has ≥min_rows records."""
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            try:
+                if self.changes(table).limit(min_rows).count() >= min_rows:
+                    return True
+            except Exception:
+                pass
+            time.sleep(0.2)
+        return False

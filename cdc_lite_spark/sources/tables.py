@@ -1,0 +1,55 @@
+"""Loaders for the harness's parquet tables (TESTDATA.md).
+
+Parquet is self-describing — schema inference here is metadata-only, the
+Spark analogue of the reference's zero-row probe ``SELECT * FROM t LIMIT 0``
+(/root/reference/pkg/duckdb/duckdb_cdc.go:146-159) except no query runs at
+all (op A2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: Small dimension tables — always broadcast-join these (well under the
+#: 10 MB auto-broadcast threshold even at sf100).
+DIMENSIONS = {"region", "nation", "supplier", "part", "customer"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Parquet TIMESTAMP(NANOS) arrives as nano-epoch longs (see session.py);
+    # normalize to Spark's native microsecond timestamps.  Floor division
+    # matches DuckDB's ns→us truncation so oracle comparisons line up.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so `spark.sql` matches the
+    DuckDB oracle's pre-registered view names."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

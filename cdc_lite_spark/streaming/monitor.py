@@ -1,0 +1,47 @@
+"""Structured-Streaming monitor loop (SURVEY.md §2 H1-H6, §3.1).
+
+The reference runs a goroutine with a 1 s ticker
+(/root/reference/pkg/duckdb/duckdb_cdc.go:86-99).  The Spark-idiomatic shape
+for "poll a mutable table" is a **rate source driving foreachBatch**: the
+rate stream provides the clock + checkpointed progress; each micro-batch
+re-reads the monitored tables in batch mode and runs the detect/capture
+logic (SURVEY.md §7.4 — Spark's file source won't re-read a mutated path,
+so the tick itself must be the stream).
+
+Scale shape: the per-tick work is the C3 fingerprint (full-scan partial
+agg) plus capture-on-change only; all heavy lifting is executor-side, the
+driver only compares two strings per table per tick.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def start_monitor(
+    engine,
+    tables: dict[str, DataFrame],
+    interval_seconds: float = 1.0,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Start the continuous monitor; returns the StreamingQuery.
+
+    ``query.stop()`` is the graceful-shutdown path (reference: ctx
+    cancellation on SIGINT/SIGTERM, main.go:31-38 / duckdb_cdc.go:96-98).
+    Per-table errors inside a tick are isolated by ``poll_once`` (H6).
+    """
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="cdc_monitor_ckpt_")
+    ticks = engine.spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+
+    def _tick(_batch_df: DataFrame, _batch_id: int) -> None:
+        engine.poll_once(tables)
+
+    return (
+        ticks.writeStream.foreachBatch(_tick)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{interval_seconds} seconds")
+        .start()
+    )

@@ -1,0 +1,59 @@
+"""Snapshot-diff operator tests (SURVEY.md §2 F1-F3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_lite_spark.operators.diff import inserted_keys, persisted_keys, snapshot_diff
+
+
+def _split(orders):
+    prev = orders.filter(F.col("o_orderkey") % 7 != 0)
+    cur = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return prev, cur
+
+
+def test_snapshot_diff_classification(tables):
+    prev, cur = _split(tables["orders"])
+    diff = snapshot_diff(prev, cur, ["o_orderkey"])
+    ops = {r["o_orderkey"]: r["operation"] for r in diff.collect()}
+
+    prev_keys = {r[0] for r in prev.select("o_orderkey").collect()}
+    cur_keys = {r[0] for r in cur.select("o_orderkey").collect()}
+    expected_inserts = cur_keys - prev_keys
+    expected_deletes = prev_keys - cur_keys
+    expected_updates = {k for k in (cur_keys & prev_keys) if k % 3 == 0}
+
+    assert {k for k, op in ops.items() if op == "INSERT"} == expected_inserts
+    assert {k for k, op in ops.items() if op == "DELETE"} == expected_deletes
+    assert {k for k, op in ops.items() if op == "UPDATE"} == expected_updates
+    # unchanged keys are absent
+    assert set(ops) == expected_inserts | expected_deletes | expected_updates
+
+
+def test_diff_payload_null_for_delete(tables):
+    prev, cur = _split(tables["orders"])
+    diff = snapshot_diff(prev, cur, ["o_orderkey"])
+    deletes = diff.filter("operation = 'DELETE'")
+    assert deletes.filter(F.col("o_totalprice").isNotNull()).count() == 0
+    inserts = diff.filter("operation = 'INSERT'")
+    assert inserts.filter(F.col("o_totalprice").isNull()).count() == 0
+
+
+def test_anti_semi_joins(tables):
+    prev, cur = _split(tables["orders"])
+    ins = inserted_keys(prev, cur, ["o_orderkey"])
+    both = persisted_keys(prev, cur, ["o_orderkey"])
+    assert ins.count() + both.count() == cur.count()
+    # anti ∩ semi = ∅
+    assert ins.join(both, "o_orderkey", "inner").count() == 0
+
+
+def test_diff_no_change_is_empty(tables):
+    orders = tables["orders"]
+    assert snapshot_diff(orders, orders, ["o_orderkey"]).count() == 0

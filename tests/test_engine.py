@@ -1,0 +1,67 @@
+"""End-to-end CdcEngine tests — the Spark analogue of the reference's
+TestChangeDetection (duckdb_cdc_test.go:125-208): mutate → poll → change
+records appear in the JSONL log; unchanged tables emit nothing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_lite_spark import CdcEngine
+
+
+def _engine(spark, tmp_path) -> CdcEngine:
+    return CdcEngine(
+        spark, output_dir=str(tmp_path / "changes"), state_dir=str(tmp_path / "state")
+    )
+
+
+def test_first_poll_captures_everything(spark, tables, tmp_path):
+    eng = _engine(spark, tmp_path)
+    captured = eng.poll_once({"region": tables["region"], "nation": tables["nation"]})
+    assert sorted(captured) == ["nation", "region"]
+    log = eng.changes()
+    assert log.filter("table = 'region'").count() == tables["region"].count()
+    assert log.filter("table = 'nation'").count() == tables["nation"].count()
+    assert log.filter("operation != 'SNAPSHOT'").count() == 0
+
+
+def test_unchanged_table_not_recaptured(spark, tables, tmp_path):
+    eng = _engine(spark, tmp_path)
+    eng.poll_once({"region": tables["region"]})
+    assert eng.poll_once({"region": tables["region"]}) == []
+    assert eng.changes("region").count() == tables["region"].count()  # no double emit
+
+
+def test_mutation_detected_on_next_poll(spark, tables, tmp_path):
+    eng = _engine(spark, tmp_path)
+    eng.poll_once({"region": tables["region"]})
+    mutated = tables["region"].withColumn(
+        "r_name",
+        F.when(F.col("r_regionkey") == 0, F.lit("MUTATED")).otherwise(F.col("r_name")),
+    )
+    assert eng.poll_once({"region": mutated}) == ["region"]
+    assert eng.changes("region").count() == 2 * tables["region"].count()
+    names = {
+        r["data"]["r_name"] for r in eng.changes("region").collect()
+    }
+    assert "MUTATED" in names
+
+
+def test_error_isolation_per_table(spark, tables, tmp_path):
+    """H6 — a broken table must not stop the loop (duckdb_cdc.go:116-120)."""
+    eng = _engine(spark, tmp_path)
+    bad = tables["region"].selectExpr("assert_true(r_regionkey < 0) as boom", "r_name")
+    captured = eng.poll_once({"bad": bad, "nation": tables["nation"]})
+    assert captured == ["nation"]
+
+
+def test_streaming_monitor_end_to_end(spark, tables, tmp_path):
+    """H1-H5: the rate-source monitor ticks, captures, and stops gracefully."""
+    eng = _engine(spark, tmp_path)
+    q = eng.monitor({"region": tables["region"]}, interval_seconds=0.5)
+    try:
+        assert eng.wait_for_changes("region", timeout_s=30)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert eng.changes("region").count() >= tables["region"].count()
