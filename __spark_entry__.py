@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship CDC query (smoke check at sf0.001).
+``queries()`` / ``oracle_sql()`` — the registered operator surface; the
+driver runs each Spark query against its DuckDB oracle at sf0.01
+(row-count + schema + order-insensitive value-hash).
+
+The real registry lives in cdc_lite_spark/queries.py — one entry per
+operator from SURVEY.md §2, each documented with its reference file:line.
 """
 
 from __future__ import annotations
@@ -15,24 +17,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's core operator — the order-insensitive
+    whole-table fingerprint (duckdb_cdc.go:169-183) computed for every
+    monitored table in one declarative plan (SURVEY.md §2 C1-C3)."""
+    from cdc_lite_spark.queries import REGISTRY
+
+    return REGISTRY["cdc_table_checksums"].builder(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from cdc_lite_spark.queries import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cdc_lite_spark.queries import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

@@ -1,0 +1,59 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
+
+Each query executes end-to-end via the noop sink (full plan runs on
+executors, nothing collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from cdc_lite_spark.queries import REGISTRY
+    from cdc_lite_spark.session import get_spark
+
+    spark = get_spark("cdc_lite_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footer caches with one tiny action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        builder = REGISTRY[name].builder
+        t0 = time.perf_counter()
+        try:
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # pragma: no cover
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,665 @@
+"""The oracle-checked query registry.
+
+Every operator from SURVEY.md §2 gets a named query here: a PySpark builder
+``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible) a DuckDB oracle
+SQL string computing the same result.  The driver hashes both sides
+(row-count + schema + order-insensitive value hash), so:
+
+- every computed column is aliased identically in both dialects;
+- float aggregations go through DECIMAL so both engines produce the exact
+  same value regardless of accumulation order (sum of doubles is
+  order-dependent; sum of decimals is exact) and are cast back to DOUBLE at
+  the end so the schemas agree;
+- derived timestamps (window starts) are emitted as epoch-second BIGINTs —
+  engine-neutral;
+- anything involving a hash uses the engine-portable md5-based hash
+  (functions/hashes.py) computed bit-identically in both engines.
+
+Scale notes ride on each query's docstring — the declared plan is written so
+Catalyst's physical choices (pushdown, broadcast, partial agg, AQE) are the
+right ones at 100 TB, and tests/test_plans.py asserts the key properties.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_lite_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryDef:
+    builder: QueryFn
+    oracle: str | None
+    description: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, description: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QueryDef(fn, oracle, description, tags)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: qd.builder for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
+
+
+# exact money arithmetic, identical in both engines (see module docstring)
+def _dec(c: str, scale: int = 2) -> F.Column:
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+def _dsum(col, alias: str) -> F.Column:
+    return F.sum(col).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# A/B: scans, filters, projections  (SURVEY §2a, §2b)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 25
+    """,
+    "A1/B1/B2: predicate + projection, pushed to the parquet scan",
+    tags=("scan",),
+)
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + projection. Both the shipdate/quantity predicates and the
+    4-column ReadSchema reach the parquet reader (asserted in test_plans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") < "1996-01-01") & (F.col("l_quantity") > 25)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (_dec("l_extendedprice") * (1 - _dec("l_discount")))
+        .cast("double")
+        .alias("net_price"),
+    )
+
+
+@register(
+    "filter_equality",
+    """
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+    """,
+    "B2: parameterized equality predicate (reference duckdb_cdc.go:190-195)",
+    tags=("scan",),
+)
+def q_filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# B3/B4: envelope  (row→map pivot + change-record wrap)
+# ---------------------------------------------------------------------------
+
+_ENVELOPE_TS = "2024-01-01 00:00:00"
+
+
+@register(
+    "cdc_envelope",
+    f"""
+    SELECT TIMESTAMP '{_ENVELOPE_TS}' AS "timestamp",
+           'nation' AS "table",
+           'SNAPSHOT' AS operation,
+           to_json(struct_pack(
+               n_nationkey := COALESCE(CAST(n_nationkey AS VARCHAR), ''),
+               n_name := COALESCE(CAST(n_name AS VARCHAR), ''),
+               n_regionkey := COALESCE(CAST(n_regionkey AS VARCHAR), '')
+           ))::VARCHAR AS data
+    FROM nation
+    """,
+    "B3+B4: row→map pivot and change-record envelope (duckdb_cdc.go:229-250)",
+    tags=("cdc",),
+)
+def q_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's capture path as one codegen'd expression; the capture
+    timestamp is pinned so the oracle can reproduce it."""
+    from cdc_lite_spark.envelope import snapshot_envelope
+
+    nation = load_table(spark, sf_dir, "nation")
+    env = snapshot_envelope(
+        nation, "nation", ts=F.lit(_ENVELOPE_TS).cast("timestamp")
+    )
+    # map → JSON string for engine-neutral comparison; '' for NULLs matches
+    # the reference's COALESCE canonicalization (duckdb_cdc.go:171)
+    return env.select(
+        "timestamp",
+        "table",
+        "operation",
+        F.to_json(
+            F.transform_values(F.col("data"), lambda _, v: F.coalesce(v, F.lit("")))
+        ).alias("data"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1-C3: the table fingerprint  (the reference's core operator)
+# ---------------------------------------------------------------------------
+
+
+def _checksum_oracle_union(tables: list[str]) -> str:
+    from cdc_lite_spark.operators.checksum import table_checksum_sql
+
+    # Spark dtypes for these tables, hard-pinned: (name, spark_dtype)
+    schemas = {
+        "region": [("r_regionkey", "int"), ("r_name", "string")],
+        "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+        "supplier": [
+            ("s_suppkey", "bigint"),
+            ("s_name", "string"),
+            ("s_nationkey", "int"),
+            ("s_acctbal", "double"),
+        ],
+        "customer": [
+            ("c_custkey", "bigint"),
+            ("c_name", "string"),
+            ("c_nationkey", "int"),
+            ("c_acctbal", "double"),
+            ("c_mktsegment", "string"),
+        ],
+        "part": [
+            ("p_partkey", "bigint"),
+            ("p_name", "string"),
+            ("p_brand", "string"),
+            ("p_type", "string"),
+            ("p_size", "int"),
+            ("p_retailprice", "double"),
+        ],
+        "orders": [
+            ("o_orderkey", "bigint"),
+            ("o_custkey", "bigint"),
+            ("o_orderstatus", "string"),
+            ("o_totalprice", "double"),
+            ("o_orderdate", "timestamp"),
+            ("o_orderpriority", "string"),
+        ],
+    }
+    selects = []
+    for t in tables:
+        inner = table_checksum_sql(t, schemas[t])
+        selects.append(f"SELECT '{t}' AS table_name, checksum FROM ({inner})")
+    return " UNION ALL ".join(selects)
+
+
+_CHECKSUM_TABLES = ["region", "nation", "supplier", "customer", "part", "orders"]
+
+
+@register(
+    "cdc_table_checksums",
+    _checksum_oracle_union(_CHECKSUM_TABLES),
+    "C1-C3: order-insensitive whole-table fingerprint per table (duckdb_cdc.go:169-183)",
+    tags=("cdc", "checksum"),
+)
+def q_cdc_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fingerprint row per monitored table — the reference's per-tick
+    detect pass over its table list (duckdb_cdc.go:114-120) as a union of
+    partial-aggregated scans.  Each branch shuffles only its partial
+    (count,sum) pairs; at 100 TB this is scan-bound with no wide state."""
+    from cdc_lite_spark.operators.checksum import table_checksum
+
+    parts = []
+    for t in _CHECKSUM_TABLES:
+        df = load_table(spark, sf_dir, t)
+        parts.append(table_checksum(df).select(F.lit(t).alias("table_name"), "checksum"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# F1-F3: snapshot diff — the CDC classification
+# ---------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+WITH prev AS (
+    SELECT * FROM orders WHERE o_orderkey % 7 != 0
+),
+cur AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END
+               AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 5 != 0
+)
+SELECT COALESCE(c.o_orderkey, p.o_orderkey) AS o_orderkey,
+       CASE WHEN p.o_orderkey IS NULL THEN 'INSERT'
+            WHEN c.o_orderkey IS NULL THEN 'DELETE'
+            ELSE 'UPDATE' END AS operation,
+       c.o_totalprice AS o_totalprice
+FROM cur c FULL OUTER JOIN prev p ON c.o_orderkey = p.o_orderkey
+WHERE p.o_orderkey IS NULL OR c.o_orderkey IS NULL
+   OR (c.o_custkey      IS DISTINCT FROM p.o_custkey
+    OR c.o_orderstatus  IS DISTINCT FROM p.o_orderstatus
+    OR c.o_totalprice   IS DISTINCT FROM p.o_totalprice
+    OR c.o_orderdate    IS DISTINCT FROM p.o_orderdate
+    OR c.o_orderpriority IS DISTINCT FROM p.o_orderpriority)
+"""
+
+
+@register(
+    "cdc_snapshot_diff",
+    _DIFF_ORACLE,
+    "F1-F3: full-outer snapshot diff → INSERT/UPDATE/DELETE (relational duckdb_cdc.go:197)",
+    tags=("cdc", "join"),
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC: previous vs current snapshot, one sort-merge join on
+    the key, value comparison via pre-computed row hash so the shuffle
+    carries (key, hash, payload) only."""
+    from cdc_lite_spark.operators.diff import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    prev = orders.filter(F.col("o_orderkey") % 7 != 0)
+    cur = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return snapshot_diff(prev, cur, ["o_orderkey"]).select(
+        "o_orderkey", "operation", "o_totalprice"
+    )
+
+
+@register(
+    "anti_join_new_keys",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "F1: left-anti join — customers that never ordered (INSERT detection shape)",
+    tags=("join",),
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "semi_join_active_keys",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "F2: left-semi join — keys present in both snapshots",
+    tags=("join",),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "union_change_streams",
+    """
+    SELECT 'region' AS src, r_regionkey AS key FROM region
+    UNION ALL
+    SELECT 'nation' AS src, n_nationkey AS key FROM nation
+    """,
+    "F5: union of per-table streams into one log",
+    tags=("setop",),
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select(
+        F.lit("region").alias("src"), F.col("r_regionkey").cast("int").alias("key")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.lit("nation").alias("src"), F.col("n_nationkey").cast("int").alias("key")
+    )
+    return region.unionByName(nation)
+
+
+# ---------------------------------------------------------------------------
+# D1/G1-G3: latest-per-key, change flags, running windows, top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    "D1→G1: latest row per key (reference's ORDER BY ts DESC LIMIT 1, duckdb_cdc.go:190-195)",
+    tags=("window",),
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by aggregation, not a window sort: partial-aggregable, one shuffle
+    on user_id, no per-key full sort — the scale path for huge logs."""
+    from cdc_lite_spark.operators.latest import latest_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return latest_per_key(ev, ["user_id"], ["ts", "event_id"], via_agg=True).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+@register(
+    "change_flag_lag",
+    """
+    SELECT user_id, event_id,
+           CASE WHEN lag(value) OVER w IS NULL THEN TRUE
+                ELSE value != lag(value) OVER w END AS changed
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "G2: lag-based change flag — the reference's last != current predicate (duckdb_cdc.go:197)",
+    tags=("window",),
+)
+def q_change_flag_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.latest import with_change_flag
+
+    ev = load_table(spark, sf_dir, "events")
+    return with_change_flag(ev, ["user_id"], ["ts", "event_id"], "value").select(
+        "user_id", "event_id", "changed"
+    )
+
+
+@register(
+    "running_change_counts",
+    """
+    SELECT user_id, event_id,
+           count(*) OVER w AS running_count,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "G3: frame-spec running aggregates per key over time",
+    tags=("window",),
+)
+def q_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("running_count"),
+        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    "G1 generalization: top-k per group (WindowGroupLimit physical rewrite)",
+    tags=("window",),
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.topk import top_k_per_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders, ["o_custkey"], ["o_totalprice", "o_orderkey"], k=3
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+# ---------------------------------------------------------------------------
+# C4/C5: grouped aggregation  (TPC-H-shaped)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "C4: TPC-H Q1 — grouped multi-aggregate with exact decimal arithmetic",
+    tags=("agg",),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate with map-side partials over a pushed-down scan; sums in
+    DECIMAL so the result is order-independent and engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    charge = disc * (1 + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(_dec("l_quantity"), "sum_qty"),
+            _dsum(_dec("l_extendedprice"), "sum_base_price"),
+            _dsum(disc, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name, r.r_name,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    "F4+C4: multi-way dimension join (broadcast) + grouped agg",
+    tags=("join", "agg"),
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dims star join: every dimension side is broadcast — zero
+    shuffle for the joins, one shuffle for the final group-by."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "distinct_counts",
+    """
+    SELECT c_mktsegment,
+           count(DISTINCT c_nationkey) AS n_nations,
+           count(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+    "C5: exact distinct counting per group",
+    tags=("agg",),
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    None,  # HLL sketches differ across engines — driver records rows-only
+    "C5: approx_count_distinct (HyperLogLog++); no oracle, sketch constants are engine-specific",
+    tags=("agg", "approx"),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E10: JSON extraction; H7: event-time windows; sessionization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT * FROM (
+        SELECT event_id,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        FROM events
+    ) WHERE prop_k IS NOT NULL
+    """,
+    "E10: JSON field extraction from the string props column",
+    tags=("json",),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("prop_k"),
+    ).filter(F.col("prop_k").isNotNull())
+
+
+@register(
+    "event_time_tumbling",
+    """
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_epoch,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "H7: tumbling event-time window aggregation (batch form; streaming form in streaming/)",
+    tags=("window", "streaming"),
+)
+def q_event_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window tumbling aggregation; window start emitted as epoch seconds
+    (engine-neutral).  Streaming twin: same expression over readStream with
+    a watermark — see streaming/event_windows.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sessionization",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           epoch_us(min(ts)) // 1000000 AS session_start_epoch
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    "G2+G3 composition: sessionization by 30-min inactivity gap",
+    tags=("window", "streaming"),
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.floor(F.unix_micros(F.min("ts")) / 1_000_000).alias("session_start_epoch"),
+    )
