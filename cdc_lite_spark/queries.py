@@ -886,10 +886,10 @@ def _simhash_oracle() -> str:
     tags=("dedup",),
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_lite_spark.operators.dedup import simhash_col
+    from cdc_lite_spark.operators.dedup import simhash_signatures
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash_col("text").alias("simhash"))
+    return simhash_signatures(docs)
 
 
 # ---------------------------------------------------------------------------
