@@ -1,0 +1,84 @@
+"""Physical-plan assertions — the optimizer properties the 100 TB design
+relies on must actually hold, not be hoped for (SURVEY.md §4).
+
+Each test pins a plan property: filter/projection pushdown to parquet,
+broadcast joins for dimensions, partial aggregation, window-group-limit
+top-k, agg-based (sort-free) latest-per-key.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_lite_spark.plans.inspect import explain_str
+from cdc_lite_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return explain_str(REGISTRY[name].builder(spark, SF))
+
+
+def test_filters_and_projection_pushed_to_scan(spark):
+    plan = _plan(spark, "scan_filter_project")
+    assert "PushedFilters: [" in plan and "LessThan(l_shipdate" in plan
+    assert "GreaterThan(l_quantity,25.0)" in plan
+    # column pruning: the 11-column lineitem scan reads only the 6 needed
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read.count(":") - 1 <= 6
+    assert "l_tax" not in read and "l_returnflag" not in read
+
+
+def test_star_join_is_all_broadcast(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    tree = plan.split("\n\n")[0]  # the indented tree, before node details
+    assert tree.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_aggregates_are_partial_final(spark):
+    plan = _plan(spark, "pricing_summary")
+    # two HashAggregates (partial map-side + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_latest_per_key_has_no_window_sort(spark):
+    plan = _plan(spark, "latest_event_per_user")
+    assert "Window" not in plan  # max_by aggregation, not a window sort
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_topk_uses_window_group_limit(spark):
+    plan = _plan(spark, "topk_orders_per_customer")
+    assert "WindowGroupLimit" in plan  # rank<=k pushed below the sort
+
+
+def test_ann_join_is_equi_not_cross(spark):
+    plan = _plan(spark, "ann_topk_sign_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bruteforce_broadcasts_queries_not_corpus(spark):
+    plan = _plan(spark, "cosine_topk_bruteforce")
+    tree = plan.split("\n\n")[0]
+    # cross join with the small query set broadcast (BuildRight); exactly
+    # one broadcast — the corpus side streams
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in tree
+    assert tree.count("BroadcastExchange") == 1
+
+
+def test_whole_stage_codegen_present(spark):
+    # AQE plans only annotate codegen ids after execution, so assert on the
+    # exchange-free query (scan→filter→project stays one codegen stage)
+    plan = _plan(spark, "scan_filter_project")
+    assert "codegen id" in plan
+
+
+def test_checksum_shuffles_only_partials(spark):
+    plan = _plan(spark, "cdc_table_checksums")
+    # each of the 6 table branches: partial agg before its exchange — the
+    # shuffle carries one partial row per partition, not table data
+    assert plan.count("HashAggregate") >= 12

@@ -1,0 +1,113 @@
+"""Structured-Streaming operator tests (SURVEY.md §2 H1-H7, F6).
+
+Deterministic drains via availableNow + processAllAvailable — no sleeps
+(the reference's timing-based integration test, duckdb_cdc_test.go:159,
+done right)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_lite_spark.streaming.event_windows import (
+    dedup_stream,
+    enrich_stream,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tables, tmp_path_factory):
+    """Events table re-written as a small parquet dir usable as a stream."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    tables["events"].repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _stream(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(events_dir)
+
+
+def _drain(df, mode="append", name="sink_tbl"):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    stream = _stream(spark, events_dir)
+    q = _drain(tumbling_counts(stream), mode="append", name="tumbling_out")
+    assert not q.isActive
+    got = spark.sql("SELECT * FROM tumbling_out")
+    batch = tumbling_counts(spark.read.parquet(events_dir))
+    # the final watermark leaves the tail windows unemitted in append mode;
+    # every emitted row must equal its batch twin
+    emitted = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in got.collect()
+    }
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert len(emitted) > 0
+    for k, v in emitted.items():
+        assert expect[k][0] == v[0]
+        assert abs(expect[k][1] - v[1]) < 1e-6
+
+
+def test_sliding_and_session_windows_run(spark, events_dir):
+    stream = _stream(spark, events_dir)
+    q1 = _drain(sliding_counts(stream), name="sliding_out")
+    assert not q1.isActive
+    stream2 = _stream(spark, events_dir)
+    q2 = _drain(session_windows(stream2), name="session_out")
+    assert not q2.isActive
+    assert spark.sql("SELECT count(*) FROM sliding_out").first()[0] >= 0
+    assert spark.sql("SELECT count(*) FROM session_out").first()[0] >= 0
+
+
+def test_stream_static_join_enriches(spark, tables, events_dir):
+    stream = _stream(spark, events_dir)
+    # dimension: user_id → a label (derived deterministic dim)
+    dim = tables["events"].select("user_id").distinct().withColumn(
+        "user_label", F.concat(F.lit("u"), F.col("user_id"))
+    )
+    q = _drain(enrich_stream(stream, dim, "user_id"), name="enriched_out")
+    assert not q.isActive
+    out = spark.sql("SELECT * FROM enriched_out")
+    assert out.count() == tables["events"].count()
+    assert out.filter(F.col("user_label").isNull()).count() == 0
+
+
+def test_dedup_stream_bounded_state(spark, tables, events_dir):
+    stream = _stream(spark, events_dir)
+    deduped = dedup_stream(stream, ["user_id", "event_type"])
+    q = _drain(deduped, name="dedup_out")
+    assert not q.isActive
+    got = spark.sql("SELECT count(*) FROM dedup_out").first()[0]
+    exact = tables["events"].select("user_id", "event_type").distinct().count()
+    # dropDuplicatesWithinWatermark may re-admit keys whose first sighting
+    # expired; with this small time range it should match exact dedup
+    assert got >= exact
+    assert got <= tables["events"].count()
+
+
+def test_batch_twins_of_streaming_ops(spark, tables):
+    """The same functions accept batch frames — one code path, two modes."""
+    ev = tables["events"]
+    t = tumbling_counts(ev)
+    assert t.count() > 0
+    s = session_windows(ev)
+    assert s.count() > 0
+    d = dedup_stream(ev, ["user_id", "event_type"])
+    assert d.count() == ev.select("user_id", "event_type").distinct().count()
