@@ -151,6 +151,74 @@ def ann_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF list assignment: each vector joins its nearest centroid (max
+    cosine, centroid id as deterministic tie-break).  Centroids broadcast
+    (they are few); one scan of the corpus, no corpus shuffle — the
+    assignment can be written alongside the vectors and reused by every
+    subsequent search."""
+    c = centroids.select(
+        F.col(centroid_id_col).alias("centroid_id"),
+        _to_double(F.col(vec_col)).alias("c_vec"),
+    )
+    v = corpus.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v_vec"))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col,
+        "centroid_id",
+        F.round(cosine(F.col("v_vec"), F.col("c_vec")), 6).alias("c_sim"),
+    )
+    from cdc_lite_spark.operators.latest import latest_per_key
+
+    return latest_per_key(
+        scored, [id_col], ["c_sim", "centroid_id"], descending=True, via_agg=True
+    ).select(id_col, "centroid_id")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: assign corpus and queries to centroid lists, then rank
+    only within the query's list (single-probe; recall rises with more
+    probes).  Corpus shuffles once on centroid_id — at 100 TB the
+    assignment is precomputed/bucketed so even that shuffle amortizes away."""
+    c_assign = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    q_assign = ivf_assign(
+        queries, centroids, id_col=query_id_col, vec_col=vec_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"), _to_double(F.col(vec_col)).alias("nbr_vec")
+    ).join(c_assign.withColumnRenamed(id_col, "nbr_id"), "nbr_id")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("q_vec")
+    ).join(q_assign.withColumnRenamed(query_id_col, "query_id"), "query_id")
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cos_sim"),
+        )
+    )
+    from cdc_lite_spark.operators.topk import top_k_per_group
+
+    return top_k_per_group(scored, ["query_id"], ["cos_sim", "nbr_id"], k=k).select(
+        "query_id", "nbr_id", "cos_sim", F.col("rn").cast("long").alias("rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

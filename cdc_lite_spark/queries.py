@@ -60,6 +60,11 @@ def oracle_sql() -> dict[str, str]:
     return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
 
 
+# similarity-search harness constants (shared by brute-force / LSH / IVF)
+_N_QUERY_VECS = 5
+_TOPK = 5
+
+
 # exact money arithmetic, identical in both engines (see module docstring)
 def _dec(c: str, scale: int = 2) -> F.Column:
     return F.col(c).cast(f"decimal(18,{scale})")
@@ -666,6 +671,217 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A2/D2: schema probe; C4 extensions: rollup + pivot; as-of + range joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "schema_probe",
+    """
+    SELECT table_name, column_name, CAST(ordinal_position AS INT) AS ordinal
+    FROM information_schema.columns
+    WHERE table_name IN ('lineitem', 'events')
+    """,
+    "A2/D2: zero-cost schema discovery (reference's SELECT * LIMIT 0 probe, duckdb_cdc.go:146-159)",
+    tags=("scan",),
+)
+def q_schema_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure metadata — no job runs (strictly better than the reference's
+    LIMIT 0 round-trip; parquet footers carry the schema)."""
+    rows = []
+    for t in ("lineitem", "events"):
+        for i, c in enumerate(load_table(spark, sf_dir, t).columns, start=1):
+            rows.append((t, c, i))
+    return spark.createDataFrame(rows, "table_name string, column_name string, ordinal int")
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    "C4 extension: hierarchical rollup (grouping sets) over the star join",
+    tags=("agg",),
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _pivot_oracle() -> str:
+    cases = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    return f"SELECT user_id, {cases} FROM events GROUP BY user_id"
+
+
+@register(
+    "pivot_event_counts",
+    _pivot_oracle(),
+    "C4 extension: pivot (wide per-key counts over a fixed category list)",
+    tags=("agg",),
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@register(
+    "asof_join_last_purchase",
+    """
+    SELECT l.event_id, l.user_id, l.ts, r.value AS purchase_value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "as-of join: latest purchase at-or-before each click, per user (union+window formulation)",
+    tags=("join", "window"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O((L+R) log) single-shuffle as-of join — no theta join, no per-row
+    lookup; see operators/asof.py for the formulation."""
+    from cdc_lite_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return as_of_join(clicks, purchases, ["user_id"], "ts", ["value"]).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value_asof").alias("purchase_value_asof"),
+    )
+
+
+_PRICE_BANDS = [
+    ("budget", 0.0, 75_000.0),
+    ("mid", 75_000.0, 180_000.0),
+    ("premium", 180_000.0, 320_000.0),
+    ("luxury", 320_000.0, 1_000_000.0),
+]
+
+
+def _range_join_oracle() -> str:
+    bands = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_BANDS)
+    return f"""
+    SELECT o.o_orderkey, b.band
+    FROM orders o
+    JOIN (VALUES {bands}) b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    """
+
+
+@register(
+    "range_join_price_bands",
+    _range_join_oracle(),
+    "range join: value-in-interval via bucketized equi-join + residual filter",
+    tags=("join",),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.asof import range_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    return range_join(
+        orders.select("o_orderkey", "o_totalprice"),
+        bands,
+        value_col="o_totalprice",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=50_000.0,
+    ).select("o_orderkey", "band")
+
+
+_IVF_CENTROID_MOD = 50
+
+
+def _ivf_oracle(k: int = _TOPK, nq: int = _N_QUERY_VECS) -> str:
+    from cdc_lite_spark.operators.similarity import cosine_sql
+
+    cos_vc = cosine_sql("v.v", "c.v")
+    cos_qn = cosine_sql("q.v", "n.v")
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS centroid_id, v FROM vecs WHERE vec_id % {_IVF_CENTROID_MOD} = 0),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY round({cos_vc}, 6) DESC, c.centroid_id DESC) AS rn
+            FROM vecs v CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT a.vec_id AS query_id, a.centroid_id, vecs.v
+        FROM assign a JOIN vecs ON a.vec_id = vecs.vec_id WHERE a.vec_id < {nq}
+    ),
+    n AS (
+        SELECT a.vec_id AS nbr_id, a.centroid_id, vecs.v
+        FROM assign a JOIN vecs ON a.vec_id = vecs.vec_id
+    ),
+    scored AS (
+        SELECT q.query_id, n.nbr_id, round({cos_qn}, 6) AS cos_sim
+        FROM q JOIN n USING (centroid_id) WHERE n.nbr_id != q.query_id
+    )
+    SELECT query_id, nbr_id, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, nbr_id DESC) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "ivf_topk",
+    _ivf_oracle(),
+    "X3 scale path: IVF (centroid-list) approximate top-k search",
+    tags=("similarity",),
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries_df, centroids, k=_TOPK)
+
+
+# ---------------------------------------------------------------------------
 # X4: text analysis  (LLM-pipeline operators over `documents`)
 # ---------------------------------------------------------------------------
 
@@ -895,9 +1111,6 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # X3: vector similarity search over `embeddings`
 # ---------------------------------------------------------------------------
-
-_N_QUERY_VECS = 5
-_TOPK = 5
 
 
 def _cosine_topk_oracle(k: int = _TOPK, nq: int = _N_QUERY_VECS) -> str:
