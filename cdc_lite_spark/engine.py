@@ -95,9 +95,22 @@ class CdcEngine:
 
     # -- the poll loop -------------------------------------------------------
 
-    def poll_once(self, tables: dict[str, DataFrame]) -> list[str]:
+    def poll_once(
+        self,
+        tables: dict[str, DataFrame],
+        mode: str = "snapshot",
+        keys: dict[str, list[str]] | None = None,
+    ) -> list[str]:
         """One monitor tick over all tables (≈ monitorTables loop body,
         duckdb_cdc.go:114-120 + checkTableChanges :161-214).
+
+        ``mode="snapshot"`` re-emits the whole table on change (reference
+        behavior, op literal "SNAPSHOT", duckdb_cdc.go:248).
+        ``mode="diff"`` emits row-level INSERT/UPDATE/DELETE records against
+        the previously captured snapshot (strictly stronger than the
+        reference; needs ``keys[table]``).  The previous snapshot persists
+        as parquet under the state dir — at scale this is the lakehouse
+        table itself, and the diff is one co-partitioned join per tick.
 
         Returns the tables whose change was captured this tick.  Errors are
         isolated per table (H6): one bad table logs and the loop continues.
@@ -109,12 +122,52 @@ class CdcEngine:
                 current = self.checksum(df)
                 if previous.get(table) == current:
                     continue  # short-circuit: skip capture when unchanged (§4)
-                append_changes(self.snapshot(df, table), self.output_dir)
+                if mode == "diff":
+                    self._capture_diff(table, df, (keys or {})[table])
+                else:
+                    append_changes(self.snapshot(df, table), self.output_dir)
                 self.record_checksum(table, current)
                 captured.append(table)
             except Exception as exc:  # noqa: BLE001 — per-table isolation (H6)
                 print(f"cdc_lite_spark: error checking table {table}: {exc}")
         return captured
+
+    def _snapshot_path(self, table: str) -> str:
+        return f"{self.state_dir}/snapshots/{table}"
+
+    def _capture_diff(self, table: str, cur: DataFrame, keys: list[str]) -> None:
+        """Diff current state against the stored previous snapshot, emit
+        per-row operation envelopes, then persist the new snapshot."""
+        try:
+            prev = self.spark.read.parquet(self._snapshot_path(table))
+            changed = snapshot_diff(prev, cur, keys)
+        except Exception:
+            # first sight: everything is an INSERT (reference's ErrNoRows
+            # branch, duckdb_cdc.go:197-199 — but row-level, not SNAPSHOT)
+            changed = cur.withColumn("operation", F.lit("INSERT"))
+        env = changed.select(
+            F.current_timestamp().alias("timestamp"),
+            F.lit(table).alias("table"),
+            F.col("operation"),
+            F.create_map(
+                *[
+                    x
+                    for c in changed.columns
+                    if c != "operation"
+                    for x in (F.lit(c), F.col(c).cast("string"))
+                ]
+            ).alias("data"),
+        )
+        append_changes(env, self.output_dir)
+        # persist new snapshot AFTER the log write (at-least-once ordering,
+        # duckdb_cdc.go:291).  Staged through .next because `cur`'s lineage
+        # may itself read the snapshot path — overwriting an input of a lazy
+        # plan corrupts it; materializing to .next first breaks the cycle.
+        tmp = self._snapshot_path(table) + ".next"
+        cur.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            self._snapshot_path(table)
+        )
 
     def monitor(self, tables: dict[str, DataFrame], interval_seconds: float = 1.0):
         """Continuous monitoring as a Structured Streaming query (H1-H6).

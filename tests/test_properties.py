@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the core CDC invariants.
+
+The reference's correctness rests on two semantic properties its tests
+never state explicitly; we pin them over generated data:
+
+1. checksum: equal multisets of rows ⇔ equal digests; any single-cell
+   mutation, row drop, or row add changes the digest.
+2. diff: applying the diff to the previous snapshot reconstructs the
+   current snapshot exactly (INSERT ∪ UPDATE ∪ (prev ∖ DELETE ∖ UPDATE)).
+
+One shared SparkSession; hypothesis drives small row sets (Spark jobs are
+slow, so examples are capped but shrinkage still works).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cdc_lite_spark.operators.checksum import table_checksum_value
+from cdc_lite_spark.operators.diff import snapshot_diff
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),  # id
+        st.text(alphabet="abcxyz ", max_size=8) | st.none(),  # payload
+        st.integers(min_value=-5, max_value=5),  # value
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id int, payload string, value int")
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_checksum_permutation_invariant_mutation_sensitive(spark, rows):
+    df = _df(spark, rows)
+    base = table_checksum_value(df)
+    # permutation/partitioning invariance
+    assert table_checksum_value(df.orderBy(F.rand(seed=7)).repartition(5)) == base
+    if rows:
+        # dropping any one row changes the digest
+        dropped = _df(spark, rows[1:])
+        assert table_checksum_value(dropped) != base
+        # mutating one cell changes the digest
+        mutated_rows = [(rows[0][0], "MUTATED-CELL", rows[0][2]), *rows[1:]]
+        assert table_checksum_value(_df(spark, mutated_rows)) != base
+
+
+@given(prev_rows=ROWS, cur_rows=ROWS)
+@_SETTINGS
+def test_diff_reconstructs_current_snapshot(spark, prev_rows, cur_rows):
+    prev, cur = _df(spark, prev_rows), _df(spark, cur_rows)
+    diff = snapshot_diff(prev, cur, ["id"]).collect()
+    ops = {r["id"]: r for r in diff}
+
+    prev_map = {r[0]: r for r in prev_rows}
+    cur_map = {r[0]: r for r in cur_rows}
+
+    # reconstruct: start from prev, apply operations
+    recon = dict(prev_map)
+    for rid, r in ops.items():
+        if r["operation"] == "DELETE":
+            recon.pop(rid, None)
+        else:  # INSERT or UPDATE carry current values
+            recon[rid] = (rid, r["payload"], r["value"])
+    assert recon == cur_map
+
+    # no-ops for unchanged keys
+    unchanged = {
+        k for k in (set(prev_map) & set(cur_map)) if prev_map[k] == cur_map[k]
+    }
+    assert unchanged.isdisjoint(ops.keys())
