@@ -56,6 +56,22 @@ def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
 
 
+def _sided(df: DataFrame, id_col: str, vec_col: str, side: str) -> DataFrame:
+    """Project (id, vec, norm) for one join side — norms are computed ONCE
+    per vector here, not per pair (higher-order array functions are
+    interpreted, so per-pair norm recomputation triples the hot-path cost)."""
+    v = _to_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(f"{side}_id"), v.alias(f"{side}_vec")
+    ).withColumn(f"{side}_norm", norm(F.col(f"{side}_vec")))
+
+
+def _pair_cosine() -> Column:
+    return F.round(
+        dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")), 6
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -68,19 +84,15 @@ def brute_force_topk(
     corpus, rank per query.  The corpus side never shuffles until the final
     per-query top-k (WindowGroupLimit keeps only k rows per partition
     before the shuffle)."""
-    c = corpus.select(
-        F.col(id_col).alias("nbr_id"), _to_double(F.col(vec_col)).alias("nbr_vec")
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("q_vec")
-    )
+    c = _sided(corpus, id_col, vec_col, "n")
+    q = _sided(queries, query_id_col, vec_col, "q")
     scored = (
         c.crossJoin(F.broadcast(q))
-        .filter(F.col("nbr_id") != F.col("query_id"))
+        .filter(F.col("n_id") != F.col("q_id"))
         .select(
-            "query_id",
-            "nbr_id",
-            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cos_sim"),
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("nbr_id"),
+            _pair_cosine().alias("cos_sim"),
         )
     )
     from cdc_lite_spark.operators.topk import top_k_per_group
@@ -127,21 +139,19 @@ def ann_topk(
     """Approximate top-k: bucket corpus and queries by sign-LSH, equi-join
     on the bucket, rank within.  The equi-join replaces the cross join —
     the step that makes 100 TB feasible."""
-    c = corpus.select(
-        F.col(id_col).alias("nbr_id"),
-        _to_double(F.col(vec_col)).alias("nbr_vec"),
-    ).withColumn("bucket", sign_lsh_bucket(F.col("nbr_vec"), dims))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        _to_double(F.col(vec_col)).alias("q_vec"),
-    ).withColumn("bucket", sign_lsh_bucket(F.col("q_vec"), dims))
+    c = _sided(corpus, id_col, vec_col, "n").withColumn(
+        "bucket", sign_lsh_bucket(F.col("n_vec"), dims)
+    )
+    q = _sided(queries, query_id_col, vec_col, "q").withColumn(
+        "bucket", sign_lsh_bucket(F.col("q_vec"), dims)
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
-        .filter(F.col("nbr_id") != F.col("query_id"))
+        .filter(F.col("n_id") != F.col("q_id"))
         .select(
-            "query_id",
-            "nbr_id",
-            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cos_sim"),
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("nbr_id"),
+            _pair_cosine().alias("cos_sim"),
         )
     )
     from cdc_lite_spark.operators.topk import top_k_per_group
@@ -163,15 +173,14 @@ def ivf_assign(
     (they are few); one scan of the corpus, no corpus shuffle — the
     assignment can be written alongside the vectors and reused by every
     subsequent search."""
-    c = centroids.select(
-        F.col(centroid_id_col).alias("centroid_id"),
-        _to_double(F.col(vec_col)).alias("c_vec"),
-    )
-    v = corpus.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v_vec"))
+    c = _sided(centroids, centroid_id_col, vec_col, "c")
+    v = _sided(corpus, id_col, vec_col, "v")
     scored = v.crossJoin(F.broadcast(c)).select(
-        id_col,
-        "centroid_id",
-        F.round(cosine(F.col("v_vec"), F.col("c_vec")), 6).alias("c_sim"),
+        F.col("v_id").alias(id_col),
+        F.col("c_id").alias("centroid_id"),
+        F.round(
+            dot(F.col("v_vec"), F.col("c_vec")) / (F.col("v_norm") * F.col("c_norm")), 6
+        ).alias("c_sim"),
     )
     from cdc_lite_spark.operators.latest import latest_per_key
 
@@ -197,19 +206,19 @@ def ivf_topk(
     q_assign = ivf_assign(
         queries, centroids, id_col=query_id_col, vec_col=vec_col
     )
-    c = corpus.select(
-        F.col(id_col).alias("nbr_id"), _to_double(F.col(vec_col)).alias("nbr_vec")
-    ).join(c_assign.withColumnRenamed(id_col, "nbr_id"), "nbr_id")
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("q_vec")
-    ).join(q_assign.withColumnRenamed(query_id_col, "query_id"), "query_id")
+    c = _sided(corpus, id_col, vec_col, "n").join(
+        c_assign.withColumnRenamed(id_col, "n_id"), "n_id"
+    )
+    q = _sided(queries, query_id_col, vec_col, "q").join(
+        q_assign.withColumnRenamed(query_id_col, "q_id"), "q_id"
+    )
     scored = (
         c.join(F.broadcast(q), "centroid_id")
-        .filter(F.col("nbr_id") != F.col("query_id"))
+        .filter(F.col("n_id") != F.col("q_id"))
         .select(
-            "query_id",
-            "nbr_id",
-            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cos_sim"),
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("nbr_id"),
+            _pair_cosine().alias("cos_sim"),
         )
     )
     from cdc_lite_spark.operators.topk import top_k_per_group
@@ -230,16 +239,31 @@ def embedding_near_dup_pairs(
     candidates only form inside a bucket (2^|dims| buckets bound pair
     counts), then the exact cosine filters.  Same recall caveat as any
     single-probe LSH — raise by shrinking ``dims`` or multi-probing."""
-    v = corpus.select(
-        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("vec")
-    ).withColumn("bucket", sign_lsh_bucket(F.col("vec"), dims))
-    a = v.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = v.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    v = _sided(corpus, id_col, vec_col, "v").withColumn(
+        "bucket", sign_lsh_bucket(F.col("v_vec"), dims)
+    )
+    a = v.select(
+        "bucket",
+        F.col("v_id").alias("id_a"),
+        F.col("v_vec").alias("vec_a"),
+        F.col("v_norm").alias("norm_a"),
+    )
+    b = v.select(
+        "bucket",
+        F.col("v_id").alias("id_b"),
+        F.col("v_vec").alias("vec_b"),
+        F.col("v_norm").alias("norm_b"),
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim")
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
