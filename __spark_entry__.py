@@ -11,9 +11,16 @@ operator from SURVEY.md §2, each documented with its reference file:line.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# make the package importable regardless of the caller's CWD
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 
 def entry(spark: SparkSession) -> DataFrame:

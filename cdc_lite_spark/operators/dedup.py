@@ -32,6 +32,16 @@ SHINGLE = 3  # tokens per shingle
 DEFAULT_K = 8  # minhash signature length
 SIMHASH_BITS = 32
 
+# universal-hash family for MinHash: h_i(x) = (A_i * base(x) + B_i) mod P.
+# base(x) is the portable 60-bit hash computed ONCE per shingle; the k
+# family members are cheap affine transforms (the standard construction —
+# k independent string hashes would cost k md5 passes for no extra
+# independence).  P is the largest prime < 2^31 so products stay in BIGINT
+# range identically in Spark and DuckDB.
+MINHASH_P = 2_147_483_647
+_MINHASH_A = [1_103_515_245, 22_695_477, 134_775_813, 214_013, 69_069, 1_664_525, 48_271, 16_807]
+_MINHASH_B = [12_345, 54_321, 1, 2_531_011, 362_437, 1_013_904_223, 7, 49_297]
+
 
 # --- exact dedup ------------------------------------------------------------
 
@@ -70,45 +80,47 @@ def shingles_sql(text_expr: str = "text", n: int = SHINGLE) -> str:
     return f"CASE WHEN len({toks}) >= {n} THEN {make} ELSE {whole} END"
 
 
+def _affine_min(base_col: Column, i: int) -> Column:
+    """min over the base-hash array of h_i(x) = (A_i·x + B_i) mod P."""
+    a, b = _MINHASH_A[i], _MINHASH_B[i]
+    return F.array_min(
+        F.transform(base_col, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P))
+    )
+
+
 def minhash_col(text_col: str | Column = "text", k: int = DEFAULT_K, n: int = SHINGLE) -> Column:
-    """Array of k minhashes: mh_i = min over shingles of h_i(shingle),
-    where h_i is the portable hash salted with seed ``mh<i>``."""
-    sh = shingles(text_col, n)
-
-    def mh(i: int) -> Column:
-        # NB: F.transform lambdas must be unary here — a second parameter
-        # would receive the element index, not a closure default
-        seed = f"mh{i}"
-        return F.array_min(F.transform(sh, lambda s: portable_hash64(s, seed=seed)))
-
-    return F.array(*[mh(i) for i in range(k)])
+    """Array of k minhashes via the universal-hash family over base hashes
+    (md5 runs once per shingle; the k members are affine transforms)."""
+    base = F.transform(shingles(text_col, n), lambda s: portable_hash64(s) % MINHASH_P)
+    return F.array(*[_affine_min(base, i) for i in range(k)])
 
 
 def minhash_sql(text_expr: str = "text", k: int = DEFAULT_K, n: int = SHINGLE) -> str:
-    sh = shingles_sql(text_expr, n)
+    base = (
+        f"list_transform({shingles_sql(text_expr, n)}, "
+        f"s -> {portable_hash64_sql('s')} % {MINHASH_P})"
+    )
     parts = [
-        f"list_min(list_transform({sh}, s -> {portable_hash64_sql('s', seed=f'mh{i}')}))"
+        f"list_min(list_transform(__base, x -> ({_MINHASH_A[i]} * x + {_MINHASH_B[i]}) % {MINHASH_P}))"
         for i in range(k)
     ]
-    return "[" + ", ".join(parts) + "]"
+    arr = "[" + ", ".join(parts) + "]"
+    return f"(SELECT {arr} FROM (SELECT {base} AS __base))"
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = DEFAULT_K
 ) -> DataFrame:
-    """Staged in two projections: shingles materialize once per row, then
-    the k hash families read the materialized column — without the stage,
-    the shingle expression is re-evaluated k times per row (measured 7x
-    slower at sf0.1)."""
-    staged = df.select(id_col, shingles(text_col).alias("__sh"))
-
-    def mh(i: int) -> Column:
-        seed = f"mh{i}"
-        return F.array_min(
-            F.transform(F.col("__sh"), lambda s: portable_hash64(s, seed=seed))
-        )
-
-    return staged.select(id_col, F.array(*[mh(i) for i in range(k)]).alias("minhash"))
+    """Staged in two projections: the base hashes materialize once per row,
+    then the k affine families read the materialized column — without the
+    stage, the shingle+md5 expression is re-evaluated k times per row
+    (measured 7x slower at sf0.1)."""
+    base = F.transform(shingles(text_col), lambda s: portable_hash64(s) % MINHASH_P)
+    staged = df.select(id_col, base.alias("__base"))
+    return staged.select(
+        id_col,
+        F.array(*[_affine_min(F.col("__base"), i) for i in range(k)]).alias("minhash"),
+    )
 
 
 # --- LSH banding → candidate pairs → verified near-dups ----------------------
