@@ -670,6 +670,138 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_replay_reconstruction",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END
+               AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 5 != 0
+    """,
+    "replay: diff(prev,cur) applied back onto prev reconstructs cur exactly "
+    "(the consumer-side CDC contract; oracle is simply cur)",
+    tags=("cdc", "join"),
+)
+def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC correctness in one query: produce the diff between two
+    snapshots, then fold it into the previous snapshot; the result must
+    equal the current snapshot byte-for-byte — which is exactly what the
+    oracle asserts."""
+    from cdc_lite_spark.operators.diff import snapshot_diff
+    from cdc_lite_spark.operators.replay import apply_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    prev = orders.filter(F.col("o_orderkey") % 7 != 0)
+    cur = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    diff = snapshot_diff(prev, cur, ["o_orderkey"])
+    return apply_changes(prev, diff, ["o_orderkey"])
+
+
+@register(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+    "F4+C4: TPC-H Q3 shape — selective fact-fact join with pushed-down date filters",
+    tags=("join", "agg"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join: lineitem (largest table) joins pre-filtered orders;
+    both date predicates push to the parquet scans, the customer dimension
+    broadcasts, and only then does the big join shuffle on l_orderkey."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    disc = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    # customer broadcasts into orders; the orders↔lineitem fact join stays a
+    # shuffle join (neither side is broadcast-safe at 100 TB — AQE may still
+    # upgrade it at small scale)
+    filtered_orders = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "o_orderdate")
+    return (
+        li.join(filtered_orders, li.l_orderkey == filtered_orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+           count(DISTINCT l.l_suppkey) AS n_suppliers
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "F4+C4/C5: largest-table star join with distinct counting per group",
+    tags=("join", "agg"),
+)
+def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("volume"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        FROM orders
+    ) WHERE o_totalprice > cust_avg
+    """,
+    "G-family: per-group average comparison (decorrelated correlated subquery)",
+    tags=("window",),
+)
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic correlated subquery (orders above their customer's
+    average) decorrelated into one window pass — no self-join, one shuffle."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 # ---------------------------------------------------------------------------
 # A2/D2: schema probe; C4 extensions: rollup + pivot; as-of + range joins
 # ---------------------------------------------------------------------------
