@@ -1013,6 +1013,126 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, centroids, k=_TOPK)
 
 
+@register(
+    "set_ops_intersect_except",
+    """
+    SELECT 'both' AS src, k FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'f_only' AS src, k FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+    "F5 breadth: INTERSECT / EXCEPT set semantics",
+    tags=("setop",),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("k"))
+    o = orders.filter("o_orderstatus = 'O'").select(F.col("o_custkey").alias("k"))
+    both = f.intersect(o).select(F.lit("both").alias("src"), "k")
+    # subtract = SQL EXCEPT (set semantics); exceptAll would leave multiset
+    # leftovers for keys present on both sides with different multiplicities
+    f_only = f.subtract(o).select(F.lit("f_only").alias("src"), "k")
+    return both.unionByName(f_only)
+
+
+@register(
+    "window_function_suite",
+    """
+    SELECT event_id, user_id,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           lead(event_id)  OVER w AS next_event,
+           first_value(event_id) OVER w AS first_event,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "G breadth: rank / dense_rank / ntile / lead / first_value / percent_rank",
+    tags=("window",),
+)
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@register(
+    "string_function_suite",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           substr(p_name, 1, 8) AS name_prefix,
+           trim(p_name) AS name_trim,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_snake,
+           CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS is_brass,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           reverse(p_brand) AS brand_rev,
+           CAST(strpos(p_type, 'A') AS INT) AS first_a
+    FROM part
+    """,
+    "E breadth: the scalar string-function surface",
+    tags=("scalar",),
+)
+def q_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.trim("p_name").alias("name_trim"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.when(F.col("p_type").like("%BRASS%"), 1).otherwise(0).alias("is_brass"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.instr(F.col("p_type"), "A").alias("first_a"),
+    )
+
+
+@register(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "C4 breadth: CUBE grouping sets",
+    tags=("agg",),
+)
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X4: text analysis  (LLM-pipeline operators over `documents`)
 # ---------------------------------------------------------------------------
