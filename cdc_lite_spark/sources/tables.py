@@ -32,7 +32,24 @@ DIMENSIONS = {"region", "nation", "supplier", "part", "customer"}
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs this engine depends on, applied defensively —
+    the harness may hand us a SparkSession built without them.
+
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which Spark 4
+      rejects outright otherwise;
+    - UTC session timezone: oracle comparison and toPandas conversions are
+      timezone-sensitive for TimestampType columns.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # a locked-down conf is better than a crashed query
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # Parquet TIMESTAMP(NANOS) arrives as nano-epoch longs (see session.py);
     # normalize to Spark's native microsecond timestamps.  Floor division
