@@ -187,6 +187,32 @@ class CdcEngine:
         duckdb_cdc_test.go:172-197)."""
         return read_changes(self.spark, self.output_dir, table)
 
+    def materialize(self, table: str, keys: list[str], schema: "T.StructType") -> DataFrame:
+        """Compact the change log into current table state (the consumer-side
+        CDC contract): take each key's LATEST record by capture timestamp
+        (last-writer-wins, G1), drop DELETEs, and re-type the stringly
+        ``data`` map back into columns.
+
+        Scale shape: one max_by hash aggregation over the log keyed by the
+        primary key — no window sort, no join; the log never needs to fit
+        anywhere, only the distinct key set does (spread across executors).
+        """
+        from cdc_lite_spark.operators.latest import latest_per_key
+
+        log = self.changes(table)
+        typed = log.select(
+            "timestamp",
+            "operation",
+            *[
+                F.col("data").getItem(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ],
+        )
+        latest = latest_per_key(typed, keys, ["timestamp"], via_agg=True)
+        return latest.filter(F.col("operation") != "DELETE").select(
+            *[f.name for f in schema.fields]
+        )
+
     def wait_for_changes(self, table: str, timeout_s: float = 10.0, min_rows: int = 1) -> bool:
         """Test helper — poll the log until `table` has ≥min_rows records."""
         deadline = time.monotonic() + timeout_s
