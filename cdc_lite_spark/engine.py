@@ -169,16 +169,23 @@ class CdcEngine:
             self._snapshot_path(table)
         )
 
-    def monitor(self, tables: dict[str, DataFrame], interval_seconds: float = 1.0):
+    def monitor(
+        self,
+        tables: dict[str, DataFrame],
+        interval_seconds: float = 1.0,
+        mode: str = "snapshot",
+        keys: dict[str, list[str]] | None = None,
+    ):
         """Continuous monitoring as a Structured Streaming query (H1-H6).
 
         A rate source ticks at ``interval_seconds``; each micro-batch runs
         ``poll_once`` inside ``foreachBatch``.  Returns the StreamingQuery —
         call ``.stop()`` for the reference's SIGINT path (main.go:31-38).
+        ``mode``/``keys`` as in :meth:`poll_once`.
         """
         from cdc_lite_spark.streaming.monitor import start_monitor
 
-        return start_monitor(self, tables, interval_seconds)
+        return start_monitor(self, tables, interval_seconds, mode=mode, keys=keys)
 
     # -- consuming the log ----------------------------------------------------
 

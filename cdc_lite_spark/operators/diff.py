@@ -45,19 +45,28 @@ def snapshot_diff(
     p = prev.select(
         *[F.col(k).alias(f"__pk_{k}") for k in keys],
         row_hash(prev, cmp_prev, fast=fast_hash).alias("__prev_hash"),
+        F.lit(1).alias("__prev_present"),
     )
     if broadcast_prev:
         p = F.broadcast(p)
     c = cur.select(
-        *keys, *non_key, row_hash(cur, cmp_cur, fast=fast_hash).alias("__cur_hash")
+        *keys,
+        *non_key,
+        row_hash(cur, cmp_cur, fast=fast_hash).alias("__cur_hash"),
+        F.lit(1).alias("__cur_present"),
     )
 
-    cond = [c[k] == p[f"__pk_{k}"] for k in keys]
+    # null-safe equality: a null key must match itself across snapshots —
+    # plain `==` never matches null, which would misclassify a stable
+    # null-key row as a simultaneous INSERT + DELETE
+    cond = [c[k].eqNullSafe(p[f"__pk_{k}"]) for k in keys]
     joined = c.join(p, cond, "full_outer")
 
+    # presence markers, not key-null checks: a legitimately-null key row
+    # that matched via eqNullSafe still has null key columns on both sides
     op = (
-        F.when(p[f"__pk_{keys[0]}"].isNull(), F.lit(INSERT))
-        .when(c[keys[0]].isNull(), F.lit(DELETE))
+        F.when(F.col("__prev_present").isNull(), F.lit(INSERT))
+        .when(F.col("__cur_present").isNull(), F.lit(DELETE))
         .when(F.col("__prev_hash") != F.col("__cur_hash"), F.lit(UPDATE))
         .otherwise(F.lit(None))
     )

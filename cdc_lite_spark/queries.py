@@ -1014,6 +1014,136 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "global_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
+    """,
+    "D1 global form: ORDER BY + LIMIT (TakeOrderedAndProject — per-partition top-k, no full sort)",
+    tags=("sort",),
+)
+def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.desc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "having_filter",
+    """
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+    """,
+    "C4 breadth: post-aggregation HAVING filter",
+    tags=("agg",),
+)
+def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@register(
+    "scalar_subquery_above_global_avg",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+    """,
+    "scalar subquery: compare each row against a global aggregate",
+    tags=("agg", "join"),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-join against the 1-row aggregate (what Catalyst decorrelates a
+    scalar subquery into; the 1-row side broadcasts).  avg computed over
+    DECIMAL then compared in decimal domain — engine-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    global_avg = orders.agg(F.avg(_dec("o_totalprice")).alias("__avg"))
+    return (
+        orders.crossJoin(F.broadcast(global_avg))
+        .filter(F.col("o_totalprice") > 2 * F.col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "date_function_suite",
+    """
+    SELECT event_id,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(day(ts) AS INT) AS d,
+           CAST(hour(ts) AS INT) AS h,
+           CAST(minute(ts) AS INT) AS mi,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_str,
+           strftime(ts, '%Y%m%d_%H%M%S') AS file_stamp,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day
+    FROM events
+    """,
+    "E6/E7 breadth: date part extraction, truncation, and the reference's "
+    "changes_<yyyymmdd_hhmmss> filename format (duckdb_cdc.go:268)",
+    tags=("scalar",),
+)
+def q_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day_str"),
+        F.date_format("ts", "yyyyMMdd_HHmmss").alias("file_stamp"),
+        F.floor(F.unix_micros("ts") / 86_400_000_000).alias("epoch_day"),
+    )
+
+
+@register(
+    "math_function_suite",
+    """
+    SELECT event_id,
+           abs(value - 100) AS abs_dev,
+           CAST(ceil(value) AS BIGINT) AS ceil_v,
+           CAST(floor(value) AS BIGINT) AS floor_v,
+           round(sqrt(value), 8) AS sqrt_v,
+           CAST(sign(value - 100) AS DOUBLE) AS sign_v,
+           CAST(CAST(round(value * 100, 0) AS BIGINT) % 7 AS BIGINT) AS mod7,
+           greatest(value, 50.0) AS hi,
+           least(value, 50.0) AS lo
+    FROM events
+    """,
+    "scalar math breadth: abs/ceil/floor/sqrt/sign/mod/greatest/least",
+    tags=("scalar",),
+)
+def q_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.abs(v - 100).alias("abs_dev"),
+        F.ceil(v).cast("bigint").alias("ceil_v"),
+        F.floor(v).cast("bigint").alias("floor_v"),
+        F.round(F.sqrt(v), 8).alias("sqrt_v"),
+        F.signum(v - 100).alias("sign_v"),
+        # round before the cast: Spark's double→bigint truncates while
+        # DuckDB's rounds — 185.22*100 = 18521.999…
+        (F.round(v * 100, 0).cast("bigint") % 7).alias("mod7"),
+        F.greatest(v, F.lit(50.0)).alias("hi"),
+        F.least(v, F.lit(50.0)).alias("lo"),
+    )
+
+
+@register(
     "set_ops_intersect_except",
     """
     SELECT 'both' AS src, k FROM (

@@ -26,6 +26,8 @@ def start_monitor(
     tables: dict[str, DataFrame],
     interval_seconds: float = 1.0,
     checkpoint_dir: str | None = None,
+    mode: str = "snapshot",
+    keys: dict[str, list[str]] | None = None,
 ) -> StreamingQuery:
     """Start the continuous monitor; returns the StreamingQuery.
 
@@ -37,7 +39,7 @@ def start_monitor(
     ticks = engine.spark.readStream.format("rate").option("rowsPerSecond", 1).load()
 
     def _tick(_batch_df: DataFrame, _batch_id: int) -> None:
-        engine.poll_once(tables)
+        engine.poll_once(tables, mode=mode, keys=keys)
 
     return (
         ticks.writeStream.foreachBatch(_tick)

@@ -57,3 +57,22 @@ def test_anti_semi_joins(tables):
 def test_diff_no_change_is_empty(tables):
     orders = tables["orders"]
     assert snapshot_diff(orders, orders, ["o_orderkey"]).count() == 0
+
+
+def test_diff_null_keys_match_null_safely(spark):
+    """A stable null-key row must NOT appear as INSERT+DELETE churn."""
+    prev = spark.createDataFrame([(None, "a"), (1, "b")], "id int, v string")
+    cur = spark.createDataFrame([(None, "a"), (1, "c")], "id int, v string")
+    diff = snapshot_diff(prev, cur, ["id"]).collect()
+    assert len(diff) == 1
+    assert diff[0]["id"] == 1 and diff[0]["operation"] == "UPDATE"
+    # and a mutated null-key row shows as one UPDATE, not churn
+    cur2 = spark.createDataFrame([(None, "z"), (1, "b")], "id int, v string")
+    diff2 = snapshot_diff(prev, cur2, ["id"]).collect()
+    assert len(diff2) == 1
+    assert diff2[0]["id"] is None and diff2[0]["operation"] == "UPDATE"
+
+
+def test_diff_both_empty(spark):
+    empty = spark.createDataFrame([], "id int, v string")
+    assert snapshot_diff(empty, empty, ["id"]).count() == 0
