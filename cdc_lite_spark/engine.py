@@ -95,9 +95,20 @@ class CdcEngine:
 
     # -- the poll loop -------------------------------------------------------
 
+    def _resolve(self, source: "DataFrame | str") -> DataFrame:
+        """A monitored table may be a DataFrame or a parquet path.  Paths are
+        re-read per tick (fresh file listing + refreshByPath) so mutations by
+        an EXTERNAL writer are observed — the reference's actual deployment
+        scenario (its test mutates the DB from another connection,
+        duckdb_cdc_test.go:149-152)."""
+        if isinstance(source, str):
+            self.spark.catalog.refreshByPath(source)
+            return self.spark.read.parquet(source)
+        return source
+
     def poll_once(
         self,
-        tables: dict[str, DataFrame],
+        tables: "dict[str, DataFrame | str]",
         mode: str = "snapshot",
         keys: dict[str, list[str]] | None = None,
     ) -> list[str]:
@@ -117,8 +128,9 @@ class CdcEngine:
         """
         previous = self.latest_checksums()
         captured: list[str] = []
-        for table, df in tables.items():
+        for table, source in tables.items():
             try:
+                df = self._resolve(source)
                 current = self.checksum(df)
                 if previous.get(table) == current:
                     continue  # short-circuit: skip capture when unchanged (§4)

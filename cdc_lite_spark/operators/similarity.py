@@ -228,6 +228,53 @@ def ivf_topk(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Lloyd iterations refining IVF centroids: assign → elementwise mean
+    per cluster → new centroids.  Deterministic (assignment ties break on
+    centroid id; means are exact per-dimension averages).
+
+    Scale shape per iteration: one broadcast-assign scan of the corpus +
+    one hash aggregation keyed by (centroid, dim) after posexplode.  The
+    posexplode multiplies rows by the dimension count, but the aggregate is
+    partial-aggregable, so the shuffle carries |clusters|·dims partial rows
+    per partition — iterative ML on plain DataFrame primitives, no MLlib.
+    """
+    dims = len(corpus.select(vec_col).first()[0])
+    current = centroids
+    for _ in range(iterations):
+        assign = ivf_assign(
+            corpus, current, id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col
+        )
+        v = corpus.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+        per_dim = (
+            assign.join(v, id_col)
+            .select("centroid_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("val").alias("mean"))
+        )
+        current = (
+            per_dim.groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("mean")))
+                ).alias("dm")
+            )
+            .select(
+                F.col("centroid_id").alias(centroid_id_col),
+                F.transform(F.col("dm"), lambda x: x["mean"].cast("float")).alias(vec_col),
+            )
+        )
+        assert dims > 0
+    return current
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

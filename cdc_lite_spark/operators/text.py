@@ -165,6 +165,58 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "finge
     return df.withColumn(out_col, fp)
 
 
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_weight: float = 0.0,
+) -> DataFrame:
+    """TF-IDF term weights: ``(doc_id, term, tf, df_count, weight)``.
+
+    Classic two-aggregate shape: explode tokens → per-(doc,term) counts →
+    per-term document frequency → weight = tf · ln(N/df).  Scale: two hash
+    aggregations (both partial-aggregable) and one broadcastable join of the
+    term-frequency table (|vocab| rows); the corpus is scanned once.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_count"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    out = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df_count",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df_count")), 8
+            ).alias("weight"),
+        )
+    )
+    return out.filter(F.col("weight") >= min_weight) if min_weight > 0 else out
+
+
+def tf_idf_sql(table: str = "documents", id_col: str = "doc_id", text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`tf_idf` (ln + round(,8) keeps libm last-ulp
+    differences out of the compared values)."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, unnest({tokens_sql(text_expr)}) AS term FROM {table}
+    ),
+    tf AS (
+        SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY {id_col}, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_count FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT {id_col}) AS n_docs FROM {table})
+    SELECT tf.{id_col}, tf.term, tf.tf, dfreq.df_count,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df_count), 8) AS weight
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    """
+
+
 def doc_fingerprint_sql(text_expr: str = "text") -> str:
     h = portable_hash64_sql("t")
     tok_hashes = f"list_transform({tokens_sql(text_expr)}, t -> {h} % {TOKEN_MOD})"

@@ -1339,6 +1339,25 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs).select("doc_id", "lang", "lang_guess")
 
 
+def _tfidf_oracle() -> str:
+    from cdc_lite_spark.operators.text import tf_idf_sql
+
+    return tf_idf_sql("documents")
+
+
+@register(
+    "tfidf_weights",
+    _tfidf_oracle(),
+    "X4: TF-IDF term weighting (two partial-aggregable passes + broadcast vocab join)",
+    tags=("text", "agg"),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.text import tf_idf
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tf_idf(docs)
+
+
 def _fingerprint_oracle() -> str:
     from cdc_lite_spark.operators.text import doc_fingerprint_sql
 

@@ -65,3 +65,40 @@ def test_streaming_monitor_end_to_end(spark, tables, tmp_path):
         q.stop()
         q.awaitTermination(30)
     assert eng.changes("region").count() >= tables["region"].count()
+
+
+def test_external_writer_mutation_detected(spark, tables, tmp_path):
+    """The reference's deployment scenario: another process mutates the
+    monitored source between polls (duckdb_cdc_test.go:125-208). Here the
+    monitored table is a parquet PATH re-read per tick."""
+    src = str(tmp_path / "users_src")
+    tables["region"].write.mode("overwrite").parquet(src)
+    eng = _engine(spark, tmp_path)
+    assert eng.poll_once({"region": src}) == ["region"]
+    assert eng.poll_once({"region": src}) == []  # no change
+
+    # external writer rewrites the source
+    tables["region"].withColumn(
+        "r_name", F.concat(F.col("r_name"), F.lit("!"))
+    ).write.mode("overwrite").parquet(src)
+    assert eng.poll_once({"region": src}) == ["region"]
+    names = {r["data"]["r_name"] for r in eng.changes("region").collect()}
+    assert any(n.endswith("!") for n in names)
+
+
+def test_streaming_monitor_diff_mode(spark, tables, tmp_path):
+    eng = _engine(spark, tmp_path)
+    q = eng.monitor(
+        {"region": tables["region"]},
+        interval_seconds=0.5,
+        mode="diff",
+        keys={"region": ["r_regionkey"]},
+    )
+    try:
+        assert eng.wait_for_changes("region", timeout_s=30)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert eng.changes("region").filter("operation = 'INSERT'").count() >= tables[
+        "region"
+    ].count()

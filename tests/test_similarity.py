@@ -71,3 +71,25 @@ def test_near_dup_pairs_symmetric_bounded(spark):
     assert all(a < b for a, b in got)
     # opposite vectors are never near-dups
     assert (0, 3) not in got
+
+
+def test_kmeans_refine_moves_centroids_toward_clusters(spark):
+    from cdc_lite_spark.operators.similarity import kmeans_refine
+
+    # two obvious clusters around (1,0) and (0,1)
+    rows = [
+        (0, [1.0, 0.1]), (1, [0.9, 0.0]), (2, [1.1, -0.1]),
+        (3, [0.1, 1.0]), (4, [0.0, 0.9]), (5, [-0.1, 1.1]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id long, embedding array<float>"
+    )
+    refined = {
+        r["centroid_id"]: r["embedding"]
+        for r in kmeans_refine(corpus, seeds, iterations=2).collect()
+    }
+    assert len(refined) == 2
+    c0, c1 = refined[0], refined[1]
+    assert abs(c0[0] - 1.0) < 0.15 and abs(c0[1]) < 0.15      # mean of cluster A
+    assert abs(c1[0]) < 0.15 and abs(c1[1] - 1.0) < 0.15      # mean of cluster B
