@@ -1144,6 +1144,63 @@ def q_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantiles_exact",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS q25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS q50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS q75
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "C5 breadth: exact interpolated quantiles per group",
+    tags=("agg",),
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (sort-based) quantiles — both engines interpolate linearly on
+    the sorted values, so results agree after round(,6).  The approximate
+    scale path is percentile_approx (sketch-based, not oracle-comparable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 6).alias("q50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("q75"),
+    )
+
+
+@register(
+    "variance_exact_arithmetic",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                                * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                         * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                         / count(*))
+                      / (count(*) - 1)), 4) AS stddev_price
+    FROM orders GROUP BY o_orderstatus HAVING count(*) > 1
+    """,
+    "C4 breadth: sample stddev via exact decimal sums (order-independent, "
+    "engine-exact — built-in stddev accumulates doubles in engine-specific order)",
+    tags=("agg",),
+)
+def q_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = _dec("o_totalprice")
+    s = F.sum(d).cast("double")
+    sq = F.sum(d * d).cast("double")
+    n = F.count("*")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            n.alias("n"),
+            F.round(F.sqrt((sq - s * s / n) / (n - 1)), 4).alias("stddev_price"),
+        )
+        .filter(F.col("n") > 1)
+    )
+
+
+@register(
     "set_ops_intersect_except",
     """
     SELECT 'both' AS src, k FROM (
