@@ -26,8 +26,21 @@ def main() -> None:
     spark = get_spark("cdc_lite_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footer caches with one tiny action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the JVM: parquet reader, codegen, broadcast machinery, window
+    # exec, and higher-order array functions all JIT on first use — without
+    # this the alphabetically-first query absorbs ~2s of warmup
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .withColumn("rn", F.row_number().over(W.partitionBy("r_name").orderBy("n_name")))
+        .withColumn("arr", F.transform(F.sequence(F.lit(1), F.lit(4)), lambda x: x * 2))
+        .withColumn("agg", F.aggregate("arr", F.lit(0), lambda a, x: a + x))
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
