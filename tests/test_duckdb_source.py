@@ -86,3 +86,43 @@ def test_snapshot_copy_reads_while_writer_holds_lock(spark, users_db):
         assert df.count() == 2
     finally:
         writer.close()
+
+
+def test_streaming_incremental_append_capture(spark, users_db):
+    """spark.readStream over the DuckDB file: each micro-batch carries only
+    the rows appended since the last offset — incremental CDC the reference
+    cannot do (it re-emits whole tables)."""
+    from cdc_lite_spark.sources.duckdb_source import register_duckdb_source
+
+    register_duckdb_source(spark)
+    stream = (
+        spark.readStream.format("duckdb")
+        .option("path", users_db)
+        .option("table", "users")
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("duck_incr")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) FROM duck_incr").first()[0] == 2
+
+        con = duckdb.connect(users_db)
+        con.execute(
+            "INSERT INTO users (id, name, email) VALUES (3, 'Bob Wilson', 'bob@example.com')"
+        )
+        con.close()
+        q.processAllAvailable()
+        rows = {r["id"]: r["name"] for r in spark.sql("SELECT * FROM duck_incr").collect()}
+        # only the delta arrived: 3 total rows, not 2 + 3 re-emitted
+        assert rows == {1: "John Doe", 2: "Jane Smith", 3: "Bob Wilson"}
+        assert spark.sql("SELECT count(*) FROM duck_incr").first()[0] == 3
+    finally:
+        q.stop()
+        q.awaitTermination(30)
