@@ -239,6 +239,40 @@ def q_cdc_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _partition_checksum_oracle() -> str:
+    from cdc_lite_spark.functions.hashes import canonical_row_sql, portable_hash64_sql
+
+    # events value columns (everything except the partition key), Spark dtypes
+    cols = [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("value", "double"),
+        ("props", "string"),
+    ]
+    h = portable_hash64_sql(canonical_row_sql(cols))
+    return f"""
+    SELECT event_type AS part,
+           count(*) AS n_rows,
+           md5(concat_ws(',', CAST(count(*) AS VARCHAR),
+                         CAST(sum(CAST({h} AS DECIMAL(38,0))) AS VARCHAR))) AS checksum
+    FROM events GROUP BY event_type
+    """
+
+
+@register(
+    "cdc_partition_checksums",
+    _partition_checksum_oracle(),
+    "C3 scale path: per-partition fingerprints — only drifted partitions re-emit (SURVEY §4)",
+    tags=("cdc", "checksum"),
+)
+def q_cdc_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.checksum import partition_checksums
+
+    ev = load_table(spark, sf_dir, "events")
+    return partition_checksums(ev, "event_type")
+
+
 # ---------------------------------------------------------------------------
 # F1-F3: snapshot diff — the CDC classification
 # ---------------------------------------------------------------------------

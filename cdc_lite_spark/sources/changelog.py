@@ -32,14 +32,22 @@ WIRE_SCHEMA = T.StructType(
 )
 
 
-def append_changes(env: DataFrame, out_dir: str) -> None:
+def append_changes(env: DataFrame, out_dir: str, partition_by_table: bool = False) -> None:
     """Append envelope rows to the JSONL change log (op A5).
 
     One atomic task-committed file per partition per flush — at-least-once
     in the reference (duckdb_cdc.go:291), exactly-once here when driven
     from a checkpointed ``foreachBatch``.
+
+    ``partition_by_table=True`` lays the log out as ``table=<name>/`` dirs
+    so per-table consumers prune files at the listing level — the scale
+    layout when many tables share one log (a flat dir makes every consumer
+    list every file).
     """
-    env.write.mode("append").json(out_dir)
+    writer = env.write.mode("append")
+    if partition_by_table:
+        writer = writer.partitionBy("table")
+    writer.json(out_dir)
 
 
 def read_changes(spark: SparkSession, out_dir: str, table: str | None = None) -> DataFrame:

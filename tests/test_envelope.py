@@ -49,3 +49,16 @@ def test_jsonl_roundtrip(spark, tables, tmp_path):
     assert read_changes(spark, out).count() == 2 * tables["region"].count()
     # filtered read
     assert read_changes(spark, out, table="nope").count() == 0
+
+
+def test_partitioned_changelog_prunes_by_table(spark, tables, tmp_path):
+    out = str(tmp_path / "changes_part")
+    append_changes(snapshot_envelope(tables["region"], "region"), out, partition_by_table=True)
+    append_changes(snapshot_envelope(tables["nation"], "nation"), out, partition_by_table=True)
+    back = read_changes(spark, out, table="nation")
+    assert back.count() == tables["nation"].count()
+    # partition pruning: the filter appears as a PartitionFilters entry
+    from cdc_lite_spark.plans.inspect import explain_str
+
+    plan = explain_str(read_changes(spark, out, table="nation"))
+    assert "PartitionFilters" in plan and "table" in plan
