@@ -836,6 +836,37 @@ def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_event_history",
+    """
+    SELECT user_id, event_id,
+           epoch_us(ts) // 1000000 AS valid_from_epoch,
+           epoch_us(lead(ts) OVER w) // 1000000 AS valid_to_epoch,
+           CASE WHEN lead(ts) OVER w IS NULL THEN TRUE ELSE FALSE END AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "SCD2 historization: change records → validity intervals (lead window)",
+    tags=("cdc", "window"),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's event stream as an SCD2 version history — valid_from/
+    valid_to intervals, open version flagged current (operators/scd2.py)."""
+    from cdc_lite_spark.operators.scd2 import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.lit("UPDATE").alias("operation"), "ts"
+    )
+    hist = scd2_history(ev, ["user_id"], tiebreak=["event_id"])
+    return hist.select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_micros("valid_from") / 1_000_000).alias("valid_from_epoch"),
+        F.floor(F.unix_micros("valid_to") / 1_000_000).alias("valid_to_epoch"),
+        "is_current",
+    )
+
+
 # ---------------------------------------------------------------------------
 # A2/D2: schema probe; C4 extensions: rollup + pivot; as-of + range joins
 # ---------------------------------------------------------------------------

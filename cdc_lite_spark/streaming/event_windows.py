@@ -90,6 +90,32 @@ def enrich_stream(change_stream: DataFrame, dim: DataFrame, on: str) -> DataFram
     return change_stream.join(F.broadcast(dim), on, "left")
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "1 hour",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+) -> DataFrame:
+    """Stream-stream interval join: match right rows to left rows of the
+    same key with ``right.ts ∈ [left.ts - within, left.ts]``.
+
+    Both sides carry watermarks, and the join condition bounds event-time
+    distance — that bound is what lets Spark expire buffered state on both
+    sides (an unbounded stream-stream join would buffer forever).  Works on
+    batch frames too (same plan minus the state bookkeeping).
+    """
+    l_wm = left.withWatermark(left_ts, within) if left.isStreaming else left
+    r_wm = right.withWatermark(right_ts, within) if right.isStreaming else right
+    cond = (
+        (l_wm[key] == r_wm[key])
+        & (r_wm[right_ts] <= l_wm[left_ts])
+        & (r_wm[right_ts] >= l_wm[left_ts] - F.expr(f"INTERVAL {within}"))
+    )
+    return l_wm.join(r_wm, cond, "inner").drop(r_wm[key])
+
+
 def dedup_stream(
     events: DataFrame,
     keys: list[str],

@@ -111,3 +111,34 @@ def test_batch_twins_of_streaming_ops(spark, tables):
     assert s.count() > 0
     d = dedup_stream(ev, ["user_id", "event_type"])
     assert d.count() == ev.select("user_id", "event_type").distinct().count()
+
+
+def test_stream_stream_interval_join(spark, tables, events_dir):
+    from cdc_lite_spark.streaming.event_windows import interval_join_streams
+
+    def side(name, ts_alias, id_alias):
+        s = _stream(spark, events_dir)
+        return s.filter(F.col("event_type") == name).select(
+            "user_id", F.col("ts").alias(ts_alias), F.col("event_id").alias(id_alias)
+        )
+
+    clicks = side("click", "l_ts", "click_id")
+    purchases = side("purchase", "r_ts", "purchase_id")
+    joined = interval_join_streams(clicks, purchases, "user_id", within="2 hours")
+    q = _drain(joined, name="ssjoin_out")
+    assert not q.isActive
+
+    got = spark.sql("SELECT * FROM ssjoin_out")
+    # batch twin over the same frames must agree on the matched pairs
+    ev = tables["events"]
+    bc = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("click_id")
+    )
+    bp = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("purchase_id")
+    )
+    batch = interval_join_streams(bc, bp, "user_id", within="2 hours")
+    s_pairs = {(r["click_id"], r["purchase_id"]) for r in got.collect()}
+    b_pairs = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
+    assert s_pairs == b_pairs
+    assert len(s_pairs) > 0
