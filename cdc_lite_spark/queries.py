@@ -1480,6 +1480,55 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_idf(docs)
 
 
+@register(
+    "text_normalize",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS text_norm
+    FROM documents
+    """,
+    "X4: canonical text normalization (lowercase, strip punctuation, collapse whitespace)",
+    tags=("text",),
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+            )
+        ).alias("text_norm"),
+    )
+
+
+@register(
+    "text_redact_pii",
+    """
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g') AS text_redacted,
+           length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails
+    FROM documents
+    """,
+    "X4: PII-style redaction pass (emails, long digit runs) — the scrubbing "
+    "step of a training-data pipeline",
+    tags=("text",),
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), "[0-9]{6,}", "<NUM>"
+        ).alias("text_redacted"),
+        F.regexp_count(F.col("text"), F.lit(email)).alias("n_emails"),
+    )
+
+
 def _fingerprint_oracle() -> str:
     from cdc_lite_spark.operators.text import doc_fingerprint_sql
 
