@@ -32,3 +32,14 @@ def test_every_query_has_entry_and_runs(spark, sf_dir):
     # every query at least declares a description
     for name, qd in REGISTRY.items():
         assert qd.description, name
+
+
+def test_registry_names_unique_and_oracles_parse(duck):
+    """Every oracle SQL must at least plan in DuckDB (cheap syntax gate —
+    the driver runs these verbatim)."""
+    from cdc_lite_spark.queries import REGISTRY
+
+    assert len(REGISTRY) == len(set(REGISTRY))
+    for name, qd in REGISTRY.items():
+        if qd.oracle is not None:
+            duck.execute("EXPLAIN " + qd.oracle)
