@@ -1,0 +1,81 @@
+"""Command-line entry point — parity with the reference's CLI driver
+(/root/reference/cmd/cdc-lite/main.go):
+
+    python -m cdc_lite_spark \
+        --source /data/app.duckdb --tables users \
+        --output-dir ./cdc_output --state-dir ./cdc_state \
+        --interval 1.0
+
+Monitors the named tables (from a ``.duckdb`` file or a directory of
+``<table>.parquet``), appends change records to the JSONL log, and stops
+gracefully on SIGINT/SIGTERM (main.go:31-38) or after ``--duration``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _sources(spark: SparkSession, source: str, tables: list[str]) -> dict[str, DataFrame]:
+    if source.endswith(".duckdb") or source.endswith(".db"):
+        from cdc_lite_spark.sources.duckdb_source import read_duckdb_table
+
+        return {t: read_duckdb_table(spark, source, t) for t in tables}
+    # a directory of <table>.parquet — re-read per tick via the path form
+    return {t: f"{source}/{t}.parquet" for t in tables}
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cdc_lite_spark", description=__doc__)
+    p.add_argument("--source", required=True, help=".duckdb file or parquet dir")
+    p.add_argument("--tables", required=True, help="comma-separated table names")
+    p.add_argument("--output-dir", default="./cdc_output")
+    p.add_argument("--state-dir", default="./cdc_state")
+    p.add_argument("--interval", type=float, default=1.0, help="poll seconds")
+    p.add_argument("--mode", choices=["snapshot", "diff"], default="snapshot")
+    p.add_argument("--keys", default="", help="table=col1+col2,... (diff mode)")
+    p.add_argument("--duration", type=float, default=None, help="stop after N seconds")
+    args = p.parse_args(argv)
+
+    owns_spark = spark is None
+    if spark is None:
+        from cdc_lite_spark.session import get_spark
+
+        spark = get_spark("cdc_lite_spark_cli")
+
+    from cdc_lite_spark.engine import CdcEngine
+
+    tables = [t.strip() for t in args.tables.split(",") if t.strip()]
+    keys = {
+        t: cols.split("+")
+        for t, _, cols in (kv.partition("=") for kv in args.keys.split(",") if kv)
+    }
+    eng = CdcEngine(spark, args.output_dir, args.state_dir)
+    query = eng.monitor(
+        _sources(spark, args.source, tables),
+        interval_seconds=args.interval,
+        mode=args.mode,
+        keys=keys or None,
+    )
+
+    stop = threading.Event()
+
+    def _graceful(_sig, _frame):  # reference: ctx cancel on SIGINT/SIGTERM
+        stop.set()
+
+    try:
+        signal.signal(signal.SIGINT, _graceful)
+        signal.signal(signal.SIGTERM, _graceful)
+    except ValueError:
+        pass  # not on the main thread (tests)
+
+    stop.wait(timeout=args.duration)
+    query.stop()
+    query.awaitTermination(60)
+    if owns_spark:
+        spark.stop()
+    return 0

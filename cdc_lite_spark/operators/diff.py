@@ -31,12 +31,18 @@ def snapshot_diff(
     compare_cols: list[str] | None = None,
     broadcast_prev: bool = False,
     fast_hash: bool = False,
+    null_safe: bool = True,
 ) -> DataFrame:
     """Classify every key across two snapshots.
 
     Returns ``keys... , operation, <current non-key cols (null for DELETE)>``.
     Unchanged keys are dropped (the reference emits nothing when the
     fingerprint is stable — same contract, row granularity).
+
+    ``null_safe=False`` uses plain key equality: required to preserve
+    bucketed tables' output partitioning (null-safe equality wraps the join
+    keys, forcing a shuffle even over co-bucketed snapshots) — safe whenever
+    the keys are genuine primary keys (non-null).
     """
     non_key = [c for c in cur.columns if c not in keys]
     cmp_prev = compare_cols or [c for c in prev.columns if c not in keys]
@@ -59,7 +65,10 @@ def snapshot_diff(
     # null-safe equality: a null key must match itself across snapshots —
     # plain `==` never matches null, which would misclassify a stable
     # null-key row as a simultaneous INSERT + DELETE
-    cond = [c[k].eqNullSafe(p[f"__pk_{k}"]) for k in keys]
+    if null_safe:
+        cond = [c[k].eqNullSafe(p[f"__pk_{k}"]) for k in keys]
+    else:
+        cond = [c[k] == p[f"__pk_{k}"] for k in keys]
     joined = c.join(p, cond, "full_outer")
 
     # presence markers, not key-null checks: a legitimately-null key row
