@@ -1,0 +1,89 @@
+"""Deterministic sampling & dataset-splitting operators.
+
+Training-data pipelines need sampling that is REPRODUCIBLE across runs,
+engines, and cluster sizes — ``df.sample()`` is none of those (RNG state
+differs per partition layout).  Everything here keys off the engine-portable
+content hash (functions/hashes.py): the same row always lands in the same
+sample/split, on any engine, at any scale, with no shuffle.
+
+- ``hash_sample``: Bernoulli-style p% sample by key hash (scan-side filter).
+- ``stratified_cap``: at most n rows per stratum, hash-ordered (one shuffle
+  on the stratum key; WindowGroupLimit prunes partial top-n map-side).
+- ``dataset_split``: train/val/test assignment by hash bucket — the
+  canonical leakage-safe split (a key can never straddle splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_lite_spark.functions.hashes import portable_hash64, portable_hash64_sql
+
+
+def _bucket(key: Column, modulus: int) -> Column:
+    return portable_hash64(key.cast("string")) % modulus
+
+
+def hash_sample(df: DataFrame, key_col: str, percent: int, modulus: int = 100) -> DataFrame:
+    """Keep rows whose key hashes into the first ``percent`` of ``modulus``
+    buckets — deterministic Bernoulli(percent/modulus) sampling."""
+    return df.filter(_bucket(F.col(key_col), modulus) < percent)
+
+
+def hash_sample_sql(key_expr: str, percent: int, modulus: int = 100) -> str:
+    h = portable_hash64_sql(f"CAST({key_expr} AS VARCHAR)")
+    return f"({h} % {modulus}) < {percent}"
+
+
+def stratified_cap(
+    df: DataFrame, stratum_col: str, key_col: str, n_per_stratum: int
+) -> DataFrame:
+    """At most ``n_per_stratum`` rows per stratum, selected by hash order
+    (stable under data growth: a row's selection only changes if
+    higher-priority rows enter its stratum)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(stratum_col).orderBy(
+        _bucket(F.col(key_col), 1_000_000_007), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n_per_stratum)
+        .drop("__rank")
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, int] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign train/val/test by hash bucket (weights sum to the modulus).
+
+    Keyed on content/id hash, so the assignment is stable as the dataset
+    grows and a given key can never leak across splits.
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    modulus = sum(weights.values())
+    b = _bucket(F.col(key_col), modulus)
+    expr: Column | None = None
+    lo = 0
+    for name, w in weights.items():
+        cond = (b >= lo) & (b < lo + w)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo += w
+    return df.withColumn(out_col, expr)
+
+
+def dataset_split_sql(key_expr: str, weights: dict[str, int] | None = None) -> str:
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    modulus = sum(weights.values())
+    h = portable_hash64_sql(f"CAST({key_expr} AS VARCHAR)")
+    b = f"({h} % {modulus})"
+    parts, lo = [], 0
+    for name, w in weights.items():
+        parts.append(f"WHEN {b} >= {lo} AND {b} < {lo + w} THEN '{name}'")
+        lo += w
+    return "CASE " + " ".join(parts) + " END"

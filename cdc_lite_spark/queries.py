@@ -1551,6 +1551,122 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def _hash_sample_oracle() -> str:
+    from cdc_lite_spark.operators.sampling import hash_sample_sql
+
+    return f"SELECT doc_id, lang FROM documents WHERE {hash_sample_sql('doc_id', 10)}"
+
+
+@register(
+    "deterministic_sample",
+    _hash_sample_oracle(),
+    "sampling: reproducible 10% Bernoulli sample by content-hash bucket "
+    "(engine/scale/partitioning independent, unlike df.sample)",
+    tags=("sampling",),
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", percent=10).select("doc_id", "lang")
+
+
+def _stratified_oracle(n: int = 20) -> str:
+    from cdc_lite_spark.functions.hashes import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {h} % 1000000007, doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= {n}
+    """
+
+
+@register(
+    "stratified_sample",
+    _stratified_oracle(),
+    "sampling: per-language cap of 20 docs, hash-ordered (class-balanced curation)",
+    tags=("sampling", "window"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.sampling import stratified_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_cap(docs, "lang", "doc_id", 20).select("doc_id", "lang")
+
+
+def _split_oracle() -> str:
+    from cdc_lite_spark.operators.sampling import dataset_split_sql
+
+    split = dataset_split_sql("doc_id")
+    return f"""
+    SELECT split, lang, count(*) AS n_docs FROM (
+        SELECT lang, {split} AS split FROM documents
+    ) GROUP BY split, lang
+    """
+
+
+@register(
+    "train_val_test_split",
+    _split_oracle(),
+    "sampling: leakage-safe 80/10/10 split by id-hash bucket, counted per split x language",
+    tags=("sampling", "agg"),
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.sampling import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dataset_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "zscore_by_group",
+    """
+    SELECT event_id, event_type,
+           round((value - avg_v) / CASE WHEN std_v = 0 THEN 1 ELSE std_v END, 6) AS z
+    FROM (
+        SELECT event_id, event_type, value,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   / count(*) OVER w AS avg_v,
+               sqrt((CAST(sum(CAST(value AS DECIMAL(18,2))
+                               * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                       * CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                       / count(*) OVER w)
+                    / (count(*) OVER w - 1)) AS std_v
+        FROM events
+        WINDOW w AS (PARTITION BY event_type)
+    )
+    """,
+    "feature normalization: per-group z-score with decimal-exact moments",
+    tags=("window", "agg"),
+)
+def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type")
+    d = _dec("value")
+    s = F.sum(d).over(w).cast("double")
+    sq = F.sum(d * d).over(w).cast("double")
+    n = F.count("*").over(w)
+    avg_v = s / n
+    std_v = F.sqrt((sq - s * s / n) / (n - 1))
+    safe_std = F.when(std_v == 0, F.lit(1.0)).otherwise(std_v)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round((F.col("value") - avg_v) / safe_std, 6).alias("z"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X1/X2: deduplication
 # ---------------------------------------------------------------------------

@@ -1,0 +1,44 @@
+"""Deterministic sampling / split operator semantics (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_lite_spark.operators.sampling import dataset_split, hash_sample, stratified_cap
+
+
+def test_hash_sample_deterministic_and_stable(tables):
+    docs = tables["documents"]
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 10).select("doc_id").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 10).select("doc_id").collect()}
+    assert a == b
+    # monotone: a 20% sample contains the 10% sample (bucket prefix property)
+    c = {r["doc_id"] for r in hash_sample(docs, "doc_id", 20).select("doc_id").collect()}
+    assert a <= c
+    # roughly proportional
+    assert 0.03 <= len(a) / docs.count() <= 0.2
+
+
+def test_stratified_cap_limits_each_stratum(tables):
+    docs = tables["documents"]
+    capped = stratified_cap(docs, "lang", "doc_id", 7)
+    per = {r["lang"]: r["n"] for r in capped.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(7, full[lang])
+
+
+def test_dataset_split_partitions_everything_once(tables):
+    docs = tables["documents"]
+    split = dataset_split(docs, "doc_id")
+    assert split.filter(F.col("split").isNull()).count() == 0
+    assert split.count() == docs.count()
+    by = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(by) <= {"train", "val", "test"}
+    assert by["train"] > by.get("val", 0) and by["train"] > by.get("test", 0)
+    # stability: same key → same split on recompute
+    again = dataset_split(docs, "doc_id")
+    joined = split.select("doc_id", F.col("split").alias("s1")).join(
+        again.select("doc_id", F.col("split").alias("s2")), "doc_id"
+    )
+    assert joined.filter(F.col("s1") != F.col("s2")).count() == 0
