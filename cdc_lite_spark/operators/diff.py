@@ -32,10 +32,13 @@ def snapshot_diff(
     broadcast_prev: bool = False,
     fast_hash: bool = False,
     null_safe: bool = True,
+    include_prev: bool = False,
 ) -> DataFrame:
     """Classify every key across two snapshots.
 
-    Returns ``keys... , operation, <current non-key cols (null for DELETE)>``.
+    Returns ``keys... , operation, <current non-key cols (null for DELETE)>``;
+    with ``include_prev=True`` also the previous values as ``prev_<col>``
+    (what incremental aggregate maintenance needs — apply +new −old).
     Unchanged keys are dropped (the reference emits nothing when the
     fingerprint is stable — same contract, row granularity).
 
@@ -48,8 +51,14 @@ def snapshot_diff(
     cmp_prev = compare_cols or [c for c in prev.columns if c not in keys]
     cmp_cur = compare_cols or non_key
 
+    prev_payload = (
+        [F.col(c).alias(f"__prev_{c}") for c in prev.columns if c not in keys]
+        if include_prev
+        else []
+    )
     p = prev.select(
         *[F.col(k).alias(f"__pk_{k}") for k in keys],
+        *prev_payload,
         row_hash(prev, cmp_prev, fast=fast_hash).alias("__prev_hash"),
         F.lit(1).alias("__prev_present"),
     )
@@ -83,8 +92,13 @@ def snapshot_diff(
     out_keys = [
         F.coalesce(c[k], p[f"__pk_{k}"]).alias(k) for k in keys
     ]
+    prev_out = (
+        [F.col(f"__prev_{x}").alias(f"prev_{x}") for x in prev.columns if x not in keys]
+        if include_prev
+        else []
+    )
     return (
-        joined.select(*out_keys, op.alias("operation"), *[c[x] for x in non_key])
+        joined.select(*out_keys, op.alias("operation"), *[c[x] for x in non_key], *prev_out)
         .filter(F.col("operation").isNotNull())
     )
 

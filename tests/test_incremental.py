@@ -1,0 +1,64 @@
+"""Incremental aggregate maintenance: applying deltas must equal full
+recomputation (operators/incremental.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_lite_spark.operators.diff import snapshot_diff
+from cdc_lite_spark.operators.incremental import apply_delta, sum_count_state
+
+
+def test_incremental_equals_recompute(spark, tables):
+    orders = tables["orders"]
+    prev = orders.filter(F.col("o_orderkey") % 4 != 0)
+    cur = orders.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    keys = ["o_custkey"]
+
+    state = sum_count_state(prev, keys, "o_totalprice")
+    changes = snapshot_diff(prev, cur, ["o_orderkey"], include_prev=True)
+    maintained = apply_delta(state, changes, keys, "o_totalprice")
+    recomputed = sum_count_state(cur, keys, "o_totalprice")
+
+    m = {r["o_custkey"]: (r["agg_count"], round(r["agg_sum"], 4)) for r in maintained.collect()}
+    r = {r["o_custkey"]: (r["agg_count"], round(r["agg_sum"], 4)) for r in recomputed.collect()}
+    assert set(m) == set(r)
+    for k in r:
+        assert m[k][0] == r[k][0]          # counts exact
+        assert abs(m[k][1] - r[k][1]) < 1e-4  # sums to float tolerance
+
+
+def test_delta_only_touches_changed_groups(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], "id long, g string, v double"
+    )
+    cur = spark.createDataFrame(
+        [(1, "a", 15.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 5.0)],
+        "id long, g string, v double",
+    )
+    state = sum_count_state(base, ["g"], "v")
+    changes = snapshot_diff(base, cur, ["id"], include_prev=True)
+    # only groups a (update) and c (insert) appear in the delta
+    delta_groups = {r["g"] for r in changes.select("g").distinct().collect()}
+    assert delta_groups == {"a", "c"}
+    out = {r["g"]: (r["agg_sum"], r["agg_count"]) for r in apply_delta(state, changes, ["g"], "v").collect()}
+    assert out == {"a": (35.0, 2), "b": (30.0, 1), "c": (5.0, 1)}
+
+
+def test_update_moving_row_across_groups(spark):
+    """An UPDATE that changes the GROUP key retracts from the old group and
+    adds to the new one."""
+    base = spark.createDataFrame([(1, "a", 10.0), (2, "b", 5.0)], "id long, g string, v double")
+    cur = spark.createDataFrame([(1, "b", 10.0), (2, "b", 5.0)], "id long, g string, v double")
+    state = sum_count_state(base, ["g"], "v")
+    changes = snapshot_diff(base, cur, ["id"], include_prev=True)
+    out = {
+        r["g"]: (r["agg_sum"], r["agg_count"])
+        for r in apply_delta(state, changes, ["g"], "v").collect()
+    }
+    assert out == {"b": (15.0, 2)}  # group a vanished, its mass moved to b
