@@ -1627,6 +1627,92 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_quality_report",
+    """
+    SELECT 'events' AS table_name, 'null_props' AS metric,
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value
+    FROM events
+    UNION ALL
+    SELECT 'events', 'negative_value',
+           CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'events', 'distinct_users', count(DISTINCT user_id) FROM events
+    UNION ALL
+    SELECT 'orders', 'orphan_custkeys',
+           CAST(count(*) AS BIGINT) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem', 'orphan_orderkeys',
+           CAST(count(*) AS BIGINT) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'documents', 'n_chars_mismatch',
+           CAST(sum(CASE WHEN length(text) != n_chars THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    """,
+    "pipeline QA: null rates, range checks, referential-integrity orphan counts, "
+    "metadata consistency — one metric row each",
+    tags=("agg", "join"),
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality sweep across tables; every check is a partial-aggregable
+    scan or an anti-join, unioned into one (table, metric, value) report."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def metric(table: str, name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(table).alias("table_name"),
+            F.lit(name).alias("metric"),
+            F.col("value").cast("bigint").alias("value"),
+        )
+
+    rows = [
+        metric(
+            "events",
+            "null_props",
+            ev.agg(F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("value")),
+        ),
+        metric(
+            "events",
+            "negative_value",
+            ev.agg(F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("value")),
+        ),
+        metric("events", "distinct_users", ev.agg(F.countDistinct("user_id").alias("value"))),
+        metric(
+            "orders",
+            "orphan_custkeys",
+            orders.join(
+                customer.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
+            ).agg(F.count("*").alias("value")),
+        ),
+        metric(
+            "lineitem",
+            "orphan_orderkeys",
+            li.join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"
+            ).agg(F.count("*").alias("value")),
+        ),
+        metric(
+            "documents",
+            "n_chars_mismatch",
+            docs.agg(
+                F.sum(
+                    F.when(F.length("text") != F.col("n_chars"), 1).otherwise(0)
+                ).alias("value")
+            ),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
     "zscore_by_group",
     """
     SELECT event_id, event_type,
