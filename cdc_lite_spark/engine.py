@@ -111,6 +111,7 @@ class CdcEngine:
         tables: "dict[str, DataFrame | str]",
         mode: str = "snapshot",
         keys: dict[str, list[str]] | None = None,
+        parallelism: int = 1,
     ) -> list[str]:
         """One monitor tick over all tables (≈ monitorTables loop body,
         duckdb_cdc.go:114-120 + checkTableChanges :161-214).
@@ -128,12 +129,35 @@ class CdcEngine:
         """
         previous = self.latest_checksums()
         captured: list[str] = []
-        for table, source in tables.items():
+
+        def _detect(table: str, source):
+            """Phase 1 (parallelizable): the expensive full-scan fingerprint."""
             try:
                 df = self._resolve(source)
-                current = self.checksum(df)
-                if previous.get(table) == current:
-                    continue  # short-circuit: skip capture when unchanged (§4)
+                return table, df, self.checksum(df), None
+            except Exception as exc:  # noqa: BLE001 — per-table isolation (H6)
+                return table, None, None, exc
+
+        if parallelism > 1:
+            # detection jobs are independent — overlap them (the reference
+            # polls sequentially, duckdb_cdc.go:114-120; Spark's scheduler
+            # interleaves concurrent jobs across executors).  Captures stay
+            # sequential: concurrent appends to one output path would race
+            # on the file-committer staging directory.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=parallelism) as pool:
+                detections = list(pool.map(lambda kv: _detect(*kv), tables.items()))
+        else:
+            detections = [_detect(t, s) for t, s in tables.items()]
+
+        for table, df, current, err in detections:
+            if err is not None:
+                print(f"cdc_lite_spark: error checking table {table}: {err}")
+                continue
+            if previous.get(table) == current:
+                continue  # short-circuit: skip capture when unchanged (§4)
+            try:
                 if mode == "diff":
                     self._capture_diff(table, df, (keys or {})[table])
                 else:
@@ -141,7 +165,7 @@ class CdcEngine:
                 self.record_checksum(table, current)
                 captured.append(table)
             except Exception as exc:  # noqa: BLE001 — per-table isolation (H6)
-                print(f"cdc_lite_spark: error checking table {table}: {exc}")
+                print(f"cdc_lite_spark: error capturing table {table}: {exc}")
         return captured
 
     def _snapshot_path(self, table: str) -> str:

@@ -102,3 +102,16 @@ def test_streaming_monitor_diff_mode(spark, tables, tmp_path):
     assert eng.changes("region").filter("operation = 'INSERT'").count() >= tables[
         "region"
     ].count()
+
+
+def test_parallel_poll_captures_all(spark, tables, tmp_path):
+    eng = _engine(spark, tmp_path)
+    captured = eng.poll_once(
+        {"region": tables["region"], "nation": tables["nation"], "supplier": tables["supplier"]},
+        parallelism=3,
+    )
+    assert sorted(captured) == ["nation", "region", "supplier"]
+    # unchanged second parallel poll is silent
+    assert eng.poll_once(
+        {"region": tables["region"], "nation": tables["nation"]}, parallelism=2
+    ) == []

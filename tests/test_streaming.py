@@ -142,3 +142,38 @@ def test_stream_stream_interval_join(spark, tables, events_dir):
     b_pairs = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
     assert s_pairs == b_pairs
     assert len(s_pairs) > 0
+
+
+def test_exactly_once_across_restart(spark, tables, tmp_path):
+    """H3: a checkpointed streaming write resumed with the same checkpoint
+    does not re-emit already-committed batches (vs the reference's
+    at-least-once buffer, duckdb_cdc.go:260-294)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    tables["events"].limit(200).repartition(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # restart with same checkpoint: nothing new → no duplicates
+    assert spark.read.parquet(out).count() == n1 == 200
+
+    # new files arrive → only the delta is appended
+    tables["events"].limit(300).subtract(tables["events"].limit(200)).repartition(
+        1
+    ).write.mode("append").parquet(src)
+    run_once()
+    assert spark.read.parquet(out).count() == 300
