@@ -1529,6 +1529,83 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SIZE = 200
+_CHUNK_OVERLAP = 50
+
+
+@register(
+    "doc_chunking",
+    f"""
+    SELECT doc_id, chunk_idx,
+           substr(text, chunk_idx * {_CHUNK_SIZE - _CHUNK_OVERLAP} + 1, {_CHUNK_SIZE})
+               AS chunk_text,
+           chunk_idx * {_CHUNK_SIZE - _CHUNK_OVERLAP} AS char_offset
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, greatest(1,
+                   CAST(ceil((length(text) - {_CHUNK_OVERLAP})
+                             / {_CHUNK_SIZE - _CHUNK_OVERLAP}.0) AS BIGINT))))
+                   AS chunk_idx
+        FROM documents
+    )
+    """,
+    "X4: overlapping fixed-size document chunking with char offsets "
+    "(context-window preparation for training pipelines)",
+    tags=("text",),
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode each document into overlapping character chunks — one
+    Generate (explode) over a computed index range, substring per chunk;
+    scan-side, no shuffle."""
+    stride = _CHUNK_SIZE - _CHUNK_OVERLAP
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.length("text") - _CHUNK_OVERLAP) / float(stride)).cast("bigint"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.substring(
+                F.col("text"), F.col("chunk_idx") * stride + 1, _CHUNK_SIZE
+            ).alias("chunk_text"),
+            (F.col("chunk_idx") * stride).alias("char_offset"),
+        )
+    )
+
+
+@register(
+    "vocabulary_top_terms",
+    """
+    SELECT term, n FROM (
+        SELECT term, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+              FROM documents)
+        GROUP BY term
+    ) ORDER BY n DESC, term DESC LIMIT 20
+    """,
+    "X4: corpus vocabulary — global top-20 terms by frequency",
+    tags=("text", "agg"),
+)
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.desc("term"))
+        .limit(20)
+    )
+
+
 def _fingerprint_oracle() -> str:
     from cdc_lite_spark.operators.text import doc_fingerprint_sql
 

@@ -115,3 +115,23 @@ def test_parallel_poll_captures_all(spark, tables, tmp_path):
     assert eng.poll_once(
         {"region": tables["region"], "nation": tables["nation"]}, parallelism=2
     ) == []
+
+
+def test_schema_change_fires_capture(spark, tables, tmp_path):
+    """SURVEY §1.3: a pure DDL change also fires a capture — the column list
+    feeds the fingerprint expression, so adding a column changes the digest
+    even when existing data is untouched (reference emergent behavior,
+    duckdb_cdc.go:169-179)."""
+    src = str(tmp_path / "src")
+    tables["region"].write.mode("overwrite").parquet(src)
+    eng = _engine(spark, tmp_path)
+    assert eng.poll_once({"region": src}) == ["region"]
+    assert eng.poll_once({"region": src}) == []
+
+    # DDL-only change: same rows, one new column with a constant
+    tables["region"].withColumn("r_comment", F.lit("n/a")).write.mode(
+        "overwrite"
+    ).parquet(src)
+    assert eng.poll_once({"region": src}) == ["region"]
+    latest = eng.changes("region").orderBy(F.desc("timestamp")).first()
+    assert "r_comment" in latest["data"]
