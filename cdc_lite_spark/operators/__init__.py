@@ -1,13 +1,75 @@
-from cdc_lite_spark.operators.checksum import table_checksum, table_checksum_value
-from cdc_lite_spark.operators.diff import snapshot_diff
-from cdc_lite_spark.operators.latest import latest_per_key, with_change_flag
+from cdc_lite_spark.operators.asof import as_of_join, range_join
+from cdc_lite_spark.operators.checksum import (
+    partition_checksums,
+    table_checksum,
+    table_checksum_value,
+)
+from cdc_lite_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_signatures,
+)
+from cdc_lite_spark.operators.diff import inserted_keys, persisted_keys, snapshot_diff
+from cdc_lite_spark.operators.incremental import apply_delta, sum_count_state
+from cdc_lite_spark.operators.latest import latest_per_key, running_agg, with_change_flag
+from cdc_lite_spark.operators.replay import apply_changes
+from cdc_lite_spark.operators.sampling import dataset_split, hash_sample, stratified_cap
+from cdc_lite_spark.operators.scd2 import scd2_as_of, scd2_history
+from cdc_lite_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    kmeans_refine,
+)
+from cdc_lite_spark.operators.skew import salted_join, two_phase_agg
+from cdc_lite_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    text_stats,
+    tf_idf,
+    token_counts,
+)
 from cdc_lite_spark.operators.topk import top_k_per_group
 
 __all__ = [
+    "as_of_join",
+    "range_join",
+    "partition_checksums",
     "table_checksum",
     "table_checksum_value",
+    "exact_dedup",
+    "jaccard_verify",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "simhash_signatures",
+    "inserted_keys",
+    "persisted_keys",
     "snapshot_diff",
+    "apply_delta",
+    "sum_count_state",
     "latest_per_key",
+    "running_agg",
     "with_change_flag",
+    "apply_changes",
+    "dataset_split",
+    "hash_sample",
+    "stratified_cap",
+    "scd2_as_of",
+    "scd2_history",
+    "ann_topk",
+    "brute_force_topk",
+    "embedding_near_dup_pairs",
+    "ivf_topk",
+    "kmeans_refine",
+    "salted_join",
+    "two_phase_agg",
+    "doc_fingerprint",
+    "lang_id",
+    "text_stats",
+    "tf_idf",
+    "token_counts",
     "top_k_per_group",
 ]
