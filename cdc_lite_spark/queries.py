@@ -1266,6 +1266,72 @@ def q_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "group_concat_sorted",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+    "agg breadth: deterministic string aggregation (sorted group concat)",
+    tags=("agg",),
+)
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "null_handling_suite",
+    """
+    SELECT event_id,
+           COALESCE(TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT), -1)
+               AS missing_with_default,
+           NULLIF(event_type, 'error') AS type_or_null,
+           CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END AS has_props,
+           CASE WHEN value IS DISTINCT FROM 0.0 THEN 1 ELSE 0 END AS nonzero
+    FROM events
+    """,
+    "scalar breadth: COALESCE / NULLIF / IS DISTINCT FROM null semantics",
+    tags=("scalar",),
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.missing").try_cast("bigint"), F.lit(-1)
+        ).alias("missing_with_default"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+        F.when(F.col("props").isNotNull(), 1).otherwise(0).alias("has_props"),
+        F.when(~F.col("value").eqNullSafe(F.lit(0.0)), 1).otherwise(0).alias("nonzero"),
+    )
+
+
+@register(
+    "hourly_activity_heatmap",
+    """
+    SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    "date breadth: day-of-week x hour-of-day heatmap with an engine-portable "
+    "dow formula (engines disagree on week-start conventions; epoch day 0 = Thursday)",
+    tags=("agg", "scalar"),
+)
+def q_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dow = (F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7
+    return ev.groupBy(
+        dow.alias("dow"), F.hour("ts").alias("hod")
+    ).agg(F.count("*").alias("n_events"))
+
+
+@register(
     "set_ops_intersect_except",
     """
     SELECT 'both' AS src, k FROM (
