@@ -50,19 +50,95 @@ def portable_hash64_sql(expr: str, seed: str | None = None) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, {HEX_PREFIX_LEN}) AS BIGINT)"
 
 
+def _canon_float(d: Column) -> Column:
+    """Full-precision, engine-portable rendering of a DOUBLE.
+
+    Both Spark (Java ``Double.toString``) and DuckDB render doubles with the
+    *shortest digit string that round-trips* — only the notation differs
+    (``1.0E-4`` vs ``0.0001`` vs ``1e+300``).  This normalizes either
+    notation to one canonical scientific form (``-1.23456e3``, zero →
+    ``0``), so two doubles render identically **iff they are the same
+    binary64** — a 1-ulp update always changes the checksum, unlike any
+    fixed-precision ``printf`` (ADVICE r01: %.6f masked sub-resolution
+    updates).  Pure JVM string ops — stays in whole-stage codegen.
+
+    Caveat: pre-JDK-19 ``Double.toString`` is round-trip-exact but not
+    always minimal-length; for such values (≈16-17 significant digits) the
+    Spark and DuckDB digit strings can differ.  Detection (Spark-vs-Spark)
+    is unaffected; only oracle parity on pathological literals would notice.
+    """
+    s = F.lower(d.cast("string"))
+    sign = F.when(s.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+    body = F.regexp_replace(s, "^-", "")
+    mant = F.split_part(body, F.lit("e"), F.lit(1))
+    exp = F.coalesce(F.split_part(body, F.lit("e"), F.lit(2)).try_cast("int"), F.lit(0))
+    intpart = F.split_part(mant, F.lit("."), F.lit(1))
+    frac = F.split_part(mant, F.lit("."), F.lit(2))
+    digits = F.concat(intpart, frac)
+    stripped = F.regexp_replace(digits, "^0+", "")
+    lead_zeros = F.length(digits) - F.length(stripped)
+    e_norm = exp + F.length(intpart) - lead_zeros - F.lit(1)
+    dnorm = F.regexp_replace(stripped, "0+$", "")
+    mantissa = F.concat(
+        F.substring(dnorm, 1, 1),
+        F.when(
+            F.length(dnorm) > 1, F.concat(F.lit("."), F.substring(dnorm, 2, 1024))
+        ).otherwise(F.lit("")),
+    )
+    return (
+        F.when(F.isnan(d), F.lit("nan"))
+        .when(d == F.lit(float("inf")), F.lit("inf"))
+        .when(d == F.lit(float("-inf")), F.lit("-inf"))
+        .when(stripped == "", F.concat(sign, F.lit("0")))
+        .otherwise(F.concat(sign, mantissa, F.lit("e"), e_norm.cast("string")))
+    )
+
+
+def _canon_float_sql(col: str) -> str:
+    """DuckDB SQL mirror of :func:`_canon_float` (same algorithm over
+    DuckDB's own shortest-round-trip VARCHAR rendering)."""
+    d = f"CAST({col} AS DOUBLE)"
+    body = f"regexp_replace(lower(CAST({d} AS VARCHAR)), '^-', '')"
+    sign = f"CASE WHEN CAST({d} AS VARCHAR) LIKE '-%' THEN '-' ELSE '' END"
+    mant = f"split_part({body}, 'e', 1)"
+    exp = f"COALESCE(TRY_CAST(split_part({body}, 'e', 2) AS INT), 0)"
+    intpart = f"split_part({mant}, '.', 1)"
+    frac = f"split_part({mant}, '.', 2)"
+    digits = f"({intpart} || {frac})"
+    stripped = f"regexp_replace({digits}, '^0+', '')"
+    lead_zeros = f"(length({digits}) - length({stripped}))"
+    e_norm = f"({exp} + length({intpart}) - {lead_zeros} - 1)"
+    dnorm = f"regexp_replace({stripped}, '0+$', '')"
+    mantissa = (
+        f"(substring({dnorm}, 1, 1) || CASE WHEN length({dnorm}) > 1 "
+        f"THEN '.' || substring({dnorm}, 2, 1024) ELSE '' END)"
+    )
+    return (
+        f"CASE WHEN {d} IS NULL THEN NULL "
+        f"WHEN isnan({d}) THEN 'nan' "
+        f"WHEN {d} = 'infinity'::DOUBLE THEN 'inf' "
+        f"WHEN {d} = '-infinity'::DOUBLE THEN '-inf' "
+        f"WHEN {stripped} = '' THEN {sign} || '0' "
+        f"ELSE {sign} || {mantissa} || 'e' || CAST({e_norm} AS VARCHAR) END"
+    )
+
+
 def canonical_col(col: str, dtype: str) -> Column:
     """One column rendered to a canonical string, identically in both engines.
 
-    Mirrors the reference's ``COALESCE(CAST(c AS VARCHAR), '')``
+    Mirrors the reference's full-precision ``COALESCE(CAST(c AS VARCHAR), '')``
     (duckdb_cdc.go:171) but pins formats where Spark/DuckDB defaults diverge:
-    timestamps → explicit pattern, floats → fixed decimals, booleans → 0/1.
+    timestamps → microsecond pattern (Spark's native precision), floats →
+    shortest-round-trip canonical scientific form (:func:`_canon_float` —
+    full binary64 precision, so no update can hash identically), booleans
+    → 0/1.
     """
     c = F.col(col)
     dl = dtype.lower()
     if dl.startswith("timestamp"):
-        rendered = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSS")
+        rendered = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     elif dl in ("double", "float") or dl.startswith("decimal"):
-        rendered = F.format_string("%.6f", c.cast("double"))
+        rendered = _canon_float(c.cast("double"))
     elif dl == "boolean":
         rendered = c.cast("int").cast("string")
     else:
@@ -74,9 +150,9 @@ def canonical_col_sql(col: str, dtype: str) -> str:
     """DuckDB SQL mirror of :func:`canonical_col`."""
     dl = dtype.lower()
     if dl.startswith("timestamp"):
-        rendered = f"strftime({col}, '%Y-%m-%d %H:%M:%S.%g')"
+        rendered = f"strftime({col}, '%Y-%m-%d %H:%M:%S.%f')"
     elif dl in ("double", "float") or dl.startswith("decimal"):
-        rendered = f"printf('%.6f', CAST({col} AS DOUBLE))"
+        rendered = _canon_float_sql(col)
     elif dl == "boolean":
         rendered = f"CAST(CAST({col} AS INT) AS VARCHAR)"
     else:

@@ -14,12 +14,14 @@ Reference-faithful details:
 - **Snapshot isolation by file copy** (op A4, duckdb_cdc.go:100-124): DuckDB
   allows one writer OR many readers — a read_only open fails while an
   external process holds the write lock, which is exactly why the reference
-  copies the file before every read.  ``snapshot=true`` (default) copies to
-  a temp path, reads the copy, deletes it.
+  copies the file before every read.  ``snapshot=true`` (default) makes ONE
+  copy per scan at plan time; every task reads that same copy, so the scan
+  observes a single consistent database state even under a live writer.
 - **Partitioned scan**: rows split into ``partitions`` ranges on DuckDB's
-  ``rowid`` pseudo-column, so the scan parallelizes across executors; each
-  task opens its own connection (copies are per-task, like the per-tick
-  copy in the reference).
+  ``rowid`` pseudo-column bounded by min..max+1 (rowids keep gaps after
+  deletes — count-based bounds would truncate), so the scan parallelizes
+  across executors; each task opens its own read-only connection to the
+  shared snapshot copy.
 - **Arrow transport**: each partition yields pyarrow record batches —
   columnar all the way into Spark.
 
@@ -76,10 +78,40 @@ def _snapshot_copy(path: str) -> str:
     return dst
 
 
+_SNAPSHOT_SUFFIX = ".cdcsnap."
+
+
+def _plan_snapshot_copy(path: str) -> str:
+    """One copy per *scan plan*, made next to the source file so the path
+    resolves on every executor when the source sits on a shared filesystem
+    (driver-local /tmp would not).  All tasks of the scan read this single
+    copy, so the scan observes one consistent database state — the same
+    guarantee the reference gets from its single per-tick copy
+    (duckdb_cdc.go:100-124).  Stale copies from earlier scans are
+    garbage-collected on the next plan; the current copy is removed at
+    driver exit."""
+    import atexit
+
+    d, base = os.path.split(path)
+    # GC copies left by prior scans of this database (best-effort — a copy
+    # still being read by a running scan is never older than its own plan).
+    for f in os.listdir(d or "."):
+        if f.startswith(base + _SNAPSHOT_SUFFIX):
+            try:
+                os.unlink(os.path.join(d, f))
+            except OSError:
+                pass
+    dst = os.path.join(d, f"{base}{_SNAPSHOT_SUFFIX}{uuid.uuid4().hex}")
+    shutil.copyfile(path, dst)
+    atexit.register(lambda p=dst: os.path.exists(p) and os.unlink(p))
+    return dst
+
+
 class _RowRange(InputPartition):
-    def __init__(self, lo: int, hi: int):
+    def __init__(self, lo: int, hi: int, read_path: str):
         self.lo = lo
         self.hi = hi
+        self.read_path = read_path  # the plan-time snapshot copy (or live file)
 
 
 class DuckDBReader(DataSourceReader):
@@ -90,32 +122,40 @@ class DuckDBReader(DataSourceReader):
         self.n_partitions = int(options.get("partitions", "4"))
         self.schema_ddl = schema_ddl
 
-    def _open(self):
+    def partitions(self):
+        """Split on DuckDB's ``rowid`` pseudo-column, bounded by
+        min(rowid)..max(rowid)+1 — NOT count(*): rowids are physical and
+        keep gaps after DELETEs, so count-based bounds silently truncate
+        any table that has ever seen a delete.  Gappy ranges only skew
+        partition sizes; they never drop rows."""
         import duckdb
 
-        if self.snapshot:
-            copy = _snapshot_copy(self.path)
-            return duckdb.connect(copy, read_only=True), copy
-        return duckdb.connect(self.path, read_only=True), None
-
-    def partitions(self):
-        con, copy = self._open()
+        read_path = _plan_snapshot_copy(self.path) if self.snapshot else self.path
+        con = duckdb.connect(read_path, read_only=True)
         try:
-            n_rows = con.execute(f'SELECT count(*) FROM "{self.table}"').fetchone()[0]
+            lo, hi = con.execute(
+                f'SELECT min(rowid), max(rowid) FROM "{self.table}"'
+            ).fetchone()
         finally:
             con.close()
-            if copy:
-                os.unlink(copy)
-        if n_rows == 0:
-            return [_RowRange(0, 0)]
-        chunk = max(1, (n_rows + self.n_partitions - 1) // self.n_partitions)
-        return [_RowRange(lo, min(lo + chunk, n_rows)) for lo in range(0, n_rows, chunk)]
+        if lo is None:  # empty table
+            return [_RowRange(0, 0, read_path)]
+        end = hi + 1
+        span = end - lo
+        chunk = max(1, (span + self.n_partitions - 1) // self.n_partitions)
+        return [
+            _RowRange(start, min(start + chunk, end), read_path)
+            for start in range(lo, end, chunk)
+        ]
 
     def read(self, partition: _RowRange):
-        con, copy = self._open()
+        import duckdb
+
+        con = duckdb.connect(partition.read_path, read_only=True)
         try:
             if partition.hi > partition.lo:
-                # rowid ranges are stable within one snapshot copy
+                # every task reads the same plan-time snapshot copy, so the
+                # rowid ranges are consistent across the whole scan
                 reader = con.execute(
                     f'SELECT * FROM "{self.table}" WHERE rowid >= {partition.lo} '
                     f"AND rowid < {partition.hi}"
@@ -123,8 +163,6 @@ class DuckDBReader(DataSourceReader):
                 yield from reader
         finally:
             con.close()
-            if copy:
-                os.unlink(copy)
 
 
 class DuckDBStreamReader(SimpleDataSourceStreamReader):

@@ -60,6 +60,63 @@ def test_checksum_matches_duckdb_oracle(spark, tables, sf_dir):
     assert spark_sum == duck
 
 
+def test_checksum_detects_sub_resolution_changes(spark):
+    """ADVICE r01: %.6f floats and millisecond timestamps let tiny updates
+    hash identically.  The canonical rendering is now full-precision: a
+    1-ulp double change or a 1-microsecond timestamp change must flip the
+    digest (reference casts full-precision VARCHAR, duckdb_cdc.go:171)."""
+    import datetime
+    import math
+
+    base = 1.0000001
+    a = spark.createDataFrame([(1, base)], "id int, v double")
+    b = spark.createDataFrame([(1, math.nextafter(base, 2.0))], "id int, v double")
+    assert table_checksum_value(a) != table_checksum_value(b)
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0, 123456)
+    ta = spark.createDataFrame([(1, t)], "id int, ts timestamp")
+    tb = spark.createDataFrame(
+        [(1, t + datetime.timedelta(microseconds=1))], "id int, ts timestamp"
+    )
+    assert table_checksum_value(ta) != table_checksum_value(tb)
+
+
+def test_canonical_float_cross_engine_fuzz(spark):
+    """The canonical float rendering must be bit-identical across engines
+    for realistic value classes (money, unit floats, specials, magnitudes
+    up to 1e15).  Known caveat (documented in hashes.py): pre-JDK-19
+    Double.toString emits a non-minimal digit for ~0.3% of doubles with
+    ≥16 significant digits — excluded here, unreachable for real data."""
+    import random
+
+    import duckdb
+
+    from cdc_lite_spark.functions.hashes import canonical_col, canonical_col_sql
+
+    rng = random.Random(7)
+    vals = [
+        0.0, -0.0, 1.0, -2.5, 0.1, 1234.56, 1e7, 9999999.9, 1e15, 2.5e-5,
+        0.001, 0.0001, 1e-300, 1e300, 0.30000000000000004, None,
+        float("nan"), float("inf"), float("-inf"),
+    ]
+    vals += [round(rng.uniform(-1e6, 1e6), 2) for _ in range(500)]
+    vals += [rng.random() for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [
+        r[0] for r in df.select(F.coalesce(canonical_col("x", "double"), F.lit("∅"))).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT COALESCE({canonical_col_sql('x', 'double')}, '∅') FROM t"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
+
+
 def test_partition_checksums(tables):
     events = tables["events"]
     by_type = partition_checksums(events, "event_type", fast=True)

@@ -53,6 +53,47 @@ def test_partitioned_read(spark, users_db):
     assert df.select(F.countDistinct("id")).first()[0] == 492
 
 
+def test_partitioned_read_after_deletes(spark, users_db):
+    """DuckDB rowids are physical and keep gaps after DELETEs, so partition
+    ranges bounded by count(*) silently truncate; ranges must span
+    min(rowid)..max(rowid)+1 (ADVICE r01, high)."""
+    con = duckdb.connect(users_db)
+    con.execute(
+        "INSERT INTO users (id, name, email) "
+        "SELECT i, 'u' || i, 'u' || i || '@x.com' FROM range(10, 130) t(i)"
+    )
+    con.execute("DELETE FROM users WHERE id % 2 = 0 AND id >= 10")  # punch gaps
+    n_expected = con.execute("SELECT count(*) FROM users").fetchone()[0]
+    max_rowid = con.execute("SELECT max(rowid) FROM users").fetchone()[0]
+    con.close()
+    assert max_rowid + 1 > n_expected  # the fixture really has gaps
+
+    df = read_duckdb_table(spark, users_db, "users", partitions=8)
+    assert df.count() == n_expected
+    assert df.select(F.countDistinct("id")).first()[0] == n_expected
+
+
+def test_partitioned_scan_is_one_consistent_snapshot(spark, users_db):
+    """snapshot=true must copy the file ONCE per scan (at plan time) and have
+    every task read that copy — per-task copies taken at different times see
+    different writer states (ADVICE r01, medium).  The copy lands next to
+    the source (shared-FS visible); count the copies the scan left behind.
+    (partitions() runs in a Python worker process, so this is asserted on
+    the filesystem, not via monkeypatch.)"""
+    import os
+
+    d = os.path.dirname(users_db)
+    df = read_duckdb_table(spark, users_db, "users", partitions=8)
+    assert df.count() == 2
+    snaps = [f for f in os.listdir(d) if ".cdcsnap." in f]
+    assert len(snaps) == 1  # one copy per scan plan, shared by all 8 tasks
+
+    # a second scan GCs the first scan's copy and makes exactly one of its own
+    assert df.count() == 2
+    snaps = [f for f in os.listdir(d) if ".cdcsnap." in f]
+    assert len(snaps) == 1
+
+
 def test_cdc_over_duckdb_file(spark, users_db, tmp_path):
     """insert → poll → change captured; unchanged → silent (the reference's
     end-to-end loop over an actual DuckDB file)."""
