@@ -54,17 +54,44 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(
-        json.dumps(
+
+    # full-precision detail for local regression checks (scripts/bench_regress.py)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump({"value": total, "queries": timings, "sf": sf, "cpus": os.cpu_count()}, fh, indent=1)
+
+    def line_for(q: dict[str, float]) -> str:
+        return json.dumps(
             {
                 "metric": "total_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": q,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+
+    # r01 postmortem: the driver keeps only the tail (~2.2 kB) of stdout, and
+    # a longer JSON line is truncated from the LEFT and unparseable.  Keep the
+    # one line comfortably under that: compact separators, shrink precision,
+    # and as a last resort keep only the slowest queries (full detail always
+    # lands in BENCH_DETAIL.json).
+    budget = 1900
+    out = line_for({k: round(v, 3) for k, v in timings.items()})
+    if len(out) > budget:
+        out = line_for({k: round(v, 2) for k, v in timings.items()})
+    if len(out) > budget:
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+        keep: dict[str, float] = {}
+        for k, v in slowest.items():
+            trial = dict(keep, **{k: round(v, 2), "_omitted": 0})
+            if len(line_for(trial)) > budget:
+                break
+            keep[k] = round(v, 2)
+        keep["_omitted"] = len(timings) - len(keep)
+        out = line_for(keep)
+    print(out)
     spark.stop()
 
 

@@ -67,30 +67,42 @@ def _canon_float(d: Column) -> Column:
     Spark and DuckDB digit strings can differ.  Detection (Spark-vs-Spark)
     is unaffected; only oracle parity on pathological literals would notice.
     """
-    s = F.lower(d.cast("string"))
+    # no regexes in this pipeline — the fingerprint renders every float of
+    # every row, and split_part/ltrim/rtrim stay in whole-stage codegen at a
+    # fraction of a regex engine's cost (r02 bench: regex form was 5-7x
+    # slower on the checksum family)
+    s = d.cast("string")  # Java notation: [-]ddd.ddd or [-]d.dddE[-]XX
     sign = F.when(s.startswith("-"), F.lit("-")).otherwise(F.lit(""))
-    body = F.regexp_replace(s, "^-", "")
-    mant = F.split_part(body, F.lit("e"), F.lit(1))
-    exp = F.coalesce(F.split_part(body, F.lit("e"), F.lit(2)).try_cast("int"), F.lit(0))
+    body = F.call_function("ltrim", F.lit("-"), s)
+    mant = F.split_part(body, F.lit("E"), F.lit(1))
+    exp = F.coalesce(F.split_part(body, F.lit("E"), F.lit(2)).try_cast("int"), F.lit(0))
     intpart = F.split_part(mant, F.lit("."), F.lit(1))
     frac = F.split_part(mant, F.lit("."), F.lit(2))
     digits = F.concat(intpart, frac)
-    stripped = F.regexp_replace(digits, "^0+", "")
+    stripped = F.call_function("ltrim", F.lit("0"), digits)
     lead_zeros = F.length(digits) - F.length(stripped)
     e_norm = exp + F.length(intpart) - lead_zeros - F.lit(1)
-    dnorm = F.regexp_replace(stripped, "0+$", "")
+    dnorm = F.call_function("rtrim", F.lit("0"), stripped)
     mantissa = F.concat(
         F.substring(dnorm, 1, 1),
         F.when(
             F.length(dnorm) > 1, F.concat(F.lit("."), F.substring(dnorm, 2, 1024))
         ).otherwise(F.lit("")),
     )
+    norm = F.when(stripped == "", F.concat(sign, F.lit("0"))).otherwise(
+        F.concat(sign, mantissa, F.lit("e"), e_norm.cast("string"))
+    )
+    # fast path: for 1e-3 <= |x| < 1e7 (and zero) BOTH engines already render
+    # the identical plain shortest form ("1234.56") — one cast, no string
+    # pipeline.  Real-world numeric columns live almost entirely in-range, so
+    # the normalization above only runs on the stragglers.
+    in_plain_range = (d == 0) | ((F.abs(d) >= 0.001) & (F.abs(d) < 1e7))
     return (
         F.when(F.isnan(d), F.lit("nan"))
         .when(d == F.lit(float("inf")), F.lit("inf"))
         .when(d == F.lit(float("-inf")), F.lit("-inf"))
-        .when(stripped == "", F.concat(sign, F.lit("0")))
-        .otherwise(F.concat(sign, mantissa, F.lit("e"), e_norm.cast("string")))
+        .when(in_plain_range, s)
+        .otherwise(norm)
     )
 
 
@@ -98,17 +110,17 @@ def _canon_float_sql(col: str) -> str:
     """DuckDB SQL mirror of :func:`_canon_float` (same algorithm over
     DuckDB's own shortest-round-trip VARCHAR rendering)."""
     d = f"CAST({col} AS DOUBLE)"
-    body = f"regexp_replace(lower(CAST({d} AS VARCHAR)), '^-', '')"
+    body = f"ltrim(CAST({d} AS VARCHAR), '-')"
     sign = f"CASE WHEN CAST({d} AS VARCHAR) LIKE '-%' THEN '-' ELSE '' END"
     mant = f"split_part({body}, 'e', 1)"
     exp = f"COALESCE(TRY_CAST(split_part({body}, 'e', 2) AS INT), 0)"
     intpart = f"split_part({mant}, '.', 1)"
     frac = f"split_part({mant}, '.', 2)"
     digits = f"({intpart} || {frac})"
-    stripped = f"regexp_replace({digits}, '^0+', '')"
+    stripped = f"ltrim({digits}, '0')"
     lead_zeros = f"(length({digits}) - length({stripped}))"
     e_norm = f"({exp} + length({intpart}) - {lead_zeros} - 1)"
-    dnorm = f"regexp_replace({stripped}, '0+$', '')"
+    dnorm = f"rtrim({stripped}, '0')"
     mantissa = (
         f"(substring({dnorm}, 1, 1) || CASE WHEN length({dnorm}) > 1 "
         f"THEN '.' || substring({dnorm}, 2, 1024) ELSE '' END)"
@@ -118,6 +130,8 @@ def _canon_float_sql(col: str) -> str:
         f"WHEN isnan({d}) THEN 'nan' "
         f"WHEN {d} = 'infinity'::DOUBLE THEN 'inf' "
         f"WHEN {d} = '-infinity'::DOUBLE THEN '-inf' "
+        f"WHEN {d} = 0 OR (abs({d}) >= 0.001 AND abs({d}) < 10000000.0) "
+        f"THEN CAST({d} AS VARCHAR) "
         f"WHEN {stripped} = '' THEN {sign} || '0' "
         f"ELSE {sign} || {mantissa} || 'e' || CAST({e_norm} AS VARCHAR) END"
     )

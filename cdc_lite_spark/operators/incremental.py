@@ -20,9 +20,15 @@ from pyspark.sql import functions as F
 
 
 def sum_count_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
-    """The maintainable aggregate state: per-key sum + count (avg derives)."""
+    """The maintainable aggregate state: per-key sum + count (avg derives).
+
+    ``agg_count`` counts non-null values (SQL COUNT(col)); ``agg_rows``
+    counts rows (COUNT(*)) and is what decides key liveness — a key whose
+    values are all null still exists."""
     return df.groupBy(*keys).agg(
-        F.sum(value_col).alias("agg_sum"), F.count(value_col).alias("agg_count")
+        F.sum(value_col).alias("agg_sum"),
+        F.count(value_col).alias("agg_count"),
+        F.count("*").alias("agg_rows"),
     )
 
 
@@ -44,26 +50,41 @@ def apply_delta(
     def _prev_key(k: str):
         return F.col(f"prev_{k}") if f"prev_{k}" in changes.columns else F.col(k)
 
+    # __dn mirrors F.count(value_col) in sum_count_state, which skips nulls —
+    # a null-valued insert/retraction must contribute 0 to the count or the
+    # maintained agg_count drifts from the recomputed state (ADVICE r01) and
+    # keys can be dropped/retained incorrectly by the agg_count > 0 filter.
     adds = changes.filter(F.col("operation").isin("INSERT", "UPDATE")).select(
         *[F.col(k).alias(k) for k in keys],
         F.col(value_col).alias("__dv"),
-        F.lit(1).alias("__dn"),
+        F.when(F.col(value_col).isNotNull(), 1).otherwise(0).alias("__dn"),
+        F.lit(1).alias("__dr"),
     )
     retracts = changes.filter(F.col("operation").isin("DELETE", "UPDATE")).select(
         *[_prev_key(k).alias(k) for k in keys],
         (-F.col(f"prev_{value_col}")).alias("__dv"),
-        F.lit(-1).alias("__dn"),
+        F.when(F.col(f"prev_{value_col}").isNotNull(), -1).otherwise(0).alias("__dn"),
+        F.lit(-1).alias("__dr"),
     )
     delta = (
         adds.unionByName(retracts)
         .groupBy(*keys)
-        .agg(F.sum("__dv").alias("d_sum"), F.sum("__dn").alias("d_count"))
+        .agg(
+            F.sum("__dv").alias("d_sum"),
+            F.sum("__dn").alias("d_count"),
+            F.sum("__dr").alias("d_rows"),
+        )
     )
+    new_count = F.coalesce("agg_count", F.lit(0)) + F.coalesce("d_count", F.lit(0))
+    new_sum = F.coalesce("agg_sum", F.lit(0)) + F.coalesce("d_sum", F.lit(0))
     merged = state.join(delta, keys, "full_outer").select(
         *keys,
-        (F.coalesce("agg_sum", F.lit(0)) + F.coalesce("d_sum", F.lit(0))).alias("agg_sum"),
-        (F.coalesce("agg_count", F.lit(0)) + F.coalesce("d_count", F.lit(0))).alias(
-            "agg_count"
+        # SQL SUM over zero non-null values is NULL, not 0
+        F.when(new_count > 0, new_sum).alias("agg_sum"),
+        new_count.alias("agg_count"),
+        (F.coalesce("agg_rows", F.lit(0)) + F.coalesce("d_rows", F.lit(0))).alias(
+            "agg_rows"
         ),
     )
-    return merged.filter(F.col("agg_count") > 0)
+    # liveness by row count, not value count: all-null keys must survive
+    return merged.filter(F.col("agg_rows") > 0)

@@ -3,10 +3,11 @@
 Images / audio / video ride through the engine as opaque ``binary`` payload
 columns with a typed metadata struct.  The Spark-side machinery — schema,
 partition sizing, Arrow-batched UDF signatures, batch shapes — is real and
-tested; the actual codec step is STUBBED (decode libraries are not in this
-container): ``decode_payload`` raises NotImplementedError unless
+tested; the codec step uses PIL when it is importable on the workers
+(real image decode), and otherwise raises NotImplementedError unless
 ``fake=True``, in which case a deterministic fake decoder produces
-hash-derived features so the distributed plumbing is exercised end-to-end.
+hash-derived features so the distributed plumbing is exercised end-to-end
+in codec-less environments like this container.
 
 Scale notes: payloads dominate row width, so operators here
 (1) never shuffle payload bytes unless the operator requires it,
@@ -38,8 +39,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("media_type", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
-        T.StructField("fake_width", T.IntegerType(), False),
-        T.StructField("fake_height", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
         T.StructField("feature", T.ArrayType(T.FloatType()), False),
     ]
 )
@@ -65,50 +66,57 @@ def attach_payload(
 
 def decode_payload(df: DataFrame, fake: bool = False, batch_hint: int = 256) -> DataFrame:
     """Decode payloads → per-item features via an Arrow-batched
-    ``mapInPandas``.  The real decoder is a stub (no codec libs in this
-    container); ``fake=True`` runs a deterministic md5-derived fake decode
-    that exercises the identical distributed path: schema in/out, Arrow
-    batch shapes, payload-projection, partition parallelism."""
+    ``mapInPandas``.
+
+    ``fake=False``: decode real images with PIL **when it is importable on
+    the worker** (width/height + an 8-bin grayscale histogram feature);
+    without PIL this raises NotImplementedError naming the missing codec.
+    ``fake=True``: a deterministic md5-derived fake decode exercising the
+    identical distributed path (schema in/out, Arrow batch shapes,
+    payload-projection, partition parallelism) in codec-less environments.
+    """
+
+    cols = ["doc_id", "media_type", "n_bytes", "width", "height", "feature"]
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
+        pil_image = None
+        if not fake:
+            try:
+                from PIL import Image as pil_image  # noqa: N813 — worker-side
+            except ImportError:
                 raise NotImplementedError(
                     "real media decode requires codec libraries (PIL/ffmpeg) "
-                    "not present in this environment; pass fake=True for the "
+                    "not importable on this worker; pass fake=True for the "
                     "deterministic plumbing-test decoder"
-                )
+                ) from None
+        for pdf in batches:
             out = []
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["media_meta"]
             ):
-                digest = hashlib.md5(bytes(payload)).digest()
-                # hash-derived deterministic "decode": dimensions + a tiny
-                # feature vector, stable across engines/runs
-                width = 16 + digest[0] % 64
-                height = 16 + digest[1] % 64
-                feature = [round(b / 255.0, 6) for b in digest[:8]]
+                raw = bytes(payload)
+                if fake:
+                    digest = hashlib.md5(raw).digest()
+                    # hash-derived deterministic "decode": dimensions + a
+                    # tiny feature vector, stable across engines/runs
+                    width = 16 + digest[0] % 64
+                    height = 16 + digest[1] % 64
+                    feature = [round(b / 255.0, 6) for b in digest[:8]]
+                else:
+                    import io
+
+                    with pil_image.open(io.BytesIO(raw)) as img:
+                        width, height = img.size
+                        gray = img.convert("L").histogram()  # 256 bins
+                    total = max(1, sum(gray))
+                    feature = [
+                        round(sum(gray[b * 32 : (b + 1) * 32]) / total, 6)
+                        for b in range(8)
+                    ]
                 out.append(
-                    (
-                        doc_id,
-                        meta["media_type"],
-                        len(bytes(payload)),
-                        width,
-                        height,
-                        feature,
-                    )
+                    (doc_id, meta["media_type"], len(raw), width, height, feature)
                 )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id",
-                    "media_type",
-                    "n_bytes",
-                    "fake_width",
-                    "fake_height",
-                    "feature",
-                ],
-            )
+            yield pd.DataFrame(out, columns=cols)
 
     return df.mapInPandas(_decode, FEATURE_SCHEMA)
 

@@ -245,8 +245,11 @@ def kmeans_refine(
     posexplode multiplies rows by the dimension count, but the aggregate is
     partial-aggregable, so the shuffle carries |clusters|·dims partial rows
     per partition — iterative ML on plain DataFrame primitives, no MLlib.
+    Each iteration's centroids are localCheckpoint-ed (they are tiny —
+    |clusters| rows): without it the lazy plan re-derives every previous
+    iteration from the raw corpus, growing the plan (and the number of
+    corpus scans) multiplicatively per iteration.
     """
-    dims = len(corpus.select(vec_col).first()[0])
     current = centroids
     for _ in range(iterations):
         assign = ivf_assign(
@@ -271,7 +274,7 @@ def kmeans_refine(
                 F.transform(F.col("dm"), lambda x: x["mean"].cast("float")).alias(vec_col),
             )
         )
-        assert dims > 0
+        current = current.localCheckpoint(eager=True)
     return current
 
 

@@ -80,12 +80,10 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_guess") 
     toks = tokens(text_col)
     scores = {lang: _marker_score(toks, m) for lang, m in LANG_MARKERS.items()}
     best: Column = F.lit("und")
-    best_score: Column = F.lit(0)
     for lang in reversed(LANG_PRIORITY):  # earlier priority wins ties via >=
         cond = scores[lang] >= F.greatest(*[scores[o] for o in LANG_PRIORITY if o != lang])
         better = cond & (scores[lang] > 0)
         best = F.when(better, F.lit(lang)).otherwise(best)
-    _ = best_score
     return df.withColumn(out_col, best)
 
 

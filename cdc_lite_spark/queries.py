@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "data_quality_report",
     "zscore_by_group",
     "approx_distinct_users",
+    "kmeans_refine_centroids",
 )
 
 
@@ -1119,6 +1120,63 @@ def _ivf_oracle(k: int = _TOPK, nq: int = _N_QUERY_VECS) -> str:
     """
 
 
+_EMB_DIMS = 64  # embeddings.parquet vector width (TESTDATA.md)
+
+
+def _kmeans_oracle() -> str:
+    """One Lloyd iteration in DuckDB SQL.  Mean floats: both engines compute
+    the per-(centroid, dim) mean as DOUBLE, quantize through REAL (the
+    operator's float32 output), and round at 6 dp — identical unless the two
+    double means straddle a float32 boundary (p ≈ 2^-29 per value)."""
+    from cdc_lite_spark.operators.similarity import cosine_sql
+
+    cos_vc = cosine_sql("v.v", "c.v")
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS centroid_id, v FROM vecs WHERE vec_id % {_IVF_CENTROID_MOD} = 0),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY round({cos_vc}, 6) DESC, c.centroid_id DESC) AS rn
+            FROM vecs v CROSS JOIN cents c
+        ) WHERE rn = 1
+    )
+    SELECT a.centroid_id, d.dim,
+           round(CAST(CAST(avg(v.v[d.dim + 1]) AS REAL) AS DOUBLE), 6) AS mean_r
+    FROM assign a
+    JOIN vecs v USING (vec_id)
+    CROSS JOIN range({_EMB_DIMS}) d(dim)
+    GROUP BY a.centroid_id, d.dim
+    """
+
+
+@register(
+    "kmeans_refine_centroids",
+    _kmeans_oracle(),
+    "X3: one deterministic Lloyd iteration refining IVF centroids (operators/similarity.py kmeans_refine)",
+    tags=("similarity", "iterative"),
+)
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.similarity import kmeans_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    refined = kmeans_refine(emb, centroids, iterations=1)
+    return refined.select(
+        "centroid_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "centroid_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("val").cast("double"), 6).alias("mean_r"),
+    )
+
+
 @register(
     "ivf_topk",
     _ivf_oracle(),
@@ -2007,10 +2065,6 @@ def _near_dup_oracle(bands: int = 4, rows: int = 2, max_bucket: int = 50, thr: f
     from cdc_lite_spark.operators.text import tokens_sql
 
     mh = minhash_sql("text", k=bands * rows)
-    band_cols = ", ".join(
-        f"CAST(mh[{b * rows + r + 1}] AS VARCHAR)" for b in range(1) for r in range(rows)
-    )
-    _ = band_cols
     return f"""
     WITH sig AS (SELECT doc_id, {mh} AS mh FROM documents),
     banded AS (
@@ -2224,5 +2278,5 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return media_features(docs).select(
-        "doc_id", "media_type", "n_bytes", "fake_width", "fake_height"
+        "doc_id", "media_type", "n_bytes", "width", "height"
     )

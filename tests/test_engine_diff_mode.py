@@ -53,6 +53,39 @@ def test_diff_mode_emits_row_level_ops(spark, tables, tmp_path):
     assert eng.poll_once({"nation": mutated}, mode="diff", keys=keys) == []
 
 
+def test_diff_mode_writes_snapshot_once_per_tick(spark, tables, tmp_path):
+    """r01 VERDICT #3: each tick must persist the snapshot with ONE write job
+    (versioned dir + _SUCCESS commit marker), not write-.next-then-rewrite.
+    Asserted on the filesystem: every tick adds exactly one new v=N dir, no
+    .next staging dir ever exists, and old versions are GC'd."""
+    import os
+
+    eng = _engine(spark, tmp_path)
+    keys = {"nation": ["n_nationkey"]}
+    snap_root = str(tmp_path / "state" / "snapshots" / "nation")
+
+    eng.poll_once({"nation": tables["nation"]}, mode="diff", keys=keys)
+    assert sorted(os.listdir(snap_root)) == ["v=1"]
+    assert not os.path.exists(snap_root + ".next")
+
+    mutated = tables["nation"].withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") == 0, F.lit("RENAMED")).otherwise(F.col("n_name")),
+    )
+    eng.poll_once({"nation": mutated}, mode="diff", keys=keys)
+    assert sorted(os.listdir(snap_root)) == ["v=1", "v=2"]
+
+    mutated2 = mutated.filter(F.col("n_nationkey") != 5)
+    eng.poll_once({"nation": mutated2}, mode="diff", keys=keys)
+    # keep = 2: v=1 GC'd, v=2 (previous) and v=3 (current) remain
+    assert sorted(os.listdir(snap_root)) == ["v=2", "v=3"]
+    assert not os.path.exists(snap_root + ".next")
+
+    # the surviving current snapshot is the correct state
+    cur = spark.read.parquet(snap_root + "/v=3")
+    assert cur.count() == tables["nation"].count() - 1
+
+
 def test_changelog_is_streaming_source(spark, tables, tmp_path):
     """A8: the JSONL change dir consumed by Structured Streaming."""
     eng = _engine(spark, tmp_path)

@@ -62,3 +62,23 @@ def test_update_moving_row_across_groups(spark):
         for r in apply_delta(state, changes, ["g"], "v").collect()
     }
     assert out == {"b": (15.0, 2)}  # group a vanished, its mass moved to b
+
+
+def test_null_values_maintained_correctly(spark):
+    """ADVICE r01: null-valued change records must not drift agg_count
+    (COUNT(col) skips nulls) nor kill keys whose values are all null."""
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, "b", None)], "id long, g string, v double"
+    )
+    # update 2: null->5.0; delete 3 (null value); insert 4 with null value
+    cur = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (4, "c", None)], "id long, g string, v double"
+    )
+    state = sum_count_state(base, ["g"], "v")
+    changes = snapshot_diff(base, cur, ["id"], include_prev=True)
+    maintained = apply_delta(state, changes, ["g"], "v")
+    recomputed = sum_count_state(cur, ["g"], "v")
+    m = {r["g"]: (r["agg_sum"], r["agg_count"], r["agg_rows"]) for r in maintained.collect()}
+    r = {r["g"]: (r["agg_sum"], r["agg_count"], r["agg_rows"]) for r in recomputed.collect()}
+    assert m == r
+    assert m["c"] == (None, 0, 1)  # all-null key survives with count 0

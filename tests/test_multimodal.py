@@ -34,17 +34,50 @@ def test_attach_payload_schema_and_metadata(spark):
 
 
 def test_decode_stub_raises_without_fake(spark):
+    """Without PIL on the workers, fake=False names the missing codec."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: the real-decode path applies instead")
+    except ImportError:
+        pass
     payloads = attach_payload(_docs(spark))
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_payload(payloads, fake=False).collect()
+
+
+def test_real_decode_with_pil_when_available(spark):
+    """PIL escape hatch: when PIL is importable, fake=False decodes real
+    image bytes (runs only where PIL exists; skipped in this container)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("content_md5"),
+        ).alias("media_meta"),
+    )
+    row = decode_payload(df, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (20, 10)
+    assert len(row["feature"]) == 8
+    assert abs(sum(row["feature"]) - 1.0) < 1e-4
 
 
 def test_fake_decode_deterministic_features(spark):
     out1 = {r["doc_id"]: r for r in media_features(_docs(spark)).collect()}
     out2 = {r["doc_id"]: r for r in media_features(_docs(spark)).collect()}
     for d in (1, 2):
-        assert out1[d]["fake_width"] == out2[d]["fake_width"]
-        assert 16 <= out1[d]["fake_width"] < 80
+        assert out1[d]["width"] == out2[d]["width"]
+        assert 16 <= out1[d]["width"] < 80
         assert len(out1[d]["feature"]) == 8
     # features derive from content: different payloads → different features
     assert out1[1]["feature"] != out1[2]["feature"]
