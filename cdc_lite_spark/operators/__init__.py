@@ -11,6 +11,12 @@ from cdc_lite_spark.operators.dedup import (
     minhash_signatures,
     simhash_signatures,
 )
+from cdc_lite_spark.operators.quality import (
+    boilerplate_filter,
+    contamination_check,
+    pack_sequences,
+    repetition_stats,
+)
 from cdc_lite_spark.operators.diff import inserted_keys, persisted_keys, snapshot_diff
 from cdc_lite_spark.operators.incremental import apply_delta, sum_count_state
 from cdc_lite_spark.operators.latest import latest_per_key, running_agg, with_change_flag
@@ -18,6 +24,7 @@ from cdc_lite_spark.operators.replay import apply_changes
 from cdc_lite_spark.operators.sampling import dataset_split, hash_sample, stratified_cap
 from cdc_lite_spark.operators.scd2 import scd2_as_of, scd2_history
 from cdc_lite_spark.operators.similarity import (
+    normalize_quantize,
     ann_topk,
     brute_force_topk,
     embedding_near_dup_pairs,
@@ -64,6 +71,11 @@ __all__ = [
     "embedding_near_dup_pairs",
     "ivf_topk",
     "kmeans_refine",
+    "normalize_quantize",
+    "repetition_stats",
+    "boilerplate_filter",
+    "contamination_check",
+    "pack_sequences",
     "salted_join",
     "two_phase_agg",
     "doc_fingerprint",

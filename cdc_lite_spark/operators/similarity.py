@@ -317,3 +317,54 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def normalize_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding post-processing for training/serving pipelines: the L2 norm
+    plus symmetric int8 quantization (per-vector max-abs scale), exploded to
+    (vec_id, dim, q8) rows.
+
+    All arithmetic is exact-order double ops (dot/max are order-stable), so
+    DuckDB reproduces values bit-identically; rounding to int8 uses
+    round-half-away-from-zero in both engines.  Scale shape: pure scan-side
+    map, zero shuffle — the 100 TB form writes q8 alongside the vectors.
+    """
+    v = _to_double(F.col(vec_col))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    quant = F.when(maxabs == 0, F.transform(v, lambda x: F.lit(0).cast("int"))).otherwise(
+        F.transform(v, lambda x: F.round(F.lit(127.0) * x / maxabs, 0).cast("int"))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.round(norm(v), 6).alias("l2_norm"),
+        F.round(maxabs, 6).alias("scale_maxabs"),
+        quant.alias("__q"),
+    )
+    return base.select(
+        id_col,
+        "l2_norm",
+        "scale_maxabs",
+        F.posexplode("__q").alias("dim", "q8"),
+    ).select(id_col, F.col("dim").cast("long").alias("dim"), "q8", "l2_norm", "scale_maxabs")
+
+
+def normalize_quantize_sql(table: str = "embeddings", dims: int = 64) -> str:
+    v = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    maxabs = f"list_max(list_transform({v}, x -> abs(x)))"
+    l2 = f"sqrt({dot_sql(v, v)})"
+    return f"""
+    WITH base AS (
+        SELECT vec_id, round({l2}, 6) AS l2_norm, round({maxabs}, 6) AS scale_maxabs,
+               CASE WHEN {maxabs} = 0
+                    THEN list_transform({v}, x -> 0)
+                    ELSE list_transform({v}, x -> CAST(round(127.0 * x / {maxabs}, 0) AS INT))
+               END AS q
+        FROM {table}
+    )
+    SELECT vec_id, CAST(d.dim AS BIGINT) AS dim, q[d.dim + 1] AS q8, l2_norm, scale_maxabs
+    FROM base CROSS JOIN range({dims}) d(dim)
+    """

@@ -77,6 +77,11 @@ _PRIORITY: tuple[str, ...] = (
     "zscore_by_group",
     "approx_distinct_users",
     "kmeans_refine_centroids",
+    "repetition_stats",
+    "boilerplate_filter",
+    "contamination_check",
+    "pack_training_batches",
+    "embedding_quantize",
 )
 
 
@@ -2280,3 +2285,97 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(docs).select(
         "doc_id", "media_type", "n_bytes", "width", "height"
     )
+
+
+# ---------------------------------------------------------------------------
+# X6 (r02 breadth): corpus-quality filters, contamination, packing, int8
+# embeddings — the remaining training-data-pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def _quality_oracles():
+    from cdc_lite_spark.operators.quality import (
+        boilerplate_filter_sql,
+        contamination_check_sql,
+        pack_sequences_sql,
+        repetition_stats_sql,
+    )
+
+    return (
+        repetition_stats_sql(),
+        boilerplate_filter_sql(),
+        contamination_check_sql("doc_id % 100 != 0", "doc_id % 100 = 0", n=3),
+        pack_sequences_sql(),
+    )
+
+
+_REP_SQL, _BOILER_SQL, _CONTAM_SQL, _PACK_SQL = _quality_oracles()
+
+
+@register(
+    "repetition_stats",
+    _REP_SQL,
+    "X6: Gopher-style repetition measures per document (top-word ratio, dup-bigram fraction)",
+    tags=("text", "quality"),
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.quality import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "boilerplate_filter",
+    _BOILER_SQL,
+    "X6: rule-based corpus keep/drop verdicts with reason codes",
+    tags=("text", "quality"),
+)
+def q_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.quality import boilerplate_filter
+
+    return boilerplate_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "contamination_check",
+    _CONTAM_SQL,
+    "X6: benchmark decontamination — distinct 3-gram overlap vs a held-out set (broadcast semi-join; n=5 default on real data)",
+    tags=("text", "quality", "join"),
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.quality import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    holdout = docs.filter(F.col("doc_id") % 100 == 0)
+    return contamination_check(corpus, holdout, n=3)
+
+
+@register(
+    "pack_training_batches",
+    _PACK_SQL,
+    "X6: greedy contiguous sequence packing into fixed-token-budget batches, per shard",
+    tags=("text", "window"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.quality import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def _quantize_oracle() -> str:
+    from cdc_lite_spark.operators.similarity import normalize_quantize_sql
+
+    return normalize_quantize_sql(dims=_EMB_DIMS)
+
+
+@register(
+    "embedding_quantize",
+    _quantize_oracle(),
+    "X6: L2 norms + symmetric int8 quantization of embeddings (scan-side, zero shuffle)",
+    tags=("similarity",),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.similarity import normalize_quantize
+
+    return normalize_quantize(load_table(spark, sf_dir, "embeddings"))
