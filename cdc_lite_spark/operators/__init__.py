@@ -5,6 +5,7 @@ from cdc_lite_spark.operators.checksum import (
     table_checksum_value,
 )
 from cdc_lite_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     jaccard_verify,
     lsh_candidate_pairs,
@@ -13,6 +14,7 @@ from cdc_lite_spark.operators.dedup import (
 )
 from cdc_lite_spark.operators.quality import (
     boilerplate_filter,
+    domain_mix_weights,
     contamination_check,
     pack_sequences,
     repetition_stats,
@@ -76,6 +78,8 @@ __all__ = [
     "boilerplate_filter",
     "contamination_check",
     "pack_sequences",
+    "domain_mix_weights",
+    "dedup_clusters",
     "salted_join",
     "two_phase_agg",
     "doc_fingerprint",

@@ -293,3 +293,54 @@ def simhash_signatures(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two fingerprint longs."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document in a
+    component gets ``cluster_id`` = the component's minimum doc id (the
+    canonical survivor).  This is the step that turns pairwise dedup output
+    into droppable groups.
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors; converged when no label changes
+    (≤ graph diameter rounds, ``max_iter`` as a safety bound).  Per round:
+    one join + one min-aggregation, labels localCheckpoint-ed so the plan
+    stays flat — the standard Pregel-style shape on plain DataFrames.  At
+    100 TB the label table is |nodes-in-pairs| (dedup components are tiny
+    relative to the corpus), so the join broadcast-s or co-partitions.
+    """
+    edges = (
+        pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
+        .unionByName(pairs.select(F.col(right).alias("a"), F.col(left).alias("b")))
+        .distinct()
+        # pairs may carry an arbitrarily expensive lineage (e.g. the whole
+        # LSH pipeline) — materialize ONCE or every iteration re-runs it
+        # (observed 19.6s -> ~4s on the r02 bench)
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("node", "a"), "a"
+        ).select(F.col("b").alias("node"), "lbl")
+        new_labels = (
+            prop.unionByName(labels).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "node")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))

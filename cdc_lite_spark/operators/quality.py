@@ -314,3 +314,56 @@ def pack_sequences_sql(table: str = "documents", budget: int = PACK_BUDGET) -> s
                        ROWS UNBOUNDED PRECEDING) - 1) / {budget}) AS BIGINT) AS batch_id
     FROM {table}
     """
+
+
+#: temperature for domain-mixing weights (alpha < 1 upsamples small domains)
+MIX_ALPHA = 0.7
+
+
+def domain_mix_weights(
+    df: DataFrame,
+    shard_col: str = "source",
+    alpha: float = MIX_ALPHA,
+) -> DataFrame:
+    """Temperature-scaled domain mixing (multilingual-BERT / XLM-style
+    exponentiated sampling): weight_d = count_d^alpha / Σ count^alpha.
+    Upsamples small domains relative to proportional sampling; ``alpha=1``
+    recovers proportional, ``alpha=0`` uniform.  Emits per-domain counts,
+    raw share, mixed weight, and the effective sampling multiplier.
+
+    Scale shape: one count aggregation (|domains| rows) + a broadcast-able
+    scalar total — the weights table is tiny and joins back to the corpus
+    broadcast."""
+    counts = df.groupBy(F.col(shard_col).alias("domain")).agg(F.count("*").alias("n_docs"))
+    powed = counts.withColumn("__p", F.pow(F.col("n_docs").cast("double"), F.lit(alpha)))
+    tot = powed.agg(
+        F.sum("__p").alias("__tp"), F.sum("n_docs").alias("__tn")
+    )
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n_docs",
+            r6(F.col("n_docs") / F.col("__tn")).alias("raw_share"),
+            r6(F.col("__p") / F.col("__tp")).alias("mix_weight"),
+            r6((F.col("__p") / F.col("__tp")) / (F.col("n_docs") / F.col("__tn"))).alias(
+                "upsample_factor"
+            ),
+        )
+    )
+
+
+def domain_mix_weights_sql(table: str = "documents", alpha: float = MIX_ALPHA) -> str:
+    return f"""
+    WITH counts AS (
+        SELECT source AS domain, count(*) AS n_docs FROM {table} GROUP BY source
+    ),
+    powed AS (SELECT domain, n_docs, pow(CAST(n_docs AS DOUBLE), {alpha}) AS p FROM counts),
+    tot AS (SELECT sum(p) AS tp, sum(n_docs) AS tn FROM powed)
+    SELECT domain, n_docs,
+           round(n_docs / tn, 6) AS raw_share,
+           round(p / tp, 6) AS mix_weight,
+           round((p / tp) / (n_docs / tn), 6) AS upsample_factor
+    FROM powed CROSS JOIN tot
+    """

@@ -75,3 +75,14 @@ def test_simhash_hamming_tracks_similarity(spark):
         hamming64(F.lit(sh[1]), F.lit(sh[4])).alias("d")
     ).first()["d"]
     assert near < far
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Known graph: {1-2, 2-3} one component, {7-8} another, 9-9 none."""
+    from cdc_lite_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 8), (30, 10), (20, 30)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 20: 10, 30: 10}
