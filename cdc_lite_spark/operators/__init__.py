@@ -12,6 +12,7 @@ from cdc_lite_spark.operators.dedup import (
     minhash_signatures,
     simhash_signatures,
 )
+from cdc_lite_spark.operators.maintenance import compact_parquet, dir_stats
 from cdc_lite_spark.operators.quality import (
     boilerplate_filter,
     domain_mix_weights,
@@ -80,6 +81,8 @@ __all__ = [
     "pack_sequences",
     "domain_mix_weights",
     "dedup_clusters",
+    "compact_parquet",
+    "dir_stats",
     "salted_join",
     "two_phase_agg",
     "doc_fingerprint",

@@ -2445,3 +2445,33 @@ def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_lite_spark.operators.quality import domain_mix_weights
 
     return domain_mix_weights(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "approx_quantiles_checked",
+    # the t-digest/KLL-style sketch behind percentile_approx is
+    # engine-specific, so (as with approx_distinct_users) the oracle checks
+    # the exact twin plus a tolerance flag the sketch must satisfy
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS exact_p50,
+           round(quantile_cont(o_totalprice, 0.90), 6) AS exact_p90,
+           TRUE AS approx_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "C5: percentile_approx sketch checked against the exact interpolated quantile",
+    tags=("agg", "approx"),
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 6).alias("exact_p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.90)), 6).alias("exact_p90"),
+        F.percentile_approx("o_totalprice", F.lit(0.50), F.lit(1000)).alias("_a50"),
+        F.percentile_approx("o_totalprice", F.lit(0.90), F.lit(1000)).alias("_a90"),
+    )
+    ok = (
+        (F.abs(F.col("_a50") - F.col("exact_p50")) <= F.col("exact_p50") * 0.05)
+        & (F.abs(F.col("_a90") - F.col("exact_p90")) <= F.col("exact_p90") * 0.05)
+    )
+    return agg.select("o_orderstatus", "exact_p50", "exact_p90", ok.alias("approx_ok"))

@@ -82,3 +82,33 @@ def test_checksum_shuffles_only_partials(spark):
     # each of the 6 table branches: partial agg before its exchange — the
     # shuffle carries one partial row per partition, not table data
     assert plan.count("HashAggregate") >= 12
+
+
+def test_contamination_broadcasts_holdout(spark):
+    """The holdout gram set is tiny — it must broadcast; the corpus side
+    must never become the build side of a shuffled join."""
+    plan = _plan(spark, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_quantize_has_no_shuffle(spark):
+    """normalize_quantize is a pure scan-side map: no Exchange at all."""
+    plan = _plan(spark, "embedding_quantize")
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_window_pass(spark):
+    """One window over (shard, id) — exactly one shuffle for the
+    partitionBy, no extra sorts beyond the window's own."""
+    plan = _plan(spark, "pack_training_batches")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1
+    assert tree.count("Exchange") <= 1
+
+
+def test_repetition_aggs_are_partial_final(spark):
+    """The (doc, gram) counts must partial-aggregate map-side before the
+    shuffle (word-count shape)."""
+    plan = _plan(spark, "repetition_stats")
+    assert plan.count("HashAggregate") >= 4  # partial+final for words and bigrams
