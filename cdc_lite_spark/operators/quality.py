@@ -284,7 +284,11 @@ def pack_sequences(
 ) -> DataFrame:
     """Greedy contiguous sequence packing: within each shard, documents (in
     ``id_col`` order) accumulate a running token sum; ``batch_id`` is the
-    running sum's bucket.  Deterministic, one window aggregation per shard —
+    bucket of each document's STARTING offset, so the first document is
+    always batch 0 and a document overflowing the budget overshoots its own
+    batch rather than opening a later one (hypothesis-found edge: the
+    endpoint-bucket formula left batch 0 empty when doc 1 exceeded the
+    budget).  Deterministic, one window aggregation per shard —
     the standard streaming approximation of bin packing used to build
     fixed-budget training batches."""
     from pyspark.sql import Window as W
@@ -301,7 +305,7 @@ def pack_sequences(
         "shard",
         id_col,
         "n_tokens",
-        ((cum - 1) / F.lit(budget)).cast("long").alias("batch_id"),
+        ((cum - F.col("n_tokens")) / F.lit(budget)).cast("long").alias("batch_id"),
     )
 
 
@@ -311,7 +315,7 @@ def pack_sequences_sql(table: str = "documents", budget: int = PACK_BUDGET) -> s
     SELECT source AS shard, doc_id,
            CAST(len({toks}) AS BIGINT) AS n_tokens,
            CAST(floor((sum(len({toks})) OVER (PARTITION BY source ORDER BY doc_id
-                       ROWS UNBOUNDED PRECEDING) - 1) / {budget}) AS BIGINT) AS batch_id
+                       ROWS UNBOUNDED PRECEDING) - len({toks})) / {budget}) AS BIGINT) AS batch_id
     FROM {table}
     """
 

@@ -83,3 +83,67 @@ def test_diff_reconstructs_current_snapshot(spark, prev_rows, cur_rows):
         k for k in (set(prev_map) & set(cur_map)) if prev_map[k] == cur_map[k]
     }
     assert unchanged.isdisjoint(ops.keys())
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=25
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_dedup_clusters_matches_union_find(spark, edges):
+    """Connected components via label propagation must agree with a plain
+    union-find reference on arbitrary small graphs."""
+    from cdc_lite_spark.operators.dedup import dedup_clusters
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {}
+    nodes = {n for e in edges for n in e}
+    roots = {n: find(n) for n in nodes}
+    mins = {}
+    for n, r in roots.items():
+        mins[r] = min(mins.get(r, n), n)
+    expected = {n: mins[roots[n]] for n in nodes}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == expected
+
+
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    st.integers(5, 60),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pack_sequences_partition_invariants(spark, token_counts, budget):
+    """Packing invariants on arbitrary inputs: batch ids dense from 0 per
+    shard, monotone in doc order, and each batch's tokens <= budget + its
+    own largest document (greedy contiguous overshoot bound)."""
+    from cdc_lite_spark.operators.quality import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sorted(
+        (r["doc_id"], r["n_tokens"], r["batch_id"])
+        for r in pack_sequences(df, budget=budget).collect()
+    )
+    assert out[0][2] == 0
+    cum = 0
+    prev_b = 0
+    for _, n, b in out:
+        assert b == cum // budget  # bucket of the starting offset
+        assert b >= prev_b  # monotone in doc order
+        cum += n
+        prev_b = b
