@@ -42,6 +42,16 @@ def main() -> None:
         .count()
     )
 
+    def drop_leaked_blocks() -> None:
+        # iterative operators checkpoint intermediates; anything still
+        # persisted after a query returns would pin executor memory and tax
+        # every later timing, so isolate queries from each other
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
         builder = REGISTRY[name].builder
@@ -52,6 +62,7 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        drop_leaked_blocks()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
 

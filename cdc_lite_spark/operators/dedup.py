@@ -314,15 +314,25 @@ def dedup_clusters(
     100 TB the label table is |nodes-in-pairs| (dedup components are tiny
     relative to the corpus), so the join broadcast-s or co-partitions.
     """
+    from cdc_lite_spark.operators._iterative import free_new_checkpoints, persistent_rdd_ids
+
+    spark = pairs.sparkSession
+    before = persistent_rdd_ids(spark)
+
+    # pairs may carry an arbitrarily expensive lineage (e.g. the whole LSH
+    # pipeline) — materialize it ONCE, *before* the symmetric union, or both
+    # union branches re-run it (observed: edges cost 2× the pair pipeline).
+    # persist()+count (CacheManager) rather than localCheckpoint so both
+    # union branches substitute the same InMemoryRelation and the cache is
+    # releasable the moment the edge table is checkpointed.
+    base = pairs.select(F.col(left).alias("a"), F.col(right).alias("b")).persist()
+    base.count()
     edges = (
-        pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
-        .unionByName(pairs.select(F.col(right).alias("a"), F.col(left).alias("b")))
+        base.unionByName(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        # pairs may carry an arbitrarily expensive lineage (e.g. the whole
-        # LSH pipeline) — materialize ONCE or every iteration re-runs it
-        # (observed 19.6s -> ~4s on the r02 bench)
         .localCheckpoint(eager=True)
     )
+    base.unpersist()
     labels = (
         edges.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
     )
@@ -330,17 +340,22 @@ def dedup_clusters(
     for _ in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed("node", "a"), "a"
-        ).select(F.col("b").alias("node"), "lbl")
+        ).select(F.col("b").alias("node"), "lbl", F.lit(None).cast("long").alias("own"))
+        # the labels branch carries each node's current label in `own`
+        # (exactly once per node), so the same aggregation that computes the
+        # new label also exposes the old one — no per-iteration change-join
+        own = labels.select("node", "lbl", F.col("lbl").alias("own"))
         new_labels = (
-            prop.unionByName(labels).groupBy("node").agg(F.min("lbl").alias("lbl"))
+            prop.unionByName(own)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"), F.max("own").alias("prev_lbl"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "node")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("lbl") != F.col("prev_lbl")).count()
         labels = new_labels
         if changed == 0:
             break
+    # free every superseded checkpoint and the edge table — only the final
+    # labels' blocks survive; anything else would pin executor memory for
+    # the rest of the session
+    free_new_checkpoints(spark, before, keep_latest=1)
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))

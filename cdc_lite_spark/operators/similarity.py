@@ -250,6 +250,10 @@ def kmeans_refine(
     iteration from the raw corpus, growing the plan (and the number of
     corpus scans) multiplicatively per iteration.
     """
+    from cdc_lite_spark.operators._iterative import free_new_checkpoints, persistent_rdd_ids
+
+    spark = corpus.sparkSession
+    before = persistent_rdd_ids(spark)
     current = centroids
     for _ in range(iterations):
         assign = ivf_assign(
@@ -275,6 +279,8 @@ def kmeans_refine(
             )
         )
         current = current.localCheckpoint(eager=True)
+    # release superseded per-iteration checkpoints; keep the final centroids
+    free_new_checkpoints(spark, before, keep_latest=1)
     return current
 
 
