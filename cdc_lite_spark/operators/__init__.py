@@ -9,9 +9,11 @@ from cdc_lite_spark.operators.dedup import (
     exact_dedup,
     jaccard_verify,
     lsh_candidate_pairs,
+    lsh_pairs_between,
     minhash_signatures,
     simhash_signatures,
 )
+from cdc_lite_spark.operators.lm import bigram_counts, unigram_logprob
 from cdc_lite_spark.operators.maintenance import compact_parquet, dir_stats
 from cdc_lite_spark.operators.quality import (
     boilerplate_filter,
@@ -53,6 +55,7 @@ __all__ = [
     "exact_dedup",
     "jaccard_verify",
     "lsh_candidate_pairs",
+    "lsh_pairs_between",
     "minhash_signatures",
     "simhash_signatures",
     "inserted_keys",
@@ -76,7 +79,9 @@ __all__ = [
     "kmeans_refine",
     "normalize_quantize",
     "repetition_stats",
+    "bigram_counts",
     "boilerplate_filter",
+    "unigram_logprob",
     "contamination_check",
     "pack_sequences",
     "domain_mix_weights",

@@ -126,21 +126,10 @@ def minhash_signatures(
 # --- LSH banding → candidate pairs → verified near-dups ----------------------
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame,
-    id_col: str = "doc_id",
-    bands: int = 4,
-    rows_per_band: int = 2,
-    max_bucket: int = 50,
-) -> DataFrame:
-    """Banded LSH: equal band-slices land in the same bucket; a self-join
-    per bucket yields candidate pairs (id_a < id_b, distinct).
-
-    ``max_bucket`` caps degenerate buckets — a bucket of b docs yields
-    b(b-1)/2 pairs, so unbounded hot buckets are the scale killer.  Dropped
-    buckets are a recall tradeoff, logged by the caller at bench time.
-    """
-    banded = sig.select(
+def _banded(sig: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) rows: one md5 bucket per band from the signature
+    slice — the shared front half of self-join and two-sided LSH."""
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -165,6 +154,23 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Banded LSH: equal band-slices land in the same bucket; a self-join
+    per bucket yields candidate pairs (id_a < id_b, distinct).
+
+    ``max_bucket`` caps degenerate buckets — a bucket of b docs yields
+    b(b-1)/2 pairs, so unbounded hot buckets are the scale killer.  Dropped
+    buckets are a recall tradeoff, logged by the caller at bench time.
+    """
+    banded = _banded(sig, id_col, bands, rows_per_band)
+
     # bucket-size cap via a count window — one shuffle on (band,bucket),
     # no second scan of the signature plan (a counts-join would re-derive it)
     from pyspark.sql import Window as W
@@ -180,6 +186,44 @@ def lsh_candidate_pairs(
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def lsh_pairs_between(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Two-sided LSH: candidates only between an incoming batch and the
+    existing corpus — the incremental-ingest shape.  At 100 TB you never
+    re-pair the corpus against itself (that work is already done); each new
+    batch joins bucket-to-bucket against the stored corpus signatures, so
+    cost ∝ |batch| x bucket occupancy, independent of corpus size.
+
+    ``max_bucket`` caps the *corpus-side* bucket occupancy (the side that
+    grows unboundedly); the batch side is assumed small per tick.  Returns
+    (id_new, id_old) distinct pairs.
+    """
+    new_b = _banded(sig_new, id_col, bands, rows_per_band).withColumnRenamed(
+        id_col, "id_new"
+    )
+    old_b = _banded(sig_old, id_col, bands, rows_per_band).withColumnRenamed(
+        id_col, "id_old"
+    )
+    from pyspark.sql import Window as W
+
+    old_bounded = (
+        old_b.withColumn("__n", F.count("*").over(W.partitionBy("band", "bucket")))
+        .filter(F.col("__n") <= max_bucket)
+        .drop("__n")
+    )
+    return (
+        new_b.join(old_bounded, ["band", "bucket"])
+        .select("id_new", "id_old")
         .distinct()
     )
 

@@ -2475,3 +2475,334 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.abs(F.col("_a90") - F.col("exact_p90")) <= F.col("exact_p90") * 0.05)
     )
     return agg.select("o_orderstatus", "exact_p50", "exact_p90", ok.alias("approx_ok"))
+
+
+# ---------------------------------------------------------------------------
+# X4+: statistical LM scoring, collocations, shuffle/sharding, robust stats
+# ---------------------------------------------------------------------------
+
+
+def _unigram_lm_oracle() -> str:
+    from cdc_lite_spark.operators.lm import unigram_logprob_sql
+
+    return unigram_logprob_sql()
+
+
+@register(
+    "unigram_logprob_score",
+    _unigram_lm_oracle(),
+    "X4: unigram-LM mean log-probability per document (add-one smoothing, "
+    "top-V vocab + OOV bucket) — the classic cheap perplexity-style quality filter",
+    tags=("text", "lm", "agg"),
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram distribution → per-doc mean token log-prob.  Vocab is
+    a global top-V (TakeOrderedAndProject) broadcast to the scoring join;
+    per-term log-probs rounded to 6 dp and summed as DECIMAL so the result
+    is order-independent and DuckDB-identical."""
+    from cdc_lite_spark.operators.lm import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def _bigram_oracle() -> str:
+    from cdc_lite_spark.operators.lm import bigram_counts_sql
+
+    return bigram_counts_sql()
+
+
+@register(
+    "bigram_top_terms",
+    _bigram_oracle(),
+    "X4: global top-50 adjacent-token bigrams (collocation / boilerplate mining)",
+    tags=("text", "agg"),
+)
+def q_bigram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-slice + index-aware transform builds adjacent pairs without a
+    self-join; explode + partial-agg count + global top-50."""
+    from cdc_lite_spark.operators.lm import bigram_counts
+
+    return bigram_counts(load_table(spark, sf_dir, "documents"))
+
+
+_SHUF_SEED = "shuf42"
+_SHUF_SHARDS = 16
+
+
+def _shuffle_oracle() -> str:
+    from cdc_lite_spark.functions.hashes import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", seed=_SHUF_SEED)
+    return f"""
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT)
+               AS pos_in_shard
+    FROM (SELECT doc_id, {h} AS h, {h} % {_SHUF_SHARDS} AS shard FROM documents)
+    """
+
+
+@register(
+    "shuffle_shards",
+    _shuffle_oracle(),
+    "X6: deterministic global training shuffle — seeded hash order, "
+    f"{_SHUF_SHARDS} shards, stable position within shard",
+    tags=("sampling", "window"),
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-hash shuffle order for training-data loaders: shard = hash mod
+    N (uniform), position = rank of hash within the shard.  No global sort —
+    the window partitions by shard, so the plan is one hash shuffle into N
+    groups and a per-shard local sort; at 100 TB each shard sorts in
+    parallel and a single-partition global ORDER BY never appears."""
+    from pyspark.sql import Window as W
+
+    from cdc_lite_spark.functions.hashes import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.col("doc_id").cast("string"), seed=_SHUF_SEED)
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"), F.pmod(h, F.lit(_SHUF_SHARDS)).alias("shard"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos_in_shard")
+    )
+
+
+@register(
+    "percentile_disc_suite",
+    """
+    WITH ranked AS (
+        SELECT o_orderstatus, o_totalprice,
+               cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS cd
+        FROM orders
+    ),
+    quants AS (
+        SELECT o_orderstatus,
+               min(CASE WHEN cd >= 0.25 THEN o_totalprice END) AS p25_disc,
+               min(CASE WHEN cd >= 0.50 THEN o_totalprice END) AS p50_disc,
+               min(CASE WHEN cd >= 0.75 THEN o_totalprice END) AS p75_disc,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM ranked GROUP BY o_orderstatus
+    ),
+    modes AS (
+        SELECT o_orderstatus, o_orderpriority AS mode_orderpriority FROM (
+            SELECT o_orderstatus, o_orderpriority,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ) WHERE rn = 1
+    )
+    SELECT q.o_orderstatus, p25_disc, p50_disc, p75_disc, mode_orderpriority, n_rows
+    FROM quants q JOIN modes m ON q.o_orderstatus = m.o_orderstatus
+    """,
+    "C5/G3: discrete percentiles via cume_dist (no interpolation — actual data "
+    "values, bit-exact cross-engine) + deterministic mode with tie-break",
+    tags=("agg", "window"),
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete quantiles: cume_dist window then min-above-threshold per
+    group — picks real data values, so no float interpolation to diverge
+    between engines.  Mode = count-per-value + deterministic argmax
+    (max_by on (count, reversed value) — no second shuffle)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cd = F.cume_dist().over(W.partitionBy("o_orderstatus").orderBy("o_totalprice"))
+    ranked = orders.select("o_orderstatus", "o_totalprice").withColumn("cd", cd)
+    quants = ranked.groupBy("o_orderstatus").agg(
+        F.min(F.when(F.col("cd") >= 0.25, F.col("o_totalprice"))).alias("p25_disc"),
+        F.min(F.when(F.col("cd") >= 0.50, F.col("o_totalprice"))).alias("p50_disc"),
+        F.min(F.when(F.col("cd") >= 0.75, F.col("o_totalprice"))).alias("p75_disc"),
+        F.count("*").alias("n_rows"),
+    )
+    per_val = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    # deterministic mode: highest count, ties -> lexicographically smallest
+    # value; min_by over (-cnt, value) orders exactly that way
+    modes = per_val.groupBy("o_orderstatus").agg(
+        F.expr("min_by(o_orderpriority, struct(-cnt, o_orderpriority))").alias(
+            "mode_orderpriority"
+        )
+    )
+    return quants.join(modes, "o_orderstatus")
+
+
+def _chunk_dedup_oracle() -> str:
+    from cdc_lite_spark.functions.hashes import portable_hash64_sql
+
+    stride = _CHUNK_SIZE - _CHUNK_OVERLAP
+    h = portable_hash64_sql("c")
+    return f"""
+    WITH chunks AS (
+        SELECT doc_id, substr(text, i * {stride} + 1, {_CHUNK_SIZE}) AS c
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, greatest(1,
+                       CAST(ceil((length(text) - {_CHUNK_OVERLAP})
+                                 / {stride}.0) AS BIGINT)))) AS i
+            FROM documents
+        )
+    )
+    SELECT {h} AS chunk_hash,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) > 1
+    """
+
+
+@register(
+    "chunk_dedup",
+    _chunk_dedup_oracle(),
+    "X1/X4: sub-document dedup — chunks repeated across documents "
+    "(hash-groupBy over the chunking explode; catches shared boilerplate "
+    "whole-doc dedup misses)",
+    tags=("dedup", "text"),
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup: the doc_chunking explode, a portable
+    hash per chunk, then one hash-aggregation keyed by chunk hash.  The
+    grouping key is the 60-bit hash, not the chunk text, so the shuffle
+    carries 8 bytes + counters per chunk — at 100 TB the wide text column
+    never crosses the wire."""
+    from cdc_lite_spark.functions.hashes import portable_hash64
+
+    stride = _CHUNK_SIZE - _CHUNK_OVERLAP
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.length("text") - _CHUNK_OVERLAP) / float(stride)).cast("bigint"),
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        portable_hash64(
+            F.substring(F.col("text"), F.col("chunk_idx") * stride + 1, _CHUNK_SIZE)
+        ).alias("chunk_hash"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _label_centroid_oracle() -> str:
+    return f"""
+    WITH exploded AS (
+        SELECT label, d.dim AS dim,
+               CAST(round(CAST(embedding[d.dim + 1] AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS v6
+        FROM embeddings CROSS JOIN range({_EMB_DIMS}) d(dim)
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           CAST(sum(v6) AS DOUBLE) / (count(*) * 1000000.0) AS centroid_mean,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM exploded GROUP BY label, dim
+    """
+
+
+@register(
+    "label_centroids",
+    _label_centroid_oracle(),
+    "X3: exact per-label embedding centroids (posexplode + fixed-point "
+    "integer sums — order-independent, cross-engine bit-exact)",
+    tags=("similarity", "agg"),
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class mean embedding (class prototypes for centroid classifiers /
+    dataset cartography).  Components are scaled to fixed-point BIGINT
+    before summing, so the aggregation is exact and order-independent —
+    float sums would differ run-to-run under AQE partition reordering.
+    Partial-aggregable: the shuffle carries |labels|x|dims| partial sums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v6 = F.round(F.col("val").cast("double") * 1_000_000, 0).cast("bigint")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .select("label", F.col("dim").cast("bigint").alias("dim"), v6.alias("v6"))
+        .groupBy("label", "dim")
+        .agg(
+            (F.sum("v6").cast("double") / (F.count("*") * 1_000_000.0)).alias(
+                "centroid_mean"
+            ),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
+def _incr_near_dup_oracle(bands: int = 4, rows: int = 2, max_bucket: int = 200, thr: float = 0.5) -> str:
+    from cdc_lite_spark.operators.dedup import minhash_sql
+    from cdc_lite_spark.operators.text import tokens_sql
+
+    mh = minhash_sql("text", k=bands * rows)
+    return f"""
+    WITH sig AS (SELECT doc_id, {mh} AS mh FROM documents),
+    banded AS (
+        SELECT doc_id, r.band,
+               md5(concat_ws(',', CAST(mh[2*r.band + 1] AS VARCHAR),
+                                  CAST(mh[2*r.band + 2] AS VARCHAR))) AS bucket
+        FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) r
+    ),
+    new_b AS (SELECT doc_id AS id_new, band, bucket FROM banded WHERE doc_id % 20 = 0),
+    old_b AS (
+        SELECT doc_id AS id_old, band, bucket FROM banded WHERE doc_id % 20 != 0
+        QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket}
+    ),
+    pairs AS (
+        SELECT DISTINCT id_new, id_old FROM new_b JOIN old_b USING (band, bucket)
+    ),
+    toksets AS (
+        SELECT doc_id, list_distinct({tokens_sql("text")}) AS tok_set FROM documents
+    ),
+    scored AS (
+        SELECT id_new, id_old,
+               round(CAST(len(list_intersect(ta.tok_set, tb.tok_set)) AS DOUBLE)
+                     / (len(ta.tok_set) + len(tb.tok_set)
+                        - len(list_intersect(ta.tok_set, tb.tok_set))), 6) AS jaccard
+        FROM pairs
+        JOIN toksets ta ON pairs.id_new = ta.doc_id
+        JOIN toksets tb ON pairs.id_old = tb.doc_id
+    )
+    SELECT id_new, id_old, jaccard FROM scored WHERE jaccard >= {thr}
+    """
+
+
+@register(
+    "incremental_near_dup",
+    _incr_near_dup_oracle(),
+    "X2: incremental near-dup — incoming batch LSH-joined against the stored "
+    "corpus signatures only (cost ∝ batch, never corpus²); the production "
+    "ingest shape at 100 TB",
+    tags=("dedup", "join", "incremental"),
+)
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus dedup: signatures for both sides, two-sided
+    bucket join (corpus-side occupancy capped), exact Jaccard verify on the
+    candidates.  The corpus is never self-joined — incremental ticks stay
+    O(batch)."""
+    from cdc_lite_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_pairs_between,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 20 == 0)
+    old = docs.filter(F.col("doc_id") % 20 != 0)
+    pairs = lsh_pairs_between(
+        minhash_signatures(new), minhash_signatures(old), max_bucket=200
+    ).withColumnsRenamed({"id_new": "id_a", "id_old": "id_b"})
+    out = jaccard_verify(docs, pairs, threshold=0.5)
+    return out.select(
+        F.col("id_a").alias("id_new"), F.col("id_b").alias("id_old"), "jaccard"
+    )

@@ -86,3 +86,23 @@ def test_dedup_clusters_connected_components(spark):
     )
     out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 20: 10, 30: 10}
+
+
+def test_lsh_pairs_between_never_pairs_corpus_with_itself(spark):
+    from cdc_lite_spark.operators.dedup import lsh_pairs_between, minhash_signatures
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, dup),  # corpus
+            (2, dup),  # corpus duplicate of 1 — must NOT re-pair old-old
+            (3, "totally different words here with no overlap at all"),
+            (100, dup),  # incoming batch duplicate of 1 and 2
+        ],
+        "doc_id long, text string",
+    )
+    new = docs.filter("doc_id >= 100")
+    old = docs.filter("doc_id < 100")
+    pairs = lsh_pairs_between(minhash_signatures(new), minhash_signatures(old)).collect()
+    got = {(r.id_new, r.id_old) for r in pairs}
+    assert got == {(100, 1), (100, 2)}

@@ -112,3 +112,48 @@ def test_repetition_aggs_are_partial_final(spark):
     shuffle (word-count shape)."""
     plan = _plan(spark, "repetition_stats")
     assert plan.count("HashAggregate") >= 4  # partial+final for words and bigrams
+
+
+def test_unigram_scoring_join_is_broadcast(spark):
+    """The top-V vocab and the 1-row totals both broadcast to the scoring
+    explode — the corpus side never shuffles for the join."""
+    plan = _plan(spark, "unigram_logprob_score")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastNestedLoopJoin" in tree or "CartesianProduct" not in tree
+
+
+def test_shuffle_shards_has_no_global_sort(spark):
+    """Window partitions by shard: per-shard parallel sorts, never a
+    single-partition global ORDER BY."""
+    plan = _plan(spark, "shuffle_shards")
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree
+    # the only exchange is the hash partition by shard — no rangepartitioning
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_chunk_dedup_shuffles_hash_not_text(spark):
+    """The aggregation key is the 60-bit chunk hash; chunk text must be
+    projected away before the exchange."""
+    plan = _plan(spark, "chunk_dedup")
+    lines = plan.splitlines()
+    # every Exchange is keyed on the hash, and its Input (the shuffled row)
+    # never carries the wide text column
+    exch_inputs = [
+        lines[i + 1]
+        for i, l in enumerate(lines)
+        if l.strip().startswith("(") and l.strip().endswith("Exchange")
+    ]
+    args = [l for l in lines if "hashpartitioning(chunk_hash" in l]
+    assert args and exch_inputs
+    assert all("text#" not in inp for inp in exch_inputs)
+
+
+def test_label_centroids_partial_aggregates(spark):
+    """posexplode then partial+final hash agg — the shuffle carries
+    |labels|x|dims| partial sums, not exploded rows."""
+    plan = _plan(spark, "label_centroids")
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" in plan  # the posexplode
