@@ -2806,3 +2806,130 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id_a").alias("id_new"), F.col("id_b").alias("id_old"), "jaccard"
     )
+
+
+@register(
+    "incremental_agg_maintenance",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS agg_sum,
+           CAST(count(o_totalprice) AS BIGINT) AS agg_count,
+           CAST(count(*) AS BIGINT) AS agg_rows
+    FROM orders WHERE o_orderkey % 11 != 0
+    GROUP BY o_orderstatus
+    """,
+    "H5/CDC payoff: grouped aggregate maintained from change records "
+    "(+new −old) instead of a rescan — the oracle recomputes from scratch "
+    "and the maintained state must match it exactly",
+    tags=("cdc", "incremental", "agg"),
+)
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated tick: prev snapshot (some keys missing, some values stale)
+    vs current; `snapshot_diff` emits INSERT/UPDATE/DELETE records with
+    prev-side values, `apply_delta` folds them into the previous aggregate.
+    Touches |changes| rows, not |table| — the O(delta) path the reference's
+    full-rescan design cannot express.  DECIMAL values keep the maintained
+    sum bit-equal to the recompute regardless of fold order."""
+    from cdc_lite_spark.operators.diff import snapshot_diff
+    from cdc_lite_spark.operators.incremental import apply_delta, sum_count_state
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    cur = orders.filter(k % 11 != 0)
+    prev = orders.filter(k % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 13 == 0, F.col("o_totalprice") + 100).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    changes = snapshot_diff(prev, cur, ["o_orderkey"], include_prev=True)
+    state = sum_count_state(prev, ["o_orderstatus"], "o_totalprice")
+    out = apply_delta(state, changes, ["o_orderstatus"], "o_totalprice")
+    return out.select(
+        "o_orderstatus",
+        F.col("agg_sum").cast("double").alias("agg_sum"),
+        "agg_count",
+        "agg_rows",
+    )
+
+
+@register(
+    "salted_agg_skew",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    "Skew path: explicit two-phase (salted partial -> final) aggregation — "
+    "result must equal the plain group-by the oracle computes",
+    tags=("agg", "skew"),
+)
+def q_salted_agg_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via explicit salting: partial agg on (key, salt)
+    spreads a skewed key over n_salts tasks, the final agg merges n_salts
+    partials per key.  The salt is a deterministic row hash (no RNG in the
+    plan).  DECIMAL sums make the two-phase fold order irrelevant, so the
+    salted result hash-matches the oracle's single-phase recompute."""
+    from cdc_lite_spark.operators.skew import two_phase_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,6)").alias("value")
+    )
+    out = two_phase_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_rows": (F.count("*"), F.sum("n_rows")),
+            "total_value": (F.sum("value"), F.sum("total_value")),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+_SCD2_ASOF_TS = "2024-01-15 00:00:00"
+
+
+@register(
+    "scd2_asof_lookup",
+    f"""
+    SELECT user_id, event_id,
+           epoch_us(valid_from) // 1000000 AS valid_from_epoch
+    FROM (
+        SELECT user_id, event_id, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM events
+    )
+    WHERE valid_from <= TIMESTAMP '{_SCD2_ASOF_TS}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_SCD2_ASOF_TS}')
+    """,
+    "SCD2 point-in-time lookup: the exactly-one version per key valid at ts "
+    "(time-travel read over the historized table)",
+    tags=("cdc", "window"),
+)
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel over the SCD2 history: build intervals, filter to the
+    version covering the probe timestamp — at most one row per key by
+    construction.  At 100 TB the history table is partitioned by
+    valid_from date, so the probe prunes to partitions overlapping ts."""
+    from cdc_lite_spark.operators.scd2 import scd2_as_of, scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.lit("UPDATE").alias("operation"), "ts"
+    )
+    hist = scd2_history(ev, ["user_id"], tiebreak=["event_id"])
+    snap = scd2_as_of(hist, _SCD2_ASOF_TS)
+    return snap.select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_micros("valid_from") / 1_000_000).alias("valid_from_epoch"),
+    )

@@ -1,0 +1,73 @@
+"""Regenerate PLANS.md — formatted physical-plan snapshots of the headline
+queries at sf0.001 (tree part only; the load-bearing properties are asserted
+by tests/test_plans.py on every run, this file is the human-readable copy).
+
+Usage: python scripts/gen_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, repo)
+
+SF = "/root/testdata/sf0.001"
+
+#: query -> one-line "why this plan is the right one" caption
+HEADLINERS: dict[str, str] = {
+    "scan_filter_project": "pushdown: filters + 6/11-column ReadSchema reach the parquet scan",
+    "cdc_table_checksums": "fingerprint: partial+final agg per table branch; only partial rows shuffle",
+    "cdc_snapshot_diff": "CDC diff: one sort-merge full-outer join; row hashes computed below the shuffle",
+    "revenue_by_nation": "star join: all three dimensions broadcast, zero join shuffles",
+    "latest_event_per_user": "latest-per-key as max_by hash aggregate - no window sort",
+    "topk_orders_per_customer": "top-k: WindowGroupLimit prunes to k rows per partition before the shuffle",
+    "ann_topk_sign_lsh": "ANN: bucket equi-join replaces the cross join; query side broadcast",
+    "near_dup_pairs_lsh": "LSH near-dup: band-bucket window cap + bounded self-join + candidate-only verify",
+    "contamination_check": "holdout gram set broadcast; corpus side never shuffles before the agg",
+    "embedding_quantize": "pure scan-side map: zero Exchange",
+    "pack_training_batches": "one window per shard — single Exchange for the partitionBy",
+    "repetition_stats": "word-count shape: partial+final HashAggregate pairs for words and bigrams",
+    "domain_mix_weights": "tiny weights table; scalar totals broadcast via BroadcastNestedLoop on 1 row",
+    "kmeans_refine_centroids": "per-iteration centroids localCheckpoint-ed; corpus scanned once per iteration",
+    "unigram_logprob_score": "top-V vocab + 1-row totals broadcast; corpus side never shuffles for the join",
+    "shuffle_shards": "per-shard window sort — hash partition by shard, no global range sort",
+    "chunk_dedup": "agg keyed on the 60-bit chunk hash; text projected away before every Exchange",
+    "label_centroids": "posexplode + partial/final agg: shuffle carries |labels|x|dims| partial sums",
+    "incremental_near_dup": "two-sided LSH: batch-vs-corpus bucket equi-join, corpus never self-joins",
+    "incremental_agg_maintenance": "O(delta): change records aggregate then full-outer merge with prior state",
+    "salted_agg_skew": "explicit two-phase agg: (key, salt) partial then final merge",
+}
+
+
+def main() -> None:
+    from cdc_lite_spark.plans.inspect import explain_str
+    from cdc_lite_spark.queries import REGISTRY
+    from cdc_lite_spark.session import get_spark
+
+    spark = get_spark("gen_plans")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = [
+        "# PLANS — physical plans of the headline queries (sf0.001, "
+        ".explain('formatted') tree)",
+        "",
+        "tests/test_plans.py asserts the load-bearing properties of these plans "
+        "on every run;",
+        "this file is a generated snapshot for review "
+        "(regenerate: python scripts/gen_plans.py).",
+        "",
+    ]
+    for name, caption in HEADLINERS.items():
+        plan = explain_str(REGISTRY[name].builder(spark, SF))
+        tree = plan.split("\n\n")[0]
+        out += [f"## {name}", "", f"_{caption}_", "", "```", tree, "```", ""]
+
+    with open(os.path.join(repo, "PLANS.md"), "w") as fh:
+        fh.write("\n".join(out))
+    print(f"PLANS.md: {len(HEADLINERS)} plans written")
+
+
+if __name__ == "__main__":
+    main()
