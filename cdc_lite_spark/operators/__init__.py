@@ -14,6 +14,13 @@ from cdc_lite_spark.operators.dedup import (
     simhash_signatures,
 )
 from cdc_lite_spark.operators.lm import bigram_counts, unigram_logprob
+from cdc_lite_spark.operators.multimodal import (
+    attach_payload,
+    decode_payload,
+    frame_sample,
+    media_features,
+    resize_images,
+)
 from cdc_lite_spark.operators.maintenance import compact_parquet, dir_stats
 from cdc_lite_spark.operators.quality import (
     boilerplate_filter,
@@ -79,8 +86,13 @@ __all__ = [
     "kmeans_refine",
     "normalize_quantize",
     "repetition_stats",
+    "attach_payload",
     "bigram_counts",
     "boilerplate_filter",
+    "decode_payload",
+    "frame_sample",
+    "media_features",
+    "resize_images",
     "unigram_logprob",
     "contamination_check",
     "pack_sequences",

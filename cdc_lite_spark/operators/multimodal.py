@@ -121,14 +121,113 @@ def decode_payload(df: DataFrame, fake: bool = False, batch_hint: int = 256) -> 
     return df.mapInPandas(_decode, FEATURE_SCHEMA)
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling stub: the real implementation shells to a codec
-    per Arrow batch; the plumbing contract is (payload) → exploded rows of
-    (doc_id, frame_idx, frame_payload).  Raises until codecs exist."""
-    raise NotImplementedError(
-        "frame sampling requires video codecs not present in this container; "
-        f"contract: explode payload into rows every {every_n} frames via mapInPandas"
-    )
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_payload", T.BinaryType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, every_n: int = 30, fake: bool = False) -> DataFrame:
+    """Video frame sampling: one input row (payload) → many output rows
+    (doc_id, frame_idx, frame_payload, frame_md5), every ``every_n``-th
+    frame.  The 1→N batch shape is the part Spark has to get right — a
+    ``mapInPandas`` block may emit more rows than it receives, and the
+    payload column is projected away after the explode so downstream
+    stages never shuffle video bytes.
+
+    ``fake=True``: a deterministic splitter that treats the payload as a
+    byte stream of 64-byte "frames" — exercises the full distributed
+    explode path in codec-less environments.  The real path raises
+    ``NotImplementedError`` until a video codec (ffmpeg/PyAV) is
+    importable on the workers.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "frame sampling requires video codecs (ffmpeg/PyAV) not "
+                "importable on this worker; pass fake=True for the "
+                "deterministic plumbing-test splitter"
+            )
+        cols = ["doc_id", "frame_idx", "frame_payload", "frame_md5"]
+        frame_bytes = 64
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max(1, len(raw) // frame_bytes)
+                for idx in range(0, n_frames, every_n):
+                    frame = raw[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    out.append(
+                        (doc_id, idx, frame, hashlib.md5(frame).hexdigest())
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("resized_payload", T.BinaryType(), False),
+        T.StructField("resized_md5", T.StringType(), False),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int = 32, height: int = 32, fake: bool = False
+) -> DataFrame:
+    """Image resize: (payload) → (doc_id, width, height, resized_payload).
+
+    PIL path when importable on the workers (real thumbnail); ``fake=True``
+    derives a deterministic ``width*height``-byte pseudo-bitmap from the
+    payload hash — same schema, same Arrow batch shape, same
+    payload-in/payload-out memory profile.  Either way the input payload
+    column is dropped from the output, so only the (smaller) resized bytes
+    flow downstream.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil_image = None
+        if not fake:
+            try:
+                from PIL import Image as pil_image  # noqa: N813 — worker-side
+            except ImportError:
+                raise NotImplementedError(
+                    "image resize requires PIL, not importable on this "
+                    "worker; pass fake=True for the deterministic "
+                    "plumbing-test resizer"
+                ) from None
+        cols = ["doc_id", "width", "height", "resized_payload", "resized_md5"]
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if fake:
+                    seed = hashlib.md5(raw).digest()
+                    reps = (width * height) // len(seed) + 1
+                    resized = (seed * reps)[: width * height]
+                else:
+                    import io
+
+                    with pil_image.open(io.BytesIO(raw)) as img:
+                        small = img.resize((width, height))
+                        buf = io.BytesIO()
+                        small.save(buf, format="PNG")
+                        resized = buf.getvalue()
+                out.append(
+                    (doc_id, width, height, resized, hashlib.md5(resized).hexdigest())
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(_resize, RESIZED_SCHEMA)
 
 
 def media_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -2933,3 +2933,93 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.unix_micros("valid_from") / 1_000_000).alias("valid_from_epoch"),
     )
+
+
+@register(
+    "approx_top_events_checked",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact, TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    ORDER BY n_exact DESC, event_type ASC LIMIT 5
+    """,
+    "C5: approx_top_k (space-saving sketch) heavy-hitters checked against the "
+    "exact count ranking — sketch counts must agree item-for-item",
+    tags=("agg", "approx"),
+)
+def q_approx_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters two ways: the exact top-5 by count and Spark 4's
+    approx_top_k sketch, joined item-for-item; approx_ok asserts the
+    sketch count equals the exact count (exact whenever tracked items
+    >= column cardinality).  At 100 TB the sketch is the only viable
+    single-pass path for high-cardinality columns — this query pins its
+    contract against the exact twin where both are computable."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n_exact"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.desc("n_exact"), F.asc("event_type"))
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .drop("rk")
+    )
+    sketch = (
+        ev.agg(F.expr("approx_top_k(event_type, 5, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("event_type"), F.col("e.count").alias("n_approx"))
+    )
+    return (
+        exact.join(F.broadcast(sketch), "event_type", "left")
+        .select(
+            "event_type",
+            "n_exact",
+            (F.col("n_approx") == F.col("n_exact")).alias("approx_ok"),
+        )
+    )
+
+
+_FRAME_BYTES = 64
+_FRAME_EVERY = 3
+
+
+@register(
+    "video_frame_sample",
+    f"""
+    SELECT doc_id, CAST(f.idx AS BIGINT) AS frame_idx,
+           md5(substr(text, CAST(f.idx * {_FRAME_BYTES} + 1 AS INT), {_FRAME_BYTES}))
+               AS frame_md5,
+           CAST(length(substr(text, CAST(f.idx * {_FRAME_BYTES} + 1 AS INT),
+                              {_FRAME_BYTES})) AS BIGINT) AS frame_bytes
+    FROM documents
+    CROSS JOIN LATERAL (
+        SELECT unnest(range(0, greatest(1, length(text) // {_FRAME_BYTES}),
+                      {_FRAME_EVERY})) AS idx
+    ) f
+    """,
+    "X5: video frame sampling plumbing — 1→N mapInPandas explode, "
+    "content-addressed frames; the deterministic splitter is oracle-checked "
+    "byte-for-byte (real codec path gated behind import)",
+    tags=("multimodal",),
+)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X5 frame-sampling path end-to-end: attach binary payload, explode
+    into every-3rd 64-byte 'frame' via Arrow-batched mapInPandas, emit
+    content hashes.  The binary frame bytes are dropped before returning so
+    the compared result (and any downstream shuffle) carries only hashes."""
+    from cdc_lite_spark.operators.multimodal import attach_payload, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(
+        attach_payload(docs), every_n=_FRAME_EVERY, fake=True
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_md5",
+        F.octet_length("frame_payload").cast("bigint").alias("frame_bytes"),
+    )

@@ -45,3 +45,26 @@ def test_cli_diff_mode_with_keys(spark, sf_dir, tmp_path):
     log = read_changes(spark, out, table="region")
     assert log.count() == 5
     assert log.filter("operation = 'INSERT'").count() == 5
+
+
+def test_run_query_list_and_execute(tmp_path, capsys):
+    from cdc_lite_spark import run_query
+
+    assert run_query.main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert "cdc_table_checksums" in out and "[oracle]" in out
+
+    dest = str(tmp_path / "out")
+    rc = run_query.main(
+        ["pricing_summary", "--sf-dir", "/root/testdata/sf0.001", "--out", dest]
+    )
+    assert rc == 0
+    import glob
+
+    assert glob.glob(dest + "/part-*")
+
+
+def test_run_query_unknown_name_errors():
+    from cdc_lite_spark import run_query
+
+    assert run_query.main(["no_such_query"]) == 2

@@ -91,3 +91,57 @@ def test_decode_runs_distributed(spark):
     out = media_features(docs)
     assert out.count() == 100
     assert out.select(F.countDistinct("doc_id")).first()[0] == 100
+
+
+def test_frame_sample_explodes_one_row_to_many(spark):
+    from cdc_lite_spark.operators.multimodal import attach_payload, frame_sample
+
+    # 640 bytes of payload = 10 fake 64-byte frames; every_n=3 -> idx 0,3,6,9
+    docs = spark.createDataFrame([(1, "x" * 640)], "doc_id long, text string")
+    out = frame_sample(attach_payload(docs), every_n=3, fake=True).collect()
+    assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 3, 6, 9]
+    assert all(len(r.frame_payload) == 64 for r in out)
+    assert "payload" not in {f for r in out for f in r.asDict()}
+    # frames are content-addressed and distinct positions differ
+    assert len({r.frame_md5 for r in out}) >= 1
+
+
+def test_frame_sample_raises_without_codec(spark):
+    from cdc_lite_spark.operators.multimodal import attach_payload, frame_sample
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(Exception, match="codec|NotImplemented"):
+        frame_sample(attach_payload(docs), fake=False).collect()
+
+
+def test_resize_fake_is_deterministic_and_sized(spark):
+    from cdc_lite_spark.operators.multimodal import attach_payload, resize_images
+
+    docs = spark.createDataFrame(
+        [(1, "first image text"), (2, "second image text")], "doc_id long, text string"
+    )
+    a = {r.doc_id: r for r in resize_images(attach_payload(docs), 16, 8, fake=True).collect()}
+    b = {r.doc_id: r for r in resize_images(attach_payload(docs), 16, 8, fake=True).collect()}
+    for d in (1, 2):
+        assert len(a[d].resized_payload) == 16 * 8
+        assert a[d].resized_md5 == b[d].resized_md5
+        assert (a[d].width, a[d].height) == (16, 8)
+    assert a[1].resized_md5 != a[2].resized_md5
+
+
+def test_resize_real_with_pil_when_available(spark):
+    from cdc_lite_spark.operators.multimodal import resize_images
+
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (40, 20), color=(120, 10, 200)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, payload binary")
+    row = resize_images(df, 8, 4, fake=False).collect()[0]
+    assert (row.width, row.height) == (8, 4)
+    img = Image.open(io.BytesIO(bytes(row.resized_payload)))
+    assert img.size == (8, 4)
+    assert PIL is not None

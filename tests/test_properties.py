@@ -147,3 +147,36 @@ def test_pack_sequences_partition_invariants(spark, token_counts, budget):
         assert b >= prev_b  # monotone in doc order
         cum += n
         prev_b = b
+
+
+@given(prev_rows=ROWS, cur_rows=ROWS)
+@_SETTINGS
+def test_maintained_aggregate_equals_recompute(spark, prev_rows, cur_rows):
+    """apply_delta over the snapshot_diff change records must land exactly
+    on the aggregate recomputed from the current snapshot — for any pair of
+    snapshots, including null values, key drops, all-null groups, and
+    group-moving updates."""
+    from cdc_lite_spark.operators.incremental import apply_delta, sum_count_state
+
+    schema = "id long, grp string, value long"
+    # fold some null VALUES in deterministically (v=5 -> null): the
+    # count-skips-nulls path (ADVICE r01) must hold, not just null groups
+    prev = spark.createDataFrame(
+        [(i, p, v if v < 5 else None) for i, p, v in prev_rows], schema
+    )
+    cur = spark.createDataFrame(
+        [(i, p, v if v < 5 else None) for i, p, v in cur_rows], schema
+    )
+    # group by a low-cardinality key derived from payload so updates can
+    # MOVE rows between groups (the retract-from-old/add-to-new path)
+    def grouped(df):
+        return df.withColumn("g", F.coalesce(F.substring("grp", 1, 1), F.lit("<null>")))
+
+    changes = snapshot_diff(grouped(prev), grouped(cur), ["id"], include_prev=True)
+    state = sum_count_state(grouped(prev), ["g"], "value")
+    maintained = apply_delta(state, changes, ["g"], "value")
+    recomputed = sum_count_state(grouped(cur), ["g"], "value")
+
+    got = {tuple(r) for r in maintained.collect()}
+    want = {tuple(r) for r in recomputed.collect()}
+    assert got == want
