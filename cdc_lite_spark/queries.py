@@ -2797,10 +2797,14 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    new = docs.filter(F.col("doc_id") % 20 == 0)
-    old = docs.filter(F.col("doc_id") % 20 != 0)
+    # signatures are per-doc independent: one MinHash pass over the table,
+    # split afterwards — two separate passes would double the (dominant)
+    # shingle-hash cost (in production the old side is read precomputed)
+    sig = minhash_signatures(docs)
     pairs = lsh_pairs_between(
-        minhash_signatures(new), minhash_signatures(old), max_bucket=200
+        sig.filter(F.col("doc_id") % 20 == 0),
+        sig.filter(F.col("doc_id") % 20 != 0),
+        max_bucket=200,
     ).withColumnsRenamed({"id_new": "id_a", "id_old": "id_b"})
     out = jaccard_verify(docs, pairs, threshold=0.5)
     return out.select(

@@ -46,8 +46,13 @@ def main(argv: list[str] | None = None) -> int:
         print(f"unknown query {args.name!r}; --list shows the registry", file=sys.stderr)
         return 2
 
+    from pyspark.sql import SparkSession
+
     from cdc_lite_spark.session import get_spark
 
+    # only stop a session we created — a caller's (or test harness's)
+    # active session must survive this function
+    owns_spark = SparkSession.getActiveSession() is None
     spark = get_spark("cdc_lite_spark_run_query")
     spark.sparkContext.setLogLevel("ERROR")
     df = REGISTRY[args.name].builder(spark, args.sf_dir)
@@ -61,7 +66,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"{args.name}: wrote {args.out} ({args.format})")
     else:
         df.show(args.show, truncate=False)
-    spark.stop()
+    if owns_spark:
+        spark.stop()
     return 0
 
 

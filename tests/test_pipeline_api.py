@@ -1,0 +1,68 @@
+"""CorpusPipeline: the composed training-data prep flow end-to-end."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cdc_lite_spark.pipeline import CorpusPipeline
+
+
+def _docs(spark):
+    # >= 20 tokens, no word above 1/8 of the total (passes the repetition
+    # rule), contains stopwords (passes the stopword rule)
+    dup = (
+        "the quick brown fox jumps over a lazy dog while bright stars shine "
+        "above silent hills and rivers flow gently toward distant blue seas"
+    )
+    return spark.createDataFrame(
+        [
+            (1, dup),
+            (2, dup),  # exact duplicate of 1
+            (3, dup + " extra"),  # near-duplicate of 1
+            (4, "der hund und die katze und das haus und der baum und der"),  # German
+            (5, "a a a a a a a a a a a a a a a a"),  # degenerate repetition
+            (6, "contact me at alice@example.com or call 1234567 about this "
+                "offer of a fine new house near the lake with its own dock "
+                "plus garden view facing sunny southern slopes and old pines"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "ready")
+    pipe = (
+        CorpusPipeline(_docs(spark))
+        .redact_pii()
+        .drop_exact_dups()
+        .drop_near_dups(threshold=0.5)
+        .filter_language({"en"})
+        .filter_quality()
+        .with_token_counts()
+        .split({"train": 80, "val": 10, "test": 10})
+    )
+    pipe.write(out)
+    got = spark.read.parquet(out)
+    ids = {r.doc_id for r in got.select("doc_id").collect()}
+    # 2 (exact dup) and 3 (near dup) collapse into 1; 4 is German; 5 is
+    # degenerate; 1 and 6 survive
+    assert ids == {1, 6}
+    row6 = got.filter("doc_id = 6").first()
+    assert "<EMAIL>" in row6.text and "<NUM>" in row6.text
+    assert set(got.columns) >= {"doc_id", "text", "n_tokens", "n_subwords", "split"}
+    assert got.filter(F.col("split").isin("train", "val", "test")).count() == 2
+
+
+def test_pipeline_steps_are_immutable(spark):
+    base = CorpusPipeline(_docs(spark))
+    sampled = base.sample(50)
+    assert base.count() == 6  # base unchanged by deriving sampled
+    assert sampled.count() <= 6
+
+
+def test_pipeline_is_lazy_single_plan(spark):
+    """Column-expression steps stay one declarative plan (no action runs)."""
+    pipe = CorpusPipeline(_docs(spark)).redact_pii().normalize().with_token_counts()
+    # reaching .df triggers no job; the plan compiles and explains fine
+    plan = pipe.df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Relation" in plan or "LogicalRDD" in plan
