@@ -157,3 +157,20 @@ def test_label_centroids_partial_aggregates(spark):
     plan = _plan(spark, "label_centroids")
     assert plan.count("HashAggregate") >= 2
     assert "Generate" in plan  # the posexplode
+
+
+def test_curriculum_buckets_have_no_global_window(spark):
+    """Decile assignment must come from broadcast percentile boundaries,
+    never an ntile() global single-partition sort."""
+    plan = _plan(spark, "curriculum_ntile_buckets")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in plan
+
+
+def test_edit_distance_runs_on_candidates_only(spark):
+    """Levenshtein must sit above the bounded LSH candidate join, not a
+    cartesian of the corpus."""
+    plan = _plan(spark, "edit_distance_pairs")
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
