@@ -3346,3 +3346,353 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("resized_payload").cast("bigint").alias("resized_bytes"),
         F.lower(F.hex(F.substring("resized_payload", 1, 32))).alias("resized_hex32"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r02 breadth: multi-fact TPC-H shapes, cohort/retention analytics, skew and
+# distribution diagnostics, exact time-decay scoring, embedding norms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "volume_shipping",
+    """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, CAST(year(l.l_shipdate) AS INT)
+    """,
+    "F4: TPC-H Q7 shape — two-fact join with the nation dimension joined "
+    "twice under different roles",
+    tags=("join", "agg"),
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-directional trade volume: the same dimension (nation) joins twice
+    under different roles.  Both fact tables shuffle once on the order key;
+    every dimension side broadcasts, so the only exchanges are the fact-fact
+    join and the final aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "margin_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           - CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))
+                      * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / 20.0
+               AS margin
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INT)
+    """,
+    "F4: TPC-H Q9 shape — five-table join, profit = revenue minus a "
+    "retail-price cost proxy (no partsupp table in the testdata)",
+    tags=("join", "agg"),
+)
+def q_margin_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table profit rollup.  Decimal sums keep both engines exact;
+    the division happens once per output row on the already-exact doubles,
+    so cross-engine parity survives the float boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    cost = _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(rev).cast("double")
+                - F.sum(cost).cast("double") / F.lit(20.0)
+            ).alias("margin")
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(month(l.l_shipdate) AS INT) AS l_month,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE 0 END) AS DOUBLE) AS promo_revenue,
+           round(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                 6) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+    "C4: TPC-H Q14 shape — conditional aggregation ratio (promo revenue "
+    "share per month)",
+    tags=("join", "agg"),
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation ratio: both the numerator and denominator
+    come out of ONE aggregation pass (no self-join, no second scan); the
+    ratio is computed per output row after the exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").alias("l_year"),
+            F.month("l_shipdate").alias("l_month"),
+        )
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.round(
+                F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_share"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(min(ts) AS DATE)) // 7
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           (date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7)
+               - f.cohort_week AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    "C4/F4: cohort retention matrix — users bucketed by first-seen week, "
+    "activity counted at each week offset",
+    tags=("events", "join", "agg"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics retention matrix.  Pure integer date math
+    (day-diff // 7) so both engines bucket identically; the firsts
+    aggregation and the join share one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.floor(  # noqa: E731
+        F.datediff(F.to_date(c), F.to_date(F.lit("2024-01-01"))) / 7
+    )
+    firsts = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (week(F.col("ts")) - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+@register(
+    "value_histogram_equiwidth",
+    """
+    WITH bounds AS (
+        SELECT min(value) AS vmin, max(value) AS vmax FROM events
+    )
+    SELECT CAST(least(19, floor((e.value - b.vmin) / ((b.vmax - b.vmin) / 20.0)))
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e CROSS JOIN bounds b
+    GROUP BY 1
+    """,
+    "C4: equi-width histogram with data-derived bounds — one tiny "
+    "broadcast of (min, max), one aggregation",
+    tags=("events", "agg"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution diagnostic: 20 equal-width buckets between the observed
+    min/max.  The bounds are a 1-row aggregate broadcast to the scan —
+    no global sort, no second full pass; identical IEEE arithmetic on both
+    engines keeps every boundary assignment in agreement."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    bucket = F.least(
+        F.lit(19),
+        F.floor((F.col("value") - F.col("vmin")) / ((F.col("vmax") - F.col("vmin")) / 20.0)),
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "key_skew_report",
+    """
+    WITH per_key AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT CAST(floor(log2(cnt)) AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(min(cnt) AS BIGINT) AS min_rows,
+           CAST(max(cnt) AS BIGINT) AS max_rows,
+           CAST(sum(cnt) AS BIGINT) AS total_rows
+    FROM per_key GROUP BY 1
+    """,
+    "C4: shuffle-skew diagnostic — frequency-of-frequencies histogram of "
+    "per-key row counts (log2 buckets)",
+    tags=("events", "agg"),
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first question before any big join: how skewed is the key?
+    Two chained aggregations (per-key counts, then a histogram over the
+    counts) — the second input is |distinct keys|, tiny.  floor(log2(n))
+    only lands on an integer boundary at exact powers of two, where log2
+    is IEEE-exact in both engines, so bucketing is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return per_key.groupBy(
+        F.floor(F.log2("cnt")).cast("bigint").alias("log2_bucket")
+    ).agg(
+        F.count("*").alias("n_keys"),
+        F.min("cnt").alias("min_rows"),
+        F.max("cnt").alias("max_rows"),
+        F.sum("cnt").alias("total_rows"),
+    )
+
+
+@register(
+    "decayed_user_score",
+    """
+    SELECT user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6))
+                    * CAST(CAST(1 AS BIGINT)
+                           << (10 - date_diff('day', CAST(ts AS DATE),
+                                              DATE '2024-01-31'))
+                           AS DECIMAL(10,0))) AS DOUBLE)
+               / 1024.0 AS decayed_score,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') <= 10
+    GROUP BY user_id
+    """,
+    "C4: exponential time-decay scoring (half-life = 1 day) with "
+    "bit-exact cross-engine arithmetic",
+    tags=("events", "agg"),
+)
+def q_decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score: half-life decay over a 10-day
+    window, kept bit-exact across engines.  The weight 0.5^age is the
+    INTEGER 2^(10-age) (a bigint shift), the per-row product is pure
+    decimal arithmetic, and the one 2^-10 rescale happens per OUTPUT row.
+    Two float traps this construction dodges: (a) a naive
+    ``value * pow(0.5, age)`` cast to a fixed-scale decimal manufactures
+    exact half-ties that Spark (HALF_UP) and DuckDB (HALF_EVEN) round in
+    opposite directions; (b) an unbounded weight range pushes the decimal
+    sum past 2^53 scaled units, where the two engines' decimal→double
+    conversions round differently — the 10-day window keeps every sum
+    exactly representable, so both conversions are exact."""
+    ev = load_table(spark, sf_dir, "events")
+    age = F.datediff(F.to_date(F.lit("2024-01-31")), F.to_date("ts"))
+    weight = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT),"
+        "               10 - datediff(to_date('2024-01-31'), to_date(ts)))"
+        "     AS DECIMAL(10,0))"
+    )
+    contrib = F.col("value").cast("decimal(18,6)") * weight
+    return (
+        ev.filter(age <= 10)
+        .groupBy("user_id")
+        .agg(
+            (F.sum(contrib).cast("double") / F.lit(1024.0)).alias("decayed_score"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "embedding_norm_histogram",
+    """
+    WITH norms AS (
+        SELECT vec_id,
+               sqrt(list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                   (a, b) -> a + b)) AS l2_norm
+        FROM embeddings
+    )
+    SELECT CAST(floor(l2_norm * 10) AS BIGINT) AS norm_decibucket,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(min(l2_norm), 6) AS min_norm,
+           round(max(l2_norm), 6) AS max_norm
+    FROM norms GROUP BY 1
+    """,
+    "X3: L2-norm distribution of the embedding corpus — vector hygiene "
+    "check before any cosine search",
+    tags=("similarity", "agg"),
+)
+def q_embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm distribution for embedding QA (un-normalized vectors poison
+    cosine pipelines).  The squared-sum folds left-to-right from an
+    explicit 0.0 seed in BOTH engines, so the float accumulation order —
+    and therefore every histogram boundary — is identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    norm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x))
+    norms = emb.select("vec_id", norm.alias("l2_norm"))
+    return norms.groupBy(
+        F.floor(F.col("l2_norm") * 10).cast("bigint").alias("norm_decibucket")
+    ).agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min("l2_norm"), 6).alias("min_norm"),
+        F.round(F.max("l2_norm"), 6).alias("max_norm"),
+    )

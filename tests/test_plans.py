@@ -174,3 +174,31 @@ def test_edit_distance_runs_on_candidates_only(spark):
     plan = _plan(spark, "edit_distance_pairs")
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan
+
+
+def test_volume_shipping_dims_broadcast_no_cartesian(spark):
+    """Q7 shape: the twice-joined nation dimension (and supplier/customer)
+    must broadcast; nothing may degenerate to a cartesian product."""
+    plan = _plan(spark, "volume_shipping")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+    assert tree.count("BroadcastHashJoin") >= 4
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_key_skew_report_is_two_chained_aggs(spark):
+    """Frequency-of-frequencies: exactly two partial+final aggregation
+    pairs, no join, no sort."""
+    plan = _plan(spark, "key_skew_report")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("HashAggregate") == 4
+    assert "Join" not in tree and "Sort" not in tree
+
+
+def test_value_histogram_has_no_global_sort(spark):
+    """Equi-width histogram: bounds arrive as a broadcast 1-row frame, the
+    bucket assignment is scan-side — never a global ordering."""
+    plan = _plan(spark, "value_histogram_equiwidth")
+    tree = plan.split("\n\n")[0]
+    assert "Sort" not in tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in plan
