@@ -51,10 +51,21 @@ class CdcEngine:
     ``ORDER BY timestamp DESC LIMIT 1`` (duckdb_cdc.go:190-195).
     """
 
-    def __init__(self, spark: SparkSession, output_dir: str, state_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        output_dir: str,
+        state_dir: str,
+        emit_schema_changes: bool = True,
+    ):
         self.spark = spark
         self.output_dir = output_dir
         self.state_dir = state_dir
+        #: emit operation='SCHEMA' drift records when a monitored table's
+        #: columns change between polls (the reference only fires an opaque
+        #: re-capture on DDL — duckdb_cdc.go:169-179; here the drift is a
+        #: first-class change record, see operators/schema_drift.py)
+        self.emit_schema_changes = emit_schema_changes
 
     # -- core operators -----------------------------------------------------
 
@@ -99,6 +110,65 @@ class CdcEngine:
         ).withColumn("timestamp", F.current_timestamp())
         row.write.mode("append").parquet(self._checksum_dir())
 
+    # -- schema state (drift detection) --------------------------------------
+
+    def _schema_dir(self) -> str:
+        return f"{self.state_dir}/schemas"
+
+    def latest_schemas(self) -> dict[str, dict[str, str]]:
+        """Latest recorded column→type map per table (same top-1-per-key
+        shape as the checksum state; rows = number of monitored tables)."""
+        import json
+
+        schema = "table_name string, schema_json string, timestamp timestamp"
+        try:
+            df = self.spark.read.schema(schema).parquet(self._schema_dir())
+        except Exception:
+            return {}
+        latest = latest_per_key(df, ["table_name"], ["timestamp"], via_agg=True)
+        return {
+            r["table_name"]: json.loads(r["schema_json"]) for r in latest.collect()
+        }
+
+    def record_schema(self, table: str, schema: dict[str, str]) -> None:
+        import json
+
+        row = self.spark.createDataFrame(
+            [(table, json.dumps(schema, sort_keys=True))],
+            "table_name string, schema_json string",
+        ).withColumn("timestamp", F.current_timestamp())
+        row.write.mode("append").parquet(self._schema_dir())
+
+    def _emit_schema_drift(
+        self, table: str, prev: "dict[str, str] | None", cur: dict[str, str]
+    ) -> None:
+        """Append operation='SCHEMA' records for each changed column.  First
+        sight records the schema silently (no drift to report)."""
+        from cdc_lite_spark.operators.schema_drift import schema_drift
+
+        if prev is not None and prev != cur:
+            drift = schema_drift(prev, cur)
+            rows = [
+                (d["column"], d["change"], d["from_type"], d["to_type"]) for d in drift
+            ]
+            rec = self.spark.createDataFrame(
+                rows, "column string, change string, from_type string, to_type string"
+            )
+            env = rec.select(
+                F.current_timestamp().alias("timestamp"),
+                F.lit(table).alias("table"),
+                F.lit("SCHEMA").alias("operation"),
+                F.create_map(
+                    F.lit("column"), F.col("column"),
+                    F.lit("change"), F.col("change"),
+                    F.lit("from_type"), F.col("from_type"),
+                    F.lit("to_type"), F.col("to_type"),
+                ).alias("data"),
+            )
+            append_changes(env, self.output_dir)
+        if prev != cur:
+            self.record_schema(table, cur)
+
     # -- the poll loop -------------------------------------------------------
 
     def _resolve(self, source: "DataFrame | str") -> DataFrame:
@@ -134,6 +204,7 @@ class CdcEngine:
         isolated per table (H6): one bad table logs and the loop continues.
         """
         previous = self.latest_checksums()
+        prev_schemas = self.latest_schemas() if self.emit_schema_changes else {}
         captured: list[str] = []
 
         def _detect(table: str, source):
@@ -164,6 +235,12 @@ class CdcEngine:
             if previous.get(table) == current:
                 continue  # short-circuit: skip capture when unchanged (§4)
             try:
+                if self.emit_schema_changes:
+                    from cdc_lite_spark.operators.schema_drift import schema_map
+
+                    self._emit_schema_drift(
+                        table, prev_schemas.get(table), schema_map(df)
+                    )
                 if mode == "diff":
                     self._capture_diff(table, df, (keys or {})[table])
                 else:

@@ -32,6 +32,7 @@ from cdc_lite_spark.operators.quality import (
 from cdc_lite_spark.operators.diff import inserted_keys, persisted_keys, snapshot_diff
 from cdc_lite_spark.operators.incremental import apply_delta, sum_count_state
 from cdc_lite_spark.operators.latest import latest_per_key, running_agg, with_change_flag
+from cdc_lite_spark.operators.schema_drift import schema_drift, schema_json, schema_map
 from cdc_lite_spark.operators.replay import apply_changes
 from cdc_lite_spark.operators.sampling import dataset_split, hash_sample, stratified_cap
 from cdc_lite_spark.operators.scd2 import scd2_as_of, scd2_history
@@ -108,4 +109,7 @@ __all__ = [
     "tf_idf",
     "token_counts",
     "top_k_per_group",
+    "schema_drift",
+    "schema_json",
+    "schema_map",
 ]
