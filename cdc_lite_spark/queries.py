@@ -3696,3 +3696,43 @@ def q_embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l2_norm"), 6).alias("min_norm"),
         F.round(F.max("l2_norm"), 6).alias("max_norm"),
     )
+
+
+@register(
+    "event_time_sliding",
+    # every event lands in exactly window/slide = 4 overlapping windows:
+    # the most recent 15-min slide boundary at-or-before it, and the three
+    # before that
+    """
+    SELECT (epoch_us(ts) // 900000000) * 900 - s.k * 900 AS window_start_epoch,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) s
+    GROUP BY 1, 2
+    """,
+    "H7: sliding event-time windows (1 h window, 15 min slide) — batch "
+    "twin of streaming/event_windows.sliding_counts",
+    tags=("window", "streaming"),
+)
+def q_event_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation: Spark's F.window(ts, window, slide)
+    Expand-s each event into its window/slide overlapping windows before
+    one hash aggregation — no self-join, no re-scan per slide.  The oracle
+    reproduces the expansion arithmetically (slide-aligned epoch minus k
+    slides).  Streaming twin: identical expression over readStream with a
+    watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -65,14 +65,30 @@ def test_tumbling_stream_matches_batch(spark, events_dir):
         assert abs(expect[k][1] - v[1]) < 1e-6
 
 
-def test_sliding_and_session_windows_run(spark, events_dir):
+def test_sliding_stream_matches_batch(spark, events_dir):
+    """Every sliding window the stream emits must carry the exact count the
+    batch computation assigns it (append mode withholds only the tail
+    windows past the final watermark)."""
     stream = _stream(spark, events_dir)
     q1 = _drain(sliding_counts(stream), name="sliding_out")
     assert not q1.isActive
+    emitted = {
+        r["window_start"]: r["n_events"]
+        for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    expect = {
+        r["window_start"]: r["n_events"]
+        for r in sliding_counts(spark.read.parquet(events_dir)).collect()
+    }
+    assert len(emitted) > 0
+    for k, v in emitted.items():
+        assert expect[k] == v
+
+
+def test_session_windows_run(spark, events_dir):
     stream2 = _stream(spark, events_dir)
     q2 = _drain(session_windows(stream2), name="session_out")
     assert not q2.isActive
-    assert spark.sql("SELECT count(*) FROM sliding_out").first()[0] >= 0
     assert spark.sql("SELECT count(*) FROM session_out").first()[0] >= 0
 
 
