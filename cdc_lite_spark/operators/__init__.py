@@ -1,4 +1,9 @@
 from cdc_lite_spark.operators.asof import as_of_join, range_join
+from cdc_lite_spark.operators.bloom import (
+    bloom_build,
+    bloom_prefilter_join,
+    might_contain,
+)
 from cdc_lite_spark.operators.checksum import (
     partition_checksums,
     table_checksum,
@@ -53,10 +58,21 @@ from cdc_lite_spark.operators.text import (
     token_counts,
 )
 from cdc_lite_spark.operators.topk import top_k_per_group
+from cdc_lite_spark.operators.zorder import (
+    zorder_key,
+    zorder_key_sql,
+    zorder_repartition,
+)
 
 __all__ = [
     "as_of_join",
     "range_join",
+    "bloom_build",
+    "bloom_prefilter_join",
+    "might_contain",
+    "zorder_key",
+    "zorder_key_sql",
+    "zorder_repartition",
     "partition_checksums",
     "table_checksum",
     "table_checksum_value",

@@ -3736,3 +3736,96 @@ def q_event_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "bloom_prefilter_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           o.o_totalprice,
+           c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_nationkey = 1 AND c.c_acctbal > 1000
+    """,
+    "F4/[EXT]: inner join with an explicit bloom pre-filter on the fact "
+    "side — the filter prunes non-matching rows BEFORE the shuffle; "
+    "identical result to the plain join (no false negatives)",
+    tags=("join", "scale"),
+)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered equi-join (operators/bloom.py).
+
+    The oracle is the PLAIN inner join: a bloom filter has no false
+    negatives and the exact join kills false positives, so the prefiltered
+    plan must reproduce it bit-for-bit.  At 100 TB the filter is the point
+    — the fact side is pruned scan-side by a broadcast word-map (k pure
+    column expressions, no UDF), so the exchange carries only probable
+    matches instead of the whole table.  The reference has no joins; this
+    is scale machinery for selective dimension joins.
+    """
+    from cdc_lite_spark.operators.bloom import bloom_prefilter_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_nationkey") == 1) & (F.col("c_acctbal") > 1000))
+        .select("c_custkey", "c_name")
+    )
+    joined = bloom_prefilter_join(orders, cust, "o_custkey", "c_custkey")
+    return joined.select("o_orderkey", "o_custkey", "o_totalprice", "c_name")
+
+
+from cdc_lite_spark.operators.zorder import zorder_key, zorder_key_sql  # noqa: E402
+
+_Z_DAY_SQL = "epoch_us(o_orderdate) // 86400000000"
+_Z_KEY_SQL = zorder_key_sql(["o_custkey", _Z_DAY_SQL])
+
+
+@register(
+    "zorder_bucket_stats",
+    f"""
+    WITH keyed AS (
+        SELECT o_custkey,
+               CAST({_Z_DAY_SQL} AS BIGINT) AS order_day,
+               {_Z_KEY_SQL} AS zkey
+        FROM orders
+    )
+    SELECT zkey >> 16 AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+           min(order_day) AS min_day, max(order_day) AS max_day
+    FROM keyed GROUP BY 1
+    """,
+    "[EXT] scale: Z-order (Morton) curve key over (custkey, order day) — "
+    "per-curve-bucket stats show each bucket covers a tight rectangle of "
+    "both dimensions, the property that makes multi-column file skipping "
+    "work",
+    tags=("scale", "layout"),
+)
+def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (operators/zorder.py) computed bit-identically
+    in both engines, then folded to per-bucket min/max spans.  At 100 TB
+    the key feeds ``zorder_repartition`` + parquet min/max pruning; the
+    registered agg is the observable, oracle-checkable half (layout
+    placement itself isn't SQL-visible).  Pure shift/mask exprs — one
+    hash-agg shuffle, no UDF."""
+    orders = load_table(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ; session tz is UTC so the cast is identity
+    day = F.floor(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
+    ).cast("long")
+    keyed = orders.select(
+        F.col("o_custkey"),
+        day.alias("order_day"),
+        zorder_key([F.col("o_custkey"), day]).alias("zkey"),
+    )
+    return (
+        keyed.groupBy(F.shiftright("zkey", 16).alias("zbucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("order_day").alias("min_day"),
+            F.max("order_day").alias("max_day"),
+        )
+    )
