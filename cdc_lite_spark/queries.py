@@ -3299,10 +3299,12 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             texts.withColumnsRenamed({"doc_id": "id_a", "text": "text_a"}), "id_a"
         ).join(texts.withColumnsRenamed({"doc_id": "id_b", "text": "text_b"}), "id_b")
     )
-    dist = F.levenshtein("text_a", "text_b")
+    # bounded levenshtein early-terminates past the threshold (returns -1,
+    # excluded by the between) — same result set, O(k·n) instead of O(n·m)
+    dist = F.levenshtein("text_a", "text_b", _EDIT_DIST_MAX)
     return (
         j.select("id_a", "id_b", dist.cast("bigint").alias("edit_distance"))
-        .filter(F.col("edit_distance") <= _EDIT_DIST_MAX)
+        .filter(F.col("edit_distance").between(0, _EDIT_DIST_MAX))
     )
 
 
@@ -3828,4 +3830,180 @@ def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("order_day").alias("min_day"),
             F.max("order_day").alias("max_day"),
         )
+    )
+
+
+@register(
+    "customer_order_distribution",
+    """
+    WITH per_cust AS (
+        SELECT c.c_custkey,
+               CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    "TPC-H Q13 shape: LEFT OUTER join with a join-side predicate, then a "
+    "distribution-of-counts (agg over agg) — zero-order customers kept",
+    tags=("join", "agg"),
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: the predicate must live IN the join condition (a WHERE would
+    turn the outer join inner and drop zero-order customers).  count(col)
+    over the null-extended side counts 0 for unmatched — the relational
+    idiom a naive builder gets wrong.  Two shuffles (custkey, then
+    c_count); the second agg input is |customers| rows, tiny."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "sole_latest_supplier",
+    """
+    WITH per_supp AS (
+        SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last
+        FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    ranked AS (
+        SELECT l_orderkey, l_suppkey,
+               count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+               rank() OVER (PARTITION BY l_orderkey ORDER BY supp_last DESC)
+                   AS rk,
+               count(*) OVER (PARTITION BY l_orderkey, supp_last) AS n_tied
+        FROM per_supp
+    )
+    SELECT s.s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.n_supp > 1 AND r.rk = 1 AND r.n_tied = 1
+    GROUP BY s.s_name
+    """,
+    "TPC-H Q21 shape: which supplier uniquely ships LAST in multi-supplier "
+    "orders — the exists/not-exists self-join pair collapsed into one "
+    "windowed pass over a pre-aggregated table",
+    tags=("join", "window"),
+)
+def q_sole_latest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's semantics are two self-joins on lineitem (EXISTS another
+    supplier / NOT EXISTS a later one).  Expressed Spark-first: aggregate
+    once to (order, supplier, last_ship), then ONE window partition
+    delivers both existence tests (supplier count, rank, tie count) —
+    lineitem is scanned once instead of three times, and the window input
+    is the aggregated table (|orders|x|suppliers-per-order|), not raw
+    lineitem.  Dimension join broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    from pyspark.sql import Window as W
+
+    by_order = W.partitionBy("l_orderkey")
+    ranked = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.count("*").over(by_order).alias("n_supp"),
+        F.rank().over(by_order.orderBy(F.desc("supp_last"))).alias("rk"),
+        F.count("*")
+        .over(W.partitionBy("l_orderkey", "supp_last"))
+        .alias("n_tied"),
+    )
+    return (
+        ranked.filter((F.col("n_supp") > 1) & (F.col("rk") == 1) & (F.col("n_tied") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(CAST(c_acctbal AS DECIMAL(18,2)))
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    "TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti-join — "
+    "above-average-balance customers with no urgent order, per segment",
+    tags=("join", "agg"),
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: the NOT EXISTS is a left_anti join on custkey; the scalar
+    threshold is a broadcast 1-row cross join compared in decimal domain.
+    Anti-join build side is the orders KEY column only (pruned scan), so
+    at 100 TB the anti join shuffles keys, not rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    thresh = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg(_dec("c_acctbal")).alias("__avg")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    "sequence mining: per-user event-type transition (Markov) matrix via "
+    "one lag window — behavioral structure for curriculum/funnel design",
+    tags=("window", "agg"),
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user transition counts: one lag window (event_id tie-break for
+    determinism) then a hash agg on the tiny (prev,next) key space.  The
+    window shuffles by user_id once; no self-join — the naive formulation
+    joins events to itself on consecutive rank, 2 shuffles + a join."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
     )
