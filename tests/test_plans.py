@@ -202,3 +202,51 @@ def test_value_histogram_has_no_global_sort(spark):
     tree = plan.split("\n\n")[0]
     assert "Sort" not in tree
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in plan
+
+
+def test_q13_outer_join_keeps_predicate_in_join(spark):
+    plan = _plan(spark, "customer_order_distribution")
+    # the priority filter must sit under the LEFT OUTER join (pushed to the
+    # orders scan), never above it — above would drop zero-order customers
+    assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "1-URGENT" in plan
+
+
+def test_sole_latest_supplier_single_lineitem_scan(spark):
+    plan = _plan(spark, "sole_latest_supplier")
+    # the exists/not-exists pair is one windowed pass over the
+    # pre-aggregation: lineitem is scanned once, supplier dim broadcasts
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_idle_rich_anti_join_on_keys(spark):
+    plan = _plan(spark, "idle_rich_customers")
+    assert "LeftAnti" in plan
+    # anti-join build side reads only the key (+ pushed priority filter)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l and "o_custkey" in l]
+    assert read and all("o_totalprice" not in l for l in read)
+
+
+def test_transition_matrix_one_window_no_selfjoin(spark):
+    plan = _plan(spark, "event_transition_matrix")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1
+    assert "Join" not in tree
+
+
+def test_bloom_prefilter_small_side_broadcasts(spark):
+    plan = _plan(spark, "bloom_prefilter_join")
+    # the 1-row word-map broadcasts (nested-loop over one row), and the
+    # exact join is a broadcast hash join on the pruned fact side
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_key_is_scan_side_single_agg(spark):
+    plan = _plan(spark, "zorder_bucket_stats")
+    tree = plan.split("\n\n")[0]
+    # key computed in the scan projection; one partial+final agg pair
+    assert tree.count("Exchange") == 1
+    assert "Window" not in tree and "Join" not in tree
