@@ -9,9 +9,11 @@ has no joins at all, so this is [EXT] scale machinery — SURVEY.md §2f).
 
 Construction is pure column expressions end-to-end:
 
-- build: k positions per key from the portable md5 hash family, folded
-  into an m-bit array represented as ``m/64`` longs via a bit_or
-  aggregation — one tiny shuffle of at most ``m/64`` partial rows;
+- build: k positions per key from the seeded xxhash64 family (JVM-side,
+  codegen — the positions never surface in any result, so no portable-md5
+  parity tax), folded into an m-bit array represented as ``m/64`` longs
+  via a bit_or aggregation — one tiny shuffle of at most ``m/64`` partial
+  rows;
 - probe: the 1-row word array broadcasts; membership is ``k`` shift/mask
   expressions inside whole-stage codegen — no UDF, no Python.
 
@@ -26,17 +28,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cdc_lite_spark.functions.hashes import portable_hash64
-
 #: default filter geometry: 2^16 bits / 4 hashes ≈ 1% FP at ~6.5 k keys
 DEFAULT_M_BITS = 1 << 16
 DEFAULT_K_HASHES = 4
 
 
 def _positions(key: Column, m_bits: int, k_hashes: int) -> list[Column]:
+    # seeded via an extra hashed literal; pmod because xxhash64 is signed
     return [
-        portable_hash64(key.cast("string"), seed=f"bloom{i}") % F.lit(m_bits)
-        for i in range(k_hashes)
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits)) for i in range(k_hashes)
     ]
 
 

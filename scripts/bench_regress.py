@@ -30,7 +30,7 @@ for name, sec in sorted(detail["queries"].items()):
 for name, base, sec in regressions:
     print(f"REGRESSION {name}: {base:.2f}s -> {sec:.2f}s ({sec / base:.1f}x)")
 print(
-    f"checked {len(detail['queries'])} queries against round-{baseline['round']} "
+    f"checked {len(detail['queries'])} queries against round-{baseline.get('round', '?')} "
     f"baseline: {len(regressions)} regression(s), total {detail['value']:.1f}s"
 )
 sys.exit(1 if regressions else 0)
