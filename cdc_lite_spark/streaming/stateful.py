@@ -82,3 +82,63 @@ def checksum_change_stream(observations: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def checksum_change_stream_tws(
+    observations: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
+    """The same detector on the Spark 4 ``transformWithStateInPandas`` API
+    (successor to applyInPandasWithState): typed per-key ValueState in the
+    state store, with optional TTL so keys for dropped/renamed tables age
+    out instead of living in the checkpoint forever — the unbounded-key
+    concern at 100 TB (millions of monitored partitions, some ephemeral).
+
+    Emission contract is identical to :func:`checksum_change_stream`; the
+    test suite asserts both produce the same change events (skipped where
+    the TWS python runner's ``google.protobuf`` dependency is absent).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _ChecksumDetector(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "checksum_state", _STATE_SCHEMA, ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            (table,) = key
+            prev = self._state.get() if self._state.exists() else None
+            last, n_obs = prev if prev is not None else (None, 0)
+            out = []
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values("ts", kind="stable")
+            for checksum in pdf["checksum"]:
+                n_obs += 1
+                if checksum != last:
+                    out.append((table, checksum, last, last is None, n_obs))
+                    last = checksum
+            self._state.update((last, n_obs))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "table",
+                        "checksum",
+                        "prev_checksum",
+                        "first_sight",
+                        "n_observations",
+                    ],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return observations.groupBy("table").transformWithStateInPandas(
+        statefulProcessor=_ChecksumDetector(),
+        outputStructType=CHANGE_EVENT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
