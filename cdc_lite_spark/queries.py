@@ -4007,3 +4007,113 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+def _quota_sample_oracle() -> str:
+    from cdc_lite_spark.functions.hashes import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", seed="quota")
+    return f"""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id)
+                   AS rk,
+               count(*) OVER (PARTITION BY source) AS n_d
+        FROM documents
+    )
+    SELECT source, doc_id,
+           CAST(least(n_d, CAST(ceil(sqrt(CAST(n_d AS DOUBLE)) * 4) AS BIGINT))
+                AS BIGINT) AS quota
+    FROM ranked
+    WHERE rk <= least(n_d, CAST(ceil(sqrt(CAST(n_d AS DOUBLE)) * 4) AS BIGINT))
+    """
+
+
+@register(
+    "domain_quota_sample",
+    _quota_sample_oracle(),
+    "X6: deterministic per-domain quota sampling — sqrt-scaled quotas "
+    "(small domains keep proportionally more), selection by portable hash "
+    "rank so the sampled SET is reproducible across engines and runs",
+    tags=("sampling", "window"),
+)
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executable counterpart of domain_mix_weights: actually draw the
+    rebalanced sample.  Quota_d = min(n_d, ceil(sqrt(n_d)*4)) — sqrt is
+    IEEE-exact in both engines, so quotas agree bit-for-bit (a pow-based
+    weight would drift in the last ulp).  Selection = lowest-hash rank
+    within each domain: one shuffle on source, no driver-side state, and
+    adding documents never unselects a kept one below the quota boundary.
+    At 100 TB: quotas are per-domain scalars; the window is the only
+    shuffle and AQE splits skewed domains."""
+    from pyspark.sql import Window as W
+
+    from cdc_lite_spark.functions.hashes import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.col("doc_id").cast("string"), seed="quota")
+    by_src = W.partitionBy("source")
+    n_d = F.count("*").over(by_src)
+    quota = F.least(n_d, F.ceil(F.sqrt(n_d.cast("double")) * 4)).cast("bigint")
+    rk = F.row_number().over(by_src.orderBy(h.asc(), F.col("doc_id").asc()))
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            rk.alias("__rk"),
+            quota.alias("quota"),
+        )
+        .filter(F.col("__rk") <= F.col("quota"))
+        .drop("__rk")
+    )
+
+
+@register(
+    "inverted_index_postings",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT term, doc_id FROM (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+                       AS term,
+                   doc_id
+            FROM documents
+        )
+    ),
+    ranked AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk,
+               count(*) OVER (PARTITION BY term) AS df
+        FROM pairs
+    )
+    SELECT term, CAST(df AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS head_postings
+    FROM ranked WHERE rk <= 16
+    GROUP BY term, df
+    """,
+    "X4: inverted index construction — per-term document-frequency and "
+    "sorted posting list for mid-frequency terms (the retrieval/dedup "
+    "index shape)",
+    tags=("text", "agg"),
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists: explode→distinct→groupBy — two shuffles (dedup pairs,
+    then term agg), text itself never shuffles (only (term, doc_id) pairs).
+    Each term keeps its full document frequency but only a BOUNDED head
+    posting block (first 16 doc ids, the block-max index shape) — at
+    100 TB a head term's full posting list is millions of entries and must
+    never materialize as one array in a single group."""
+    from cdc_lite_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(tokens("text")).alias("term"), "doc_id"
+    ).distinct()
+    postings = F.array_sort(F.collect_list("doc_id"))
+    return pairs.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.array_join(
+            F.transform(F.slice(postings, 1, 16), lambda x: x.cast("string")),
+            ",",
+        ).alias("head_postings"),
+    )
