@@ -4117,3 +4117,97 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("head_postings"),
     )
+
+
+@register(
+    "array_function_suite",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0))
+                AS BIGINT) AS n_pos,
+           len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 2)) > 0
+               AS has_large,
+           len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) >= 10)) = 0
+               AS all_small,
+           round(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, array_length(embedding) + 1),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[array_length(embedding) - i + 1]
+                                   AS DOUBLE))),
+               (a, b) -> a + b), 6) AS dot_rev
+    FROM embeddings
+    """,
+    "E/[EXT]: higher-order array functions — filter/exists/forall/"
+    "zip_with/reverse/aggregate over the embedding column, all inside "
+    "whole-stage codegen (the SQL surface vector pipelines live on)",
+    tags=("functions", "similarity"),
+)
+def q_array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-function suite over array<float>: every expression is a JVM
+    higher-order function — no explode (no row blowup), no UDF.  The
+    reversed dot product folds left-to-right from an explicit 0.0 seed in
+    both engines, so float accumulation order is pinned.  Zero shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    xd = F.transform(x, lambda v: v.cast("double"))
+    dot_rev = F.aggregate(
+        F.zip_with(xd, F.reverse(xd), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(xd, lambda v: v > 0)).cast("bigint").alias("n_pos"),
+        F.exists(xd, lambda v: F.abs(v) > 2).alias("has_large"),
+        F.forall(xd, lambda v: F.abs(v) < 10).alias("all_small"),
+        F.round(dot_rev, 6).alias("dot_rev"),
+    )
+
+
+@register(
+    "date_spine_zero_fill",
+    """
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(epoch_us(CAST(s.day AS TIMESTAMP)) // 86400000000 AS BIGINT)
+               AS epoch_day,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN daily d ON CAST(s.day AS DATE) = d.day
+    """,
+    "time series: dense date spine with zero-filled gaps — sequence "
+    "generation + left join, the calendar-completion idiom dashboards "
+    "and training-data audits rely on",
+    tags=("window", "join"),
+)
+def q_date_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date spine: the bounds aggregate is 1 row, the spine explodes from
+    a `sequence` (days, not rows — tiny), and the daily counts join back
+    broadcast.  Distinct from gap_fill_forward (LOCF repairs VALUES; this
+    completes the KEY domain).  At 100 TB: spine size = days, independent
+    of event count; the only big-data pass is the daily pre-aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    return (
+        spine.join(daily, "day", "left_outer")
+        .select(
+            F.unix_date("day").cast("bigint").alias("epoch_day"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
