@@ -4211,3 +4211,85 @@ def q_date_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         )
     )
+
+
+@register(
+    "grouping_sets_mkt_priority",
+    """
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           CAST(grouping(c.c_mktsegment) * 2 + grouping(o.o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c.c_mktsegment), (o.o_orderpriority),
+                            (c.c_mktsegment, o.o_orderpriority))
+    """,
+    "C4 breadth: explicit GROUPING SETS (neither rollup nor cube) with "
+    "grouping() markers distinguishing real NULLs from subtotal rows",
+    tags=("agg",),
+)
+def q_grouping_sets_mkt_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets — the shape ROLLUP/CUBE can't express (two
+    single-dim sets plus the pair, no grand total).  One Expand + one
+    hash-agg: rows multiply by |sets|=3 map-side, partials combine before
+    the single exchange.  gid (the grouping_id bits) is how consumers
+    separate 'subtotal over priority' from a genuinely NULL segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        j.groupingSets(
+            [["c_mktsegment"], ["o_orderpriority"], ["c_mktsegment", "o_orderpriority"]],
+            "c_mktsegment",
+            "o_orderpriority",
+        )
+        .agg(
+            (F.grouping("c_mktsegment") * 2 + F.grouping("o_orderpriority"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "regex_function_suite",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+           CAST(coalesce(try_cast(regexp_extract(text, '([0-9]+)', 1)
+                AS BIGINT), -1) AS BIGINT) AS first_number,
+           regexp_matches(text, '^[A-Za-z]') AS starts_alpha,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_novowels,
+           CAST(len(regexp_extract_all(text, '\b[A-Za-z]{4}\b'))
+                AS BIGINT) AS n_four_letter
+    FROM documents
+    """,
+    "E breadth: regex scalar suite — extract_all counts, first-match "
+    "capture, anchored match, global replace — on the portable "
+    "RE2-and-Java-compatible pattern subset",
+    tags=("functions", "text"),
+)
+def q_regex_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface over documents: all JVM-side column expressions.
+    Patterns stay in the RE2∩Java subset (character classes, anchors,
+    word boundaries, bounded repeats — no lookaround, no backrefs) so
+    Spark (java.util.regex) and DuckDB (RE2) agree; that subset is the
+    portable contract a cross-engine pipeline should target anyway."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit("[0-9]+"), 0)).cast("bigint").alias("n_numbers"),
+        F.coalesce(
+            F.regexp_extract(t, "([0-9]+)", 1).try_cast("bigint"), F.lit(-1)
+        ).cast("bigint").alias("first_number"),
+        t.rlike("^[A-Za-z]").alias("starts_alpha"),
+        F.length(F.regexp_replace(t, "[aeiou]", "")).alias("len_novowels"),
+        F.size(F.regexp_extract_all(t, F.lit(r"\b[A-Za-z]{4}\b"), 0))
+        .cast("bigint")
+        .alias("n_four_letter"),
+    )
