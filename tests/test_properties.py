@@ -180,3 +180,65 @@ def test_maintained_aggregate_equals_recompute(spark, prev_rows, cur_rows):
     got = {tuple(r) for r in maintained.collect()}
     want = {tuple(r) for r in recomputed.collect()}
     assert got == want
+
+
+KEYSETS = st.lists(
+    st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=30, unique=True
+)
+
+
+@given(keys=KEYSETS, probes=KEYSETS)
+@_SETTINGS
+def test_bloom_prefilter_join_identity(spark, keys, probes):
+    """For ANY member/probe sets: the bloom-prefiltered join equals the
+    plain join exactly (no false negatives survive dedup, false positives
+    die in the exact join)."""
+    from cdc_lite_spark.operators.bloom import bloom_prefilter_join
+
+    big = spark.createDataFrame([(k,) for k in probes], "k bigint")
+    small = spark.createDataFrame([(k,) for k in keys], "k2 bigint")
+    expect = sorted(set(keys) & set(probes))
+    got = sorted(
+        r["k"] for r in bloom_prefilter_join(big, small, "k", "k2").collect()
+    )
+    assert got == expect
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+@_SETTINGS
+def test_zorder_key_bijective_and_monotone_on_prefixes(spark, pts):
+    """Morton key is injective on the bounded grid, and the top 2b bits of
+    the key are exactly the interleave of the two dims' top b bits (the
+    prefix property file-skipping relies on)."""
+    from pyspark.sql import functions as F2
+
+    from cdc_lite_spark.operators.zorder import zorder_key
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = df.select(
+        "x",
+        "y",
+        zorder_key([F2.col("x"), F2.col("y")], bits=8).alias("z"),
+    ).collect()
+    seen = {}
+    for r in got:
+        # injective: distinct (x, y) -> distinct z
+        assert r["z"] not in seen or seen[r["z"]] == (r["x"], r["y"])
+        seen[r["z"]] = (r["x"], r["y"])
+        # prefix property: top 8 key bits == interleave of x>>4 and y>>4
+        top = r["z"] >> 8
+        expect_top = 0
+        for i in range(4):
+            expect_top |= (((r["x"] >> 4) >> i) & 1) << (2 * i)
+            expect_top |= (((r["y"] >> 4) >> i) & 1) << (2 * i + 1)
+        assert top == expect_top, r
