@@ -4293,3 +4293,70 @@ def q_regex_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_four_letter"),
     )
+
+
+def _canonical_oracle() -> str:
+    cluster_body = _cluster_oracle()
+    return f"""
+    WITH clusters AS ({cluster_body}),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk,
+               count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id,
+           doc_id AS kept_doc,
+           CAST(n_chars AS BIGINT) AS kept_chars,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rk = 1
+    """
+
+
+@register(
+    "cluster_canonical_docs",
+    _canonical_oracle(),
+    "X2: canonical-survivor selection per near-dup cluster — keep the "
+    "longest member (doc-id tiebreak), count what gets dropped; the "
+    "decision step that turns clustering into an actual dedup pass",
+    tags=("dedup", "window"),
+)
+def q_cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor choice: clusters (tiny — only docs that near-
+    dup anything) join back to documents for the quality signal, then one
+    window per cluster ranks members.  At 100 TB the cluster table is
+    orders of magnitude smaller than the corpus, so this join broadcasts
+    the clusters and the window input is |clustered docs|, not |corpus|."""
+    from cdc_lite_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=50)
+    pairs = jaccard_verify(docs, cands, threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    j = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    by_cluster = W.partitionBy("cluster_id")
+    ranked = j.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(by_cluster.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("__rk"),
+        F.count("*").over(by_cluster).alias("n_members"),
+    )
+    return ranked.filter(F.col("__rk") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc"),
+        F.col("n_chars").cast("bigint").alias("kept_chars"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+    )
