@@ -38,6 +38,12 @@ HEADLINERS: dict[str, str] = {
     "incremental_near_dup": "two-sided LSH: batch-vs-corpus bucket equi-join, corpus never self-joins",
     "incremental_agg_maintenance": "O(delta): change records aggregate then full-outer merge with prior state",
     "salted_agg_skew": "explicit two-phase agg: (key, salt) partial then final merge",
+    "bloom_prefilter_join": "bloom word-map broadcast; probe scan-side before the join shuffle",
+    "zorder_bucket_stats": "Morton key in the scan projection; single partial+final agg",
+    "sole_latest_supplier": "Q21 shape: one lineitem scan, window on the pre-agg, dim broadcast",
+    "idle_rich_customers": "Q22 shape: broadcast scalar threshold + key-only LeftAnti",
+    "domain_quota_sample": "per-domain window rank; quotas are scalars, one shuffle on source",
+    "inverted_index_postings": "pairs dedup then term agg; bounded head block, no unbounded arrays",
 }
 
 
