@@ -4360,3 +4360,55 @@ def q_cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_members").cast("bigint").alias("n_members"),
         (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
     )
+
+
+@register(
+    "correlation_exact_arithmetic",
+    """
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS corr_qty_price
+    FROM s WHERE n > 1
+    """,
+    "C4 breadth: Pearson correlation from exact decimal sufficient "
+    "statistics — order-independent where the built-in corr() accumulates "
+    "doubles in engine- and partition-order",
+    tags=("agg",),
+)
+def q_correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr(quantity, price) per returnflag from five DECIMAL sums + n —
+    every sufficient statistic is exact and partial-aggregable (one
+    map-side combine + one exchange), and the single double-precision
+    division at the end is deterministic.  The same trick as
+    variance_exact_arithmetic, extended to the bivariate case: built-in
+    corr() is a streaming co-moment fold whose result depends on row
+    order, so it can never hash-match across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = _dec("l_quantity"), _dec("l_extendedprice")
+    n = F.count("*")
+    sx, sy = F.sum(x).cast("double"), F.sum(y).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    syy = F.sum(y * y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(n.alias("n"), F.round(corr, 6).alias("corr_qty_price"))
+        .filter(F.col("n") > 1)
+    )

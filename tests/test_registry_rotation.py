@@ -1,0 +1,56 @@
+"""The driver checks only the FIRST 50 queries() entries — the rotation
+contract (never-driver-verified first, then least-recently-verified) is
+what guarantees every query eventually earns a CORRECTNESS row.  Pin it.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from cdc_lite_spark.queries import REGISTRY, _ordered_names, oracle_sql, queries
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_verified() -> set[str]:
+    seen = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        try:
+            rows = json.load(open(path))
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                seen.add(name)
+    return seen
+
+
+def test_never_verified_queries_lead_the_window():
+    names = _ordered_names()
+    verified = _driver_verified() & set(REGISTRY)
+    never = [n for n in names if n not in verified]
+    # every never-verified query sorts before every verified one
+    if never and len(never) < len(names):
+        last_never = max(names.index(n) for n in never)
+        first_verified = min(names.index(n) for n in names if n in verified)
+        assert last_never < first_verified
+
+
+def test_ordering_is_deterministic_and_complete():
+    a, b = _ordered_names(), _ordered_names()
+    assert a == b
+    assert set(a) == set(REGISTRY)
+    assert list(queries()) == a
+    # oracle_sql preserves the same order for its subset
+    osql = list(oracle_sql())
+    assert osql == [n for n in a if REGISTRY[n].oracle is not None]
+
+
+def test_window_queries_all_have_oracles():
+    """Everything inside the driver's 50-query window must be hash-checkable
+    (a no_oracle entry in the window wastes a verification slot)."""
+    window = _ordered_names()[:50]
+    missing = [n for n in window if REGISTRY[n].oracle is None]
+    assert not missing, missing
