@@ -51,7 +51,11 @@ def scd2_history(
 def scd2_as_of(history: DataFrame, ts, keys: list[str] | None = None) -> DataFrame:
     """Point-in-time view: the version valid at ``ts`` per key
     (valid_from <= ts < valid_to, open intervals included)."""
-    t = F.lit(ts).cast("timestamp")
+    # Cast the probe literal to the history's own validity-column type so an
+    # NTZ-typed history (e.g. straight off timestamp[us]-no-tz parquet)
+    # compares cleanly instead of throwing DATATYPE_MISMATCH.
+    vf_type = dict(history.dtypes).get("valid_from") or "timestamp"
+    t = F.lit(ts).cast(vf_type)
     cond = (F.col("valid_from") <= t) & (
         F.col("valid_to").isNull() | (F.col("valid_to") > t)
     )

@@ -28,6 +28,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_lite_spark.functions.timeutils import epoch_day, epoch_sec, epoch_us
 from cdc_lite_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -725,7 +726,7 @@ def q_event_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("value")).cast("double").alias("total_value"),
         )
         .select(
-            F.col("window.start").cast("long").alias("window_start_epoch"),
+            epoch_sec(F.col("window.start")).alias("window_start_epoch"),
             "event_type",
             "n_events",
             "total_value",
@@ -771,7 +772,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            | (epoch_us("ts") - epoch_us(F.lag("ts").over(w)) > 1_800_000_000),
             1,
         )
         .otherwise(0)
@@ -780,7 +781,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
     return sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.floor(F.unix_micros(F.min("ts")) / 1_000_000).alias("session_start_epoch"),
+        epoch_sec(F.min("ts")).alias("session_start_epoch"),
     )
 
 
@@ -941,8 +942,8 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "user_id",
         "event_id",
-        F.floor(F.unix_micros("valid_from") / 1_000_000).alias("valid_from_epoch"),
-        F.floor(F.unix_micros("valid_to") / 1_000_000).alias("valid_to_epoch"),
+        epoch_sec("valid_from").alias("valid_from_epoch"),
+        epoch_sec("valid_to").alias("valid_to_epoch"),
         "is_current",
     )
 
@@ -1306,7 +1307,7 @@ def q_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.minute("ts").alias("mi"),
         F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day_str"),
         F.date_format("ts", "yyyyMMdd_HHmmss").alias("file_stamp"),
-        F.floor(F.unix_micros("ts") / 86_400_000_000).alias("epoch_day"),
+        epoch_day("ts").alias("epoch_day"),
     )
 
 
@@ -1462,7 +1463,7 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    dow = (F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7
+    dow = (epoch_day("ts") + 4) % 7
     return ev.groupBy(
         dow.alias("dow"), F.hour("ts").alias("hod")
     ).agg(F.count("*").alias("n_events"))
@@ -2964,7 +2965,7 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select(
         "user_id",
         "event_id",
-        F.floor(F.unix_micros("valid_from") / 1_000_000).alias("valid_from_epoch"),
+        epoch_sec("valid_from").alias("valid_from_epoch"),
     )
 
 
@@ -3207,7 +3208,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.floor(F.unix_micros("ts") / 1_000_000).alias("ts_epoch"),
+            epoch_sec("ts").alias("ts_epoch"),
             "value_raw",
             "value_filled",
         )
@@ -3732,7 +3733,7 @@ def q_event_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("value")).cast("double").alias("total_value"),
         )
         .select(
-            F.col("window.start").cast("long").alias("window_start_epoch"),
+            epoch_sec(F.col("window.start")).alias("window_start_epoch"),
             "event_type",
             "n_events",
             "total_value",
@@ -3813,9 +3814,7 @@ def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-agg shuffle, no UDF."""
     orders = load_table(spark, sf_dir, "orders")
     # o_orderdate is TIMESTAMP_NTZ; session tz is UTC so the cast is identity
-    day = F.floor(
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000
-    ).cast("long")
+    day = epoch_day("o_orderdate").cast("long")
     keyed = orders.select(
         F.col("o_custkey"),
         day.alias("order_day"),

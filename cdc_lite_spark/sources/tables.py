@@ -54,12 +54,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Parquet TIMESTAMP(NANOS) arrives as nano-epoch longs (see session.py);
     # normalize to Spark's native microsecond timestamps.  Floor division
     # matches DuckDB's ns→us truncation so oracle comparisons line up.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # integer division — `/` would round-trip through double and lose
-        # precision above 2^53 (nano-epoch values are ~1.7e18)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division — `/` would round-trip through double and lose
+            # precision above 2^53 (nano-epoch values are ~1.7e18)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] with no tz (TIMESTAMP_NTZ in Spark 4) — the
+            # session tz is pinned UTC above, so this cast is value-identity
+            # and keeps every downstream unix_micros/window expression on the
+            # one timestamp type the whole engine is written against.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
