@@ -48,6 +48,29 @@ def test_ordering_is_deterministic_and_complete():
     assert osql == [n for n in a if REGISTRY[n].oracle is not None]
 
 
+def test_driver_history_rounds_are_all_marked_seen():
+    """Every query green in any CORRECTNESS_r*.json must be marked seen by
+    the rotation bookkeeping (else the driver wastes window slots
+    re-checking it while never-verified queries starve)."""
+    from cdc_lite_spark.queries import _verification_history
+
+    seen = _verification_history()
+    for name in _driver_verified() & set(REGISTRY):
+        assert name in seen, name
+
+
+def test_window_contains_every_unseen_query():
+    """All never-driver-verified queries must fit inside (and lead) the
+    driver's 50-query window so the next round actually checks them."""
+    from cdc_lite_spark.queries import _verification_history
+
+    seen = _verification_history()
+    unseen = [n for n in REGISTRY if n not in seen]
+    window = _ordered_names()[:50]
+    overflow = [n for n in unseen if n not in window]
+    assert not overflow, (len(unseen), overflow)
+
+
 def test_window_queries_all_have_oracles():
     """Everything inside the driver's 50-query window must be hash-checkable
     (a no_oracle entry in the window wastes a verification slot)."""
