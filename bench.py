@@ -41,6 +41,24 @@ def main() -> None:
         .withColumn("agg", F.aggregate("arr", F.lit(0), lambda a, x: a + x))
         .count()
     )
+    # second warmup pass for the codepaths the star-join above doesn't touch:
+    # md5/crc + decimal-sum (checksum family), HLL sketches, JSON parse —
+    # alphabetically-early queries (approx_*, cdc_*) otherwise absorb their
+    # JIT cost and read as phantom regressions between rounds
+    (
+        nation.select(
+            F.md5(F.concat_ws(",", "n_name", F.col("n_regionkey").cast("string"))).alias("m"),
+            F.crc32(F.col("n_name").cast("binary")).alias("c"),
+            F.get_json_object(F.lit('{"a":1}'), "$.a").alias("j"),
+            F.col("n_nationkey").cast("decimal(38,0)").alias("d"),
+        )
+        .agg(
+            F.approx_count_distinct("m"),
+            F.sum("d"),
+            F.count_distinct("j"),
+        )
+        .count()
+    )
 
     def drop_leaked_blocks() -> None:
         # iterative operators checkpoint intermediates; anything still
