@@ -25,6 +25,8 @@ HEADLINERS: dict[str, str] = {
     "topk_orders_per_customer": "top-k: WindowGroupLimit prunes to k rows per partition before the shuffle",
     "ann_topk_sign_lsh": "ANN: bucket equi-join replaces the cross join; query side broadcast",
     "near_dup_pairs_lsh": "LSH near-dup: band-bucket window cap + bounded self-join + candidate-only verify",
+    "edit_distance_pairs": "bounded levenshtein(a,b,k) on LSH candidates only — never all-pairs",
+    "cluster_canonical_docs": "survivor window over |clustered docs| (broadcast clusters back), not |corpus|",
     "contamination_check": "holdout gram set broadcast; corpus side never shuffles before the agg",
     "embedding_quantize": "pure scan-side map: zero Exchange",
     "pack_training_batches": "one window per shard — single Exchange for the partitionBy",
