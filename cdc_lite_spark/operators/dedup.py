@@ -58,26 +58,71 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 # --- shingles + MinHash -----------------------------------------------------
 
 
-def shingles(text_col: str | Column = "text", n: int = SHINGLE) -> Column:
-    """Word n-gram shingles; documents shorter than n tokens contribute the
-    whole text as a single shingle (guards Spark's descending sequence(1,0))."""
-    toks = tokens(text_col)
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    whole = F.array(F.concat_ws(" ", toks))
-    return F.when(F.size(toks) >= n, make).otherwise(whole)
+#: multiplier for the word-rolling shingle combine (prime, < 2^21 so the
+#: per-step product word_hash·A stays < 2^52 — exact BIGINT in both engines)
+_ROLL_A = 1_000_003
 
 
-def shingles_sql(text_expr: str = "text", n: int = SHINGLE) -> str:
+def word_hashes(text_col: str | Column = "text") -> Column:
+    """One portable hash per word, reduced mod P — the md5 pass runs once
+    per WORD; shingle hashes are derived arithmetically from these."""
+    return F.transform(tokens(text_col), lambda w: portable_hash64(w) % MINHASH_P)
+
+
+def word_hashes_sql(text_expr: str = "text") -> str:
     toks = tokens_sql(text_expr)
-    make = (
-        f"list_transform(range(1, len({toks}) - {n - 2}), "
-        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' '))"
+    return f"list_transform({toks}, w -> {portable_hash64_sql('w')} % {MINHASH_P})"
+
+
+def shingle_hashes(wh: Column, n: int = SHINGLE) -> Column:
+    """n-gram shingle hashes via a rolling polynomial over word hashes:
+    h(w_i..w_{i+n-1}) = fold(acc·A + h_w mod P, init 0).  One md5 per word
+    (in ``word_hashes``) instead of one per n-word shingle STRING — the
+    string construction (slice + concat) and the longer md5 inputs made the
+    old shingle-string form ~4x slower at sf0.1 (BENCH_NOTES.md round 3).
+
+    ``wh`` MUST reference a MATERIALIZED column (stage ``word_hashes`` in
+    a projection first): Spark evaluates interpreted higher-order-function
+    children per reference, so an inline word-hash expression here would
+    re-run the md5 pass ~n times per shingle (measured 20x slower).
+
+    Short documents (< n words) contribute the fold over ALL words as a
+    single shingle; the empty document folds to the init value 0.  Both
+    branches reproduce bit-identically in DuckDB (``shingle_hashes_sql``).
+    """
+
+    def combine(i: Column) -> Column:
+        expr = F.element_at(wh, i)
+        for j in range(1, n):
+            expr = (expr * _ROLL_A + F.element_at(wh, i + j)) % MINHASH_P
+        return expr
+
+    size = F.size(wh)
+    make = F.transform(F.sequence(F.lit(1), size - (n - 1)), combine)
+    whole = F.array(
+        F.aggregate(
+            wh, F.lit(0).cast("long"), lambda acc, h: (acc * _ROLL_A + h) % MINHASH_P
+        )
     )
-    whole = f"[array_to_string({toks}, ' ')]"
-    return f"CASE WHEN len({toks}) >= {n} THEN {make} ELSE {whole} END"
+    return F.when(size >= n, make).otherwise(whole)
+
+
+def shingle_hashes_sql(wh_expr: str, n: int = SHINGLE) -> str:
+    """DuckDB twin of ``shingle_hashes`` over a word-hash list expression.
+
+    ``list_reduce`` without an init equals the fold-with-init-0 because
+    (0·A + h1) mod P = h1; it throws on empty lists, hence the len=0 arm.
+    """
+    expr = f"({wh_expr})[i]"
+    for j in range(1, n):
+        expr = f"(({expr}) * {_ROLL_A} + ({wh_expr})[i+{j}]) % {MINHASH_P}"
+    make = f"list_transform(range(1, len({wh_expr}) - {n - 2}), i -> {expr})"
+    whole = f"[list_reduce({wh_expr}, (acc, h) -> (acc * {_ROLL_A} + h) % {MINHASH_P})]"
+    return (
+        f"CASE WHEN len({wh_expr}) >= {n} THEN {make} "
+        f"WHEN len({wh_expr}) = 0 THEN [CAST(0 AS BIGINT)] "
+        f"ELSE {whole} END"
+    )
 
 
 def _affine_min(base_col: Column, i: int) -> Column:
@@ -88,35 +133,31 @@ def _affine_min(base_col: Column, i: int) -> Column:
     )
 
 
-def minhash_col(text_col: str | Column = "text", k: int = DEFAULT_K, n: int = SHINGLE) -> Column:
-    """Array of k minhashes via the universal-hash family over base hashes
-    (md5 runs once per shingle; the k members are affine transforms)."""
-    base = F.transform(shingles(text_col, n), lambda s: portable_hash64(s) % MINHASH_P)
-    return F.array(*[_affine_min(base, i) for i in range(k)])
-
-
 def minhash_sql(text_expr: str = "text", k: int = DEFAULT_K, n: int = SHINGLE) -> str:
-    base = (
-        f"list_transform({shingles_sql(text_expr, n)}, "
-        f"s -> {portable_hash64_sql('s')} % {MINHASH_P})"
-    )
+    base = shingle_hashes_sql("__wh", n)
     parts = [
         f"list_min(list_transform(__base, x -> ({_MINHASH_A[i]} * x + {_MINHASH_B[i]}) % {MINHASH_P}))"
         for i in range(k)
     ]
     arr = "[" + ", ".join(parts) + "]"
-    return f"(SELECT {arr} FROM (SELECT {base} AS __base))"
+    return (
+        f"(SELECT {arr} FROM (SELECT {base} AS __base "
+        f"FROM (SELECT {word_hashes_sql(text_expr)} AS __wh)))"
+    )
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = DEFAULT_K
 ) -> DataFrame:
-    """Staged in two projections: the base hashes materialize once per row,
-    then the k affine families read the materialized column — without the
-    stage, the shingle+md5 expression is re-evaluated k times per row
-    (measured 7x slower at sf0.1)."""
-    base = F.transform(shingles(text_col), lambda s: portable_hash64(s) % MINHASH_P)
-    staged = df.select(id_col, base.alias("__base"))
+    """Staged in three projections: word hashes materialize once per row
+    (the only md5 pass), the rolling shingle combine reads them, and the k
+    affine families read the combined column.  Without the stages each
+    interpreted higher-order expression re-evaluates its children per
+    reference (measured 7x slower unstaged affine, 20x unstaged rolling)."""
+    staged_wh = df.select(id_col, word_hashes(text_col).alias("__wh"))
+    staged = staged_wh.select(
+        id_col, shingle_hashes(F.col("__wh")).alias("__base")
+    )
     return staged.select(
         id_col,
         F.array(*[_affine_min(F.col("__base"), i) for i in range(k)]).alias("minhash"),
