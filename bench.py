@@ -41,6 +41,14 @@ def main() -> None:
         .withColumn("agg", F.aggregate("arr", F.lit(0), lambda a, x: a + x))
         .count()
     )
+    # spin up the Arrow Python-worker pool: the alphabetically-first
+    # mapInPandas query otherwise absorbs ~2-3s of one-time worker fork +
+    # Arrow stream setup (r02 notes attributed this to image_resize_plumbing)
+    def _ident(it):
+        yield from it
+
+    nation.mapInPandas(_ident, nation.schema).count()
+
     # second warmup pass for the codepaths the star-join above doesn't touch:
     # md5/crc + decimal-sum (checksum family), HLL sketches, JSON parse —
     # alphabetically-early queries (approx_*, cdc_*) otherwise absorb their
