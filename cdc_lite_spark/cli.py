@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     p.add_argument("--mode", choices=["snapshot", "diff"], default="snapshot")
     p.add_argument("--keys", default="", help="table=col1+col2,... (diff mode)")
     p.add_argument("--duration", type=float, default=None, help="stop after N seconds")
+    p.add_argument(
+        "--log-format",
+        choices=["json", "parquet"],
+        default="json",
+        help="change-log files: json (JSONL, reference parity) or parquet (scale layout)",
+    )
     args = p.parse_args(argv)
 
     owns_spark = spark is None
@@ -54,7 +60,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         t: cols.split("+")
         for t, _, cols in (kv.partition("=") for kv in args.keys.split(",") if kv)
     }
-    eng = CdcEngine(spark, args.output_dir, args.state_dir)
+    eng = CdcEngine(spark, args.output_dir, args.state_dir, log_format=args.log_format)
     query = eng.monitor(
         _sources(spark, args.source, tables),
         interval_seconds=args.interval,

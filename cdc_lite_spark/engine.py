@@ -57,10 +57,14 @@ class CdcEngine:
         output_dir: str,
         state_dir: str,
         emit_schema_changes: bool = True,
+        log_format: str = "json",
     ):
         self.spark = spark
         self.output_dir = output_dir
         self.state_dir = state_dir
+        #: change-log file format: "json" (JSONL, reference parity) or
+        #: "parquet" (columnar scale layout — see sources/changelog.py)
+        self.log_format = log_format
         #: emit operation='SCHEMA' drift records when a monitored table's
         #: columns change between polls (the reference only fires an opaque
         #: re-capture on DDL — duckdb_cdc.go:169-179; here the drift is a
@@ -165,7 +169,7 @@ class CdcEngine:
                     F.lit("to_type"), F.col("to_type"),
                 ).alias("data"),
             )
-            append_changes(env, self.output_dir)
+            append_changes(env, self.output_dir, fmt=self.log_format)
         if prev != cur:
             self.record_schema(table, cur)
 
@@ -244,7 +248,7 @@ class CdcEngine:
                 if mode == "diff":
                     self._capture_diff(table, df, (keys or {})[table])
                 else:
-                    append_changes(self.snapshot(df, table), self.output_dir)
+                    append_changes(self.snapshot(df, table), self.output_dir, fmt=self.log_format)
                 self.record_checksum(table, current)
                 captured.append(table)
             except Exception as exc:  # noqa: BLE001 — per-table isolation (H6)
@@ -317,7 +321,7 @@ class CdcEngine:
                 ]
             ).alias("data"),
         )
-        append_changes(env, self.output_dir)
+        append_changes(env, self.output_dir, fmt=self.log_format)
         # persist new snapshot AFTER the log write (at-least-once ordering,
         # duckdb_cdc.go:291) — one write job, no rewrite
         new_v = (prev_v or 0) + 1
@@ -357,7 +361,7 @@ class CdcEngine:
     def changes(self, table: str | None = None) -> DataFrame:
         """Batch-read captured change records (test-consumer path,
         duckdb_cdc_test.go:172-197)."""
-        return read_changes(self.spark, self.output_dir, table)
+        return read_changes(self.spark, self.output_dir, table, fmt=self.log_format)
 
     def materialize(self, table: str, keys: list[str], schema: "T.StructType") -> DataFrame:
         """Compact the change log into current table state (the consumer-side

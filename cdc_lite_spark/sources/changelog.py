@@ -32,8 +32,22 @@ WIRE_SCHEMA = T.StructType(
 )
 
 
-def append_changes(env: DataFrame, out_dir: str, partition_by_table: bool = False) -> None:
-    """Append envelope rows to the JSONL change log (op A5).
+#: supported change-log file formats.  "json" (JSONL) is reference parity
+#: (duckdb_cdc.go:268) and human-greppable; "parquet" is the scale layout —
+#: columnar + compressed (~10x smaller for wide envelopes), typed without a
+#: read schema, and footer-stats prunable on `table`/`timestamp`.
+LOG_FORMATS = ("json", "parquet")
+
+
+def _check_fmt(fmt: str) -> None:
+    if fmt not in LOG_FORMATS:
+        raise ValueError(f"log format must be one of {LOG_FORMATS}, got {fmt!r}")
+
+
+def append_changes(
+    env: DataFrame, out_dir: str, partition_by_table: bool = False, fmt: str = "json"
+) -> None:
+    """Append envelope rows to the change log (op A5).
 
     One atomic task-committed file per partition per flush — at-least-once
     in the reference (duckdb_cdc.go:291), exactly-once here when driven
@@ -44,28 +58,43 @@ def append_changes(env: DataFrame, out_dir: str, partition_by_table: bool = Fals
     layout when many tables share one log (a flat dir makes every consumer
     list every file).
     """
+    _check_fmt(fmt)
     writer = env.write.mode("append")
     if partition_by_table:
         writer = writer.partitionBy("table")
-    writer.json(out_dir)
+    writer.format(fmt).save(out_dir)
 
 
-def read_changes(spark: SparkSession, out_dir: str, table: str | None = None) -> DataFrame:
+def read_changes(
+    spark: SparkSession, out_dir: str, table: str | None = None, fmt: str = "json"
+) -> DataFrame:
     """Batch-read the change log back as typed envelope rows."""
-    df = spark.read.schema(WIRE_SCHEMA).json(out_dir)
+    _check_fmt(fmt)
+    df = spark.read.schema(WIRE_SCHEMA).format(fmt).load(out_dir)
     if table is not None:
         df = df.filter(F.col("table") == table)
     return df
 
 
 def stream_changes(
-    spark: SparkSession, out_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    out_dir: str,
+    max_files_per_trigger: int | None = None,
+    fmt: str = "json",
 ) -> DataFrame:
     """Op A8 — the change-log directory as a Structured Streaming source."""
+    _check_fmt(fmt)
     reader: DataStreamReader = spark.readStream.schema(WIRE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.json(out_dir)
+    return reader.format(fmt).load(out_dir)
 
 
-__all__ = ["CHANGE_SCHEMA", "WIRE_SCHEMA", "append_changes", "read_changes", "stream_changes"]
+__all__ = [
+    "CHANGE_SCHEMA",
+    "LOG_FORMATS",
+    "WIRE_SCHEMA",
+    "append_changes",
+    "read_changes",
+    "stream_changes",
+]

@@ -1,0 +1,102 @@
+"""Change-log format matrix: the JSONL log (reference parity,
+duckdb_cdc.go:268) and the parquet log (the scale layout) must carry the
+same envelope rows through append → batch read → stream read, and the
+engine must run end-to-end in either format."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_lite_spark import CdcEngine
+from cdc_lite_spark.sources.changelog import (
+    LOG_FORMATS,
+    append_changes,
+    read_changes,
+    stream_changes,
+)
+
+
+def _envelope(spark):
+    return spark.range(5).select(
+        F.current_timestamp().alias("timestamp"),
+        F.lit("users").alias("table"),
+        F.lit("SNAPSHOT").alias("operation"),
+        F.create_map(F.lit("id"), F.col("id").cast("string")).alias("data"),
+    )
+
+
+@pytest.mark.parametrize("fmt", LOG_FORMATS)
+def test_roundtrip_preserves_envelope(spark, tmp_path, fmt):
+    out = str(tmp_path / fmt)
+    env = _envelope(spark)
+    append_changes(env, out, fmt=fmt)
+    back = read_changes(spark, out, fmt=fmt)
+    assert back.count() == 5
+    assert [f.name for f in back.schema.fields] == [
+        "timestamp",
+        "table",
+        "operation",
+        "data",
+    ]
+    ids = sorted(r["data"]["id"] for r in back.collect())
+    assert ids == ["0", "1", "2", "3", "4"]
+    # the table filter prunes
+    assert read_changes(spark, out, table="nope", fmt=fmt).count() == 0
+
+
+def test_formats_carry_identical_rows(spark, tmp_path):
+    env = _envelope(spark).withColumn("timestamp", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    outs = {}
+    for fmt in LOG_FORMATS:
+        outs[fmt] = str(tmp_path / f"same_{fmt}")
+        append_changes(env, outs[fmt], fmt=fmt)
+    rows = {
+        fmt: sorted(
+            (r["timestamp"], r["table"], r["operation"], r["data"]["id"])
+            for r in read_changes(spark, outs[fmt], fmt=fmt).collect()
+        )
+        for fmt in LOG_FORMATS
+    }
+    assert rows["json"] == rows["parquet"]
+
+
+def test_parquet_files_actually_written(spark, tmp_path):
+    out = str(tmp_path / "p")
+    append_changes(_envelope(spark), out, fmt="parquet")
+    assert glob.glob(f"{out}/part-*.parquet")
+    assert not glob.glob(f"{out}/part-*.json")
+
+
+def test_bad_format_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="log format"):
+        append_changes(_envelope(spark), str(tmp_path / "x"), fmt="csv")
+
+
+@pytest.mark.parametrize("fmt", LOG_FORMATS)
+def test_stream_source_reads_either_format(spark, tmp_path, fmt):
+    out = str(tmp_path / f"stream_{fmt}")
+    append_changes(_envelope(spark), out, fmt=fmt)
+    q = (
+        stream_changes(spark, out, fmt=fmt)
+        .writeStream.format("memory")
+        .queryName(f"chg_{fmt}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql(f"SELECT count(*) AS n FROM chg_{fmt}").collect()[0]["n"] == 5
+
+
+@pytest.mark.parametrize("fmt", LOG_FORMATS)
+def test_engine_poll_in_either_format(spark, tables, tmp_path, fmt):
+    eng = CdcEngine(
+        spark,
+        output_dir=str(tmp_path / f"chg_{fmt}"),
+        state_dir=str(tmp_path / f"state_{fmt}"),
+        log_format=fmt,
+    )
+    assert eng.poll_once({"region": tables["region"]}) == ["region"]
+    assert eng.changes("region").count() == tables["region"].count()
