@@ -100,3 +100,25 @@ def test_engine_poll_in_either_format(spark, tables, tmp_path, fmt):
     )
     assert eng.poll_once({"region": tables["region"]}) == ["region"]
     assert eng.changes("region").count() == tables["region"].count()
+
+
+def test_materialize_from_parquet_log(spark, tables, tmp_path):
+    """The consumer-side compaction contract holds on the parquet log."""
+    from pyspark.sql import types as T
+
+    eng = CdcEngine(
+        spark,
+        output_dir=str(tmp_path / "chg_m"),
+        state_dir=str(tmp_path / "state_m"),
+        log_format="parquet",
+    )
+    eng.poll_once({"region": tables["region"]})
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    cur = eng.materialize("region", ["r_regionkey"], schema)
+    expect = {(r["r_regionkey"], r["r_name"]) for r in tables["region"].collect()}
+    assert {(r["r_regionkey"], r["r_name"]) for r in cur.collect()} == expect

@@ -242,3 +242,41 @@ def test_zorder_key_bijective_and_monotone_on_prefixes(spark, pts):
             expect_top |= (((r["x"] >> 4) >> i) & 1) << (2 * i)
             expect_top |= (((r["y"] >> 4) >> i) & 1) << (2 * i + 1)
         assert top == expect_top, r
+
+
+def test_minhash_cross_engine_on_adversarial_corpus(spark):
+    """The word-rolling MinHash must be bit-identical in Spark and DuckDB
+    over a seeded random corpus that hits every branch: empty text,
+    whitespace-only, 1-2 word short docs (the fold fallback), exact n-word
+    boundaries, long docs, unicode, punctuation runs, and repeated words."""
+    import random
+
+    import duckdb
+
+    from cdc_lite_spark.operators.dedup import minhash_signatures, minhash_sql
+
+    rng = random.Random(42)
+    vocab = ["the", "cat", "saß", "Ωmega", "x1", "...", "a-b", "naïve", "深圳", "!"]
+    corpus = ["", " ", "  ", "one", "two words", "one two three"]
+    for _ in range(120):
+        n = rng.randint(1, 40)
+        corpus.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    rows = [(i, t) for i, t in enumerate(corpus)]
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["minhash"])
+        for r in minhash_signatures(docs).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = {
+        i: list(mh)
+        for i, mh in con.execute(
+            f"SELECT doc_id, {minhash_sql('text')} FROM docs"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
