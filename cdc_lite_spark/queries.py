@@ -2140,6 +2140,62 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(docs, pairs, threshold=0.5)
 
 
+def _lsh_bucket_stats_oracle(bands: int = 4, max_bucket: int = 50) -> str:
+    from cdc_lite_spark.operators.dedup import minhash_sql
+
+    mh = minhash_sql("text", k=bands * 2)
+    return f"""
+    WITH sig AS (SELECT doc_id, {mh} AS mh FROM documents),
+    banded AS (
+        SELECT doc_id, r.band,
+               md5(concat_ws(',', CAST(mh[2*r.band + 1] AS VARCHAR),
+                                  CAST(mh[2*r.band + 2] AS VARCHAR))) AS bucket
+        FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) r
+    ),
+    sizes AS (
+        SELECT band, bucket, count(*) AS bucket_size FROM banded GROUP BY 1, 2
+    )
+    SELECT band, bucket_size,
+           count(*) AS n_buckets,
+           bucket_size * count(*) AS n_docs,
+           CAST(bucket_size > {max_bucket} AS INT) AS over_cap
+    FROM sizes GROUP BY band, bucket_size
+    """
+
+
+@register(
+    "lsh_bucket_stats",
+    _lsh_bucket_stats_oracle(),
+    "X2 observability: LSH bucket-size distribution per band + docs lost to "
+    "the degenerate-bucket cap — the dial you watch at 100 TB to tune band "
+    "geometry (more bands/rows → smaller buckets → fewer candidates)",
+    tags=("dedup", "agg"),
+)
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size distribution of the LSH banding (dedup.py:_banded).
+
+    The `max_bucket` cap (lsh_candidate_pairs) trades recall for safety by
+    dropping degenerate buckets; this query makes the tradeoff measurable:
+    `over_cap=1` rows are exactly the docs the cap silently excludes.  One
+    (band,bucket) hash-agg shuffle plus a tiny per-band rollup — runs at
+    full corpus scale because nothing wider than the counts ever shuffles.
+    """
+    from cdc_lite_spark.operators.dedup import _banded, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    sizes = (
+        _banded(sig, "doc_id", bands=4, rows_per_band=2)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("bucket_size"))
+    )
+    return sizes.groupBy("band", "bucket_size").agg(
+        F.count("*").alias("n_buckets"),
+        (F.col("bucket_size") * F.count("*")).alias("n_docs"),
+        (F.col("bucket_size") > 50).cast("int").alias("over_cap"),
+    )
+
+
 def _simhash_oracle() -> str:
     from cdc_lite_spark.operators.dedup import simhash_sql
 
