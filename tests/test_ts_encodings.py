@@ -86,3 +86,36 @@ def test_events_query_runs_under_every_encoding(name, encoded_dirs, spark):
         for enc, d in encoded_dirs.items()
     }
     assert counts["us_ntz"] == counts["us_utc"] == counts["ns"], (name, counts)
+
+
+@pytest.fixture(scope="module")
+def double_embedding_dir(sf_dir, tmp_path_factory) -> str:
+    """embeddings.parquet re-encoded as list<double> — the same physical
+    drift class that hit events.ts twice, applied to the other typed
+    column a regeneration could plausibly change."""
+    d = tmp_path_factory.mktemp("emb_double")
+    src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    i = src.schema.get_field_index("embedding")
+    dbl = src.column("embedding").cast(pa.list_(pa.float64()))
+    pq.write_table(src.set_column(i, pa.field("embedding", dbl.type), dbl),
+                   str(d / "embeddings.parquet"))
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _embedding_queries() -> list[str]:
+    return sorted(
+        name
+        for name, qd in REGISTRY.items()
+        if '"embeddings"' in inspect.getsource(qd.builder)
+    )
+
+
+@pytest.mark.parametrize("name", _embedding_queries())
+def test_embedding_query_runs_under_double_encoding(name, double_embedding_dir, spark):
+    """Every embeddings-touching query must RUN when the vector column is
+    list<double> instead of list<float> (values legitimately differ; the
+    oracle reads the same file so parity stays internally consistent)."""
+    assert REGISTRY[name].builder(spark, double_embedding_dir).count() >= 0
