@@ -20,11 +20,15 @@ import threading
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _sources(spark: SparkSession, source: str, tables: list[str]) -> dict[str, DataFrame]:
+def _sources(spark: SparkSession, source: str, tables: list[str]):
     if source.endswith(".duckdb") or source.endswith(".db"):
         from cdc_lite_spark.sources.duckdb_source import read_duckdb_table
 
-        return {t: read_duckdb_table(spark, source, t) for t in tables}
+        # factories, not DataFrames: a DuckDB-source DataFrame freezes at
+        # its first action (the plan-time snapshot copy is reused), so a
+        # DataFrame built once at startup would never see external writes —
+        # the engine invokes the factory per tick for a fresh snapshot
+        return {t: (lambda t=t: read_duckdb_table(spark, source, t)) for t in tables}
     # a directory of <table>.parquet — re-read per tick via the path form
     return {t: f"{source}/{t}.parquet" for t in tables}
 

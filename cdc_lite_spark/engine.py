@@ -175,15 +175,25 @@ class CdcEngine:
 
     # -- the poll loop -------------------------------------------------------
 
-    def _resolve(self, source: "DataFrame | str") -> DataFrame:
-        """A monitored table may be a DataFrame or a parquet path.  Paths are
-        re-read per tick (fresh file listing + refreshByPath) so mutations by
-        an EXTERNAL writer are observed — the reference's actual deployment
-        scenario (its test mutates the DB from another connection,
-        duckdb_cdc_test.go:149-152)."""
+    def _resolve(self, source) -> DataFrame:
+        """A monitored table may be a DataFrame, a parquet path, or a
+        zero-arg callable returning a DataFrame.  Paths are re-read per tick
+        (fresh file listing + refreshByPath) and callables are invoked per
+        tick, so mutations by an EXTERNAL writer are observed — the
+        reference's actual deployment scenario (its test mutates the DB from
+        another connection, duckdb_cdc_test.go:149-152).
+
+        The callable form exists because a DataFrame over a Python data
+        source (e.g. the DuckDB reader) freezes at its FIRST action: the
+        plan-time snapshot copy is reused by every later action on the same
+        DataFrame object, so a long-lived DataFrame never sees new writes.
+        A factory yields a fresh plan — and hence a fresh snapshot — each
+        tick (sources/duckdb_source.py documents the freeze)."""
         if isinstance(source, str):
             self.spark.catalog.refreshByPath(source)
             return self.spark.read.parquet(source)
+        if callable(source) and not isinstance(source, DataFrame):
+            return source()
         return source
 
     def poll_once(

@@ -17,6 +17,12 @@ Reference-faithful details:
   copies the file before every read.  ``snapshot=true`` (default) makes ONE
   copy per scan at plan time; every task reads that same copy, so the scan
   observes a single consistent database state even under a live writer.
+  CAVEAT: Spark calls ``partitions()`` once per DataFrame lifetime, so the
+  same DataFrame object keeps re-reading its FIRST snapshot copy on every
+  later action — it never sees subsequent external writes.  A polling
+  consumer must build a fresh DataFrame per tick; ``CdcEngine`` accepts a
+  zero-arg factory as the monitored source exactly for this
+  (engine.py ``_resolve``, cli.py ``_sources``).
 - **Partitioned scan**: rows split into ``partitions`` ranges on DuckDB's
   ``rowid`` pseudo-column bounded by min..max+1 (rowids keep gaps after
   deletes — count-based bounds would truncate), so the scan parallelizes

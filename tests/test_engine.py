@@ -86,6 +86,40 @@ def test_external_writer_mutation_detected(spark, tables, tmp_path):
     assert any(n.endswith("!") for n in names)
 
 
+def test_external_duckdb_writer_mutation_detected(spark, tmp_path):
+    """The SAME scenario over the DuckDB source.  A DataFrame built once
+    freezes at its first action (the plan-time snapshot copy is reused), so
+    the monitored source must be a per-tick FACTORY — this is the exact bug
+    class where the CLI monitored a .duckdb file and never saw external
+    writes."""
+    import duckdb
+
+    from cdc_lite_spark.sources.duckdb_source import read_duckdb_table
+
+    db = str(tmp_path / "src.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE users (id INTEGER, name VARCHAR)")
+    con.execute("INSERT INTO users VALUES (1,'ada'), (2,'bob')")
+    con.close()
+
+    eng = _engine(spark, tmp_path)
+    src = {"users": lambda: read_duckdb_table(spark, db, "users")}
+    assert eng.poll_once(src, mode="diff", keys={"users": ["id"]}) == ["users"]
+    assert eng.poll_once(src, mode="diff", keys={"users": ["id"]}) == []
+
+    # external writer mutates the database between polls
+    con = duckdb.connect(db)
+    con.execute("UPDATE users SET name='ADA' WHERE id=1")
+    con.execute("INSERT INTO users VALUES (3,'eve')")
+    con.close()
+    assert eng.poll_once(src, mode="diff", keys={"users": ["id"]}) == ["users"]
+    ops = {
+        (r["operation"], r["data"]["id"]) for r in eng.changes("users").collect()
+    }
+    assert ("UPDATE", "1") in ops
+    assert ("INSERT", "3") in ops
+
+
 def test_streaming_monitor_diff_mode(spark, tables, tmp_path):
     eng = _engine(spark, tmp_path)
     q = eng.monitor(
