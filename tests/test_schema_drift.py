@@ -69,3 +69,93 @@ def test_content_change_emits_no_schema_records(spark, tmp_path):
     eng.poll_once({"t": src})
     assert eng.changes("t").filter(F.col("operation") == "SCHEMA").count() == 0
     assert schema_map(spark.read.parquet(src)) == {"id": "bigint", "v": "string"}
+
+
+def _duck_users(tmp_path, ddl_rows):
+    import duckdb
+
+    db = str(tmp_path / "src.duckdb")
+    con = duckdb.connect(db)
+    for stmt in ddl_rows:
+        con.execute(stmt)
+    con.close()
+    return db
+
+
+def _duck_mutate(db, stmts):
+    import duckdb
+
+    con = duckdb.connect(db)
+    for s in stmts:
+        con.execute(s)
+    con.close()
+
+
+def test_diff_mode_survives_added_column(spark, tmp_path):
+    """ALTER TABLE ADD between diff polls: a SCHEMA ADD record fires and
+    row diffs carry the widened schema (new column appears in data)."""
+    from cdc_lite_spark.sources.duckdb_source import read_duckdb_table
+
+    db = _duck_users(
+        tmp_path,
+        [
+            "CREATE TABLE users (id INTEGER, name VARCHAR)",
+            "INSERT INTO users VALUES (1,'ada'), (2,'bob')",
+        ],
+    )
+    eng = CdcEngine(spark, str(tmp_path / "out"), str(tmp_path / "state"))
+    src = {"users": lambda: read_duckdb_table(spark, db, "users")}
+    assert eng.poll_once(src, mode="diff", keys={"users": ["id"]}) == ["users"]
+    _duck_mutate(
+        db,
+        [
+            "ALTER TABLE users ADD COLUMN email VARCHAR",
+            "UPDATE users SET email='a@x.com' WHERE id=1",
+        ],
+    )
+    assert eng.poll_once(src, mode="diff", keys={"users": ["id"]}) == ["users"]
+    log = eng.changes("users")
+    adds = log.filter(F.col("operation") == "SCHEMA").collect()
+    assert [(r["data"]["column"], r["data"]["change"]) for r in adds] == [
+        ("email", "ADD")
+    ]
+    upd = {
+        r["data"]["id"]: r["data"].get("email")
+        for r in log.filter(F.col("operation") == "UPDATE").collect()
+    }
+    assert upd["1"] == "a@x.com"
+
+
+def test_diff_mode_survives_dropped_column(spark, tmp_path):
+    """ALTER TABLE DROP between diff polls: a SCHEMA DROP record fires and
+    row diffs continue on the narrowed schema."""
+    from cdc_lite_spark.sources.duckdb_source import read_duckdb_table
+
+    db = _duck_users(
+        tmp_path,
+        [
+            "CREATE TABLE users (id INTEGER, name VARCHAR, email VARCHAR)",
+            "INSERT INTO users VALUES (1,'ada','a@x.com'), (2,'bob','b@x.com')",
+        ],
+    )
+    eng = CdcEngine(spark, str(tmp_path / "out"), str(tmp_path / "state"))
+    src = {"users": lambda: read_duckdb_table(spark, db, "users")}
+    assert eng.poll_once(src, mode="diff", keys={"users": ["id"]}) == ["users"]
+    _duck_mutate(
+        db,
+        [
+            "ALTER TABLE users DROP COLUMN email",
+            "UPDATE users SET name='ADA' WHERE id=1",
+        ],
+    )
+    assert eng.poll_once(src, mode="diff", keys={"users": ["id"]}) == ["users"]
+    log = eng.changes("users")
+    drops = log.filter(F.col("operation") == "SCHEMA").collect()
+    assert [(r["data"]["column"], r["data"]["change"]) for r in drops] == [
+        ("email", "DROP")
+    ]
+    names = {
+        r["data"]["id"]: r["data"]["name"]
+        for r in log.filter(F.col("operation") == "UPDATE").collect()
+    }
+    assert names["1"] == "ADA"
