@@ -44,6 +44,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     p.add_argument("--keys", default="", help="table=col1+col2,... (diff mode)")
     p.add_argument("--duration", type=float, default=None, help="stop after N seconds")
     p.add_argument(
+        "--parallelism",
+        type=int,
+        default=1,
+        help="overlap the per-table detection scans inside a tick "
+        "(the reference polls sequentially, duckdb_cdc.go:114-120)",
+    )
+    p.add_argument(
         "--log-format",
         choices=["json", "parquet"],
         default="json",
@@ -70,6 +77,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         interval_seconds=args.interval,
         mode=args.mode,
         keys=keys or None,
+        parallelism=args.parallelism,
     )
 
     stop = threading.Event()

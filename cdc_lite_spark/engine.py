@@ -354,6 +354,7 @@ class CdcEngine:
         interval_seconds: float = 1.0,
         mode: str = "snapshot",
         keys: dict[str, list[str]] | None = None,
+        parallelism: int = 1,
     ):
         """Continuous monitoring as a Structured Streaming query (H1-H6).
 
@@ -364,7 +365,9 @@ class CdcEngine:
         """
         from cdc_lite_spark.streaming.monitor import start_monitor
 
-        return start_monitor(self, tables, interval_seconds, mode=mode, keys=keys)
+        return start_monitor(
+            self, tables, interval_seconds, mode=mode, keys=keys, parallelism=parallelism
+        )
 
     # -- consuming the log ----------------------------------------------------
 

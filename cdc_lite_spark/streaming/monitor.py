@@ -28,6 +28,7 @@ def start_monitor(
     checkpoint_dir: str | None = None,
     mode: str = "snapshot",
     keys: dict[str, list[str]] | None = None,
+    parallelism: int = 1,
 ) -> StreamingQuery:
     """Start the continuous monitor; returns the StreamingQuery.
 
@@ -39,7 +40,7 @@ def start_monitor(
     ticks = engine.spark.readStream.format("rate").option("rowsPerSecond", 1).load()
 
     def _tick(_batch_df: DataFrame, _batch_id: int) -> None:
-        engine.poll_once(tables, mode=mode, keys=keys)
+        engine.poll_once(tables, mode=mode, keys=keys, parallelism=parallelism)
 
     return (
         ticks.writeStream.foreachBatch(_tick)
