@@ -67,6 +67,28 @@ def main() -> None:
         )
         .count()
     )
+    # family-complete warmup (r03 verdict #7) — run the remaining hot
+    # *families* the cdc_*/diff queries hit first in alphabetical order, so
+    # per-query numbers measure the plan rather than which query paid the
+    # one-time JIT for a path:
+    #  - the canonical row-hash expression (float canon via split_part/ltrim,
+    #    timestamp date_format, md5→conv→cast) that every checksum query runs
+    #  - a full-outer sort-merge join (diff/replay family; the star join
+    #    above only warms the broadcast-hash path)
+    #  - the noop sink itself (every timed query writes through it)
+    from cdc_lite_spark.operators.checksum import row_hash
+
+    left = nation.select(
+        F.col("n_nationkey").alias("k"),
+        (F.col("n_regionkey") + 0.5).cast("double").alias("v"),
+        F.current_timestamp().alias("ts"),
+        (F.col("n_nationkey") % 2 == 0).alias("b"),
+    )
+    hashed = left.select("k", row_hash(left).alias("h"), row_hash(left, fast=True).alias("hf"))
+    (
+        hashed.join(hashed.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2"), "full_outer")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     def drop_leaked_blocks() -> None:
         # iterative operators checkpoint intermediates; anything still

@@ -81,9 +81,15 @@ class CdcEngine:
         """Order-insensitive whole-table fingerprint (C1-C3)."""
         return table_checksum_value(df)
 
-    def diff(self, prev: DataFrame, cur: DataFrame, keys: list[str]) -> DataFrame:
-        """Row-level snapshot diff → operation ∈ INSERT/UPDATE/DELETE (F1-F3)."""
-        return snapshot_diff(prev, cur, keys)
+    def diff(
+        self, prev: DataFrame, cur: DataFrame, keys: list[str], fast_hash: bool = True
+    ) -> DataFrame:
+        """Row-level snapshot diff → operation ∈ INSERT/UPDATE/DELETE (F1-F3).
+
+        ``fast_hash=True`` (default): the row hash only classifies rows
+        in-engine, so the cheap xxhash64 digest is used; pass ``False`` for
+        the portable md5 form if the hash must be reproduced in DuckDB."""
+        return snapshot_diff(prev, cur, keys, fast_hash=fast_hash)
 
     # -- checksum state ------------------------------------------------------
 
@@ -313,7 +319,7 @@ class CdcEngine:
         prev_v = self._latest_snapshot_version(table)
         if prev_v is not None:
             prev = self.spark.read.parquet(f"{self._snapshot_path(table)}/v={prev_v}")
-            changed = snapshot_diff(prev, cur, keys)
+            changed = snapshot_diff(prev, cur, keys, fast_hash=True)
         else:
             # first sight: everything is an INSERT (reference's ErrNoRows
             # branch, duckdb_cdc.go:197-199 — but row-level, not SNAPSHOT)

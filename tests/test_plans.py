@@ -79,9 +79,13 @@ def test_whole_stage_codegen_present(spark):
 
 def test_checksum_shuffles_only_partials(spark):
     plan = _plan(spark, "cdc_table_checksums")
-    # each of the 6 table branches: partial agg before its exchange — the
-    # shuffle carries one partial row per partition, not table data
-    assert plan.count("HashAggregate") >= 12
+    # fused multi-table fingerprint: all 6 scans union into ONE partial
+    # aggregation (map-side), a single exchange carries only the per-table
+    # (count, sum) partials, and one final aggregate emits the 6 rows.
+    # (formatted explain prints every node twice: tree + detail section)
+    assert plan.count("HashAggregate") == 4
+    assert plan.count("Exchange") == 2
+    assert plan.count("Scan parquet") == 12
 
 
 def test_contamination_broadcasts_holdout(spark):
