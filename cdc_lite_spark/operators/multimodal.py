@@ -13,6 +13,12 @@ Scale notes: payloads dominate row width, so operators here
 (1) never shuffle payload bytes unless the operator requires it,
 (2) use ``mapInPandas`` (Arrow batches) for the Python hops, and
 (3) compute features scan-side then immediately project the payload away.
+
+Real-decode fallback: when PIL is absent the decode/resize operators still
+handle binary PPM/PGM payloads via the vendored dependency-free codec
+(functions/ppm.py) — so the real bytes→pixels branch is exercised even in
+codec-less containers; only formats that genuinely need codec libraries
+(JPEG/PNG/video) raise ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -46,6 +52,29 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _real_decode(raw: bytes, pil_image) -> tuple[int, int, list[int]]:
+    """(width, height, 256-bin grayscale histogram) from real image bytes —
+    PIL when available, the vendored PPM/PGM codec otherwise."""
+    if pil_image is not None:
+        import io
+
+        with pil_image.open(io.BytesIO(raw)) as img:
+            width, height = img.size
+            return width, height, img.convert("L").histogram()
+    from cdc_lite_spark.functions.ppm import MiniImage, sniff
+
+    if not sniff(raw):
+        raise NotImplementedError(
+            "real media decode of this format requires codec libraries "
+            "(PIL/ffmpeg) not importable on this worker; only binary "
+            "PPM/PGM decode is built in — pass fake=True for the "
+            "deterministic plumbing-test decoder"
+        )
+    img = MiniImage.open(raw)
+    width, height = img.size
+    return width, height, img.gray_histogram()
+
+
 def attach_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", media_type: str = "image"
 ) -> DataFrame:
@@ -68,9 +97,11 @@ def decode_payload(df: DataFrame, fake: bool = False, batch_hint: int = 256) -> 
     """Decode payloads → per-item features via an Arrow-batched
     ``mapInPandas``.
 
-    ``fake=False``: decode real images with PIL **when it is importable on
-    the worker** (width/height + an 8-bin grayscale histogram feature);
-    without PIL this raises NotImplementedError naming the missing codec.
+    ``fake=False``: decode real images — PIL when it is importable on the
+    worker, else the vendored PPM/PGM codec (functions/ppm.py) for payloads
+    in those formats (width/height + an 8-bin grayscale histogram feature,
+    identical luma math on both paths); a payload neither path can read
+    raises NotImplementedError naming the missing codec.
     ``fake=True``: a deterministic md5-derived fake decode exercising the
     identical distributed path (schema in/out, Arrow batch shapes,
     payload-projection, partition parallelism) in codec-less environments.
@@ -84,11 +115,7 @@ def decode_payload(df: DataFrame, fake: bool = False, batch_hint: int = 256) -> 
             try:
                 from PIL import Image as pil_image  # noqa: N813 — worker-side
             except ImportError:
-                raise NotImplementedError(
-                    "real media decode requires codec libraries (PIL/ffmpeg) "
-                    "not importable on this worker; pass fake=True for the "
-                    "deterministic plumbing-test decoder"
-                ) from None
+                pil_image = None
         for pdf in batches:
             out = []
             for doc_id, payload, meta in zip(
@@ -103,11 +130,7 @@ def decode_payload(df: DataFrame, fake: bool = False, batch_hint: int = 256) -> 
                     height = 16 + digest[1] % 64
                     feature = [round(b / 255.0, 6) for b in digest[:8]]
                 else:
-                    import io
-
-                    with pil_image.open(io.BytesIO(raw)) as img:
-                        width, height = img.size
-                        gray = img.convert("L").histogram()  # 256 bins
+                    width, height, gray = _real_decode(raw, pil_image)
                     total = max(1, sum(gray))
                     feature = [
                         round(sum(gray[b * 32 : (b + 1) * 32]) / total, 6)
@@ -186,7 +209,10 @@ def resize_images(
 ) -> DataFrame:
     """Image resize: (payload) → (doc_id, width, height, resized_payload).
 
-    PIL path when importable on the workers (real thumbnail); ``fake=True``
+    Real path: PIL when importable on the workers (thumbnail re-encoded as
+    PNG), else the vendored PPM/PGM codec — nearest-neighbor resample
+    re-encoded as PPM (functions/ppm.py); other formats raise
+    ``NotImplementedError`` naming the missing codec.  ``fake=True``
     derives a deterministic ``width*height``-byte pseudo-bitmap from the
     payload hash — same schema, same Arrow batch shape, same
     payload-in/payload-out memory profile.  Either way the input payload
@@ -200,11 +226,7 @@ def resize_images(
             try:
                 from PIL import Image as pil_image  # noqa: N813 — worker-side
             except ImportError:
-                raise NotImplementedError(
-                    "image resize requires PIL, not importable on this "
-                    "worker; pass fake=True for the deterministic "
-                    "plumbing-test resizer"
-                ) from None
+                pil_image = None
         cols = ["doc_id", "width", "height", "resized_payload", "resized_md5"]
         for pdf in batches:
             out = []
@@ -214,7 +236,7 @@ def resize_images(
                     seed = hashlib.md5(raw).digest()
                     reps = (width * height) // len(seed) + 1
                     resized = (seed * reps)[: width * height]
-                else:
+                elif pil_image is not None:
                     import io
 
                     with pil_image.open(io.BytesIO(raw)) as img:
@@ -222,6 +244,17 @@ def resize_images(
                         buf = io.BytesIO()
                         small.save(buf, format="PNG")
                         resized = buf.getvalue()
+                else:
+                    from cdc_lite_spark.functions.ppm import MiniImage, sniff
+
+                    if not sniff(raw):
+                        raise NotImplementedError(
+                            "image resize of this format requires PIL, not "
+                            "importable on this worker; only binary PPM/PGM "
+                            "is built in — pass fake=True for the "
+                            "deterministic plumbing-test resizer"
+                        )
+                    resized = MiniImage.open(raw).resize((width, height)).to_bytes()
                 out.append(
                     (doc_id, width, height, resized, hashlib.md5(resized).hexdigest())
                 )

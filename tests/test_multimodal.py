@@ -34,7 +34,8 @@ def test_attach_payload_schema_and_metadata(spark):
 
 
 def test_decode_stub_raises_without_fake(spark):
-    """Without PIL on the workers, fake=False names the missing codec."""
+    """Without PIL on the workers, fake=False on a non-PPM payload names
+    the missing codec (the vendored codec only covers PPM/PGM)."""
     try:
         import PIL  # noqa: F401
 
@@ -70,6 +71,108 @@ def test_real_decode_with_pil_when_available(spark):
     assert (row["width"], row["height"]) == (20, 10)
     assert len(row["feature"]) == 8
     assert abs(sum(row["feature"]) - 1.0) < 1e-4
+
+
+def _ppm_bytes(width, height, rgb_fn):
+    """Build a binary P6 PPM from a per-pixel (r,g,b) function."""
+    body = bytearray()
+    for y in range(height):
+        for x in range(width):
+            body.extend(rgb_fn(x, y))
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes(body)
+
+
+def _media_df(spark, payload: bytes):
+    return spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("content_md5"),
+        ).alias("media_meta"),
+    )
+
+
+def test_real_decode_ppm_without_pil(spark):
+    """The real bytes→pixels branch runs dependency-free on PPM payloads:
+    actual dimensions and an actual luma histogram, not hash-derived fakes
+    (r03 verdict #4 — this test must never skip)."""
+    # left half pure black, right half pure white → histogram mass splits
+    # between bins 0 and 7 exactly
+    ppm = _ppm_bytes(20, 10, lambda x, y: (0, 0, 0) if x < 10 else (255, 255, 255))
+    row = decode_payload(_media_df(spark, ppm), fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (20, 10)
+    assert row["n_bytes"] == len(ppm)
+    assert row["feature"][0] == pytest.approx(0.5, abs=1e-6)
+    assert row["feature"][7] == pytest.approx(0.5, abs=1e-6)
+    assert sum(row["feature"][1:7]) == 0
+
+
+def test_real_resize_ppm_without_pil(spark):
+    """Real resize on PPM payloads: nearest-neighbor downsample of a
+    quadrant image keeps each quadrant's color in the right place."""
+    from cdc_lite_spark.functions.ppm import MiniImage
+    from cdc_lite_spark.operators.multimodal import resize_images
+
+    def quad(x, y):
+        if x < 8 and y < 4:
+            return (255, 0, 0)
+        if x >= 8 and y < 4:
+            return (0, 255, 0)
+        if x < 8:
+            return (0, 0, 255)
+        return (255, 255, 0)
+
+    ppm = _ppm_bytes(16, 8, quad)
+    df = spark.createDataFrame([(1, bytearray(ppm))], "doc_id long, payload binary")
+    row = resize_images(df, 4, 2, fake=False).collect()[0]
+    assert (row.width, row.height) == (4, 2)
+    out = MiniImage.open(bytes(row.resized_payload))
+    assert out.size == (4, 2)
+    px = out.pixels
+    assert tuple(px[0, 0]) == (255, 0, 0)
+    assert tuple(px[0, 3]) == (0, 255, 0)
+    assert tuple(px[1, 0]) == (0, 0, 255)
+    assert tuple(px[1, 3]) == (255, 255, 0)
+
+
+def test_ppm_codec_roundtrip_and_header_quirks():
+    """Codec unit coverage: comments in headers, PGM (grayscale), and
+    encode→decode round-trip."""
+    from cdc_lite_spark.functions.ppm import MiniImage, sniff
+
+    ppm = b"P6\n# a comment line\n2 1\n255\n" + bytes([1, 2, 3, 250, 251, 252])
+    img = MiniImage.open(ppm)
+    assert img.size == (2, 1)
+    assert tuple(img.pixels[0, 1]) == (250, 251, 252)
+    again = MiniImage.open(img.to_bytes())
+    assert (again.pixels == img.pixels).all()
+
+    pgm = b"P5\n3 1\n255\n" + bytes([0, 128, 255])
+    g = MiniImage.open(pgm)
+    assert g.size == (3, 1)
+    assert g.gray_histogram()[128] == 1
+    assert sniff(pgm) and not sniff(b"\x89PNG....")
+
+
+def test_ppm_decode_matches_pil_when_available(spark):
+    """Luma parity: on the same PPM the vendored path and PIL produce the
+    same histogram feature (runs only where PIL exists)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from cdc_lite_spark.functions.ppm import MiniImage
+
+    ppm = _ppm_bytes(9, 7, lambda x, y: ((x * 37) % 256, (y * 91) % 256, (x * y) % 256))
+    mini = MiniImage.open(ppm).gray_histogram()
+    with Image.open(io.BytesIO(ppm)) as img:
+        pil = img.convert("L").histogram()
+    assert mini == pil
 
 
 def test_fake_decode_deterministic_features(spark):
