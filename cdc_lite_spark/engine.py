@@ -394,7 +394,10 @@ class CdcEngine:
         """
         from cdc_lite_spark.operators.latest import latest_per_key
 
-        log = self.changes(table)
+        # fold only row-level records: operation='SCHEMA' drift markers are
+        # metadata — re-typed against a row schema they would surface as an
+        # all-null-key phantom row
+        log = self.changes(table).filter(F.col("operation") != "SCHEMA")
         typed = log.select(
             "timestamp",
             "operation",

@@ -35,12 +35,26 @@ def apply_changes(
 
     INSERT/UPDATE upsert the payload; DELETE removes the key; unchanged
     base keys pass through.
+
+    Schema drift (a log spanning ALTER ADD/DROP — the reference re-probes
+    columns every poll, duckdb_cdc.go:146-159, so its log spans DDL too):
+    the *changes* schema is the table's current shape and wins.  A column
+    the log has but ``base`` lacks (ADDed mid-log) appears in the output,
+    null for untouched base rows — matching a database ALTER, which back-
+    fills existing rows with NULL.  A ``base`` column absent from the log
+    (DROPped mid-log) is dropped from the reconstructed state.  Records
+    written *before* an ADD simply carry null there (the wire envelope is a
+    map, so re-typing old records against the final schema yields null —
+    engine.materialize does exactly that).
     """
     order_by = order_by or []
     latest = (
         latest_per_key(changes, keys, order_by, via_agg=True) if order_by else changes
     )
-    payload_cols = [c for c in base.columns if c not in keys]
+    skip = set(keys) | {"operation"} | set(order_by)
+    payload_cols = [c for c in changes.columns if c not in skip]
+    base_payload = {c for c in base.columns if c not in keys}
+    change_types = dict(changes.dtypes)
 
     c = latest.select(
         *[F.col(k).alias(f"__ck_{k}") for k in keys],
@@ -53,7 +67,9 @@ def apply_changes(
     out_keys = [F.coalesce(base[k], c[f"__ck_{k}"]).alias(k) for k in keys]
     out_payload = [
         F.when(F.col("__op").isNotNull(), F.col(f"__cv_{p}"))
-        .otherwise(base[p])
+        .otherwise(
+            base[p] if p in base_payload else F.lit(None).cast(change_types[p])
+        )
         .alias(p)
         for p in payload_cols
     ]
