@@ -28,7 +28,11 @@ from cdc_lite_spark.envelope import SNAPSHOT, snapshot_envelope
 from cdc_lite_spark.operators.checksum import table_checksum_value
 from cdc_lite_spark.operators.diff import snapshot_diff
 from cdc_lite_spark.operators.latest import latest_per_key
-from cdc_lite_spark.sources.changelog import append_changes, read_changes
+from cdc_lite_spark.sources.changelog import (
+    append_changes,
+    expire_changelog,
+    read_changes,
+)
 
 #: ``table_checksums`` state schema (reference DDL, duckdb_cdc.go:66-73).
 CHECKSUM_SCHEMA = T.StructType(
@@ -409,6 +413,15 @@ class CdcEngine:
         latest = latest_per_key(typed, keys, ["timestamp"], via_agg=True)
         return latest.filter(F.col("operation") != "DELETE").select(
             *[f.name for f in schema.fields]
+        )
+
+    def expire_log(self, watermark, keys: dict[str, list[str]]) -> dict:
+        """Retention GC: fold change files wholly older than ``watermark``
+        (a datetime) into one latest-per-key segment and delete them —
+        ``materialize`` results are unchanged, per-record history below the
+        watermark is released.  See sources/changelog.py:expire_changelog."""
+        return expire_changelog(
+            self.spark, self.output_dir, watermark, keys, fmt=self.log_format
         )
 
     def wait_for_changes(self, table: str, timeout_s: float = 10.0, min_rows: int = 1) -> bool:

@@ -14,12 +14,15 @@ Streaming" of the north star.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import DataStreamReader
 
-from cdc_lite_spark.envelope import CHANGE_SCHEMA
+from cdc_lite_spark.envelope import CHANGE_SCHEMA, DELETE
+from cdc_lite_spark.operators.latest import latest_per_key
 
 #: JSON wire schema: `data` rides as a JSON object keyed by column name.
 WIRE_SCHEMA = T.StructType(
@@ -90,11 +93,98 @@ def stream_changes(
     return reader.format(fmt).load(out_dir)
 
 
+def expire_changelog(
+    spark: SparkSession,
+    out_dir: str,
+    watermark: _dt.datetime,
+    keys: dict[str, list[str]],
+    fmt: str = "json",
+) -> dict:
+    """Retention GC for the change log (r03 verdict #6): fold every file
+    whose records all predate ``watermark`` into one compact segment, then
+    delete those files — bounding directory growth at a 1 s trigger without
+    changing what consumers reconstruct.
+
+    Per table with primary ``keys``, cold records collapse to
+    latest-per-key (``max_by`` over capture timestamp — no sort); a key
+    whose latest cold record is a DELETE is dropped outright (pre-watermark
+    state for it is "absent", which is exactly what an empty log says).
+    ``operation='SCHEMA'`` drift markers and tables without declared keys
+    are kept verbatim (still compacted into the new segment).  Invariants:
+
+    - ``Engine.materialize`` over the GC'd log equals materialize over the
+      original log (pinned by tests/test_maintenance.py);
+    - ``changes()`` rows at or after the watermark are untouched (their
+      files are never rewritten);
+    - per-record *history* below the watermark is gone — that is the
+      retention contract; consumers must not replay from before it.
+
+    Crash-safety: the folded segment is task-committed (append) BEFORE the
+    cold files are deleted, so a crash in between leaves duplicate cold
+    records — harmless to materialize (latest-per-key is idempotent) and
+    cleaned by the next expire run.  Cost is O(cold files), never O(log):
+    file selection reads only per-file max timestamps, so running this every
+    N ticks is cheap and incremental.
+    """
+    _check_fmt(fmt)
+    reader = spark.read.schema(WIRE_SCHEMA).format(fmt).option("basePath", out_dir)
+    whole = reader.load(out_dir).withColumn("__file", F.input_file_name())
+    file_max = {
+        r["__file"]: r["mx"]
+        for r in whole.groupBy("__file").agg(F.max("timestamp").alias("mx")).collect()
+    }
+    wm = watermark.replace(tzinfo=None)
+    cold = sorted(f for f, mx in file_max.items() if mx is not None and mx < wm)
+    report = {
+        "files_total": len(file_max),
+        "files_expired": len(cold),
+        "skipped": not cold,
+    }
+    if not cold:
+        return report
+
+    cold_df = reader.load(cold)
+    folded_parts: list[DataFrame] = []
+    row_ops = cold_df.filter(F.col("operation") != "SCHEMA")
+    for table, kcols in keys.items():
+        part = row_ops.filter(F.col("table") == table)
+        kexprs = [F.col("data").getItem(k).alias(f"__k_{k}") for k in kcols]
+        keyed = part.select("*", *kexprs)
+        latest = latest_per_key(
+            keyed, [f"__k_{k}" for k in kcols], ["timestamp"], via_agg=True
+        ).select("timestamp", "table", "operation", "data")
+        folded_parts.append(latest.filter(F.col("operation") != DELETE))
+    # SCHEMA markers + tables with no declared keys: verbatim (tiny / unsafe
+    # to fold without a key)
+    rest = cold_df.filter(
+        (F.col("operation") == "SCHEMA") | ~F.col("table").isin(list(keys))
+    )
+    folded = rest
+    for p in folded_parts:
+        folded = folded.unionByName(p)
+
+    folded = folded.coalesce(1)
+    append_changes(folded, out_dir, fmt=fmt)
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    removed = 0
+    for f in cold:
+        jpath = jvm.org.apache.hadoop.fs.Path(f)
+        fs = jpath.getFileSystem(hconf)
+        if fs.delete(jpath, False):
+            removed += 1
+    spark.catalog.refreshByPath(out_dir)
+    report["files_deleted"] = removed
+    return report
+
+
 __all__ = [
     "CHANGE_SCHEMA",
     "LOG_FORMATS",
     "WIRE_SCHEMA",
     "append_changes",
+    "expire_changelog",
     "read_changes",
     "stream_changes",
 ]

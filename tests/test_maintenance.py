@@ -46,3 +46,102 @@ def test_compaction_idempotent(spark, tmp_path):
     r2 = compact_parquet(spark, path, target_file_mb=128)
     assert r1["skipped"] is False and r2["skipped"] is True
     assert spark.read.parquet(path).count() == 12_000
+
+
+# ---------------------------------------------------------------------------
+# change-log retention GC (sources/changelog.py:expire_changelog)
+# ---------------------------------------------------------------------------
+
+
+def _poll_ticks(spark, tables, tmp_path, n_mutations=3):
+    """Drive the engine through several diff-mode ticks to accumulate
+    change files, returning (engine, final_table_df, keys)."""
+    import time
+
+    from cdc_lite_spark import CdcEngine
+
+    eng = CdcEngine(spark, str(tmp_path / "log"), str(tmp_path / "state"))
+    nation = tables["nation"]
+    keys = {"nation": ["n_nationkey"]}
+    cur = nation
+    eng.poll_once({"nation": cur}, mode="diff", keys=keys)
+    for i in range(n_mutations):
+        time.sleep(0.02)
+        if i == 1:
+            cur = cur.filter(F.col("n_nationkey") != 3)  # a DELETE mid-log
+        else:
+            cur = cur.withColumn(
+                "n_name",
+                F.when(
+                    F.col("n_nationkey") == i, F.concat(F.col("n_name"), F.lit("!"))
+                ).otherwise(F.col("n_name")),
+            )
+        eng.poll_once({"nation": cur}, mode="diff", keys=keys)
+    return eng, cur, keys
+
+
+def test_expire_changelog_materialize_unchanged(spark, tables, tmp_path):
+    """GC below a watermark covering the whole log: files shrink to the one
+    folded segment, materialize reconstructs the same state, and the DELETE
+    tombstone is released."""
+    import datetime
+
+    eng, cur, keys = _poll_ticks(spark, tables, tmp_path)
+    before = eng.materialize("nation", ["n_nationkey"], tables["nation"].schema)
+    before_rows = {r["n_nationkey"]: r for r in before.collect()}
+    files_before = len(
+        [p for p in (tmp_path / "log").glob("part-*") if p.is_file()]
+    )
+    assert files_before >= 3
+
+    report = eng.expire_log(datetime.datetime.now() + datetime.timedelta(days=1), keys)
+    assert report["skipped"] is False
+    assert report["files_deleted"] == report["files_expired"] == files_before
+
+    after = eng.materialize("nation", ["n_nationkey"], tables["nation"].schema)
+    after_rows = {r["n_nationkey"]: r for r in after.collect()}
+    assert after_rows.keys() == before_rows.keys()
+    for k in after_rows:
+        assert after_rows[k] == before_rows[k]
+    # folded: at most one record per surviving key (+ none for the deleted)
+    log = eng.changes("nation")
+    assert log.filter(F.col("operation") == "DELETE").count() == 0
+    assert log.groupBy(F.col("data").getItem("n_nationkey")).count().agg(
+        F.max("count")
+    ).first()[0] == 1
+
+
+def test_expire_changelog_watermark_preserves_young_files(spark, tables, tmp_path):
+    """A mid-log watermark folds only wholly-cold files; records at or after
+    the watermark keep their full per-record history."""
+    import datetime
+    import time
+
+    eng, cur, keys = _poll_ticks(spark, tables, tmp_path, n_mutations=2)
+    wm = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    time.sleep(0.05)
+    # one young tick after the watermark
+    cur2 = cur.withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") == 7, F.lit("YOUNG")).otherwise(F.col("n_name")),
+    )
+    eng.poll_once({"nation": cur2}, mode="diff", keys=keys)
+
+    young_before = eng.changes("nation").filter(F.col("timestamp") >= wm).collect()
+    report = eng.expire_log(wm, keys)
+    assert report["skipped"] is False
+    assert report["files_expired"] >= 1
+    young_after = eng.changes("nation").filter(F.col("timestamp") >= wm).collect()
+    assert sorted(map(str, young_before)) == sorted(map(str, young_after))
+    out = eng.materialize("nation", ["n_nationkey"], tables["nation"].schema)
+    assert {r["n_nationkey"]: r["n_name"] for r in out.collect()}[7] == "YOUNG"
+
+
+def test_expire_changelog_noop_when_all_young(spark, tables, tmp_path):
+    import datetime
+
+    eng, _, keys = _poll_ticks(spark, tables, tmp_path, n_mutations=1)
+    report = eng.expire_log(
+        datetime.datetime.now() - datetime.timedelta(days=1), keys
+    )
+    assert report["skipped"] is True
