@@ -208,7 +208,7 @@ class CdcEngine:
 
     def poll_once(
         self,
-        tables: "dict[str, DataFrame | str]",
+        tables: "dict[str, DataFrame | str | Callable[[], DataFrame]]",
         mode: str = "snapshot",
         keys: dict[str, list[str]] | None = None,
         parallelism: int = 1,
@@ -360,7 +360,7 @@ class CdcEngine:
 
     def monitor(
         self,
-        tables: dict[str, DataFrame],
+        tables: "dict[str, DataFrame | str | Callable[[], DataFrame]]",
         interval_seconds: float = 1.0,
         mode: str = "snapshot",
         keys: dict[str, list[str]] | None = None,

@@ -32,6 +32,17 @@ SHINGLE = 3  # tokens per shingle
 DEFAULT_K = 8  # minhash signature length
 SIMHASH_BITS = 32
 
+# canonical LSH banding geometry.  The Spark builders AND the DuckDB oracle
+# generators (queries.py) must derive from these — independently hardcoded
+# literals on either side silently break hash parity (ADVICE r03).
+DEFAULT_BANDS = 4
+DEFAULT_ROWS_PER_BAND = 2
+assert DEFAULT_BANDS * DEFAULT_ROWS_PER_BAND == DEFAULT_K
+#: degenerate-bucket cap for within-corpus self-join candidates
+DEFAULT_MAX_BUCKET = 50
+#: corpus-side occupancy cap for incremental batch-vs-corpus candidates
+DEFAULT_MAX_BUCKET_INCR = 200
+
 # universal-hash family for MinHash: h_i(x) = (A_i * base(x) + B_i) mod P.
 # base(x) is the portable 60-bit hash computed ONCE per shingle; the k
 # family members are cheap affine transforms (the standard construction —
@@ -199,9 +210,9 @@ def _banded(sig: DataFrame, id_col: str, bands: int, rows_per_band: int) -> Data
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
-    bands: int = 4,
-    rows_per_band: int = 2,
-    max_bucket: int = 50,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Banded LSH: equal band-slices land in the same bucket; a self-join
     per bucket yields candidate pairs (id_a < id_b, distinct).
@@ -235,9 +246,9 @@ def lsh_pairs_between(
     sig_new: DataFrame,
     sig_old: DataFrame,
     id_col: str = "doc_id",
-    bands: int = 4,
-    rows_per_band: int = 2,
-    max_bucket: int = 200,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    max_bucket: int = DEFAULT_MAX_BUCKET_INCR,
 ) -> DataFrame:
     """Two-sided LSH: candidates only between an incoming batch and the
     existing corpus — the incremental-ingest shape.  At 100 TB you never

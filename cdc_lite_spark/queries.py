@@ -28,6 +28,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import cdc_lite_spark.operators.dedup as _LSH
 from cdc_lite_spark.functions.timeutils import epoch_day, epoch_sec, epoch_us
 from cdc_lite_spark.sources.tables import load_table
 
@@ -2093,7 +2094,12 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _near_dup_oracle(bands: int = 4, rows: int = 2, max_bucket: int = 50, thr: float = 0.5) -> str:
+def _near_dup_oracle(
+    bands: int = _LSH.DEFAULT_BANDS,
+    rows: int = _LSH.DEFAULT_ROWS_PER_BAND,
+    max_bucket: int = _LSH.DEFAULT_MAX_BUCKET,
+    thr: float = 0.5,
+) -> str:
     from cdc_lite_spark.operators.dedup import minhash_sql
     from cdc_lite_spark.operators.text import tokens_sql
 
@@ -2149,11 +2155,13 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
-    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=50)
+    pairs = lsh_candidate_pairs(sig)
     return jaccard_verify(docs, pairs, threshold=0.5)
 
 
-def _lsh_bucket_stats_oracle(bands: int = 4, max_bucket: int = 50) -> str:
+def _lsh_bucket_stats_oracle(
+    bands: int = _LSH.DEFAULT_BANDS, max_bucket: int = _LSH.DEFAULT_MAX_BUCKET
+) -> str:
     from cdc_lite_spark.operators.dedup import minhash_sql
 
     mh = minhash_sql("text", k=bands * 2)
@@ -2198,14 +2206,14 @@ def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     sizes = (
-        _banded(sig, "doc_id", bands=4, rows_per_band=2)
+        _banded(sig, "doc_id", _LSH.DEFAULT_BANDS, _LSH.DEFAULT_ROWS_PER_BAND)
         .groupBy("band", "bucket")
         .agg(F.count("*").alias("bucket_size"))
     )
     return sizes.groupBy("band", "bucket_size").agg(
         F.count("*").alias("n_buckets"),
         (F.col("bucket_size") * F.count("*")).alias("n_docs"),
-        (F.col("bucket_size") > 50).cast("int").alias("over_cap"),
+        (F.col("bucket_size") > _LSH.DEFAULT_MAX_BUCKET).cast("int").alias("over_cap"),
     )
 
 
@@ -2523,7 +2531,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
-    cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=50)
+    cands = lsh_candidate_pairs(sig)
     pairs = jaccard_verify(docs, cands, threshold=0.5)
     return dedup_clusters(pairs)
 
@@ -2839,7 +2847,12 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _incr_near_dup_oracle(bands: int = 4, rows: int = 2, max_bucket: int = 200, thr: float = 0.5) -> str:
+def _incr_near_dup_oracle(
+    bands: int = _LSH.DEFAULT_BANDS,
+    rows: int = _LSH.DEFAULT_ROWS_PER_BAND,
+    max_bucket: int = _LSH.DEFAULT_MAX_BUCKET_INCR,
+    thr: float = 0.5,
+) -> str:
     from cdc_lite_spark.operators.dedup import minhash_sql
     from cdc_lite_spark.operators.text import tokens_sql
 
@@ -2903,7 +2916,6 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_pairs_between(
         sig.filter(F.col("doc_id") % 20 == 0),
         sig.filter(F.col("doc_id") % 20 != 0),
-        max_bucket=200,
     ).withColumnsRenamed({"id_new": "id_a", "id_old": "id_b"})
     out = jaccard_verify(docs, pairs, threshold=0.5)
     return out.select(
@@ -3362,7 +3374,7 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
-    cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=50)
+    cands = lsh_candidate_pairs(sig)
     texts = docs.select("doc_id", "text")
     j = (
         cands.join(
@@ -4407,7 +4419,7 @@ def q_cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
-    cands = lsh_candidate_pairs(sig, bands=4, rows_per_band=2, max_bucket=50)
+    cands = lsh_candidate_pairs(sig)
     pairs = jaccard_verify(docs, cands, threshold=0.5)
     clusters = dedup_clusters(pairs)
     j = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")

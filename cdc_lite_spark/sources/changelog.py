@@ -47,6 +47,42 @@ def _check_fmt(fmt: str) -> None:
         raise ValueError(f"log format must be one of {LOG_FORMATS}, got {fmt!r}")
 
 
+#: file suffixes that identify each log format's part files
+_FMT_SUFFIX = {"json": ".json", "parquet": ".parquet"}
+
+
+def _check_dir_format(out_dir: str, fmt: str) -> None:
+    """Guard against format drift on an existing log directory (ADVICE r03):
+    pointing a json engine at a parquet log (or vice versa) would mix part
+    files, and Spark's JSON reader over parquet parts yields null/garbage
+    envelope rows instead of a clean error.  Detect existing part-file
+    extensions and raise on mismatch; empty/missing dirs pass.
+
+    Short-circuits at the first recognizable part file (every prior append
+    was guarded the same way, so one file witnesses the directory's format)
+    — O(1) per tick, not O(log size).  Non-local URIs (s3:// …) pass
+    through; there the cluster's layout conventions apply."""
+    import os
+
+    if not os.path.isdir(out_dir):
+        return
+    other = next(s for f, s in _FMT_SUFFIX.items() if f != fmt)
+    for root, _dirs, files in os.walk(out_dir):
+        for name in sorted(files):
+            if name.startswith(("_", ".")):
+                continue
+            base = name[: -len(".gz")] if name.endswith(".gz") else name
+            if base.endswith(other):
+                raise ValueError(
+                    f"change-log format mismatch: {out_dir!r} already holds "
+                    f"{other[1:]!r} part files (found {name!r}) but "
+                    f"fmt={fmt!r} was requested — use the directory's "
+                    "original format or a fresh directory"
+                )
+            if base.endswith(_FMT_SUFFIX[fmt]):
+                return  # witnessed a matching part file — dir is consistent
+
+
 def append_changes(
     env: DataFrame, out_dir: str, partition_by_table: bool = False, fmt: str = "json"
 ) -> None:
@@ -62,6 +98,7 @@ def append_changes(
     list every file).
     """
     _check_fmt(fmt)
+    _check_dir_format(out_dir, fmt)
     writer = env.write.mode("append")
     if partition_by_table:
         writer = writer.partitionBy("table")
@@ -73,6 +110,7 @@ def read_changes(
 ) -> DataFrame:
     """Batch-read the change log back as typed envelope rows."""
     _check_fmt(fmt)
+    _check_dir_format(out_dir, fmt)
     df = spark.read.schema(WIRE_SCHEMA).format(fmt).load(out_dir)
     if table is not None:
         df = df.filter(F.col("table") == table)
@@ -87,6 +125,7 @@ def stream_changes(
 ) -> DataFrame:
     """Op A8 — the change-log directory as a Structured Streaming source."""
     _check_fmt(fmt)
+    _check_dir_format(out_dir, fmt)
     reader: DataStreamReader = spark.readStream.schema(WIRE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -36,9 +36,9 @@ from pyspark.sql import functions as F
 
 from cdc_lite_spark.queries import REGISTRY
 from cdc_lite_spark.session import get_spark
-from cdc_lite_spark.sources.tables import TABLES, load_table
+from cdc_lite_spark.sources.tables import DEFAULT_SF_DIR, TABLES, load_table
 
-SRC = "/root/testdata/sf0.1"
+SRC = DEFAULT_SF_DIR
 WORK = "/tmp/scale_probe"
 
 #: fact table -> (id columns to shift, text column to tag or None)

@@ -122,3 +122,24 @@ def test_materialize_from_parquet_log(spark, tables, tmp_path):
     cur = eng.materialize("region", ["r_regionkey"], schema)
     expect = {(r["r_regionkey"], r["r_name"]) for r in tables["region"].collect()}
     assert {(r["r_regionkey"], r["r_name"]) for r in cur.collect()} == expect
+
+
+def test_format_drift_guard(spark, tables, tmp_path):
+    """Pointing a parquet engine at a json log (or vice versa) fails fast
+    instead of yielding null/garbage envelope rows (ADVICE r03)."""
+    import pytest
+
+    from cdc_lite_spark.envelope import snapshot_envelope
+    from cdc_lite_spark.sources.changelog import append_changes, read_changes
+
+    log = str(tmp_path / "log")
+    env = snapshot_envelope(tables["region"], "region")
+    append_changes(env, log, fmt="json")
+
+    with pytest.raises(ValueError, match="format mismatch"):
+        append_changes(env, log, fmt="parquet")
+    with pytest.raises(ValueError, match="format mismatch"):
+        read_changes(spark, log, fmt="parquet")
+    # matching format still appends/reads fine
+    append_changes(env, log, fmt="json")
+    assert read_changes(spark, log).count() == 2 * tables["region"].count()
