@@ -193,3 +193,51 @@ def test_exactly_once_across_restart(spark, tables, tmp_path):
     ).write.mode("append").parquet(src)
     run_once()
     assert spark.read.parquet(out).count() == 300
+
+
+def test_interval_join_rocksdb_state_store(spark, tables, events_dir):
+    """Same stream==batch interval-join equality, but with state backed by
+    the RocksDB provider — the store a production deployment uses when
+    join/window state outgrows executor heap (r03 verdict #8).  Guards
+    against provider-specific divergence in state expiry/lookups."""
+    from cdc_lite_spark.streaming.event_windows import interval_join_streams
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        def side(name, ts_alias, id_alias):
+            s = _stream(spark, events_dir)
+            return s.filter(F.col("event_type") == name).select(
+                "user_id", F.col("ts").alias(ts_alias), F.col("event_id").alias(id_alias)
+            )
+
+        joined = interval_join_streams(
+            side("click", "l_ts", "click_id"),
+            side("purchase", "r_ts", "purchase_id"),
+            "user_id",
+            within="2 hours",
+        )
+        q = _drain(joined, name="ssjoin_rocks_out")
+        assert not q.isActive
+        got = spark.sql("SELECT * FROM ssjoin_rocks_out")
+
+        ev = tables["events"]
+        bc = ev.filter("event_type = 'click'").select(
+            "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("click_id")
+        )
+        bp = ev.filter("event_type = 'purchase'").select(
+            "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("purchase_id")
+        )
+        batch = interval_join_streams(bc, bp, "user_id", within="2 hours")
+        s_pairs = {(r["click_id"], r["purchase_id"]) for r in got.collect()}
+        b_pairs = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
+        assert s_pairs == b_pairs and len(s_pairs) > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
