@@ -56,6 +56,20 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         default="json",
         help="change-log files: json (JSONL, reference parity) or parquet (scale layout)",
     )
+    p.add_argument(
+        "--retention-minutes",
+        type=float,
+        default=None,
+        help="arm change-log GC: fold change files wholly older than this "
+        "into one latest-per-key segment (keyed tables; keyless tables are "
+        "compacted verbatim) — bounds log growth for always-on monitors",
+    )
+    p.add_argument(
+        "--expire-every-ticks",
+        type=int,
+        default=60,
+        help="how many poll ticks between retention GC passes",
+    )
     args = p.parse_args(argv)
 
     owns_spark = spark is None
@@ -78,6 +92,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         mode=args.mode,
         keys=keys or None,
         parallelism=args.parallelism,
+        retention_minutes=args.retention_minutes,
+        expire_every_ticks=args.expire_every_ticks,
     )
 
     stop = threading.Event()

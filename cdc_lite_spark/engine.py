@@ -365,18 +365,29 @@ class CdcEngine:
         mode: str = "snapshot",
         keys: dict[str, list[str]] | None = None,
         parallelism: int = 1,
+        retention_minutes: float | None = None,
+        expire_every_ticks: int = 60,
     ):
         """Continuous monitoring as a Structured Streaming query (H1-H6).
 
         A rate source ticks at ``interval_seconds``; each micro-batch runs
         ``poll_once`` inside ``foreachBatch``.  Returns the StreamingQuery —
         call ``.stop()`` for the reference's SIGINT path (main.go:31-38).
-        ``mode``/``keys`` as in :meth:`poll_once`.
+        ``mode``/``keys`` as in :meth:`poll_once`; ``retention_minutes``
+        arms periodic change-log GC (see :meth:`expire_log`), running every
+        ``expire_every_ticks`` micro-batches.
         """
         from cdc_lite_spark.streaming.monitor import start_monitor
 
         return start_monitor(
-            self, tables, interval_seconds, mode=mode, keys=keys, parallelism=parallelism
+            self,
+            tables,
+            interval_seconds,
+            mode=mode,
+            keys=keys,
+            parallelism=parallelism,
+            retention_minutes=retention_minutes,
+            expire_every_ticks=expire_every_ticks,
         )
 
     # -- consuming the log ----------------------------------------------------

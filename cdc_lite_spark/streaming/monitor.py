@@ -29,18 +29,44 @@ def start_monitor(
     mode: str = "snapshot",
     keys: dict[str, list[str]] | None = None,
     parallelism: int = 1,
+    retention_minutes: float | None = None,
+    expire_every_ticks: int = 60,
 ) -> StreamingQuery:
     """Start the continuous monitor; returns the StreamingQuery.
 
     ``query.stop()`` is the graceful-shutdown path (reference: ctx
     cancellation on SIGINT/SIGTERM, main.go:31-38 / duckdb_cdc.go:96-98).
     Per-table errors inside a tick are isolated by ``poll_once`` (H6).
+
+    ``retention_minutes`` arms in-loop change-log GC: every
+    ``expire_every_ticks`` micro-batches the engine folds change files
+    wholly older than ``now - retention_minutes`` into one latest-per-key
+    segment (sources/changelog.py:expire_changelog), so an always-on
+    monitor's log directory stays bounded.  Tables without declared
+    ``keys`` are compacted verbatim, never folded.  GC errors are isolated
+    like per-table poll errors — a failed pass retries at the next arming
+    tick.
     """
+    import datetime
+
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="cdc_monitor_ckpt_")
     ticks = engine.spark.readStream.format("rate").option("rowsPerSecond", 1).load()
 
-    def _tick(_batch_df: DataFrame, _batch_id: int) -> None:
+    def _tick(_batch_df: DataFrame, batch_id: int) -> None:
         engine.poll_once(tables, mode=mode, keys=keys, parallelism=parallelism)
+        if (
+            retention_minutes is not None
+            and expire_every_ticks > 0
+            and batch_id > 0
+            and batch_id % expire_every_ticks == 0
+        ):
+            try:
+                wm = datetime.datetime.now() - datetime.timedelta(
+                    minutes=retention_minutes
+                )
+                engine.expire_log(wm, keys or {})
+            except Exception:  # noqa: BLE001 — same isolation as poll errors
+                pass
 
     return (
         ticks.writeStream.foreachBatch(_tick)

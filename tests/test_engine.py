@@ -169,3 +169,50 @@ def test_schema_change_fires_capture(spark, tables, tmp_path):
     assert eng.poll_once({"region": src}) == ["region"]
     latest = eng.changes("region").orderBy(F.desc("timestamp")).first()
     assert "r_comment" in latest["data"]
+
+
+def test_monitor_inloop_retention_gc(spark, tables, tmp_path):
+    """An always-on monitor with retention armed GCs its own log: after the
+    arming tick fires, the cold files are folded and the materialized state
+    is unchanged (r03 verdict #6, operationalized)."""
+    import glob
+    import time
+
+    eng = _engine(spark, tmp_path)
+    keys = {"region": ["r_regionkey"]}
+    # poll a few ticks manually first so there is cold history
+    eng.poll_once({"region": tables["region"]}, mode="diff", keys=keys)
+    mutated = tables["region"].withColumn(
+        "r_name",
+        F.when(F.col("r_regionkey") == 1, F.lit("CHANGED")).otherwise(F.col("r_name")),
+    )
+    eng.poll_once({"region": mutated}, mode="diff", keys=keys)
+    before = sorted(map(str, eng.materialize(
+        "region", ["r_regionkey"], tables["region"].schema
+    ).collect()))
+    n_before = len(glob.glob(str(tmp_path / "changes" / "part-*")))
+    assert n_before >= 2
+
+    # retention of ~0: everything already written is cold; expire every tick
+    q = eng.monitor(
+        {"region": mutated},
+        interval_seconds=0.5,
+        mode="diff",
+        keys=keys,
+        retention_minutes=0.0,
+        expire_every_ticks=1,
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if len(glob.glob(str(tmp_path / "changes" / "part-*"))) < n_before:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert len(glob.glob(str(tmp_path / "changes" / "part-*"))) < n_before
+    after = sorted(map(str, eng.materialize(
+        "region", ["r_regionkey"], tables["region"].schema
+    ).collect()))
+    assert after == before
