@@ -5,11 +5,13 @@ from cdc_lite_spark.operators.bloom import (
     might_contain,
 )
 from cdc_lite_spark.operators.checksum import (
+    multi_table_checksum,
     partition_checksums,
     table_checksum,
     table_checksum_value,
 )
 from cdc_lite_spark.operators.dedup import (
+    containment_verify,
     dedup_clusters,
     exact_dedup,
     jaccard_verify,
@@ -73,9 +75,11 @@ __all__ = [
     "zorder_key",
     "zorder_key_sql",
     "zorder_repartition",
+    "multi_table_checksum",
     "partition_checksums",
     "table_checksum",
     "table_checksum_value",
+    "containment_verify",
     "exact_dedup",
     "jaccard_verify",
     "lsh_candidate_pairs",

@@ -306,6 +306,43 @@ def jaccard_verify(
     )
 
 
+def containment_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric near-dup: token-set containment |A∩B| / min(|A|,|B|) on
+    candidate pairs only.  Jaccard misses subset duplication — a paragraph
+    quoted inside a much longer document scores low Jaccard but ~1.0
+    containment — and dedup pipelines drop the *contained* side.  Same
+    candidates-only join shape as :func:`jaccard_verify`: cost ∝ |pairs|,
+    never n².  Emits which side is contained (the smaller set)."""
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(text_col)).alias("tok_set")
+    )
+    j = (
+        pairs.join(toks.withColumnsRenamed({id_col: "id_a", "tok_set": "set_a"}), "id_a")
+        .join(toks.withColumnsRenamed({id_col: "id_b", "tok_set": "set_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    smaller = F.least(F.size("set_a"), F.size("set_b"))
+    cont = F.when(smaller > 0, inter.cast("double") / smaller).otherwise(F.lit(0.0))
+    return (
+        j.withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "containment",
+            F.when(F.size("set_a") <= F.size("set_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+        )
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

@@ -222,3 +222,92 @@ def doc_fingerprint_sql(text_expr: str = "text") -> str:
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), {tok_hashes}), "
         f"(acc, x) -> (acc * {ROLLING_BASE} + x) % {ROLLING_MOD})"
     )
+
+
+# --- encoding quality (X4 extension) -----------------------------------------
+
+#: byte-sequence artifacts of UTF-8 text decoded as Latin-1/cp1252 — the
+#: classic mojibake signatures ("â€™" for an apostrophe,
+#: "Ã©" for e-acute, stray "Â" before NBSP)
+MOJIBAKE_MARKERS = ("â", "Ã", "Â")
+
+#: U+FFFD — a decoder already gave up on these bytes
+REPLACEMENT_CHAR = "�"
+
+#: C0 control characters except tab/newline/CR (never legitimate in text)
+_CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+
+
+def _count_marker(col: Column, marker: str) -> Column:
+    """Occurrences of a fixed substring via replace-length diff (no regex —
+    the same trick works verbatim in DuckDB)."""
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit("")))
+    ) / len(marker)
+
+
+def encoding_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-quality features per document: replacement-char count,
+    C0 control characters, non-ASCII ratio, and a mojibake score
+    (UTF-8-decoded-as-Latin-1 artifacts).  Training pipelines threshold on
+    these before any model-based quality filter — documents full of decode
+    artifacts poison tokenizers cheaply.
+
+    Pure scan-side expressions (length/replace/regexp_count): no shuffle,
+    whole-stage codegen, trivially 100 TB-safe."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_repl = _count_marker(c, REPLACEMENT_CHAR).cast("long")
+    n_control = F.regexp_count(c, F.lit(_CONTROL_CLASS)).cast("long")
+    n_non_ascii = F.regexp_count(c, F.lit(r"[^\x00-\x7F]"))
+    mojibake = None
+    for m in MOJIBAKE_MARKERS:
+        cnt = _count_marker(c, m)
+        mojibake = cnt if mojibake is None else mojibake + cnt
+    mojibake = mojibake.cast("long")
+    non_ascii_ratio = F.when(
+        n_chars > 0, F.round(n_non_ascii.cast("double") / n_chars, 6)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_control.alias("n_control"),
+        non_ascii_ratio.alias("non_ascii_ratio"),
+        mojibake.alias("mojibake_hits"),
+        ((n_repl == 0) & (n_control == 0) & (mojibake == 0))
+        .cast("int")
+        .alias("clean_encoding"),
+    )
+
+
+def encoding_stats_sql(text_expr: str = "text") -> dict[str, str]:
+    """DuckDB twins of :func:`encoding_stats` (same replace-diff trick)."""
+
+    def count_marker(m: str) -> str:
+        return (
+            f"((length({text_expr}) - length(replace({text_expr}, '{m}', '')))"
+            f" / {len(m)})"
+        )
+
+    n_chars = f"length({text_expr})"
+    n_repl = f"CAST({count_marker(REPLACEMENT_CHAR)} AS BIGINT)"
+    n_control = (
+        f"CAST(len(regexp_extract_all({text_expr}, '{_CONTROL_CLASS}')) AS BIGINT)"
+    )
+    n_non_ascii = f"len(regexp_extract_all({text_expr}, '[^\\x00-\\x7F]'))"
+    mojibake = "(" + " + ".join(count_marker(m) for m in MOJIBAKE_MARKERS) + ")"
+    return {
+        "n_chars": n_chars,
+        "n_replacement": n_repl,
+        "n_control": n_control,
+        "non_ascii_ratio": (
+            f"CASE WHEN {n_chars} > 0 THEN "
+            f"round(CAST({n_non_ascii} AS DOUBLE) / {n_chars}, 6) ELSE 0.0 END"
+        ),
+        "mojibake_hits": f"CAST({mojibake} AS BIGINT)",
+        "clean_encoding": (
+            f"CAST(({n_repl} = 0 AND {n_control} = 0 AND "
+            f"CAST({mojibake} AS BIGINT) = 0) AS INT)"
+        ),
+    }

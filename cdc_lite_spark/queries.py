@@ -4492,3 +4492,103 @@ def q_correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(n.alias("n"), F.round(corr, 6).alias("corr_qty_price"))
         .filter(F.col("n") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 additions: encoding quality + containment dedup
+# ---------------------------------------------------------------------------
+
+
+def _encoding_stats_oracle() -> str:
+    from cdc_lite_spark.operators.text import encoding_stats_sql
+
+    cols = encoding_stats_sql("text")
+    sel = ", ".join(f"{expr} AS {name}" for name, expr in cols.items())
+    return f"SELECT doc_id, {sel} FROM documents"
+
+
+@register(
+    "encoding_quality_stats",
+    _encoding_stats_oracle(),
+    "X4 extension: encoding-quality gate — replacement chars, C0 controls, "
+    "non-ASCII ratio, mojibake artifacts (UTF-8-as-Latin-1); the cheap "
+    "pre-filter before any model-based quality scoring",
+    tags=("text", "quality"),
+)
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-side expressions (length/replace/regexp_count) — no
+    shuffle, whole-stage codegen; thresholding happens downstream so the
+    full feature row is the output."""
+    from cdc_lite_spark.operators.text import encoding_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return encoding_stats(docs)
+
+
+def _containment_oracle(
+    bands: int = _LSH.DEFAULT_BANDS,
+    rows: int = _LSH.DEFAULT_ROWS_PER_BAND,
+    max_bucket: int = _LSH.DEFAULT_MAX_BUCKET,
+    thr: float = 0.6,
+) -> str:
+    from cdc_lite_spark.operators.dedup import minhash_sql
+    from cdc_lite_spark.operators.text import tokens_sql
+
+    mh = minhash_sql("text", k=bands * rows)
+    return f"""
+    WITH sig AS (SELECT doc_id, {mh} AS mh FROM documents),
+    banded AS (
+        SELECT doc_id, r.band,
+               md5(concat_ws(',', CAST(mh[{rows}*r.band + 1] AS VARCHAR),
+                                  CAST(mh[{rows}*r.band + 2] AS VARCHAR))) AS bucket
+        FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) r
+    ),
+    bounded AS (
+        SELECT band, bucket, doc_id FROM banded
+        QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bounded a JOIN bounded b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    ),
+    toksets AS (
+        SELECT doc_id, list_distinct({tokens_sql("text")}) AS tok_set FROM documents
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               round(CAST(len(list_intersect(ta.tok_set, tb.tok_set)) AS DOUBLE)
+                     / least(len(ta.tok_set), len(tb.tok_set)), 6) AS containment,
+               CASE WHEN len(ta.tok_set) <= len(tb.tok_set) THEN id_a ELSE id_b END
+                   AS contained_id
+        FROM pairs
+        JOIN toksets ta ON pairs.id_a = ta.doc_id
+        JOIN toksets tb ON pairs.id_b = tb.doc_id
+        WHERE len(ta.tok_set) > 0 AND len(tb.tok_set) > 0
+    )
+    SELECT id_a, id_b, containment, contained_id FROM scored
+    WHERE containment >= {thr}
+    """
+
+
+@register(
+    "containment_pairs",
+    _containment_oracle(),
+    "X2 extension: asymmetric containment dedup |A∩B|/min(|A|,|B|) on LSH "
+    "candidates — catches subset duplication (a doc quoted inside a longer "
+    "one) that symmetric Jaccard under-scores; emits which side to drop",
+    tags=("dedup", "join"),
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same candidates-only shape as near_dup_pairs_lsh: the LSH bucket
+    join bounds the pair set, the verify join costs ∝ |candidates|."""
+    from cdc_lite_spark.operators.dedup import (
+        containment_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
+    return containment_verify(docs, pairs, threshold=0.6)

@@ -106,3 +106,27 @@ def test_lsh_pairs_between_never_pairs_corpus_with_itself(spark):
     pairs = lsh_pairs_between(minhash_signatures(new), minhash_signatures(old)).collect()
     got = {(r.id_new, r.id_old) for r in pairs}
     assert got == {(100, 1), (100, 2)}
+
+
+def test_containment_catches_subset_duplication(spark):
+    """A short doc fully quoted inside a long one: low Jaccard (misses the
+    0.5 gate) but containment 1.0 — and the contained side is the short
+    doc.  This asymmetry is the operator's whole reason to exist."""
+    from cdc_lite_spark.operators.dedup import containment_verify, jaccard_verify
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = (
+        "filler alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        + quote
+        + " more filler lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    cont = containment_verify(docs, pairs, threshold=0.6).collect()
+    assert len(cont) == 1
+    assert cont[0]["containment"] == 1.0
+    assert cont[0]["contained_id"] == 1
+    jac = jaccard_verify(docs, pairs, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses exactly this case

@@ -57,3 +57,27 @@ def test_fingerprint_order_sensitive(spark):
     out = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(df).collect()}
     assert out[1] == out[3]  # deterministic
     assert out[1] != out[2]  # order matters (unlike the C3 table checksum)
+
+
+def test_encoding_stats_detects_artifacts(spark):
+    """Synthetic mojibake/control/replacement payloads — the documents
+    testdata is clean, so dirty inputs are pinned here."""
+    from cdc_lite_spark.operators.text import encoding_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "perfectly clean ascii text"),
+            (2, "bad bytes � here �"),
+            (3, "mojibake: donâ€™t and cafÃ© and Â nbsp"),
+            (4, "control\x07char"),
+            (5, "naturally accented: café déjà vu"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in encoding_stats(docs).collect()}
+    assert out[1]["clean_encoding"] == 1 and out[1]["non_ascii_ratio"] == 0.0
+    assert out[2]["n_replacement"] == 2 and out[2]["clean_encoding"] == 0
+    assert out[3]["mojibake_hits"] >= 3 and out[3]["clean_encoding"] == 0
+    assert out[4]["n_control"] == 1 and out[4]["clean_encoding"] == 0
+    # genuine non-ASCII is NOT mojibake: flagged by ratio, still clean
+    assert out[5]["clean_encoding"] == 1 and out[5]["non_ascii_ratio"] > 0
