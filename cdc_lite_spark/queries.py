@@ -3328,7 +3328,11 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EDIT_DIST_MAX = 400
 
 
-def _edit_distance_oracle(bands: int = 4, rows: int = 2, max_bucket: int = 50) -> str:
+def _edit_distance_oracle(
+    bands: int = _LSH.DEFAULT_BANDS,
+    rows: int = _LSH.DEFAULT_ROWS_PER_BAND,
+    max_bucket: int = _LSH.DEFAULT_MAX_BUCKET,
+) -> str:
     from cdc_lite_spark.operators.dedup import minhash_sql
 
     mh = minhash_sql("text", k=bands * rows)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from cdc_lite_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET_INCR,
     jaccard_verify,
     lsh_pairs_between,
     minhash_signatures,
@@ -42,7 +43,7 @@ def dedup_against_corpus(
     corpus: DataFrame,
     corpus_sig: DataFrame,
     threshold: float = 0.5,
-    max_bucket: int = 200,
+    max_bucket: int = DEFAULT_MAX_BUCKET_INCR,
 ) -> DataFrame:
     """One micro-batch of new docs vs the stored corpus: returns verified
     (id_new, id_old, jaccard) pairs."""
@@ -62,7 +63,7 @@ def start_dedup_stream(
     sink_path: str,
     checkpoint_dir: str,
     threshold: float = 0.5,
-    max_bucket: int = 200,
+    max_bucket: int = DEFAULT_MAX_BUCKET_INCR,
     trigger_seconds: int = 1,
     on_batch: Callable[[DataFrame, int], None] | None = None,
 ) -> StreamingQuery:

@@ -130,3 +130,20 @@ def test_containment_catches_subset_duplication(spark):
     assert cont[0]["contained_id"] == 1
     jac = jaccard_verify(docs, pairs, threshold=0.5).collect()
     assert jac == []  # symmetric Jaccard misses exactly this case
+
+
+def test_dedup_clusters_local_and_iterative_paths_agree(spark):
+    """The size-gated union-find fast path and the Pregel loop must label
+    identically (local_threshold=0 forces the distributed path)."""
+    from cdc_lite_spark.operators.dedup import dedup_clusters
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 7)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, local_threshold=0).collect()
+    }
+    assert local == dist
+    assert local[7] == 1 and local[11] == 10 and local[23] == 20
+    assert set(local) == {1, 2, 3, 7, 10, 11, 20, 21, 22, 23}
