@@ -3325,7 +3325,12 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EDIT_DIST_MAX = 400
+# typo-level edit budget.  Must be SMALL relative to document length for the
+# bounded Levenshtein to mean anything: the old value (400) exceeded the
+# ~300-char average doc, so the "bound" never early-terminated and the
+# filter passed essentially every candidate — full O(n·m) per pair for a
+# result that just echoed the LSH candidates (r4 bench: 2.9s -> see notes)
+_EDIT_DIST_MAX = 50
 
 
 def _edit_distance_oracle(
