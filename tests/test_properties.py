@@ -120,6 +120,13 @@ def test_dedup_clusters_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == expected
+    # and the distributed Pregel path (size gate forced off) must agree on
+    # the same arbitrary graph — both strategies, one contract
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, local_threshold=0).collect()
+    }
+    assert dist == expected
 
 
 @given(
