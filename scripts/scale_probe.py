@@ -60,6 +60,9 @@ QUERIES = [
     "near_dup_pairs_lsh",     # MinHash/LSH dedup
     "cosine_topk_bruteforce", # similarity scan
     "exact_dedup_docs",       # hash-groupBy dedup
+    "near_dup_clusters",      # CC over LSH pairs (r4 size-gated union-find)
+    "containment_pairs",      # r4 asymmetric containment verify
+    "cdc_replay_reconstruction",  # diff + fold (r4 fast-hash + ckpt)
 ]
 
 
