@@ -246,7 +246,9 @@ def _count_marker(col: Column, marker: str) -> Column:
     ) / len(marker)
 
 
-def encoding_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def encoding_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Encoding-quality features per document: replacement-char count,
     C0 control characters, non-ASCII ratio, and a mojibake score
     (UTF-8-decoded-as-Latin-1 artifacts).  Training pipelines threshold on
@@ -269,7 +271,7 @@ def encoding_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_chars > 0, F.round(n_non_ascii.cast("double") / n_chars, 6)
     ).otherwise(F.lit(0.0))
     return df.select(
-        "doc_id",
+        id_col,
         n_chars.alias("n_chars"),
         n_repl.alias("n_replacement"),
         n_control.alias("n_control"),

@@ -113,7 +113,36 @@ class CorpusPipeline:
         )
         return self._with(self._df.join(losers, self.id_col, "left_anti"))
 
+    def drop_contained(self, threshold: float = 0.9) -> CorpusPipeline:
+        """Drop documents substantially CONTAINED in another (asymmetric
+        containment on LSH candidates — catches subset duplication that
+        Jaccard under-scores; the longer document survives)."""
+        from cdc_lite_spark.operators.dedup import (
+            containment_verify,
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        sig = minhash_signatures(self._df, id_col=self.id_col, text_col=self.text_col)
+        cands = lsh_candidate_pairs(sig, id_col=self.id_col)
+        contained = containment_verify(
+            self._df, cands, id_col=self.id_col, text_col=self.text_col,
+            threshold=threshold,
+        ).select(F.col("contained_id").alias(self.id_col))
+        return self._with(self._df.join(contained, self.id_col, "left_anti"))
+
     # -- filtering ---------------------------------------------------------
+    def filter_encoding(self) -> CorpusPipeline:
+        """Drop documents with decode artifacts (replacement chars, C0
+        controls, mojibake) — the cheap gate that runs before any
+        model-based quality filter."""
+        from cdc_lite_spark.operators.text import encoding_stats
+
+        clean = encoding_stats(self._df, text_col=self.text_col).filter(
+            F.col("clean_encoding") == 1
+        ).select(self.id_col)
+        return self._with(self._df.join(clean, self.id_col, "left_semi"))
+
     def filter_language(self, langs: set[str]) -> CorpusPipeline:
         """Keep documents whose heuristic language-ID is in ``langs``."""
         from cdc_lite_spark.operators.text import lang_id

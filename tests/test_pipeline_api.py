@@ -66,3 +66,35 @@ def test_pipeline_is_lazy_single_plan(spark):
     # reaching .df triggers no job; the plan compiles and explains fine
     plan = pipe.df._jdf.queryExecution().optimizedPlan().toString()
     assert "Relation" in plan or "LogicalRDD" in plan
+
+
+def test_pipeline_filter_encoding_and_drop_contained(spark):
+    from cdc_lite_spark.pipeline import CorpusPipeline
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, quote),  # contained inside doc 3 -> dropped by drop_contained
+            (2, "bad bytes � here"),  # decode artifact -> dropped by filter_encoding
+            (3, "prefix words " + quote + " suffix words trailing tail"),
+            (4, "a perfectly ordinary clean document with many plain words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        CorpusPipeline(docs)
+        .filter_encoding()
+        .drop_contained(threshold=0.9)
+        .df
+    )
+    # drop_contained only sees LSH candidates; force the pair through the
+    # direct operator too for the pinned semantics
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 2 not in ids  # encoding artifact gone
+    assert 4 in ids and 3 in ids
+
+    from cdc_lite_spark.operators.dedup import containment_verify
+
+    pairs = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+    cont = containment_verify(docs, pairs, threshold=0.9).collect()
+    assert cont and cont[0]["contained_id"] == 1
