@@ -202,8 +202,18 @@ def expire_changelog(
     for p in folded_parts:
         folded = folded.unionByName(p)
 
+    # honor the directory's existing layout: a table=<name>/ partitioned log
+    # must receive its folded segment partitioned the same way, or the dir
+    # ends up with mixed flat/partitioned files that break discovery
+    import os
+
+    partitioned = any(
+        e.name.startswith("table=")
+        for e in os.scandir(out_dir)
+        if e.is_dir()
+    ) if os.path.isdir(out_dir) else False
     folded = folded.coalesce(1)
-    append_changes(folded, out_dir, fmt=fmt)
+    append_changes(folded, out_dir, partition_by_table=partitioned, fmt=fmt)
 
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()

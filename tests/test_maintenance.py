@@ -145,3 +145,44 @@ def test_expire_changelog_noop_when_all_young(spark, tables, tmp_path):
         datetime.datetime.now() - datetime.timedelta(days=1), keys
     )
     assert report["skipped"] is True
+
+
+def test_expire_changelog_partitioned_layout(spark, tables, tmp_path):
+    """A table=<name>/ partitioned log GCs within its layout: the folded
+    segment lands partitioned too, and reads stay correct."""
+    import datetime
+    import glob
+    import time
+
+    from cdc_lite_spark.envelope import snapshot_envelope
+    from cdc_lite_spark.sources.changelog import (
+        append_changes,
+        expire_changelog,
+        read_changes,
+    )
+
+    log = str(tmp_path / "plog")
+    env1 = snapshot_envelope(tables["region"], "region")
+    env2 = snapshot_envelope(tables["nation"], "nation")
+    append_changes(env1, log, partition_by_table=True)
+    time.sleep(0.01)
+    append_changes(env2, log, partition_by_table=True)
+    n_before = read_changes(spark, log).count()
+    assert n_before == tables["region"].count() + tables["nation"].count()
+
+    report = expire_changelog(
+        spark,
+        log,
+        datetime.datetime.now() + datetime.timedelta(days=1),
+        {"region": ["r_regionkey"], "nation": ["n_nationkey"]},
+    )
+    assert report["skipped"] is False
+    # layout stayed partitioned: no flat part files at the root
+    assert glob.glob(f"{log}/part-*") == []
+    assert glob.glob(f"{log}/table=region/part-*")
+    back = read_changes(spark, log)
+    assert back.count() == n_before  # one SNAPSHOT per key survives the fold
+    assert set(r["table"] for r in back.select("table").distinct().collect()) == {
+        "region",
+        "nation",
+    }
