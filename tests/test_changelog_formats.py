@@ -143,3 +143,27 @@ def test_format_drift_guard(spark, tables, tmp_path):
     # matching format still appends/reads fine
     append_changes(env, log, fmt="json")
     assert read_changes(spark, log).count() == 2 * tables["region"].count()
+
+
+def test_corrupt_log_lines_never_become_phantom_state(spark, tables, tmp_path):
+    """The reference silently skips marshal errors (duckdb_cdc.go:279-282);
+    here a corrupt JSONL line surfaces as an all-null wire row (explicit
+    schema, PERMISSIVE) — pinned: it must NOT materialize into a phantom
+    record, because null `operation` fails every operation filter."""
+    import time
+
+    from cdc_lite_spark import CdcEngine
+
+    eng = CdcEngine(spark, str(tmp_path / "log"), str(tmp_path / "state"))
+    eng.poll_once({"region": tables["region"]})
+    time.sleep(0.01)
+    # corrupt line injected between valid appends
+    with open(tmp_path / "log" / "zz-corrupt.json", "w") as fh:
+        fh.write('{"timestamp": "not-a-ts", "table": 7 BROKEN\n')
+    out = eng.materialize("region", ["r_regionkey"], tables["region"].schema)
+    rows = out.collect()
+    assert len(rows) == tables["region"].count()
+    assert all(r["r_regionkey"] is not None for r in rows)
+    # the wire read exposes the corruption as a null row, not a crash
+    raw = eng.changes()
+    assert raw.filter(raw.operation.isNull()).count() == 1
