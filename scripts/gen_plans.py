@@ -18,7 +18,7 @@ SF = "/root/testdata/sf0.001"
 #: query -> one-line "why this plan is the right one" caption
 HEADLINERS: dict[str, str] = {
     "scan_filter_project": "pushdown: filters + 6/11-column ReadSchema reach the parquet scan",
-    "cdc_table_checksums": "fingerprint: partial+final agg per table branch; only partial rows shuffle",
+    "cdc_table_checksums": "fingerprint: all 6 scans union into ONE partial agg; a single exchange carries per-table (count,sum) partials",
     "cdc_snapshot_diff": "CDC diff: one sort-merge full-outer join; row hashes computed below the shuffle",
     "revenue_by_nation": "star join: all three dimensions broadcast, zero join shuffles",
     "latest_event_per_user": "latest-per-key as max_by hash aggregate - no window sort",
