@@ -26,6 +26,9 @@ HEADLINERS: dict[str, str] = {
     "ann_topk_sign_lsh": "ANN: bucket equi-join replaces the cross join; query side broadcast",
     "near_dup_pairs_lsh": "LSH near-dup: band-bucket window cap + bounded self-join + candidate-only verify",
     "edit_distance_pairs": "bounded levenshtein(a,b,k) on LSH candidates only — never all-pairs",
+    "containment_pairs": "asymmetric containment verify on LSH candidates — same bounded-join shape as the Jaccard tier",
+    "encoding_quality_stats": "pure scan-side expression plan: no exchange at all",
+    "cdc_replay_reconstruction": "diff materialized via localCheckpoint, then ONE merge join folds it into prev",
     "cluster_canonical_docs": "survivor window over |clustered docs| (broadcast clusters back), not |corpus|",
     "contamination_check": "holdout gram set broadcast; corpus side never shuffles before the agg",
     "embedding_quantize": "pure scan-side map: zero Exchange",
