@@ -254,3 +254,18 @@ def test_zorder_key_is_scan_side_single_agg(spark):
     # key computed in the scan projection; one partial+final agg pair
     assert tree.count("Exchange") == 1
     assert "Window" not in tree and "Join" not in tree
+
+
+def test_encoding_stats_is_pure_scan(spark):
+    """Encoding-quality features are scan-side expressions: no Exchange."""
+    plan = _plan(spark, "encoding_quality_stats")
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+
+
+def test_containment_runs_on_candidates_only(spark):
+    """Containment verify joins the bounded LSH candidate set, never a
+    corpus cartesian."""
+    plan = _plan(spark, "containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "array_intersect" in plan
