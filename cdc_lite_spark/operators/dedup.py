@@ -550,3 +550,129 @@ def dedup_clusters(
     # the rest of the session
     free_new_checkpoints(spark, before, keep_latest=1)
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+# --- corpus n-gram duplication + winnowing fingerprints ----------------------
+
+#: winnowing window size (shingles per window) — Schleimer, Schwamb &
+#: Aiken, "Winnowing: Local Algorithms for Document Fingerprinting"
+#: (SIGMOD 2003).  Guarantee: any shared run of w+n-1 tokens between two
+#: documents shares at least one selected fingerprint.
+WINNOW_W = 4
+
+
+def staged_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE
+) -> DataFrame:
+    """(id, __sh) with shingle hashes staged through two projections —
+    word hashes materialize once (the only md5 pass), the rolling combine
+    reads them (see ``shingle_hashes`` for why staging is mandatory)."""
+    staged_wh = df.select(id_col, word_hashes(text_col).alias("__wh"))
+    return staged_wh.select(id_col, shingle_hashes(F.col("__wh"), n).alias("__sh"))
+
+
+def staged_shingles_sql(text_expr: str = "text", n: int = SHINGLE) -> str:
+    """DuckDB scalar-subquery twin of ``staged_shingles``'s __sh column."""
+    return (
+        f"(SELECT {shingle_hashes_sql('__wh', n)} "
+        f"FROM (SELECT {word_hashes_sql(text_expr)} AS __wh))"
+    )
+
+
+def dup_ngram_coverage(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE
+) -> DataFrame:
+    """Per-document fraction of n-gram shingles that occur in MORE than one
+    document — the corpus-level duplication metric behind suffix-style
+    training-data dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022; here over hashed shingles instead of
+    a suffix array, which is the shape that distributes).
+
+    Plan: scan-side shingling (no shuffle) → explode per-doc DISTINCT
+    shingles → document frequency via a count window on the shingle key →
+    per-doc aggregation.  Two shuffles, cost O(total shingles), never
+    O(n²) — there is no pairwise comparison anywhere.  The count WINDOW
+    (not a groupBy + join back) means the expensive shingle lineage is
+    computed exactly once — a self-join would re-run the per-word md5 pass
+    on both sides (the same lesson as the LSH bucket cap above).
+    """
+    from pyspark.sql import Window as W
+
+    grams = staged_shingles(df, id_col, text_col, n).select(
+        id_col, F.explode(F.array_distinct("__sh")).alias("gram")
+    )
+    return (
+        grams.withColumn("doc_freq", F.count("*").over(W.partitionBy("gram")))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("doc_freq") > 1).cast("bigint")).alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_fraction"),
+        )
+    )
+
+
+def winnow_fingerprints_col(sh: Column, w: int = WINNOW_W) -> Column:
+    """Winnowing fingerprint selection over a MATERIALIZED shingle-hash
+    array column: minimum hash of each w-length sliding window, then
+    distinct.  (The value-distinct form of robust winnowing — positions are
+    dropped since downstream matching keys on the hash value.)  Documents
+    shorter than one window contribute their global minimum."""
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(sh) - (w - 1)),
+        lambda i: F.array_min(F.slice(sh, i, w)),
+    )
+    whole = F.array(F.array_min(sh))
+    return F.array_distinct(F.when(F.size(sh) >= w, wins).otherwise(whole))
+
+
+def winnow_fingerprints_sql(sh_expr: str, w: int = WINNOW_W) -> str:
+    """DuckDB twin of ``winnow_fingerprints_col`` (list_distinct does not
+    promise order, so consumers must only use order-independent reductions
+    — counts, sums mod P — which is all the registered query emits)."""
+    wins = (
+        f"list_transform(range(1, len({sh_expr}) - {w - 2}), "
+        f"i -> list_aggregate(({sh_expr})[i:i+{w - 1}], 'min'))"
+    )
+    whole = f"[list_aggregate({sh_expr}, 'min')]"
+    return (
+        f"list_distinct(CASE WHEN len({sh_expr}) >= {w} THEN {wins} ELSE {whole} END)"
+    )
+
+
+def winnowing_summary(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Per-document winnowing fingerprint summary: selected-count, density
+    vs the full shingle set, and an order-independent checksum (sum mod P)
+    over the selected hash VALUES so parity checks cover the actual
+    fingerprints, not just their count.
+
+    Scan-side only — zero shuffles; the fingerprint set is the ~2/(w+1)
+    density sketch a plagiarism/overlap index would shuffle instead of the
+    full shingle stream (w=4 → ~60% fewer exchange rows at 100 TB).
+    """
+    staged = staged_shingles(df, id_col, text_col, n).select(
+        id_col,
+        F.size("__sh").alias("n_shingles"),
+        winnow_fingerprints_col(F.col("__sh"), w).alias("__fp"),
+    )
+    checksum = F.aggregate(
+        F.col("__fp"), F.lit(0).cast("long"), lambda acc, x: (acc + x) % MINHASH_P
+    )
+    return staged.select(
+        id_col,
+        "n_shingles",
+        F.size("__fp").alias("n_fingerprints"),
+        F.round(F.size("__fp") / F.col("n_shingles"), 6).alias("density"),
+        checksum.alias("fp_checksum"),
+    )

@@ -374,3 +374,161 @@ def normalize_quantize_sql(table: str = "embeddings", dims: int = 64) -> str:
     SELECT vec_id, CAST(d.dim AS BIGINT) AS dim, q[d.dim + 1] AS q8, l2_norm, scale_maxabs
     FROM base CROSS JOIN range({dims}) d(dim)
     """
+
+
+# --- per-dimension feature stats + semantic dedup ----------------------------
+
+
+def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension moments of the embedding matrix (mean / std / min /
+    max) — the statistics whitening, normalization-layer calibration, and
+    drift monitoring read.  Components are scaled to fixed-point BIGINT
+    before summing so the sums (and the variance terms built from them) are
+    exact and order-independent — float sums would differ run-to-run under
+    AQE partition reordering, and differ from DuckDB.
+
+    Plan: posexplode multiplies rows by the dimension count, but the
+    aggregation is partial-aggregable on a key space of exactly |dims|
+    rows — the exchange carries |partitions|·|dims| partial tuples no
+    matter how many vectors exist, so 100 TB of embeddings reduces in one
+    pass with a constant-size shuffle."""
+    v6 = F.round(F.col("val").cast("double") * 1_000_000, 0).cast("bigint")
+    n = F.count("*")
+    mean = F.sum("v6").cast("double") / (n * 1_000_000.0)
+    ex2 = F.sum(F.col("v6") * F.col("v6")).cast("double") / (n * 1_000_000_000_000.0)
+    return (
+        df.select(F.posexplode(vec_col).alias("dim", "val"))
+        .select(F.col("dim").cast("bigint").alias("dim"), v6.alias("v6"))
+        .groupBy("dim")
+        .agg(
+            n.alias("n_vecs"),
+            F.round(mean, 6).alias("dim_mean"),
+            F.round(F.sqrt(ex2 - mean * mean), 6).alias("dim_std"),
+            F.round(F.min("v6").cast("double") / 1_000_000.0, 6).alias("dim_min"),
+            F.round(F.max("v6").cast("double") / 1_000_000.0, 6).alias("dim_max"),
+        )
+    )
+
+
+def dim_stats_sql(table: str = "embeddings", vec_col: str = "embedding", dims: int = 64) -> str:
+    """DuckDB twin of ``dim_stats`` — the identical fixed-point arithmetic,
+    term for term, so results are bit-equal after round(…, 6)."""
+    return f"""
+    WITH e AS (
+        SELECT d.dim AS dim,
+               CAST(round(CAST({vec_col}[d.dim + 1] AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS v6
+        FROM {table} CROSS JOIN range({dims}) d(dim)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           count(*) AS n_vecs,
+           round(CAST(sum(v6) AS DOUBLE) / (count(*) * 1000000.0), 6) AS dim_mean,
+           round(sqrt(CAST(sum(v6 * v6) AS DOUBLE) / (count(*) * 1000000000000.0)
+                      - (CAST(sum(v6) AS DOUBLE) / (count(*) * 1000000.0))
+                        * (CAST(sum(v6) AS DOUBLE) / (count(*) * 1000000.0))), 6)
+               AS dim_std,
+           round(CAST(min(v6) AS DOUBLE) / 1000000.0, 6) AS dim_min,
+           round(CAST(max(v6) AS DOUBLE) / 1000000.0, 6) AS dim_max
+    FROM e GROUP BY dim
+    """
+
+
+def label_centroid_vectors(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact per-label mean embedding rebuilt as an array column (fixed-
+    point sums → order-independent doubles; array order restored by sorting
+    on the dimension index).  |labels| rows — always broadcastable."""
+    v6 = F.round(F.col("val").cast("double") * 1_000_000, 0).cast("bigint")
+    per_dim = (
+        df.select(label_col, F.posexplode(vec_col).alias("dim", "val"))
+        .select(label_col, "dim", v6.alias("v6"))
+        .groupBy(label_col, "dim")
+        .agg((F.sum("v6").cast("double") / (F.count("*") * 1_000_000.0)).alias("mean"))
+    )
+    return (
+        per_dim.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("mean")))).alias("dm"))
+        .select(label_col, F.transform("dm", lambda x: x["mean"]).alias("centroid"))
+    )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Semantic dedup, centroid-proxy variant (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    2023): within each cluster, vectors whose cosine to the cluster
+    centroid exceeds ``threshold`` are the cluster's near-identical core —
+    keep the single closest representative, prune the rest.  (The paper
+    ranks by pairwise sims inside a k-means cluster; sim-to-centroid is the
+    O(n·d) proxy that needs no pairwise join at all, which is what makes
+    this the 100 TB shape — cost is one broadcast join + one window.)
+
+    ``prune`` marks droppable rows; ranking uses the UNROUNDED similarity
+    with the id as tiebreak so the decision is deterministic cross-engine.
+    """
+    from pyspark.sql import Window as W
+
+    centroids = label_centroid_vectors(df, label_col, vec_col)
+    sim = cosine(_to_double(F.col(vec_col)), F.col("centroid"))
+    scored = df.join(F.broadcast(centroids), label_col).select(
+        id_col, label_col, sim.alias("__sim")
+    )
+    rn = F.row_number().over(
+        W.partitionBy(label_col).orderBy(F.col("__sim").desc(), F.col(id_col))
+    )
+    return scored.select(
+        id_col,
+        label_col,
+        F.round("__sim", 6).alias("centroid_sim"),
+        ((rn > 1) & (F.col("__sim") >= threshold)).alias("prune"),
+    )
+
+
+def semdedup_prune_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.25,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of ``semdedup_prune`` — identical fixed-point centroids
+    and left-to-right cosine accumulation."""
+    cos = cosine_sql("v", "centroid")
+    return f"""
+    WITH e AS (
+        SELECT {id_col}, {label_col},
+               list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+        FROM {table}
+    ),
+    per_dim AS (
+        SELECT {label_col}, d.dim AS dim,
+               CAST(sum(CAST(round(CAST({vec_col}[d.dim + 1] AS DOUBLE) * 1000000, 0)
+                             AS BIGINT)) AS DOUBLE) / (count(*) * 1000000.0) AS mean
+        FROM {table} CROSS JOIN range({dims}) d(dim)
+        GROUP BY {label_col}, d.dim
+    ),
+    cent AS (
+        SELECT {label_col}, list(mean ORDER BY dim) AS centroid
+        FROM per_dim GROUP BY {label_col}
+    ),
+    scored AS (
+        SELECT {id_col}, e.{label_col} AS {label_col}, {cos} AS sim
+        FROM e JOIN cent ON e.{label_col} = cent.{label_col}
+    ),
+    ranked AS (
+        SELECT {id_col}, {label_col}, sim,
+               row_number() OVER (PARTITION BY {label_col}
+                                  ORDER BY sim DESC, {id_col}) AS rn
+        FROM scored
+    )
+    SELECT {id_col}, {label_col}, round(sim, 6) AS centroid_sim,
+           (rn > 1 AND sim >= {threshold}) AS prune
+    FROM ranked
+    """

@@ -4601,3 +4601,136 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(docs)
     pairs = lsh_candidate_pairs(sig)
     return containment_verify(docs, pairs, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# Round 4 additions (cont.): corpus n-gram duplication, winnowing,
+# embedding feature stats, semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _dup_ngram_oracle() -> str:
+    from cdc_lite_spark.operators.dedup import staged_shingles_sql
+
+    sh = staged_shingles_sql("text")
+    return f"""
+    WITH grams AS (
+        SELECT doc_id, unnest(list_distinct({sh})) AS gram FROM documents
+    ),
+    doc_freq AS (SELECT gram, count(*) AS doc_freq FROM grams GROUP BY gram)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN doc_freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams,
+           round(CAST(sum(CASE WHEN doc_freq > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_fraction
+    FROM grams JOIN doc_freq USING (gram)
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "dup_ngram_coverage",
+    _dup_ngram_oracle(),
+    "X2 extension: per-doc fraction of shingles occurring in >1 document "
+    "(Lee et al. ACL 2022 corpus-duplication metric, hashed-shingle form) "
+    "— the exact-overlap signal LSH near-dup can miss on partial copies",
+    tags=("dedup", "agg"),
+)
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two partial-aggregable shuffles (shingle document-frequency, per-doc
+    rollup); the join's build side is pre-aggregated to one row per
+    shingle, so hot shingles can't amplify pairs."""
+    from cdc_lite_spark.operators.dedup import dup_ngram_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_coverage(docs)
+
+
+def _winnowing_oracle() -> str:
+    from cdc_lite_spark.operators.dedup import (
+        MINHASH_P,
+        WINNOW_W,
+        staged_shingles_sql,
+        winnow_fingerprints_sql,
+    )
+
+    sh = staged_shingles_sql("text")
+    fp = winnow_fingerprints_sql("__sh", WINNOW_W)
+    checksum = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), __fp), "
+        f"(acc, x) -> (acc + x) % {MINHASH_P})"
+    )
+    return f"""
+    WITH staged AS (SELECT doc_id, {sh} AS __sh FROM documents),
+    sel AS (SELECT doc_id, len(__sh) AS n_shingles, {fp} AS __fp FROM staged)
+    SELECT doc_id, n_shingles,
+           len(__fp) AS n_fingerprints,
+           round(CAST(len(__fp) AS DOUBLE) / n_shingles, 6) AS density,
+           {checksum} AS fp_checksum
+    FROM sel
+    """
+
+
+@register(
+    "winnowing_fingerprints",
+    _winnowing_oracle(),
+    "X4 extension: winnowing document fingerprints (Schleimer et al. "
+    "SIGMOD 2003) — per-doc selected-hash count, density vs full shingle "
+    "set, and an order-independent checksum over the selected values",
+    tags=("text", "dedup"),
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-side only (word-hash → rolling shingle → window-min selection
+    as array expressions): zero shuffles, whole-stage codegen end-to-end."""
+    from cdc_lite_spark.operators.dedup import winnowing_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_summary(docs)
+
+
+def _dim_stats_oracle() -> str:
+    from cdc_lite_spark.operators.similarity import dim_stats_sql
+
+    return dim_stats_sql("embeddings", "embedding", _EMB_DIMS)
+
+
+@register(
+    "embedding_dim_stats",
+    _dim_stats_oracle(),
+    "X3 extension: per-dimension embedding moments (mean/std/min/max) via "
+    "fixed-point integer sums — whitening / normalization calibration "
+    "stats, exact and order-independent",
+    tags=("similarity", "agg"),
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode fans out |dims|× rows but the aggregate is partial-
+    aggregable onto exactly |dims| keys — the exchange is constant-size
+    regardless of corpus size."""
+    from cdc_lite_spark.operators.similarity import dim_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dim_stats(emb)
+
+
+def _semdedup_oracle() -> str:
+    from cdc_lite_spark.operators.similarity import semdedup_prune_sql
+
+    return semdedup_prune_sql("embeddings", dims=_EMB_DIMS)
+
+
+@register(
+    "semdedup_prune",
+    _semdedup_oracle(),
+    "X3 extension: semantic dedup, centroid-proxy variant (SemDeDup, Abbas "
+    "et al. 2023) — within each cluster keep the vector closest to the "
+    "centroid, prune the near-identical core above the cosine threshold",
+    tags=("similarity", "dedup", "window"),
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(n·d) — one broadcast join against |labels| centroids + one window
+    per cluster; no pairwise similarity join anywhere."""
+    from cdc_lite_spark.operators.similarity import semdedup_prune
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_prune(emb)

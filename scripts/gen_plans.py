@@ -49,6 +49,10 @@ HEADLINERS: dict[str, str] = {
     "idle_rich_customers": "Q22 shape: broadcast scalar threshold + key-only LeftAnti",
     "domain_quota_sample": "per-domain window rank; quotas are scalars, one shuffle on source",
     "inverted_index_postings": "pairs dedup then term agg; bounded head block, no unbounded arrays",
+    "dup_ngram_coverage": "corpus n-gram DF via count WINDOW — shingle lineage computed once, no self-join",
+    "winnowing_fingerprints": "fingerprint sketch entirely scan-side: zero exchanges",
+    "embedding_dim_stats": "posexplode fans rows out, but the exchange carries only |dims| partial-agg keys",
+    "semdedup_prune": "|labels| centroids broadcast; one window per cluster — no pairwise similarity join",
 }
 
 

@@ -147,3 +147,67 @@ def test_dedup_clusters_local_and_iterative_paths_agree(spark):
     assert local == dist
     assert local[7] == 1 and local[11] == 10 and local[23] == 20
     assert set(local) == {1, 2, 3, 7, 10, 11, 20, 21, 22, 23}
+
+
+def test_dup_ngram_coverage_planted_duplication(spark):
+    """Docs 1+2 are identical → every shingle duplicated (fraction 1.0);
+    docs 4+5 share nothing with anything → fraction 0.0."""
+    from cdc_lite_spark.operators.dedup import dup_ngram_coverage
+
+    out = {r["doc_id"]: r for r in dup_ngram_coverage(_docs(spark)).collect()}
+    assert out[1]["dup_fraction"] == 1.0 and out[2]["dup_fraction"] == 1.0
+    assert out[4]["dup_fraction"] == 0.0 and out[5]["dup_fraction"] == 0.0
+    # doc 3 shares its prefix shingles with 1/2 but not the final-word ones
+    assert 0.0 < out[3]["dup_fraction"] < 1.0
+    # n_grams counts DISTINCT shingles per doc
+    assert out[1]["n_grams"] == out[1]["n_dup_grams"]
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing's selection guarantee (Schleimer et al. §3): two documents
+    sharing a token run of length >= w + n - 1 share at least one selected
+    fingerprint."""
+    from cdc_lite_spark.operators.dedup import (
+        SHINGLE,
+        WINNOW_W,
+        staged_shingles,
+        winnow_fingerprints_col,
+    )
+    from pyspark.sql import functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + n - 1
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"nine eight {shared} seven ten eleven twelve"),
+        (3, "totally disjoint content with no overlap at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    staged = staged_shingles(docs)
+    fp = {
+        r["doc_id"]: set(r["fp"])
+        for r in staged.select(
+            "doc_id", winnow_fingerprints_col(F.col("__sh")).alias("fp")
+        ).collect()
+    }
+    assert WINNOW_W + SHINGLE - 1 == 6
+    assert fp[1] & fp[2], "shared run must share a fingerprint"
+    assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+
+
+def test_winnowing_summary_density(spark):
+    """Expected fingerprint density ~ 2/(w+1); assert the sketch is
+    strictly smaller than the full shingle set on real-length docs and the
+    checksum only matches for identical selections."""
+    from cdc_lite_spark.operators.dedup import winnowing_summary
+
+    rows = [
+        (1, " ".join(f"tok{i % 37}" for i in range(200))),
+        (2, " ".join(f"tok{i % 37}" for i in range(200))),  # identical
+        (3, " ".join(f"word{i % 53}" for i in range(200))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in winnowing_summary(docs).collect()}
+    assert out[1]["n_fingerprints"] < out[1]["n_shingles"]
+    assert out[1]["fp_checksum"] == out[2]["fp_checksum"]
+    assert out[1]["fp_checksum"] != out[3]["fp_checksum"]
+    assert 0 < out[1]["density"] < 1

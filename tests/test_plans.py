@@ -269,3 +269,37 @@ def test_containment_runs_on_candidates_only(spark):
     plan = _plan(spark, "containment_pairs")
     assert "CartesianProduct" not in plan
     assert "array_intersect" in plan
+
+
+def test_winnowing_is_scan_side_only(spark):
+    """The fingerprint sketch must not shuffle — it's computed where the
+    data lives (the whole point of sketching before exchanging)."""
+    plan = _plan(spark, "winnowing_fingerprints")
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+
+
+def test_dim_stats_single_constant_size_exchange(spark):
+    """posexplode fans rows out, but the shuffle must carry only |dims|
+    partial-agg keys — one exchange, partial+final aggregation."""
+    plan = _plan(spark, "embedding_dim_stats")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("HashAggregate") == 2
+
+
+def test_dup_ngram_join_is_against_preaggregated_side(spark):
+    """The doc-frequency join must consume the AGGREGATED per-gram side —
+    no pairwise blowup, no cartesian product."""
+    plan = _plan(spark, "dup_ngram_coverage")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # df-count partial/final + rollup
+
+
+def test_semdedup_broadcasts_centroids_no_pairwise_join(spark):
+    """Centroids (|labels| rows) broadcast; no similarity self-join."""
+    plan = _plan(spark, "semdedup_prune")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Join") == 1  # the single corpus×centroid join

@@ -93,3 +93,54 @@ def test_kmeans_refine_moves_centroids_toward_clusters(spark):
     c0, c1 = refined[0], refined[1]
     assert abs(c0[0] - 1.0) < 0.15 and abs(c0[1]) < 0.15      # mean of cluster A
     assert abs(c1[0]) < 0.15 and abs(c1[1] - 1.0) < 0.15      # mean of cluster B
+
+
+def test_dim_stats_matches_numpy(spark):
+    import numpy as np
+
+    from cdc_lite_spark.operators.similarity import dim_stats
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(50, 4)).astype("float32")
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in dim_stats(df).collect()}
+    q = np.round(mat.astype("float64") * 1e6) / 1e6  # the fixed-point grid
+    for d in range(4):
+        assert out[d]["n_vecs"] == 50
+        assert abs(out[d]["dim_mean"] - q[:, d].mean()) < 2e-6
+        assert abs(out[d]["dim_std"] - q[:, d].std()) < 2e-6
+        assert abs(out[d]["dim_min"] - q[:, d].min()) < 2e-6
+        assert abs(out[d]["dim_max"] - q[:, d].max()) < 2e-6
+
+
+def test_semdedup_keeps_one_representative_per_cluster(spark):
+    """Within each label, the pruned set is exactly (rows above threshold)
+    minus one kept representative — and the kept one has the max sim."""
+    from cdc_lite_spark.operators.similarity import semdedup_prune
+
+    rows = [
+        # label 0: three near-identical vectors + one outlier
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.01, 0.0, 0.0], 0),
+        (3, [0.98, 0.02, 0.0, 0.0], 0),
+        (4, [-1.0, 0.5, 0.5, 0.0], 0),
+        # label 1: two opposite vectors — neither near the centroid
+        (5, [0.0, 1.0, 0.0, 0.0], 1),
+        (6, [0.0, -1.0, 0.0, 0.001], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = semdedup_prune(df, threshold=0.9).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    l0 = {r["vec_id"]: r for r in by_label[0]}
+    # 1..3 are all >= 0.9 sim to the label-0 centroid; exactly one kept
+    core = [r for r in by_label[0] if r["centroid_sim"] >= 0.9]
+    assert len(core) == 3
+    assert sum(not r["prune"] for r in core) == 1
+    kept = next(r for r in core if not r["prune"])
+    assert kept["centroid_sim"] == max(r["centroid_sim"] for r in core)
+    assert not l0[4]["prune"]  # outlier never pruned
+    # label 1: nothing above threshold, nothing pruned
+    assert all(not r["prune"] for r in by_label[1])
