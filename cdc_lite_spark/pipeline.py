@@ -179,3 +179,22 @@ class CorpusPipeline:
         from cdc_lite_spark.operators.sampling import dataset_split
 
         return self._with(dataset_split(self._df, self.id_col, weights))
+
+    def drop_heavily_duplicated(self, max_fraction: float = 0.8) -> CorpusPipeline:
+        """Drop documents whose corpus-duplicated n-gram fraction exceeds
+        ``max_fraction`` (Lee et al. ACL 2022 — heavily-copied documents
+        are removed outright rather than pairwise-deduped)."""
+        from cdc_lite_spark.operators.dedup import dup_ngram_coverage
+
+        cov = dup_ngram_coverage(self._df, id_col=self.id_col, text_col=self.text_col)
+        keep = cov.filter(F.col("dup_fraction") <= max_fraction).select(self.id_col)
+        return self._with(self._df.join(keep, self.id_col, "left_semi"))
+
+    def with_fingerprints(self) -> CorpusPipeline:
+        """Attach winnowing fingerprint summary columns (n_fingerprints,
+        density, fp_checksum) — the sketch an overlap index shuffles in
+        place of the full shingle stream."""
+        from cdc_lite_spark.operators.dedup import winnowing_summary
+
+        fp = winnowing_summary(self._df, id_col=self.id_col, text_col=self.text_col)
+        return self._with(self._df.join(fp.drop("n_shingles"), self.id_col))

@@ -98,3 +98,18 @@ def test_pipeline_filter_encoding_and_drop_contained(spark):
     pairs = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
     cont = containment_verify(docs, pairs, threshold=0.9).collect()
     assert cont and cont[0]["contained_id"] == 1
+
+
+def test_pipeline_drop_heavily_duplicated_and_fingerprints(spark):
+    p = CorpusPipeline(_docs(spark))
+    # docs 1/2/3 share almost all n-grams → dup_fraction near 1; the
+    # unique docs survive a 0.8 gate
+    kept = {r["doc_id"] for r in p.drop_heavily_duplicated(0.8).df.collect()}
+    assert {4, 5, 6} <= kept
+    assert 1 not in kept and 2 not in kept
+
+    fp = p.with_fingerprints().df
+    assert {"n_fingerprints", "density", "fp_checksum"} <= set(fp.columns)
+    rows = {r["doc_id"]: r for r in fp.collect()}
+    assert rows[1]["fp_checksum"] == rows[2]["fp_checksum"]  # identical docs
+    assert rows[1]["fp_checksum"] != rows[4]["fp_checksum"]

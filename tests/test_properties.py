@@ -287,3 +287,51 @@ def test_minhash_cross_engine_on_adversarial_corpus(spark):
     }
     con.close()
     assert got == want
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=40),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=TEXTS)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_winnowing_fingerprints_subset_of_shingles(spark, texts):
+    """Selected fingerprints are always a subset of the document's shingle
+    hashes, non-empty, and density never exceeds 1."""
+    from cdc_lite_spark.operators.dedup import staged_shingles, winnow_fingerprints_col
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    staged = staged_shingles(docs)
+    rows = staged.select(
+        "doc_id",
+        F.col("__sh").alias("sh"),
+        winnow_fingerprints_col(F.col("__sh")).alias("fp"),
+    ).collect()
+    for r in rows:
+        assert len(r["fp"]) >= 1
+        assert set(r["fp"]) <= set(r["sh"])
+        assert len(r["fp"]) <= len(r["sh"])
+
+
+@given(texts=TEXTS)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_dup_ngram_fraction_bounds_and_duplicate_detection(spark, texts):
+    """dup_fraction ∈ [0,1]; a planted exact duplicate forces both copies
+    to fraction 1.0."""
+    from cdc_lite_spark.operators.dedup import dup_ngram_coverage
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    dup_a, dup_b = 1000, 1001
+    rows += [(dup_a, "planted duplicate text body"), (dup_b, "planted duplicate text body")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_ngram_coverage(docs).collect()}
+    assert set(out) == {i for i, _ in rows}
+    for r in out.values():
+        assert 0.0 <= r["dup_fraction"] <= 1.0
+        assert r["n_dup_grams"] <= r["n_grams"]
+    assert out[dup_a]["dup_fraction"] == 1.0 and out[dup_b]["dup_fraction"] == 1.0
