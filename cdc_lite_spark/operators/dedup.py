@@ -676,3 +676,89 @@ def winnowing_summary(
         F.round(F.size("__fp") / F.col("n_shingles"), 6).alias("density"),
         checksum.alias("fp_checksum"),
     )
+
+
+# --- incremental n-gram novelty (dup-ngram at ingest time) -------------------
+
+
+def doc_grams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE
+) -> DataFrame:
+    """(id, gram) rows — one row per DISTINCT shingle per document."""
+    return staged_shingles(df, id_col, text_col, n).select(
+        id_col, F.explode(F.array_distinct("__sh")).alias("gram")
+    )
+
+
+def gram_frequency_state(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE
+) -> DataFrame:
+    """Corpus gram-frequency state (gram, doc_freq) — the maintainable
+    aggregate behind dup-ngram scoring at ingest.  Built once over the
+    historical corpus; thereafter ``update_gram_frequencies`` folds each
+    batch in at O(batch) cost."""
+    return doc_grams(df, id_col, text_col, n).groupBy("gram").agg(
+        F.count("*").alias("doc_freq")
+    )
+
+
+def update_gram_frequencies(
+    state: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE,
+) -> DataFrame:
+    """Fold a new-document batch into the gram-frequency state: shingle the
+    BATCH only, aggregate its per-gram doc counts, and merge with a
+    full-outer join on the gram key.  Cost ∝ batch, never ∝ corpus —
+    identical scale shape to ``incremental.apply_delta``.  (Documents are
+    append-only here; retraction would subtract the same way.)"""
+    delta = doc_grams(batch, id_col, text_col, n).groupBy("gram").agg(
+        F.count("*").alias("__d")
+    )
+    return (
+        state.join(delta, "gram", "full_outer")
+        .select(
+            "gram",
+            (F.coalesce(F.col("doc_freq"), F.lit(0)) + F.coalesce(F.col("__d"), F.lit(0))).alias(
+                "doc_freq"
+            ),
+        )
+    )
+
+
+def batch_gram_novelty(
+    batch: DataFrame,
+    state: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE,
+) -> DataFrame:
+    """Score incoming documents against the historical corpus WITHOUT
+    rescanning it: per batch document, the fraction of its shingles never
+    seen in the corpus state.  novelty 0 ⇒ every n-gram already exists
+    (an exact or near copy of historical content); 1 ⇒ entirely new text.
+
+    The join keys on the gram hash — the batch side is small, so AQE
+    broadcasts it against the (arbitrarily large, pre-aggregated) state;
+    per-doc rollup is one partial-aggregable exchange.  This is the
+    dup-ngram gate a training-data ingest pipeline runs per batch, with
+    the O(corpus) recompute replaced by the maintained state.
+    """
+    grams = doc_grams(batch, id_col, text_col, n)
+    seen = F.when(F.col("doc_freq").isNotNull(), 1).otherwise(0)
+    return (
+        grams.join(state, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(seen).cast("bigint").alias("n_seen"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_seen",
+            F.round(1 - F.col("n_seen") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )

@@ -4734,3 +4734,47 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup_prune(emb)
+
+
+def _gram_novelty_oracle() -> str:
+    from cdc_lite_spark.operators.dedup import staged_shingles_sql
+
+    sh = staged_shingles_sql("text")
+    return f"""
+    WITH corpus_grams AS (
+        SELECT doc_id, unnest(list_distinct({sh})) AS gram
+        FROM documents WHERE doc_id % 20 != 0
+    ),
+    state AS (SELECT gram, count(*) AS doc_freq FROM corpus_grams GROUP BY gram),
+    batch_grams AS (
+        SELECT doc_id, unnest(list_distinct({sh})) AS gram
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN doc_freq IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_seen,
+           round(1 - CAST(sum(CASE WHEN doc_freq IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS novelty
+    FROM batch_grams LEFT JOIN state USING (gram)
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "incremental_gram_novelty",
+    _gram_novelty_oracle(),
+    "X2 extension: dup-ngram at ingest — batch documents scored against "
+    "the maintained corpus gram-frequency state (novelty = unseen-shingle "
+    "fraction); O(batch), the corpus is never rescanned",
+    tags=("dedup", "incremental"),
+)
+def q_incremental_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same batch/corpus split as incremental_near_dup (doc_id % 20).  The
+    state side is pre-aggregated (one row per gram); the batch gram set is
+    the small join side."""
+    from cdc_lite_spark.operators.dedup import batch_gram_novelty, gram_frequency_state
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    batch = docs.filter(F.col("doc_id") % 20 == 0)
+    return batch_gram_novelty(batch, gram_frequency_state(corpus))

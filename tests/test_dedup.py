@@ -211,3 +211,44 @@ def test_winnowing_summary_density(spark):
     assert out[1]["fp_checksum"] == out[2]["fp_checksum"]
     assert out[1]["fp_checksum"] != out[3]["fp_checksum"]
     assert 0 < out[1]["density"] < 1
+
+
+def test_gram_novelty_incremental_matches_semantics(spark):
+    """A batch doc identical to corpus content scores novelty 0; wholly
+    new text scores 1; updating the state absorbs the batch."""
+    from cdc_lite_spark.operators.dedup import (
+        batch_gram_novelty,
+        gram_frequency_state,
+        update_gram_frequencies,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # exact copy of 1
+            (11, "totally novel words never seen before"),
+            (12, "alpha beta gamma nine ten eleven"),  # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    state = gram_frequency_state(corpus)
+    out = {r["doc_id"]: r for r in batch_gram_novelty(batch, state).collect()}
+    assert out[10]["novelty"] == 0.0
+    assert out[11]["novelty"] == 1.0
+    assert 0.0 < out[12]["novelty"] < 1.0
+
+    # folding the batch in makes a re-scored copy fully known
+    state2 = update_gram_frequencies(state, batch)
+    re_batch = spark.createDataFrame(
+        [(20, "totally novel words never seen before")], "doc_id long, text string"
+    )
+    re_out = batch_gram_novelty(re_batch, state2).collect()[0]
+    assert re_out["novelty"] == 0.0
+
+    # state update is count-correct: a gram in both corpus and batch sums
+    merged = {r["gram"]: r["doc_freq"] for r in state2.collect()}
+    base = {r["gram"]: r["doc_freq"] for r in state.collect()}
+    assert all(merged[g] >= base[g] for g in base)
