@@ -762,3 +762,44 @@ def batch_gram_novelty(
             F.round(1 - F.col("n_seen") / F.col("n_grams"), 6).alias("novelty"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = SHINGLE,
+    max_sources_per_gram: int = 64,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    distinct shingles they share — the split-leakage / provenance-overlap
+    audit a training-data pipeline runs before declaring sources
+    independent.
+
+    Plan: (source, gram) pairs dedup once (one exchange), then a self-join
+    keyed on the gram hash.  A gram shared by s sources emits s(s-1)/2
+    rows, so ``max_sources_per_gram`` caps ubiquitous grams (stop-phrases)
+    exactly like the LSH bucket cap — a gram in EVERY source carries no
+    contamination signal but would dominate the join.  Output is
+    |sources|² bounded, tiny at any corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    sg = (
+        staged_shingles(df, source_col, text_col, n)
+        .select(source_col, F.explode(F.array_distinct("__sh")).alias("gram"))
+        .distinct()
+    )
+    bounded = (
+        sg.withColumn("__n", F.count("*").over(W.partitionBy("gram")))
+        .filter(F.col("__n") <= max_sources_per_gram)
+        .drop("__n")
+    )
+    a = bounded.select(F.col("gram"), F.col(source_col).alias("source_a"))
+    b = bounded.select(F.col("gram"), F.col(source_col).alias("source_b"))
+    return (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )

@@ -313,3 +313,222 @@ def encoding_stats_sql(text_expr: str = "text") -> dict[str, str]:
             f"CAST({mojibake} AS BIGINT) = 0) AS INT)"
         ),
     }
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the statistic the
+    first BPE merge iteration maximizes (Sennrich et al., "Neural Machine
+    Translation of Rare Words with Subword Units", ACL 2016).
+
+    Scale shape (the classic distributed-BPE trick): the corpus first
+    collapses to the VOCABULARY aggregate (word, n_occurrences) — one
+    partial-aggregable shuffle keyed on the word — and pair generation
+    runs over vocab entries weighted by their counts.  The expensive text
+    volume is touched exactly once; everything after operates on |vocab|
+    rows, which is bounded by the language, not the corpus.  Output is the
+    FULL pair table (alphabet-bounded, a few hundred rows) so no top-k
+    tie-break nondeterminism exists.
+    """
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.substring(F.col("word"), i, 2),
+    )
+    return (
+        vocab.filter(F.length("word") >= 2)
+        .select(F.explode(pairs).alias("pair"), "n_occ")
+        .groupBy("pair")
+        .agg(F.sum("n_occ").cast("bigint").alias("pair_count"))
+    )
+
+
+def bpe_pair_counts_sql(table: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB twin of ``bpe_pair_counts``."""
+    return f"""
+    WITH vocab AS (
+        SELECT word, count(*) AS n_occ
+        FROM (SELECT unnest({tokens_sql(text_expr)}) AS word FROM {table})
+        GROUP BY word
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(word)),
+                                     i -> substr(word, CAST(i AS INT), 2))) AS pair,
+               n_occ
+        FROM vocab WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(n_occ) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    """
+
+
+def _merge_pair_fold(syms: Column, left: Column, right: Column, merged: Column) -> Column:
+    """Greedy left-to-right single-pair merge over a symbol array, as a
+    fold: walk the symbols; when the accumulator's last element equals
+    ``left`` and the current symbol equals ``right``, replace the last
+    element with ``merged``.  Because the merged symbol differs from
+    ``left``, runs merge non-overlapping left-to-right — exactly BPE's
+    greedy semantics (a a a a → aa aa, not aa a a)."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == left) & (x == right),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _vocab_bpe_local(n_merges: int):
+    """Executor-side BPE merge loop over the (word, n_occ, syms) vocab
+    batches of ONE coalesced partition — the same size-gate shape as the
+    union-find connected-components fast path.  Emits the merge table."""
+    import pandas as pd
+
+    def run(batches):
+        vocab: dict[tuple[str, ...], int] = {}
+        for b in batches:
+            for syms, occ in zip(b["syms"], b["n_occ"]):
+                key = tuple(syms)
+                vocab[key] = vocab.get(key, 0) + int(occ)
+        merges = []
+        for rank in range(n_merges):
+            counts: dict[tuple[str, str], int] = {}
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + c
+            if not counts:
+                break
+            (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            if cnt < 2:
+                break
+            merges.append((rank, l, r, l + r))
+            new_vocab: dict[tuple[str, ...], int] = {}
+            for syms, c in vocab.items():
+                out: list[str] = []
+                for x in syms:
+                    if out and out[-1] == l and x == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(x)
+                key = tuple(out)
+                new_vocab[key] = new_vocab.get(key, 0) + c
+            vocab = new_vocab
+        yield pd.DataFrame(
+            merges, columns=["merge_rank", "left_sym", "right_sym", "merged"]
+        ).astype({"merge_rank": "int32"})
+
+    return run
+
+
+MERGES_SCHEMA = "merge_rank int, left_sym string, right_sym string, merged string"
+#: above this vocab size the executor-local merge loop gives way to the
+#: distributed per-iteration DataFrame path
+BPE_LOCAL_MAX_VOCAB = 2_000_000
+
+
+def char_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n_occ, syms) vocabulary aggregate — the ONLY pass over the
+    text volume (one partial-aggregable shuffle keyed on the word); BPE
+    iterations run over this, whose size is bounded by the language's word
+    types, not the corpus."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")), lambda i: F.substring(F.col("word"), i, 1)
+    )
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_occ"))
+        .select("word", "n_occ", chars.alias("syms"))
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """Distributed BPE training, merge table only (Sennrich et al. ACL
+    2016).  The corpus collapses to the vocabulary aggregate once; the
+    merge loop — inherently sequential, O(|vocab|·n_merges) — then runs
+    executor-side over ONE coalesced Arrow partition (word types are
+    language-bounded: even web-scale corpora yield vocabularies far under
+    ``BPE_LOCAL_MAX_VOCAB``; the count-threshold gate below guards the
+    pathological case).  One job end-to-end, no per-iteration scheduling
+    round-trips.  ``bpe_train`` keeps the per-iteration DataFrame loop for
+    vocabularies that genuinely exceed one executor's memory."""
+    vocab = char_vocab(df, text_col)
+    return vocab.coalesce(1).mapInPandas(_vocab_bpe_local(n_merges), MERGES_SCHEMA)
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = 8, vocab_partitions: int = 1
+):
+    """Per-iteration DataFrame BPE training — the scale path for
+    vocabularies too large for one executor (see ``bpe_train_merges`` for
+    the common case).  Returns (merges, vocab): the ordered rule list and
+    the final symbolized vocabulary DataFrame.
+
+    Each merge iteration runs on |vocab| rows: pair counts are a hash
+    aggregate, the argmax is a 1-row collect (the decision is inherently
+    sequential — the driver round-trip is the algorithm, not an accident),
+    and the merge itself is the greedy fold above.  Per-iteration vocab is
+    localCheckpoint-ed so the plan doesn't grow multiplicatively
+    (the ``kmeans_refine`` lesson), and superseded checkpoints are freed.
+    """
+    from cdc_lite_spark.operators._iterative import (
+        free_new_checkpoints,
+        persistent_rdd_ids,
+    )
+
+    spark = df.sparkSession
+    before = persistent_rdd_ids(spark)
+    vocab = (
+        char_vocab(df, text_col)
+        # |vocab| is language-bounded (word TYPES, not tokens), so the
+        # iterative phase runs on a few partitions regardless of corpus
+        # size; default 1 keeps per-iteration jobs single-task (32-way
+        # shuffles of a 10^3-row table cost more in scheduling than work)
+        .coalesce(vocab_partitions)
+        .localCheckpoint(eager=True)
+    )
+    pair_col = F.transform(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        lambda i: F.struct(
+            F.element_at("syms", i).alias("l"),
+            F.element_at("syms", i + 1).alias("r"),
+        ),
+    )
+    merges: list[tuple[int, str, str, str]] = []
+    for rank in range(n_merges):
+        best = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(F.explode(pair_col).alias("p"), "n_occ")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n_occ").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < 2:
+            break
+        l, r = best[0]["l"], best[0]["r"]
+        merges.append((rank, l, r, l + r))
+        vocab = vocab.select(
+            "word",
+            "n_occ",
+            _merge_pair_fold(
+                F.col("syms"), F.lit(l), F.lit(r), F.lit(l + r)
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+    free_new_checkpoints(spark, before, keep_latest=1)
+    merges_df = df.sparkSession.createDataFrame(
+        merges or [(0, "", "", "")], MERGES_SCHEMA
+    )
+    if not merges:
+        merges_df = merges_df.limit(0)
+    return merges_df, vocab

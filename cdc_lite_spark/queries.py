@@ -4778,3 +4778,82 @@ def q_incremental_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     batch = docs.filter(F.col("doc_id") % 20 == 0)
     return batch_gram_novelty(batch, gram_frequency_state(corpus))
+
+
+def _bpe_pair_oracle() -> str:
+    from cdc_lite_spark.operators.text import bpe_pair_counts_sql
+
+    return bpe_pair_counts_sql("documents")
+
+
+@register(
+    "bpe_pair_counts",
+    _bpe_pair_oracle(),
+    "X4 extension: adjacent character-pair frequencies over the vocabulary "
+    "aggregate — the first BPE merge-iteration statistic (Sennrich et al. "
+    "ACL 2016), computed corpus-once then vocab-only",
+    tags=("text", "agg"),
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collapses to (word, count) first; pair stats run on |vocab|
+    rows.  Full pair table output — no top-k tie-break nondeterminism."""
+    from cdc_lite_spark.operators.text import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs)
+
+
+def _source_overlap_oracle(max_sources: int = 64) -> str:
+    from cdc_lite_spark.operators.dedup import staged_shingles_sql
+
+    sh = staged_shingles_sql("text")
+    return f"""
+    WITH sg AS (
+        SELECT DISTINCT source, unnest(list_distinct({sh})) AS gram
+        FROM documents
+    ),
+    bounded AS (
+        SELECT source, gram FROM sg
+        QUALIFY count(*) OVER (PARTITION BY gram) <= {max_sources}
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_grams
+    FROM bounded a JOIN bounded b USING (gram)
+    WHERE a.source < b.source
+    GROUP BY a.source, b.source
+    """
+
+
+@register(
+    "source_overlap_matrix",
+    _source_overlap_oracle(),
+    "X2 extension: cross-source shared-shingle matrix — the split-leakage "
+    "audit before declaring sources independent; ubiquitous grams capped "
+    "like LSH hot buckets",
+    tags=("dedup", "join", "agg"),
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|sources|²-bounded output; the gram self-join is capped so
+    stop-phrases can't blow up pair counts."""
+    from cdc_lite_spark.operators.dedup import source_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs)
+
+
+@register(
+    "bpe_train_merges",
+    None,  # iterative (per-merge argmax feeds the next fold) — not
+    # SQL-expressible; pinned by tests/test_text.py::test_bpe_train_matches_reference
+    # against a pure-Python BPE reference instead, and the two strategies
+    # (executor-local loop vs per-iteration DataFrame) are pinned equal
+    "X4 extension: distributed BPE training — learn the top merge rules "
+    "over the vocabulary aggregate (corpus touched once; the merge loop "
+    "runs executor-side over the language-bounded vocab)",
+    tags=("text", "iterative"),
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.text import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, n_merges=6)

@@ -81,3 +81,80 @@ def test_encoding_stats_detects_artifacts(spark):
     assert out[4]["n_control"] == 1 and out[4]["clean_encoding"] == 0
     # genuine non-ASCII is NOT mojibake: flagged by ratio, still clean
     assert out[5]["clean_encoding"] == 1 and out[5]["non_ascii_ratio"] > 0
+
+
+def test_bpe_pair_counts_weighted_by_occurrence(spark):
+    from cdc_lite_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "ab x")], "doc_id long, text string"
+    )
+    out = {r["pair"]: r["pair_count"] for r in bpe_pair_counts(docs).collect()}
+    assert out["ab"] == 3  # 'ab' occurs 3 times corpus-wide
+    assert out["cd"] == 1
+    assert "x" not in out  # single-char words contribute no pair
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Pure-Python BPE reference (greedy left-to-right merge, ties by
+    lexicographic pair) to pin the distributed trainer."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (l, r), _ = best
+        merges.append((rank, l, r, l + r))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from cdc_lite_spark.operators.text import bpe_train, bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low"),
+            (2, "new newer newest new"),
+            (3, "wide wider widest"),
+        ],
+        "doc_id long, text string",
+    )
+    merges_df, vocab = bpe_train(docs, n_merges=6)
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    # the executor-local fast path learns the identical rules
+    local = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"])
+        for r in bpe_train_merges(docs, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    assert local == got
+    wc = {}
+    for t in ["low lower lowest low low", "new newer newest new", "wide wider widest"]:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    expect = _bpe_reference(wc, 6)
+    assert got == expect
+    # greedy-run semantics: 'a a a a' merges into two 'aa', not one
+    runs = spark.createDataFrame([(1, "aaaa aaaa aaaa")], "doc_id long, text string")
+    m, v = bpe_train(runs, n_merges=1)
+    syms = v.collect()[0]["syms"]
+    assert syms == ["aa", "aa"]
