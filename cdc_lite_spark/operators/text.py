@@ -532,3 +532,82 @@ def bpe_train(
     if not merges:
         merges_df = merges_df.limit(0)
     return merges_df, vocab
+
+
+def _vocab_bpe_segment(n_merges: int):
+    """Executor-side BPE loop that emits the final SEGMENTATION of each
+    vocab word (word, n_occ, pieces) instead of the merge table."""
+    import pandas as pd
+
+    def run(batches):
+        rows = []  # (word, n_occ)
+        vocab: dict[str, tuple[tuple[str, ...], int]] = {}
+        for b in batches:
+            for word, syms, occ in zip(b["word"], b["syms"], b["n_occ"]):
+                vocab[word] = (tuple(syms), int(occ))
+        for _ in range(n_merges):
+            counts: dict[tuple[str, str], int] = {}
+            for syms, c in vocab.values():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + c
+            if not counts:
+                break
+            (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            if cnt < 2:
+                break
+            new_vocab = {}
+            for word, (syms, c) in vocab.items():
+                out: list[str] = []
+                for x in syms:
+                    if out and out[-1] == l and x == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(x)
+                new_vocab[word] = (tuple(out), c)
+            vocab = new_vocab
+        yield pd.DataFrame(
+            [(w, c, list(s)) for w, (s, c) in vocab.items()],
+            columns=["word", "n_occ", "pieces"],
+        )
+
+    return run
+
+
+def bpe_vocab_segmentation(
+    df: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """(word, n_occ, pieces): each vocabulary word segmented by the learned
+    BPE merges — the lookup table tokenization-by-join reads.  Same
+    executor-local shape as ``bpe_train_merges``."""
+    vocab = char_vocab(df, text_col)
+    return vocab.coalesce(1).mapInPandas(
+        _vocab_bpe_segment(n_merges), "word string, n_occ bigint, pieces array<string>"
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Per-document BPE token count under the corpus-learned merges — the
+    budget number a training pipeline needs per document (sequence packing,
+    cost estimation) computed WITHOUT tokenizing any document: documents
+    explode to words, the segmented vocabulary broadcasts (it is
+    language-bounded), and the piece counts sum per document.  The corpus
+    text is touched twice total (once to learn, once to count words);
+    no Python ever sees a document."""
+    seg = bpe_vocab_segmentation(df, text_col, n_merges).select(
+        "word", F.size("pieces").alias("__np")
+    )
+    words = df.select(id_col, F.explode(tokens(text_col)).alias("word"))
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("__np").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

@@ -4857,3 +4857,19 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train_merges(docs, n_merges=6)
+
+
+@register(
+    "bpe_token_counts",
+    None,  # depends on the learned merge table (iterative) — pinned by
+    # tests/test_text.py::test_bpe_token_counts_matches_reference_segmentation
+    "X4 extension: per-document token count under corpus-learned BPE "
+    "merges — tokenization-by-join against the segmented vocabulary; "
+    "no document is ever tokenized in Python",
+    tags=("text", "join", "agg"),
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.text import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, n_merges=6)

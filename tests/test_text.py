@@ -158,3 +158,40 @@ def test_bpe_train_matches_reference(spark):
     m, v = bpe_train(runs, n_merges=1)
     syms = v.collect()[0]["syms"]
     assert syms == ["aa", "aa"]
+
+
+def test_bpe_token_counts_matches_reference_segmentation(spark):
+    from cdc_lite_spark.operators.text import bpe_token_counts
+
+    texts = {
+        1: "low lower lowest low low",
+        2: "new newer newest new",
+        3: "wide wider widest",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bpe_token_counts(docs, n_merges=6).collect()}
+
+    wc = {}
+    for t in texts.values():
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    merges = _bpe_reference(wc, 6)
+
+    def segment(word):
+        syms = list(word)
+        for _, l, r, m in merges:
+            out_s = []
+            for x in syms:
+                if out_s and out_s[-1] == l and x == r:
+                    out_s[-1] = m
+                else:
+                    out_s.append(x)
+            syms = out_s
+        return syms
+
+    for doc_id, t in texts.items():
+        expect = sum(len(segment(w)) for w in t.split())
+        assert out[doc_id]["n_bpe_tokens"] == expect
+        assert out[doc_id]["n_words"] == len(t.split())
