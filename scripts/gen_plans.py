@@ -53,6 +53,9 @@ HEADLINERS: dict[str, str] = {
     "winnowing_fingerprints": "fingerprint sketch entirely scan-side: zero exchanges",
     "embedding_dim_stats": "posexplode fans rows out, but the exchange carries only |dims| partial-agg keys",
     "semdedup_prune": "|labels| centroids broadcast; one window per cluster — no pairwise similarity join",
+    "incremental_gram_novelty": "batch grams join the pre-aggregated state — corpus never rescanned",
+    "source_overlap_matrix": "gram self-join capped per gram (stop-phrase bomb defused like LSH hot buckets)",
+    "bpe_token_counts": "segmented vocab broadcasts; documents explode to words, never touch Python",
 }
 
 

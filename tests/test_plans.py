@@ -303,3 +303,26 @@ def test_semdedup_broadcasts_centroids_no_pairwise_join(spark):
     assert "CartesianProduct" not in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("Join") == 1  # the single corpus×centroid join
+
+
+def test_gram_novelty_state_side_preaggregated(spark):
+    """The novelty join consumes the aggregated (gram, doc_freq) state —
+    no cartesian, no second corpus-wide shingle pass on the batch side."""
+    plan = _plan(spark, "incremental_gram_novelty")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_source_overlap_join_is_capped_equi(spark):
+    """Gram self-join must be an equi-join below a count-window cap."""
+    plan = _plan(spark, "source_overlap_matrix")
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree  # the per-gram cap
+
+
+def test_bpe_token_counts_broadcasts_vocab(spark):
+    """The segmented vocabulary (|word types| rows) must broadcast —
+    documents never shuffle for the tokenization join."""
+    plan = _plan(spark, "bpe_token_counts")
+    assert "BroadcastHashJoin" in plan
