@@ -1,0 +1,116 @@
+"""Streaming gram-novelty gate: documents arriving on a stream are scored
+against the maintained corpus gram-frequency state, then folded INTO that
+state — the streaming face of ``operators.dedup.batch_gram_novelty`` +
+``update_gram_frequencies``.
+
+Shape: ``readStream`` → ``foreachBatch`` → score batch vs state (left join
+on the gram key; batch side small) → append scores to the sink → merge the
+batch's grams into the state parquet.  Per-tick cost is O(batch grams);
+the corpus text is never rescanned.  State lives as a parquet directory
+swapped atomically per epoch (write-new-then-repoint, same task-commit
+discipline as the engine's checksum state), so a crashed tick replays
+idempotently from the stream checkpoint against the last committed state.
+
+Why foreachBatch, not ``transformWithState``: the state here is keyed by
+GRAM (millions of keys shared across all documents), not by stream key —
+it is a maintained aggregate table, which is exactly what a per-epoch
+merge join expresses; per-key streaming state would shuffle every tick's
+grams into the state store for no benefit.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cdc_lite_spark.operators.dedup import (
+    batch_gram_novelty,
+    gram_frequency_state,
+    update_gram_frequencies,
+)
+
+_STATE_SCHEMA = "gram long, doc_freq bigint"
+
+
+def init_novelty_state(corpus: DataFrame, state_dir: str) -> None:
+    """Build the initial gram-frequency state from the historical corpus —
+    the one O(corpus) pass; every tick afterwards is O(batch)."""
+    gram_frequency_state(corpus).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "v0")
+    )
+    _repoint(state_dir, "v0")
+
+
+def _repoint(state_dir: str, version: str) -> None:
+    tmp = os.path.join(state_dir, "_CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(state_dir, "_CURRENT"))
+
+
+def _current(state_dir: str) -> str:
+    with open(os.path.join(state_dir, "_CURRENT")) as f:
+        return f.read().strip()
+
+
+def load_novelty_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    return spark.read.schema(_STATE_SCHEMA).parquet(
+        os.path.join(state_dir, _current(state_dir))
+    )
+
+
+def start_novelty_stream(
+    new_docs_stream: DataFrame,
+    state_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 1,
+    on_batch: Callable[[DataFrame, int], None] | None = None,
+) -> StreamingQuery:
+    """Attach the novelty gate to a stream of (doc_id, text) rows.
+
+    Each tick: score the batch against the CURRENT state version, append
+    (doc_id, n_grams, n_seen, novelty) to the sink, then write state
+    version v{epoch} = state ⊕ batch and repoint _CURRENT.  A replayed
+    epoch rewrites the same version directory (overwrite) and repoints to
+    the identical content — idempotent.
+    """
+
+    def _tick(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        # a replayed epoch must score against the SAME state it originally
+        # saw: epoch e always reads version v{e} when it exists (the tick
+        # for e-1 wrote it), falling back to the committed head only when
+        # the stream's checkpoint predates this state directory
+        versioned = os.path.join(state_dir, f"v{epoch}")
+        if os.path.isdir(versioned):
+            state = spark.read.schema(_STATE_SCHEMA).parquet(versioned)
+        else:
+            state = load_novelty_state(spark, state_dir)
+        scores = batch_gram_novelty(batch, state)
+        if on_batch is not None:
+            on_batch(scores, epoch)
+        scores.write.mode("append").parquet(sink_path)
+        new_version = f"v{epoch + 1}"
+        update_gram_frequencies(state, batch).write.mode("overwrite").parquet(
+            os.path.join(state_dir, new_version)
+        )
+        _repoint(state_dir, new_version)
+        # GC: keep the two newest versions (current + the one a replay of
+        # THIS epoch would re-read); anything older is unreachable
+        import shutil
+
+        for name in os.listdir(state_dir):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < epoch:
+                shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
+    return (
+        new_docs_stream.writeStream.foreachBatch(_tick)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
