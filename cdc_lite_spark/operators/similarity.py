@@ -532,3 +532,141 @@ def semdedup_prune_sql(
            (rn > 1 AND sim >= {threshold}) AS prune
     FROM ranked
     """
+
+
+# --- product quantization ----------------------------------------------------
+
+PQ_SUBSPACES = 8
+PQ_CODEBOOK_K = 16
+
+
+def pq_codebook(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK_K,
+) -> DataFrame:
+    """(sub, centroid, cv): per-subspace codebook seeded from the first
+    ``k`` vectors by id — the deterministic sample initialization; a
+    deployment Lloyd-refines each subspace's codebook with
+    ``kmeans_refine`` (the iteration machinery already exists) but the
+    ENCODING structure below is identical either way.  |codebook| = m·k
+    rows — always broadcastable."""
+    return (
+        df.filter(F.col(id_col) < k)
+        .select(
+            F.col(id_col).alias("centroid"),
+            _to_double(F.col(vec_col)).alias("__v"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        )
+        .select(
+            "sub",
+            "centroid",
+            F.slice(
+                "__v", (F.col("sub") * (F.size("__v") / m).cast("int") + 1), (F.size("__v") / m).cast("int")
+            ).alias("cv"),
+        )
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK_K,
+) -> DataFrame:
+    """Product-quantization encoding (Jégou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): each vector
+    splits into ``m`` subvectors, each assigned its nearest per-subspace
+    codebook centroid — an m-byte code replacing the full vector, the
+    memory layout IVF-ADC search reads at billion-vector scale.
+
+    Output: (vec_id, codes[m], quant_error).  Scale shape: the codebook
+    (m·k rows) broadcasts; the corpus fans out ×m subvectors scan-side,
+    the argmin is a min(struct(dist, centroid)) hash aggregate (no window,
+    no sort), and the code assembly is one more |vecs|-keyed aggregate.
+    Everything is exact double arithmetic in array order; the error sum
+    folds in subspace order so cross-engine parity survives the floats.
+    """
+    cb = pq_codebook(df, id_col, vec_col, m, k)
+    sub_len = (F.size("__v") / m).cast("int")
+    subs = df.select(
+        F.col(id_col),
+        _to_double(F.col(vec_col)).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        id_col,
+        "sub",
+        F.slice("__v", F.col("sub") * sub_len + 1, sub_len).alias("sv"),
+    )
+    d = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        subs.join(F.broadcast(cb), "sub")
+        .select(id_col, "sub", F.struct(d.alias("d"), F.col("centroid")).alias("dc"))
+        .groupBy(id_col, "sub")
+        .agg(F.min("dc").alias("best"))
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("sub"), F.col("best.centroid").alias("c"), F.col("best.d").alias("d")))
+    )
+    err = F.aggregate(
+        F.transform(ordered, lambda s: s["d"]), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        best.groupBy(id_col)
+        .agg(
+            F.transform(ordered, lambda s: s["c"]).alias("codes"),
+            F.round(err, 6).alias("quant_error"),
+        )
+    )
+
+
+def pq_encode_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK_K,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of ``pq_encode`` — identical slicing, distance folds,
+    argmin tie-break, and subspace-ordered error accumulation."""
+    d_sub = dims // m
+    sqd = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(s.sv, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH vd AS (
+        SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+        FROM {table}
+    ),
+    subs AS (
+        SELECT {id_col}, j.sub AS sub, v[j.sub * {d_sub} + 1 : (j.sub + 1) * {d_sub}] AS sv
+        FROM vd CROSS JOIN range({m}) j(sub)
+    ),
+    cb AS (
+        SELECT sub, {id_col} AS centroid, sv AS cv FROM subs WHERE {id_col} < {k}
+    ),
+    dist AS (
+        SELECT s.{id_col} AS {id_col}, s.sub AS sub, c.centroid AS centroid, {sqd} AS d
+        FROM subs s JOIN cb c USING (sub)
+    ),
+    best AS (
+        SELECT {id_col}, sub, centroid, d
+        FROM dist
+        QUALIFY row_number() OVER (PARTITION BY {id_col}, sub ORDER BY d, centroid) = 1
+    )
+    SELECT {id_col},
+           list(CAST(centroid AS BIGINT) ORDER BY sub) AS codes,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY sub)),
+                             (acc, x) -> acc + x), 6) AS quant_error
+    FROM best GROUP BY {id_col}
+    """

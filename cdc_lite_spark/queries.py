@@ -4873,3 +4873,26 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_token_counts(docs, n_merges=6)
+
+
+def _pq_encode_oracle() -> str:
+    from cdc_lite_spark.operators.similarity import pq_encode_sql
+
+    return pq_encode_sql("embeddings", dims=_EMB_DIMS)
+
+
+@register(
+    "pq_encode",
+    _pq_encode_oracle(),
+    "X3 extension: product-quantization encoding (Jégou et al. TPAMI "
+    "2011) — m-byte codes + quantization error per vector; the memory "
+    "layout IVF-ADC reads at billion-vector scale",
+    tags=("similarity", "agg"),
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook broadcasts (m·k rows); argmin is a min(struct) hash
+    aggregate — no window, no sort, no pairwise join."""
+    from cdc_lite_spark.operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb)

@@ -326,3 +326,10 @@ def test_bpe_token_counts_broadcasts_vocab(spark):
     documents never shuffle for the tokenization join."""
     plan = _plan(spark, "bpe_token_counts")
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_encode_broadcasts_codebook(spark):
+    """The m·k codebook must broadcast; no cartesian anywhere."""
+    plan = _plan(spark, "pq_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -144,3 +144,31 @@ def test_semdedup_keeps_one_representative_per_cluster(spark):
     assert not l0[4]["prune"]  # outlier never pruned
     # label 1: nothing above threshold, nothing pruned
     assert all(not r["prune"] for r in by_label[1])
+
+
+def test_pq_encode_structure_and_error(spark):
+    """Codebook seed vectors must encode to themselves with zero error;
+    codes index the per-subspace codebook; errors are non-negative."""
+    from cdc_lite_spark.operators.similarity import (
+        PQ_CODEBOOK_K,
+        PQ_SUBSPACES,
+        pq_encode,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(40, 16)).astype("float32")
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in pq_encode(df, m=4, k=8).collect()}
+    assert set(out) == set(range(40))
+    for i in range(8):  # the seed vectors ARE centroids → zero error
+        assert out[i]["quant_error"] == 0.0
+        assert out[i]["codes"] == [i, i, i, i]
+    for r in out.values():
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])
+        assert r["quant_error"] >= 0.0
+    # defaults exist and divide the testdata dims
+    assert 64 % PQ_SUBSPACES == 0 and PQ_CODEBOOK_K <= 2000
