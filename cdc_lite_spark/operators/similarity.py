@@ -670,3 +670,67 @@ def pq_encode_sql(
                              (acc, x) -> acc + x), 6) AS quant_error
     FROM best GROUP BY {id_col}
     """
+
+
+def standardize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension standardization (x − μ_d)/σ_d — the whitening-apply
+    step that consumes ``dim_stats``: the |dims|-row stats aggregate
+    broadcasts back over the corpus and the transform is pure scan-side
+    array arithmetic.  One constant-size exchange (the stats), zero corpus
+    shuffles.  Output explodes to (vec_id, dim, z) rows with z rounded to
+    6 places (the division's float parity boundary, same discipline as
+    the cosine family); constant dimensions (σ=0) emit z=0 rather than a
+    NaN poisoning downstream aggregates."""
+    v6 = F.round(F.col("val").cast("double") * 1_000_000, 0).cast("bigint")
+    n = F.count("*")
+    mean = F.sum("v6").cast("double") / (n * 1_000_000.0)
+    ex2 = F.sum(F.col("v6") * F.col("v6")).cast("double") / (n * 1_000_000_000_000.0)
+    stats = (
+        df.select(F.posexplode(vec_col).alias("dim", "val"))
+        .select(F.col("dim").cast("bigint").alias("dim"), v6.alias("v6"))
+        .groupBy("dim")
+        .agg(mean.alias("mu"), F.sqrt(ex2 - mean * mean).alias("sigma"))
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "val")
+    ).select(id_col, F.col("dim").cast("bigint").alias("dim"), F.col("val").cast("double").alias("x"))
+    z = F.when(F.col("sigma") > 0, (F.col("x") - F.col("mu")) / F.col("sigma")).otherwise(
+        F.lit(0.0)
+    )
+    return exploded.join(F.broadcast(stats), "dim").select(
+        id_col, "dim", F.round(z, 6).alias("z")
+    )
+
+
+def standardize_sql(
+    table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding", dims: int = 64
+) -> str:
+    """DuckDB twin of ``standardize`` — identical fixed-point moments and
+    division order."""
+    return f"""
+    WITH e AS (
+        SELECT d.dim AS dim,
+               CAST(round(CAST({vec_col}[d.dim + 1] AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS v6
+        FROM {table} CROSS JOIN range({dims}) d(dim)
+    ),
+    stats AS (
+        SELECT dim,
+               CAST(sum(v6) AS DOUBLE) / (count(*) * 1000000.0) AS mu,
+               sqrt(CAST(sum(v6 * v6) AS DOUBLE) / (count(*) * 1000000000000.0)
+                    - (CAST(sum(v6) AS DOUBLE) / (count(*) * 1000000.0))
+                      * (CAST(sum(v6) AS DOUBLE) / (count(*) * 1000000.0))) AS sigma
+        FROM e GROUP BY dim
+    ),
+    ex AS (
+        SELECT {id_col}, d.dim AS dim, CAST({vec_col}[d.dim + 1] AS DOUBLE) AS x
+        FROM {table} CROSS JOIN range({dims}) d(dim)
+    )
+    SELECT {id_col}, CAST(ex.dim AS BIGINT) AS dim,
+           round(CASE WHEN sigma > 0 THEN (x - mu) / sigma ELSE 0.0 END, 6) AS z
+    FROM ex JOIN stats ON ex.dim = stats.dim
+    """

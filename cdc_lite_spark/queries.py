@@ -4896,3 +4896,24 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_encode(emb)
+
+
+def _standardize_oracle() -> str:
+    from cdc_lite_spark.operators.similarity import standardize_sql
+
+    return standardize_sql("embeddings", dims=_EMB_DIMS)
+
+
+@register(
+    "embedding_standardize",
+    _standardize_oracle(),
+    "X3 extension: per-dimension standardization (whitening apply) — the "
+    "|dims|-row moment table broadcasts back over the corpus; zero corpus "
+    "shuffles",
+    tags=("similarity",),
+)
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.similarity import standardize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return standardize(emb)

@@ -172,3 +172,25 @@ def test_pq_encode_structure_and_error(spark):
         assert r["quant_error"] >= 0.0
     # defaults exist and divide the testdata dims
     assert 64 % PQ_SUBSPACES == 0 and PQ_CODEBOOK_K <= 2000
+
+
+def test_standardize_zero_mean_unit_std(spark):
+    import numpy as np
+
+    from cdc_lite_spark.operators.similarity import standardize
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(loc=2.0, scale=3.0, size=(60, 3)).astype("float32")
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = standardize(df).toPandas()
+    for d in range(3):
+        z = out[out["dim"] == d]["z"]
+        assert abs(z.mean()) < 1e-3
+        assert abs(z.std(ddof=0) - 1.0) < 1e-3
+    # constant dimension → z = 0, not NaN
+    const = spark.createDataFrame(
+        [(1, [5.0, 1.0]), (2, [5.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    z0 = standardize(const).filter("dim = 0").toPandas()["z"]
+    assert (z0 == 0.0).all()
