@@ -734,3 +734,143 @@ def standardize_sql(
            round(CASE WHEN sigma > 0 THEN (x - mu) / sigma ELSE 0.0 END, 6) AS z
     FROM ex JOIN stats ON ex.dim = stats.dim
     """
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    m: int = PQ_SUBSPACES,
+    kk: int = PQ_CODEBOOK_K,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes (Jégou et al. §IV):
+    per query, a distance TABLE (m·kk entries — query-subvector vs every
+    sub-centroid) replaces all full-vector arithmetic; each corpus vector's
+    approximate distance is m table lookups summed in subspace order.
+
+    Scale shape: the distance tables for all queries broadcast
+    (|Q|·m·kk rows); the corpus side is its CODES, not its vectors —
+    at billion-vector scale the scan reads m bytes per vector instead of
+    the embedding column, and the join key (sub, centroid) has m·kk
+    distinct values feeding a |Q|·n-row partial-aggregable fold.  No
+    full-vector distance is ever computed corpus-side.
+    """
+    codes = pq_encode(corpus, id_col, vec_col, m, kk).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.alias("sub"), F.element_at("codes", j + 1).alias("centroid")
+                ),
+            )
+        ).alias("sc"),
+    ).select(id_col, "sc.sub", "sc.centroid")
+
+    cb = pq_codebook(corpus, id_col, vec_col, m, kk)
+    sub_len = (F.size("__v") / m).cast("int")
+    q_subs = queries.select(
+        F.col(query_id_col),
+        _to_double(F.col(vec_col)).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        query_id_col,
+        "sub",
+        F.slice("__v", F.col("sub") * sub_len + 1, sub_len).alias("qv"),
+    )
+    dt_d = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dtable = q_subs.join(cb, "sub").select(
+        query_id_col, "sub", "centroid", dt_d.alias("d")
+    )
+
+    ordered = F.array_sort(F.collect_list(F.struct(F.col("sub"), F.col("d"))))
+    adc = F.aggregate(
+        F.transform(ordered, lambda s: s["d"]), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["sub", "centroid"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(adc, 6).alias("adc_dist"))
+    )
+    from cdc_lite_spark.operators.topk import top_k_per_group
+
+    return top_k_per_group(
+        scored, [query_id_col], ["adc_dist", id_col], k=k, descending=False
+    ).select(
+        query_id_col,
+        F.col(id_col).alias("nbr_id"),
+        "adc_dist",
+        F.col("rn").cast("long").alias("rank"),
+    )
+
+
+def pq_adc_topk_sql(
+    table: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_SUBSPACES,
+    kk: int = PQ_CODEBOOK_K,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of the registered ADC query (queries = first
+    ``n_queries`` vectors, like the other ANN twins)."""
+    d_sub = dims // m
+    sqd_qc = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(q.qv, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+        "(acc, x) -> acc + x)"
+    )
+    sqd_sc = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(s.sv, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH vd AS (
+        SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+        FROM {table}
+    ),
+    subs AS (
+        SELECT {id_col}, j.sub AS sub, v[j.sub * {d_sub} + 1 : (j.sub + 1) * {d_sub}] AS sv
+        FROM vd CROSS JOIN range({m}) j(sub)
+    ),
+    cb AS (
+        SELECT sub, {id_col} AS centroid, sv AS cv FROM subs WHERE {id_col} < {kk}
+    ),
+    codes AS (
+        SELECT s.{id_col} AS {id_col}, s.sub AS sub, c.centroid AS centroid
+        FROM subs s JOIN cb c USING (sub)
+        QUALIFY row_number() OVER (PARTITION BY s.{id_col}, s.sub
+                                   ORDER BY {sqd_sc}, c.centroid) = 1
+    ),
+    dtable AS (
+        SELECT q.{id_col} AS query_id, q.sub AS sub, c.centroid AS centroid,
+               {sqd_qc} AS d
+        FROM (SELECT {id_col}, sub, sv AS qv FROM subs WHERE {id_col} < {n_queries}) q
+        JOIN cb c USING (sub)
+    ),
+    scored AS (
+        SELECT query_id, codes.{id_col} AS nbr_id,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                              list(d ORDER BY codes.sub)),
+                                 (acc, x) -> acc + x), 6) AS adc_dist
+        FROM codes JOIN dtable USING (sub, centroid)
+        WHERE codes.{id_col} != query_id
+        GROUP BY query_id, codes.{id_col}
+    )
+    SELECT query_id, nbr_id, adc_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, nbr_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """

@@ -4917,3 +4917,27 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return standardize(emb)
+
+
+def _pq_adc_oracle() -> str:
+    from cdc_lite_spark.operators.similarity import pq_adc_topk_sql
+
+    return pq_adc_topk_sql("embeddings", n_queries=_N_QUERY_VECS, k=_TOPK, dims=_EMB_DIMS)
+
+
+@register(
+    "pq_adc_topk",
+    _pq_adc_oracle(),
+    "X3 extension: asymmetric-distance (ADC) top-k over PQ codes — "
+    "per-query distance tables broadcast; the corpus side is m-byte "
+    "codes, never full vectors",
+    tags=("similarity", "join", "window"),
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(emb, queries_df, k=_TOPK)

@@ -194,3 +194,26 @@ def test_standardize_zero_mean_unit_std(spark):
     )
     z0 = standardize(const).filter("dim = 0").toPandas()["z"]
     assert (z0 == 0.0).all()
+
+
+def test_pq_adc_topk_structure(spark):
+    """k results per query, ascending approximate distance, deterministic
+    tie-break, never the query itself; an exact-duplicate vector is the
+    unbeatable rank-1 (ADC distance equals its own code distance)."""
+    import numpy as np
+
+    from cdc_lite_spark.operators.similarity import pq_adc_topk
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(40, 16)).astype("float32")
+    mat[30] = mat[20]  # planted duplicate
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.filter("vec_id = 20").selectExpr("vec_id as query_id", "embedding")
+    out = pq_adc_topk(df, qs, k=3, m=4, kk=8).orderBy("rank").collect()
+    assert len(out) == 3
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert all(r["nbr_id"] != 20 for r in out)
+    dists = [r["adc_dist"] for r in out]
+    assert dists == sorted(dists)
+    assert out[0]["nbr_id"] == 30  # the duplicate shares the codes exactly
