@@ -874,3 +874,77 @@ def pq_adc_topk_sql(
     FROM scored
     QUALIFY rank <= {k}
     """
+
+
+def pq_refine_codebook(
+    df: DataFrame,
+    cb: DataFrame,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_SUBSPACES,
+) -> DataFrame:
+    """Lloyd refinement of a PQ codebook, all subspaces at once: assign
+    every (vector, subspace) to its nearest sub-centroid, then recompute
+    each (sub, centroid) as the elementwise mean of its assigned
+    subvectors.  Per iteration: one broadcast-assign scan + one
+    partial-aggregable mean keyed on (sub, centroid, dim) — |m·k·d_sub|
+    output rows, constant in corpus size.  Empty cells keep their previous
+    centroid (the standard k-means dead-cell rule).  Per-iteration
+    codebooks are localCheckpoint-ed (tiny) and superseded checkpoints
+    freed — the ``kmeans_refine`` discipline."""
+    from cdc_lite_spark.operators._iterative import (
+        free_new_checkpoints,
+        persistent_rdd_ids,
+    )
+
+    spark = df.sparkSession
+    before = persistent_rdd_ids(spark)
+    sub_len = (F.size("__v") / m).cast("int")
+    subs = df.select(
+        F.col(id_col),
+        _to_double(F.col(vec_col)).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).select(
+        id_col, "sub", F.slice("__v", F.col("sub") * sub_len + 1, sub_len).alias("sv")
+    )
+    d = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    current = cb
+    for _ in range(iterations):
+        assigned = (
+            subs.join(F.broadcast(current), "sub")
+            .select(
+                id_col,
+                "sub",
+                "sv",
+                F.struct(d.alias("d"), F.col("centroid")).alias("dc"),
+            )
+            .groupBy(id_col, "sub")
+            # sv is constant within the (id, sub) group (one subvector
+            # joined against k centroids), so first() is deterministic here
+            .agg(F.min("dc").alias("best"), F.first("sv").alias("sv"))
+            .select(id_col, "sub", F.col("best.centroid").alias("centroid"), "sv")
+        )
+        means = (
+            assigned.select("sub", "centroid", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("sub", "centroid", "dim")
+            .agg(F.avg("val").alias("mu"))
+            .groupBy("sub", "centroid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("dm"))
+            .select(
+                "sub", "centroid", F.transform("dm", lambda x: x["mu"]).alias("cv_new")
+            )
+        )
+        current = (
+            current.join(means, ["sub", "centroid"], "left")
+            .select(
+                "sub", "centroid", F.coalesce("cv_new", "cv").alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    free_new_checkpoints(spark, before, keep_latest=1)
+    return current

@@ -217,3 +217,55 @@ def test_pq_adc_topk_structure(spark):
     dists = [r["adc_dist"] for r in out]
     assert dists == sorted(dists)
     assert out[0]["nbr_id"] == 30  # the duplicate shares the codes exactly
+
+
+def test_pq_refine_reduces_quantization_error(spark):
+    """One Lloyd iteration must not increase total quantization error,
+    and typically reduces it on spread data."""
+    import numpy as np
+
+    from cdc_lite_spark.operators.similarity import (
+        pq_codebook,
+        pq_refine_codebook,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(80, 16)).astype("float32")
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def total_error(cb):
+        from cdc_lite_spark.operators.similarity import _to_double
+
+        sub_len = 4
+        subs = df.select(
+            "vec_id",
+            _to_double(F.col("embedding")).alias("__v"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("sub"),
+        ).select(
+            "vec_id", "sub", F.slice("__v", F.col("sub") * sub_len + 1, sub_len).alias("sv")
+        )
+        d = F.aggregate(
+            F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            subs.join(cb, "sub")
+            .select("vec_id", "sub", d.alias("d"))
+            .groupBy("vec_id", "sub")
+            .agg(F.min("d").alias("md"))
+            .agg(F.sum("md"))
+            .collect()[0][0]
+        )
+
+    cb0 = pq_codebook(df, m=4, k=8)
+    e0 = total_error(cb0)
+    cb1 = pq_refine_codebook(df, cb0, iterations=1, m=4)
+    e1 = total_error(cb1)
+    cb2 = pq_refine_codebook(df, cb1, iterations=1, m=4)
+    e2 = total_error(cb2)
+    assert e1 <= e0 + 1e-9
+    assert e2 <= e1 + 1e-9
+    assert e1 < e0  # random seeds are far from means: strict improvement
