@@ -4941,3 +4941,122 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_adc_topk(emb, queries_df, k=_TOPK)
+
+
+def _ann_recall_oracle(k: int = _TOPK, nq: int = _N_QUERY_VECS) -> str:
+    from cdc_lite_spark.operators.similarity import (
+        DEFAULT_BUCKET_DIMS,
+        cosine_sql,
+        sign_lsh_bucket_sql,
+    )
+
+    cos = cosine_sql("q.v", "c.v")
+    cos_qm = cosine_sql("qm.v", "c.v")
+    bucket = sign_lsh_bucket_sql("v", DEFAULT_BUCKET_DIMS)
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM vecs),
+    q AS (SELECT vec_id AS query_id, v, bucket FROM bucketed WHERE vec_id < {nq}),
+    c AS (SELECT vec_id AS nbr_id, v, bucket FROM bucketed),
+    exact AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT q.query_id, c.nbr_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY round({cos}, 6) DESC, c.nbr_id DESC)
+                       AS rank
+            FROM q CROSS JOIN c WHERE c.nbr_id != q.query_id
+        ) WHERE rank <= {k}
+    ),
+    approx AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT q.query_id, c.nbr_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY round({cos}, 6) DESC, c.nbr_id DESC)
+                       AS rank
+            FROM q JOIN c USING (bucket) WHERE c.nbr_id != q.query_id
+        ) WHERE rank <= {k}
+    ),
+    qm AS (
+        SELECT query_id, v, unnest(list_prepend(bucket,
+                   list_transform(range({len(DEFAULT_BUCKET_DIMS)}),
+                                  j -> xor(bucket, CAST(1 << j AS BIGINT)))))
+                   AS bucket
+        FROM q
+    ),
+    approx_mp AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT qm.query_id, c.nbr_id,
+                   row_number() OVER (PARTITION BY qm.query_id
+                                      ORDER BY round({cos_qm}, 6) DESC, c.nbr_id DESC)
+                       AS rank
+            FROM qm JOIN c USING (bucket) WHERE c.nbr_id != qm.query_id
+        ) WHERE rank <= {k}
+    )
+    SELECT e.query_id,
+           round(CAST(sum(CASE WHEN a.nbr_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / {k}, 6) AS recall_single,
+           round(CAST(sum(CASE WHEN m.nbr_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / {k}, 6) AS recall_multi
+    FROM exact e
+    LEFT JOIN approx a ON e.query_id = a.query_id AND e.nbr_id = a.nbr_id
+    LEFT JOIN approx_mp m ON e.query_id = m.query_id AND e.nbr_id = m.nbr_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "ann_recall_report",
+    _ann_recall_oracle(),
+    "X3 extension: measured recall@k of the sign-LSH ANN (single-probe "
+    "AND multi-probe) against the exact top-k — the observability dial "
+    "for ANN quality (the quality twin of lsh_bucket_stats)",
+    tags=("similarity", "join", "agg"),
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground truth costs |Q|·n (broadcast query set) — affordable
+    precisely because |Q| is a sampled probe set, which is how recall is
+    monitored at scale; both ANN sides reuse the production plan."""
+    from cdc_lite_spark.operators.similarity import (
+        DEFAULT_BUCKET_DIMS,
+        ann_topk,
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_force_topk(emb, queries_df, k=_TOPK).select("query_id", "nbr_id")
+    single = ann_topk(emb, queries_df, k=_TOPK).select(
+        "query_id", F.col("nbr_id").alias("__s")
+    )
+    multi = ann_topk(
+        emb, queries_df, k=_TOPK, probe_flips=len(DEFAULT_BUCKET_DIMS)
+    ).select("query_id", F.col("nbr_id").alias("__m"))
+    t = truth.alias("t")
+    joined = (
+        t.join(
+            single.alias("s"),
+            (F.col("t.query_id") == F.col("s.query_id"))
+            & (F.col("t.nbr_id") == F.col("s.__s")),
+            "left",
+        )
+        .join(
+            multi.alias("m"),
+            (F.col("t.query_id") == F.col("m.query_id"))
+            & (F.col("t.nbr_id") == F.col("m.__m")),
+            "left",
+        )
+        .select(
+            F.col("t.query_id").alias("query_id"),
+            F.when(F.col("s.__s").isNotNull(), 1).otherwise(0).alias("__hs"),
+            F.when(F.col("m.__m").isNotNull(), 1).otherwise(0).alias("__hm"),
+        )
+    )
+    return joined.groupBy("query_id").agg(
+        F.round(F.sum("__hs") / _TOPK, 6).alias("recall_single"),
+        F.round(F.sum("__hm") / _TOPK, 6).alias("recall_multi"),
+    )

@@ -269,3 +269,37 @@ def test_pq_refine_reduces_quantization_error(spark):
     assert e1 <= e0 + 1e-9
     assert e2 <= e1 + 1e-9
     assert e1 < e0  # random seeds are far from means: strict improvement
+
+
+def test_multiprobe_recall_dominates_single_probe(tables):
+    """Multi-probe candidates are a superset of single-probe candidates,
+    so per-query recall@k can never decrease (a true top-k neighbor in any
+    candidate set always survives the top-k cut — fewer than k vectors
+    score higher globally)."""
+    from cdc_lite_spark.operators.similarity import (
+        DEFAULT_BUCKET_DIMS,
+        ann_topk,
+        brute_force_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r["query_id"], r["nbr_id"])
+        for r in brute_force_topk(emb, qs, k=5).collect()
+    }
+    single = {
+        (r["query_id"], r["nbr_id"]) for r in ann_topk(emb, qs, k=5).collect()
+    }
+    multi = {
+        (r["query_id"], r["nbr_id"])
+        for r in ann_topk(
+            emb, qs, k=5, probe_flips=len(DEFAULT_BUCKET_DIMS)
+        ).collect()
+    }
+    assert len(truth & multi) >= len(truth & single)
+    # multi-probe returns at least as many candidates overall
+    assert len(multi) >= len(single)
