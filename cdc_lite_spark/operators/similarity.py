@@ -969,3 +969,135 @@ def pq_refine_codebook(
         )
     free_new_checkpoints(spark, before, keep_latest=1)
     return current
+
+
+# --- distribution drift -------------------------------------------------------
+
+PSI_BINS = 10
+PSI_LO, PSI_HI = -0.5, 0.5
+PSI_DRIFT_THRESHOLD = 0.1
+
+
+def _psi_bin(x: Column, bins: int = PSI_BINS) -> Column:
+    """Fixed equal-width bins over [PSI_LO, PSI_HI], outliers clamped into
+    the edge bins — fixed breakpoints keep the binning deterministic and
+    engine-portable (quantile bins would depend on the data AND the
+    engine's quantile algorithm)."""
+    raw = F.floor((x - F.lit(PSI_LO)) / F.lit((PSI_HI - PSI_LO) / bins))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+
+
+def embedding_drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    bins: int = PSI_BINS,
+) -> DataFrame:
+    """Per-dimension Population Stability Index between a reference and a
+    current embedding population — the standard drift monitor for feature
+    pipelines (PSI > 0.1 ⇒ investigate, > 0.25 ⇒ drifted; the banking
+    scorecard convention).
+
+    PSI_d = Σ_bins (p_b − q_b)·ln(p_b/q_b), with additive (+0.5) smoothing
+    so empty bins never divide by zero.  Scale shape: both populations
+    reduce to (dim, bin) count tables — |dims|·|bins| rows regardless of
+    corpus size, one partial-aggregable exchange each; the PSI fold runs
+    over a collected, SORTED bin array so float addition order is fixed
+    cross-engine."""
+
+    from pyspark.sql import Window as W
+
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(vec_col).alias("dim", "val"))
+            .select(
+                F.col("dim").cast("bigint").alias("dim"),
+                _psi_bin(F.col("val").cast("double"), bins).alias("bin"),
+            )
+            .groupBy("dim", "bin")
+            .agg(F.count("*").alias(f"n_{side}"))
+        )
+
+    r = binned(ref, "ref")
+    c = binned(cur, "cur")
+    tot_r = F.sum("n_ref").over(W.partitionBy("dim"))
+    tot_c = F.sum("n_cur").over(W.partitionBy("dim"))
+    joined = (
+        r.join(c, ["dim", "bin"], "full_outer")
+        .select(
+            "dim",
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .withColumn("tot_ref", tot_r)
+        .withColumn("tot_cur", tot_c)
+    )
+    p = (F.col("t.n_ref") + 0.5) / (F.col("t.tot_ref") + 0.5 * bins)
+    q = (F.col("t.n_cur") + 0.5) / (F.col("t.tot_cur") + 0.5 * bins)
+    term = (p - q) * F.log(p / q)
+    per_bin = joined.alias("t").select("t.dim", "t.bin", term.alias("term"))
+    ordered = F.array_sort(F.collect_list(F.struct(F.col("bin"), F.col("term"))))
+    psi = F.aggregate(
+        F.transform(ordered, lambda s: s["term"]), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return per_bin.groupBy("dim").agg(
+        F.round(psi, 6).alias("psi"),
+        (psi > PSI_DRIFT_THRESHOLD).alias("drifted"),
+    )
+
+
+def embedding_drift_psi_sql(
+    table: str = "embeddings",
+    ref_pred: str = "vec_id % 2 = 0",
+    cur_pred: str = "vec_id % 2 = 1",
+    vec_col: str = "embedding",
+    bins: int = PSI_BINS,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of the registered drift query."""
+    w = (PSI_HI - PSI_LO) / bins
+    bin_expr = (
+        f"CAST(least(greatest(floor((CAST({vec_col}[d.dim + 1] AS DOUBLE) "
+        f"- ({PSI_LO})) / {w}), 0), {bins - 1}) AS INT)"
+    )
+    return f"""
+    WITH ref AS (
+        SELECT d.dim AS dim, {bin_expr} AS bin, count(*) AS n_ref
+        FROM {table} CROSS JOIN range({dims}) d(dim)
+        WHERE {ref_pred} GROUP BY 1, 2
+    ),
+    cur AS (
+        SELECT d.dim AS dim, {bin_expr} AS bin, count(*) AS n_cur
+        FROM {table} CROSS JOIN range({dims}) d(dim)
+        WHERE {cur_pred} GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT COALESCE(ref.dim, cur.dim) AS dim, COALESCE(ref.bin, cur.bin) AS bin,
+               COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        FROM ref FULL OUTER JOIN cur ON ref.dim = cur.dim AND ref.bin = cur.bin
+    ),
+    tot AS (
+        SELECT dim, bin, n_ref, n_cur,
+               sum(n_ref) OVER (PARTITION BY dim) AS tot_ref,
+               sum(n_cur) OVER (PARTITION BY dim) AS tot_cur
+        FROM joined
+    ),
+    terms AS (
+        SELECT dim, bin,
+               ((n_ref + 0.5) / (tot_ref + 0.5 * {bins})
+                - (n_cur + 0.5) / (tot_cur + 0.5 * {bins}))
+               * ln(((n_ref + 0.5) / (tot_ref + 0.5 * {bins}))
+                    / ((n_cur + 0.5) / (tot_cur + 0.5 * {bins}))) AS term
+        FROM tot
+    ),
+    psi AS (
+        SELECT dim,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY bin)),
+                           (acc, x) -> acc + x) AS psi_raw
+        FROM terms GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, round(psi_raw, 6) AS psi,
+           psi_raw > {PSI_DRIFT_THRESHOLD} AS drifted
+    FROM psi
+    """

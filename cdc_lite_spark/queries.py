@@ -5060,3 +5060,26 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("__hs") / _TOPK, 6).alias("recall_single"),
         F.round(F.sum("__hm") / _TOPK, 6).alias("recall_multi"),
     )
+
+
+def _drift_psi_oracle() -> str:
+    from cdc_lite_spark.operators.similarity import embedding_drift_psi_sql
+
+    return embedding_drift_psi_sql("embeddings", dims=_EMB_DIMS)
+
+
+@register(
+    "embedding_drift_psi",
+    _drift_psi_oracle(),
+    "X3 extension: per-dimension Population Stability Index between two "
+    "embedding populations (even vs odd ids as the deterministic split) — "
+    "the feature-drift monitor, constant-size (dims×bins) reduction",
+    tags=("similarity", "agg"),
+)
+def q_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.similarity import embedding_drift_psi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_drift_psi(ref, cur)

@@ -303,3 +303,25 @@ def test_multiprobe_recall_dominates_single_probe(tables):
     assert len(truth & multi) >= len(truth & single)
     # multi-probe returns at least as many candidates overall
     assert len(multi) >= len(single)
+
+
+def test_psi_detects_planted_shift(spark):
+    """Identical populations → PSI ≈ 0; a mean-shifted dimension → large
+    PSI flagged as drifted."""
+    import numpy as np
+
+    from cdc_lite_spark.operators.similarity import embedding_drift_psi
+
+    rng = np.random.default_rng(13)
+    ref = rng.normal(0, 0.15, size=(300, 4)).astype("float32")
+    cur = ref.copy()
+    cur[:, 2] += 0.3  # planted drift in dim 2
+    mk = lambda m: spark.createDataFrame(
+        [(i, [float(x) for x in m[i]]) for i in range(len(m))],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r for r in embedding_drift_psi(mk(ref), mk(cur)).collect()}
+    assert out[2]["drifted"] and out[2]["psi"] > 0.25
+    for d in (0, 1, 3):  # identical populations: smoothing-only noise
+        assert not out[d]["drifted"]
+        assert out[d]["psi"] < 0.01
