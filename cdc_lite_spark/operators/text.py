@@ -611,3 +611,107 @@ def bpe_token_counts(
             F.sum("__np").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: default probe query for the registered BM25 query (terms from the
+#: synthetic vocabulary so the result set is non-trivial)
+BM25_QUERY_TERMS = ("spark", "query", "table")
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 document scores for a query term set (Robertson &
+    Spärck Jones probabilistic weighting; the default ranking function of
+    Lucene/Elasticsearch) — the retrieval-quality upgrade over raw TF-IDF.
+
+    score(D, Q) = Σ_t idf(t) · tf(t,D)·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Scale shape: one corpus scan → per-(doc, term) TF restricted to the
+    query terms scan-side (the filter prunes before the aggregate, so the
+    exchange carries only matching postings); doc lengths ride the same
+    scan; df/avgdl/N are broadcast scalars.  The per-term score sum folds
+    over a sorted term array — float order fixed cross-engine."""
+    terms_arr = F.array(*[F.lit(t) for t in query_terms])
+    toks = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    tf = (
+        toks.filter(F.array_contains(terms_arr, F.col("term")))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    stats = df.select(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_count"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df_count") + 0.5) / (F.col("df_count") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    term_score = idf * (F.col("tf") * (k1 + 1)) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, "term", term_score.alias("ts"))
+    )
+    ordered = F.array_sort(F.collect_list(F.struct(F.col("term"), F.col("ts"))))
+    total = F.aggregate(
+        F.transform(ordered, lambda s: s["ts"]), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_matched_terms"),
+        F.round(total, 6).alias("bm25"),
+    )
+
+
+def bm25_scores_sql(
+    table: str = "documents",
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of ``bm25_scores``."""
+    toks = tokens_sql(text_expr)
+    terms = "[" + ", ".join(f"'{t}'" for t in query_terms) + "]"
+    return f"""
+    WITH base AS (
+        SELECT {id_col}, len({toks}) AS dl, unnest({toks}) AS term FROM {table}
+    ),
+    tf AS (
+        SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf, min(dl) AS dl
+        FROM base WHERE list_contains({terms}, term)
+        GROUP BY {id_col}, term
+    ),
+    stats AS (
+        SELECT count(DISTINCT {id_col}) AS n_docs,
+               avg(len({toks})) AS avgdl
+        FROM {table}
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_count FROM tf GROUP BY term),
+    scored AS (
+        SELECT {id_col}, tf.term AS term,
+               ln(1.0 + (n_docs - df_count + 0.5) / (df_count + 0.5))
+               * (tf * ({k1} + 1)) / (tf + {k1} * (1 - {b} + {b} * dl / avgdl)) AS ts
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+    )
+    SELECT {id_col},
+           CAST(count(*) AS BIGINT) AS n_matched_terms,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(ts ORDER BY term)),
+                             (acc, x) -> acc + x), 6) AS bm25
+    FROM scored GROUP BY {id_col}
+    """

@@ -5083,3 +5083,24 @@ def q_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = emb.filter(F.col("vec_id") % 2 == 0)
     cur = emb.filter(F.col("vec_id") % 2 == 1)
     return embedding_drift_psi(ref, cur)
+
+
+def _bm25_oracle() -> str:
+    from cdc_lite_spark.operators.text import bm25_scores_sql
+
+    return bm25_scores_sql("documents")
+
+
+@register(
+    "bm25_scores",
+    _bm25_oracle(),
+    "X4 extension: Okapi BM25 document scoring for a probe query — the "
+    "Lucene/Elasticsearch ranking function; postings pruned to the query "
+    "terms scan-side, corpus stats broadcast",
+    tags=("text", "agg", "join"),
+)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs)

@@ -195,3 +195,31 @@ def test_bpe_token_counts_matches_reference_segmentation(spark):
         expect = sum(len(segment(w)) for w in t.split())
         assert out[doc_id]["n_bpe_tokens"] == expect
         assert out[doc_id]["n_words"] == len(t.split())
+
+
+def test_bm25_matches_hand_computation(spark):
+    import math
+
+    from cdc_lite_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark query engine"),
+            (2, "spark alone here with padding words making it longer"),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_scores(docs, ("spark", "query")).collect()}
+    assert 3 not in out  # no matching terms, no row
+    assert out[1]["n_matched_terms"] == 2 and out[2]["n_matched_terms"] == 1
+
+    def bm25(tf, dfc, dl, n=3, avgdl=(4 + 9 + 4) / 3, k1=1.2, b=0.75):
+        idf = math.log(1 + (n - dfc + 0.5) / (dfc + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    expect1 = round(bm25(2, 2, 4) + bm25(1, 1, 4), 6)
+    expect2 = round(bm25(1, 2, 9), 6)
+    assert abs(out[1]["bm25"] - expect1) < 1e-6
+    assert abs(out[2]["bm25"] - expect2) < 1e-6
+    assert out[1]["bm25"] > out[2]["bm25"]
