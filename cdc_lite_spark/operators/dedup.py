@@ -803,3 +803,72 @@ def source_overlap_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared_grams"))
     )
+
+
+#: winnowing overlap: hot-fingerprint cap and pair-score threshold
+WINNOW_MAX_FP_DOCS = 50
+WINNOW_OVERLAP_THRESHOLD = 0.4
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE,
+    w: int = WINNOW_W,
+    max_fp_docs: int = WINNOW_MAX_FP_DOCS,
+    threshold: float = WINNOW_OVERLAP_THRESHOLD,
+) -> DataFrame:
+    """Document-overlap pairs from shared winnowing fingerprints — the
+    MOSS-style plagiarism/overlap detector: score(a,b) = |fp_a ∩ fp_b| /
+    min(|fp_a|, |fp_b|) over the ~2/(w+1)-density sketch instead of the
+    full shingle sets (the same containment semantics as
+    ``containment_verify`` at a fraction of the join volume).
+
+    Scale: fingerprints explode scan-side; ubiquitous fingerprints (shared
+    by > ``max_fp_docs`` docs) are dropped by a count window — the same
+    hot-key cap as LSH buckets, since a boilerplate fingerprint in f docs
+    would emit f² pairs while carrying no overlap signal.  The pair join
+    is an equi-join on the fingerprint hash; per-doc sketch sizes join
+    back from a |docs|-row aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    # materialize the sketch ONCE: four plan branches read it (sizes, both
+    # self-join sides via the cap window) and the composed lazy plan would
+    # re-derive the interpreted winnowing expression in each — measured as
+    # a multi-minute blowup at sf0.1 vs <1 s materialized (the same
+    # persist-before-reuse lesson as dedup_clusters' edge projection)
+    staged = staged_shingles(df, id_col, text_col, n).select(
+        id_col, winnow_fingerprints_col(F.col("__sh"), w).alias("__fp")
+    ).localCheckpoint(eager=True)
+    fps = staged.select(id_col, F.explode("__fp").alias("fp"))
+    sizes = staged.select(id_col, F.size("__fp").alias("n_fp"))
+    bounded = (
+        fps.withColumn("__n", F.count("*").over(W.partitionBy("fp")))
+        .filter(F.col("__n") <= max_fp_docs)
+        .drop("__n")
+    )
+    a = bounded.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = bounded.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_fp_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps") / F.least("n_fp_a", "n_fp_b"), 6
+            ).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= threshold)
+    )

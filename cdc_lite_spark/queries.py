@@ -5104,3 +5104,54 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_scores(docs)
+
+
+def _winnow_overlap_oracle() -> str:
+    from cdc_lite_spark.operators.dedup import (
+        WINNOW_MAX_FP_DOCS,
+        WINNOW_OVERLAP_THRESHOLD,
+        WINNOW_W,
+        staged_shingles_sql,
+        winnow_fingerprints_sql,
+    )
+
+    sh = staged_shingles_sql("text")
+    fp = winnow_fingerprints_sql("__sh", WINNOW_W)
+    return f"""
+    WITH staged AS (SELECT doc_id, {sh} AS __sh FROM documents),
+    sel AS (SELECT doc_id, {fp} AS __fp FROM staged),
+    fps AS (SELECT doc_id, unnest(__fp) AS fp FROM sel),
+    sizes AS (SELECT doc_id, len(__fp) AS n_fp FROM sel),
+    bounded AS (
+        SELECT doc_id, fp FROM fps
+        QUALIFY count(*) OVER (PARTITION BY fp) <= {WINNOW_MAX_FP_DOCS}
+    ),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+        FROM bounded a JOIN bounded b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(shared_fps AS BIGINT) AS shared_fps,
+           round(CAST(shared_fps AS DOUBLE) / least(sa.n_fp, sb.n_fp), 6) AS overlap
+    FROM shared
+    JOIN sizes sa ON shared.id_a = sa.doc_id
+    JOIN sizes sb ON shared.id_b = sb.doc_id
+    WHERE CAST(shared_fps AS DOUBLE) / least(sa.n_fp, sb.n_fp)
+          >= {WINNOW_OVERLAP_THRESHOLD}
+    """
+
+
+@register(
+    "winnow_overlap_pairs",
+    _winnow_overlap_oracle(),
+    "X2/X4 extension: MOSS-style overlap pairs from shared winnowing "
+    "fingerprints — containment semantics on the ~2/(w+1) sketch, hot "
+    "fingerprints capped like LSH buckets",
+    tags=("dedup", "join"),
+)
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs)

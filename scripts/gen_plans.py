@@ -56,6 +56,9 @@ HEADLINERS: dict[str, str] = {
     "incremental_gram_novelty": "batch grams join the pre-aggregated state — corpus never rescanned",
     "source_overlap_matrix": "gram self-join capped per gram (stop-phrase bomb defused like LSH hot buckets)",
     "bpe_token_counts": "segmented vocab broadcasts; documents explode to words, never touch Python",
+    "pq_adc_topk": "distance tables broadcast; corpus side is m-byte codes, never full vectors",
+    "embedding_drift_psi": "two dims×bins count tables — constant-size reduction at any corpus size",
+    "bm25_scores": "postings pruned to query terms scan-side; corpus stats broadcast as scalars",
 }
 
 

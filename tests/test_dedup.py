@@ -252,3 +252,19 @@ def test_gram_novelty_incremental_matches_semantics(spark):
     merged = {r["gram"]: r["doc_freq"] for r in state2.collect()}
     base = {r["gram"]: r["doc_freq"] for r in state.collect()}
     assert all(merged[g] >= base[g] for g in base)
+
+
+def test_winnow_overlap_detects_shared_passage(spark):
+    from cdc_lite_spark.operators.dedup import winnow_overlap_pairs
+
+    passage = " ".join(f"shared{i}" for i in range(30))
+    rows = [
+        (1, f"{passage} tail one two three"),
+        (2, f"intro words here {passage}"),
+        (3, " ".join(f"solo{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r for r in winnow_overlap_pairs(docs).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)]["overlap"] >= 0.4
+    assert all(3 not in pair for pair in out)
