@@ -43,6 +43,22 @@ CHECKSUM_SCHEMA = T.StructType(
     ]
 )
 
+#: per-tick operational metrics (one row per monitored table per tick) —
+#: the observability surface the reference lacks entirely: detect/capture
+#: latency, change outcome, and error text land in an append-only parquet
+#: under the state dir, queryable like any other table.
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("changed", T.BooleanType(), False),
+        T.StructField("captured", T.BooleanType(), False),
+        T.StructField("detect_secs", T.DoubleType(), False),
+        T.StructField("capture_secs", T.DoubleType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("timestamp", T.TimestampType(), False),
+    ]
+)
+
 
 class CdcEngine:
     """Poll DataFrame-shaped tables, detect drift by fingerprint, append
@@ -231,13 +247,16 @@ class CdcEngine:
         prev_schemas = self.latest_schemas() if self.emit_schema_changes else {}
         captured: list[str] = []
 
+        import time as _time
+
         def _detect(table: str, source):
             """Phase 1 (parallelizable): the expensive full-scan fingerprint."""
+            t0 = _time.monotonic()
             try:
                 df = self._resolve(source)
-                return table, df, self.checksum(df), None
+                return table, df, self.checksum(df), None, _time.monotonic() - t0
             except Exception as exc:  # noqa: BLE001 — per-table isolation (H6)
-                return table, None, None, exc
+                return table, None, None, exc, _time.monotonic() - t0
 
         if parallelism > 1:
             # detection jobs are independent — overlap them (the reference
@@ -252,12 +271,16 @@ class CdcEngine:
         else:
             detections = [_detect(t, s) for t, s in tables.items()]
 
-        for table, df, current, err in detections:
+        metrics: list[tuple] = []
+        for table, df, current, err, detect_secs in detections:
             if err is not None:
                 print(f"cdc_lite_spark: error checking table {table}: {err}")
+                metrics.append((table, False, False, detect_secs, 0.0, str(err)))
                 continue
             if previous.get(table) == current:
+                metrics.append((table, False, False, detect_secs, 0.0, None))
                 continue  # short-circuit: skip capture when unchanged (§4)
+            t0 = _time.monotonic()
             try:
                 if self.emit_schema_changes:
                     from cdc_lite_spark.operators.schema_drift import schema_map
@@ -271,9 +294,39 @@ class CdcEngine:
                     append_changes(self.snapshot(df, table), self.output_dir, fmt=self.log_format)
                 self.record_checksum(table, current)
                 captured.append(table)
+                metrics.append((table, True, True, detect_secs, _time.monotonic() - t0, None))
             except Exception as exc:  # noqa: BLE001 — per-table isolation (H6)
                 print(f"cdc_lite_spark: error capturing table {table}: {exc}")
+                metrics.append(
+                    (table, True, False, detect_secs, _time.monotonic() - t0, str(exc))
+                )
+        self._record_metrics(metrics)
         return captured
+
+    def _metrics_dir(self) -> str:
+        return f"{self.state_dir}/metrics"
+
+    def _record_metrics(self, rows: list[tuple]) -> None:
+        """Append one metrics row per table per tick.  Best-effort: a
+        metrics write failure must never fail the tick itself."""
+        if not rows:
+            return
+        try:
+            df = self.spark.createDataFrame(
+                rows,
+                "table_name string, changed boolean, captured boolean, "
+                "detect_secs double, capture_secs double, error string",
+            ).withColumn("timestamp", F.current_timestamp())
+            df.write.mode("append").parquet(self._metrics_dir())
+        except Exception as exc:  # noqa: BLE001
+            print(f"cdc_lite_spark: metrics write failed: {exc}")
+
+    def metrics(self) -> DataFrame:
+        """The per-tick operational metrics table (empty if no tick ran)."""
+        try:
+            return self.spark.read.schema(METRICS_SCHEMA).parquet(self._metrics_dir())
+        except Exception:
+            return self.spark.createDataFrame([], METRICS_SCHEMA)
 
     def _snapshot_path(self, table: str) -> str:
         return f"{self.state_dir}/snapshots/{table}"

@@ -216,3 +216,28 @@ def test_monitor_inloop_retention_gc(spark, tables, tmp_path):
         "region", ["r_regionkey"], tables["region"].schema
     ).collect()))
     assert after == before
+
+
+def test_poll_once_records_tick_metrics(spark, tmp_path):
+    """Every tick appends one metrics row per table: changed/captured
+    outcomes, phase latencies, and error text for the isolated-failure
+    case — the ops surface the reference lacks."""
+    from cdc_lite_spark.engine import CdcEngine
+
+    eng = CdcEngine(spark, str(tmp_path / "out"), str(tmp_path / "state"))
+    good = spark.createDataFrame([(1, "a")], "id long, v string")
+
+    def boom():
+        raise RuntimeError("source exploded")
+
+    eng.poll_once({"good": good, "bad": boom})
+    m1 = {r["table_name"]: r for r in eng.metrics().collect()}
+    assert m1["good"]["changed"] and m1["good"]["captured"]
+    assert m1["good"]["error"] is None and m1["good"]["detect_secs"] >= 0
+    assert not m1["bad"]["captured"] and "source exploded" in m1["bad"]["error"]
+
+    # unchanged tick: changed=False row still recorded (heartbeat evidence)
+    eng.poll_once({"good": good})
+    rows = [r for r in eng.metrics().collect() if r["table_name"] == "good"]
+    assert len(rows) == 2
+    assert sorted(r["changed"] for r in rows) == [False, True]
