@@ -794,6 +794,9 @@ def source_overlap_matrix(
         sg.withColumn("__n", F.count("*").over(W.partitionBy("gram")))
         .filter(F.col("__n") <= max_sources_per_gram)
         .drop("__n")
+        # both self-join sides read this — materialize once so the shingle
+        # scan + cap window don't run twice (the winnow_overlap lesson)
+        .localCheckpoint(eager=True)
     )
     a = bounded.select(F.col("gram"), F.col(source_col).alias("source_a"))
     b = bounded.select(F.col("gram"), F.col(source_col).alias("source_b"))

@@ -5029,7 +5029,14 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < _N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    truth = brute_force_topk(emb, queries_df, k=_TOPK).select("query_id", "nbr_id")
+    # the ground-truth set is |Q|·k rows but its plan is the full cross
+    # join — materialize once so the two recall joins below don't re-run
+    # the brute-force pass each
+    truth = (
+        brute_force_topk(emb, queries_df, k=_TOPK)
+        .select("query_id", "nbr_id")
+        .localCheckpoint(eager=True)
+    )
     single = ann_topk(emb, queries_df, k=_TOPK).select(
         "query_id", F.col("nbr_id").alias("__s")
     )
