@@ -110,6 +110,28 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     stop.wait(timeout=args.duration)
     query.stop()
     query.awaitTermination(60)
+    try:
+        from pyspark.sql import functions as F
+
+        summary = (
+            eng.metrics()
+            .groupBy("table_name")
+            .agg(
+                F.count("*").alias("ticks"),
+                F.sum(F.col("captured").cast("int")).alias("captures"),
+                F.round(F.avg("detect_secs"), 3).alias("avg_detect_s"),
+                F.sum((F.col("error").isNotNull()).cast("int")).alias("errors"),
+            )
+            .collect()
+        )
+        for r in summary:
+            print(
+                f"cdc_lite_spark: {r['table_name']}: {r['ticks']} ticks, "
+                f"{r['captures']} captures, avg detect {r['avg_detect_s']}s, "
+                f"{r['errors']} errors"
+            )
+    except Exception:  # noqa: BLE001 — summary is best-effort
+        pass
     if owns_spark:
         spark.stop()
     return 0
