@@ -62,3 +62,25 @@ def test_partitioned_changelog_prunes_by_table(spark, tables, tmp_path):
 
     plan = explain_str(read_changes(spark, out, table="nation"))
     assert "PartitionFilters" in plan and "table" in plan
+
+
+def test_envelope_to_json_wire_roundtrip(spark):
+    """The single-string wire form (Kafka-value shape) must parse back via
+    WIRE_SCHEMA with nothing lost — pins envelope_to_json as the E8
+    serialize API (duckdb_cdc.go:278-287)."""
+    from pyspark.sql import functions as F
+
+    from cdc_lite_spark.envelope import envelope_to_json, snapshot_envelope
+    from cdc_lite_spark.sources.changelog import WIRE_SCHEMA
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id long, v string")
+    env = snapshot_envelope(df, "t", ts=F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    wire = envelope_to_json(env)
+    assert wire.columns == ["value"]
+    back = wire.select(
+        F.from_json("value", WIRE_SCHEMA).alias("r")
+    ).select("r.*")
+    rows = {r["data"]["id"]: r for r in back.collect()}
+    assert rows["1"]["table"] == "t" and rows["1"]["operation"] == "SNAPSHOT"
+    assert rows["1"]["data"]["v"] == "a"
+    assert rows["2"]["data"]["v"] is None
