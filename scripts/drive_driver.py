@@ -26,7 +26,7 @@ from cdc_lite_spark.session import get_spark  # noqa: E402
 
 def main() -> int:
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    spark = get_spark("drive_driver", cpus=8)
+    spark = get_spark("drive_driver", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 8)))
     spark.sparkContext.setLogLevel("ERROR")
     duck = duck_connection(sf)
 

@@ -63,6 +63,11 @@ QUERIES = [
     "near_dup_clusters",      # CC over LSH pairs (r4 size-gated union-find)
     "containment_pairs",      # r4 asymmetric containment verify
     "cdc_replay_reconstruction",  # diff + fold (r4 fast-hash + ckpt)
+    "dup_ngram_coverage",     # r4 corpus n-gram DF (count window, 1 shingle pass)
+    "winnow_overlap_pairs",   # r4 sketch self-join (checkpointed, fp cap)
+    "pq_encode",              # r4 broadcast-codebook argmin
+    "bm25_scores",            # r4 pruned postings + broadcast stats
+    "incremental_gram_novelty",  # r4 O(batch) vs maintained state
 ]
 
 
