@@ -87,3 +87,51 @@ def dataset_split_sql(key_expr: str, weights: dict[str, int] | None = None) -> s
         parts.append(f"WHEN {b} >= {lo} AND {b} < {lo + w} THEN '{name}'")
         lo += w
     return "CASE " + " ".join(parts) + " END"
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, int] | None = None,
+    threshold: float = 0.5,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates cannot straddle: the
+    split key is the document's near-dup CLUSTER id (min member id via
+    LSH → Jaccard → connected components), falling back to the doc's own
+    id for unclustered documents.  Hashing doc ids alone silently leaks —
+    two near-identical documents land in train and test with probability
+    2·p(1−p) each — which inflates eval scores exactly like direct test
+    contamination; keying the hash on the cluster closes it by
+    construction.
+
+    Output: (id, split_key, split).  Scale: the cluster map covers only
+    CLUSTERED docs (pairs ≪ corpus), joined back left so the common case
+    (no duplicate) costs one broadcast-or-shuffle join; the split itself
+    is the same stable hash as ``dataset_split``.
+    """
+    from cdc_lite_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    pairs = jaccard_verify(
+        df,
+        lsh_candidate_pairs(minhash_signatures(df, id_col=id_col, text_col=text_col), id_col=id_col),
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+    )
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    keyed = (
+        df.select(id_col)
+        .join(clusters.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("split_key"),
+        )
+    )
+    return dataset_split(keyed, "split_key", weights, out_col)

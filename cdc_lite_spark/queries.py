@@ -5162,3 +5162,42 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_overlap_pairs(docs)
+
+
+def _leakage_safe_split_oracle() -> str:
+    from cdc_lite_spark.operators.sampling import dataset_split_sql
+
+    pair_body = _near_dup_oracle()
+    key = "COALESCE(c.cluster_id, d.doc_id)"
+    return f"""
+    WITH RECURSIVE pairs AS ({pair_body}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id, {key} AS split_key,
+           {dataset_split_sql(key)} AS split
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    """
+
+
+@register(
+    "leakage_safe_split",
+    _leakage_safe_split_oracle(),
+    "X2/X6 extension: train/val/test split keyed on the near-dup CLUSTER "
+    "id — near-duplicates cannot straddle splits, closing the silent "
+    "train/test leak a per-doc hash split allows",
+    tags=("dedup", "sampling"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(docs)

@@ -42,3 +42,24 @@ def test_dataset_split_partitions_everything_once(tables):
         again.select("doc_id", F.col("split").alias("s2")), "doc_id"
     )
     assert joined.filter(F.col("s1") != F.col("s2")).count() == 0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Near-duplicate documents must land in the same split, whatever
+    their individual ids hash to."""
+    from cdc_lite_spark.operators.sampling import leakage_safe_split
+
+    dup = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, dup + f" v{i % 2}") for i in range(20)]  # two near-dup groups
+    rows += [(100 + i, f"unique doc {i} with its own words entirely w{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(docs).collect()
+    by_key: dict[int, set] = {}
+    for r in out:
+        by_key.setdefault(r["split_key"], set()).add(r["split"])
+    # every split_key (cluster or singleton) maps to exactly one split
+    assert all(len(s) == 1 for s in by_key.values())
+    # the 20 near-dups collapsed to far fewer split keys than docs
+    dup_keys = {r["split_key"] for r in out if r["doc_id"] < 100}
+    assert len(dup_keys) < 20
+    assert len(out) == 30
