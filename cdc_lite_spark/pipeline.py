@@ -174,10 +174,21 @@ class CorpusPipeline:
 
         return self._with(hash_sample(self._df, self.id_col, percent))
 
-    def split(self, weights: dict[str, int] | None = None) -> CorpusPipeline:
-        """Add a leakage-safe train/val/test column keyed on the id hash."""
-        from cdc_lite_spark.operators.sampling import dataset_split
+    def split(
+        self, weights: dict[str, int] | None = None, leakage_safe: bool = False
+    ) -> CorpusPipeline:
+        """Add a stable train/val/test column keyed on the id hash.
 
+        ``leakage_safe=True`` keys the hash on the near-dup CLUSTER id
+        instead, so near-duplicates can never straddle splits (use when
+        the pipeline did NOT already drop near-dups upstream)."""
+        from cdc_lite_spark.operators.sampling import dataset_split, leakage_safe_split
+
+        if leakage_safe:
+            assign = leakage_safe_split(
+                self._df, id_col=self.id_col, text_col=self.text_col, weights=weights
+            ).select(self.id_col, "split")
+            return self._with(self._df.join(assign, self.id_col))
         return self._with(dataset_split(self._df, self.id_col, weights))
 
     def drop_heavily_duplicated(self, max_fraction: float = 0.8) -> CorpusPipeline:

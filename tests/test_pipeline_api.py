@@ -113,3 +113,11 @@ def test_pipeline_drop_heavily_duplicated_and_fingerprints(spark):
     rows = {r["doc_id"]: r for r in fp.collect()}
     assert rows[1]["fp_checksum"] == rows[2]["fp_checksum"]  # identical docs
     assert rows[1]["fp_checksum"] != rows[4]["fp_checksum"]
+
+
+def test_pipeline_leakage_safe_split(spark):
+    p = CorpusPipeline(_docs(spark)).split(leakage_safe=True)
+    rows = {r["doc_id"]: r["split"] for r in p.df.collect()}
+    # docs 1/2/3 are near-dups of each other → identical split
+    assert rows[1] == rows[2] == rows[3]
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
