@@ -314,11 +314,15 @@ def test_gram_novelty_state_side_preaggregated(spark):
 
 
 def test_source_overlap_join_is_capped_equi(spark):
-    """Gram self-join must be an equi-join below a count-window cap."""
+    """Gram self-join must be an equi-join over the MATERIALIZED capped
+    gram table (the cap window runs once inside the localCheckpoint, so
+    the final plan joins two ExistingRDD reads — never a cartesian, never
+    a re-derived shingle lineage)."""
     plan = _plan(spark, "source_overlap_matrix")
     assert "CartesianProduct" not in plan
     tree = plan.split("\n\n")[0]
-    assert "Window" in tree  # the per-gram cap
+    assert "ExistingRDD" in tree  # both sides read the checkpointed sketch
+    assert "Scan parquet" not in tree  # nothing re-derives from the corpus
 
 
 def test_bpe_token_counts_broadcasts_vocab(spark):
