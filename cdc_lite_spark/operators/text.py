@@ -460,8 +460,15 @@ def bpe_train_merges(
     ``BPE_LOCAL_MAX_VOCAB``; the count-threshold gate below guards the
     pathological case).  One job end-to-end, no per-iteration scheduling
     round-trips.  ``bpe_train`` keeps the per-iteration DataFrame loop for
-    vocabularies that genuinely exceed one executor's memory."""
+    vocabularies that genuinely exceed one executor's memory.
+
+    The gate is enforced, not just documented: the vocab cardinality (one
+    cheap aggregate over the already-required vocab plan) picks the path
+    — the same size-gate discipline as ``dedup_clusters``."""
     vocab = char_vocab(df, text_col)
+    if vocab.count() > BPE_LOCAL_MAX_VOCAB:
+        merges, _ = bpe_train(df, text_col, n_merges)
+        return merges
     return vocab.coalesce(1).mapInPandas(_vocab_bpe_local(n_merges), MERGES_SCHEMA)
 
 
@@ -579,8 +586,13 @@ def bpe_vocab_segmentation(
 ) -> DataFrame:
     """(word, n_occ, pieces): each vocabulary word segmented by the learned
     BPE merges — the lookup table tokenization-by-join reads.  Same
-    executor-local shape as ``bpe_train_merges``."""
+    executor-local shape (and the same enforced size gate) as
+    ``bpe_train_merges``; above the gate the per-iteration DataFrame
+    trainer's final vocab IS the segmentation."""
     vocab = char_vocab(df, text_col)
+    if vocab.count() > BPE_LOCAL_MAX_VOCAB:
+        _, trained = bpe_train(df, text_col, n_merges)
+        return trained.select("word", "n_occ", F.col("syms").alias("pieces"))
     return vocab.coalesce(1).mapInPandas(
         _vocab_bpe_segment(n_merges), "word string, n_occ bigint, pieces array<string>"
     )

@@ -223,3 +223,26 @@ def test_bm25_matches_hand_computation(spark):
     assert abs(out[1]["bm25"] - expect1) < 1e-6
     assert abs(out[2]["bm25"] - expect2) < 1e-6
     assert out[1]["bm25"] > out[2]["bm25"]
+
+
+def test_bpe_size_gate_falls_back_to_dataframe_path(spark, monkeypatch):
+    """Above BPE_LOCAL_MAX_VOCAB the executor-local loop must yield to the
+    per-iteration DataFrame trainer — pinned by forcing the gate to 0 and
+    asserting identical merges from both paths."""
+    import cdc_lite_spark.operators.text as textmod
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    fast = [
+        tuple(r) for r in textmod.bpe_train_merges(docs, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    monkeypatch.setattr(textmod, "BPE_LOCAL_MAX_VOCAB", 0)
+    gated = [
+        tuple(r) for r in textmod.bpe_train_merges(docs, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    assert gated == fast
+    seg = textmod.bpe_vocab_segmentation(docs, n_merges=4)
+    assert {"word", "n_occ", "pieces"} == set(seg.columns)
+    assert seg.count() > 0
