@@ -740,11 +740,15 @@ def batch_gram_novelty(
     seen in the corpus state.  novelty 0 ⇒ every n-gram already exists
     (an exact or near copy of historical content); 1 ⇒ entirely new text.
 
-    The join keys on the gram hash — the batch side is small, so AQE
-    broadcasts it against the (arbitrarily large, pre-aggregated) state;
-    per-doc rollup is one partial-aggregable exchange.  This is the
-    dup-ngram gate a training-data ingest pipeline runs per batch, with
-    the O(corpus) recompute replaced by the maintained state.
+    The join keys on the gram hash.  Spark cannot broadcast the PRESERVED
+    side of a left-outer join, so this is a shuffle equi-join: the batch
+    grams (small) shuffle fully, and the state side's cost depends on its
+    layout — plain parquet reshuffles the state each tick (fine while
+    state ≪ corpus), while a state table bucketed by gram
+    (``DataFrameWriter.bucketBy``, see tests/test_bucketed.py) co-locates
+    the join so each tick moves only the batch side.  Either way the
+    O(corpus) text rescan never happens — only gram COUNTS are touched.
+    Per-doc rollup is one partial-aggregable exchange.
     """
     grams = doc_grams(batch, id_col, text_col, n)
     seen = F.when(F.col("doc_freq").isNotNull(), 1).otherwise(0)
