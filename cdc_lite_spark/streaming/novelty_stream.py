@@ -7,9 +7,12 @@ Shape: ``readStream`` → ``foreachBatch`` → score batch vs state (left join
 on the gram key; batch side small) → append scores to the sink → merge the
 batch's grams into the state parquet.  Per-tick cost is O(batch grams);
 the corpus text is never rescanned.  State lives as a parquet directory
-swapped atomically per epoch (write-new-then-repoint, same task-commit
-discipline as the engine's checksum state), so a crashed tick replays
-idempotently from the stream checkpoint against the last committed state.
+swapped atomically per epoch (write-new-then-repoint): a replayed epoch
+re-reads exactly the state version it originally saw (v{epoch}), so its
+scores and its state rewrite are bit-identical.  The scores SINK is
+at-least-once — a replay appends duplicate (but identical) rows, which
+downstream consumers drop by (doc_id, epoch) if they need exactly-once;
+the STATE is exactly-once by the version swap.
 
 Why foreachBatch, not ``transformWithState``: the state here is keyed by
 GRAM (millions of keys shared across all documents), not by stream key —
@@ -73,11 +76,12 @@ def start_novelty_stream(
 ) -> StreamingQuery:
     """Attach the novelty gate to a stream of (doc_id, text) rows.
 
-    Each tick: score the batch against the CURRENT state version, append
-    (doc_id, n_grams, n_seen, novelty) to the sink, then write state
-    version v{epoch} = state ⊕ batch and repoint _CURRENT.  A replayed
-    epoch rewrites the same version directory (overwrite) and repoints to
-    the identical content — idempotent.
+    Each tick: score the batch against state version v{epoch} (falling
+    back to the committed head when the checkpoint predates this state
+    dir), append (doc_id, n_grams, n_seen, novelty) to the sink, then
+    write v{epoch+1} = state ⊕ batch and repoint _CURRENT.  A replayed
+    epoch recomputes identical scores and rewrites the identical state
+    version; only the sink append is at-least-once (see module note).
     """
 
     def _tick(batch: DataFrame, epoch: int) -> None:
