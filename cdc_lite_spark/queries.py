@@ -5201,3 +5201,479 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return leakage_safe_split(docs)
+
+
+# ---------------------------------------------------------------------------
+# r04 breadth: the remaining classic TPC-H decision-support shapes.  Each one
+# exercises a distinct optimizer/plan pattern the earlier registry rows do
+# not: multi-predicate scan pushdown (Q6), EXISTS with a non-equi residual
+# (Q4), a two-level region→nation dimension with a conditional ratio (Q8),
+# deterministic grouped top-k after a selective fact join (Q10), class
+# counting under a non-equi join predicate (Q12), argmax against an
+# aggregated view (Q15), NOT-IN exclusion feeding a grouped distinct count
+# (Q16), a HAVING-on-sum subquery joined back to facts (Q18), OR-of-ANDs
+# join predicates (Q19), and a nested semi-join over an aggregated HAVING
+# (Q20).  Reference parity target: these generalize the scan/agg/join
+# surface of duckdb_cdc.go:175-270 to the full decision-support family.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape — pure multi-predicate filter + ungrouped aggregate; "
+    "every predicate reaches the parquet scan",
+    tags=("scan", "agg"),
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical scan-pushdown benchmark: no join, no group keys — the
+    whole query is predicate evaluation at the scan plus one map-side
+    partial sum.  All four predicates (two date bounds, a discount band, a
+    quantity cap) appear in PushedFilters, so at 100 TB the scan reads only
+    row groups whose min/max statistics overlap the bands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    delta = _dec("l_extendedprice") * _dec("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(delta).cast("double").alias("revenue_delta"),
+        )
+    )
+
+
+@register(
+    "order_priority_exists",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) > 60
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    "TPC-H Q4 shape — EXISTS decorrelated to a left-semi join with a "
+    "non-equi residual condition, then a grouped count",
+    tags=("join", "agg"),
+)
+def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS is a left-semi join: each order survives if ANY of its lines
+    shipped more than 60 days after the order date.  The semi join
+    short-circuits per key (no fan-out, no dedup needed) and shuffles both
+    facts once on the order key; the residual date comparison rides on the
+    join, so no pre-aggregation of lineitem is required."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (F.datediff(F.to_date(li.l_shipdate), F.to_date(orders.o_orderdate)) > 60),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "market_share",
+    """
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(sum(CASE WHEN sn.n_name = 'NATION_8'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE 0 END) AS DOUBLE) AS nation_revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_revenue,
+           round(CAST(sum(CASE WHEN sn.n_name = 'NATION_8'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                 6) AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    GROUP BY 1
+    """,
+    "TPC-H Q8 shape — two-level region→nation dimension filters the "
+    "customer side while the supplier-side nation feeds a conditional "
+    "market-share ratio per year",
+    tags=("join", "agg"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share.  The region→nation snowflake collapses into
+    the customer dimension BEFORE touching facts (dimension-side joins are
+    all broadcasts), the PROMO filter prunes lineitem through the broadcast
+    part join, and numerator + denominator come out of one aggregation pass
+    — no self-join.  Only the lineitem↔orders fact join shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supplier = load_table(spark, sf_dir, "supplier")
+    # customers restricted to the region, via the nation→region snowflake
+    cust_in_region = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_8", vol).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(nation_vol).cast("double").alias("nation_revenue"),
+            F.sum(vol).cast("double").alias("total_revenue"),
+            F.round(
+                F.sum(nation_vol).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+@register(
+    "returned_item_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+                   AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+    "TPC-H Q10 shape — selective fact join (returned lines, one order "
+    "half-year), grouped revenue, deterministic global top-20",
+    tags=("join", "agg", "sort"),
+)
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who returned the most revenue last half-year.  Both selective
+    predicates (return flag, date window) push to the fact scans before the
+    orders↔lineitem shuffle; customer + nation broadcast; the final top-20
+    is TakeOrderedAndProject (per-partition heads, no full sort), with
+    c_custkey as the tie-break so the LIMIT set is deterministic."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "priority_class_counts",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE)) > 90
+    GROUP BY l.l_linestatus
+    """,
+    "TPC-H Q12 shape — non-equi residual on the fact-fact join feeding "
+    "conditional class counts",
+    tags=("join", "agg"),
+)
+def q_priority_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipping lines classified by order priority.  The >90-day
+    residual cannot push to either scan (it needs both sides), so it rides
+    the equi-join; both class counts come from one pass with conditional
+    sums — the IN list is evaluated once per row, not once per class."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (F.datediff(F.to_date(li.l_shipdate), F.to_date(orders.o_orderdate)) > 90),
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+@register(
+    "top_revenue_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "TPC-H Q15 shape — argmax against an aggregated view: the scalar "
+    "subquery ranges over the aggregate, not the base table",
+    tags=("join", "agg"),
+)
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) for the quarter.  The per-supplier aggregate is
+    computed once and localCheckpoint-ed (it is tiny — one row per
+    supplier), then the global max folds over it and broadcasts back as a
+    single-row join: lineitem is scanned exactly once, and ALL suppliers
+    tied at the max survive (exact-equality on identical doubles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev_col = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_col).cast("double").alias("total_revenue"))
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        supplier.join(F.broadcast(rev), supplier.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "brand_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 5, 9, 13, 17, 21)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type
+    """,
+    "TPC-H Q16 shape — NOT-IN exclusion (anti join) feeding a grouped "
+    "distinct count",
+    tags=("join", "agg"),
+)
+def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct (non-blacklisted) suppliers serve each brand/type.
+    NOT IN over a non-null key column decorrelates to a broadcast left-anti
+    join against the (tiny) excluded-supplier set; the distinct count then
+    runs as the standard two-level expand-free aggregate.  The size IN-list
+    prunes part before it broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 5, 9, 13, 17, 21)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 260
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "TPC-H Q18 shape — HAVING-on-sum subquery over the big fact joined "
+    "back to orders and customers",
+    tags=("join", "agg"),
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity is in the extreme tail.  The aggregate
+    runs FIRST (partial map-side sums, then one shuffle on l_orderkey) and
+    the HAVING filter shrinks it to the tail before any join — so the join
+    back to orders carries only qualifying keys, and the customer dimension
+    broadcasts.  Exact decimal sums keep the >260 cut identical across
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 260)
+        .select("l_orderkey", F.col("_q").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "disjunctive_predicate_revenue",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19 shape — OR-of-ANDs predicate spanning both join sides; "
+    "single-side conjuncts still prune the scans",
+    tags=("join", "agg"),
+)
+def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive pricing rules.  Catalyst extracts the common
+    single-side implications of the OR (part is one of three brands with a
+    bounded size; quantity is within the union band) and pushes them to the
+    scans, while the full disjunction evaluates after the broadcast join —
+    the classic Q19 CNF-extraction test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rule = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(rule).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "excess_supply_candidates",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l.l_suppkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 400
+    )
+    """,
+    "TPC-H Q20 shape — IN over an aggregated-HAVING subquery, "
+    "decorrelated to a semi join on the shrunken aggregate",
+    tags=("join", "agg"),
+)
+def q_excess_supply_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who moved an outsized volume of PROMO parts this year.
+    The IN-subquery aggregates lineitem down to one row per supplier and
+    filters BEFORE the semi join, so the join's build side is the tiny
+    qualifying-key set — never the raw fact.  Exact decimal sums keep the
+    >400 threshold engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supplier = load_table(spark, sf_dir, "supplier")
+    movers = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 400)
+        .select("l_suppkey")
+    )
+    return supplier.join(
+        F.broadcast(movers), supplier.s_suppkey == movers.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")

@@ -337,3 +337,81 @@ def test_pq_encode_broadcasts_codebook(spark):
     plan = _plan(spark, "pq_encode")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- r04 TPC-H decision-support shapes -------------------------------------
+
+
+def test_q6_pushes_every_predicate_to_the_scan(spark):
+    plan = _plan(spark, "forecast_revenue_change")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.02)",
+        "LessThanOrEqual(l_discount,0.04)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed
+    # pure scan+agg: no join anywhere
+    assert "Join" not in plan
+    # column pruning down to the two summed columns
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_tax" not in read and "l_orderkey" not in read
+
+
+def test_q4_exists_is_semi_join_with_residual(spark):
+    plan = _plan(spark, "order_priority_exists")
+    assert "LeftSemi" in plan
+    assert "datediff" in plan  # the non-equi residual rides the join
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_or_of_ands_extracts_single_side_conjuncts(spark):
+    plan = _plan(spark, "disjunctive_predicate_revenue")
+    # CNF extraction: each scan gets the union of its own side's bounds
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    li_pushed = next(l for l in pushed if "l_quantity" in l)
+    p_pushed = next(l for l in pushed if "p_brand" in l)
+    assert "GreaterThanOrEqual(l_quantity" in li_pushed
+    assert "EqualTo(p_brand,Brand#2)" in p_pushed
+    # part side broadcasts; the disjunction never forces a cartesian product
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_q10_topk_is_take_ordered_not_full_sort(spark):
+    plan = _plan(spark, "returned_item_revenue")
+    assert "TakeOrderedAndProject" in plan
+    tree = plan.split("\n\n")[0]
+    assert "Sort " not in tree  # no global sort node — per-partition heads
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    plan = _plan(spark, "brand_supplier_counts")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q18_having_filter_runs_before_the_join(spark):
+    plan = _plan(spark, "large_volume_customers")
+    tree = plan.split("\n\n")[0]
+    # the aggregate + tail filter sit below the join with orders: the first
+    # join node appears above the (deeper-indented) HashAggregate pair
+    join_at = min(
+        i for i, l in enumerate(tree.splitlines()) if "Join" in l
+    )
+    agg_at = max(
+        i for i, l in enumerate(tree.splitlines()) if "HashAggregate" in l
+    )
+    assert agg_at > join_at  # aggregate is a descendant of the join
+
+
+def test_q20_semi_join_build_side_is_aggregated(spark):
+    plan = _plan(spark, "excess_supply_candidates")
+    assert "LeftSemi" in plan
+    # the semi join's build side carries qualifying keys, not raw lineitem:
+    # an aggregate (and its tail filter) appear below the broadcast
+    tree = plan.split("\n\n")[0]
+    assert "HashAggregate" in tree
+    assert "CartesianProduct" not in plan
