@@ -1,0 +1,101 @@
+"""Output-table layout for data skipping: partitioned + sorted parquet
+writes (the write-path counterpart of the scan-pushdown discipline).
+
+The reference's only sink is an append-only change log (duckdb_cdc.go:
+emitChanges → JSONL); this engine already mirrors that (sources/changelog)
+and compacts it (operators/maintenance).  What a 100 TB *analytics* output
+needs beyond a log is LAYOUT: directory partitioning so coarse predicates
+prune whole directories without opening a file, and within-file ordering so
+fine predicates prune row groups via parquet min/max statistics.  Both are
+free at read time — Spark's parquet source applies PartitionFilters and
+row-group skipping automatically — but only if the writer laid the data out
+for it.
+
+Two failure modes this module exists to avoid:
+
+- **Small-files explosion**: `df.write.partitionBy(k)` alone makes EVERY
+  task write a file into EVERY partition value it holds rows for —
+  |tasks| × |values| files.  `write_partitioned` repartitions by the
+  partition keys first, so each value's rows land in one task and the
+  output is O(|values|) files.  (Hot partition values that need more than
+  one file per value can widen via `files_per_partition`.)
+- **Useless min/max stats**: unsorted row groups have min≈global-min,
+  max≈global-max for every column — no row group ever prunes.
+  `sortWithinPartitions` on the skip columns makes row-group ranges tight
+  and disjoint, so selective predicates read a small fraction of each file.
+
+`zorder_repartition` (operators/zorder.py) is the multi-column variant of
+the same idea; this module is the single-dimension workhorse plus the
+verification helper tests assert with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` as parquet partitioned by `partition_by`, with rows inside
+    each file sorted by `sort_by` (for row-group min/max pruning).
+
+    `files_per_partition` > 1 salts the repartition key so a skewed-hot
+    partition value spreads across that many tasks/files instead of
+    serializing through one."""
+    sort_cols = list(sort_by or [])
+    if files_per_partition > 1:
+        salt = (F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in (sort_cols or partition_by)])) % files_per_partition).alias("__salt")
+        staged = (
+            df.withColumn("__salt", salt)
+            .repartition(*[F.col(c) for c in partition_by], F.col("__salt"))
+            .drop("__salt")
+        )
+    else:
+        staged = df.repartition(*[F.col(c) for c in partition_by])
+    if sort_cols:
+        staged = staged.sortWithinPartitions(*(partition_by + sort_cols))
+    staged.write.partitionBy(*partition_by).mode(mode).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a `write_partitioned` output; partition columns come back as
+    directory-derived columns and coarse filters on them become
+    PartitionFilters (no file listing I/O beyond the matching dirs)."""
+    return spark.read.parquet(path)
+
+
+def file_stats(path: str, column: str) -> list[dict]:
+    """Per-file (path, num_rows, min, max) for `column`, read from parquet
+    footers via pyarrow — the ground truth the skipping claims rest on.
+    Test/verification helper: runs on the driver, touches only metadata."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for root, _dirs, files in os.walk(path):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, name)
+            meta = pq.ParquetFile(fp).metadata
+            lo, hi = None, None
+            for rg in range(meta.num_row_groups):
+                for ci in range(meta.num_columns):
+                    col = meta.row_group(rg).column(ci)
+                    if col.path_in_schema != column or col.statistics is None:
+                        continue
+                    st = col.statistics
+                    lo = st.min if lo is None or st.min < lo else lo
+                    hi = st.max if hi is None or st.max > hi else hi
+            out.append(
+                {"path": fp, "num_rows": meta.num_rows, "min": lo, "max": hi}
+            )
+    return out

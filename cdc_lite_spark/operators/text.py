@@ -727,3 +727,57 @@ def bm25_scores_sql(
                              (acc, x) -> acc + x), 6) AS bm25
     FROM scored GROUP BY {id_col}
     """
+
+
+# --- blocklist policy filtering --------------------------------------------
+
+#: default policy blocklist for the registered query — lowercase terms,
+#: matched against whitespace tokens after lowercasing (term-level matching,
+#: not substring: "ship" does not hit "shipment").
+DEFAULT_BLOCKLIST = ("quarterly", "anomaly", "checksum", "deprecated")
+
+
+def blocklist_hits(
+    df: DataFrame,
+    terms: tuple[str, ...] = DEFAULT_BLOCKLIST,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Policy/content filtering against a term blocklist: per document, the
+    sorted list of distinct blocklist terms present and their count, plus
+    the keep/drop verdict.
+
+    Scale shape: the blocklist rides into the plan as a LITERAL array (for
+    real deployments, a broadcast join against a terms table works the same
+    way) and matching is `array_intersect` on the lowercased token set —
+    one scan-side expression, zero shuffle, whole-stage codegen.  This is
+    term-level matching on the shared whitespace tokenizer; substring
+    matching (catching "badword" inside "xbadwordy") is a different
+    operator with regex cost — deliberately not this one.
+    """
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    hits = F.array_sort(F.array_intersect(toks, F.array(*[F.lit(t) for t in terms])))
+    return df.select(
+        F.col(id_col),
+        hits.alias("hit_terms"),
+        F.size(hits).cast("int").alias("n_hit_terms"),
+        (F.size(hits) == 0).cast("int").alias("keep"),
+    )
+
+
+def blocklist_hits_sql(
+    terms: tuple[str, ...] = DEFAULT_BLOCKLIST,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    lst = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    toks = tokens_sql(f"lower({text_expr})")
+    hits = f"list_sort(list_distinct(list_filter({toks}, t -> list_contains({lst}, t))))"
+    return f"""
+    SELECT {id_col},
+           {hits} AS hit_terms,
+           CAST(len({hits}) AS INT) AS n_hit_terms,
+           CAST(len({hits}) = 0 AS INT) AS keep
+    FROM {table}
+    """

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import cdc_lite_spark.operators.dedup as _LSH
+import cdc_lite_spark.operators.text as _TEXT
 from cdc_lite_spark.functions.timeutils import epoch_day, epoch_sec, epoch_us
 from cdc_lite_spark.sources.tables import load_table
 
@@ -5677,3 +5678,86 @@ def q_excess_supply_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supplier.join(
         F.broadcast(movers), supplier.s_suppkey == movers.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# r04: mergeable-sketch distinct state + blocklist policy filtering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_distinct_rollup",
+    """
+    WITH monthly AS (
+        SELECT CAST(year(ts) * 100 + month(ts) AS INT) AS period,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT period, n_exact, 1 AS sketch_ok FROM monthly
+    UNION ALL
+    SELECT -1 AS period,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact,
+           1 AS sketch_ok
+    """,
+    "C5 scale path — per-month HLL distinct sketches kept as mergeable "
+    "state, global rollup answered by merging sketches (never rescanning "
+    "facts); exact twin verifies, sketch_ok flags >5% estimate error",
+    tags=("agg", "sketch", "events"),
+)
+def q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per month and overall, the sketch-state way.  The
+    monthly aggregate builds BOTH the exact count (the oracle surface) and
+    the HLL sketch (the state a 100 TB deployment persists); the overall
+    row merges the monthly sketches — `hll_union_agg` over 12 rows — rather
+    than rescanning events.  The exact overall count here is purely the
+    verification twin; `sketch_ok` trips to 0 (and the driver's hash check
+    fails loudly) if any estimate drifts >5% from exact.  See
+    operators/sketches.py for the mergeability + bounded-size contract."""
+    from cdc_lite_spark.operators.sketches import DEFAULT_LGK
+
+    ev = load_table(spark, sf_dir, "events")
+    period = (F.year("ts") * 100 + F.month("ts")).cast("int").alias("period")
+    monthly = (
+        ev.select(period, "user_id")
+        .groupBy("period")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.hll_sketch_agg(F.col("user_id"), F.lit(DEFAULT_LGK)).alias("_sk"),
+        )
+        .localCheckpoint(eager=False)  # reused by the per-month and rollup branches
+    )
+    ok = lambda est, exact: (  # noqa: E731
+        (F.abs(est.cast("double") - exact) / exact) <= 0.05
+    ).cast("int")
+    per_month = monthly.select(
+        "period",
+        "n_exact",
+        ok(F.hll_sketch_estimate("_sk"), F.col("n_exact")).alias("sketch_ok"),
+    )
+    rollup_est = monthly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk"))).alias("_est")
+    )
+    total = (
+        ev.agg(F.countDistinct("user_id").alias("n_exact"))
+        .crossJoin(F.broadcast(rollup_est))
+        .select(
+            F.lit(-1).cast("int").alias("period"),
+            "n_exact",
+            ok(F.col("_est"), F.col("n_exact")).alias("sketch_ok"),
+        )
+    )
+    return per_month.unionByName(total)
+
+
+@register(
+    "blocklist_filter_docs",
+    _TEXT.blocklist_hits_sql(),
+    "X4 policy filtering — term-blocklist hits per document via a "
+    "scan-side array_intersect on the shared tokenizer; zero shuffle",
+    tags=("text",),
+)
+def q_blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.text import blocklist_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_hits(docs)

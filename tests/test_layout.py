@@ -1,0 +1,105 @@
+"""Partitioned/sorted output layout (operators/layout.py).
+
+Pins the write-path claims: O(|values|) files (no small-files explosion),
+directory pruning visible as PartitionFilters in the read plan, tight
+per-file min/max on the sort column, and round-trip fidelity.
+"""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from cdc_lite_spark.operators.layout import (
+    file_stats,
+    read_partitioned,
+    write_partitioned,
+)
+from cdc_lite_spark.plans.inspect import explain_str
+from cdc_lite_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_events(spark, tmp_path, **kw):
+    ev = load_table(spark, SF, "events").withColumn(
+        "value_l", F.col("value").cast("long")
+    )
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(
+        ev, out, partition_by=["event_type"], sort_by=["value_l"], **kw
+    )
+    return ev, out
+
+
+def test_one_file_per_partition_value(spark, tmp_path):
+    ev, out = _write_events(spark, tmp_path)
+    n_types = ev.select("event_type").distinct().count()
+    files = glob.glob(f"{out}/event_type=*/*.parquet")
+    dirs = glob.glob(f"{out}/event_type=*")
+    assert len(dirs) == n_types
+    assert len(files) == n_types  # repartition-by-key prevented tasks×values
+
+
+def test_roundtrip_preserves_rows(spark, tmp_path):
+    ev, out = _write_events(spark, tmp_path)
+    back = read_partitioned(spark, out)
+    assert back.count() == ev.count()
+    a = ev.groupBy("event_type").count().collect()
+    b = back.groupBy("event_type").count().collect()
+    assert {(r["event_type"], r["count"]) for r in a} == {
+        (r["event_type"], r["count"]) for r in b
+    }
+
+
+def test_partition_filter_prunes_directories(spark, tmp_path):
+    _ev, out = _write_events(spark, tmp_path)
+    one = read_partitioned(spark, out).filter(F.col("event_type") == "click")
+    plan = explain_str(one)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_type" in pf  # coarse predicate prunes whole directories
+    # and the scan's file listing only covers the matching directory
+    loc = next(l for l in plan.splitlines() if "Location" in l)
+    assert "events_by_type" in loc
+
+
+def test_sorted_row_groups_have_tight_stats(spark, tmp_path):
+    """Within each file, the sort column's footer min/max must span (almost)
+    exactly the rows it holds — the precondition for row-group skipping.
+    With one sorted file per partition the file min/max equals the true
+    per-partition min/max."""
+    ev, out = _write_events(spark, tmp_path)
+    truth = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value_l").alias("lo"), F.max("value_l").alias("hi"))
+        .collect()
+    }
+    for st in file_stats(out, "value_l"):
+        etype = next(
+            seg.split("=", 1)[1]
+            for seg in st["path"].split("/")
+            if seg.startswith("event_type=")
+        )
+        assert (st["min"], st["max"]) == truth[etype], st
+
+
+def test_files_per_partition_spreads_hot_values(spark, tmp_path):
+    """The salt bounds files at ≤ files_per_partition per value while
+    letting a hot value spread across that many tasks.  AQE's
+    coalesce-small-partitions pass (correctly) merges the tiny test
+    shuffle back into one task, which would hide the spread — disable just
+    that pass so the salt's effect is observable at toy scale."""
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        ev, out = _write_events(spark, tmp_path, files_per_partition=3)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    n_types = ev.select("event_type").distinct().count()
+    files = glob.glob(f"{out}/event_type=*/*.parquet")
+    assert n_types < len(files) <= 3 * n_types
+    back = read_partitioned(spark, out)
+    assert back.count() == ev.count()

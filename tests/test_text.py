@@ -246,3 +246,26 @@ def test_bpe_size_gate_falls_back_to_dataframe_path(spark, monkeypatch):
     seg = textmod.bpe_vocab_segmentation(docs, n_merges=4)
     assert {"word", "n_occ", "pieces"} == set(seg.columns)
     assert seg.count() > 0
+
+
+# --- blocklist policy filtering --------------------------------------------
+
+
+def test_blocklist_hits_term_level_matching(spark):
+    from cdc_lite_spark.operators.text import blocklist_hits
+
+    df = spark.createDataFrame(
+        [
+            (1, "the Quarterly report flagged an anomaly in the anomaly log"),
+            (2, "shipment of quarterlyish goods"),  # substring must NOT hit
+            (3, "clean text with nothing listed"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in blocklist_hits(df).collect()}
+    assert rows[1]["hit_terms"] == ["anomaly", "quarterly"]  # distinct + sorted
+    assert rows[1]["n_hit_terms"] == 2 and rows[1]["keep"] == 0
+    assert rows[2]["hit_terms"] == [] and rows[2]["keep"] == 1
+    assert rows[3]["keep"] == 1
+    assert rows[4]["hit_terms"] == [] and rows[4]["keep"] == 1
