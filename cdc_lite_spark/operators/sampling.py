@@ -135,3 +135,44 @@ def leakage_safe_split(
         )
     )
     return dataset_split(keyed, "split_key", weights, out_col)
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int, seed: str = "wsamp"
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis A-ES, IPL 2006): each row draws a reproducible uniform u from
+    its key hash and races with key ln(u)/w — the top-k rows are a weighted
+    sample where selection probability scales with ``weight_col``.
+
+    Determinism: u is an exact dyadic rational built from the portable
+    hash, so reruns, engines, and partition layouts all agree.  (ln() is
+    the one libm call; engines may differ in its last ulp, which could
+    flip an ordering only if two race keys are within ~1e-16 of each other
+    — with hash-distinct u values this does not occur in practice, and the
+    key tie-break keeps equal race keys deterministic.)
+
+    Scale shape: scan-side expression + global top-k
+    (TakeOrderedAndProject — per-partition heads, no full sort, no
+    shuffle of the losers).  Rows with non-positive weight are excluded,
+    matching "weight 0 ⇒ never sampled".
+    """
+    M = 1 << 20
+    u = (portable_hash64(F.col(key_col).cast("string"), seed=seed) % M + F.lit(0.5)) / F.lit(
+        float(M)
+    )
+    race = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_race", race)
+        .orderBy(F.col("_race").desc(), F.col(key_col))
+        .limit(k)
+        .drop("_race")
+    )
+
+
+def weighted_sample_race_sql(key_expr: str, weight_expr: str, seed: str = "wsamp") -> str:
+    """DuckDB expression for the same A-ES race key (for oracle twins)."""
+    h = portable_hash64_sql(f"CAST({key_expr} AS VARCHAR)", seed=seed)
+    m = 1 << 20
+    return f"ln(({h} % {m} + 0.5) / {m}.0) / CAST({weight_expr} AS DOUBLE)"

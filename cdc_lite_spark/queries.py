@@ -5761,3 +5761,33 @@ def q_blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return blocklist_hits(docs)
+
+
+def _weighted_sample_docs_oracle() -> str:
+    from cdc_lite_spark.operators.sampling import weighted_sample_race_sql
+
+    race = weighted_sample_race_sql("doc_id", "n_chars")
+    return f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY {race} DESC, doc_id
+    LIMIT 50
+    """
+
+
+@register(
+    "weighted_sample_docs",
+    _weighted_sample_docs_oracle(),
+    "X6 extension — deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis race on a hash-derived uniform); selection "
+    "probability tracks document length, bit-reproducible across engines",
+    tags=("sampling",),
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", 50).select(
+        "doc_id", "source", "n_chars"
+    )

@@ -415,3 +415,10 @@ def test_q20_semi_join_build_side_is_aggregated(spark):
     tree = plan.split("\n\n")[0]
     assert "HashAggregate" in tree
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    plan = _plan(spark, "weighted_sample_docs")
+    assert "TakeOrderedAndProject" in plan
+    tree = plan.split("\n\n")[0]
+    assert "Sort " not in tree and "Exchange" not in tree  # scan-side race + heads

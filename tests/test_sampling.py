@@ -63,3 +63,47 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     dup_keys = {r["split_key"] for r in out if r["doc_id"] < 100}
     assert len(dup_keys) < 20
     assert len(out) == 30
+
+
+# --- weighted sampling (Efraimidis-Spirakis) --------------------------------
+
+
+def test_weighted_sample_is_deterministic_and_excludes_zero_weight(spark):
+    from cdc_lite_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 10 if i % 2 else 0) for i in range(200)], "k long, w long"
+    )
+    a = sorted(r["k"] for r in weighted_sample(df, "k", "w", 20).collect())
+    b = sorted(r["k"] for r in weighted_sample(df, "k", "w", 20).collect())
+    assert a == b and len(a) == 20
+    assert all(k % 2 == 1 for k in a)  # zero-weight rows never sampled
+
+
+def test_weighted_sample_tracks_weights(spark):
+    """Heavy rows (100× weight) must dominate the sample: with 50 heavy and
+    950 light rows at 100:1 weights, a k=100 sample should contain nearly
+    all heavy rows — far above the 5 expected under uniform sampling."""
+    from cdc_lite_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100 if i < 50 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    got = [r["k"] for r in weighted_sample(df, "k", "w", 100).collect()]
+    heavy = sum(1 for k in got if k < 50)
+    assert heavy >= 35
+
+
+def test_weighted_sample_stable_under_data_growth(spark):
+    """A-ES race keys are per-row, so adding new rows only displaces the
+    lowest-ranked survivors — existing rows' keys never change (unlike
+    df.sample, whose RNG depends on partition layout)."""
+    from cdc_lite_spark.operators.sampling import weighted_sample
+
+    small = spark.createDataFrame([(i, 5) for i in range(100)], "k long, w long")
+    grown = spark.createDataFrame([(i, 5) for i in range(130)], "k long, w long")
+    a = {r["k"] for r in weighted_sample(small, "k", "w", 10).collect()}
+    b = {r["k"] for r in weighted_sample(grown, "k", "w", 10).collect()}
+    # the grown sample is drawn from a superset: any churn comes only from
+    # new rows winning the race, never from old rows re-rolling
+    new_winners = {k for k in b if k >= 100}
+    assert b - new_winners <= a
