@@ -479,6 +479,32 @@ class CdcEngine:
             *[f.name for f in schema.fields]
         )
 
+    def materialize_to(
+        self,
+        table: str,
+        keys: list[str],
+        schema: "T.StructType",
+        path: str,
+        partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+    ) -> DataFrame:
+        """``materialize`` + persist with a data-skipping layout: directory
+        partitioning on ``partition_by`` (coarse predicates prune whole
+        directories) and within-file ordering on ``sort_by`` (parquet
+        min/max row-group pruning) — see operators/layout.py for why both
+        matter at scale.  Returns the written state read back from disk."""
+        from cdc_lite_spark.operators.layout import write_partitioned
+
+        current = self.materialize(table, keys, schema)
+        if partition_by:
+            write_partitioned(current, path, partition_by, sort_by)
+        else:
+            staged = (
+                current.sortWithinPartitions(*sort_by) if sort_by else current
+            )
+            staged.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
     def expire_log(self, watermark, keys: dict[str, list[str]]) -> dict:
         """Retention GC: fold change files wholly older than ``watermark``
         (a datetime) into one latest-per-key segment and delete them —

@@ -67,3 +67,31 @@ def test_materialize_with_diff_mode_deletes(spark, tables, tmp_path):
     assert {r["r_regionkey"] for r in out.collect()} == {
         r["r_regionkey"] for r in shrunk.collect()
     }
+
+
+def test_materialize_to_writes_skipping_layout(spark, tables, tmp_path):
+    """materialize_to persists current state partitioned + sorted: same rows
+    as materialize(), one directory per partition value, and coarse filters
+    on the partition column become PartitionFilters at read time."""
+    import glob
+
+    from cdc_lite_spark.plans.inspect import explain_str
+
+    eng = CdcEngine(spark, str(tmp_path / "log"), str(tmp_path / "state"))
+    nation = tables["nation"]
+    eng.poll_once({"nation": nation})
+    out_path = str(tmp_path / "nation_state")
+    back = eng.materialize_to(
+        "nation",
+        ["n_nationkey"],
+        nation.schema,
+        out_path,
+        partition_by=["n_regionkey"],
+        sort_by=["n_nationkey"],
+    )
+    assert back.count() == nation.count()
+    assert back.exceptAll(nation).count() == 0
+    n_regions = nation.select("n_regionkey").distinct().count()
+    assert len(glob.glob(f"{out_path}/n_regionkey=*")) == n_regions
+    plan = explain_str(back.filter(F.col("n_regionkey") == 2))
+    assert any("PartitionFilters" in l and "n_regionkey" in l for l in plan.splitlines())
