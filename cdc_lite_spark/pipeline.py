@@ -209,3 +209,34 @@ class CorpusPipeline:
 
         fp = winnowing_summary(self._df, id_col=self.id_col, text_col=self.text_col)
         return self._with(self._df.join(fp.drop("n_shingles"), self.id_col))
+
+    def drop_blocklisted(self, terms: tuple[str, ...] | None = None) -> CorpusPipeline:
+        """Drop documents containing any blocklist term (term-level match on
+        the shared tokenizer — see operators/text.py:blocklist_hits)."""
+        from cdc_lite_spark.operators.text import DEFAULT_BLOCKLIST, blocklist_hits
+
+        verdicts = blocklist_hits(
+            self._df, terms or DEFAULT_BLOCKLIST, id_col=self.id_col, text_col=self.text_col
+        )
+        keep = verdicts.filter(F.col("keep") == 1).select(self.id_col)
+        return self._with(self._df.join(keep, self.id_col, "left_semi"))
+
+    def sample_weighted(self, weight_col: str, k: int) -> CorpusPipeline:
+        """Deterministic weighted sample without replacement (Efraimidis-
+        Spirakis race on the id hash) — e.g. length- or quality-weighted
+        corpus downsampling that is reproducible across runs and engines."""
+        from cdc_lite_spark.operators.sampling import weighted_sample
+
+        return self._with(weighted_sample(self._df, self.id_col, weight_col, k))
+
+    def write_layout(
+        self,
+        path: str,
+        partition_by: list[str],
+        sort_by: list[str] | None = None,
+    ) -> None:
+        """Persist with the data-skipping layout (directory partitioning +
+        sorted row groups — operators/layout.py)."""
+        from cdc_lite_spark.operators.layout import write_partitioned
+
+        write_partitioned(self._df, path, partition_by, sort_by)

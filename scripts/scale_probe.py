@@ -68,6 +68,13 @@ QUERIES = [
     "pq_encode",              # r4 broadcast-codebook argmin
     "bm25_scores",            # r4 pruned postings + broadcast stats
     "incremental_gram_novelty",  # r4 O(batch) vs maintained state
+    "forecast_revenue_change",   # r4 Q6: pure scan pushdown agg
+    "order_priority_exists",     # r4 Q4: fact-fact semi join + residual
+    "market_share",              # r4 Q8: snowflake dims + two fact shuffles
+    "large_volume_customers",    # r4 Q18: agg-then-join tail
+    "sketch_distinct_rollup",    # r4 HLL sketch state build + merge rollup
+    "blocklist_filter_docs",     # r4 scan-side policy filter
+    "weighted_sample_docs",      # r4 A-ES race + global top-k heads
 ]
 
 

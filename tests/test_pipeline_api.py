@@ -121,3 +121,27 @@ def test_pipeline_leakage_safe_split(spark):
     # docs 1/2/3 are near-dups of each other → identical split
     assert rows[1] == rows[2] == rows[3]
     assert set(rows) == {1, 2, 3, 4, 5, 6}
+
+
+def test_pipeline_blocklist_weighted_sample_and_layout(spark, tmp_path):
+    import glob
+
+    docs = _docs(spark).withColumn("n_chars", F.length("text"))
+    p = CorpusPipeline(docs)
+
+    # doc 6 contains "offer" — blocklist it; others survive
+    kept = p.drop_blocklisted(terms=("offer",)).df
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 6 not in ids and {1, 2, 3, 4, 5} <= ids
+
+    # weighted sample is deterministic and honors k
+    s1 = {r["doc_id"] for r in p.sample_weighted("n_chars", 3).df.collect()}
+    s2 = {r["doc_id"] for r in p.sample_weighted("n_chars", 3).df.collect()}
+    assert s1 == s2 and len(s1) == 3
+
+    # layout write: one dir per language partition, round-trip intact
+    out = str(tmp_path / "laid_out")
+    langs = p.df.withColumn("lang_tag", (F.col("doc_id") % 2).cast("int"))
+    CorpusPipeline(langs).write_layout(out, ["lang_tag"], sort_by=["doc_id"])
+    assert len(glob.glob(f"{out}/lang_tag=*")) == 2
+    assert spark.read.parquet(out).count() == docs.count()
