@@ -59,6 +59,14 @@ HEADLINERS: dict[str, str] = {
     "pq_adc_topk": "distance tables broadcast; corpus side is m-byte codes, never full vectors",
     "embedding_drift_psi": "two dims×bins count tables — constant-size reduction at any corpus size",
     "bm25_scores": "postings pruned to query terms scan-side; corpus stats broadcast as scalars",
+    "forecast_revenue_change": "Q6: all four predicates in PushedFilters; no join, one partial+final agg",
+    "order_priority_exists": "Q4: EXISTS as LeftSemi with the datediff residual riding the join",
+    "returned_item_revenue": "Q10: TakeOrderedAndProject top-20 — per-partition heads, no global sort",
+    "disjunctive_predicate_revenue": "Q19: OR-of-ANDs CNF-extracted into both scans' PushedFilters",
+    "large_volume_customers": "Q18: HAVING aggregate below the join — build side is qualifying keys only",
+    "sketch_distinct_rollup": "HLL sketches partial-agg map-side; rollup merges |months| sketches, no rescan",
+    "blocklist_filter_docs": "policy filter as scan-side array_intersect: zero exchanges",
+    "weighted_sample_docs": "A-ES race key in the scan projection + TakeOrderedAndProject heads",
 }
 
 
