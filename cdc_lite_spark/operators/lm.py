@@ -133,3 +133,99 @@ def bigram_counts_sql(table: str = "documents", text_col: str = "text", top_n: i
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM bg GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT {top_n}
     """
+
+
+# --- DSIR-style importance resampling ---------------------------------------
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = LM_VOCAB_SIZE,
+) -> DataFrame:
+    """Per-document importance log-weight for Data Selection with Importance
+    Resampling (Xie et al., NeurIPS 2023): ``log w(x) = log p_target(x) −
+    log p_raw(x)`` under two add-one-smoothed unigram LMs — documents that
+    look more like the (small) target corpus than like the raw pool score
+    high.  This is the paper's hashed-ngram estimator with the engine's
+    top-V vocab discipline standing in for feature hashing.
+
+    Engine parity: per-term log-probs under BOTH models round to
+    ``LM_ROUND_DP`` decimals, the per-token difference stays DECIMAL, and
+    the per-doc sum is therefore exact and order-independent.
+
+    Scale shape: both vocabularies are top-V TakeOrderedAndProject results
+    that broadcast; scoring is ONE pass over the raw corpus's tokens (one
+    explode, two broadcast joins, one hash agg) — the target corpus is
+    read once to fit its model and never joined row-to-row against raw.
+    """
+    raw_toks = raw.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+
+    def _model(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        toks = docs.select(F.explode(tokens(text_col)).alias("term"))
+        counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+        vocab = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(vocab_size)
+        total = counts.agg(F.sum("cnt").alias("n_total"))
+        return vocab, total
+
+    vocab_t, total_t = _model(target)
+    vocab_r, total_r = _model(raw)
+
+    def _lp(cnt_col: str, total_col: str) -> F.Column:
+        denom = F.col(total_col) + vocab_size + 1
+        return F.round(
+            F.log(F.coalesce(F.col(cnt_col) + 1, F.lit(1)).cast("double") / denom),
+            LM_ROUND_DP,
+        ).cast(f"decimal(12,{LM_ROUND_DP})")
+
+    scored = (
+        raw_toks.join(
+            F.broadcast(vocab_t.withColumnRenamed("cnt", "cnt_t")), "term", "left"
+        )
+        .join(F.broadcast(vocab_r.withColumnRenamed("cnt", "cnt_r")), "term", "left")
+        .crossJoin(F.broadcast(total_t.withColumnRenamed("n_total", "n_t")))
+        .crossJoin(F.broadcast(total_r.withColumnRenamed("n_total", "n_r")))
+        .select(
+            F.col(id_col),
+            (_lp("cnt_t", "n_t") - _lp("cnt_r", "n_r")).alias("lw"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("lw").cast("double").alias("log_weight"),
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = LM_VOCAB_SIZE,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling on the DSIR log-weights: key =
+    ``log w + Gumbel`` with the Gumbel noise derived from the portable id
+    hash (``−ln(−ln(u))``), so the resample is weighted-without-replacement
+    AND deterministic across runs/engines/layouts — the same discipline as
+    ``sampling.weighted_sample``, lifted to log-space weights.
+
+    Returns the k selected (id, n_tokens, log_weight) rows via global
+    top-k heads (no full sort)."""
+    from cdc_lite_spark.functions.hashes import portable_hash64
+
+    weights = dsir_log_weights(raw, target, id_col, text_col, vocab_size)
+    M = 1 << 20
+    u = (portable_hash64(F.col(id_col).cast("string"), seed=seed) % M + F.lit(0.5)) / F.lit(
+        float(M)
+    )
+    gumbel = -F.log(-F.log(u))
+    return (
+        weights.withColumn("_key", F.col("log_weight") + gumbel)
+        .orderBy(F.col("_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_key")
+    )

@@ -5791,3 +5791,125 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "doc_id", "n_chars", 50).select(
         "doc_id", "source", "n_chars"
     )
+
+
+# the identical statement runs in BOTH engines (dialect-common subset):
+# Spark 4's recursive CTE support makes the construct itself part of the
+# engine-parity surface.  Spark does not yet allow the UNION-dedup form,
+# so the recursion is depth-bounded over an ACYCLIC expansion (path
+# enumeration), which terminates under UNION ALL in both engines.
+_RECURSIVE_PATHS_SQL = """
+    WITH RECURSIVE trans AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst
+        FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM {table}
+        ) AS s
+        WHERE prev_type IS NOT NULL
+    ),
+    paths (depth, start_type, end_type, path) AS (
+        SELECT 1, src, dst, src || '>' || dst FROM trans
+        UNION ALL
+        SELECT p.depth + 1, p.start_type, t.dst, p.path || '>' || t.dst
+        FROM paths p JOIN trans t ON t.src = p.end_type
+        WHERE p.depth < 3
+    )
+    SELECT CAST(depth AS INT) AS depth, start_type, end_type, path FROM paths
+"""
+
+
+@register(
+    "recursive_transition_paths",
+    _RECURSIVE_PATHS_SQL.format(table="events"),
+    "WITH RECURSIVE (Spark 4) — k-step path enumeration over the event-type "
+    "transition graph; the event stream collapses to the tiny distinct-edge "
+    "graph BEFORE the recursion, so the iterative joins run on |types|² "
+    "rows regardless of stream size",
+    tags=("window", "recursive"),
+)
+def q_recursive_transition_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE parity: the exact same SQL text executes on Spark and
+    DuckDB.  Scale shape: one lag window + DISTINCT collapses 100 TB of
+    events into a ≤|types|² edge list; the recursion's per-step join then
+    touches only that derived graph — recursion over the raw stream would
+    be the classic unbounded-iteration trap."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__events_rcte")
+    return spark.sql(_RECURSIVE_PATHS_SQL.format(table="__events_rcte"))
+
+
+def _dsir_sample_oracle(k: int = 50, target_pred: str = "lang = 'de'") -> str:
+    from cdc_lite_spark.functions.hashes import portable_hash64_sql
+    from cdc_lite_spark.operators.lm import LM_ROUND_DP, LM_VOCAB_SIZE
+    from cdc_lite_spark.operators.text import tokens_sql
+
+    v, dp = LM_VOCAB_SIZE, LM_ROUND_DP
+    toks = tokens_sql("text")
+    h = portable_hash64_sql("CAST(w.doc_id AS VARCHAR)", seed="dsir")
+    m = 1 << 20
+    return f"""
+    WITH raw_toks AS (
+        SELECT doc_id, unnest({toks}) AS term FROM documents
+    ),
+    t_counts AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({toks}) AS term FROM documents WHERE {target_pred}) AS s
+        GROUP BY term
+    ),
+    t_vocab AS (SELECT term, cnt FROM t_counts ORDER BY cnt DESC, term ASC LIMIT {v}),
+    t_tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_t FROM t_counts),
+    r_counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM raw_toks GROUP BY term),
+    r_vocab AS (SELECT term, cnt FROM r_counts ORDER BY cnt DESC, term ASC LIMIT {v}),
+    r_tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_r FROM r_counts),
+    scored AS (
+        SELECT rt.doc_id,
+               CAST(round(ln(CAST(coalesce(tv.cnt + 1, 1) AS DOUBLE)
+                             / (t_tot.n_t + {v} + 1)), {dp}) AS DECIMAL(12,{dp}))
+             - CAST(round(ln(CAST(coalesce(rv.cnt + 1, 1) AS DOUBLE)
+                             / (r_tot.n_r + {v} + 1)), {dp}) AS DECIMAL(12,{dp}))
+                   AS lw
+        FROM raw_toks rt
+        LEFT JOIN t_vocab tv USING (term)
+        LEFT JOIN r_vocab rv USING (term)
+        CROSS JOIN t_tot CROSS JOIN r_tot
+    ),
+    w AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(lw) AS DOUBLE) AS log_weight
+        FROM scored GROUP BY doc_id
+    )
+    SELECT w.doc_id, d.lang, w.n_tokens, w.log_weight
+    FROM w JOIN documents d ON w.doc_id = d.doc_id
+    ORDER BY (w.log_weight - ln(-ln(({h} % {m} + 0.5) / {m}.0))) DESC, w.doc_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "dsir_importance_sample",
+    _dsir_sample_oracle(),
+    "X6 data selection — DSIR (Xie et al. 2023): importance log-weights "
+    "log p_target − log p_raw under two unigram LMs, Gumbel-top-k "
+    "resampling on the deterministic hash-derived noise (target corpus = "
+    "the 'de'-labelled docs; selectivity itself is pinned in test_lm.py "
+    "on bilingual data — the synthetic corpus shares one vocab pool)",
+    tags=("sampling", "text"),
+)
+def q_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick the 50 raw documents that most resemble the target corpus.
+    Both LMs broadcast (top-V vocab + scalar totals); the raw corpus is
+    token-scanned ONCE; selection is Gumbel-top-k heads.  The target model
+    fits on ~14% of docs here — at 100 TB the target is typically a tiny
+    curated set, which is exactly the shape this plan assumes."""
+    from cdc_lite_spark.operators.lm import dsir_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "de")
+    sampled = dsir_sample(docs, target, 50)
+    return (
+        F.broadcast(sampled)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "log_weight")
+    )

@@ -110,3 +110,41 @@ def test_label_centroids_shape_and_mean(spark):
     assert vals[(0, 0)] == pytest.approx(2.0)
     assert vals[(0, 1)] == pytest.approx(3.0)
     assert vals[(1, 0)] == pytest.approx(10.0)
+
+
+# --- DSIR importance resampling ---------------------------------------------
+
+
+def test_dsir_weights_rank_target_like_docs_highest(spark):
+    from cdc_lite_spark.operators.lm import dsir_log_weights
+
+    de = "der hund und die katze laufen durch das haus und der garten"
+    en = "the dog and the cat run through the house and the garden here"
+    rows = [(i, de + f" w{i}", "de") for i in range(10)] + [
+        (100 + i, en + f" w{i}", "en") for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = docs.filter("lang = 'de'")
+    w = dsir_log_weights(docs, target)
+    ranked = [
+        r["doc_id"]
+        for r in w.orderBy(w.log_weight.desc(), "doc_id").limit(10).collect()
+    ]
+    # the ten most target-like docs are exactly the German ones
+    assert all(d < 100 for d in ranked)
+
+
+def test_dsir_sample_is_deterministic_and_skews_to_target(spark):
+    from cdc_lite_spark.operators.lm import dsir_sample
+    from cdc_lite_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    target = docs.filter("lang = 'de'")
+    a = {r["doc_id"] for r in dsir_sample(docs, target, 10).collect()}
+    b = {r["doc_id"] for r in dsir_sample(docs, target, 10).collect()}
+    assert a == b and len(a) == 10
+    # NOTE: the synthetic corpus draws every language's text from the same
+    # vocabulary pool (the lang column is a label, not a property of the
+    # words), so there is no target signal to skew toward here — selectivity
+    # is asserted on constructed bilingual data in the test above; this test
+    # pins determinism and k on real table plumbing.

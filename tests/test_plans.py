@@ -422,3 +422,10 @@ def test_weighted_sample_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     tree = plan.split("\n\n")[0]
     assert "Sort " not in tree and "Exchange" not in tree  # scan-side race + heads
+
+
+def test_dsir_models_broadcast_no_cartesian(spark):
+    plan = _plan(spark, "dsir_importance_sample")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # both vocab joins broadcast
+    assert "TakeOrderedAndProject" in plan  # gumbel top-k heads
