@@ -450,6 +450,17 @@ class CdcEngine:
         duckdb_cdc_test.go:172-197)."""
         return read_changes(self.spark, self.output_dir, table, fmt=self.log_format)
 
+    def changes_between(self, start, end, table: str | None = None) -> DataFrame:
+        """Change-data-feed: records captured in ``[start, end)`` —
+        incremental consumers catch up from their last checkpoint without
+        replaying the whole log (file-pruned under the parquet log
+        format; see sources/changelog.py:read_changes_between)."""
+        from cdc_lite_spark.sources.changelog import read_changes_between
+
+        return read_changes_between(
+            self.spark, self.output_dir, start, end, table, fmt=self.log_format
+        )
+
     def materialize(self, table: str, keys: list[str], schema: "T.StructType") -> DataFrame:
         """Compact the change log into current table state (the consumer-side
         CDC contract): take each key's LATEST record by capture timestamp

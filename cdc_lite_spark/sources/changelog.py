@@ -117,6 +117,32 @@ def read_changes(
     return df
 
 
+def read_changes_between(
+    spark: SparkSession,
+    out_dir: str,
+    start,
+    end,
+    table: str | None = None,
+    fmt: str = "json",
+) -> DataFrame:
+    """Change-data-feed read: envelope rows captured in ``[start, end)``
+    (datetimes or ISO strings), optionally for one table.
+
+    Scale shape: each log file is one tick's atomic flush, so its
+    ``timestamp`` values span that tick only — with ``fmt="parquet"`` the
+    pushed-down bounds prune whole files via footer min/max before any row
+    is read (and ``partition_by_table=True`` layouts prune at the listing
+    level first).  A consumer catching up on "what changed since t" reads
+    O(changed ticks), not O(log history) — the JSONL format scans history
+    but still filters record-level, which is why parquet is the scale
+    format for long-lived logs (see append_changes)."""
+    df = read_changes(spark, out_dir, table, fmt=fmt)
+    return df.filter(
+        (F.col("timestamp") >= F.lit(start).cast("timestamp"))
+        & (F.col("timestamp") < F.lit(end).cast("timestamp"))
+    )
+
+
 def stream_changes(
     spark: SparkSession,
     out_dir: str,

@@ -167,3 +167,57 @@ def test_corrupt_log_lines_never_become_phantom_state(spark, tables, tmp_path):
     # the wire read exposes the corruption as a null row, not a crash
     raw = eng.changes()
     assert raw.filter(raw.operation.isNull()).count() == 1
+
+
+@pytest.mark.parametrize("fmt", LOG_FORMATS)
+def test_changes_between_windows_the_feed(spark, tables, tmp_path, fmt):
+    """CDF read: [start, end) returns exactly the ticks inside the window,
+    for both log formats, via the engine surface."""
+    import datetime
+    import time
+
+    eng = CdcEngine(
+        spark, str(tmp_path / "log"), str(tmp_path / "state"), log_format=fmt
+    )
+    region = tables["region"]
+    eng.poll_once({"region": region})
+    time.sleep(1.1)
+    cut = datetime.datetime.now()
+    time.sleep(1.1)
+    mutated = region.withColumn(
+        "r_name",
+        F.when(F.col("r_regionkey") == 0, F.lit("EDITED")).otherwise(F.col("r_name")),
+    )
+    eng.poll_once({"region": mutated})
+
+    n = region.count()
+    assert eng.changes("region").count() == 2 * n
+    first = eng.changes_between(datetime.datetime(2000, 1, 1), cut, "region")
+    second = eng.changes_between(cut, datetime.datetime(2100, 1, 1), "region")
+    assert first.count() == n and second.count() == n
+    assert second.filter(
+        F.col("data").getItem("r_name") == "EDITED"
+    ).count() == 1
+    # empty window → empty feed
+    assert eng.changes_between(cut, cut).count() == 0
+
+
+def test_changes_between_pushes_bounds_to_parquet_scan(spark, tables, tmp_path):
+    """Under the parquet log format the window bounds reach the scan as
+    PushedFilters — each file is one tick's flush, so footer min/max on
+    `timestamp` skips non-matching files entirely."""
+    import datetime
+
+    from cdc_lite_spark.plans.inspect import explain_str
+
+    eng = CdcEngine(
+        spark, str(tmp_path / "log"), str(tmp_path / "state"), log_format="parquet"
+    )
+    eng.poll_once({"region": tables["region"]})
+    feed = eng.changes_between(
+        datetime.datetime(2000, 1, 1), datetime.datetime(2100, 1, 1), "region"
+    )
+    plan = explain_str(feed)
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(timestamp" in pushed
+    assert "LessThan(timestamp" in pushed
