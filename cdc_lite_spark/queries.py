@@ -5913,3 +5913,61 @@ def q_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "n_tokens", "log_weight")
     )
+
+
+def _table_profile_oracle() -> str:
+    def num_row(c: str, expr: str) -> str:
+        return f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               1 AS ndv_ok,
+               CAST(min({expr}) AS DOUBLE) AS min_num,
+               CAST(max({expr}) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str
+        FROM orders"""
+
+    def str_row(c: str) -> str:
+        return f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               1 AS ndv_ok,
+               CAST(NULL AS DOUBLE) AS min_num,
+               CAST(NULL AS DOUBLE) AS max_num,
+               min({c}) AS min_str,
+               max({c}) AS max_str
+        FROM orders"""
+
+    rows = [
+        num_row("o_orderkey", "o_orderkey"),
+        num_row("o_custkey", "o_custkey"),
+        str_row("o_orderstatus"),
+        num_row("o_totalprice", "o_totalprice"),
+        num_row("o_orderdate", "epoch_us(o_orderdate)"),
+        str_row("o_orderpriority"),
+    ]
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "table_profile_stats",
+    _table_profile_oracle(),
+    "ANALYZE-style per-column profile of orders — row/null/distinct counts "
+    "and typed min/max for every column out of ONE aggregation pass, plus "
+    "an HLL-NDV agreement flag (the sketch is the 100 TB surface; the "
+    "exact distinct is its oracle twin)",
+    tags=("agg", "profile"),
+)
+def q_table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/CBO statistics in one scan.  All six columns' metrics come
+    from a single wide aggregate (constant-size result), unpivoted
+    executor-side; nothing is per-column-scanned.  ndv_ok trips to 0 — and
+    the driver hash check fails — if the HLL estimate drifts >5% from the
+    exact count."""
+    from cdc_lite_spark.operators.profile import column_stats
+
+    return column_stats(load_table(spark, sf_dir, "orders"))
