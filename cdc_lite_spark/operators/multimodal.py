@@ -268,3 +268,83 @@ def media_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     payload away.  The oracle-checkable projection of the plumbing."""
     with_payload = attach_payload(df, text_col=text_col, id_col=id_col)
     return decode_payload(with_payload, fake=True)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+    ]
+)
+
+
+def synth_wav_payload(
+    df: DataFrame, id_col: str = "doc_id", rate: int = 8000
+) -> DataFrame:
+    """Deterministic audio ingestion stand-in: synthesize a real mono
+    16-bit PCM WAV payload per row (square wave whose length/amplitude
+    derive from the id), carried exactly like any other binary payload.
+    In production this column comes off parquet; the synthesizer exists so
+    the REAL decode path has real bytes to chew in codec-less containers."""
+    from cdc_lite_spark.functions.wav import synth_square_wav
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": [
+                        synth_square_wav(
+                            800 + int(i) % 50, 1000 + (int(i) % 7) * 100, rate
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _synth, schema
+    )
+
+
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio decode: parse each WAV payload's header and PCM frames
+    (stdlib codec, functions/wav.py) into (rate, channels, samples,
+    duration, rms, peak).  Arrow-batched ``mapInPandas``, payload bytes
+    projected away immediately after — same discipline as the image path.
+    Non-WAV payloads raise, matching the image gate: formats needing codec
+    libraries are not silently faked."""
+    from cdc_lite_spark.functions.wav import parse_wav
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [parse_wav(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_channels": [f["n_channels"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    "duration_ms": [f["duration_ms"] for f in feats],
+                    "rms": [f["rms"] for f in feats],
+                    "peak": [f["peak"] for f in feats],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _decode, AUDIO_FEATURE_SCHEMA
+    )

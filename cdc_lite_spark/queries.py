@@ -5971,3 +5971,34 @@ def q_table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_lite_spark.operators.profile import column_stats
 
     return column_stats(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "audio_wav_features",
+    """
+    SELECT doc_id,
+           8000 AS sample_rate,
+           1 AS n_channels,
+           CAST(800 + doc_id % 50 AS BIGINT) AS n_samples,
+           CAST(((800 + doc_id % 50) * 1000 + 4000) // 8000 AS BIGINT) AS duration_ms,
+           CAST(1000 + (doc_id % 7) * 100 AS DOUBLE) AS rms,
+           CAST(1000 + (doc_id % 7) * 100 AS INT) AS peak
+    FROM documents
+    """,
+    "X5 audio — REAL WAV decode content-verified: payloads are genuine "
+    "RIFF/PCM square waves (every sample ±A), so the oracle knows the "
+    "decoded rms/peak/duration in closed form; a misparsed header or "
+    "frame stream cannot hash-match",
+    tags=("multimodal",),
+)
+def q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audio branch: synthesize real WAV bytes per doc (one
+    Arrow hop), decode them back (second Arrow hop — header + PCM frames
+    through the stdlib codec), emit acoustic features.  The square-wave
+    construction makes rms == peak == amplitude exactly, so the DuckDB
+    oracle verifies the DECODED CONTENT, not just row counts — the same
+    trick the image path plays with hex-prefix digests."""
+    from cdc_lite_spark.operators.multimodal import audio_features, synth_wav_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return audio_features(synth_wav_payload(docs))

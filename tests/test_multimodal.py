@@ -248,3 +248,41 @@ def test_resize_real_with_pil_when_available(spark):
     img = Image.open(io.BytesIO(bytes(row.resized_payload)))
     assert img.size == (8, 4)
     assert PIL is not None
+
+
+# --- real WAV audio decode ---------------------------------------------------
+
+
+def test_wav_codec_roundtrip():
+    from cdc_lite_spark.functions.wav import parse_wav, sniff, synth_square_wav
+
+    raw = synth_square_wav(n_samples=1600, amplitude=1200, rate=16000)
+    assert sniff(raw)
+    f = parse_wav(raw)
+    assert f["sample_rate"] == 16000 and f["n_channels"] == 1
+    assert f["n_samples"] == 1600 and f["duration_ms"] == 100
+    assert f["rms"] == 1200.0 and f["peak"] == 1200  # square wave: rms==peak==A
+
+
+def test_wav_codec_rejects_non_wav():
+    import pytest as _pytest
+
+    from cdc_lite_spark.functions.wav import parse_wav
+
+    with _pytest.raises(ValueError):
+        parse_wav(b"not a riff payload at all....")
+
+
+def test_audio_features_real_decode_end_to_end(spark):
+    """Real bytes → real parse through two Arrow hops on executors — the
+    audio twin of the PPM real-decode image test (never skips)."""
+    from cdc_lite_spark.operators.multimodal import audio_features, synth_wav_payload
+
+    docs = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    out = {r["doc_id"]: r for r in audio_features(synth_wav_payload(docs)).collect()}
+    assert len(out) == 20
+    for i, r in out.items():
+        assert r["n_samples"] == 800 + i % 50
+        assert r["rms"] == float(1000 + (i % 7) * 100)
+        assert r["peak"] == 1000 + (i % 7) * 100
+        assert r["sample_rate"] == 8000 and r["n_channels"] == 1
