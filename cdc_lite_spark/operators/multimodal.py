@@ -16,9 +16,11 @@ Scale notes: payloads dominate row width, so operators here
 
 Real-decode fallback: when PIL is absent the decode/resize operators still
 handle binary PPM/PGM payloads via the vendored dependency-free codec
-(functions/ppm.py) — so the real bytes→pixels branch is exercised even in
-codec-less containers; only formats that genuinely need codec libraries
-(JPEG/PNG/video) raise ``NotImplementedError``.
+(functions/ppm.py), audio decodes real RIFF/PCM WAV (functions/wav.py),
+and video demuxes real YUV4MPEG2 clips (functions/y4m.py) — so every
+modality's real bytes→content branch is exercised even in codec-less
+containers; only formats that genuinely need codec libraries (JPEG/PNG/
+H.264/MP3) raise ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -164,27 +166,40 @@ def frame_sample(df: DataFrame, every_n: int = 30, fake: bool = False) -> DataFr
 
     ``fake=True``: a deterministic splitter that treats the payload as a
     byte stream of 64-byte "frames" — exercises the full distributed
-    explode path in codec-less environments.  The real path raises
-    ``NotImplementedError`` until a video codec (ffmpeg/PyAV) is
-    importable on the workers.
+    explode path in codec-less environments.  The real path demuxes
+    Y4M/YUV4MPEG2 payloads via the vendored codec (functions/y4m.py) —
+    real container parse, real frame bytes — and raises
+    ``NotImplementedError`` for formats that need video codec libraries
+    (ffmpeg/PyAV) until one is importable on the workers.
     """
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "frame sampling requires video codecs (ffmpeg/PyAV) not "
-                "importable on this worker; pass fake=True for the "
-                "deterministic plumbing-test splitter"
-            )
         cols = ["doc_id", "frame_idx", "frame_payload", "frame_md5"]
         frame_bytes = 64
+        if not fake:
+            from cdc_lite_spark.functions.y4m import parse_y4m, sniff
+
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
-                n_frames = max(1, len(raw) // frame_bytes)
-                for idx in range(0, n_frames, every_n):
-                    frame = raw[idx * frame_bytes : (idx + 1) * frame_bytes]
+                if fake:
+                    n_frames = max(1, len(raw) // frame_bytes)
+                    frames = [
+                        raw[i * frame_bytes : (i + 1) * frame_bytes]
+                        for i in range(n_frames)
+                    ]
+                elif sniff(raw):
+                    _w, _h, frames = parse_y4m(raw)
+                else:
+                    raise NotImplementedError(
+                        "frame sampling of this format requires video codecs "
+                        "(ffmpeg/PyAV) not importable on this worker; only "
+                        "Y4M demux is built in — pass fake=True for the "
+                        "deterministic plumbing-test splitter"
+                    )
+                for idx in range(0, len(frames), every_n):
+                    frame = frames[idx]
                     out.append(
                         (doc_id, idx, frame, hashlib.md5(frame).hexdigest())
                     )
@@ -347,4 +362,45 @@ def audio_features(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _decode, AUDIO_FEATURE_SCHEMA
+    )
+
+
+def synth_y4m_payload(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 16
+) -> DataFrame:
+    """Deterministic video ingestion stand-in: a real YUV4MPEG2 clip per
+    row — ``5 + id%4`` constant-luma frames with luma ``(id*7 + k*13) %
+    120`` for frame k — so the REAL demux path has genuine container
+    bytes, and frame digests have closed forms an SQL oracle reproduces
+    (every plane byte is ASCII-range; see functions/y4m.py)."""
+    from cdc_lite_spark.functions.y4m import synth_y4m
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": [
+                        synth_y4m(
+                            width,
+                            height,
+                            [
+                                (int(i) * 7 + k * 13) % 120
+                                for k in range(5 + int(i) % 4)
+                            ],
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _synth, schema
     )

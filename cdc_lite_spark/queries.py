@@ -6002,3 +6002,34 @@ def q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return audio_features(synth_wav_payload(docs))
+
+
+@register(
+    "video_y4m_frame_digests",
+    """
+    SELECT d.doc_id,
+           CAST(k.i AS BIGINT) AS frame_idx,
+           md5(repeat(chr(CAST((d.doc_id * 7 + k.i * 13) % 120 AS INT)), 256)
+               || repeat(chr(100), 128)) AS frame_md5
+    FROM documents d, range(0, 8, 2) k(i)
+    WHERE k.i < 5 + d.doc_id % 4
+    """,
+    "X5 video — REAL Y4M demux content-verified: payloads are genuine "
+    "YUV4MPEG2 clips of constant-luma frames, so each sampled frame's md5 "
+    "has a closed form (all plane bytes ASCII-range) the oracle "
+    "reproduces; a misparsed header or frame boundary cannot hash-match",
+    tags=("multimodal",),
+)
+def q_video_y4m_frame_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end video branch: synthesize real 16×16 4:2:0 clips per doc
+    (5+id%4 frames), demux them back through the stdlib container parser,
+    sample every 2nd frame, and emit the frame digests — which the DuckDB
+    twin computes arithmetically.  Frame bytes never leave the executors:
+    the digest is computed in the same Arrow hop and the payload column is
+    projected away before this query's output."""
+    from cdc_lite_spark.operators.multimodal import frame_sample, synth_y4m_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return frame_sample(synth_y4m_payload(docs), every_n=2).select(
+        "doc_id", "frame_idx", "frame_md5"
+    )

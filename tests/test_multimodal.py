@@ -286,3 +286,64 @@ def test_audio_features_real_decode_end_to_end(spark):
         assert r["rms"] == float(1000 + (i % 7) * 100)
         assert r["peak"] == 1000 + (i % 7) * 100
         assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+
+
+# --- real Y4M video demux ----------------------------------------------------
+
+
+def test_y4m_codec_roundtrip():
+    from cdc_lite_spark.functions.y4m import parse_y4m, sniff, synth_y4m
+
+    raw = synth_y4m(16, 16, [10, 20, 30])
+    assert sniff(raw)
+    w, h, frames = parse_y4m(raw)
+    assert (w, h) == (16, 16) and len(frames) == 3
+    assert frames[1][:256] == bytes([20]) * 256  # luma plane
+    assert frames[1][256:] == bytes([100]) * 128  # 4:2:0 chroma planes
+
+
+def test_y4m_codec_rejects_bad_payloads():
+    import pytest as _pytest
+
+    from cdc_lite_spark.functions.y4m import parse_y4m, synth_y4m
+
+    with _pytest.raises(ValueError):
+        parse_y4m(b"not a y4m stream")
+    with _pytest.raises(ValueError):
+        parse_y4m(synth_y4m(16, 16, [10])[:-5])  # truncated frame
+    with _pytest.raises(ValueError):
+        synth_y4m(16, 16, [200])  # non-ASCII plane byte
+
+
+def test_frame_sample_real_y4m_demux_end_to_end(spark):
+    """Real container bytes → real frames through the 1→N Arrow explode —
+    the video twin of the PPM/WAV real-decode tests (never skips)."""
+    import hashlib
+
+    from cdc_lite_spark.operators.multimodal import frame_sample, synth_y4m_payload
+
+    docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    rows = frame_sample(synth_y4m_payload(docs), every_n=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(8):
+        n_frames = 5 + i % 4
+        got = sorted(r["frame_idx"] for r in by_doc[i])
+        assert got == list(range(0, n_frames, 2))
+        for r in by_doc[i]:
+            expected = bytes([(i * 7 + r["frame_idx"] * 13) % 120]) * 256 + bytes([100]) * 128
+            assert bytes(r["frame_payload"]) == expected
+            assert r["frame_md5"] == hashlib.md5(expected).hexdigest()
+
+
+def test_frame_sample_unknown_format_still_raises(spark):
+    from cdc_lite_spark.operators.multimodal import attach_payload, frame_sample
+
+    df = attach_payload(
+        spark.createDataFrame([(1, "not video bytes")], "doc_id long, text string")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="ffmpeg|PyAV|Y4M"):
+        frame_sample(df, fake=False).collect()
