@@ -25,14 +25,17 @@ def test_column_stats_metrics_and_types(spark):
     assert rows["t"]["n_distinct"] == 1
 
 
-def test_column_stats_is_single_pass(spark):
-    """One wide aggregate + executor-side unpivot: exactly one scan of the
-    input appears in the plan, never one scan per column."""
+def test_column_stats_is_two_passes_not_per_column(spark):
+    """Exactly TWO scans (the exact/distinct pass and the sketch pass —
+    mixing them in one Aggregate trips a combinatorial Expand, see the
+    operator docstring), never one scan per column; the sketch side joins
+    back as a broadcast of its single row."""
     from cdc_lite_spark.plans.inspect import explain_str
     from cdc_lite_spark.sources.tables import load_table
 
     orders = load_table(spark, "/root/testdata/sf0.001", "orders")
     plan = explain_str(column_stats(orders))
     tree = plan.split("\n\n")[0]
-    assert tree.count("Scan parquet") == 1
+    assert tree.count("Scan parquet") == 2
     assert "Generate" in plan  # the explode-unpivot, not a per-column union
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
