@@ -202,7 +202,8 @@ class CdcEngine:
     # -- the poll loop -------------------------------------------------------
 
     def _resolve(self, source) -> DataFrame:
-        """A monitored table may be a DataFrame, a parquet path, or a
+        """A monitored table may be a DataFrame, a file path (parquet /
+        CSV / JSON-lines, sniffed by extension), or a
         zero-arg callable returning a DataFrame.  Paths are re-read per tick
         (fresh file listing + refreshByPath) and callables are invoked per
         tick, so mutations by an EXTERNAL writer are observed — the
@@ -216,8 +217,10 @@ class CdcEngine:
         A factory yields a fresh plan — and hence a fresh snapshot — each
         tick (sources/duckdb_source.py documents the freeze)."""
         if isinstance(source, str):
+            from cdc_lite_spark.sources.tables import load_path
+
             self.spark.catalog.refreshByPath(source)
-            return self.spark.read.parquet(source)
+            return load_path(self.spark, source)
         if callable(source) and not isinstance(source, DataFrame):
             return source()
         return source

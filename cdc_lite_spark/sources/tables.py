@@ -80,3 +80,55 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     DuckDB oracle's pre-registered view names."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+#: extension → Spark reader format for the generic loader
+_EXT_FORMATS = {
+    ".parquet": "parquet",
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+}
+
+
+def load_path(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema=None,
+    **options,
+):
+    """Generic file-source loader: parquet, CSV/TSV, or JSON-lines, with the
+    format sniffed from the extension when ``fmt`` is not given.
+
+    Defaults per format: CSV reads ``header=true`` (and tab delimiter for
+    .tsv); JSON is JSON-lines.  With no ``schema``, CSV/JSON runs Spark's
+    inference, which SCANS THE DATA once before the real read — fine for
+    exploration, wrong for a 100 TB production path, so pass an explicit
+    schema there (parquet needs none: its footer is self-describing, the
+    zero-row-probe property op A2 relies on).  Extra ``options`` pass
+    through to the reader verbatim.
+    """
+    ensure_session_confs(spark)
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lower()
+        fmt = _EXT_FORMATS.get(ext)
+        if fmt is None:
+            raise ValueError(
+                f"cannot sniff source format from {path!r}; pass fmt= "
+                f"(one of parquet/csv/json)"
+            )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", "true"))
+        if path.lower().endswith(".tsv"):
+            reader = reader.option("sep", "\t")
+        if schema is None:
+            reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
