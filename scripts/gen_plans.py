@@ -67,6 +67,11 @@ HEADLINERS: dict[str, str] = {
     "sketch_distinct_rollup": "HLL sketches partial-agg map-side; rollup merges |months| sketches, no rescan",
     "blocklist_filter_docs": "policy filter as scan-side array_intersect: zero exchanges",
     "weighted_sample_docs": "A-ES race key in the scan projection + TakeOrderedAndProject heads",
+    "dsir_importance_sample": "both LMs broadcast (top-V vocab + 1-row totals); raw corpus token-scanned once",
+    "recursive_transition_paths": "UnionLoop recursion over the distinct type-edge list, never the raw stream",
+    "table_profile_stats": "two single-row agg passes (distinct / sketch) broadcast-joined — mixing them trips a combinatorial Expand",
+    "audio_wav_features": "two Arrow hops: synth WAV bytes, then real RIFF/PCM parse; payloads never shuffle",
+    "video_y4m_frame_digests": "1→N Arrow demux of real Y4M frames; digests computed in-hop, payload projected away",
 }
 
 
