@@ -99,3 +99,28 @@ def file_stats(path: str, column: str) -> list[dict]:
                 {"path": fp, "num_rows": meta.num_rows, "min": lo, "max": hi}
             )
     return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    num_files: int = 16,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet laid out along the Z curve over ``zorder_cols`` —
+    multi-dimensional data skipping where directory partitioning fits only
+    one dimension.  Each output file covers a tight hyper-rectangle of the
+    participating columns (operators/zorder.py), so a selective predicate
+    on ANY of them prunes most files via footer min/max.  Columns must be
+    pre-scaled to ``[0, 2^bits)`` by the caller (epoch days, bucketed
+    doubles — see zorder_key)."""
+    from pyspark.sql import functions as F
+
+    from cdc_lite_spark.operators.zorder import zorder_repartition
+
+    staged = zorder_repartition(
+        df, [F.col(c) for c in zorder_cols], num_files, bits=bits
+    ).drop("__zorder")  # layout key served its purpose; don't persist it
+    staged.write.mode(mode).parquet(path)

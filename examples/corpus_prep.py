@@ -38,6 +38,8 @@ def main() -> int:
     funnel.append(("dup-ngram gate", p.count()))
     p = p.filter_language({"en"}).filter_quality()
     funnel.append(("language+quality", p.count()))
+    p = p.drop_blocklisted()
+    funnel.append(("blocklist gate", p.count()))
     p = p.with_fingerprints().with_token_counts().split()
 
     for stage, n in funnel:

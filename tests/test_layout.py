@@ -103,3 +103,31 @@ def test_files_per_partition_spreads_hot_values(spark, tmp_path):
     assert n_types < len(files) <= 3 * n_types
     back = read_partitioned(spark, out)
     assert back.count() == ev.count()
+
+
+def test_write_zordered_files_cover_tight_rectangles(spark, tmp_path):
+    """Z-ordered output: per-file min/max ranges on EACH participating
+    dimension are a small fraction of the global range — the property
+    multi-dimensional skipping rests on (directory partitioning can only
+    deliver this for one dimension)."""
+    from cdc_lite_spark.operators.layout import write_zordered
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 2654435761) % 64).alias("y"),
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, ["x", "y"], num_files=16, bits=6)
+    for col in ("x", "y"):
+        spans = [
+            (st["max"] - st["min"])
+            for st in file_stats(out, col)
+            if st["min"] is not None
+        ]
+        assert len(spans) >= 8
+        # average per-file span well under the global span of 63
+        assert sum(spans) / len(spans) < 32, (col, spans)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert set(back.columns) == {"x", "y"}  # the layout key is not persisted
