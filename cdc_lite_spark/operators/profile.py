@@ -52,13 +52,16 @@ def column_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     min_num, max_num, min_str, max_str).
 
     Two aggregation passes, deliberately: Spark plans a MIX of DISTINCT
-    aggregates and HLL sketches in one Aggregate via an Expand whose
-    cost explodes combinatorially (measured: 6 columns' mixed profile
-    106 s at sf0.1 vs ~3 s split — each pass alone is cheap; the mix is
-    not).  The exact/distinct pass and the sketch pass each produce one
-    row, joined back with a broadcast cross join.  At 100 TB you drop
-    the exact pass entirely (it exists as the sketch's verification
-    twin) and the profile is the sketch pass alone — one scan."""
+    aggregates with any imperative/non-distinct ones in one Aggregate via
+    an Expand whose cost explodes combinatorially (measured: 6 columns'
+    mixed profile 106 s at sf0.1 vs ~3 s split — each pass alone is
+    cheap; the mix is not).  Pass 1 holds every NON-distinct aggregate
+    (counts, min/max, HLL sketches — no Expand); pass 2 holds only the
+    exact countDistincts (its x(cols+1) Expand is inherent to exact
+    multi-column NDV).  Each produces one row, joined back with a
+    broadcast cross join.  At 100 TB you drop the exact-distinct pass
+    entirely (it exists as the sketch's verification twin) and the
+    profile is pass 1 alone — one scan."""
     names = cols or [f.name for f in df.schema.fields]
     types = {f.name: f.dataType for f in df.schema.fields}
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
