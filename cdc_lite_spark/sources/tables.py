@@ -114,7 +114,10 @@ def load_path(
     ensure_session_confs(spark)
     if fmt is None:
         ext = os.path.splitext(path)[1].lower()
-        fmt = _EXT_FORMATS.get(ext)
+        if ext == "":
+            fmt = "parquet"  # extensionless = a parquet dataset directory
+        else:
+            fmt = _EXT_FORMATS.get(ext)
         if fmt is None:
             raise ValueError(
                 f"cannot sniff source format from {path!r}; pass fmt= "

@@ -38,6 +38,14 @@ def test_load_path_unknown_extension_raises(spark, tmp_path):
         load_path(spark, str(tmp_path / "t.avro"))
 
 
+def test_load_path_extensionless_is_parquet_dataset(spark, tmp_path):
+    """Bare directories (the normal parquet dataset layout, and what the
+    engine's monitored-path tests use) read as parquet."""
+    out = str(tmp_path / "plain_dir")
+    _rows(spark).write.parquet(out)
+    assert load_path(spark, out).count() == 3
+
+
 def test_engine_monitors_csv_source_path(spark, tmp_path):
     """The reference monitors a mutable external file; the engine now does
     the same for CSV sources — mutation by an external writer between
