@@ -335,3 +335,70 @@ def test_dup_ngram_fraction_bounds_and_duplicate_detection(spark, texts):
         assert 0.0 <= r["dup_fraction"] <= 1.0
         assert r["n_dup_grams"] <= r["n_grams"]
     assert out[dup_a]["dup_fraction"] == 1.0 and out[dup_b]["dup_fraction"] == 1.0
+
+
+# --- r4 codec + sketch invariants (pure-Python: no Spark in the loop) -------
+
+
+@given(
+    n=st.integers(min_value=0, max_value=400),
+    amp=st.integers(min_value=0, max_value=32000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    period=st.integers(min_value=2, max_value=64),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_invariants(n, amp, rate, period):
+    from cdc_lite_spark.functions.wav import parse_wav, synth_square_wav
+
+    f = parse_wav(synth_square_wav(n, amp, rate, period))
+    assert f["n_samples"] == n and f["sample_rate"] == rate
+    if n:
+        assert f["peak"] == amp and f["rms"] == float(amp)
+    assert f["duration_ms"] == (n * 1000 + rate // 2) // rate
+
+
+@given(
+    w=st.sampled_from([2, 4, 8, 16]),
+    h=st.sampled_from([2, 4, 8, 16]),
+    lumas=st.lists(st.integers(min_value=0, max_value=127), max_size=6),
+)
+@settings(max_examples=50, deadline=None)
+def test_y4m_roundtrip_invariants(w, h, lumas):
+    from cdc_lite_spark.functions.y4m import parse_y4m, synth_y4m
+
+    w2, h2, frames = parse_y4m(synth_y4m(w, h, lumas))
+    assert (w2, h2) == (w, h) and len(frames) == len(lumas)
+    for v, fr in zip(lumas, frames):
+        assert fr[: w * h] == bytes([v]) * (w * h)
+
+
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=500), max_size=300),
+    split=st.integers(min_value=0, max_value=300),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sketch_merge_is_split_invariant(spark, values, split):
+    """Union of sketches over ANY split of the rows == sketch of all rows:
+    the property that makes per-grain state composable."""
+    from pyspark.sql import functions as F
+
+    a, b = values[:split], values[split:]
+    def est(chunks):
+        parts = []
+        for i, chunk in enumerate(chunks):
+            if not chunk:
+                continue
+            parts.append(
+                spark.createDataFrame([(v,) for v in chunk], "v long")
+                .agg(F.hll_sketch_agg("v", F.lit(12)).alias("sk"))
+            )
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+        ).collect()[0]["e"]
+
+    assert est([a, b]) == est([values])
