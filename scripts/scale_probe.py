@@ -19,7 +19,9 @@ Replica construction details that keep the queries MEANINGFUL at xN:
   measures the degenerate-bucket cap instead of realistic growth.
 - embeddings: shift id, keep vectors (top-k over x10 corpus).
 
-Usage: python scripts/scale_probe.py [N]   (default 10)
+Usage: python scripts/scale_probe.py [N] [query ...]   (default 10, all
+headline queries; name queries to probe a subset — e.g. a second scale
+point on just the steepest plans)
 Appends nothing; prints a markdown table to stdout for SCALING.md.
 """
 
@@ -124,6 +126,7 @@ def time_query(spark, name: str, sf_dir: str, reps: int = 2) -> float:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    queries = sys.argv[2:] or QUERIES
     spark = get_spark("scale_probe", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -131,14 +134,14 @@ def main() -> None:
     dn = build_replica(spark, n)
 
     # warm everything once
-    for q in QUERIES:
+    for q in queries:
         time_query(spark, q, d1, reps=1)
 
     print(f"| query | t(x1) s | t(x{n}) s | ratio | per-row scaling |")
     print("|---|---|---|---|---|")
     import math
 
-    for q in QUERIES:
+    for q in queries:
         t1 = time_query(spark, q, d1)
         tn = time_query(spark, q, dn)
         ratio = tn / t1

@@ -106,3 +106,65 @@ def test_sketch_stream_gcs_old_versions(spark, tmp_path):
         q.stop()
     versions = [n for n in os.listdir(state_dir) if n.startswith("v")]
     assert len(versions) <= 2  # current + replay-reachable only
+
+
+def test_sketch_stream_survives_stop_and_restart(spark, tmp_path):
+    """Stop the query mid-corpus, append more input, restart on the SAME
+    checkpoint + state dir: epochs resume where they left off and the
+    final maintained state still equals the from-scratch rebuild — the
+    versioned-swap discipline under a real restart, not just a clean run."""
+    state_dir = str(tmp_path / "state")
+    sink = str(tmp_path / "est")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir = str(tmp_path / "in")
+    (tmp_path / "state").mkdir()
+
+    history = spark.createDataFrame(
+        [("d1", i % 25) for i in range(100)], "grain string, uid long"
+    )
+    init_sketch_state(history, ["grain"], "uid", state_dir)
+
+    first = spark.createDataFrame(
+        [("d1", 20 + (i % 20)) for i in range(60)], "grain string, uid long"
+    )
+    first.repartition(2).write.mode("overwrite").parquet(in_dir)
+
+    def start():
+        stream = (
+            spark.readStream.schema(first.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        return start_sketch_stream(stream, ["grain"], "uid", state_dir, sink, ckpt)
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    second = spark.createDataFrame(
+        [("d2", 500 + (i % 30)) for i in range(40)], "grain string, uid long"
+    )
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    maintained = {
+        r["grain"]: (r["distinct_estimate"], r["n_rows"])
+        for r in rollup_estimates(load_sketch_state(spark, state_dir), ["grain"]).collect()
+    }
+    everything = history.unionByName(first).unionByName(second)
+    rebuilt = {
+        r["grain"]: (r["distinct_estimate"], r["n_rows"])
+        for r in rollup_estimates(
+            distinct_sketch_state(everything, ["grain"], "uid"), ["grain"]
+        ).collect()
+    }
+    assert maintained == rebuilt
+    assert maintained["d1"] == (40, 160)  # 0..24 ∪ 20..39
+    assert maintained["d2"] == (30, 40)
