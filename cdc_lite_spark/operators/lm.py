@@ -216,12 +216,13 @@ def dsir_sample(
     Returns the k selected (id, n_tokens, log_weight) rows via global
     top-k heads (no full sort)."""
     from cdc_lite_spark.functions.hashes import portable_hash64
+    from cdc_lite_spark.operators.sampling import RACE_M
 
     weights = dsir_log_weights(raw, target, id_col, text_col, vocab_size)
-    M = 1 << 20
-    u = (portable_hash64(F.col(id_col).cast("string"), seed=seed) % M + F.lit(0.5)) / F.lit(
-        float(M)
-    )
+    u = (
+        portable_hash64(F.col(id_col).cast("string"), seed=seed) % RACE_M
+        + F.lit(0.5)
+    ) / F.lit(float(RACE_M))
     gumbel = -F.log(-F.log(u))
     return (
         weights.withColumn("_key", F.col("log_weight") + gumbel)

@@ -285,6 +285,17 @@ def media_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return decode_payload(with_payload, fake=True)
 
 
+#: deterministic synth parameters — the SQL oracles derive their
+#: closed-form expectations from these same constants (queries.py), so
+#: editing one side cannot silently break content verification
+WAV_RATE = 8000
+WAV_BASE_SAMPLES, WAV_SAMPLES_MOD = 800, 50
+WAV_BASE_AMP, WAV_AMP_STEP, WAV_AMP_MOD = 1000, 100, 7
+Y4M_SIDE = 16
+Y4M_BASE_FRAMES, Y4M_FRAMES_MOD = 5, 4
+Y4M_LUMA_A, Y4M_LUMA_B, Y4M_LUMA_MOD = 7, 13, 120
+Y4M_CHROMA = 100
+
 AUDIO_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -299,7 +310,7 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 
 
 def synth_wav_payload(
-    df: DataFrame, id_col: str = "doc_id", rate: int = 8000
+    df: DataFrame, id_col: str = "doc_id", rate: int = WAV_RATE
 ) -> DataFrame:
     """Deterministic audio ingestion stand-in: synthesize a real mono
     16-bit PCM WAV payload per row (square wave whose length/amplitude
@@ -316,7 +327,9 @@ def synth_wav_payload(
                     id_col: ids,
                     "payload": [
                         synth_square_wav(
-                            800 + int(i) % 50, 1000 + (int(i) % 7) * 100, rate
+                            WAV_BASE_SAMPLES + int(i) % WAV_SAMPLES_MOD,
+                            WAV_BASE_AMP + (int(i) % WAV_AMP_MOD) * WAV_AMP_STEP,
+                            rate,
                         )
                         for i in ids
                     ],
@@ -366,7 +379,7 @@ def audio_features(
 
 
 def synth_y4m_payload(
-    df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 16
+    df: DataFrame, id_col: str = "doc_id", width: int = Y4M_SIDE, height: int = Y4M_SIDE
 ) -> DataFrame:
     """Deterministic video ingestion stand-in: a real YUV4MPEG2 clip per
     row — ``5 + id%4`` constant-luma frames with luma ``(id*7 + k*13) %
@@ -386,9 +399,10 @@ def synth_y4m_payload(
                             width,
                             height,
                             [
-                                (int(i) * 7 + k * 13) % 120
-                                for k in range(5 + int(i) % 4)
+                                (int(i) * Y4M_LUMA_A + k * Y4M_LUMA_B) % Y4M_LUMA_MOD
+                                for k in range(Y4M_BASE_FRAMES + int(i) % Y4M_FRAMES_MOD)
                             ],
+                            chroma=Y4M_CHROMA,
                         )
                         for i in ids
                     ],

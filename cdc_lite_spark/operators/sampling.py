@@ -137,6 +137,12 @@ def leakage_safe_split(
     return dataset_split(keyed, "split_key", weights, out_col)
 
 
+#: modulus for the hash-derived uniform in race-based samplers (A-ES /
+#: Gumbel): u = (hash % RACE_M + 0.5) / RACE_M — an exact dyadic rational.
+#: The SQL twins and the DSIR sampler derive from this same constant.
+RACE_M = 1 << 20
+
+
 def weighted_sample(
     df: DataFrame, key_col: str, weight_col: str, k: int, seed: str = "wsamp"
 ) -> DataFrame:
@@ -157,10 +163,10 @@ def weighted_sample(
     shuffle of the losers).  Rows with non-positive weight are excluded,
     matching "weight 0 ⇒ never sampled".
     """
-    M = 1 << 20
-    u = (portable_hash64(F.col(key_col).cast("string"), seed=seed) % M + F.lit(0.5)) / F.lit(
-        float(M)
-    )
+    u = (
+        portable_hash64(F.col(key_col).cast("string"), seed=seed) % RACE_M
+        + F.lit(0.5)
+    ) / F.lit(float(RACE_M))
     race = F.log(u) / F.col(weight_col).cast("double")
     return (
         df.filter(F.col(weight_col) > 0)
@@ -174,5 +180,4 @@ def weighted_sample(
 def weighted_sample_race_sql(key_expr: str, weight_expr: str, seed: str = "wsamp") -> str:
     """DuckDB expression for the same A-ES race key (for oracle twins)."""
     h = portable_hash64_sql(f"CAST({key_expr} AS VARCHAR)", seed=seed)
-    m = 1 << 20
-    return f"ln(({h} % {m} + 0.5) / {m}.0) / CAST({weight_expr} AS DOUBLE)"
+    return f"ln(({h} % {RACE_M} + 0.5) / {RACE_M}.0) / CAST({weight_expr} AS DOUBLE)"

@@ -5843,12 +5843,12 @@ def q_recursive_transition_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dsir_sample_oracle(k: int = 50, target_pred: str = "lang = 'de'") -> str:
     from cdc_lite_spark.functions.hashes import portable_hash64_sql
     from cdc_lite_spark.operators.lm import LM_ROUND_DP, LM_VOCAB_SIZE
+    from cdc_lite_spark.operators.sampling import RACE_M as m
     from cdc_lite_spark.operators.text import tokens_sql
 
     v, dp = LM_VOCAB_SIZE, LM_ROUND_DP
     toks = tokens_sql("text")
     h = portable_hash64_sql("CAST(w.doc_id AS VARCHAR)", seed="dsir")
-    m = 1 << 20
     return f"""
     WITH raw_toks AS (
         SELECT doc_id, unnest({toks}) AS term FROM documents
@@ -5973,18 +5973,33 @@ def q_table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_stats(load_table(spark, sf_dir, "orders"))
 
 
+def _audio_wav_oracle() -> str:
+    from cdc_lite_spark.operators.multimodal import (
+        WAV_AMP_MOD,
+        WAV_AMP_STEP,
+        WAV_BASE_AMP,
+        WAV_BASE_SAMPLES,
+        WAV_RATE,
+        WAV_SAMPLES_MOD,
+    )
+
+    n = f"({WAV_BASE_SAMPLES} + doc_id % {WAV_SAMPLES_MOD})"
+    amp = f"({WAV_BASE_AMP} + (doc_id % {WAV_AMP_MOD}) * {WAV_AMP_STEP})"
+    return f"""
+    SELECT doc_id,
+           {WAV_RATE} AS sample_rate,
+           1 AS n_channels,
+           CAST({n} AS BIGINT) AS n_samples,
+           CAST(({n} * 1000 + {WAV_RATE // 2}) // {WAV_RATE} AS BIGINT) AS duration_ms,
+           CAST({amp} AS DOUBLE) AS rms,
+           CAST({amp} AS INT) AS peak
+    FROM documents
+    """
+
+
 @register(
     "audio_wav_features",
-    """
-    SELECT doc_id,
-           8000 AS sample_rate,
-           1 AS n_channels,
-           CAST(800 + doc_id % 50 AS BIGINT) AS n_samples,
-           CAST(((800 + doc_id % 50) * 1000 + 4000) // 8000 AS BIGINT) AS duration_ms,
-           CAST(1000 + (doc_id % 7) * 100 AS DOUBLE) AS rms,
-           CAST(1000 + (doc_id % 7) * 100 AS INT) AS peak
-    FROM documents
-    """,
+    _audio_wav_oracle(),
     "X5 audio — REAL WAV decode content-verified: payloads are genuine "
     "RIFF/PCM square waves (every sample ±A), so the oracle knows the "
     "decoded rms/peak/duration in closed form; a misparsed header or "
@@ -6004,16 +6019,34 @@ def q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(synth_wav_payload(docs))
 
 
-@register(
-    "video_y4m_frame_digests",
-    """
+def _video_y4m_oracle() -> str:
+    from cdc_lite_spark.operators.multimodal import (
+        Y4M_BASE_FRAMES,
+        Y4M_CHROMA,
+        Y4M_FRAMES_MOD,
+        Y4M_LUMA_A,
+        Y4M_LUMA_B,
+        Y4M_LUMA_MOD,
+        Y4M_SIDE,
+    )
+
+    y_n = Y4M_SIDE * Y4M_SIDE
+    c_n = 2 * (Y4M_SIDE // 2) * (Y4M_SIDE // 2)
+    max_frames = Y4M_BASE_FRAMES + Y4M_FRAMES_MOD - 1
+    luma = f"(d.doc_id * {Y4M_LUMA_A} + k.i * {Y4M_LUMA_B}) % {Y4M_LUMA_MOD}"
+    return f"""
     SELECT d.doc_id,
            CAST(k.i AS BIGINT) AS frame_idx,
-           md5(repeat(chr(CAST((d.doc_id * 7 + k.i * 13) % 120 AS INT)), 256)
-               || repeat(chr(100), 128)) AS frame_md5
-    FROM documents d, range(0, 8, 2) k(i)
-    WHERE k.i < 5 + d.doc_id % 4
-    """,
+           md5(repeat(chr(CAST({luma} AS INT)), {y_n})
+               || repeat(chr({Y4M_CHROMA}), {c_n})) AS frame_md5
+    FROM documents d, range(0, {max_frames + 1}, 2) k(i)
+    WHERE k.i < {Y4M_BASE_FRAMES} + d.doc_id % {Y4M_FRAMES_MOD}
+    """
+
+
+@register(
+    "video_y4m_frame_digests",
+    _video_y4m_oracle(),
     "X5 video — REAL Y4M demux content-verified: payloads are genuine "
     "YUV4MPEG2 clips of constant-luma frames, so each sampled frame's md5 "
     "has a closed form (all plane bytes ASCII-range) the oracle "
