@@ -240,3 +240,21 @@ class CorpusPipeline:
         from cdc_lite_spark.operators.layout import write_partitioned
 
         write_partitioned(self._df, path, partition_by, sort_by)
+
+    def sample_dsir(self, target: DataFrame, k: int) -> CorpusPipeline:
+        """Keep the k documents most resembling ``target`` (DSIR importance
+        resampling, operators/lm.py) — e.g. steer a raw crawl toward a
+        curated reference corpus."""
+        from cdc_lite_spark.operators.lm import dsir_sample
+
+        keep = dsir_sample(
+            self._df, target, k, id_col=self.id_col, text_col=self.text_col
+        ).select(self.id_col)
+        return self._with(self._df.join(F.broadcast(keep), self.id_col, "left_semi"))
+
+    def profile(self) -> DataFrame:
+        """One-pass ANALYZE-style per-column statistics of the current
+        corpus (operators/profile.py) — a terminal observer, not a stage."""
+        from cdc_lite_spark.operators.profile import column_stats
+
+        return column_stats(self._df)

@@ -145,3 +145,17 @@ def test_pipeline_blocklist_weighted_sample_and_layout(spark, tmp_path):
     CorpusPipeline(langs).write_layout(out, ["lang_tag"], sort_by=["doc_id"])
     assert len(glob.glob(f"{out}/lang_tag=*")) == 2
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_pipeline_dsir_and_profile(spark):
+    docs = _docs(spark)
+    p = CorpusPipeline(docs)
+
+    # steer toward the German doc: k=2 keeps it (plus one more)
+    target = docs.filter(F.col("doc_id") == 4)
+    kept = {r["doc_id"] for r in p.sample_dsir(target, 2).df.collect()}
+    assert len(kept) == 2 and 4 in kept
+
+    prof = {r["col_name"]: r for r in p.profile().collect()}
+    assert prof["doc_id"]["n_distinct"] == docs.count()
+    assert prof["text"]["n_nulls"] == 0 and prof["text"]["min_str"] is not None
