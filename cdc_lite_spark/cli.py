@@ -7,8 +7,9 @@
         --interval 1.0
 
 Monitors the named tables (from a ``.duckdb`` file or a directory of
-``<table>.parquet``), appends change records to the JSONL log, and stops
-gracefully on SIGINT/SIGTERM (main.go:31-38) or after ``--duration``.
+``<table>.parquet`` / ``.csv`` / ``.jsonl`` files), appends change records
+to the JSONL log, and stops gracefully on SIGINT/SIGTERM (main.go:31-38)
+or after ``--duration``.
 """
 
 from __future__ import annotations
@@ -29,13 +30,27 @@ def _sources(spark: SparkSession, source: str, tables: list[str]):
         # DataFrame built once at startup would never see external writes —
         # the engine invokes the factory per tick for a fresh snapshot
         return {t: (lambda t=t: read_duckdb_table(spark, source, t)) for t in tables}
-    # a directory of <table>.parquet — re-read per tick via the path form
-    return {t: f"{source}/{t}.parquet" for t in tables}
+    # a directory of per-table files — re-read per tick via the path form
+    # (the engine's resolve step sniffs the format from the extension)
+    import os
+
+    out = {}
+    for t in tables:
+        for ext in (".parquet", ".csv", ".tsv", ".jsonl", ".json"):
+            cand = f"{source}/{t}{ext}"
+            if os.path.exists(cand):
+                out[t] = cand
+                break
+        else:
+            # default to the parquet name: a missing table surfaces as that
+            # table's per-tick error (H6 isolation), not a startup crash
+            out[t] = f"{source}/{t}.parquet"
+    return out
 
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     p = argparse.ArgumentParser(prog="cdc_lite_spark", description=__doc__)
-    p.add_argument("--source", required=True, help=".duckdb file or parquet dir")
+    p.add_argument("--source", required=True, help=".duckdb file or a dir of <table>.parquet/.csv/.jsonl")
     p.add_argument("--tables", required=True, help="comma-separated table names")
     p.add_argument("--output-dir", default="./cdc_output")
     p.add_argument("--state-dir", default="./cdc_state")

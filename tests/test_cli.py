@@ -68,3 +68,32 @@ def test_run_query_unknown_name_errors():
     from cdc_lite_spark import run_query
 
     assert run_query.main(["no_such_query"]) == 2
+
+
+def test_cli_monitors_csv_tables(spark, tmp_path):
+    """A directory of <table>.csv files is a valid --source: the CLI
+    resolves per-table files by extension and the monitor captures them."""
+    src_dir = tmp_path / "srcs"
+    src_dir.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(
+        1
+    ).write.option("header", "true").csv(str(src_dir / "items.csv"))
+
+    from cdc_lite_spark.cli import main as cli_main
+
+    rc = cli_main(
+        [
+            "--source", str(src_dir),
+            "--tables", "items",
+            "--output-dir", str(tmp_path / "out"),
+            "--state-dir", str(tmp_path / "state"),
+            "--interval", "1",
+            "--duration", "6",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    from cdc_lite_spark.sources.changelog import read_changes
+
+    log = read_changes(spark, str(tmp_path / "out"), "items")
+    assert log.count() >= 2
