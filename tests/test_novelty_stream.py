@@ -89,3 +89,66 @@ def test_novelty_state_versions_are_gcd(spark, tmp_path):
         q.stop()
     versions = sorted(n for n in os.listdir(state_dir) if n.startswith("v"))
     assert len(versions) <= 3  # current + replay window, older GC'd
+
+
+def test_novelty_stream_survives_stop_and_restart(spark, tmp_path):
+    """Stop mid-corpus, append input, restart on the same checkpoint +
+    state dir: the maintained gram state after the second run equals what
+    a single uninterrupted run over all documents would hold (grams from
+    every processed doc present; re-scoring any of them yields novelty 0)."""
+    from cdc_lite_spark.operators.dedup import batch_gram_novelty
+
+    state_dir = str(tmp_path / "state")
+    sink = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir = str(tmp_path / "in")
+    (tmp_path / "state").mkdir()
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    init_novelty_state(corpus, state_dir)
+
+    batch1 = spark.createDataFrame(
+        [(10, "first wave of completely new wording here today")],
+        "doc_id long, text string",
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    def start():
+        stream = (
+            spark.readStream.schema(batch1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        return start_novelty_stream(stream, state_dir, sink, ckpt)
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch2 = spark.createDataFrame(
+        [(20, "second wave arriving after the restart boundary now")],
+        "doc_id long, text string",
+    )
+    batch2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    scores = {r["doc_id"]: r["novelty"] for r in spark.read.parquet(sink).collect()}
+    assert set(scores) == {10, 20} and scores[20] == 1.0  # fresh text, post-restart
+
+    state = load_novelty_state(spark, state_dir)
+    for text in [
+        "first wave of completely new wording here today",
+        "second wave arriving after the restart boundary now",
+    ]:
+        re_batch = spark.createDataFrame([(99, text)], "doc_id long, text string")
+        assert batch_gram_novelty(re_batch, state).collect()[0]["novelty"] == 0.0
