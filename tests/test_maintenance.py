@@ -186,3 +186,45 @@ def test_expire_changelog_partitioned_layout(spark, tables, tmp_path):
         "region",
         "nation",
     }
+
+
+def test_changes_between_above_watermark_survives_gc(spark, tables, tmp_path):
+    """The CDF contract under retention: a `changes_between` window that
+    lies entirely ABOVE the GC watermark returns exactly the same records
+    before and after `expire_log` — only pre-watermark history is folded.
+    (A window reaching below the watermark reads the compacted latest-only
+    segment; consumers resuming from a checkpoint are above it by
+    construction.)"""
+    import datetime
+    import time
+
+    from cdc_lite_spark import CdcEngine
+
+    eng = CdcEngine(spark, str(tmp_path / "log"), str(tmp_path / "state"))
+    nation = tables["nation"]
+    keys = {"nation": ["n_nationkey"]}
+    eng.poll_once({"nation": nation}, mode="diff", keys=keys)
+    time.sleep(1.1)
+    watermark = datetime.datetime.now()
+    time.sleep(1.1)
+    mutated = nation.withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") == 7, F.lit("POST_WM")).otherwise(F.col("n_name")),
+    )
+    eng.poll_once({"nation": mutated}, mode="diff", keys=keys)
+
+    far_future = datetime.datetime(2100, 1, 1)
+    before = sorted(
+        (r["operation"], r["data"]["n_nationkey"], r["data"]["n_name"])
+        for r in eng.changes_between(watermark, far_future, "nation").collect()
+    )
+    assert before == [("UPDATE", "7", "POST_WM")]
+
+    report = eng.expire_log(watermark, keys)
+    assert report["skipped"] is False and report["files_deleted"] >= 1
+
+    after = sorted(
+        (r["operation"], r["data"]["n_nationkey"], r["data"]["n_name"])
+        for r in eng.changes_between(watermark, far_future, "nation").collect()
+    )
+    assert after == before
