@@ -528,6 +528,33 @@ class CdcEngine:
             self.spark, self.output_dir, watermark, keys, fmt=self.log_format
         )
 
+    def key_churn(self, table: str, keys: list[str]) -> DataFrame:
+        """Per-key change-frequency stats over the captured log: how many
+        change records each primary key has accumulated, its latest
+        operation, and first/last capture times.  The CDC consumer's
+        hot-key report — keys with outsized churn are the rows that will
+        skew every downstream merge/apply shuffle (pair with
+        operators/skew.py for the mitigation).
+
+        Scale shape: one hash aggregation keyed on the primary key —
+        partial-aggregable, no window sort (max_by/min_by), and only the
+        key columns and the tiny operation string are projected out of the
+        envelope before the shuffle."""
+        log = self.changes(table).filter(F.col("operation") != "SCHEMA")
+        key_cols = [
+            F.col("data").getItem(k).alias(k) for k in keys
+        ]
+        return (
+            log.select(*key_cols, "operation", "timestamp")
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("n_changes"),
+                F.max_by("operation", "timestamp").alias("last_operation"),
+                F.min("timestamp").alias("first_seen"),
+                F.max("timestamp").alias("last_seen"),
+            )
+        )
+
     def wait_for_changes(self, table: str, timeout_s: float = 10.0, min_rows: int = 1) -> bool:
         """Test helper — poll the log until `table` has ≥min_rows records."""
         deadline = time.monotonic() + timeout_s

@@ -105,3 +105,41 @@ def test_changelog_is_streaming_source(spark, tables, tmp_path):
     got = {r["table"]: r["count"] for r in spark.sql("SELECT * FROM changelog_counts").collect()}
     assert got["region"] == tables["region"].count()
     assert got["nation"] == tables["nation"].count()
+
+
+def test_key_churn_reports_hot_keys(spark, tables, tmp_path):
+    """key_churn counts per-key change records with the latest operation —
+    the hot-key observability downstream merge planning needs."""
+    import time
+
+    from cdc_lite_spark import CdcEngine
+
+    eng = CdcEngine(spark, str(tmp_path / "log"), str(tmp_path / "state"))
+    region = tables["region"]
+    keys = {"region": ["r_regionkey"]}
+    cur = region
+    eng.poll_once({"region": cur}, mode="diff", keys=keys)
+    # key 2 churns twice; key 4 is deleted
+    for new_name in ("X", "Y"):
+        time.sleep(0.02)
+        cur = cur.withColumn(
+            "r_name",
+            F.when(F.col("r_regionkey") == 2, F.lit(new_name)).otherwise(
+                F.col("r_name")
+            ),
+        )
+        eng.poll_once({"region": cur}, mode="diff", keys=keys)
+    time.sleep(0.02)
+    cur = cur.filter(F.col("r_regionkey") != 4)
+    eng.poll_once({"region": cur}, mode="diff", keys=keys)
+
+    churn = {
+        int(r["r_regionkey"]): r
+        for r in eng.key_churn("region", ["r_regionkey"]).collect()
+    }
+    assert churn[2]["n_changes"] == 3  # initial INSERT + 2 UPDATEs
+    assert churn[2]["last_operation"] == "UPDATE"
+    assert churn[4]["n_changes"] == 2  # initial INSERT + DELETE
+    assert churn[4]["last_operation"] == "DELETE"
+    assert churn[0]["n_changes"] == 1 and churn[0]["last_operation"] == "INSERT"
+    assert churn[2]["last_seen"] >= churn[2]["first_seen"]
