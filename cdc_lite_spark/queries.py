@@ -4879,7 +4879,16 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_encode_oracle() -> str:
     from cdc_lite_spark.operators.similarity import pq_encode_sql
 
-    return pq_encode_sql("embeddings", dims=_EMB_DIMS)
+    # the driver's canonicalizer sorts a pandas frame and cannot hash raw
+    # list cells — serialize the m-byte code array to "c0,c1,..." in BOTH
+    # engines (same pattern as group_concat_sorted / minhash_signatures)
+    inner = pq_encode_sql("embeddings", dims=_EMB_DIMS)
+    return f"""
+    SELECT vec_id,
+           array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',') AS codes,
+           quant_error
+    FROM ({inner}) t
+    """
 
 
 @register(
@@ -4896,7 +4905,13 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_lite_spark.operators.similarity import pq_encode
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_encode(emb)
+    enc = pq_encode(emb)
+    # serialize codes for the driver hasher (see _pq_encode_oracle)
+    return enc.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias("codes"),
+        "quant_error",
+    )
 
 
 def _standardize_oracle() -> str:
@@ -5751,7 +5766,12 @@ def q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "blocklist_filter_docs",
-    _TEXT.blocklist_hits_sql(),
+    # serialize hit_terms (array<string>) to "a,b,c" so the driver's pandas
+    # canonicalizer can sort/hash the frame (raw lists are unhashable)
+    f"""
+    SELECT doc_id, COALESCE(array_to_string(hit_terms, ','), '') AS hit_terms, n_hit_terms, keep
+    FROM ({_TEXT.blocklist_hits_sql()}) t
+    """,
     "X4 policy filtering — term-blocklist hits per document via a "
     "scan-side array_intersect on the shared tokenizer; zero shuffle",
     tags=("text",),
@@ -5760,7 +5780,12 @@ def q_blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_lite_spark.operators.text import blocklist_hits
 
     docs = load_table(spark, sf_dir, "documents")
-    return blocklist_hits(docs)
+    return blocklist_hits(docs).select(
+        "doc_id",
+        F.array_join("hit_terms", ",").alias("hit_terms"),
+        "n_hit_terms",
+        "keep",
+    )
 
 
 def _weighted_sample_docs_oracle() -> str:

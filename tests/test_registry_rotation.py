@@ -15,6 +15,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _driver_verified() -> set[str]:
+    """EXACTLY the production verification rule — a green row, or a
+    rows-only `no_oracle` row while the query still has no oracle.  Reuse
+    `_verification_history()` so the two definitions can never diverge
+    (they did in r4, when the first `no_oracle` rows landed)."""
+    from cdc_lite_spark.queries import _verification_history
+
+    return set(_verification_history())
+
+
+def _green_rows() -> set[str]:
     seen = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         try:
@@ -55,7 +65,7 @@ def test_driver_history_rounds_are_all_marked_seen():
     from cdc_lite_spark.queries import _verification_history
 
     seen = _verification_history()
-    for name in _driver_verified() & set(REGISTRY):
+    for name in _green_rows() & set(REGISTRY):
         assert name in seen, name
 
 
