@@ -625,6 +625,99 @@ def bpe_token_counts(
     )
 
 
+def _bpe_recursive_cte(
+    n_merges: int, table: str = "documents", text_expr: str = "text"
+) -> str:
+    """The shared DuckDB recursive-CTE core of the BPE oracles: iterative
+    vocab reduction as `WITH RECURSIVE` — each step's working table is the
+    previous iteration's segmented vocabulary; the best pair is a
+    LIMIT-1 aggregate subquery over it (cnt DESC, l, r — the exact
+    tie-break of both Spark paths), and the greedy left-to-right merge is
+    the same list fold as ``_merge_pair_fold``.  Recursion stops when the
+    best pair's count drops below 2 or ``n_merges`` is reached — the final
+    iteration's rows ARE the segmented vocabulary."""
+    toks = tokens_sql(text_expr)
+    return f"""
+    WITH RECURSIVE vocab0 AS (
+        SELECT word, count(*) AS n_occ
+        FROM (SELECT unnest({toks}) AS word FROM {table})
+        GROUP BY word
+    ),
+    it AS (
+        SELECT 0 AS iter, word, n_occ,
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, CAST(i AS INT), 1)) AS syms,
+               CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr
+        FROM vocab0
+        UNION ALL
+        SELECT it.iter + 1, it.word, it.n_occ,
+               list_reduce(
+                   list_prepend(CAST([] AS VARCHAR[]), list_transform(it.syms, s -> [s])),
+                   (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = best.l AND x[1] = best.r
+                               THEN list_append(acc[1:len(acc)-1], best.l || best.r)
+                               ELSE list_concat(acc, x) END
+               ) AS syms,
+               best.l, best.r
+        FROM it CROSS JOIN (
+            SELECT p[1] AS l, p[2] AS r, sum(n_occ) AS cnt
+            FROM (
+                SELECT unnest(list_transform(range(1, len(syms)),
+                                  i -> [syms[CAST(i AS INT)], syms[CAST(i AS INT) + 1]])) AS p,
+                       n_occ
+                FROM it WHERE len(syms) >= 2
+            )
+            GROUP BY 1, 2
+            ORDER BY cnt DESC, l, r
+            LIMIT 1
+        ) best
+        WHERE it.iter < {n_merges} AND best.cnt >= 2
+    )
+    """
+
+
+def bpe_train_merges_sql(
+    n_merges: int = 8, table: str = "documents", text_expr: str = "text"
+) -> str:
+    """DuckDB twin of ``bpe_train_merges`` — the ordered merge-rule table
+    extracted from the recursive iterations (rows produced at iteration k
+    carry the pair chosen for merge rank k-1)."""
+    return (
+        _bpe_recursive_cte(n_merges, table, text_expr)
+        + """
+    SELECT DISTINCT CAST(iter - 1 AS INT) AS merge_rank,
+           ml AS left_sym, mr AS right_sym, ml || mr AS merged
+    FROM it WHERE iter >= 1
+    """
+    )
+
+
+def bpe_token_counts_sql(
+    n_merges: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of ``bpe_token_counts`` — the final recursive iteration
+    is the segmented vocabulary; per-document counts come from the same
+    tokenization-by-join (no document is re-segmented)."""
+    toks = tokens_sql(text_expr)
+    return (
+        _bpe_recursive_cte(n_merges, table, text_expr)
+        + f"""
+    , final AS (
+        SELECT word, len(syms) AS np
+        FROM it WHERE iter = (SELECT max(iter) FROM it)
+    ),
+    words AS (SELECT {id_col}, unnest({toks}) AS word FROM {table})
+    SELECT {id_col},
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(np) AS BIGINT) AS n_bpe_tokens
+    FROM words JOIN final USING (word)
+    GROUP BY {id_col}
+    """
+    )
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 #: default probe query for the registered BM25 query (terms from the

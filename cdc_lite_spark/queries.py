@@ -608,7 +608,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name", "r_name")
@@ -867,7 +867,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle join (neither side is broadcast-safe at 100 TB — AQE may still
     # upgrade it at small scale)
     filtered_orders = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        customer, orders.o_custkey == customer.c_custkey
     ).select("o_orderkey", "o_orderdate")
     return (
         li.join(filtered_orders, li.l_orderkey == filtered_orders.o_orderkey)
@@ -896,7 +896,7 @@ def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -1009,7 +1009,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
@@ -3488,8 +3488,8 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -3531,8 +3531,8 @@ def q_margin_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
     cost = _dec("p_retailprice") * _dec("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
@@ -3577,7 +3577,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(
             F.year("l_shipdate").alias("l_year"),
             F.month("l_shipdate").alias("l_month"),
@@ -4012,7 +4012,7 @@ def q_sole_latest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranked.filter((F.col("n_supp") > 1) & (F.col("rk") == 1) & (F.col("n_tied") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -4328,7 +4328,7 @@ def q_grouping_sets_mkt_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate 'subtotal over priority' from a genuinely NULL segment."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (
         j.groupingSets(
             [["c_mktsegment"], ["o_orderpriority"], ["c_mktsegment", "o_orderpriority"]],
@@ -4844,10 +4844,13 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_train_merges",
-    None,  # iterative (per-merge argmax feeds the next fold) — not
-    # SQL-expressible; pinned by tests/test_text.py::test_bpe_train_matches_reference
-    # against a pure-Python BPE reference instead, and the two strategies
+    # iterative, but DuckDB-expressible after all: WITH RECURSIVE where each
+    # step's working table is the previous segmented vocab and the per-step
+    # argmax is a LIMIT-1 subquery over it (same cnt DESC, l, r tie-break);
+    # also pinned by tests/test_text.py::test_bpe_train_matches_reference
+    # against a pure-Python BPE reference, and the two Spark strategies
     # (executor-local loop vs per-iteration DataFrame) are pinned equal
+    _TEXT.bpe_train_merges_sql(n_merges=6),
     "X4 extension: distributed BPE training — learn the top merge rules "
     "over the vocabulary aggregate (corpus touched once; the merge loop "
     "runs executor-side over the language-bounded vocab)",
@@ -4862,8 +4865,10 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_token_counts",
-    None,  # depends on the learned merge table (iterative) — pinned by
-    # tests/test_text.py::test_bpe_token_counts_matches_reference_segmentation
+    # the same recursive CTE as bpe_train_merges: its final iteration IS the
+    # segmented vocabulary, so the per-doc counts are a join away; also
+    # pinned by tests/test_text.py::test_bpe_token_counts_matches_reference_segmentation
+    _TEXT.bpe_token_counts_sql(n_merges=6),
     "X4 extension: per-document token count under corpus-learned BPE "
     "merges — tokenization-by-join against the segmented vocabulary; "
     "no document is ever tokenized in Python",
@@ -5367,10 +5372,10 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _dec("l_extendedprice") * (1 - _dec("l_discount"))
     nation_vol = F.when(F.col("supp_nation") == "NATION_8", vol).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(cust_in_region, orders.o_custkey == F.col("c_custkey"))
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -5418,7 +5423,7 @@ def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
@@ -5504,7 +5509,7 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     return (
-        supplier.join(F.broadcast(rev), supplier.s_suppkey == rev.l_suppkey)
+        supplier.join(rev, supplier.s_suppkey == rev.l_suppkey)
         .join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -5543,8 +5548,8 @@ def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -5588,7 +5593,7 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -5628,7 +5633,7 @@ def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     rule = (
         (
             (F.col("p_brand") == "Brand#2")
@@ -5684,14 +5689,14 @@ def q_excess_supply_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("_q"))
         .filter(F.col("_q") > 400)
         .select("l_suppkey")
     )
     return supplier.join(
-        F.broadcast(movers), supplier.s_suppkey == movers.l_suppkey, "left_semi"
+        movers, supplier.s_suppkey == movers.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
 
 
