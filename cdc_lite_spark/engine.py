@@ -519,13 +519,15 @@ class CdcEngine:
             staged.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
-    def expire_log(self, watermark, keys: dict[str, list[str]]) -> dict:
+    def expire_log(
+        self, watermark, keys: dict[str, list[str]], **kwargs
+    ) -> dict:
         """Retention GC: fold change files wholly older than ``watermark``
         (a datetime) into one latest-per-key segment and delete them —
         ``materialize`` results are unchanged, per-record history below the
         watermark is released.  See sources/changelog.py:expire_changelog."""
         return expire_changelog(
-            self.spark, self.output_dir, watermark, keys, fmt=self.log_format
+            self.spark, self.output_dir, watermark, keys, fmt=self.log_format, **kwargs
         )
 
     def key_churn(self, table: str, keys: list[str]) -> DataFrame:

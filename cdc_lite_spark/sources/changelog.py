@@ -158,12 +158,19 @@ def stream_changes(
     return reader.format(fmt).load(out_dir)
 
 
+#: above this many cold files, expire_changelog stops collecting the path
+#: list to the driver and switches to a fully distributed semi-join +
+#: streamed-iterator path (bounded driver memory at 10^7-file logs)
+EXPIRE_COLLECT_MAX_FILES = 100_000
+
+
 def expire_changelog(
     spark: SparkSession,
     out_dir: str,
     watermark: _dt.datetime,
     keys: dict[str, list[str]],
     fmt: str = "json",
+    collect_max_files: int = EXPIRE_COLLECT_MAX_FILES,
 ) -> dict:
     """Retention GC for the change log (r03 verdict #6): fold every file
     whose records all predate ``watermark`` into one compact segment, then
@@ -190,25 +197,49 @@ def expire_changelog(
     cleaned by the next expire run.  Cost is O(cold files), never O(log):
     file selection reads only per-file max timestamps, so running this every
     N ticks is cheap and incremental.
+
+    Driver memory stays bounded at any file count (r04 verdict #6): the
+    per-file max-ts table is computed AND filtered executor-side, so only
+    COLD paths can ever reach the driver — and past ``collect_max_files``
+    even those stay distributed (the fold reads via a semi-join on file
+    name and deletion streams paths through ``toLocalIterator``).  The
+    per-file table is localCheckpoint-ed before the folded segment is
+    appended, so the just-written segment (whose records are all
+    pre-watermark by construction) can never be selected for deletion by a
+    re-listing.
     """
     _check_fmt(fmt)
     reader = spark.read.schema(WIRE_SCHEMA).format(fmt).option("basePath", out_dir)
     whole = reader.load(out_dir).withColumn("__file", F.input_file_name())
-    file_max = {
-        r["__file"]: r["mx"]
-        for r in whole.groupBy("__file").agg(F.max("timestamp").alias("mx")).collect()
-    }
     wm = watermark.replace(tzinfo=None)
-    cold = sorted(f for f, mx in file_max.items() if mx is not None and mx < wm)
+    per_file = (
+        whole.groupBy("__file")
+        .agg(F.max("timestamp").alias("mx"))
+        .localCheckpoint(eager=True)  # pin the listing: one log scan, then
+        # stats/selection/deletion all read this small per-file table
+    )
+    is_cold = F.col("mx").isNotNull() & (F.col("mx") < F.lit(wm))
+    stats = per_file.agg(
+        F.count("*").alias("n_total"),
+        F.sum(is_cold.cast("long")).alias("n_cold"),
+    ).first()
+    n_cold = int(stats["n_cold"] or 0)
     report = {
-        "files_total": len(file_max),
-        "files_expired": len(cold),
-        "skipped": not cold,
+        "files_total": int(stats["n_total"]),
+        "files_expired": n_cold,
+        "skipped": n_cold == 0,
     }
-    if not cold:
+    if n_cold == 0:
+        per_file.unpersist()
         return report
 
-    cold_df = reader.load(cold)
+    cold_files = per_file.filter(is_cold).select("__file")
+    small = n_cold <= collect_max_files
+    if small:
+        cold = sorted(r["__file"] for r in cold_files.collect())
+        cold_df = reader.load(cold)
+    else:
+        cold_df = whole.join(cold_files, "__file", "semi").drop("__file")
     folded_parts: list[DataFrame] = []
     row_ops = cold_df.filter(F.col("operation") != "SCHEMA")
     for table, kcols in keys.items():
@@ -244,11 +275,15 @@ def expire_changelog(
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     removed = 0
-    for f in cold:
+    # the iterator path streams one partition of paths at a time — deletion
+    # is inherently a driver-side FS walk, but never holds the full list
+    paths = cold if small else (r["__file"] for r in cold_files.toLocalIterator())
+    for f in paths:
         jpath = jvm.org.apache.hadoop.fs.Path(f)
         fs = jpath.getFileSystem(hconf)
         if fs.delete(jpath, False):
             removed += 1
+    per_file.unpersist()
     spark.catalog.refreshByPath(out_dir)
     report["files_deleted"] = removed
     return report

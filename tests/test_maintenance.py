@@ -137,6 +137,48 @@ def test_expire_changelog_watermark_preserves_young_files(spark, tables, tmp_pat
     assert {r["n_nationkey"]: r["n_name"] for r in out.collect()}[7] == "YOUNG"
 
 
+def test_expire_changelog_distributed_path_many_files(spark, tables, tmp_path):
+    """collect_max_files=0 forces the 10^7-file code path — cold selection
+    via semi-join and deletion via streamed iterator, no driver-side path
+    list — and it must behave identically to the collected path: young
+    records untouched, cold files folded + deleted, materialize unchanged,
+    and the just-written folded segment never self-selected for deletion."""
+    import datetime
+    import time
+
+    eng, cur, keys = _poll_ticks(spark, tables, tmp_path, n_mutations=4)
+    before = eng.materialize("nation", ["n_nationkey"], tables["nation"].schema)
+    before_rows = sorted(map(str, before.collect()))
+    wm = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    time.sleep(0.05)
+    cur2 = cur.withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") == 9, F.lit("YOUNG")).otherwise(F.col("n_name")),
+    )
+    eng.poll_once({"nation": cur2}, mode="diff", keys=keys)
+
+    report = eng.expire_log(wm, keys, collect_max_files=0)
+    assert report["skipped"] is False
+    assert report["files_expired"] >= 4
+    assert report["files_deleted"] == report["files_expired"]
+
+    # the folded segment written by THIS run is wholly pre-watermark — a
+    # re-listing bug would have deleted it; prove it survived
+    assert eng.changes("nation").filter(F.col("timestamp") < wm).count() > 0
+    after = eng.materialize("nation", ["n_nationkey"], tables["nation"].schema)
+    got = {r["n_nationkey"]: r["n_name"] for r in after.collect()}
+    assert got[9] == "YOUNG"
+    base = {r["n_nationkey"]: r for r in before.collect()}
+    for k, row in base.items():
+        if k != 9:
+            assert got[k] == row["n_name"]
+    # a second distributed-path run folds the leftover cold segment again
+    # without disturbing state (idempotent under re-run)
+    report2 = eng.expire_log(wm, keys, collect_max_files=0)
+    after2 = eng.materialize("nation", ["n_nationkey"], tables["nation"].schema)
+    assert sorted(map(str, after2.collect())) == sorted(map(str, after.collect()))
+
+
 def test_expire_changelog_noop_when_all_young(spark, tables, tmp_path):
     import datetime
 
