@@ -90,6 +90,11 @@ class CdcEngine:
         #: re-capture on DDL — duckdb_cdc.go:169-179; here the drift is a
         #: first-class change record, see operators/schema_drift.py)
         self.emit_schema_changes = emit_schema_changes
+        #: path -> schema inferred on FIRST resolve of a CSV/JSON source —
+        #: later ticks reuse it, so each tick costs one scan (not an extra
+        #: inference pass) and a new row can't flip an inferred column type
+        #: mid-monitoring and surface as a spurious whole-table diff
+        self._schema_cache: dict[str, object] = {}
 
     # -- core operators -----------------------------------------------------
 
@@ -215,11 +220,29 @@ class CdcEngine:
         plan-time snapshot copy is reused by every later action on the same
         DataFrame object, so a long-lived DataFrame never sees new writes.
         A factory yields a fresh plan — and hence a fresh snapshot — each
-        tick (sources/duckdb_source.py documents the freeze)."""
+        tick (sources/duckdb_source.py documents the freeze).
+
+        CSV/JSON paths: Spark's schema inference costs a full extra scan
+        AND can flip an inferred column type when a new row arrives (int →
+        double renders existing values "1" → "1.0" — a spurious whole-table
+        diff), so the schema inferred on the FIRST resolve is cached and
+        reused for every later tick.  Tradeoff: a column added to the file
+        mid-monitoring is not observed until the engine restarts — pass an
+        explicit schema (or a callable source) if live column drift on a
+        CSV/JSON path matters."""
         if isinstance(source, str):
+            import os
+
             from cdc_lite_spark.sources.tables import load_path
 
             self.spark.catalog.refreshByPath(source)
+            ext = os.path.splitext(source)[1].lower()
+            if ext in (".csv", ".tsv", ".json", ".jsonl", ".ndjson"):
+                cached = self._schema_cache.get(source)
+                df = load_path(self.spark, source, schema=cached)
+                if cached is None:
+                    self._schema_cache[source] = df.schema
+                return df
             return load_path(self.spark, source)
         if callable(source) and not isinstance(source, DataFrame):
             return source()

@@ -51,7 +51,12 @@ def write_partitioned(
     serializing through one."""
     sort_cols = list(sort_by or [])
     if files_per_partition > 1:
-        salt = (F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in (sort_cols or partition_by)])) % files_per_partition).alias("__salt")
+        # the salt must vary WITHIN a partition value or the anti-skew knob
+        # is a no-op: with sort columns, hash those (keeps each file's sort
+        # ranges tight); without, hash the full row so a hot value still
+        # spreads across tasks
+        salt_src = sort_cols or [c for c in df.columns if c not in partition_by] or df.columns
+        salt = (F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in salt_src])) % files_per_partition).alias("__salt")
         staged = (
             df.withColumn("__salt", salt)
             .repartition(*[F.col(c) for c in partition_by], F.col("__salt"))

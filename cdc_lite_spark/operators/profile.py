@@ -69,7 +69,7 @@ def column_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         num = _numeric(c, types[c])
         aggs += [
             F.count(F.col(c)).alias(f"{c}__nn"),
-            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            F.approx_count_distinct(F.col(c), NDV_RSD).alias(f"{c}__ad"),
             (F.min(num) if num is not None else F.lit(None).cast("double")).alias(
                 f"{c}__mn"
             ),
@@ -87,10 +87,8 @@ def column_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                 else F.lit(None).cast("string")
             ).alias(f"{c}__xs"),
         ]
-    sketch_aggs = [
-        F.approx_count_distinct(F.col(c), NDV_RSD).alias(f"{c}__ad") for c in names
-    ]
-    wide = df.agg(*aggs).crossJoin(F.broadcast(df.agg(*sketch_aggs)))
+    exact_nd_aggs = [F.countDistinct(F.col(c)).alias(f"{c}__nd") for c in names]
+    wide = df.agg(*aggs).crossJoin(F.broadcast(df.agg(*exact_nd_aggs)))
     rows = [
         F.struct(
             F.lit(c).alias("col_name"),

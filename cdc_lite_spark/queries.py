@@ -5996,8 +5996,9 @@ def q_table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog/CBO statistics in one scan.  All six columns' metrics come
     from a single wide aggregate (constant-size result), unpivoted
     executor-side; nothing is per-column-scanned.  ndv_ok trips to 0 — and
-    the driver hash check fails — if the HLL estimate drifts >5% from the
-    exact count."""
+    the driver hash check fails — if the HLL estimate drifts more than
+    NDV_TOLERANCE (8%, a ~4-sigma bound at rsd=0.02; see
+    operators/profile.py) from the exact count."""
     from cdc_lite_spark.operators.profile import column_stats
 
     return column_stats(load_table(spark, sf_dir, "orders"))

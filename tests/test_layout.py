@@ -131,3 +131,25 @@ def test_write_zordered_files_cover_tight_rectangles(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == n
     assert set(back.columns) == {"x", "y"}  # the layout key is not persisted
+
+
+def test_files_per_partition_spreads_without_sort_by(spark, tmp_path):
+    """files_per_partition>1 with sort_by=None must still spread a hot
+    value: the salt derives from the full row when there are no sort
+    columns (a constant-per-value salt would silently serialize the hot
+    value through one task — r04 advice)."""
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        ev = load_table(spark, SF, "events")
+        out = str(tmp_path / "events_nosort")
+        write_partitioned(
+            ev, out, partition_by=["event_type"], sort_by=None, files_per_partition=3
+        )
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    n_types = ev.select("event_type").distinct().count()
+    files = glob.glob(f"{out}/event_type=*/*.parquet")
+    assert n_types < len(files) <= 3 * n_types
+    assert read_partitioned(spark, out).count() == ev.count()

@@ -64,3 +64,35 @@ def test_engine_monitors_csv_source_path(spark, tmp_path):
     assert (
         eng.changes("users").filter(F.col("data").getItem("name") == "cy").count() == 1
     )
+
+
+def test_engine_csv_schema_cached_no_spurious_type_flip(spark, tmp_path):
+    """The first resolve's inferred schema is reused on later ticks: a new
+    row that WOULD flip inference (int → double re-renders "1" as "1.0")
+    must not surface as a spurious whole-table diff, and each tick pays one
+    scan, not an extra inference pass (r04 advice)."""
+    src = str(tmp_path / "vals.csv")
+    d1 = spark.createDataFrame([(1, 10), (2, 20)], "id long, val long")
+    d1.coalesce(1).write.option("header", "true").mode("overwrite").csv(src)
+    eng = CdcEngine(spark, str(tmp_path / "log"), str(tmp_path / "state"))
+    eng.poll_once({"vals": src}, mode="diff", keys={"vals": ["id"]})
+    assert src in eng._schema_cache
+    cached = eng._schema_cache[src]
+    time.sleep(0.01)
+    # external writer drops a new file with a clean row and one whose val
+    # would re-infer the column as double ("1" re-rendering as "1.0" under
+    # the old per-tick re-inference)
+    with open(src + "/part-external.csv", "w") as f:
+        f.write("id,val\n3,30\n4,40.5\n")
+    eng.poll_once({"vals": src}, mode="diff", keys={"vals": ["id"]})
+    assert eng._schema_cache[src] == cached  # schema pinned, no re-inference
+    log = eng.changes("vals")
+    # rows 1/2 untouched: no spurious UPDATEs from a type flip
+    assert log.filter(F.col("operation") == "UPDATE").count() == 0
+    assert (
+        log.filter(
+            (F.col("operation") == "INSERT")
+            & (F.col("data").getItem("id") == "3")
+        ).count()
+        == 1
+    )

@@ -241,3 +241,89 @@ def test_interval_join_rocksdb_state_store(spark, tables, events_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_interval_join_restart_recovers_state(spark, tables, tmp_path):
+    """Stop the stream-stream interval join mid-corpus, append the rest of
+    the events, restart on the same checkpoint (RocksDB state store): the
+    union of emitted pairs equals the batch twin over ALL events — i.e.
+    buffered join state (unmatched clicks/purchases near the stop boundary)
+    survives the restart and still matches cross-boundary partners.
+    Completes the novelty/sketch streams' stop/restart coverage for the
+    stream-stream join (r04 verdict #7)."""
+    import datetime
+
+    from cdc_lite_spark.streaming.event_windows import interval_join_streams
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        ev = tables["events"].select("user_id", "ts", "event_type", "event_id")
+        cutoff = ev.agg(
+            F.expr("percentile(unix_timestamp(ts), 0.5)").alias("c")
+        ).first()["c"]
+        first = ev.filter(F.unix_timestamp("ts") <= cutoff)
+        second = ev.filter(F.unix_timestamp("ts") > cutoff)
+        first.repartition(2).write.mode("overwrite").parquet(src)
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+
+            def side(name, ts_alias, id_alias):
+                return stream.filter(F.col("event_type") == name).select(
+                    "user_id",
+                    F.col("ts").alias(ts_alias),
+                    F.col("event_id").alias(id_alias),
+                )
+
+            joined = interval_join_streams(
+                side("click", "l_ts", "click_id"),
+                side("purchase", "r_ts", "purchase_id"),
+                "user_id",
+                within="2 hours",
+            )
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return q
+
+        run_once()
+        n_first = spark.read.parquet(out).count()
+        second.repartition(2).write.mode("append").parquet(src)
+        run_once()
+
+        got = spark.read.parquet(out)
+        bc = ev.filter("event_type = 'click'").select(
+            "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("click_id")
+        )
+        bp = ev.filter("event_type = 'purchase'").select(
+            "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("purchase_id")
+        )
+        batch = interval_join_streams(bc, bp, "user_id", within="2 hours")
+        s_pairs = {(r["click_id"], r["purchase_id"]) for r in got.collect()}
+        b_pairs = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
+        assert s_pairs == b_pairs and len(s_pairs) > 0
+        # the restart genuinely produced cross-boundary pairs, not a no-op
+        assert len(s_pairs) > n_first
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
