@@ -135,6 +135,116 @@ def bigram_counts_sql(table: str = "documents", text_col: str = "text", top_n: i
     """
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram-LM score — the step up from the unigram filter:
+    mean add-one-smoothed conditional log-probability of each adjacent
+    token pair under the corpus's own bigram distribution, plus the
+    perplexity ``exp(-avg)`` quality number training pipelines threshold on
+    (Wenzek et al., "CCNet", LREC 2020 filter by LM perplexity).
+
+    ``logp(w_i | w_{i-1}) = ln((c(w_{i-1} w_i) + 1) / (ctx(w_{i-1}) + V))``
+    with ``ctx`` the exact context count (sum of bigram counts by first
+    token) and ``V`` the corpus vocabulary size.  The model is trained on
+    the scored corpus itself, so every pair is in-vocabulary — no OOV
+    bucket needed.  Documents with <2 tokens have no bigrams and drop out.
+
+    Scale shape: one explode produces the pair stream; the model is two
+    partial-aggregable hash-aggs over it (|observed bigrams| ≤ V² rows,
+    language-bounded — at web scale cap to top-B pairs the way
+    ``unigram_logprob`` caps its vocab); scoring is one equi-join of the
+    pair stream against the model (AQE broadcasts it while it fits) + one
+    |docs|-keyed agg.  Parity: per-pair logs round to {LM_ROUND_DP} dp and
+    sum as DECIMAL (order-free, bit-identical in DuckDB); the division and
+    exp run on identical operands.
+    """
+    pairs = F.expr(
+        "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
+        " (x, i) -> struct(x AS prev, __t[i + 1] AS cur))"
+    )
+    pair_stream = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    )
+    model = pair_stream.groupBy("prev", "cur").agg(F.count("*").alias("c_big"))
+    ctx = model.groupBy("prev").agg(F.sum("c_big").alias("c_ctx"))
+    vocab_n = (
+        docs.select(F.explode(tokens(text_col)).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    lp = F.round(
+        F.log((F.col("c_big") + 1).cast("double") / (F.col("c_ctx") + F.col("v"))),
+        LM_ROUND_DP,
+    ).cast(f"decimal(12,{LM_ROUND_DP})")
+    scored = (
+        pair_stream.join(model, ["prev", "cur"])
+        .join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(F.col(id_col), lp.alias("lp"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lp").cast("double").alias("sum_logprob"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (F.col("sum_logprob") / F.col("n_bigrams")).alias("avg_logprob"),
+            F.round(
+                F.exp(-(F.col("sum_logprob") / F.col("n_bigrams"))), LM_ROUND_DP
+            ).alias("perplexity"),
+        )
+    )
+
+
+def bigram_logprob_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob` (same smoothing, rounding,
+    decimal sum)."""
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH base AS (SELECT {id_col}, {toks} AS t FROM {table}),
+    pairs AS (
+        SELECT {id_col}, p[1] AS prev, p[2] AS cur
+        FROM (
+            SELECT {id_col},
+                   unnest(list_transform(range(1, len(t)), i -> [t[i], t[i + 1]])) AS p
+            FROM base
+        )
+    ),
+    model AS (SELECT prev, cur, count(*) AS c_big FROM pairs GROUP BY prev, cur),
+    ctx AS (SELECT prev, sum(c_big) AS c_ctx FROM model GROUP BY prev),
+    voc AS (
+        SELECT count(DISTINCT tt) AS v
+        FROM (SELECT unnest(t) AS tt FROM base)
+    ),
+    scored AS (
+        SELECT p.{id_col},
+               CAST(round(ln(CAST(m.c_big + 1 AS DOUBLE) / (x.c_ctx + voc.v)),
+                          {LM_ROUND_DP}) AS DECIMAL(12,{LM_ROUND_DP})) AS lp
+        FROM pairs p
+        JOIN model m USING (prev, cur)
+        JOIN ctx x USING (prev)
+        CROSS JOIN voc
+    )
+    SELECT {id_col},
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logprob,
+           round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), {LM_ROUND_DP})
+               AS perplexity
+    FROM scored GROUP BY {id_col}
+    """
+
+
 # --- DSIR-style importance resampling ---------------------------------------
 
 

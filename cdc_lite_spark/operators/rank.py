@@ -1,0 +1,195 @@
+"""Graph ranking by power iteration — PageRank over DataFrame edge lists,
+and TextRank keyword extraction (Mihalcea & Tarau, "TextRank: Bringing
+Order into Texts", EMNLP 2004) over the word co-occurrence graph.
+
+The reference has no graph surface at all (its only cross-row logic is the
+checksum diff, duckdb_cdc.go:197); this module exists for the LLM-pipeline
+tier: TextRank is the classic unsupervised keyword/keyphrase scorer used in
+corpus exploration, and the underlying power iteration is the same shape as
+any fixed-point graph computation at 100 TB (each iteration = one join of
+the score vector against the edge list + one hash-agg — shuffle keyed on
+the node id both times, so pre-partitioning edges and scores by node id
+makes every iteration co-located).
+
+Engine-parity discipline: the iteration runs in FIXED-POINT INTEGER
+arithmetic (scores in 1e-9 units, damping applied as ``(85·s) div 100``) —
+no floating-point op ever executes inside the loop, so the trajectory is
+bit-identical in any engine and a DuckDB ``WITH RECURSIVE`` twin reproduces
+it exactly.  (A first float implementation diverged by 1 ulp per round-off
+between Spark's HALF_UP-on-shortest-repr and DuckDB's round-on-binary —
+fixed-point removes the problem rather than papering over it.)  Iteration
+count is FIXED (no convergence test) for the same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_lite_spark.operators.text import tokens, tokens_sql
+
+#: damping factor (the PageRank/TextRank standard), as a percentage so the
+#: damping step stays integer: next = (100-DAMPING_PCT)% + DAMPING_PCT%·s
+DAMPING_PCT = 85
+#: fixed power-iteration count — deterministic cross-engine trajectory
+RANK_ITERS = 8
+#: fixed-point scale: scores carried as BIGINT multiples of 1e-9.  Bound:
+#: per-edge products units·w must stay under 2^63 — fine while
+#: max_score·1e9·max_edge_weight < 9.2e18 (at larger weights, pre-divide
+#: the edge weights or widen to DECIMAL(38,0) in both engines).
+UNIT = 1_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    k: int = RANK_ITERS,
+    damping_pct: int = DAMPING_PCT,
+) -> DataFrame:
+    """Weighted PageRank over ``edges(src, dst, w)`` for ``k`` iterations:
+    ``S(v) = (1-d) + d · Σ_{u→v} w(u,v)/outw(u) · S(u)``, scores seeded at
+    1.0 (the TextRank convention), evaluated in 1e-9 fixed point with
+    floor division.  Nodes must appear as at least one edge destination to
+    stay ranked (an undirected graph — both directions materialized —
+    guarantees it).  Output: ``(term, score double, units bigint)``; the
+    bigint is the exact value, the double its display form.
+
+    Scale shape: the edge list is the big side and is touched once per
+    iteration by an equi-join on ``src`` + a hash-agg on ``dst`` — both
+    partial-aggregable, both keyed on the node id, no driver round-trip
+    inside the loop.  Per-iteration ``localCheckpoint`` pins the plan so
+    lineage doesn't grow multiplicatively (the kmeans_refine lesson);
+    superseded checkpoints are freed.
+    """
+    from cdc_lite_spark.operators._iterative import (
+        free_new_checkpoints,
+        persistent_rdd_ids,
+    )
+
+    spark = edges.sparkSession
+    before = persistent_rdd_ids(spark)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = (
+        edges.join(outw, "src")
+        .select(
+            "src",
+            "dst",
+            F.col("w").cast("long").alias("w"),
+            F.col("outw").cast("long").alias("outw"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    scores = (
+        e.select(F.col("src").alias("term")).distinct()
+        .select("term", F.lit(UNIT).cast("long").alias("units"))
+        .localCheckpoint(eager=True)
+    )
+    base = (100 - damping_pct) * UNIT // 100
+    for _ in range(k):
+        scores = (
+            e.join(scores, e.src == scores.term)
+            .select(F.col("dst"), F.expr("units * w div outw").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("term"),
+                (F.lit(base) + F.expr(f"{damping_pct} * s div 100")).alias("units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    free_new_checkpoints(spark, before, keep_latest=1)
+    return scores.select(
+        "term",
+        (F.col("units").cast("double") / UNIT).alias("score"),
+        "units",
+    )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = RANK_ITERS,
+) -> DataFrame:
+    """TextRank keyword scores over the corpus: nodes are vocabulary words,
+    undirected edges connect ADJACENT tokens weighted by corpus-wide
+    co-occurrence count, and the score is ``k`` PageRank iterations.
+    Output: ``(term, score, units)`` for every word that co-occurs at
+    least once with a different word.
+
+    The graph aggregate is the scale step (one explode + hash-agg over the
+    token stream — |edges| is language-bounded, not corpus-bounded); the
+    iteration then runs on vocabulary-sized tables regardless of corpus
+    size."""
+    pairs = F.expr(
+        "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
+        " (x, i) -> struct(x AS a, __t[i + 1] AS b))"
+    )
+    adj = (
+        docs.select(tokens(text_col).alias("__t"))
+        .select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.a") != F.col("p.b"))  # self-loops contribute nothing
+        .select("p.a", "p.b")
+    )
+    undirected = adj.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        adj.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    edges = undirected.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    return pagerank(edges, k=k)
+
+
+def textrank_keywords_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    k: int = RANK_ITERS,
+    damping_pct: int = DAMPING_PCT,
+) -> str:
+    """DuckDB twin of :func:`textrank_keywords`: the identical graph
+    aggregate, then the power iteration as a ``WITH RECURSIVE`` whose
+    working table is the previous iteration's score vector (the same
+    recursion shape as the BPE trainer's oracle, operators/text.py) —
+    bit-identical because every step is integer arithmetic."""
+    toks = tokens_sql(text_expr)
+    base = (100 - damping_pct) * UNIT // 100
+    return f"""
+    WITH RECURSIVE adj AS (
+        SELECT p[1] AS a, p[2] AS b
+        FROM (
+            SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i + 1]])) AS p
+            FROM (SELECT {toks} AS t FROM {table})
+        )
+        WHERE p[1] <> p[2]
+    ),
+    und AS (
+        SELECT a AS src, b AS dst FROM adj
+        UNION ALL
+        SELECT b AS src, a AS dst FROM adj
+    ),
+    edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM und GROUP BY src, dst),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY src),
+    e AS (SELECT edges.src, dst, w, outw FROM edges JOIN outw USING (src)),
+    it AS (
+        SELECT 0 AS iter, src AS term, CAST({UNIT} AS BIGINT) AS units
+        FROM (SELECT DISTINCT src FROM e)
+        UNION ALL
+        SELECT iter + 1, dst AS term,
+               CAST({base} + ({damping_pct} * s) // 100 AS BIGINT) AS units
+        FROM (
+            SELECT min(it.iter) AS iter, e.dst,
+                   sum((it.units * e.w) // e.outw) AS s
+            FROM it JOIN e ON it.term = e.src
+            GROUP BY e.dst
+        )
+        WHERE iter < {k}
+    )
+    SELECT term, CAST(units AS DOUBLE) / {UNIT} AS score, units
+    FROM it WHERE iter = {k}
+    """
+
+
+__all__ = [
+    "DAMPING_PCT",
+    "RANK_ITERS",
+    "UNIT",
+    "pagerank",
+    "textrank_keywords",
+    "textrank_keywords_sql",
+]

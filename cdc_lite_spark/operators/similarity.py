@@ -1101,3 +1101,197 @@ def embedding_drift_psi_sql(
            psi_raw > {PSI_DRIFT_THRESHOLD} AS drifted
     FROM psi
     """
+
+
+# --- truncation (Matryoshka-style) recall + embedding-space health ----------
+
+#: prefix widths the truncation study evaluates (full width is the truth)
+PREFIX_DIMS = (16, 32)
+
+
+def prefix_dim_recall(
+    df: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    prefix_dims: tuple[int, ...] = PREFIX_DIMS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of exact cosine search over TRUNCATED vectors (first ``d``
+    dimensions) against full-width exact search — the dimension-budget
+    study behind Matryoshka representations (Kusupati et al., NeurIPS
+    2022): how much of the neighborhood structure survives when storage /
+    bandwidth keeps only a prefix.  Output: one row per probe query with
+    ``recall_d{d}`` per prefix width.
+
+    Scale shape: same as ``ann_recall_report`` — the probe set broadcasts,
+    each prefix pass is the production brute-force plan on a narrower
+    ``slice`` of the vector (cheaper than full width by d/D), and the
+    ground truth is computed once and checkpointed."""
+    queries_df = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), vec_col
+    )
+    truth = (
+        brute_force_topk(df, queries_df, k=k, id_col=id_col, vec_col=vec_col)
+        .select("query_id", "nbr_id")
+        .localCheckpoint(eager=True)
+    )
+    out = truth.alias("t").select("query_id", "nbr_id")
+    recalls = []
+    for d in prefix_dims:
+        sliced = df.select(id_col, F.slice(F.col(vec_col), 1, d).alias(vec_col))
+        q_sliced = queries_df.select(
+            "query_id", F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        approx = brute_force_topk(
+            sliced, q_sliced, k=k, id_col=id_col, vec_col=vec_col
+        ).select("query_id", F.col("nbr_id").alias(f"__n{d}"))
+        out = out.join(
+            approx,
+            (out.query_id == approx.query_id) & (out.nbr_id == approx[f"__n{d}"]),
+            "left",
+        ).drop(approx.query_id)
+        recalls.append(
+            F.round(
+                F.sum(F.col(f"__n{d}").isNotNull().cast("int")).cast("double") / k, 6
+            ).alias(f"recall_d{d}")
+        )
+    return out.groupBy("query_id").agg(*recalls)
+
+
+def prefix_dim_recall_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 5,
+    prefix_dims: tuple[int, ...] = PREFIX_DIMS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`prefix_dim_recall` — identical slicing,
+    cosine rounding, and (cos desc, nbr_id desc) tie-break."""
+    cos = cosine_sql("q.v", "c.v")
+    ctes = [
+        f"""vecs AS (
+        SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+        FROM {table}
+    )""",
+        f"q0 AS (SELECT {id_col} AS query_id, v FROM vecs WHERE {id_col} < {n_queries})",
+        f"""truth AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT q.query_id, c.{id_col} AS nbr_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY round({cos}, 6) DESC, c.{id_col} DESC)
+                       AS rank
+            FROM q0 q CROSS JOIN vecs c WHERE c.{id_col} != q.query_id
+        ) WHERE rank <= {k}
+    )""",
+    ]
+    sels = []
+    for d in prefix_dims:
+        ctes.append(
+            f"""t{d} AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT q.query_id, c.{id_col} AS nbr_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY round({cosine_sql(f"q.v[1:{d}]", f"c.v[1:{d}]")}, 6) DESC,
+                                               c.{id_col} DESC) AS rank
+            FROM q0 q CROSS JOIN vecs c WHERE c.{id_col} != q.query_id
+        ) WHERE rank <= {k}
+    )"""
+        )
+        sels.append(
+            f"round(CAST(sum(CASE WHEN x{d}.nbr_id IS NOT NULL THEN 1 ELSE 0 END)"
+            f" AS DOUBLE) / {k}, 6) AS recall_d{d}"
+        )
+    joins = " ".join(
+        f"LEFT JOIN t{d} x{d} ON t.query_id = x{d}.query_id AND t.nbr_id = x{d}.nbr_id"
+        for d in prefix_dims
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT t.query_id, {', '.join(sels)}
+    FROM truth t {joins}
+    GROUP BY t.query_id
+    """
+    )
+
+
+#: histogram bin count for the pairwise-angle health check
+ANGLE_BINS = 20
+#: multiplier for the deterministic partner derivation (MINSTD constant)
+PAIR_STEP = 48271
+
+
+def pairwise_angle_histogram(
+    df: DataFrame,
+    bins: int = ANGLE_BINS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Histogram of cosine similarities over a deterministic sample of
+    vector pairs — the embedding-space health check (a distribution piled
+    against +1 means collapse/duplication; natural spaces concentrate near
+    0 with thin tails).  Pairing: each vector meets the partner at index
+    ``(id·48271 + 1) mod n`` — hash-derived, reproducible in SQL, one
+    partner per vector so the sample is |corpus|-sized, never quadratic.
+    Output: (bin, lo, hi, n_pairs) over ``bins`` equal bins of [-1, 1].
+
+    Scale shape: one self-equi-join on the derived partner id (shuffle
+    keyed on the id — co-located if the table is bucketed by it) + one
+    tiny hash-agg; norms computed scan-side once per row."""
+    n_vecs = df.count()
+    a = _sided(df, id_col, vec_col, "q").withColumn(
+        "__partner", (F.col("q_id") * PAIR_STEP + 1) % n_vecs
+    )
+    b = _sided(df, id_col, vec_col, "n")
+    cos = _pair_cosine()
+    width = 2.0 / bins
+    bin_idx = F.least(
+        F.lit(bins - 1), F.floor((cos + 1.0) / width).cast("int")
+    ).cast("int")
+    return (
+        a.join(b, a["__partner"] == b["n_id"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(bin_idx.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.lit(-1.0) + F.col("bin") * width, 6).alias("lo"),
+            F.round(F.lit(-1.0) + (F.col("bin") + 1) * width, 6).alias("hi"),
+            "n_pairs",
+        )
+    )
+
+
+def pairwise_angle_histogram_sql(
+    table: str = "embeddings",
+    bins: int = ANGLE_BINS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cos = cosine_sql("a.v", "b.v")
+    width = 2.0 / bins
+    bin_idx = (
+        f"CAST(least({bins - 1}, CAST(floor((round({cos}, 6) + 1.0) / {width})"
+        f" AS INT)) AS INT)"
+    )
+    return f"""
+    WITH vecs AS (
+        SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+        FROM {table}
+    ),
+    n AS (SELECT count(*) AS n_vecs FROM vecs),
+    pairs AS (
+        SELECT a.{id_col} AS qid, ({bin_idx}) AS bin
+        FROM vecs a
+        JOIN n ON TRUE
+        JOIN vecs b ON b.{id_col} = (a.{id_col} * {PAIR_STEP} + 1) % n.n_vecs
+        WHERE a.{id_col} != b.{id_col}
+    )
+    SELECT bin,
+           round(-1.0 + bin * {width}, 6) AS lo,
+           round(-1.0 + (bin + 1) * {width}, 6) AS hi,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY bin
+    """

@@ -874,3 +874,273 @@ def blocklist_hits_sql(
            CAST(len({hits}) = 0 AS INT) AS keep
     FROM {table}
     """
+
+
+# --- corpus statistics: PMI phrases, entropy, Zipf fit ----------------------
+
+#: minimum pair count for a PMI phrase candidate (Mikolov et al.'s discount
+#: threshold in spirit: rare pairs produce unreliable, inflated PMI)
+PMI_MIN_COUNT = 5
+#: decimal places PMI / entropy contributions round to before exact sums
+CORPUS_STAT_DP = 9
+
+
+def phrase_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = PMI_MIN_COUNT,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the classic
+    phrase-detection statistic (Mikolov et al., "Distributed
+    Representations of Words and Phrases", NeurIPS 2013 learn phrases by
+    thresholding exactly this score):
+
+        pmi(a,b) = ln( c(a b) · N_pairs / (c_left(a) · c_right(b)) )
+
+    with ``c_left``/``c_right`` the exact marginal counts of the pair
+    table (so the distribution sums to 1 by construction).  Pairs below
+    ``min_count`` are dropped.  Output: (a, b, pair_count, pmi).
+
+    Scale shape: one explode over the token stream, then three
+    partial-aggregable hash-aggs on the pair table (|pairs| ≤ V²,
+    language-bounded) and two vocabulary-sized joins — AQE broadcasts the
+    marginals while they fit.  No Python, no windows."""
+    pairs = F.expr(
+        "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
+        " (x, i) -> struct(x AS a, __t[i + 1] AS b))"
+    )
+    pair_df = (
+        df.select(tokens(text_col).alias("__t"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+    )
+    counts = pair_df.groupBy("a", "b").agg(F.count("*").alias("pair_count"))
+    left = counts.groupBy("a").agg(F.sum("pair_count").alias("c_a"))
+    right = counts.groupBy("b").agg(F.sum("pair_count").alias("c_b"))
+    total = counts.agg(F.sum("pair_count").alias("n_pairs"))
+    pmi = F.round(
+        F.log(
+            F.col("pair_count").cast("double")
+            * F.col("n_pairs")
+            / (F.col("c_a") * F.col("c_b"))
+        ),
+        6,
+    )
+    return (
+        counts.filter(F.col("pair_count") >= min_count)
+        .join(left, "a")
+        .join(right, "b")
+        .crossJoin(F.broadcast(total))
+        .select("a", "b", "pair_count", pmi.alias("pmi"))
+    )
+
+
+def phrase_pmi_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    min_count: int = PMI_MIN_COUNT,
+) -> str:
+    """DuckDB twin of :func:`phrase_pmi` (identical count marginals,
+    identical ln operand, 6-dp rounding)."""
+    toks = tokens_sql(text_expr)
+    return f"""
+    WITH pairs AS (
+        SELECT p[1] AS a, p[2] AS b
+        FROM (
+            SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i + 1]])) AS p
+            FROM (SELECT {toks} AS t FROM {table})
+        )
+    ),
+    counts AS (SELECT a, b, CAST(count(*) AS BIGINT) AS pair_count FROM pairs GROUP BY a, b),
+    lmarg AS (SELECT a, sum(pair_count) AS c_a FROM counts GROUP BY a),
+    rmarg AS (SELECT b, sum(pair_count) AS c_b FROM counts GROUP BY b),
+    tot AS (SELECT sum(pair_count) AS n_pairs FROM counts)
+    SELECT a, b, pair_count,
+           round(ln(CAST(pair_count AS DOUBLE) * n_pairs / (c_a * c_b)), 6) AS pmi
+    FROM counts JOIN lmarg USING (a) JOIN rmarg USING (b) CROSS JOIN tot
+    WHERE pair_count >= {min_count}
+    """
+
+
+def token_entropy_by_source(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shannon entropy of each source's token distribution — the corpus
+    diversity gauge a mixing pipeline reads next to `domain_mix_weights`
+    (a source whose entropy collapses is template spam, not prose).
+    Output: (source, n_tokens, n_vocab, entropy) with entropy in nats.
+
+    Parity: per-term contributions ``p·ln p`` round to CORPUS_STAT_DP (9)
+    dp and sum as DECIMAL (order-free); both engines divide identical
+    operands.  One explode + two hash-aggs; everything after the
+    (source, term) aggregate is vocabulary-sized."""
+    term_counts = (
+        df.select(F.col(group_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(group_col, "term")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = term_counts.groupBy(group_col).agg(
+        F.sum("c").alias("n_tokens"), F.count("*").alias("n_vocab")
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    contrib = F.round(p * F.log(p), CORPUS_STAT_DP).cast(
+        f"decimal(20,{CORPUS_STAT_DP})"
+    )
+    return (
+        term_counts.join(totals, group_col)
+        .select(F.col(group_col), F.col("n_tokens"), F.col("n_vocab"), contrib.alias("h"))
+        .groupBy(group_col, "n_tokens", "n_vocab")
+        .agg(F.round(-F.sum("h").cast("double"), 6).alias("entropy"))
+    )
+
+
+def token_entropy_by_source_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_expr: str = "text",
+) -> str:
+    toks = tokens_sql(text_expr)
+    return f"""
+    WITH tc AS (
+        SELECT {group_col}, term, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT {group_col}, unnest({toks}) AS term FROM {table})
+        GROUP BY {group_col}, term
+    ),
+    tot AS (
+        SELECT {group_col}, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_vocab
+        FROM tc GROUP BY {group_col}
+    )
+    SELECT {group_col}, n_tokens, n_vocab,
+           round(-CAST(sum(CAST(round((CAST(c AS DOUBLE) / n_tokens)
+                                      * ln(CAST(c AS DOUBLE) / n_tokens),
+                                      {CORPUS_STAT_DP})
+                               AS DECIMAL(20,{CORPUS_STAT_DP}))) AS DOUBLE), 6)
+               AS entropy
+    FROM tc JOIN tot USING ({group_col})
+    GROUP BY {group_col}, n_tokens, n_vocab
+    """
+
+
+#: how many top-frequency terms the Zipf regression fits over
+ZIPF_TOP_N = 100
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = ZIPF_TOP_N,
+) -> DataFrame:
+    """Least-squares fit of ``ln(freq) = intercept + slope·ln(rank)`` over
+    the top-``top_n`` vocabulary terms — natural corpora track Zipf's law
+    with slope ≈ −1; a collapsed or synthetic corpus bends away from it,
+    which makes the slope a one-number data-health gauge.
+
+    Output: one row (n_terms, slope, intercept).  Ranks are assigned by
+    (freq desc, term asc) — fully deterministic.  Parity: the regression
+    moments Σx, Σy, Σxy, Σx² accumulate as DECIMAL over 9-dp-rounded
+    ln values (order-free exact sums); the closed-form solution then
+    divides identical operands.  Scale: one explode + hash-agg, a top-N
+    (TakeOrderedAndProject), and a 1-row reduction."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(top_n)
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("c"), F.asc("term")))
+    )
+    dec = f"decimal(20,{CORPUS_STAT_DP})"
+    x = F.round(F.log(F.col("rank").cast("double")), CORPUS_STAT_DP).cast(dec)
+    y = F.round(F.log(F.col("c").cast("double")), CORPUS_STAT_DP).cast(dec)
+    moments = ranked.select(
+        x.alias("x"), y.alias("y")
+    ).agg(
+        F.count("*").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return moments.select(
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+def zipf_fit_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    top_n: int = ZIPF_TOP_N,
+) -> str:
+    toks = tokens_sql(text_expr)
+    dp = CORPUS_STAT_DP
+    return f"""
+    WITH counts AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest({toks}) AS term FROM {table})
+        GROUP BY term ORDER BY c DESC, term ASC LIMIT {top_n}
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS rank FROM counts
+    ),
+    xy AS (
+        SELECT CAST(round(ln(CAST(rank AS DOUBLE)), {dp}) AS DECIMAL(20,{dp})) AS x,
+               CAST(round(ln(CAST(c AS DOUBLE)), {dp}) AS DECIMAL(20,{dp})) AS y
+        FROM ranked
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * x) AS DOUBLE) AS sxx
+        FROM xy
+    )
+    SELECT n_terms,
+           round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
+                 / n_terms, 6) AS intercept
+    FROM m
+    """
+
+
+def lang_confusion(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Confusion matrix of the declared language label against the
+    marker-word language-ID guess — the label-QA report run before
+    trusting either side for filtering.  Output: (declared_lang,
+    detected_lang, n_docs).  Pure scan-side expression + one hash-agg."""
+    return (
+        lang_id(df, text_col=text_col, out_col="detected_lang")
+        .groupBy(F.col(lang_col).alias("declared_lang"), "detected_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def lang_confusion_sql(
+    table: str = "documents",
+    lang_col: str = "lang",
+    text_expr: str = "text",
+) -> str:
+    return f"""
+    SELECT {lang_col} AS declared_lang,
+           {lang_id_sql(text_expr)} AS detected_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM {table}
+    GROUP BY 1, 2
+    """

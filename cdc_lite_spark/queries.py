@@ -6097,3 +6097,346 @@ def q_video_y4m_frame_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(synth_y4m_payload(docs), every_n=2).select(
         "doc_id", "frame_idx", "frame_md5"
     )
+
+
+# --- round 5: graph ranking, LM quality, corpus statistics ------------------
+
+
+def _textrank_oracle() -> str:
+    from cdc_lite_spark.operators.rank import textrank_keywords_sql
+
+    return textrank_keywords_sql()
+
+
+@register(
+    "textrank_keywords",
+    _textrank_oracle(),
+    "X4 extension: TextRank keyword scores (Mihalcea & Tarau 2004) — "
+    "PageRank over the word co-occurrence graph in FIXED-POINT integer "
+    "arithmetic, so the 8-iteration trajectory is bit-identical in both "
+    "engines (oracle = WITH RECURSIVE power iteration)",
+    tags=("text", "graph", "iterative"),
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph aggregate once over the token stream (|edges| language-
+    bounded), then 8 join+agg iterations over vocabulary-sized tables —
+    per-iteration cost independent of corpus size."""
+    from cdc_lite_spark.operators.rank import textrank_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textrank_keywords(docs)
+
+
+def _bigram_lm_oracle() -> str:
+    from cdc_lite_spark.operators.lm import bigram_logprob_sql
+
+    return bigram_logprob_sql()
+
+
+@register(
+    "bigram_lm_perplexity",
+    _bigram_lm_oracle(),
+    "X4 extension: per-document bigram-LM perplexity (the CCNet-style "
+    "quality filter, one order up from unigram_logprob_score) — add-one "
+    "smoothed conditional logprobs, decimal-summed for cross-engine parity",
+    tags=("text", "agg", "join"),
+)
+def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.lm import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
+def _phrase_pmi_oracle() -> str:
+    from cdc_lite_spark.operators.text import phrase_pmi_sql
+
+    return phrase_pmi_sql()
+
+
+@register(
+    "phrase_pmi_candidates",
+    _phrase_pmi_oracle(),
+    "X4 extension: adjacent-pair PMI phrase detection (Mikolov et al. "
+    "2013) — count-thresholded pointwise mutual information over exact "
+    "pair-table marginals",
+    tags=("text", "agg"),
+)
+def q_phrase_pmi_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.text import phrase_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_pmi(docs)
+
+
+def _token_entropy_oracle() -> str:
+    from cdc_lite_spark.operators.text import token_entropy_by_source_sql
+
+    return token_entropy_by_source_sql()
+
+
+@register(
+    "token_entropy_by_source",
+    _token_entropy_oracle(),
+    "X4/X6 extension: Shannon entropy of each source's token distribution "
+    "— the diversity gauge next to domain_mix_weights (collapsed entropy "
+    "= template spam); contributions decimal-summed for parity",
+    tags=("text", "agg"),
+)
+def q_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.text import token_entropy_by_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy_by_source(docs)
+
+
+def _zipf_oracle() -> str:
+    from cdc_lite_spark.operators.text import zipf_fit_sql
+
+    return zipf_fit_sql()
+
+
+@register(
+    "zipf_fit_report",
+    _zipf_oracle(),
+    "X4 extension: least-squares Zipf fit over the top-100 vocabulary "
+    "(ln freq vs ln rank) — slope ≈ -1 for natural corpora; regression "
+    "moments accumulate as DECIMAL over rounded logs for exact parity",
+    tags=("text", "agg"),
+)
+def q_zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.text import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs)
+
+
+def _lang_confusion_oracle() -> str:
+    from cdc_lite_spark.operators.text import lang_confusion_sql
+
+    return lang_confusion_sql()
+
+
+@register(
+    "lang_confusion_matrix",
+    _lang_confusion_oracle(),
+    "X4 extension: declared-vs-detected language confusion matrix — the "
+    "label-QA report run before trusting either signal for filtering; "
+    "scan-side lang-id expression + one hash-agg",
+    tags=("text", "agg"),
+)
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.text import lang_confusion
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_confusion(docs)
+
+
+def _prefix_recall_oracle() -> str:
+    from cdc_lite_spark.operators.similarity import prefix_dim_recall_sql
+
+    return prefix_dim_recall_sql()
+
+
+@register(
+    "prefix_dim_recall_report",
+    _prefix_recall_oracle(),
+    "X3 extension: Matryoshka-style truncation study (Kusupati et al. "
+    "2022) — recall@k of exact search over the first 16/32 dims vs the "
+    "full 64-dim truth; the dimension-budget dial for storage/bandwidth",
+    tags=("similarity", "agg"),
+)
+def q_prefix_dim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-set recall measurement: |Q| broadcast against the corpus per
+    prefix width; ground truth computed once and checkpointed (the
+    ann_recall_report shape on a different axis)."""
+    from cdc_lite_spark.operators.similarity import prefix_dim_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return prefix_dim_recall(emb, k=_TOPK, n_queries=_N_QUERY_VECS)
+
+
+def _angle_hist_oracle() -> str:
+    from cdc_lite_spark.operators.similarity import pairwise_angle_histogram_sql
+
+    return pairwise_angle_histogram_sql()
+
+
+@register(
+    "pairwise_angle_histogram",
+    _angle_hist_oracle(),
+    "X3 extension: cosine-similarity histogram over a deterministic "
+    "hash-paired sample — the embedding-space collapse/hubness health "
+    "check; |corpus|-sized sample via one self-equi-join, never quadratic",
+    tags=("similarity", "agg"),
+)
+def q_pairwise_angle_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.similarity import pairwise_angle_histogram
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pairwise_angle_histogram(emb)
+
+
+@register(
+    "rolling_anomaly_flags",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               sum(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+        SELECT event_type, hour, x,
+               sum(x) OVER w AS sx,
+               sum(x * x) OVER w AS sxx,
+               count(*) OVER w AS n_prev
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, CAST(x AS DOUBLE) AS x, CAST(n_prev AS BIGINT) AS n_prev,
+           CASE WHEN n_prev >= 8 AND
+                     (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n_prev)
+                     * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n_prev)
+                     > 9.0 * (CAST(sxx AS DOUBLE) / n_prev
+                              - (CAST(sx AS DOUBLE) / n_prev) * (CAST(sx AS DOUBLE) / n_prev))
+                THEN 1 ELSE 0 END AS anomaly
+    FROM framed
+    """,
+    "G3/H7 extension: rolling z-score anomaly flags over hourly event "
+    "volume — trailing-24h mean/variance from DECIMAL-exact frame sums "
+    "(order-free, bit-identical), flag when the squared deviation exceeds "
+    "(3·sigma)²; the sqrt-free comparison avoids the one libm call that "
+    "could diverge between engines",
+    tags=("window", "agg", "events"),
+)
+def q_rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key ordered frames: one shuffle on event_type for the window,
+    nothing quadratic — the streaming twin of this shape is the sketch
+    stream's per-key state.  At 100 TB the hourly pre-aggregate collapses
+    the fact volume before any window sees it."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    framed = hourly.select(
+        "event_type",
+        "hour",
+        "x",
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.count("*").over(w).alias("n_prev"),
+    )
+    xd = F.col("x").cast("double")
+    mean = F.col("sx").cast("double") / F.col("n_prev")
+    var = F.col("sxx").cast("double") / F.col("n_prev") - mean * mean
+    dev2 = (xd - mean) * (xd - mean)
+    return framed.select(
+        "event_type",
+        "hour",
+        xd.alias("x"),
+        F.col("n_prev").cast("long").alias("n_prev"),
+        F.when((F.col("n_prev") >= 8) & (dev2 > F.lit(9.0) * var), 1)
+        .otherwise(0)
+        .alias("anomaly"),
+    )
+
+
+@register(
+    "mad_robust_outliers",
+    """
+    WITH ranked AS (
+        SELECT event_type, value,
+               cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, min(CASE WHEN cd >= 0.5 THEN value END) AS median,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM ranked GROUP BY event_type
+    ),
+    devs AS (
+        SELECT e.event_type, abs(e.value - m.median) AS dev, m.median, m.n_rows
+        FROM events e JOIN med m USING (event_type)
+    ),
+    dev_ranked AS (
+        SELECT event_type, dev, median, n_rows,
+               cume_dist() OVER (PARTITION BY event_type ORDER BY dev) AS cd
+        FROM devs
+    ),
+    mad AS (
+        SELECT event_type, min(median) AS median, min(n_rows) AS n_rows,
+               min(CASE WHEN cd >= 0.5 THEN dev END) AS mad
+        FROM dev_ranked GROUP BY event_type
+    )
+    SELECT d.event_type, m.n_rows, round(m.median, 6) AS median,
+           round(m.mad, 6) AS mad,
+           CAST(sum(CASE WHEN d.dev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM devs d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.n_rows, m.median, m.mad
+    """,
+    "C4/G3 extension: median + MAD robust outlier report per event type — "
+    "discrete medians via cume_dist (real data values, no interpolation "
+    "to diverge), consistency constant 1.4826 scales MAD to sigma",
+    tags=("window", "agg", "events"),
+)
+def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two discrete-quantile passes (value, then |value − median|) — each
+    one window + one agg, all keyed on event_type; the outlier count rides
+    the second pass's deviation stream.  Robust stats are what survive the
+    heavy-tailed value distributions exact z-scores break on."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    cd1 = F.cume_dist().over(W.partitionBy("event_type").orderBy("value"))
+    med = (
+        ev.withColumn("cd", cd1)
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("cd") >= 0.5, F.col("value"))).alias("median"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    devs = ev.join(med, "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("median")).alias("dev"),
+        "median",
+        "n_rows",
+    )
+    cd2 = F.cume_dist().over(W.partitionBy("event_type").orderBy("dev"))
+    mad = (
+        devs.withColumn("cd", cd2)
+        .groupBy("event_type")
+        .agg(
+            F.min("median").alias("median"),
+            F.min("n_rows").alias("n_rows"),
+            F.min(F.when(F.col("cd") >= 0.5, F.col("dev"))).alias("mad"),
+        )
+    )
+    return (
+        devs.select("event_type", "dev")
+        .join(mad, "event_type")
+        .groupBy("event_type", "n_rows", "median", "mad")
+        .agg(
+            F.sum(
+                (F.col("dev") > F.lit(3) * F.lit(1.4826) * F.col("mad")).cast("int")
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round("median", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )

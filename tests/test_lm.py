@@ -148,3 +148,35 @@ def test_dsir_sample_is_deterministic_and_skews_to_target(spark):
     # words), so there is no target signal to skew toward here — selectivity
     # is asserted on constructed bilingual data in the test above; this test
     # pins determinism and k on real table plumbing.
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Two-doc toy corpus, add-one smoothed conditionals checked by hand."""
+    import math
+
+    from cdc_lite_spark.operators.lm import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    # pair counts: (a,b)=3  (b,a)=1  (b,c)=1 ; ctx: a=3, b=2 ; V=3
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    lp_ab = round(math.log((3 + 1) / (3 + 3)), 6)
+    lp_ba = round(math.log((1 + 1) / (2 + 3)), 6)
+    lp_bc = round(math.log((1 + 1) / (2 + 3)), 6)
+    exp1 = (lp_ab + lp_ba + lp_ab) / 3
+    exp2 = (lp_ab + lp_bc) / 2
+    assert out[1]["n_bigrams"] == 3 and out[2]["n_bigrams"] == 2
+    assert abs(out[1]["avg_logprob"] - exp1) < 1e-9
+    assert abs(out[2]["avg_logprob"] - exp2) < 1e-9
+    assert abs(out[1]["perplexity"] - round(math.exp(-exp1), 6)) < 1e-9
+
+
+def test_bigram_logprob_short_docs_drop(spark):
+    from cdc_lite_spark.operators.lm import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, ""), (3, "a a")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in bigram_logprob(docs).collect()}
+    assert got == {3}  # <2 tokens -> no bigrams -> dropped

@@ -325,3 +325,31 @@ def test_psi_detects_planted_shift(spark):
     for d in (0, 1, 3):  # identical populations: smoothing-only noise
         assert not out[d]["drifted"]
         assert out[d]["psi"] < 0.01
+
+
+def test_prefix_dim_recall_full_width_is_one(spark, tables):
+    """Truncating to the full vector width must reproduce the truth set
+    exactly (recall 1.0 for every probe); a 1-dim prefix must lose some."""
+    from cdc_lite_spark.operators.similarity import prefix_dim_recall
+
+    emb = tables["embeddings"]
+    out = prefix_dim_recall(emb, k=3, n_queries=3, prefix_dims=(64, 1)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["recall_d64"] == 1.0
+        assert 0.0 <= r["recall_d1"] <= 1.0
+    assert any(r["recall_d1"] < 1.0 for r in out)
+
+
+def test_pairwise_angle_histogram_covers_sample(spark, tables):
+    """Every sampled pair lands in exactly one bin; bins tile [-1, 1]."""
+    from cdc_lite_spark.operators.similarity import pairwise_angle_histogram
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    out = pairwise_angle_histogram(emb).collect()
+    assert sum(r["n_pairs"] for r in out) <= n  # one partner per vector
+    assert sum(r["n_pairs"] for r in out) >= n - 1  # minus self-pairs only
+    for r in out:
+        assert -1.0 <= r["lo"] < r["hi"] <= 1.0
+        assert 0 <= r["bin"] < 20

@@ -269,3 +269,79 @@ def test_blocklist_hits_term_level_matching(spark):
     assert rows[2]["hit_terms"] == [] and rows[2]["keep"] == 1
     assert rows[3]["keep"] == 1
     assert rows[4]["hit_terms"] == [] and rows[4]["keep"] == 1
+
+
+def test_phrase_pmi_independent_vs_collocated(spark):
+    """A perfectly collocated pair scores ln(N·c_ab/(c_a·c_b)) higher than
+    a pair whose members mix freely with other partners (the actual
+    independence PMI penalizes), and sub-threshold pairs are dropped."""
+    import math
+
+    from cdc_lite_spark.operators.text import phrase_pmi
+
+    rows = []
+    did = 0
+    # a/d each pair with b/c equally (uncorrelated block), e-f collocates
+    for left in ("a", "d"):
+        for right in ("b", "c"):
+            for _ in range(5):
+                rows.append((did, f"{left} {right}")); did += 1
+    for _ in range(10):
+        rows.append((did, "e f")); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["a"], r["b"]): r["pmi"] for r in phrase_pmi(docs, min_count=5).collect()}
+    # N=30 pairs; (e,f): 10·30/(10·10)=3 ; (a,b): 5·30/(10·10)=1.5
+    assert abs(out[("e", "f")] - round(math.log(3.0), 6)) < 1e-9
+    assert abs(out[("a", "b")] - round(math.log(1.5), 6)) < 1e-9
+    assert out[("e", "f")] > out[("a", "b")]
+
+
+def test_token_entropy_uniform_is_log_v(spark):
+    """A source with a perfectly uniform token distribution has entropy
+    exactly ln(V)."""
+    import math
+
+    from cdc_lite_spark.operators.text import token_entropy_by_source
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "u"), (2, "a a a a", "skew")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in token_entropy_by_source(docs).collect()}
+    assert abs(out["u"]["entropy"] - round(math.log(4), 6)) < 1e-6
+    assert out["skew"]["entropy"] == 0.0
+    assert out["u"]["n_vocab"] == 4 and out["skew"]["n_vocab"] == 1
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """freq(r) = C·r^s exactly -> regression recovers s (here -1)."""
+    from cdc_lite_spark.operators.text import zipf_fit
+
+    # build a corpus where term_i appears round(1200/i) times
+    rows = []
+    did = 0
+    for i in range(1, 21):
+        for _ in range(1200 // i):
+            rows.append((did, f"t{i:02d}"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = zipf_fit(docs, top_n=20).collect()[0]
+    assert r["n_terms"] == 20
+    assert abs(r["slope"] + 1.0) < 0.02  # integer rounding of counts only
+
+
+def test_lang_confusion_diagonal(spark):
+    """Docs written with a language's own marker words land on the
+    diagonal; marker-free docs detect as 'und'."""
+    from cdc_lite_spark.operators.text import lang_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat of the house", "en"),
+            (2, "der hund und die katze", "de"),
+            (3, "zzz qqq", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r["declared_lang"], r["detected_lang"]): r["n_docs"] for r in lang_confusion(docs).collect()}
+    assert out[("en", "en")] == 1 and out[("de", "de")] == 1 and out[("en", "und")] == 1
