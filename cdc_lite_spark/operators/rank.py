@@ -193,3 +193,119 @@ __all__ = [
     "textrank_keywords",
     "textrank_keywords_sql",
 ]
+
+
+# --- triangle counting (degree-oriented) ------------------------------------
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over an undirected simple graph given as a
+    one-direction edge list ``edges(a, b)`` (each undirected edge once,
+    any orientation; duplicates/self-loops cleaned here).
+
+    Algorithm: degree orientation (Schank & Wagner 2005; the shape of
+    Cohen's MapReduce triangle counting and GraphX's triangleCount): each
+    undirected edge is oriented from the lower-(degree, id) endpoint to the
+    higher one, making the oriented out-degree O(√|E|) even on power-law
+    graphs — then a triangle is exactly one wedge ``u→v, u→w`` whose
+    closing edge ``v→w`` exists, found by one self-join on the wedge
+    source and one equi-join against the oriented edge list.  Every
+    triangle is counted exactly once.
+
+    Scale: two shuffles (wedge-build keyed on u, closure probe keyed on
+    (v,w)); the wedge count Σ outdeg² is the cost and degree orientation
+    is what bounds it — the naive direction would square the hub degree.
+    Output: one row ``(n_nodes, n_edges, n_triangles)``."""
+    und = (
+        edges.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("x").alias("n")).unionAll(und.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    oriented = (
+        und.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.when(
+                (F.col("dx") < F.col("dy"))
+                | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+                F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+            )
+            .otherwise(F.struct(F.col("y").alias("u"), F.col("x").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("w1"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("w2"))
+    # wedges canonicalized w1<w2 LEXICOGRAPHICALLY, so the closing edge is
+    # exactly the canonical (x=w1, y=w2) row of `und` — a pure two-column
+    # equi-join (an OR over the two orientations would nested-loop)
+    wedges = o1.join(o2, "u").filter(F.col("w1") < F.col("w2"))
+    tri = wedges.join(
+        und,
+        (F.col("w1") == F.col("x")) & (F.col("w2") == F.col("y")),
+        "left_semi",
+    )
+    counts = und.agg(F.count("*").alias("n_edges")).crossJoin(
+        deg.agg(F.count("*").alias("n_nodes"))
+    )
+    return counts.crossJoin(tri.agg(F.count("*").alias("n_triangles"))).select(
+        "n_nodes", "n_edges", "n_triangles"
+    )
+
+
+def word_graph_triangles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Triangle census of the word co-occurrence graph (same adjacency as
+    ``textrank_keywords``) — the clustering-structure gauge next to the
+    rank scores: triangles are what distinguish topical clusters from
+    star-shaped boilerplate."""
+    pairs = F.expr(
+        "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
+        " (x, i) -> struct(x AS a, __t[i + 1] AS b))"
+    )
+    adj = (
+        docs.select(tokens(text_col).alias("__t"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+    )
+    return triangle_count(adj)
+
+
+def word_graph_triangles_sql(table: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`word_graph_triangles` — same canonicalized
+    edge set; the oracle counts closed wedges over the canonical (x<y)
+    edges directly (orientation is a performance device, not a semantic
+    one, so the twin uses the simplest correct formulation)."""
+    toks = tokens_sql(text_expr)
+    return f"""
+    WITH adj AS (
+        SELECT p[1] AS a, p[2] AS b
+        FROM (
+            SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i + 1]])) AS p
+            FROM (SELECT {toks} AS t FROM {table})
+        )
+        WHERE p[1] <> p[2]
+    ),
+    und AS (
+        SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y FROM adj
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e2.x = e1.x AND e2.y > e1.y
+        JOIN und e3 ON e3.x = e1.y AND e3.y = e2.y
+    )
+    SELECT (SELECT count(DISTINCT n) FROM (SELECT x AS n FROM und UNION ALL SELECT y FROM und))
+               AS n_nodes,
+           (SELECT count(*) FROM und) AS n_edges,
+           (SELECT n_triangles FROM tri) AS n_triangles
+    """

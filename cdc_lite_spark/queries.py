@@ -6440,3 +6440,166 @@ def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+def _word_triangles_oracle() -> str:
+    from cdc_lite_spark.operators.rank import word_graph_triangles_sql
+
+    return word_graph_triangles_sql()
+
+
+@register(
+    "word_graph_triangles",
+    _word_triangles_oracle(),
+    "X4/graph extension: triangle census of the word co-occurrence graph "
+    "via degree orientation (Schank-Wagner) — wedge build + one canonical "
+    "equi-join closure probe; outdeg bounded O(sqrt(E)) on power-law "
+    "graphs, which is what makes the count feasible at web scale",
+    tags=("text", "graph", "join"),
+)
+def q_word_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle counts closed wedges over canonical edges directly;
+    the Spark plan is the degree-oriented production algorithm — same
+    count, scale-correct shape."""
+    from cdc_lite_spark.operators.rank import word_graph_triangles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return word_graph_triangles(docs)
+
+
+@register(
+    "audience_overlap_matrix",
+    """
+    WITH ua AS (SELECT DISTINCT user_id, event_type FROM events),
+    per_type AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ua GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM ua a JOIN ua b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both, pa.n AS n_a, pb.n AS n_b,
+           round(CAST(n_both AS DOUBLE) / (pa.n + pb.n - n_both), 6) AS jaccard
+    FROM pairs
+    JOIN per_type pa ON pa.event_type = type_a
+    JOIN per_type pb ON pb.event_type = type_b
+    """,
+    "C5/F4 extension: pairwise audience overlap between event types — "
+    "exact distinct-user intersections + Jaccard, computed from ONE "
+    "distinct pass (per-user type sets exploded to pairs), never a "
+    "per-pair semi-join over the fact table",
+    tags=("agg", "join", "events"),
+)
+def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One (user, type) distinct shuffle; the per-user type set then
+    explodes to its |types|²-bounded pairs map-side — the fact table is
+    scanned once no matter how many pairs are reported."""
+    ev = load_table(spark, sf_dir, "events")
+    ua = ev.select("user_id", "event_type").distinct()
+    per_type = ua.groupBy("event_type").agg(F.count("*").alias("n"))
+    sets = ua.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    )
+    pair = F.expr(
+        "flatten(transform(ts, (x, i) -> transform(slice(ts, i + 2, size(ts)),"
+        " y -> struct(x AS type_a, y AS type_b))))"
+    )
+    pairs = (
+        sets.select(F.explode(pair).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    pa = per_type.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    pb = per_type.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "hll_audience_intersection",
+    """
+    WITH ua AS (SELECT DISTINCT user_id, event_type FROM events),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both_exact
+        FROM ua a JOIN ua b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both_exact, 1 AS sketch_ok
+    FROM pairs
+    """,
+    "C5 scale path — audience INTERSECTION estimates from mergeable HLL "
+    "sketches via inclusion-exclusion (|A|+|B|-|A∪B|, union = hll_union); "
+    "the exact pair counts are the oracle surface, sketch_ok trips (and "
+    "the hash check fails loudly) if the estimate drifts >15% + 50 users",
+    tags=("agg", "sketch", "events"),
+)
+def q_hll_audience_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the sketch tier buys at 100 TB: per-type HLL state is
+    maintained incrementally (streaming/sketch_stream.py), and ANY pair's
+    intersection is answered by merging two sketches — no rescan of the
+    fact table per question.  Here both the sketch estimate and the exact
+    twin are computed; only the exact values + the agreement flag are
+    emitted (DuckDB cannot reproduce Spark's HLL register values — the
+    sketch_distinct_rollup discipline)."""
+    from cdc_lite_spark.operators.sketches import DEFAULT_LGK
+
+    ev = load_table(spark, sf_dir, "events")
+    ua = ev.select("user_id", "event_type").distinct().localCheckpoint(eager=False)
+    sk = ua.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(DEFAULT_LGK)).alias("sk"),
+        F.count("*").alias("n_exact"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_exact").alias("n_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_exact").alias("n_b"),
+    )
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    est_inter = (
+        F.hll_sketch_estimate("sk_a") + F.hll_sketch_estimate("sk_b") - est_union
+    )
+    sets = ua.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    )
+    pair = F.expr(
+        "flatten(transform(ts, (x, i) -> transform(slice(ts, i + 2, size(ts)),"
+        " y -> struct(x AS type_a, y AS type_b))))"
+    )
+    exact = (
+        sets.select(F.explode(pair).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count("*").alias("n_both_exact"))
+    )
+    est = (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", est_inter.alias("est"))
+    )
+    ok = (
+        F.abs(F.col("est") - F.col("n_both_exact"))
+        <= (F.lit(0.15) * F.col("n_both_exact") + F.lit(50))
+    ).cast("int")
+    return (
+        exact.join(F.broadcast(est), ["type_a", "type_b"])
+        .select("type_a", "type_b", "n_both_exact", ok.alias("sketch_ok"))
+    )

@@ -78,3 +78,33 @@ def test_textrank_iterations_fixed(spark):
     k8 = {r["term"]: r["units"] for r in textrank_keywords(docs, k=RANK_ITERS).collect()}
     assert k1.keys() == k8.keys()
     assert k1 != k8
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; a path graph has none; duplicate/reversed
+    input edges collapse to one canonical edge."""
+    from cdc_lite_spark.operators.rank import triangle_count
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    edges = spark.createDataFrame(k4 + [("b", "a"), ("a", "b")], "a string, b string")
+    r = triangle_count(edges).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "a string, b string"
+    )
+    assert triangle_count(path).collect()[0]["n_triangles"] == 0
+
+
+def test_triangle_count_hub_plus_rim(spark):
+    """Wheel graph W5 (hub + 5-cycle rim): 5 rim triangles through the
+    hub plus 0 rim-only — exactly 5; exercises the degree orientation
+    (hub degree 5 vs rim degree 3)."""
+    from cdc_lite_spark.operators.rank import triangle_count
+
+    rim = ["r1", "r2", "r3", "r4", "r5"]
+    edges = [("hub", r) for r in rim] + [
+        (rim[i], rim[(i + 1) % 5]) for i in range(5)
+    ]
+    df = spark.createDataFrame(edges, "a string, b string")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 5
