@@ -6312,41 +6312,13 @@ def q_pairwise_angle_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key ordered frames: one shuffle on event_type for the window,
-    nothing quadratic — the streaming twin of this shape is the sketch
-    stream's per-key state.  At 100 TB the hourly pre-aggregate collapses
-    the fact volume before any window sees it."""
-    from pyspark.sql import Window as W
+    nothing quadratic — streaming/anomaly_stream.py maintains the same
+    hourly state incrementally and is pinned equal.  At 100 TB the hourly
+    pre-aggregate collapses the fact volume before any window sees it."""
+    from cdc_lite_spark.operators.anomaly import anomaly_flags, hourly_stats
 
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(-24, -1)
-    )
-    framed = hourly.select(
-        "event_type",
-        "hour",
-        "x",
-        F.sum("x").over(w).alias("sx"),
-        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
-        F.count("*").over(w).alias("n_prev"),
-    )
-    xd = F.col("x").cast("double")
-    mean = F.col("sx").cast("double") / F.col("n_prev")
-    var = F.col("sxx").cast("double") / F.col("n_prev") - mean * mean
-    dev2 = (xd - mean) * (xd - mean)
-    return framed.select(
-        "event_type",
-        "hour",
-        xd.alias("x"),
-        F.col("n_prev").cast("long").alias("n_prev"),
-        F.when((F.col("n_prev") >= 8) & (dev2 > F.lit(9.0) * var), 1)
-        .otherwise(0)
-        .alias("anomaly"),
-    )
+    return anomaly_flags(hourly_stats(ev))
 
 
 @register(

@@ -429,3 +429,56 @@ def test_dsir_models_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # both vocab joins broadcast
     assert "TakeOrderedAndProject" in plan  # gumbel top-k heads
+
+
+def test_triangle_closure_is_equi_join_no_cartesian(spark):
+    """The wedge build and the closure probe must be hash equi-joins — a
+    nested-loop over the EDGE tables is the n² plan degree orientation
+    exists to avoid.  (The two BroadcastNestedLoopJoin Cross nodes in this
+    plan are the deliberate 1-row scalar count joins, not edge joins.)"""
+    plan = _plan(spark, "word_graph_triangles")
+    assert "CartesianProduct" not in plan
+    # closure probe: a hash LeftSemi against the canonical edge set
+    assert "BroadcastHashJoin LeftSemi" in plan or "ShuffledHashJoin LeftSemi" in plan or "SortMergeJoin LeftSemi" in plan
+    # only the two 1-row scalar assemblies may nested-loop (count in the
+    # tree section; the node-details section repeats each node)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_audience_overlap_scans_events_once_per_branch_no_pair_joins(spark):
+    """The pair counts come from exploding per-user type sets — never from
+    a per-pair join over the fact table (no nested-loop, no cartesian;
+    the only cross join allowed is none at all here)."""
+    plan = _plan(spark, "audience_overlap_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_textrank_iteration_plans_are_checkpoint_rooted(spark):
+    """Each power iteration reads the previous localCheckpoint, not the
+    full lineage — the final plan must be shallow (scan of an in-memory
+    checkpoint + the display projection), or iteration k would replay
+    k-1 join+aggs."""
+    plan = _plan(spark, "textrank_keywords")
+    assert "Scan ExistingRDD" in plan
+    # the returned plan is the LAST iteration only: exactly one join would
+    # appear if lineage leaked; the checkpointed result has none
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_rolling_anomaly_single_window_exchange(spark):
+    """Hourly pre-agg collapses facts before the window: the plan holds
+    exactly one Window node and the frame sums ride it (no self-join)."""
+    plan = _plan(spark, "rolling_anomaly_flags")
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+
+
+def test_bigram_lm_no_cartesian(spark):
+    """Scoring is equi-joins of the pair stream against the model; the
+    single nested-loop Cross is the 1-row vocab-size scalar broadcast."""
+    plan = _plan(spark, "bigram_lm_perplexity")
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
