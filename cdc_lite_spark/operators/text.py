@@ -1144,3 +1144,228 @@ def lang_confusion_sql(
     FROM {table}
     GROUP BY 1, 2
     """
+
+
+# --- filter funnel ----------------------------------------------------------
+
+#: the default quality-gate cascade: (rule name, min tokens, max tokens,
+#: stopword-ratio cap...) — thresholds shared by Spark and the SQL twin
+FUNNEL_MIN_TOKENS = 10
+FUNNEL_MAX_TOKENS = 5000
+FUNNEL_MAX_STOP_RATIO = 0.5
+FUNNEL_MAX_PUNCT_RATIO = 0.3
+
+
+def _funnel_rules(text_col: str = "text") -> list[tuple[str, Column]]:
+    """Ordered (rule, per-doc pass flag) cascade — each flag is a pure
+    scan-side expression on the shared tokenizer/stat constants."""
+    t = tokens(text_col)
+    n_toks = F.size(t)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    n_chars = F.length(text_col)
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^A-Za-z0-9 ]"))
+    n_repl = _count_marker(F.col(text_col), REPLACEMENT_CHAR)
+    block = F.array_intersect(
+        F.array_distinct(tokens(F.lower(F.col(text_col)))),
+        F.array(*[F.lit(x) for x in DEFAULT_BLOCKLIST]),
+    )
+    return [
+        ("length", (n_toks >= FUNNEL_MIN_TOKENS) & (n_toks <= FUNNEL_MAX_TOKENS)),
+        ("stopword_ratio", n_stop.cast("double") <= F.lit(FUNNEL_MAX_STOP_RATIO) * n_toks),
+        ("punct_ratio", n_punct.cast("double") <= F.lit(FUNNEL_MAX_PUNCT_RATIO) * n_chars),
+        ("encoding", n_repl == 0),
+        ("blocklist", F.size(block) == 0),
+    ]
+
+
+def _funnel_rules_sql(text_expr: str = "text") -> list[tuple[str, str]]:
+    toks = tokens_sql(text_expr)
+    stop_arr = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    n_toks = f"len({toks})"
+    n_stop = f"len(list_filter({toks}, x -> list_contains({stop_arr}, x)))"
+    n_chars = f"length({text_expr})"
+    n_punct = f"len(regexp_extract_all({text_expr}, '[^A-Za-z0-9 ]'))"
+    n_repl = (
+        f"((length({text_expr}) - length(replace({text_expr},"
+        f" '{REPLACEMENT_CHAR}', ''))) / {len(REPLACEMENT_CHAR)})"
+    )
+    lst = "[" + ", ".join(f"'{x}'" for x in DEFAULT_BLOCKLIST) + "]"
+    block = (
+        f"len(list_filter(list_distinct({tokens_sql(f'lower({text_expr})')}),"
+        f" t -> list_contains({lst}, t)))"
+    )
+    return [
+        ("length", f"({n_toks} >= {FUNNEL_MIN_TOKENS} AND {n_toks} <= {FUNNEL_MAX_TOKENS})"),
+        ("stopword_ratio", f"(CAST({n_stop} AS DOUBLE) <= {FUNNEL_MAX_STOP_RATIO} * {n_toks})"),
+        ("punct_ratio", f"(CAST({n_punct} AS DOUBLE) <= {FUNNEL_MAX_PUNCT_RATIO} * {n_chars})"),
+        ("encoding", f"({n_repl} = 0)"),
+        ("blocklist", f"({block} = 0)"),
+    ]
+
+
+def filter_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The pipeline-audit funnel: how many documents survive each
+    successive quality gate, and how many each rule alone removes.
+    Output: (stage, rule, n_pass_cumulative, n_dropped_here) with stage 0
+    = the unfiltered corpus.
+
+    Every rule is a scan-side flag, so the whole funnel is ONE pass over
+    the corpus collapsing to a 1-row aggregate, unpivoted executor-side —
+    the report costs the same as a count(*) at any corpus size."""
+    rules = _funnel_rules(text_col)
+    aggs = [F.count(F.lit(1)).alias("__n0")]
+    cum = F.lit(True)
+    for i, (_, flag) in enumerate(rules, start=1):
+        cum = cum & flag
+        aggs.append(F.sum(cum.cast("long")).alias(f"__n{i}"))
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(0).alias("stage"),
+            F.lit("all").alias("rule"),
+            F.col("__n0").alias("n_pass_cumulative"),
+            F.lit(0).cast("long").alias("n_dropped_here"),
+        )
+    ]
+    for i, (name, _) in enumerate(rules, start=1):
+        rows.append(
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(name).alias("rule"),
+                F.col(f"__n{i}").alias("n_pass_cumulative"),
+                (F.col(f"__n{i-1}") - F.col(f"__n{i}")).alias("n_dropped_here"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def filter_funnel_sql(table: str = "documents", text_expr: str = "text") -> str:
+    rules = _funnel_rules_sql(text_expr)
+    aggs = ["CAST(count(*) AS BIGINT) AS n0"]
+    cum = "TRUE"
+    for i, (_, flag) in enumerate(rules, start=1):
+        cum = f"{cum} AND {flag}"
+        aggs.append(f"CAST(sum(CASE WHEN {cum} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}")
+    selects = [
+        "SELECT 0 AS stage, 'all' AS rule, n0 AS n_pass_cumulative, CAST(0 AS BIGINT) AS n_dropped_here FROM wide"
+    ]
+    for i, (name, _) in enumerate(rules, start=1):
+        selects.append(
+            f"SELECT {i} AS stage, '{name}' AS rule, n{i} AS n_pass_cumulative,"
+            f" n{i-1} - n{i} AS n_dropped_here FROM wide"
+        )
+    return (
+        "WITH wide AS (SELECT " + ", ".join(aggs) + f" FROM {table})\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+# --- hybrid ranking: reciprocal rank fusion ---------------------------------
+
+#: RRF smoothing constant (Cormack et al.'s standard k=60)
+RRF_K = 60
+RRF_TOP = 20
+
+
+def hybrid_rank_rrf(
+    df: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    top: int = RRF_TOP,
+    rrf_k: int = RRF_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reciprocal rank fusion of two retrieval rankers (Cormack, Clarke &
+    Büttcher, SIGIR 2009 — the standard hybrid-search combiner): BM25 and
+    summed TF-IDF over the same query terms, fused as
+    ``Σ_r 1/(rrf_k + rank_r)`` with a document missing from a ranker
+    contributing nothing.  Output: top-``top`` docs
+    (doc_id, bm25_rank, tfidf_rank, rrf_score).
+
+    Scale shape: both rankers prune to the query-term postings scan-side,
+    so every window/join below operates on the CANDIDATE set (bounded by
+    the query's document frequency), never the corpus; the fusion itself
+    is a full-outer join of two rank lists + one TakeOrderedAndProject.
+    Ranks tie-break on (score desc, id asc); the two 1/(k+r) additions run
+    in fixed written order — deterministic cross-engine."""
+    from pyspark.sql import Window as W
+
+    bm = bm25_scores(df, query_terms, id_col=id_col, text_col=text_col).select(
+        id_col, "bm25"
+    )
+    r_bm = bm.withColumn(
+        "bm25_rank",
+        F.row_number().over(W.orderBy(F.desc("bm25"), F.asc(id_col))),
+    ).select(id_col, "bm25_rank")
+
+    ti = tf_idf(df, id_col=id_col, text_col=text_col).filter(
+        F.col("term").isin(list(query_terms))
+    )
+    # fixed-order conditional sum — no float fold order to diverge
+    score = None
+    for t in sorted(query_terms):
+        term_w = F.max(F.when(F.col("term") == t, F.col("weight")))
+        piece = F.coalesce(term_w, F.lit(0.0))
+        score = piece if score is None else score + piece
+    ti_doc = ti.groupBy(id_col).agg(F.round(score, 8).alias("tiw"))
+    r_ti = ti_doc.withColumn(
+        "tfidf_rank",
+        F.row_number().over(W.orderBy(F.desc("tiw"), F.asc(id_col))),
+    ).select(id_col, "tfidf_rank")
+
+    fused = r_bm.join(r_ti, id_col, "full_outer").select(
+        id_col,
+        "bm25_rank",
+        "tfidf_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("tfidf_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(top)
+
+
+def hybrid_rank_rrf_sql(
+    table: str = "documents",
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    top: int = RRF_TOP,
+    rrf_k: int = RRF_K,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of :func:`hybrid_rank_rrf` (same rankers, tie-breaks,
+    fixed-order fusion arithmetic)."""
+    bm = bm25_scores_sql(table=table, query_terms=query_terms, id_col=id_col, text_expr=text_expr)
+    ti = tf_idf_sql(table=table, id_col=id_col, text_expr=text_expr)
+    terms = sorted(query_terms)
+    pieces = " + ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN weight END), 0.0)" for t in terms
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH bm AS ({bm}),
+    r_bm AS (
+        SELECT {id_col}, row_number() OVER (ORDER BY bm25 DESC, {id_col} ASC)
+                   AS bm25_rank
+        FROM bm
+    ),
+    ti AS ({ti}),
+    ti_doc AS (
+        SELECT {id_col}, round({pieces}, 8) AS tiw
+        FROM ti WHERE term IN ({in_list}) GROUP BY {id_col}
+    ),
+    r_ti AS (
+        SELECT {id_col}, row_number() OVER (ORDER BY tiw DESC, {id_col} ASC)
+                   AS tfidf_rank
+        FROM ti_doc
+    )
+    SELECT COALESCE(r_bm.{id_col}, r_ti.{id_col}) AS {id_col},
+           bm25_rank, tfidf_rank,
+           round(COALESCE(1.0 / ({rrf_k} + bm25_rank), 0.0)
+                 + COALESCE(1.0 / ({rrf_k} + tfidf_rank), 0.0), 6) AS rrf_score
+    FROM r_bm FULL OUTER JOIN r_ti USING ({id_col})
+    ORDER BY rrf_score DESC, {id_col} ASC
+    LIMIT {top}
+    """

@@ -6575,3 +6575,50 @@ def q_hll_audience_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(F.broadcast(est), ["type_a", "type_b"])
         .select("type_a", "type_b", "n_both_exact", ok.alias("sketch_ok"))
     )
+
+
+def _filter_funnel_oracle() -> str:
+    from cdc_lite_spark.operators.text import filter_funnel_sql
+
+    return filter_funnel_sql()
+
+
+@register(
+    "filter_funnel_report",
+    _filter_funnel_oracle(),
+    "X4 extension: the quality-gate funnel audit — documents surviving "
+    "each successive filter (length, stopword/punct ratio, encoding, "
+    "blocklist) and per-rule drop counts; ONE corpus pass collapsing to a "
+    "1-row aggregate, unpivoted executor-side",
+    tags=("text", "agg"),
+)
+def q_filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report every filtering pipeline publishes before committing a
+    ruleset: all flags are scan-side expressions, so the funnel costs a
+    count(*) at any corpus size."""
+    from cdc_lite_spark.operators.text import filter_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return filter_funnel(docs)
+
+
+def _hybrid_rrf_oracle() -> str:
+    from cdc_lite_spark.operators.text import hybrid_rank_rrf_sql
+
+    return hybrid_rank_rrf_sql()
+
+
+@register(
+    "hybrid_rank_rrf",
+    _hybrid_rrf_oracle(),
+    "X4 extension: reciprocal rank fusion (Cormack et al. SIGIR 2009) of "
+    "BM25 and TF-IDF rankings over the shared probe query — the standard "
+    "hybrid-search combiner; all windows/joins run on the query-bounded "
+    "candidate set, never the corpus",
+    tags=("text", "window", "join"),
+)
+def q_hybrid_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.text import hybrid_rank_rrf
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hybrid_rank_rrf(docs)

@@ -345,3 +345,51 @@ def test_lang_confusion_diagonal(spark):
     )
     out = {(r["declared_lang"], r["detected_lang"]): r["n_docs"] for r in lang_confusion(docs).collect()}
     assert out[("en", "en")] == 1 and out[("de", "de")] == 1 and out[("en", "und")] == 1
+
+
+def test_filter_funnel_monotone_and_attributed(spark):
+    """Cumulative pass counts are non-increasing, drops sum to the funnel
+    total, and a doc failing exactly one rule is attributed to it."""
+    from cdc_lite_spark.operators.text import filter_funnel
+
+    good = "spark table query join window " * 4  # 20 tokens, clean
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short"),                     # fails length
+            (3, good + "deprecated checksum"),    # fails blocklist only
+            (4, good.replace(" ", "!!!! ")),      # punct-heavy (ratio 0.4)
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["rule"]: r for r in filter_funnel(docs).collect()}
+    assert rows["all"]["n_pass_cumulative"] == 4
+    vals = [r["n_pass_cumulative"] for r in sorted(rows.values(), key=lambda r: r["stage"])]
+    assert vals == sorted(vals, reverse=True)
+    assert rows["length"]["n_dropped_here"] == 1
+    assert rows["punct_ratio"]["n_dropped_here"] == 1
+    assert rows["blocklist"]["n_dropped_here"] == 1
+    assert vals[-1] == 1  # only the clean doc survives
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark):
+    """A doc top-ranked by both rankers outscores one present in only one
+    list, and the score is exactly the two reciprocal terms."""
+    from cdc_lite_spark.operators.text import hybrid_rank_rrf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query table spark query table"),  # strong for both
+            (2, "spark alone here"),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in hybrid_rank_rrf(docs, top=5).collect()}
+    assert 3 not in out  # matches no query term -> in neither list
+    assert out[1]["rrf_score"] > out[2]["rrf_score"]
+    r = out[1]
+    assert abs(
+        r["rrf_score"]
+        - round(1.0 / (60 + r["bm25_rank"]) + 1.0 / (60 + r["tfidf_rank"]), 6)
+    ) < 1e-9
