@@ -88,3 +88,76 @@ def apply_delta(
     )
     # liveness by row count, not value count: all-null keys must survive
     return merged.filter(F.col("agg_rows") > 0)
+
+
+# --- incremental retrieval-index statistics ---------------------------------
+
+
+def dfreq_state(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The maintainable retrieval-index statistics: per-term document
+    frequency plus the corpus doc count carried on every row (the pair
+    TF-IDF/BM25 idf reads).  One explode over DISTINCT per-doc terms +
+    one hash-agg."""
+    from cdc_lite_spark.operators.text import tokens
+
+    terms = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
+    )
+    df_counts = terms.groupBy("term").agg(F.count("*").alias("df_count"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return df_counts.crossJoin(F.broadcast(n))
+
+
+def apply_text_delta(
+    state: DataFrame,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    cur_col: str = "text",
+    prev_col: str = "prev_text",
+) -> DataFrame:
+    """Fold document change records (operation, id, cur text, prev text —
+    the ``include_prev=True`` diff shape) into the df/N state: an INSERT
+    adds each distinct new term, a DELETE retracts each distinct old term,
+    an UPDATE does both — so a term's df moves only when membership
+    actually changes.  Terms whose df reaches zero drop out.
+
+    This is the CDC payoff applied to the TEXT tier: the 100 TB corpus's
+    retrieval statistics stay current by touching |changed docs| tokens
+    per tick, never rescanning the corpus.  Cost: one explode over changed
+    docs + a vocabulary-keyed merge join."""
+    from cdc_lite_spark.operators.text import tokens
+
+    adds = changes.filter(F.col("operation").isin("INSERT", "UPDATE")).select(
+        F.explode(F.array_distinct(tokens(cur_col))).alias("term"),
+        F.lit(1).alias("__d"),
+    )
+    retracts = changes.filter(F.col("operation").isin("DELETE", "UPDATE")).select(
+        F.explode(F.array_distinct(tokens(prev_col))).alias("term"),
+        F.lit(-1).alias("__d"),
+    )
+    delta = adds.unionByName(retracts).groupBy("term").agg(F.sum("__d").alias("d"))
+    dn = changes.agg(
+        F.sum(
+            F.when(F.col("operation") == "INSERT", 1)
+            .when(F.col("operation") == "DELETE", -1)
+            .otherwise(0)
+        ).alias("dn")
+    )
+    merged = (
+        state.drop("n_docs")
+        .join(delta, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce("df_count", F.lit(0)) + F.coalesce("d", F.lit(0))).alias(
+                "df_count"
+            ),
+        )
+        .filter(F.col("df_count") > 0)
+    )
+    n_old = state.agg(F.max("n_docs").alias("n_prev"))
+    n_new = n_old.crossJoin(dn).select(
+        (F.col("n_prev") + F.coalesce("dn", F.lit(0))).alias("n_docs")
+    )
+    return merged.crossJoin(F.broadcast(n_new))

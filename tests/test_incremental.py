@@ -82,3 +82,62 @@ def test_null_values_maintained_correctly(spark):
     r = {r["g"]: (r["agg_sum"], r["agg_count"], r["agg_rows"]) for r in recomputed.collect()}
     assert m == r
     assert m["c"] == (None, 0, 1)  # all-null key survives with count 0
+
+
+def test_dfreq_maintained_equals_recomputed(spark):
+    """Apply INSERT/UPDATE/DELETE document changes to the df/N state: the
+    maintained statistics must equal dfreq_state over the final corpus —
+    term-for-term, including the corpus doc count and zero-df eviction."""
+    from cdc_lite_spark.operators.incremental import apply_text_delta, dfreq_state
+
+    docs0 = spark.createDataFrame(
+        [
+            (1, "spark joins tables"),
+            (2, "spark windows"),
+            (3, "unique disappearing words"),
+        ],
+        "doc_id long, text string",
+    )
+    state = dfreq_state(docs0)
+
+    changes = spark.createDataFrame(
+        [
+            ("INSERT", 4, "spark streams", None),
+            ("UPDATE", 2, "spark aggregates", "spark windows"),
+            ("DELETE", 3, None, "unique disappearing words"),
+        ],
+        "operation string, doc_id long, text string, prev_text string",
+    )
+    maintained = apply_text_delta(state, changes)
+
+    docs1 = spark.createDataFrame(
+        [
+            (1, "spark joins tables"),
+            (2, "spark aggregates"),
+            (4, "spark streams"),
+        ],
+        "doc_id long, text string",
+    )
+    expect = dfreq_state(docs1)
+    m = {(r["term"]): (r["df_count"], r["n_docs"]) for r in maintained.collect()}
+    e = {(r["term"]): (r["df_count"], r["n_docs"]) for r in expect.collect()}
+    assert m == e
+    assert "windows" not in m and "unique" not in m  # zero-df evicted
+    assert m["spark"] == (3, 3)
+
+
+def test_dfreq_update_without_membership_change_is_noop(spark):
+    """An UPDATE whose term set is unchanged must leave every df intact
+    (the +1/-1 cancel in one delta aggregation)."""
+    from cdc_lite_spark.operators.incremental import apply_text_delta, dfreq_state
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark tables")], "doc_id long, text string"
+    )
+    state = dfreq_state(docs)
+    changes = spark.createDataFrame(
+        [("UPDATE", 1, "tables spark", "spark spark tables")],
+        "operation string, doc_id long, text string, prev_text string",
+    )
+    out = {r["term"]: r["df_count"] for r in apply_text_delta(state, changes).collect()}
+    assert out == {"spark": 1, "tables": 1}
