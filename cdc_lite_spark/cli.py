@@ -66,6 +66,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "(the reference polls sequentially, duckdb_cdc.go:114-120)",
     )
     p.add_argument(
+        "--schema",
+        default="",
+        help="table=DDL;table2=DDL — explicit schema for CSV/JSON sources "
+        "(skips the per-tick inference scan and pins column types; "
+        "e.g. users='id long,name string')",
+    )
+    p.add_argument(
         "--log-format",
         choices=["json", "parquet"],
         default="json",
@@ -101,8 +108,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         for t, _, cols in (kv.partition("=") for kv in args.keys.split(",") if kv)
     }
     eng = CdcEngine(spark, args.output_dir, args.state_dir, log_format=args.log_format)
+    sources = _sources(spark, args.source, tables)
+    schemas = {
+        t: ddl
+        for t, _, ddl in (kv.partition("=") for kv in args.schema.split(";") if kv)
+    }
+    for t, ddl in schemas.items():
+        src = sources.get(t)
+        if isinstance(src, str):
+            eng.set_source_schema(src, ddl)
     query = eng.monitor(
-        _sources(spark, args.source, tables),
+        sources,
         interval_seconds=args.interval,
         mode=args.mode,
         keys=keys or None,

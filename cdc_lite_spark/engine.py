@@ -96,6 +96,13 @@ class CdcEngine:
         #: mid-monitoring and surface as a spurious whole-table diff
         self._schema_cache: dict[str, object] = {}
 
+    def set_source_schema(self, path: str, schema) -> None:
+        """Pin an explicit schema (StructType or DDL string) for a
+        CSV/JSON source path — skips the inference scan entirely and makes
+        column types a declared contract rather than a sample artifact.
+        The CLI's ``--schema`` option lands here."""
+        self._schema_cache[path] = schema
+
     # -- core operators -----------------------------------------------------
 
     def snapshot(self, df: DataFrame, table: str) -> DataFrame:

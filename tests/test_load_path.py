@@ -96,3 +96,22 @@ def test_engine_csv_schema_cached_no_spurious_type_flip(spark, tmp_path):
         ).count()
         == 1
     )
+
+
+def test_engine_explicit_schema_pins_types(spark, tmp_path):
+    """set_source_schema (the CLI --schema path) declares the column
+    contract: the CSV parses under it on the FIRST tick — no inference
+    scan, no inference-derived types."""
+    src = str(tmp_path / "m.csv")
+    # values that inference would type as BIGINT
+    spark.createDataFrame([(1, 10), (2, 20)], "id long, val long").coalesce(
+        1
+    ).write.option("header", "true").mode("overwrite").csv(src)
+    eng = CdcEngine(spark, str(tmp_path / "log"), str(tmp_path / "state"))
+    eng.set_source_schema(src, "id long, val double")
+    df = eng._resolve(src)
+    assert dict(df.dtypes)["val"] == "double"  # declared, not inferred
+    eng.poll_once({"m": src})
+    assert eng.changes("m").count() == 2
+    # the declared schema stays pinned for later ticks
+    assert eng._schema_cache[src] == "id long, val double"
