@@ -1295,3 +1295,214 @@ def pairwise_angle_histogram_sql(
            CAST(count(*) AS BIGINT) AS n_pairs
     FROM pairs GROUP BY bin
     """
+
+
+# --- RAG-ingest: feature-hash chunk embeddings + sparse cosine top-k --------
+
+#: feature-hash embedding width (the hashing trick, Weinberger et al.
+#: ICML 2009) — idx = h mod D, sign from the next hash bit
+HASH_EMBED_DIM = 16
+RAG_CHUNK_SIZE = 64
+RAG_CHUNK_STRIDE = 48
+RAG_N_QUERY_DOCS = 3
+RAG_TOPK = 5
+
+
+def chunk_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = RAG_CHUNK_SIZE,
+    stride: int = RAG_CHUNK_STRIDE,
+) -> DataFrame:
+    """Overlapping character chunks: (doc_id, chunk_idx, chunk_text).
+    One Generate over a computed index range — scan-side, no shuffle."""
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(text_col) - (size - stride)) / float(stride)).cast("bigint"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.substring(
+            F.col(text_col), F.col("chunk_idx").cast("int") * stride + 1, size
+        ).alias("chunk_text"),
+    )
+
+
+def feature_hash_embed(
+    chunks: DataFrame,
+    text_col: str = "chunk_text",
+    dim: int = HASH_EMBED_DIM,
+) -> DataFrame:
+    """SPARSE feature-hash embedding of each chunk: tokens hash to a
+    dimension index (h mod dim) with a ±1 sign from the next hash bit, and
+    counts accumulate per (chunk, idx) — the hashing-trick text vectorizer,
+    INTEGER-exact so both engines produce identical vectors with no model
+    call and no float accumulation.  Output is the sparse form
+    (doc_id, chunk_idx, idx, val) — what a real sparse retrieval index
+    stores; cosine below joins on ``idx``, never materializing dense rows.
+    """
+    from cdc_lite_spark.functions.hashes import portable_hash64
+    from cdc_lite_spark.operators.text import tokens
+
+    # sign bit = the bit just above the index bits — pure integer/bit ops
+    # (h/dim in doubles would lose precision above 2^53 and diverge from
+    # DuckDB's integer //); requires dim to be a power of two
+    assert dim & (dim - 1) == 0, "feature-hash dim must be a power of two"
+    h = portable_hash64(F.col("tok"))
+    sign = F.when(
+        F.shiftright(h, dim.bit_length() - 1).bitwiseAND(F.lit(1)) == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        chunks.select(
+            "doc_id", "chunk_idx", F.explode(tokens(text_col)).alias("tok")
+        )
+        .select("doc_id", "chunk_idx", (h % dim).alias("idx"), sign.alias("s"))
+        .groupBy("doc_id", "chunk_idx", "idx")
+        .agg(F.sum("s").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+def rag_chunk_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_query_docs: int = RAG_N_QUERY_DOCS,
+    k: int = RAG_TOPK,
+) -> DataFrame:
+    """The end-to-end RAG-ingest pipeline as one plan: chunk → embed
+    (feature hashing stands in for the model call — the plumbing, not the
+    weights, is what this engine owns) → sparse cosine top-k of each probe
+    chunk against the chunk corpus.
+
+    Scale shape: the embedding is scan-side explode+agg; the similarity
+    is a SPARSE join on the dimension index (probe side broadcast —
+    query-bounded), so cost is |corpus postings| × |probe density|, never
+    |corpus|² and never dense |corpus|×D.  Integer vectors keep the dot
+    products exact; only the final cosine divides (rounded 6dp, the
+    established cross-engine discipline)."""
+    sparse = feature_hash_embed(chunk_docs(df, id_col, text_col))
+    norms = sparse.groupBy("doc_id", "chunk_idx").agg(
+        F.sum(F.col("val") * F.col("val")).alias("n2")
+    )
+    qs = sparse.filter(
+        (F.col("doc_id") < n_query_docs) & (F.col("chunk_idx") == 0)
+    ).select(
+        F.col("doc_id").alias("q_doc"), F.col("idx"), F.col("val").alias("q_val")
+    )
+    q_norms = norms.filter(
+        (F.col("doc_id") < n_query_docs) & (F.col("chunk_idx") == 0)
+    ).select(F.col("doc_id").alias("q_doc"), F.col("n2").alias("q_n2"))
+    dots = (
+        sparse.join(F.broadcast(qs), "idx")
+        .groupBy("q_doc", "doc_id", "chunk_idx")
+        .agg(F.sum(F.col("val") * F.col("q_val")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms, ["doc_id", "chunk_idx"])
+        .join(F.broadcast(q_norms), "q_doc")
+        .filter(~((F.col("doc_id") == F.col("q_doc")) & (F.col("chunk_idx") == 0)))
+        .select(
+            "q_doc",
+            F.col("doc_id").alias("nbr_doc"),
+            F.col("chunk_idx").alias("nbr_chunk"),
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("q_n2").cast("double"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    from cdc_lite_spark.operators.topk import top_k_per_group
+
+    return top_k_per_group(
+        scored, ["q_doc"], ["cos_sim", "nbr_doc", "nbr_chunk"], k=k
+    ).select(
+        "q_doc", "nbr_doc", "nbr_chunk", "cos_sim", F.col("rn").cast("long").alias("rank")
+    )
+
+
+def rag_chunk_topk_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    n_query_docs: int = RAG_N_QUERY_DOCS,
+    k: int = RAG_TOPK,
+    dim: int = HASH_EMBED_DIM,
+    size: int = RAG_CHUNK_SIZE,
+    stride: int = RAG_CHUNK_STRIDE,
+) -> str:
+    """DuckDB twin of :func:`rag_chunk_topk` — identical chunking, hash
+    embedding, sparse dot products, cosine rounding and tie-breaks."""
+    from cdc_lite_spark.functions.hashes import portable_hash64_sql
+    from cdc_lite_spark.operators.text import tokens_sql
+
+    h = portable_hash64_sql("tok")
+    return f"""
+    WITH chunks AS (
+        SELECT {id_col}, chunk_idx,
+               substr({text_expr}, CAST(chunk_idx AS INT) * {stride} + 1, {size})
+                   AS chunk_text
+        FROM (
+            SELECT {id_col}, {text_expr},
+                   unnest(range(0, greatest(1,
+                       CAST(ceil((length({text_expr}) - {size - stride})
+                                 / {stride}.0) AS BIGINT)))) AS chunk_idx
+            FROM {table}
+        )
+    ),
+    toks AS (
+        SELECT {id_col}, chunk_idx, unnest({tokens_sql('chunk_text')}) AS tok
+        FROM chunks
+    ),
+    hashed AS (
+        SELECT {id_col}, chunk_idx, {h} % {dim} AS idx,
+               CASE WHEN ({h} // {dim}) % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM toks
+    ),
+    sparse AS (
+        SELECT {id_col}, chunk_idx, idx, CAST(sum(s) AS BIGINT) AS val
+        FROM hashed GROUP BY {id_col}, chunk_idx, idx
+        HAVING sum(s) != 0
+    ),
+    norms AS (
+        SELECT {id_col}, chunk_idx, sum(val * val) AS n2
+        FROM sparse GROUP BY {id_col}, chunk_idx
+    ),
+    qs AS (
+        SELECT {id_col} AS q_doc, idx, val AS q_val FROM sparse
+        WHERE {id_col} < {n_query_docs} AND chunk_idx = 0
+    ),
+    q_norms AS (
+        SELECT {id_col} AS q_doc, n2 AS q_n2 FROM norms
+        WHERE {id_col} < {n_query_docs} AND chunk_idx = 0
+    ),
+    dots AS (
+        SELECT qs.q_doc, s.{id_col}, s.chunk_idx, sum(s.val * qs.q_val) AS dot
+        FROM sparse s JOIN qs USING (idx)
+        GROUP BY qs.q_doc, s.{id_col}, s.chunk_idx
+    ),
+    scored AS (
+        SELECT d.q_doc, d.{id_col} AS nbr_doc, d.chunk_idx AS nbr_chunk,
+               round(d.dot / (sqrt(CAST(n.n2 AS DOUBLE))
+                              * sqrt(CAST(q.q_n2 AS DOUBLE))), 6) AS cos_sim
+        FROM dots d
+        JOIN norms n ON n.{id_col} = d.{id_col} AND n.chunk_idx = d.chunk_idx
+        JOIN q_norms q USING (q_doc)
+        WHERE NOT (d.{id_col} = d.q_doc AND d.chunk_idx = 0)
+    )
+    SELECT q_doc, nbr_doc, nbr_chunk, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY q_doc
+                   ORDER BY cos_sim DESC, nbr_doc DESC, nbr_chunk DESC) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -6622,3 +6622,72 @@ def q_hybrid_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return hybrid_rank_rrf(docs)
+
+
+@register(
+    "frequent_event_paths",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1
+    HAVING count(*) >= 5
+    """,
+    "G2/H7 extension: frequent 3-step event sequences per user — "
+    "sequential pattern mining via per-key ordered lead() windows (one "
+    "shuffle on user_id), support-thresholded; the k-step extension of "
+    "event_transition_matrix",
+    tags=("window", "agg", "events"),
+)
+def q_frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive 3-grams of each user's event-time-ordered stream: the
+    window is keyed on user_id (bounded state per key), the path aggregate
+    is |types|³-bounded, and (ts, event_id) ordering makes same-timestamp
+    rows deterministic in both engines."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 5)
+    )
+
+
+def _rag_topk_oracle() -> str:
+    from cdc_lite_spark.operators.similarity import rag_chunk_topk_sql
+
+    return rag_chunk_topk_sql()
+
+
+@register(
+    "rag_chunk_topk",
+    _rag_topk_oracle(),
+    "X3/X4 flagship pipeline: RAG ingest end-to-end — overlapping chunking, "
+    "feature-hash embedding (integer-exact hashing trick standing in for "
+    "the model call), and SPARSE cosine top-k via a dimension-index join; "
+    "cost is corpus postings x probe density, never dense or quadratic",
+    tags=("similarity", "text", "join", "window"),
+)
+def q_rag_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_lite_spark.operators.similarity import rag_chunk_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rag_chunk_topk(docs)

@@ -353,3 +353,40 @@ def test_pairwise_angle_histogram_covers_sample(spark, tables):
     for r in out:
         assert -1.0 <= r["lo"] < r["hi"] <= 1.0
         assert 0 <= r["bin"] < 20
+
+
+def test_feature_hash_embed_integer_exact_and_deterministic(spark):
+    """Hashing-trick vectors: integer counts, sign from the hash bit, a
+    repeated token accumulates, two runs identical."""
+    from cdc_lite_spark.operators.similarity import chunk_docs, feature_hash_embed
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha"), (2, "alpha")], "doc_id long, text string"
+    )
+    sp = feature_hash_embed(chunk_docs(docs))
+    a = {(r["doc_id"], r["chunk_idx"], r["idx"]): r["val"] for r in sp.collect()}
+    b = {(r["doc_id"], r["chunk_idx"], r["idx"]): r["val"] for r in sp.collect()}
+    assert a == b and len(a) > 0
+    # a repeated token accumulates: doc1's single dimension holds exactly
+    # 2x doc2's, with |sign contribution| = 1 per occurrence
+    d1 = {k[2]: v for k, v in a.items() if k[0] == 1}
+    d2 = {k[2]: v for k, v in a.items() if k[0] == 2}
+    (alpha_idx, alpha_val), = d2.items()
+    assert abs(alpha_val) == 1
+    assert d1 == {alpha_idx: 2 * alpha_val}
+
+
+def test_rag_chunk_topk_identical_doc_ranks_first(spark):
+    """A doc sharing its full text with a probe doc must surface as that
+    probe's top neighbor with cosine 1.0."""
+    from cdc_lite_spark.operators.similarity import rag_chunk_topk
+
+    base = "spark rows tables joins windows shuffles aggregates scans " * 2
+    docs = spark.createDataFrame(
+        [(0, base), (5, base), (6, "utterly different words entirely here")],
+        "doc_id long, text string",
+    )
+    out = [r for r in rag_chunk_topk(docs, n_query_docs=1, k=3).collect()]
+    top = next(r for r in out if r["rank"] == 1)
+    assert top["q_doc"] == 0 and top["nbr_doc"] == 5
+    assert top["cos_sim"] == 1.0
