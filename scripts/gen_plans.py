@@ -72,6 +72,14 @@ HEADLINERS: dict[str, str] = {
     "table_profile_stats": "two single-row agg passes (distinct / sketch) broadcast-joined — mixing them trips a combinatorial Expand",
     "audio_wav_features": "two Arrow hops: synth WAV bytes, then real RIFF/PCM parse; payloads never shuffle",
     "video_y4m_frame_digests": "1→N Arrow demux of real Y4M frames; digests computed in-hop, payload projected away",
+    "textrank_keywords": "fixed-point power iteration: final plan reads the last localCheckpoint — no lineage replay",
+    "word_graph_triangles": "degree-oriented wedges; closure probe is a hash LeftSemi on the canonical edge set",
+    "bigram_lm_perplexity": "pair model equi-joined back to the pair stream; 1-row vocab scalar broadcast",
+    "rolling_anomaly_flags": "hourly pre-agg collapses facts; ONE window, no joins",
+    "audience_overlap_matrix": "pairs explode from per-user type sets — no per-pair fact-table joins",
+    "rag_chunk_topk": "sparse cosine: dimension-index equi-join, probe side broadcast; integer dot products",
+    "filter_funnel_report": "whole funnel = one scan collapsing to a 1-row agg, unpivoted executor-side",
+    "hybrid_rank_rrf": "both rankers candidate-bounded; fusion is a full-outer of two rank lists + top-N",
 }
 
 
