@@ -139,10 +139,16 @@ def textrank_keywords(
         .filter(F.col("p.a") != F.col("p.b"))  # self-loops contribute nothing
         .select("p.a", "p.b")
     )
-    undirected = adj.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        adj.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    # aggregate DIRECTED counts first (one corpus pass), then mirror the
+    # vocabulary-sized count table — a unionAll of the raw pair stream
+    # would explode/scan the corpus twice
+    counts = adj.groupBy("a", "b").agg(F.count("*").alias("n"))
+    edges = (
+        counts.select(F.col("a").alias("src"), F.col("b").alias("dst"), "n")
+        .unionAll(counts.select(F.col("b").alias("src"), F.col("a").alias("dst"), "n"))
+        .groupBy("src", "dst")
+        .agg(F.sum("n").alias("w"))
     )
-    edges = undirected.groupBy("src", "dst").agg(F.count("*").alias("w"))
     # the word graph is language-bounded — single-partition iterations
     return pagerank(edges, k=k, partitions=1)
 
