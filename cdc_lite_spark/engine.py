@@ -494,15 +494,26 @@ class CdcEngine:
             self.spark, self.output_dir, start, end, table, fmt=self.log_format
         )
 
-    def materialize(self, table: str, keys: list[str], schema: "T.StructType") -> DataFrame:
+    def materialize(
+        self, table: str, keys: list[str], schema: "T.StructType", as_of=None
+    ) -> DataFrame:
         """Compact the change log into current table state (the consumer-side
         CDC contract): take each key's LATEST record by capture timestamp
         (last-writer-wins, G1), drop DELETEs, and re-type the stringly
         ``data`` map back into columns.
 
+        ``as_of`` (a datetime) reconstructs the table AS IT WAS at that
+        instant — time travel over the log: only records captured at or
+        before ``as_of`` fold.  Valid down to the last retention watermark
+        (``expire_log`` collapses older per-record history into one
+        latest-per-key segment stamped at its original capture times, so
+        an ``as_of`` below the watermark silently reflects the folded
+        state, which is exactly the retention contract).
+
         Scale shape: one max_by hash aggregation over the log keyed by the
         primary key — no window sort, no join; the log never needs to fit
         anywhere, only the distinct key set does (spread across executors).
+        The ``as_of`` filter prunes files under the parquet log layout.
         """
         from cdc_lite_spark.operators.latest import latest_per_key
 
@@ -510,6 +521,8 @@ class CdcEngine:
         # metadata — re-typed against a row schema they would surface as an
         # all-null-key phantom row
         log = self.changes(table).filter(F.col("operation") != "SCHEMA")
+        if as_of is not None:
+            log = log.filter(F.col("timestamp") <= as_of)
         typed = log.select(
             "timestamp",
             "operation",

@@ -6691,3 +6691,118 @@ def q_rag_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return rag_chunk_topk(docs)
+
+
+@register(
+    "time_weighted_avg_value",
+    """
+    WITH seq AS (
+        SELECT user_id, value, epoch_us(ts) AS t,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS t_next
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           round(CAST(sum(CAST(round(value * (t_next - t), 6)
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                 / (max(t_next) - min(t)), 6) AS twa_value
+    FROM seq WHERE t_next IS NOT NULL
+    GROUP BY user_id HAVING count(*) >= 10
+    """,
+    "G3/asof extension: per-user time-weighted average value — each "
+    "reading weighted by how long it held (the irregular-series mean "
+    "financial/sensor pipelines need; a plain avg over-weights bursts); "
+    "interval products decimal-summed, integer microsecond time axis",
+    tags=("window", "agg", "events"),
+)
+def q_time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() gives each reading its holding interval (one shuffle keyed
+    on user_id); the weighted sum is DECIMAL-exact over rounded products
+    so any partitioning yields identical bits; epoch_us keeps the time
+    axis integer in both engines."""
+    from pyspark.sql import Window as W
+
+    from cdc_lite_spark.functions.timeutils import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        epoch_us("ts").alias("t"),
+        F.lead(epoch_us("ts")).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    contrib = F.round(F.col("value") * (F.col("t_next") - F.col("t")), 6).cast(
+        "decimal(38,6)"
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(contrib).alias("__num"),
+            (F.max("t_next") - F.min("t")).alias("__span"),
+        )
+        .filter(F.col("n_intervals") >= 10)
+        .select(
+            "user_id",
+            "n_intervals",
+            # final round: DECIMAL(38)->double conversion itself can differ
+            # by 1 ulp between engines (38 digits > double precision)
+            F.round(F.col("__num").cast("double") / F.col("__span"), 6).alias(
+                "twa_value"
+            ),
+        )
+    )
+
+
+@register(
+    "benford_first_digit_audit",
+    """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT d, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed_freq,
+           round(log10(1.0 + 1.0 / d), 6) AS benford_freq,
+           round(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / d), 6) AS deviation
+    FROM obs CROSS JOIN tot
+    """,
+    "C4/QA extension: Benford first-digit audit of order totals — the "
+    "classic fabricated-data screen: observed leading-digit frequencies "
+    "vs log10(1+1/d), per-digit deviation; one scan + 9-row aggregate",
+    tags=("agg", "quality"),
+)
+def q_benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First digit via integer truncation then string head — identical in
+    both engines (float formatting never enters); the expectation and
+    deviation are closed-form per digit."""
+    orders = load_table(spark, sf_dir, "orders")
+    # explicit floor: Spark's double->bigint cast truncates while
+    # DuckDB's ROUNDS — floor in both pins the same integer
+    d = F.substring(
+        F.floor(F.abs(F.col("o_totalprice"))).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(d.alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    benford = F.round(F.log10(1.0 + 1.0 / F.col("d")), 6)
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed_freq"),
+        benford.alias("benford_freq"),
+        F.round(
+            F.col("n").cast("double") / F.col("total")
+            - F.log10(1.0 + 1.0 / F.col("d")),
+            6,
+        ).alias("deviation"),
+    )

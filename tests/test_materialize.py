@@ -95,3 +95,36 @@ def test_materialize_to_writes_skipping_layout(spark, tables, tmp_path):
     assert len(glob.glob(f"{out_path}/n_regionkey=*")) == n_regions
     plan = explain_str(back.filter(F.col("n_regionkey") == 2))
     assert any("PartitionFilters" in l and "n_regionkey" in l for l in plan.splitlines())
+
+
+def test_materialize_as_of_time_travels(spark, tables, tmp_path):
+    """Point-in-time reconstruction: materialize(as_of=T) returns the
+    table exactly as it stood at T — before later updates and deletes,
+    and an as_of predating the log returns empty."""
+    import datetime
+    import time
+
+    eng = CdcEngine(spark, str(tmp_path / "log"), str(tmp_path / "state"))
+    nation = tables["nation"]
+    keys = {"nation": ["n_nationkey"]}
+    eng.poll_once({"nation": nation}, mode="diff", keys=keys)
+    t1 = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    time.sleep(0.05)
+
+    v2 = nation.withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") == 0, F.lit("RENAMED")).otherwise(F.col("n_name")),
+    ).filter(F.col("n_nationkey") != 5)
+    eng.poll_once({"nation": v2}, mode="diff", keys=keys)
+
+    now = eng.materialize("nation", ["n_nationkey"], nation.schema)
+    cur = {r["n_nationkey"]: r["n_name"] for r in now.collect()}
+    assert cur[0] == "RENAMED" and 5 not in cur
+
+    past = eng.materialize("nation", ["n_nationkey"], nation.schema, as_of=t1)
+    old = {r["n_nationkey"]: r["n_name"] for r in past.collect()}
+    assert old[0] != "RENAMED" and 5 in old
+    assert len(old) == nation.count()
+
+    epoch = datetime.datetime(2000, 1, 1)
+    assert eng.materialize("nation", ["n_nationkey"], nation.schema, as_of=epoch).count() == 0
