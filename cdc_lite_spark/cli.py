@@ -73,6 +73,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "e.g. users='id long,name string')",
     )
     p.add_argument(
+        "--partition-cols",
+        default="",
+        help="table=col,... — partition-gated capture for the named tables: "
+        "only drifted partition values re-emit per tick (poll_partitions)",
+    )
+    p.add_argument(
         "--log-format",
         choices=["json", "parquet"],
         default="json",
@@ -117,6 +123,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         src = sources.get(t)
         if isinstance(src, str):
             eng.set_source_schema(src, ddl)
+    partition_cols = {
+        t: col
+        for t, _, col in (kv.partition("=") for kv in args.partition_cols.split(",") if kv)
+    }
     query = eng.monitor(
         sources,
         interval_seconds=args.interval,
@@ -125,6 +135,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         parallelism=args.parallelism,
         retention_minutes=args.retention_minutes,
         expire_every_ticks=args.expire_every_ticks,
+        partition_cols=partition_cols or None,
     )
 
     stop = threading.Event()

@@ -453,6 +453,7 @@ class CdcEngine:
         parallelism: int = 1,
         retention_minutes: float | None = None,
         expire_every_ticks: int = 60,
+        partition_cols: dict[str, str] | None = None,
     ):
         """Continuous monitoring as a Structured Streaming query (H1-H6).
 
@@ -461,7 +462,9 @@ class CdcEngine:
         call ``.stop()`` for the reference's SIGINT path (main.go:31-38).
         ``mode``/``keys`` as in :meth:`poll_once`; ``retention_minutes``
         arms periodic change-log GC (see :meth:`expire_log`), running every
-        ``expire_every_ticks`` micro-batches.
+        ``expire_every_ticks`` micro-batches; ``partition_cols`` routes
+        the named tables through partition-gated capture
+        (:meth:`poll_partitions`).
         """
         from cdc_lite_spark.streaming.monitor import start_monitor
 
@@ -474,6 +477,7 @@ class CdcEngine:
             parallelism=parallelism,
             retention_minutes=retention_minutes,
             expire_every_ticks=expire_every_ticks,
+            partition_cols=partition_cols,
         )
 
     # -- consuming the log ----------------------------------------------------

@@ -31,6 +31,7 @@ def start_monitor(
     parallelism: int = 1,
     retention_minutes: float | None = None,
     expire_every_ticks: int = 60,
+    partition_cols: dict[str, str] | None = None,
 ) -> StreamingQuery:
     """Start the continuous monitor; returns the StreamingQuery.
 
@@ -46,14 +47,29 @@ def start_monitor(
     ``keys`` are compacted verbatim, never folded.  GC errors are isolated
     like per-table poll errors — a failed pass retries at the next arming
     tick.
+
+    ``partition_cols`` (table → column) routes those tables through
+    partition-gated capture (``poll_partitions``): only drifted partition
+    values re-emit per tick instead of the whole table.
     """
     import datetime
 
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="cdc_monitor_ckpt_")
     ticks = engine.spark.readStream.format("rate").option("rowsPerSecond", 1).load()
 
+    part_cols = partition_cols or {}
+
     def _tick(_batch_df: DataFrame, batch_id: int) -> None:
-        engine.poll_once(tables, mode=mode, keys=keys, parallelism=parallelism)
+        rest = {t: s for t, s in tables.items() if t not in part_cols}
+        if rest:
+            engine.poll_once(rest, mode=mode, keys=keys, parallelism=parallelism)
+        for t, col in part_cols.items():
+            if t not in tables:
+                continue
+            try:
+                engine.poll_partitions(t, tables[t], col)
+            except Exception as exc:  # noqa: BLE001 — per-table isolation (H6)
+                print(f"cdc_lite_spark: error checking table {t}: {exc}")
         if (
             retention_minutes is not None
             and expire_every_ticks > 0

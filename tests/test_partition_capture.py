@@ -79,3 +79,52 @@ def test_partition_capture_drop_and_reappear(spark, tables, tmp_path):
     assert r3["drifted"] == [victim]
     out2 = eng.materialize_partitions("events", "event_type", ev.schema)
     assert out2.count() == ev.count()
+
+
+def test_monitor_routes_partition_tables(spark, tables, tmp_path):
+    """monitor(partition_cols=...) drives poll_partitions in the streaming
+    loop: an external mutation of ONE partition re-emits only that
+    partition's rows on a later tick."""
+    import time
+
+    src = str(tmp_path / "events_src")
+    ev = tables["events"].select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").parquet(src)
+    eng = CdcEngine(spark, str(tmp_path / "log"), str(tmp_path / "state"))
+    q = eng.monitor(
+        {"events": src},
+        interval_seconds=0.5,
+        partition_cols={"events": "event_type"},
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if eng.changes("events").count() >= ev.count():
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        n_initial = eng.changes("events").count()
+        assert n_initial == ev.count()
+
+        victim = sorted(
+            r["event_type"] for r in ev.select("event_type").distinct().collect()
+        )[0]
+        ev.withColumn(
+            "value",
+            F.when(F.col("event_type") == victim, F.col("value") + 1).otherwise(
+                F.col("value")
+            ),
+        ).write.mode("overwrite").parquet(src)
+        n_victim = ev.filter(F.col("event_type") == victim).count()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if eng.changes("events").count() >= n_initial + n_victim:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    # only the victim partition re-emitted
+    assert eng.changes("events").count() == n_initial + n_victim
