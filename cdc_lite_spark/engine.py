@@ -634,15 +634,26 @@ class CdcEngine:
             for r in partition_checksums(staged, "__part").collect()
         }
         prev = self.latest_partition_checksums(table)
-        drifted = sorted(p for p, c in cur.items() if prev.get(p) != c)
+        drifted = sorted(
+            (p for p, c in cur.items() if prev.get(p) != c),
+            key=lambda p: (p is None, p),
+        )
         dropped = sorted(
-            p for p, c in prev.items() if p not in cur and c != self._PART_GONE
+            (p for p, c in prev.items() if p not in cur and c != self._PART_GONE),
+            key=lambda p: (p is None, p),
         )
         report = {"drifted": drifted, "dropped": dropped, "skipped": not (drifted or dropped)}
         if report["skipped"]:
             return report
         if drifted:
-            rows = staged.filter(F.col("__part").isin(drifted)).drop("__part")
+            # isin never matches NULL — a null partition value (rows whose
+            # part_col is null form their own partition) needs the explicit
+            # isNull arm
+            non_null = [p for p in drifted if p is not None]
+            cond = F.col("__part").isin(non_null) if non_null else F.lit(False)
+            if any(p is None for p in drifted):
+                cond = cond | F.col("__part").isNull()
+            rows = staged.filter(cond).drop("__part")
             append_changes(
                 self.snapshot(rows, table), self.output_dir, fmt=self.log_format
             )

@@ -128,3 +128,27 @@ def test_monitor_routes_partition_tables(spark, tables, tmp_path):
         q.awaitTermination(30)
     # only the victim partition re-emitted
     assert eng.changes("events").count() == n_initial + n_victim
+
+
+def test_partition_capture_null_partition_value(spark, tmp_path):
+    """Rows whose partition column is NULL form their own partition and
+    must re-emit on drift like any other (isin alone never matches null)."""
+    import time
+
+    df1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, None, 3.0)],
+        "id long, grp string, v double",
+    )
+    eng = CdcEngine(spark, str(tmp_path / "log"), str(tmp_path / "state"))
+    r1 = eng.poll_partitions("t", df1, "grp")
+    assert len(r1["drifted"]) == 2  # 'a' and the null partition
+    assert eng.changes("t").count() == 3
+
+    time.sleep(0.05)
+    df2 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.5), (3, None, 3.0)],
+        "id long, grp string, v double",
+    )
+    r2 = eng.poll_partitions("t", df2, "grp")
+    assert r2["drifted"] == [None]
+    assert eng.changes("t").count() == 5  # only the 2 null-part rows re-emit
