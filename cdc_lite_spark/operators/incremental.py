@@ -158,6 +158,8 @@ def apply_text_delta(
     )
     n_old = state.agg(F.max("n_docs").alias("n_prev"))
     n_new = n_old.crossJoin(dn).select(
-        (F.col("n_prev") + F.coalesce("dn", F.lit(0))).alias("n_docs")
+        # coalesce(n_prev): an initially-empty corpus has an empty state
+        # table, so max() is NULL
+        (F.coalesce("n_prev", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_docs")
     )
     return merged.crossJoin(F.broadcast(n_new))

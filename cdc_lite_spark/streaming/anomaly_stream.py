@@ -79,8 +79,16 @@ def start_anomaly_stream(
     def _tick(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
-        cur_v = _current(state_dir)
-        state = spark.read.parquet(os.path.join(state_dir, cur_v))
+        # replay safety (the novelty/sketch stream contract): epoch e
+        # always merges into the exact state version it originally saw —
+        # v{e} if it still exists, else the current pointer — so a
+        # replayed epoch rewrites a bit-identical v{e+1}, never
+        # double-folds
+        versioned = os.path.join(state_dir, f"v{epoch}")
+        if os.path.isdir(versioned):
+            state = spark.read.parquet(versioned)
+        else:
+            state = spark.read.parquet(os.path.join(state_dir, _current(state_dir)))
         delta = hourly_stats(batch)
         merged = (
             state.unionByName(delta)
@@ -100,6 +108,12 @@ def start_anomaly_stream(
             spark.read.parquet(os.path.join(state_dir, next_v))
         ).withColumn("epoch", F.lit(epoch).cast("long"))
         snapshot.write.mode("overwrite").parquet(sink_path)
+        # GC: keep current + the version a replay of THIS epoch re-reads
+        import shutil
+
+        for name in os.listdir(state_dir):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < epoch:
+                shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(_tick)
