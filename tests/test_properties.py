@@ -402,3 +402,151 @@ def test_sketch_merge_is_split_invariant(spark, values, split):
         ).collect()[0]["e"]
 
     assert est([a, b]) == est([values])
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=24),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=TEXTS)
+@_SETTINGS
+def test_pagerank_partition_and_order_invariant(spark, texts):
+    """Fixed-point TextRank is bit-identical under any row order or
+    partitioning of the corpus (integer arithmetic + commutative graph
+    aggregation), and all scores are positive."""
+    from cdc_lite_spark.operators.rank import textrank_keywords
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    a = {r["term"]: r["units"] for r in textrank_keywords(docs, k=3).collect()}
+    shuffled = docs.orderBy(F.rand(seed=3)).repartition(5)
+    b = {r["term"]: r["units"] for r in textrank_keywords(shuffled, k=3).collect()}
+    assert a == b
+    assert all(u > 0 for u in a.values())
+
+
+@given(texts=TEXTS)
+@_SETTINGS
+def test_filter_funnel_counts_are_a_monotone_partition(spark, texts):
+    """Cumulative pass counts never increase, drops are non-negative, and
+    stage-0 count + all drops account for every document."""
+    from cdc_lite_spark.operators.text import filter_funnel
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = sorted(filter_funnel(docs).collect(), key=lambda r: r["stage"])
+    total = rows[0]["n_pass_cumulative"]
+    assert total == len(texts)
+    prev = total
+    dropped = 0
+    for r in rows[1:]:
+        assert 0 <= r["n_pass_cumulative"] <= prev
+        assert r["n_dropped_here"] == prev - r["n_pass_cumulative"]
+        dropped += r["n_dropped_here"]
+        prev = r["n_pass_cumulative"]
+    assert prev + dropped == total
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=10_000),  # seconds offset
+            st.floats(min_value=-5, max_value=5, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=16,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@_SETTINGS
+def test_time_weighted_average_within_value_range(spark, rows):
+    """A TWA is a convex combination of the observed values: it must lie
+    within [min, max] of each user's non-terminal readings."""
+    import datetime
+
+    from cdc_lite_spark.queries import REGISTRY  # noqa: F401 — shape only
+
+    from pyspark.sql import Window as W
+
+    base = datetime.datetime(2026, 1, 1)
+    data = [
+        (u, base + datetime.timedelta(seconds=s), float(v)) for u, s, v in rows
+    ]
+    ev = spark.createDataFrame(data, "user_id long, ts timestamp, value double")
+    from cdc_lite_spark.functions.timeutils import epoch_us
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    seq = ev.select(
+        "user_id",
+        "value",
+        epoch_us("ts").alias("t"),
+        F.lead(epoch_us("ts")).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    twa = (
+        seq.groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.col("value") * (F.col("t_next") - F.col("t")))
+                / (F.max("t_next") - F.min("t"))
+            ).alias("twa"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    )
+    for r in twa:
+        assert r["lo"] - 1e-9 <= r["twa"] <= r["hi"] + 1e-9
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.sampled_from(["INSERT", "DELETE"]),
+            st.integers(min_value=0, max_value=5),
+            st.text(alphabet="xy z", min_size=1, max_size=10),
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_dfreq_maintenance_matches_recompute_under_random_histories(spark, changes):
+    """Random insert/delete histories over a small doc-id space: folding
+    the change stream always equals recomputing df/N over the surviving
+    corpus."""
+    from cdc_lite_spark.operators.incremental import apply_text_delta, dfreq_state
+
+    live: dict[int, str] = {}
+    log = []
+    for op, did, text in changes:
+        if op == "INSERT":
+            if did in live:
+                continue
+            live[did] = text
+            log.append(("INSERT", did, text, None))
+        else:
+            if did not in live:
+                continue
+            log.append(("DELETE", did, None, live.pop(did)))
+    state = dfreq_state(
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    if log:
+        ch = spark.createDataFrame(
+            log, "operation string, doc_id long, text string, prev_text string"
+        )
+        state = apply_text_delta(state, ch)
+    expect = dfreq_state(
+        spark.createDataFrame(
+            list(live.items()) or [], "doc_id long, text string"
+        )
+    )
+    m = {r["term"]: (r["df_count"], r["n_docs"]) for r in state.collect()}
+    e = {r["term"]: (r["df_count"], r["n_docs"]) for r in expect.collect()}
+    assert m == e
