@@ -6806,3 +6806,99 @@ def q_benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("deviation"),
     )
+
+
+def _packing_efficiency_oracle() -> str:
+    from cdc_lite_spark.operators.quality import PACK_BUDGET, pack_sequences_sql
+
+    return f"""
+    WITH packed AS ({pack_sequences_sql()})
+    SELECT shard, CAST(count(DISTINCT batch_id) AS BIGINT) AS n_batches,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE)
+                 / (count(DISTINCT batch_id) * {PACK_BUDGET}), 6) AS fill_rate,
+           CAST(max(batch_tokens) AS BIGINT) AS max_batch_tokens
+    FROM (
+        SELECT *, sum(n_tokens) OVER (PARTITION BY shard, batch_id) AS batch_tokens
+        FROM packed
+    )
+    GROUP BY shard
+    """
+
+
+@register(
+    "packing_efficiency_report",
+    _packing_efficiency_oracle(),
+    "X6 extension: packing-efficiency audit of the training batches — "
+    "per-shard fill rate against the token budget and the worst overshoot "
+    "(greedy packing lets a single oversized doc exceed its batch); the "
+    "number a pipeline watches before paying for padding",
+    tags=("text", "window", "agg"),
+)
+def q_packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rides the pack_training_batches plan: one window per shard, then a
+    |shards|-row aggregate — the report is free relative to the packing."""
+    from pyspark.sql import Window as W
+
+    from cdc_lite_spark.operators.quality import PACK_BUDGET, pack_sequences
+
+    packed = pack_sequences(load_table(spark, sf_dir, "documents"))
+    with_batch = packed.withColumn(
+        "batch_tokens", F.sum("n_tokens").over(W.partitionBy("shard", "batch_id"))
+    )
+    return with_batch.groupBy("shard").agg(
+        F.countDistinct("batch_id").alias("n_batches"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / (F.countDistinct("batch_id") * PACK_BUDGET),
+            6,
+        ).alias("fill_rate"),
+        F.max("batch_tokens").alias("max_batch_tokens"),
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    """
+    WITH hashed AS (
+        SELECT source, md5(text) AS h FROM documents
+    ),
+    freq AS (SELECT h, count(*) AS n FROM hashed GROUP BY h)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_groups,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) - count(DISTINCT CASE WHEN n > 1 THEN h END)
+                AS BIGINT) AS n_removable,
+           round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+               AS dup_rate
+    FROM hashed JOIN freq USING (h)
+    GROUP BY source
+    """,
+    "X1/X2 extension: per-source exact-duplication report — share of each "
+    "source's docs belonging to corpus-wide duplicate groups and how many "
+    "a dedup pass would remove; the triage number before near-dup work",
+    tags=("dedup", "agg"),
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash once scan-side, aggregate the hash-frequency table (exchange
+    carries hashes, never text), join frequencies back — the word-count
+    shape twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("source", F.md5("text").alias("h"))
+    freq = hashed.groupBy("h").agg(F.count("*").alias("n"))
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (
+        hashed.join(freq, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(dup).cast("bigint").alias("n_in_dup_groups"),
+            (
+                F.sum(dup) - F.countDistinct(F.when(F.col("n") > 1, F.col("h")))
+            ).cast("bigint").alias("n_removable"),
+            F.round(F.sum(dup).cast("double") / F.count("*"), 6).alias("dup_rate"),
+        )
+    )
