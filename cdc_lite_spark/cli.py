@@ -36,7 +36,7 @@ def _sources(spark: SparkSession, source: str, tables: list[str]):
 
     out = {}
     for t in tables:
-        for ext in (".parquet", ".csv", ".tsv", ".jsonl", ".json"):
+        for ext in (".parquet", ".orc", ".csv", ".tsv", ".jsonl", ".json"):
             cand = f"{source}/{t}{ext}"
             if os.path.exists(cand):
                 out[t] = cand

@@ -85,6 +85,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 #: extension → Spark reader format for the generic loader
 _EXT_FORMATS = {
     ".parquet": "parquet",
+    ".orc": "orc",
     ".csv": "csv",
     ".tsv": "csv",
     ".json": "json",
@@ -100,8 +101,8 @@ def load_path(
     schema=None,
     **options,
 ):
-    """Generic file-source loader: parquet, CSV/TSV, or JSON-lines, with the
-    format sniffed from the extension when ``fmt`` is not given.
+    """Generic file-source loader: parquet, ORC, CSV/TSV, or JSON-lines,
+    with the format sniffed from the extension when ``fmt`` is not given.
 
     Defaults per format: CSV reads ``header=true`` (and tab delimiter for
     .tsv); JSON is JSON-lines.  With no ``schema``, CSV/JSON runs Spark's
@@ -121,7 +122,7 @@ def load_path(
         if fmt is None:
             raise ValueError(
                 f"cannot sniff source format from {path!r}; pass fmt= "
-                f"(one of parquet/csv/json)"
+                f"(one of parquet/orc/csv/json)"
             )
     reader = spark.read
     if schema is not None:

@@ -115,3 +115,15 @@ def test_engine_explicit_schema_pins_types(spark, tmp_path):
     assert eng.changes("m").count() == 2
     # the declared schema stays pinned for later ticks
     assert eng._schema_cache[src] == "id long, val double"
+
+
+def test_load_path_orc_roundtrip_and_monitor(spark, tmp_path):
+    """ORC is self-describing like parquet: footer schema, no inference
+    scan; the engine monitors an .orc path like any other file source."""
+    src = str(tmp_path / "t.orc")
+    _rows(spark).coalesce(1).write.orc(src)
+    back = load_path(spark, src)
+    assert back.count() == 3 and set(back.columns) == {"k", "s", "v"}
+    eng = CdcEngine(spark, str(tmp_path / "log"), str(tmp_path / "state"))
+    assert eng.poll_once({"t": src}) == ["t"]
+    assert eng.poll_once({"t": src}) == []
