@@ -80,9 +80,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     )
     p.add_argument(
         "--log-format",
-        choices=["json", "parquet"],
+        choices=["json", "parquet", "orc"],
         default="json",
-        help="change-log files: json (JSONL, reference parity) or parquet (scale layout)",
+        help="change-log files: json (JSONL, reference parity), parquet, or orc (columnar scale layouts)",
     )
     p.add_argument(
         "--retention-minutes",

@@ -39,7 +39,7 @@ WIRE_SCHEMA = T.StructType(
 #: (duckdb_cdc.go:268) and human-greppable; "parquet" is the scale layout —
 #: columnar + compressed (~10x smaller for wide envelopes), typed without a
 #: read schema, and footer-stats prunable on `table`/`timestamp`.
-LOG_FORMATS = ("json", "parquet")
+LOG_FORMATS = ("json", "parquet", "orc")
 
 
 def _check_fmt(fmt: str) -> None:
@@ -48,7 +48,7 @@ def _check_fmt(fmt: str) -> None:
 
 
 #: file suffixes that identify each log format's part files
-_FMT_SUFFIX = {"json": ".json", "parquet": ".parquet"}
+_FMT_SUFFIX = {"json": ".json", "parquet": ".parquet", "orc": ".orc"}
 
 
 def _check_dir_format(out_dir: str, fmt: str) -> None:
@@ -66,16 +66,16 @@ def _check_dir_format(out_dir: str, fmt: str) -> None:
 
     if not os.path.isdir(out_dir):
         return
-    other = next(s for f, s in _FMT_SUFFIX.items() if f != fmt)
+    others = tuple(s for f, s in _FMT_SUFFIX.items() if f != fmt)
     for root, _dirs, files in os.walk(out_dir):
         for name in sorted(files):
             if name.startswith(("_", ".")):
                 continue
             base = name[: -len(".gz")] if name.endswith(".gz") else name
-            if base.endswith(other):
+            if base.endswith(others):
                 raise ValueError(
                     f"change-log format mismatch: {out_dir!r} already holds "
-                    f"{other[1:]!r} part files (found {name!r}) but "
+                    f"other-format part files (found {name!r}) but "
                     f"fmt={fmt!r} was requested — use the directory's "
                     "original format or a fresh directory"
                 )
