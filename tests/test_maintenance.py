@@ -270,3 +270,43 @@ def test_changes_between_above_watermark_survives_gc(spark, tables, tmp_path):
         for r in eng.changes_between(watermark, far_future, "nation").collect()
     )
     assert after == before
+
+
+def test_expire_crash_between_fold_and_delete_is_harmless(spark, tables, tmp_path):
+    """The documented crash contract: a crash AFTER the folded segment is
+    appended but BEFORE the cold files are deleted leaves duplicate cold
+    records — materialize must be unchanged (latest-per-key is idempotent)
+    and the next expire run cleans the duplicates."""
+    import datetime
+
+    from cdc_lite_spark.operators.latest import latest_per_key
+
+    eng, cur, keys = _poll_ticks(spark, tables, tmp_path)
+    before = sorted(
+        map(str, eng.materialize("nation", ["n_nationkey"], tables["nation"].schema).collect())
+    )
+
+    # simulate the crash by appending the fold WITHOUT deleting the originals
+    from cdc_lite_spark.sources.changelog import append_changes
+
+    log = eng.changes("nation").filter(F.col("operation") != "SCHEMA")
+    keyed = log.withColumn("__k", F.col("data").getItem("n_nationkey"))
+    folded = latest_per_key(keyed, ["__k"], ["timestamp"], via_agg=True).select(
+        "timestamp", "table", "operation", "data"
+    ).filter(F.col("operation") != "DELETE")
+    append_changes(folded, str(tmp_path / "log"))
+
+    mid = sorted(
+        map(str, eng.materialize("nation", ["n_nationkey"], tables["nation"].schema).collect())
+    )
+    assert mid == before  # duplicates are invisible to materialize
+
+    # the next (successful) expire cleans everything into one segment
+    report = eng.expire_log(
+        datetime.datetime.now() + datetime.timedelta(days=1), keys
+    )
+    assert report["skipped"] is False
+    after = sorted(
+        map(str, eng.materialize("nation", ["n_nationkey"], tables["nation"].schema).collect())
+    )
+    assert after == before
