@@ -127,6 +127,28 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         t: col
         for t, _, col in (kv.partition("=") for kv in args.partition_cols.split(",") if kv)
     }
+    # fail fast on malformed specs instead of erroring every tick forever
+    for t, col in partition_cols.items():
+        if t not in tables or not col:
+            p.error(
+                f"--partition-cols entry {t!r}={col!r}: table must be one of "
+                f"--tables and the column non-empty (one column per table; "
+                f"multi-column partition capture is not supported)"
+            )
+    for t in schemas:
+        if t not in tables:
+            p.error(f"--schema entry for unknown table {t!r} (not in --tables)")
+    overlap = set(partition_cols) & set(keys)
+    if overlap:
+        # retention GC's latest-per-key folding would mangle a
+        # partition-snapshot log (PARTITION_DELETE markers collapse under a
+        # null key; per-key folding breaks latest-capture-wins) — the two
+        # capture modes are mutually exclusive per table
+        p.error(
+            f"tables {sorted(overlap)} appear in both --keys and "
+            f"--partition-cols; a table is either key-diffed or "
+            f"partition-captured, not both"
+        )
     query = eng.monitor(
         sources,
         interval_seconds=args.interval,

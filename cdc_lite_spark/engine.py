@@ -623,6 +623,14 @@ class CdcEngine:
         is the operating assumption of partition layouts generally; per-KEY
         granularity is ``mode="diff"``, not this.
 
+        Partition capture and keyed diff are mutually exclusive PER TABLE:
+        never pass a partition-captured table's name in the ``keys`` map of
+        :meth:`expire_log` — retention GC's latest-per-key folding would
+        collapse its PARTITION_DELETE markers under a null key and break
+        ``materialize_partitions``' latest-capture-wins contract (keyless
+        tables are compacted verbatim by the GC, which IS safe here).  The
+        CLI enforces the exclusivity.
+
         Returns {"drifted": [...], "dropped": [...], "skipped": bool}.
         """
         from cdc_lite_spark.operators.checksum import partition_checksums
@@ -688,7 +696,11 @@ class CdcEngine:
         last = keyed.groupBy("__part").agg(F.max("timestamp").alias("__ts"))
         latest = keyed.join(
             F.broadcast(last),
-            (keyed["__part"] == last["__part"]) & (keyed["timestamp"] == last["__ts"]),
+            # eqNullSafe: the NULL partition groups under a null __part and
+            # plain == would drop its rows here even though poll_partitions
+            # captured them
+            keyed["__part"].eqNullSafe(last["__part"])
+            & (keyed["timestamp"] == last["__ts"]),
         ).drop(last["__part"])
         return latest.filter(F.col("operation") == SNAPSHOT).select(
             *[

@@ -40,8 +40,26 @@ def hourly_stats(
 
 def anomaly_flags(hourly: DataFrame) -> DataFrame:
     """Trailing-24h rolling z-score flags over a ``hourly_stats``-shaped
-    frame.  Deterministic: frame sums are DECIMAL, the variance/deviation
-    comparison runs on identical double operands in any engine."""
+    frame.
+
+    The 3-sigma test is evaluated in EXACT decimal arithmetic by clearing
+    denominators: with ``n`` previous points,
+
+        (x - sx/n)² > 9·(sxx/n - (sx/n)²)
+        ⟺  (n·x - sx)²  >  9·(n·sxx - sx²)
+
+    so a constant history gives literally 0 > 0 — never flagged — and a
+    genuine deviation on a constant history gives lhs > 0 = rhs — always
+    flagged.  (A first float formulation subtracted a 6dp-rounded sxx/n
+    from a full-precision mean², driving computed variance slightly
+    NEGATIVE on constant series and flagging every hour; exact decimals
+    remove the failure class, and both engines produce identical bits by
+    construction.)
+
+    The explicit casts below keep every decimal product within precision
+    38 so NO step can round (Spark silently reduces scale past 38): valid
+    while |hourly sum| < 1e12, far beyond any real per-hour value sum.
+    The DuckDB twin in queries.py mirrors the same casts."""
     from pyspark.sql import Window as W
 
     w = (
@@ -49,24 +67,31 @@ def anomaly_flags(hourly: DataFrame) -> DataFrame:
         .orderBy("hour")
         .rowsBetween(-WINDOW_HOURS, -1)
     )
-    framed = hourly.select(
+    x = F.col("x").cast("decimal(18,6)")
+    based = hourly.select("event_type", "hour", x.alias("x"))
+    framed = based.select(
         "event_type",
         "hour",
         "x",
-        F.sum("x").over(w).alias("sx"),
-        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
-        F.count("*").over(w).alias("n_prev"),
+        F.sum("x").over(w).cast("decimal(18,6)").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("decimal(25,12)").alias("sxx"),
+        F.count("*").over(w).cast("decimal(2,0)").alias("n_prev"),
     )
-    xd = F.col("x").cast("double")
-    mean = F.col("sx").cast("double") / F.col("n_prev")
-    var = F.col("sxx").cast("double") / F.col("n_prev") - mean * mean
-    dev2 = (xd - mean) * (xd - mean)
+    n = F.col("n_prev")
+    dev = (n * F.col("x") - F.col("sx")).cast("decimal(18,6)")
+    var_num = (
+        (n * F.col("sxx")).cast("decimal(28,12)") - F.col("sx") * F.col("sx")
+    ).cast("decimal(30,12)")
     return framed.select(
         "event_type",
         "hour",
-        xd.alias("x"),
-        F.col("n_prev").cast("long").alias("n_prev"),
-        F.when((F.col("n_prev") >= MIN_PREV) & (dev2 > F.lit(Z2) * var), 1)
+        F.col("x").cast("double").alias("x"),
+        n.cast("long").alias("n_prev"),
+        F.when(
+            (n >= MIN_PREV)
+            & (dev * dev > F.lit(int(Z2)).cast("decimal(1,0)") * var_num),
+            1,
+        )
         .otherwise(0)
         .alias("anomaly"),
     )

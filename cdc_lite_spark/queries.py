@@ -6282,32 +6282,43 @@ def q_pairwise_angle_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hour,
-               sum(CAST(value AS DECIMAL(18,6))) AS x
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
         FROM events GROUP BY 1, 2
     ),
     framed AS (
+        -- width-19 casts before every square force DuckDB's int128 path
+        -- (width<=18 products run in int64 and overflow); Spark keeps
+        -- width 18 (its product rule adds +1 digit) — the VALUES are
+        -- exact and identical either way
         SELECT event_type, hour, x,
-               sum(x) OVER w AS sx,
-               sum(x * x) OVER w AS sxx,
-               count(*) OVER w AS n_prev
+               CAST(sum(x) OVER w AS DECIMAL(18,6)) AS sx,
+               CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) OVER w
+                    AS DECIMAL(25,12)) AS sxx,
+               CAST(count(*) OVER w AS DECIMAL(2,0)) AS n_prev
         FROM hourly
         WINDOW w AS (PARTITION BY event_type ORDER BY hour
                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    cleared AS (
+        -- the denominator-cleared exact 3-sigma test (operators/anomaly.py):
+        -- (n*x - sx)^2 > 9*(n*sxx - sx^2), every operand an exact DECIMAL
+        SELECT event_type, hour, x, n_prev,
+               CAST(n_prev * x - sx AS DECIMAL(19,6)) AS dev,
+               CAST(CAST(n_prev * sxx AS DECIMAL(28,12))
+                    - CAST(sx AS DECIMAL(19,6)) * CAST(sx AS DECIMAL(19,6))
+                    AS DECIMAL(30,12)) AS var_num
+        FROM framed
     )
     SELECT event_type, hour, CAST(x AS DOUBLE) AS x, CAST(n_prev AS BIGINT) AS n_prev,
-           CASE WHEN n_prev >= 8 AND
-                     (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n_prev)
-                     * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n_prev)
-                     > 9.0 * (CAST(sxx AS DOUBLE) / n_prev
-                              - (CAST(sx AS DOUBLE) / n_prev) * (CAST(sx AS DOUBLE) / n_prev))
+           CASE WHEN n_prev >= 8 AND dev * dev > CAST(9 AS DECIMAL(1,0)) * var_num
                 THEN 1 ELSE 0 END AS anomaly
-    FROM framed
+    FROM cleared
     """,
     "G3/H7 extension: rolling z-score anomaly flags over hourly event "
-    "volume — trailing-24h mean/variance from DECIMAL-exact frame sums "
-    "(order-free, bit-identical), flag when the squared deviation exceeds "
-    "(3·sigma)²; the sqrt-free comparison avoids the one libm call that "
-    "could diverge between engines",
+    "volume — the 3-sigma test runs denominator-cleared in EXACT decimal "
+    "arithmetic ((n·x-sx)² > 9·(n·sxx-sx²)), so a constant history is "
+    "never flagged and both engines produce identical bits; sqrt-free, "
+    "no libm call anywhere",
     tags=("window", "agg", "events"),
 )
 def q_rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -112,3 +112,30 @@ def test_anomaly_state_retention_bounds_rows(spark, tmp_path):
     state = load_anomaly_state(spark, state_dir)
     assert state.count() == 1  # the ancient hour evicted
     assert state.first()["hour"].day == (base + datetime.timedelta(days=30)).day
+
+
+def test_constant_series_never_flags_and_real_spike_does(spark):
+    """Regression (r5 review): the float formulation computed a slightly
+    NEGATIVE variance on constant series (decimal-rounded sxx vs
+    full-precision mean²) and flagged every eligible hour.  The exact
+    denominator-cleared test must flag zero hours of a constant series —
+    for values that exercised the bug — and still flag a genuine spike on
+    a constant history."""
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1)
+    for v in (123.456789, 0.000123, 99999.9):
+        rows = [
+            (base + datetime.timedelta(hours=h), "click", v) for h in range(40)
+        ]
+        ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        out = anomaly_flags(hourly_stats(ev))
+        assert out.filter(F.col("anomaly") == 1).count() == 0, v
+
+    spike = [
+        (base + datetime.timedelta(hours=h), "click", 10.0) for h in range(30)
+    ] + [(base + datetime.timedelta(hours=30), "click", 1000.0)]
+    ev = spark.createDataFrame(spike, "ts timestamp, event_type string, value double")
+    flagged = anomaly_flags(hourly_stats(ev)).filter(F.col("anomaly") == 1).collect()
+    assert len(flagged) == 1
+    assert flagged[0]["hour"] == base + datetime.timedelta(hours=30)

@@ -97,3 +97,32 @@ def test_cli_monitors_csv_tables(spark, tmp_path):
 
     log = read_changes(spark, str(tmp_path / "out"), "items")
     assert log.count() >= 2
+
+
+def test_cli_rejects_conflicting_partition_and_key_specs(spark, tmp_path):
+    """Malformed or conflicting capture specs fail at argument parsing,
+    not as a per-tick error loop: multi-column partition specs, unknown
+    tables, and a table in both --keys and --partition-cols."""
+    import pytest
+
+    from cdc_lite_spark.cli import main
+
+    base = [
+        "--source", str(tmp_path),
+        "--tables", "events",
+        "--output-dir", str(tmp_path / "o"),
+        "--state-dir", str(tmp_path / "s"),
+        "--duration", "0.1",
+    ]
+    with pytest.raises(SystemExit):
+        main(base + ["--partition-cols", "events=event_type,region"], spark=spark)
+    with pytest.raises(SystemExit):
+        main(base + ["--partition-cols", "unknown=c"], spark=spark)
+    with pytest.raises(SystemExit):
+        main(base + ["--schema", "unknown=id long"], spark=spark)
+    with pytest.raises(SystemExit):
+        main(
+            base
+            + ["--keys", "events=event_id", "--partition-cols", "events=event_type"],
+            spark=spark,
+        )

@@ -152,3 +152,8 @@ def test_partition_capture_null_partition_value(spark, tmp_path):
     r2 = eng.poll_partitions("t", df2, "grp")
     assert r2["drifted"] == [None]
     assert eng.changes("t").count() == 5  # only the 2 null-part rows re-emit
+
+    # reconstruction must keep the null partition too (eqNullSafe join —
+    # a plain == would silently drop every null-partition row)
+    out = eng.materialize_partitions("t", "grp", df2.schema)
+    assert sorted(map(str, out.collect())) == sorted(map(str, df2.collect()))
