@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_lite_spark.operators.text import tokens, tokens_sql
+from cdc_lite_spark.operators.text import (
+    adjacent_pairs,
+    adjacent_pairs_sql,
+    tokens,
+    tokens_sql,
+)
 
 #: vocabulary size for the unigram LM (top-V by corpus frequency)
 LM_VOCAB_SIZE = 1000
@@ -161,13 +166,9 @@ def bigram_logprob(
     sum as DECIMAL (order-free, bit-identical in DuckDB); the division and
     exp run on identical operands.
     """
-    pairs = F.expr(
-        "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
-        " (x, i) -> struct(x AS prev, __t[i + 1] AS cur))"
-    )
     pair_stream = (
         docs.select(F.col(id_col), tokens(text_col).alias("__t"))
-        .select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, F.explode(adjacent_pairs("prev", "cur")).alias("p"))
         .select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
     )
     model = pair_stream.groupBy("prev", "cur").agg(F.count("*").alias("c_big"))
@@ -217,7 +218,7 @@ def bigram_logprob_sql(
         SELECT {id_col}, p[1] AS prev, p[2] AS cur
         FROM (
             SELECT {id_col},
-                   unnest(list_transform(range(1, len(t)), i -> [t[i], t[i + 1]])) AS p
+                   unnest({adjacent_pairs_sql()}) AS p
             FROM base
         )
     ),

@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_lite_spark.operators.text import tokens, tokens_sql
+from cdc_lite_spark.operators.text import (
+    adjacent_pairs,
+    adjacent_pairs_sql,
+    tokens,
+    tokens_sql,
+)
 
 #: damping factor (the PageRank/TextRank standard), as a percentage so the
 #: damping step stays integer: next = (100-DAMPING_PCT)% + DAMPING_PCT%·s
@@ -129,13 +134,9 @@ def textrank_keywords(
     token stream — |edges| is language-bounded, not corpus-bounded); the
     iteration then runs on vocabulary-sized tables regardless of corpus
     size."""
-    pairs = F.expr(
-        "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
-        " (x, i) -> struct(x AS a, __t[i + 1] AS b))"
-    )
     adj = (
         docs.select(tokens(text_col).alias("__t"))
-        .select(F.explode(pairs).alias("p"))
+        .select(F.explode(adjacent_pairs()).alias("p"))
         .filter(F.col("p.a") != F.col("p.b"))  # self-loops contribute nothing
         .select("p.a", "p.b")
     )
@@ -170,7 +171,7 @@ def textrank_keywords_sql(
     WITH RECURSIVE adj AS (
         SELECT p[1] AS a, p[2] AS b
         FROM (
-            SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i + 1]])) AS p
+            SELECT unnest({adjacent_pairs_sql()}) AS p
             FROM (SELECT {toks} AS t FROM {table})
         )
         WHERE p[1] <> p[2]
@@ -285,13 +286,9 @@ def word_graph_triangles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``textrank_keywords``) — the clustering-structure gauge next to the
     rank scores: triangles are what distinguish topical clusters from
     star-shaped boilerplate."""
-    pairs = F.expr(
-        "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
-        " (x, i) -> struct(x AS a, __t[i + 1] AS b))"
-    )
     adj = (
         docs.select(tokens(text_col).alias("__t"))
-        .select(F.explode(pairs).alias("p"))
+        .select(F.explode(adjacent_pairs()).alias("p"))
         .select("p.a", "p.b")
     )
     return triangle_count(adj)
@@ -307,7 +304,7 @@ def word_graph_triangles_sql(table: str = "documents", text_expr: str = "text") 
     WITH adj AS (
         SELECT p[1] AS a, p[2] AS b
         FROM (
-            SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i + 1]])) AS p
+            SELECT unnest({adjacent_pairs_sql()}) AS p
             FROM (SELECT {toks} AS t FROM {table})
         )
         WHERE p[1] <> p[2]

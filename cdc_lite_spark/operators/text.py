@@ -50,6 +50,25 @@ def tokens_sql(expr: str = "text") -> str:
     return f"list_filter(string_split({expr}, ' '), x -> x != '')"
 
 
+def adjacent_pairs(first: str = "a", second: str = "b", col: str = "__t") -> Column:
+    """Struct array of ADJACENT token pairs of the token-array column
+    ``col`` — the shared pair extractor behind bigram LMs, PMI, and the
+    co-occurrence graph (transform's index is 0-based and Spark array
+    indexing is 0-based: element i pairs with element i+1; slice keeps
+    indices 0..size-2).  One definition so a tokenizer/pairing change
+    cannot silently diverge across operators."""
+    return F.expr(
+        f"transform(slice({col}, 1, greatest(size({col}) - 1, 0)),"
+        f" (x, i) -> struct(x AS {first}, {col}[i + 1] AS {second}))"
+    )
+
+
+def adjacent_pairs_sql(col: str = "t") -> str:
+    """DuckDB twin of :func:`adjacent_pairs`: 2-element lists over the
+    1-based range (identical pair set)."""
+    return f"list_transform(range(1, len({col})), i -> [{col}[i], {col}[i + 1]])"
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish subword count (op X4 token counting)."""
     return df.withColumn("n_tokens", F.size(tokens(text_col))).withColumn(
@@ -905,13 +924,9 @@ def phrase_pmi(
     partial-aggregable hash-aggs on the pair table (|pairs| ≤ V²,
     language-bounded) and two vocabulary-sized joins — AQE broadcasts the
     marginals while they fit.  No Python, no windows."""
-    pairs = F.expr(
-        "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
-        " (x, i) -> struct(x AS a, __t[i + 1] AS b))"
-    )
     pair_df = (
         df.select(tokens(text_col).alias("__t"))
-        .select(F.explode(pairs).alias("p"))
+        .select(F.explode(adjacent_pairs()).alias("p"))
         .select("p.a", "p.b")
     )
     counts = pair_df.groupBy("a", "b").agg(F.count("*").alias("pair_count"))
@@ -947,7 +962,7 @@ def phrase_pmi_sql(
     WITH pairs AS (
         SELECT p[1] AS a, p[2] AS b
         FROM (
-            SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i + 1]])) AS p
+            SELECT unnest({adjacent_pairs_sql()}) AS p
             FROM (SELECT {toks} AS t FROM {table})
         )
     ),

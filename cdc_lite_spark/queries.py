@@ -6450,6 +6450,25 @@ def q_word_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_graph_triangles(docs)
 
 
+def _user_type_pair_counts(ua: DataFrame, out_col: str) -> DataFrame:
+    """Per-user event-type sets exploded to ordered (type_a < type_b)
+    pairs and counted — the shared core of the audience overlap/HLL
+    intersection queries (one definition so the pair semantics cannot
+    diverge between the exact and sketch paths)."""
+    sets = ua.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    )
+    pair = F.expr(
+        "flatten(transform(ts, (x, i) -> transform(slice(ts, i + 2, size(ts)),"
+        " y -> struct(x AS type_a, y AS type_b))))"
+    )
+    return (
+        sets.select(F.explode(pair).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count("*").alias(out_col))
+    )
+
+
 @register(
     "audience_overlap_matrix",
     """
@@ -6480,18 +6499,7 @@ def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ua = ev.select("user_id", "event_type").distinct()
     per_type = ua.groupBy("event_type").agg(F.count("*").alias("n"))
-    sets = ua.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("ts")
-    )
-    pair = F.expr(
-        "flatten(transform(ts, (x, i) -> transform(slice(ts, i + 2, size(ts)),"
-        " y -> struct(x AS type_a, y AS type_b))))"
-    )
-    pairs = (
-        sets.select(F.explode(pair).alias("p"))
-        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
-        .agg(F.count("*").alias("n_both"))
-    )
+    pairs = _user_type_pair_counts(ua, "n_both")
     pa = per_type.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
     pb = per_type.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
     return (
@@ -6561,18 +6569,7 @@ def q_hll_audience_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_inter = (
         F.hll_sketch_estimate("sk_a") + F.hll_sketch_estimate("sk_b") - est_union
     )
-    sets = ua.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("ts")
-    )
-    pair = F.expr(
-        "flatten(transform(ts, (x, i) -> transform(slice(ts, i + 2, size(ts)),"
-        " y -> struct(x AS type_a, y AS type_b))))"
-    )
-    exact = (
-        sets.select(F.explode(pair).alias("p"))
-        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
-        .agg(F.count("*").alias("n_both_exact"))
-    )
+    exact = _user_type_pair_counts(ua, "n_both_exact")
     est = (
         a.crossJoin(b)
         .filter(F.col("type_a") < F.col("type_b"))
