@@ -6910,3 +6910,76 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dup).cast("double") / F.count("*"), 6).alias("dup_rate"),
         )
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_matrix_oracle() -> str:
+    from itertools import combinations
+
+    dec = lambda c: f"CAST({c} AS DECIMAL(18,2))"  # noqa: E731
+    aggs = ["CAST(count(*) AS BIGINT) AS n"] + [
+        f"CAST(sum({dec(c)}) AS DOUBLE) AS s_{c}" for c in _CORR_COLS
+    ] + [
+        f"CAST(sum({dec(a)} * {dec(b)}) AS DOUBLE) AS s_{a}_{b}"
+        for a, b in combinations(_CORR_COLS, 2)
+    ] + [
+        f"CAST(sum({dec(c)} * {dec(c)}) AS DOUBLE) AS s_{c}_{c}" for c in _CORR_COLS
+    ]
+    sels = []
+    for a, b in combinations(_CORR_COLS, 2):
+        sels.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n,"
+            f" round((n * s_{a}_{b} - s_{a} * s_{b})"
+            f" / (sqrt(n * s_{a}_{a} - s_{a} * s_{a})"
+            f" * sqrt(n * s_{b}_{b} - s_{b} * s_{b})), 6) AS pearson_r"
+            f" FROM m"
+        )
+    return (
+        "WITH m AS (SELECT " + ", ".join(aggs) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(sels)
+    )
+
+
+@register(
+    "correlation_matrix_lineitem",
+    _corr_matrix_oracle(),
+    "C4/profiling extension: full pairwise Pearson matrix over four "
+    "lineitem measures from ONE aggregation pass — all sufficient "
+    "statistics (sums, squares, cross-products) are exact decimals "
+    "computed map-side; the CBO's column-correlation statistics at the "
+    "cost of a single scan",
+    tags=("agg",),
+)
+def q_correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One wide aggregate carries every moment (15 exact sums), then the
+    six correlations unpivot executor-side — scanning once is the whole
+    point versus six corr() calls."""
+    from itertools import combinations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    aggs = [F.count("*").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec(c)).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(dec(c) * dec(c)).cast("double").alias(f"s_{c}_{c}"))
+    for a, b in combinations(_CORR_COLS, 2):
+        aggs.append(F.sum(dec(a) * dec(b)).cast("double").alias(f"s_{a}_{b}"))
+    m = li.agg(*aggs)
+    n = F.col("n").cast("double")
+    rows = []
+    for a, b in combinations(_CORR_COLS, 2):
+        r = (n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")) / (
+            F.sqrt(n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * F.sqrt(n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n").alias("n"),
+                F.round(r, 6).alias("pearson_r"),
+            )
+        )
+    return m.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
