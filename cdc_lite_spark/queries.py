@@ -6955,7 +6955,11 @@ def _corr_matrix_oracle() -> str:
 def q_correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One wide aggregate carries every moment (15 exact sums), then the
     six correlations unpivot executor-side — scanning once is the whole
-    point versus six corr() calls."""
+    point versus six corr() calls.  The decimal products cost ~7x the
+    double form (measured 1.4s vs 0.2s warm at sf0.1) — the standing
+    price of order-independent, oracle-exact statistics (SCALING.md
+    "Known costs accepted deliberately"); an engine-internal caller that
+    tolerates float accumulation uses plain corr()."""
     from itertools import combinations
 
     li = load_table(spark, sf_dir, "lineitem")
