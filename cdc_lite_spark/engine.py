@@ -506,6 +506,12 @@ class CdcEngine:
         (last-writer-wins, G1), drop DELETEs, and re-type the stringly
         ``data`` map back into columns.
 
+        This latest-per-key fold is the contract for DIFF-mode logs (every
+        deletion has a DELETE record).  A log captured in snapshot mode
+        re-emits whole tables with NO delete records, so a key absent from
+        the newest capture would be resurrected from an older one — use
+        :meth:`materialize_snapshot` (latest-capture-wins) for those.
+
         ``as_of`` (a datetime) reconstructs the table AS IT WAS at that
         instant — time travel over the log: only records captured at or
         before ``as_of`` fold.  Valid down to the last retention watermark
@@ -538,6 +544,31 @@ class CdcEngine:
         latest = latest_per_key(typed, keys, ["timestamp"], via_agg=True)
         return latest.filter(F.col("operation") != "DELETE").select(
             *[f.name for f in schema.fields]
+        )
+
+    def materialize_snapshot(
+        self, table: str, schema: "T.StructType", as_of=None
+    ) -> DataFrame:
+        """Current state of a SNAPSHOT-mode log: the rows of the table's
+        LATEST capture win wholesale (each capture shares one
+        query-constant timestamp), so a key absent from that capture is
+        correctly gone — the semantics :meth:`materialize`'s latest-per-key
+        fold cannot provide without DELETE records (r5 review).  ``as_of``
+        time-travels to the newest capture at or before that instant.
+        One 1-row broadcast of the max capture timestamp; no window, no
+        per-key state."""
+        log = self.changes(table).filter(F.col("operation") == SNAPSHOT)
+        if as_of is not None:
+            log = log.filter(F.col("timestamp") <= as_of)
+        last = log.agg(F.max("timestamp").alias("__ts"))
+        latest = log.join(
+            F.broadcast(last), F.col("timestamp") == F.col("__ts")
+        )
+        return latest.select(
+            *[
+                F.col("data").getItem(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
         )
 
     def materialize_to(

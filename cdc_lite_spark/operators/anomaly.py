@@ -57,9 +57,15 @@ def anomaly_flags(hourly: DataFrame) -> DataFrame:
     construction.)
 
     The explicit casts below keep every decimal product within precision
-    38 so NO step can round (Spark silently reduces scale past 38): valid
-    while |hourly sum| < 1e12, far beyond any real per-hour value sum.
-    The DuckDB twin in queries.py mirrors the same casts."""
+    38 so NO step can round (Spark silently reduces scale past 38).
+    Width budget, valid while |hourly sum| < 1e8 (generous for a per-hour
+    value sum; widen every cast together if a deployment exceeds it):
+    x (18,6); sx ≤ 24·x → (18,6); x² ≤ 1e16 and sxx ≤ 24·x² ≤ 2.4e17 →
+    (30,12); dev = n·x − sx ≤ 2.5e9 → (18,6); n·sxx ≤ 6e18 and sx² ≤
+    5.8e18 → var_num (31,12); dev² → (37,12); 9·var_num → (33,12).
+    Overflow outside the bound surfaces as NULL/ANSI error, never a wrong
+    flag.  The DuckDB twin in queries.py mirrors the same widths (plus
+    width-19 casts before squares to force its int128 multiply path)."""
     from pyspark.sql import Window as W
 
     w = (
@@ -74,14 +80,14 @@ def anomaly_flags(hourly: DataFrame) -> DataFrame:
         "hour",
         "x",
         F.sum("x").over(w).cast("decimal(18,6)").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).over(w).cast("decimal(25,12)").alias("sxx"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("decimal(30,12)").alias("sxx"),
         F.count("*").over(w).cast("decimal(2,0)").alias("n_prev"),
     )
     n = F.col("n_prev")
     dev = (n * F.col("x") - F.col("sx")).cast("decimal(18,6)")
     var_num = (
-        (n * F.col("sxx")).cast("decimal(28,12)") - F.col("sx") * F.col("sx")
-    ).cast("decimal(30,12)")
+        (n * F.col("sxx")).cast("decimal(33,12)") - F.col("sx") * F.col("sx")
+    ).cast("decimal(31,12)")
     return framed.select(
         "event_type",
         "hour",

@@ -6293,7 +6293,7 @@ def q_pairwise_angle_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, hour, x,
                CAST(sum(x) OVER w AS DECIMAL(18,6)) AS sx,
                CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) OVER w
-                    AS DECIMAL(25,12)) AS sxx,
+                    AS DECIMAL(30,12)) AS sxx,
                CAST(count(*) OVER w AS DECIMAL(2,0)) AS n_prev
         FROM hourly
         WINDOW w AS (PARTITION BY event_type ORDER BY hour
@@ -6304,9 +6304,9 @@ def q_pairwise_angle_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- (n*x - sx)^2 > 9*(n*sxx - sx^2), every operand an exact DECIMAL
         SELECT event_type, hour, x, n_prev,
                CAST(n_prev * x - sx AS DECIMAL(19,6)) AS dev,
-               CAST(CAST(n_prev * sxx AS DECIMAL(28,12))
+               CAST(CAST(n_prev * sxx AS DECIMAL(33,12))
                     - CAST(sx AS DECIMAL(19,6)) * CAST(sx AS DECIMAL(19,6))
-                    AS DECIMAL(30,12)) AS var_num
+                    AS DECIMAL(31,12)) AS var_num
         FROM framed
     )
     SELECT event_type, hour, CAST(x AS DOUBLE) AS x, CAST(n_prev AS BIGINT) AS n_prev,

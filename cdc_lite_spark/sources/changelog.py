@@ -211,7 +211,14 @@ def expire_changelog(
     _check_fmt(fmt)
     reader = spark.read.schema(WIRE_SCHEMA).format(fmt).option("basePath", out_dir)
     whole = reader.load(out_dir).withColumn("__file", F.input_file_name())
-    wm = watermark.replace(tzinfo=None)
+    # aware watermarks CONVERT to UTC before dropping tzinfo (a bare
+    # replace() would keep foreign wall-clock digits and shift the
+    # retention boundary by the zone offset); naive inputs are taken as
+    # UTC, matching the log's UTC-pinned session timestamps
+    if watermark.tzinfo is not None:
+        wm = watermark.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    else:
+        wm = watermark
     per_file = (
         whole.groupBy("__file")
         .agg(F.max("timestamp").alias("mx"))

@@ -77,10 +77,19 @@ def start_monitor(
             and batch_id % expire_every_ticks == 0
         ):
             try:
-                wm = datetime.datetime.now() - datetime.timedelta(
-                    minutes=retention_minutes
-                )
-                engine.expire_log(wm, keys or {})
+                # naive-UTC, matching the log's UTC-pinned session-timezone
+                # timestamps — local now() on a host east of UTC would place
+                # the watermark in the future and fold the ENTIRE log
+                wm = datetime.datetime.now(datetime.timezone.utc).replace(
+                    tzinfo=None
+                ) - datetime.timedelta(minutes=retention_minutes)
+                # partition-captured tables must never fold latest-per-key
+                # (poll_partitions documents the exclusivity); without their
+                # keys they compact verbatim, which is safe
+                gc_keys = {
+                    t: k for t, k in (keys or {}).items() if t not in part_cols
+                }
+                engine.expire_log(wm, gc_keys)
             except Exception:  # noqa: BLE001 — same isolation as poll errors
                 pass
 

@@ -48,16 +48,10 @@ def init_novelty_state(corpus: DataFrame, state_dir: str) -> None:
     _repoint(state_dir, "v0")
 
 
-def _repoint(state_dir: str, version: str) -> None:
-    tmp = os.path.join(state_dir, "_CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(version)
-    os.replace(tmp, os.path.join(state_dir, "_CURRENT"))
-
-
-def _current(state_dir: str) -> str:
-    with open(os.path.join(state_dir, "_CURRENT")) as f:
-        return f.read().strip()
+# pointer protocol shared with the sketch/anomaly streams — one
+# implementation of the atomic-swap discipline (streaming/_state.py)
+from cdc_lite_spark.streaming._state import current as _current  # noqa: E402
+from cdc_lite_spark.streaming._state import repoint as _repoint  # noqa: E402
 
 
 def load_novelty_state(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -63,18 +63,24 @@ def test_anomaly_stream_matches_batch_and_survives_restart(spark, tables, tmp_pa
     live2.repartition(2).write.mode("append").parquet(src)
     run_once()
 
-    # maintained state == from-scratch hourly aggregate (exact)
+    # maintained state == from-scratch hourly aggregate restricted to the
+    # per-key row-retention contract (newest `keep` rows per key) — exact
+    from pyspark.sql import Window as W
+
+    from cdc_lite_spark.streaming.anomaly_stream import RETENTION_SLACK
+    from cdc_lite_spark.operators.anomaly import WINDOW_HOURS
+
+    keep = WINDOW_HOURS + RETENTION_SLACK
     state = load_anomaly_state(spark, state_dir)
-    full = hourly_stats(ev)
-    # restrict to the retained horizon
-    mx = state.agg(F.max("hour").alias("m")).first()["m"]
-    lo = state.agg(F.min("hour").alias("m")).first()["m"]
-    full_kept = full.filter((F.col("hour") >= lo) & (F.col("hour") <= mx))
+    rn = F.row_number().over(W.partitionBy("event_type").orderBy(F.desc("hour")))
+    full_kept = (
+        hourly_stats(ev).withColumn("__rn", rn).filter(F.col("__rn") <= keep).drop("__rn")
+    )
     s = {(r["event_type"], r["hour"]): r["x"] for r in state.collect()}
     b = {(r["event_type"], r["hour"]): r["x"] for r in full_kept.collect()}
     assert s == b
 
-    # emitted snapshot == batch flags over the same horizon, bit-for-bit
+    # emitted snapshot == batch flags over the same retained rows, bit-for-bit
     got = spark.read.parquet(sink)
     expect = anomaly_flags(full_kept)
     assert _flag_set(got) == _flag_set(expect)
@@ -83,35 +89,73 @@ def test_anomaly_stream_matches_batch_and_survives_restart(spark, tables, tmp_pa
     ).count()
 
 
-def test_anomaly_state_retention_bounds_rows(spark, tmp_path):
-    """State never grows past the retention horizon: a batch far in the
-    future evicts ancient hours."""
+def test_anomaly_state_retention_is_per_key_and_row_based(spark, tmp_path):
+    """Each key keeps its newest `retention_rows` hourly rows — a busy key
+    is trimmed while a sparse/idle key keeps all its frame rows (a global
+    hour horizon would erase it; r5 review)."""
     import datetime
 
     base = datetime.datetime(2026, 1, 1)
-    old = spark.createDataFrame(
-        [(base, "click", 1.0)], "ts timestamp, event_type string, value double"
+    hist = spark.createDataFrame(
+        [(base, "sparse", 1.0)], "ts timestamp, event_type string, value double"
     )
     state_dir = str(tmp_path / "state")
     (tmp_path / "state").mkdir()
-    init_anomaly_state(old, state_dir)
+    init_anomaly_state(hist, state_dir)
 
-    future = spark.createDataFrame(
-        [(base + datetime.timedelta(days=30), "click", 2.0)],
+    busy = spark.createDataFrame(
+        [
+            (base + datetime.timedelta(hours=h), "busy", float(h))
+            for h in range(60)
+        ],
         "ts timestamp, event_type string, value double",
     )
     src = str(tmp_path / "src")
-    future.coalesce(1).write.mode("overwrite").parquet(src)
+    busy.coalesce(1).write.mode("overwrite").parquet(src)
     stream = (
-        spark.readStream.schema(future.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        spark.readStream.schema(busy.schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
     q = start_anomaly_stream(
         stream, state_dir, str(tmp_path / "sink"), str(tmp_path / "ckpt")
     )
     q.awaitTermination(120)
     state = load_anomaly_state(spark, state_dir)
-    assert state.count() == 1  # the ancient hour evicted
-    assert state.first()["hour"].day == (base + datetime.timedelta(days=30)).day
+    by_key = {r["event_type"]: r["count"] for r in state.groupBy("event_type").count().collect()}
+    assert by_key["busy"] == 48  # trimmed to WINDOW_HOURS + RETENTION_SLACK
+    assert by_key["sparse"] == 1  # idle key NOT erased
+
+
+def test_anomaly_stream_empty_epoch_keeps_version_chain(spark, tmp_path):
+    """An empty micro-batch must still commit v{e+1}: the replay fallback
+    reads v{e}, and a missing link lets a replayed later epoch double-fold
+    (r5 review)."""
+    import datetime
+    import os
+
+    base = datetime.datetime(2026, 1, 1)
+    hist = spark.createDataFrame(
+        [(base, "k", 1.0)], "ts timestamp, event_type string, value double"
+    )
+    state_dir = str(tmp_path / "state")
+    (tmp_path / "state").mkdir()
+    init_anomaly_state(hist, state_dir)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # an empty parquet dir -> first micro-batch is empty
+    spark.createDataFrame([], hist.schema).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(hist.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = start_anomaly_stream(
+        stream, state_dir, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    # the empty epoch committed a new version and the state is unchanged
+    from cdc_lite_spark.streaming._state import current
+
+    assert current(state_dir) != "v0"
+    assert load_anomaly_state(spark, state_dir).count() == 1
 
 
 def test_constant_series_never_flags_and_real_spike_does(spark):

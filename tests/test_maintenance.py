@@ -310,3 +310,24 @@ def test_expire_crash_between_fold_and_delete_is_harmless(spark, tables, tmp_pat
         map(str, eng.materialize("nation", ["n_nationkey"], tables["nation"].schema).collect())
     )
     assert after == before
+
+
+def test_expire_watermark_timezone_aware_converts_to_utc(spark, tables, tmp_path):
+    """An AWARE watermark converts to UTC (r5 review: a bare tzinfo strip
+    kept foreign wall-clock digits and shifted the boundary by the zone
+    offset — east-of-UTC hosts would fold files written seconds ago)."""
+    import datetime
+
+    eng, _cur, keys = _poll_ticks(spark, tables, tmp_path, n_mutations=1)
+    # a watermark expressed in UTC+9 whose UTC instant is one day in the
+    # past: nothing in the just-written log is cold
+    tokyo = datetime.timezone(datetime.timedelta(hours=9))
+    wm = datetime.datetime.now(tokyo) - datetime.timedelta(days=1)
+    report = eng.expire_log(wm, keys)
+    assert report["skipped"] is True  # naive-strip would have folded it all
+
+    # and an aware watermark one day in the FUTURE folds everything,
+    # exactly like its naive-UTC equivalent
+    wm2 = datetime.datetime.now(tokyo) + datetime.timedelta(days=1)
+    report2 = eng.expire_log(wm2, keys)
+    assert report2["skipped"] is False

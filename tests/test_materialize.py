@@ -128,3 +128,33 @@ def test_materialize_as_of_time_travels(spark, tables, tmp_path):
 
     epoch = datetime.datetime(2000, 1, 1)
     assert eng.materialize("nation", ["n_nationkey"], nation.schema, as_of=epoch).count() == 0
+
+
+def test_materialize_snapshot_drops_vanished_keys(spark, tables, tmp_path):
+    """Snapshot-mode logs have no DELETE records: latest-per-key would
+    resurrect a key missing from the newest capture; materialize_snapshot
+    (latest-capture-wins) must not (r5 review)."""
+    import datetime
+    import time
+
+    eng = CdcEngine(spark, str(tmp_path / "log"), str(tmp_path / "state"))
+    nation = tables["nation"]
+    eng.poll_once({"nation": nation})  # snapshot mode
+    t1 = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    time.sleep(0.05)
+    v2 = nation.filter(F.col("n_nationkey") != 5)
+    eng.poll_once({"nation": v2})
+
+    out = eng.materialize_snapshot("nation", nation.schema)
+    keys = {r["n_nationkey"] for r in out.collect()}
+    assert 5 not in keys and len(keys) == nation.count() - 1
+    # latest-per-key materialize WOULD resurrect it — the documented gap
+    assert 5 in {
+        r["n_nationkey"]
+        for r in eng.materialize("nation", ["n_nationkey"], nation.schema).collect()
+    }
+    # as-of time travel back to the first capture
+    past = eng.materialize_snapshot("nation", nation.schema, as_of=t1)
+    assert {r["n_nationkey"] for r in past.collect()} == {
+        r["n_nationkey"] for r in nation.collect()
+    }
