@@ -26,6 +26,33 @@ from pyspark.sql import functions as F
 
 HEX_PREFIX_LEN = 15  # 60 bits < 2^63, safe in signed BIGINT for both engines
 
+# Canonicalization must be INJECTIVE per column: the reference's
+# ``COALESCE(CAST(c AS VARCHAR),'')`` + ``','`` join (duckdb_cdc.go:171-173)
+# maps distinct rows to identical strings in two classes —
+# (a) '' vs NULL in any column, (b) a comma shifting across adjacent string
+# columns (('a,b','c') vs ('a','b,c')).  Either one silently suppresses a
+# change: the fingerprint stays equal, so no capture fires and snapshot_diff
+# misses the UPDATE.  SURVEY.md §7.4 policy is "do not reproduce known
+# defects", so we escape instead: '\'→'\\' and ','→'\,' inside any rendering
+# that can contain them, and NULL renders as the sentinel '\N' (unforgeable —
+# an escaped value can only contain '\' as '\\' or '\,').  Oracle parity is
+# preserved because the DuckDB twin applies the identical escaping and both
+# engines hash the same canonical bytes.
+NULL_SENTINEL = "\\N"
+
+
+def _escape_reserved(rendered: Column) -> Column:
+    """Escape '\\' then ',' so the join separator and NULL sentinel are
+    unforgeable.  Literal (non-regex) replaces — whole-stage codegen'd."""
+    return F.replace(
+        F.replace(rendered, F.lit("\\"), F.lit("\\\\")), F.lit(","), F.lit("\\,")
+    )
+
+
+def _escape_reserved_sql(rendered: str) -> str:
+    """DuckDB SQL mirror of :func:`_escape_reserved` (same replace order)."""
+    return f"replace(replace({rendered}, '\\', '\\\\'), ',', '\\,')"
+
 
 def portable_hash64(col: Column | str, seed: str | None = None, fast: bool = False) -> Column:
     """60-bit deterministic hash of a string column, DuckDB-reproducible.
@@ -145,19 +172,23 @@ def canonical_col(col: str, dtype: str) -> Column:
     timestamps → microsecond pattern (Spark's native precision), floats →
     shortest-round-trip canonical scientific form (:func:`_canon_float` —
     full binary64 precision, so no update can hash identically), booleans
-    → 0/1.
+    → 0/1 — and, diverging from the reference's known defect (see
+    ``NULL_SENTINEL``), NULL renders as ``'\\N'`` and free-form renderings
+    are separator-escaped so the per-row canonical string is injective.
     """
     c = F.col(col)
     dl = dtype.lower()
     if dl.startswith("timestamp"):
+        # fixed alphabet [0-9 :.-], can never contain ',' or '\' — no escape
         rendered = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     elif dl in ("double", "float") or dl.startswith("decimal"):
         rendered = _canon_float(c.cast("double"))
     elif dl == "boolean":
         rendered = c.cast("int").cast("string")
     else:
-        rendered = c.cast("string")
-    return F.coalesce(rendered, F.lit(""))
+        # strings / arrays / anything free-form may contain ',' or '\'
+        rendered = _escape_reserved(c.cast("string"))
+    return F.coalesce(rendered, F.lit(NULL_SENTINEL))
 
 
 def canonical_col_sql(col: str, dtype: str) -> str:
@@ -170,8 +201,8 @@ def canonical_col_sql(col: str, dtype: str) -> str:
     elif dl == "boolean":
         rendered = f"CAST(CAST({col} AS INT) AS VARCHAR)"
     else:
-        rendered = f"CAST({col} AS VARCHAR)"
-    return f"COALESCE({rendered}, '')"
+        rendered = _escape_reserved_sql(f"CAST({col} AS VARCHAR)")
+    return f"COALESCE({rendered}, '{NULL_SENTINEL}')"
 
 
 def canonical_row_string(cols_with_types: Sequence[tuple[str, str]]) -> Column:

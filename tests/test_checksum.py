@@ -130,3 +130,56 @@ def test_partition_checksums(tables):
     rows2 = {r["part"]: r for r in partition_checksums(mutated, "event_type", fast=True).collect()}
     changed = [p for p in rows if rows[p]["checksum"] != rows2[p]["checksum"]]
     assert changed == ["click"]
+
+
+def test_canonical_string_injective_and_oracle_parity(spark):
+    """Regression for the reference's fingerprint defect (duckdb_cdc.go:171-173,
+    VERDICT r05 "What's wrong" #1/#2): ''↔NULL flips and comma shifts across
+    adjacent string columns must produce DIFFERENT canonical strings, and the
+    DuckDB twin must render the identical bytes."""
+    import duckdb
+
+    from cdc_lite_spark.functions.hashes import canonical_row_sql, canonical_row_string
+
+    rows = [
+        ("", "x"), (None, "x"),            # '' vs NULL
+        ("a,b", "c"), ("a", "b,c"),        # comma shift
+        ("a\\", ",b"), ("a\\,", "b"),      # escape-char adjacency
+        ("\\N", "q"), (None, "q"),         # value forging the NULL sentinel
+        ("", ""), (None, None),
+    ]
+    df = spark.createDataFrame(rows, "s1 string, s2 string")
+    cols = [("s1", "string"), ("s2", "string")]
+    got = [r[0] for r in df.select(canonical_row_string(cols).alias("c")).collect()]
+    assert len(set(got)) == len(got), f"canonical collision: {got}"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s1 VARCHAR, s2 VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = [r[0] for r in con.execute(f"SELECT {canonical_row_sql(cols)} FROM t").fetchall()]
+    assert got == oracle
+
+
+def test_checksum_detects_empty_to_null_flip(spark):
+    """A table whose ONLY change is ''→NULL (or a comma shift) must change the
+    fingerprint — the class the reference's gate misses silently."""
+    before = spark.createDataFrame([(1, ""), (2, "a,b|c")], "id int, v string")
+    for after_rows in [[(1, None), (2, "a,b|c")], [(1, ""), (2, "a|b,c")]]:
+        after = spark.createDataFrame(
+            after_rows, "id int, v string"
+        ).withColumn("v", F.col("v"))
+        a = table_checksum(before).collect()[0]["checksum"]
+        b = table_checksum(after).collect()[0]["checksum"]
+        assert a != b, f"fingerprint blind to change {after_rows}"
+        # and the fast (engine-internal xxhash64) family must see it too
+        af = table_checksum(before, fast=True).collect()[0]["checksum"]
+        bf = table_checksum(after, fast=True).collect()[0]["checksum"]
+        assert af != bf
+
+
+def test_partition_checksum_detects_empty_to_null_flip(spark):
+    before = spark.createDataFrame([("p1", ""), ("p2", "z")], "part string, v string")
+    after = spark.createDataFrame([("p1", None), ("p2", "z")], "part string, v string")
+    b = {r["part"]: r["checksum"] for r in partition_checksums(before, "part").collect()}
+    a = {r["part"]: r["checksum"] for r in partition_checksums(after, "part").collect()}
+    assert b["p1"] != a["p1"] and b["p2"] == a["p2"]

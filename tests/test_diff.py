@@ -76,3 +76,26 @@ def test_diff_null_keys_match_null_safely(spark):
 def test_diff_both_empty(spark):
     empty = spark.createDataFrame([], "id int, v string")
     assert snapshot_diff(empty, empty, ["id"]).count() == 0
+
+
+def test_diff_sees_empty_vs_null_update(spark):
+    """VERDICT r05 repro: ''→NULL in a compared column is an UPDATE, not a
+    no-op (row_hash canonicalization is injective since r06)."""
+    prev = spark.createDataFrame([(0, "", 0)], "id int, payload string, value int")
+    cur = spark.createDataFrame([(0, None, 0)], "id int, payload string, value int")
+    rows = snapshot_diff(prev, cur, ["id"]).collect()
+    assert [(r["id"], r["operation"]) for r in rows] == [(0, "UPDATE")]
+    # and the reverse direction
+    rows = snapshot_diff(cur, prev, ["id"]).collect()
+    assert [(r["id"], r["operation"]) for r in rows] == [(0, "UPDATE")]
+
+
+def test_diff_sees_comma_shift_update(spark):
+    """VERDICT r05 repro: ('a,b','c') → ('a','b,c') is an UPDATE."""
+    prev = spark.createDataFrame([(0, "a,b", "c")], "id int, p string, q string")
+    cur = spark.createDataFrame([(0, "a", "b,c")], "id int, p string, q string")
+    rows = snapshot_diff(prev, cur, ["id"]).collect()
+    assert [(r["id"], r["operation"]) for r in rows] == [(0, "UPDATE")]
+    # fast_hash (xxhash64) path must agree
+    rows = snapshot_diff(prev, cur, ["id"], fast_hash=True).collect()
+    assert [(r["id"], r["operation"]) for r in rows] == [(0, "UPDATE")]
