@@ -1,15 +1,22 @@
 """The shared versioned-state protocol (streaming/_state.py) — pointer
 atomicity, replay reads, version-chain commits, and GC boundaries, tested
 directly (the three streams built on it pin end-to-end behavior; these pin
-the protocol itself)."""
+the protocol itself).  Every test runs against BOTH filesystem adapters:
+the POSIX default and the Hadoop FileSystem one (over Hadoop's local FS
+here — the same JVM code path an hdfs:// or s3a:// state dir takes)."""
 
 from __future__ import annotations
 
 import os
 
+import pytest
+
 from cdc_lite_spark.streaming._state import (
+    HadoopStateFS,
+    LocalStateFS,
     commit_version,
     current,
+    fs_for,
     read_current,
     read_for_epoch,
     repoint,
@@ -20,42 +27,67 @@ def _df(spark, n):
     return spark.range(n).toDF("v")
 
 
-def test_pointer_swap_and_reads(spark, tmp_path):
+@pytest.fixture(params=["local", "hadoop"])
+def state_fs(request, spark):
+    return LocalStateFS() if request.param == "local" else HadoopStateFS(spark)
+
+
+def test_pointer_swap_and_reads(spark, tmp_path, state_fs):
     sd = str(tmp_path)
     _df(spark, 3).write.parquet(os.path.join(sd, "v0"))
-    repoint(sd, "v0")
-    assert current(sd) == "v0"
-    assert read_current(spark, sd).count() == 3
+    repoint(sd, "v0", fs=state_fs)
+    assert current(sd, fs=state_fs) == "v0"
+    assert read_current(spark, sd, fs=state_fs).count() == 3
     # epoch 0 reads v0 (versioned hit), epoch 7 falls back to _CURRENT
-    assert read_for_epoch(spark, sd, 0).count() == 3
-    assert read_for_epoch(spark, sd, 7).count() == 3
+    assert read_for_epoch(spark, sd, 0, fs=state_fs).count() == 3
+    assert read_for_epoch(spark, sd, 7, fs=state_fs).count() == 3
 
 
-def test_commit_chain_and_gc_keeps_replay_version(spark, tmp_path):
+def test_pointer_overwrite_swap(spark, tmp_path, state_fs):
+    """Repointing over an EXISTING pointer must replace it (the Hadoop
+    adapter's rename needs the OVERWRITE option for this — a plain
+    FileSystem.rename fails when the destination exists)."""
+    sd = str(tmp_path)
+    repoint(sd, "v0", fs=state_fs)
+    repoint(sd, "v1", fs=state_fs)
+    assert current(sd, fs=state_fs) == "v1"
+    # and the two adapters read each other's pointer files
+    other = LocalStateFS() if isinstance(state_fs, HadoopStateFS) else fs_for(sd)
+    assert current(sd, fs=other) == "v1"
+
+
+def test_commit_chain_and_gc_keeps_replay_version(spark, tmp_path, state_fs):
     """commit_version(e) writes v{e+1}, repoints, and GCs only versions a
     replay of epoch e can no longer need — v{e} itself must survive so a
     replay of e still reads its original input."""
     sd = str(tmp_path)
     _df(spark, 1).write.parquet(os.path.join(sd, "v0"))
-    repoint(sd, "v0")
+    repoint(sd, "v0", fs=state_fs)
     for epoch in range(3):
-        commit_version(_df(spark, epoch + 2), sd, epoch)
-    assert current(sd) == "v3"
+        commit_version(_df(spark, epoch + 2), sd, epoch, fs=state_fs)
+    assert current(sd, fs=state_fs) == "v3"
     versions = sorted(n for n in os.listdir(sd) if n.startswith("v"))
     # epoch 2 just committed: v2 (its replay input) and v3 survive; v0/v1 GC'd
     assert versions == ["v2", "v3"]
-    assert read_for_epoch(spark, sd, 2).count() == 3  # replay of epoch 2 -> v2
-    assert read_current(spark, sd).count() == 4
+    assert read_for_epoch(spark, sd, 2, fs=state_fs).count() == 3  # replay of epoch 2 -> v2
+    assert read_current(spark, sd, fs=state_fs).count() == 4
 
 
-def test_replayed_commit_rewrites_identically(spark, tmp_path):
+def test_replayed_commit_rewrites_identically(spark, tmp_path, state_fs):
     """Re-committing the same epoch with the same result overwrites
     v{e+1} in place — the bit-identical-rewrite contract."""
     sd = str(tmp_path)
     _df(spark, 2).write.parquet(os.path.join(sd, "v0"))
-    repoint(sd, "v0")
-    commit_version(_df(spark, 5), sd, 0)
-    first = sorted(r["v"] for r in read_current(spark, sd).collect())
-    commit_version(_df(spark, 5), sd, 0)  # replay
-    assert current(sd) == "v1"
-    assert sorted(r["v"] for r in read_current(spark, sd).collect()) == first
+    repoint(sd, "v0", fs=state_fs)
+    commit_version(_df(spark, 5), sd, 0, fs=state_fs)
+    first = sorted(r["v"] for r in read_current(spark, sd, fs=state_fs).collect())
+    commit_version(_df(spark, 5), sd, 0, fs=state_fs)  # replay
+    assert current(sd, fs=state_fs) == "v1"
+    assert sorted(r["v"] for r in read_current(spark, sd, fs=state_fs).collect()) == first
+
+
+def test_fs_for_scheme_routing(spark):
+    assert isinstance(fs_for("/tmp/x"), LocalStateFS)
+    assert isinstance(fs_for("file:///tmp/x"), LocalStateFS)
+    assert isinstance(fs_for("hdfs://nn:8020/state", spark), HadoopStateFS)
+    assert isinstance(fs_for("s3a://bucket/state", spark), HadoopStateFS)
