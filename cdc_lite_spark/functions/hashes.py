@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 HEX_PREFIX_LEN = 15  # 60 bits < 2^63, safe in signed BIGINT for both engines
 
-# Canonicalization must be INJECTIVE per column: the reference's
+# Canonicalization must be INJECTIVE per SCALAR column: the reference's
 # ``COALESCE(CAST(c AS VARCHAR),'')`` + ``','`` join (duckdb_cdc.go:171-173)
 # maps distinct rows to identical strings in two classes —
 # (a) '' vs NULL in any column, (b) a comma shifting across adjacent string
@@ -38,7 +38,45 @@ HEX_PREFIX_LEN = 15  # 60 bits < 2^63, safe in signed BIGINT for both engines
 # an escaped value can only contain '\' as '\\' or '\,').  Oracle parity is
 # preserved because the DuckDB twin applies the identical escaping and both
 # engines hash the same canonical bytes.
+#
+# Scope (r6 advice): the injectivity guarantee covers SCALAR columns.
+# Complex types (array/map/struct) fall through to the engine's native
+# string rendering, which is order-preserving but NOT injective — the
+# escape runs over the already-rendered string, so ``['a, b']`` and
+# ``['a', ' b']`` both render ``[a, b]`` and still collide.  Fingerprinting
+# a complex column structurally requires canonicalizing its elements
+# before joining (per-element escape + length prefix); none of the CDC
+# surfaces do today — they fingerprint scalar relational tables.
+#
+# Escape SKIPPING (r6 verdict ask #1): dtypes whose rendering alphabet
+# provably excludes ',' and '\' skip the two replaces entirely — the
+# escape is a byte-level no-op there, so output (and oracle parity) is
+# unchanged by construction while the checksum hot loop drops two string
+# rewrites per column.  Fixed-alphabet dtypes: integers and date render
+# ``[0-9-]``; timestamps ``[0-9 :.-]``; booleans ``0|1``; doubles via
+# _canon_float ``[0-9.e-]``/nan/inf; decimals render full-scale plain
+# ``[0-9.-]`` in BOTH engines (probed: Spark and DuckDB both emit
+# '0.0000001000' for decimal(38,10), never scientific notation).
+#
+# FINGERPRINT FORMAT HISTORY (bump when canonical bytes change):
+# - r6 (commit 87ed583): NULL sentinel + separator escaping introduced —
+#   every row hash / table checksum changed; persisted pre-r6 checksum
+#   state registers one spurious capture per table on upgrade.
+# - r7: decimal(p>15,s) switched from cast-to-double (collides past 2^53)
+#   to the exact full-scale decimal string — checksums over wide-decimal
+#   columns change (one spurious capture on upgrade); p<=15 decimals,
+#   doubles, and every other dtype are byte-identical to r6.
 NULL_SENTINEL = "\\N"
+
+#: decimal precision up to which binary64 round-trips every value exactly
+#: (15 significant digits), so the double rendering stays injective
+_DECIMAL_DOUBLE_SAFE_P = 15
+
+
+def _decimal_precision(dtype_lower: str) -> int:
+    """Precision p from 'decimal(p,s)' (Spark's default is decimal(10,0))."""
+    inside = dtype_lower.partition("(")[2].partition(")")[0]
+    return int(inside.split(",")[0]) if inside else 10
 
 
 def _escape_reserved(rendered: Column) -> Column:
@@ -181,10 +219,23 @@ def canonical_col(col: str, dtype: str) -> Column:
     if dl.startswith("timestamp"):
         # fixed alphabet [0-9 :.-], can never contain ',' or '\' — no escape
         rendered = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
-    elif dl in ("double", "float") or dl.startswith("decimal"):
+    elif dl in ("double", "float"):
         rendered = _canon_float(c.cast("double"))
+    elif dl.startswith("decimal"):
+        if _decimal_precision(dl) <= _DECIMAL_DOUBLE_SAFE_P:
+            # p<=15 round-trips through binary64 exactly — share the float
+            # canonical form (keeps r2-r6 fingerprint bytes for these)
+            rendered = _canon_float(c.cast("double"))
+        else:
+            # wide decimals exceed binary64 (distinct values past 2^53 can
+            # collide as doubles) — render the exact full-scale decimal
+            # string, byte-identical in both engines (see format note above)
+            rendered = c.cast("string")
     elif dl == "boolean":
         rendered = c.cast("int").cast("string")
+    elif dl in ("tinyint", "smallint", "int", "integer", "bigint", "long", "date"):
+        # fixed alphabet [0-9-] — escape would be a byte-level no-op, skip it
+        rendered = c.cast("string")
     else:
         # strings / arrays / anything free-form may contain ',' or '\'
         rendered = _escape_reserved(c.cast("string"))
@@ -196,10 +247,17 @@ def canonical_col_sql(col: str, dtype: str) -> str:
     dl = dtype.lower()
     if dl.startswith("timestamp"):
         rendered = f"strftime({col}, '%Y-%m-%d %H:%M:%S.%f')"
-    elif dl in ("double", "float") or dl.startswith("decimal"):
+    elif dl in ("double", "float"):
         rendered = _canon_float_sql(col)
+    elif dl.startswith("decimal"):
+        if _decimal_precision(dl) <= _DECIMAL_DOUBLE_SAFE_P:
+            rendered = _canon_float_sql(col)
+        else:
+            rendered = f"CAST({col} AS VARCHAR)"
     elif dl == "boolean":
         rendered = f"CAST(CAST({col} AS INT) AS VARCHAR)"
+    elif dl in ("tinyint", "smallint", "int", "integer", "bigint", "long", "date"):
+        rendered = f"CAST({col} AS VARCHAR)"
     else:
         rendered = _escape_reserved_sql(f"CAST({col} AS VARCHAR)")
     return f"COALESCE({rendered}, '{NULL_SENTINEL}')"

@@ -177,6 +177,100 @@ def test_checksum_detects_empty_to_null_flip(spark):
         assert af != bf
 
 
+def test_fixed_alphabet_escape_skip_is_byte_identical(spark):
+    """r6 verdict ask #1: int/date columns skip the separator escape.  The
+    skip must be a pure plan optimization — the escaped and unescaped
+    renderings are byte-identical for these dtypes (their alphabet is
+    [0-9-]), so fingerprints are unchanged vs r6."""
+    import datetime
+
+    from cdc_lite_spark.functions.hashes import (
+        NULL_SENTINEL,
+        _escape_reserved,
+        canonical_col,
+        canonical_col_sql,
+    )
+
+    rows = [
+        (-(2**31), -(2**63), -128, -32768, datetime.date(1970, 1, 1)),
+        (2**31 - 1, 2**63 - 1, 127, 32767, datetime.date(2099, 12, 31)),
+        (0, 0, 0, 0, datetime.date(2024, 2, 29)),
+        (None, None, None, None, None),
+    ]
+    schema = "i int, l bigint, t tinyint, s smallint, d date"
+    df = spark.createDataFrame(rows, schema)
+    for col, dtype in df.dtypes:
+        got = [
+            r[0] for r in df.select(canonical_col(col, dtype).alias("c")).collect()
+        ]
+        escaped = [
+            r[0]
+            for r in df.select(
+                F.coalesce(
+                    _escape_reserved(F.col(col).cast("string")), F.lit(NULL_SENTINEL)
+                ).alias("c")
+            ).collect()
+        ]
+        assert got == escaped, f"{dtype}: escape skip changed bytes"
+        # and the SQL twin skips the replace()s too, with identical output
+        assert "replace" not in canonical_col_sql(col, dtype)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, l BIGINT, t TINYINT, s SMALLINT, d DATE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?)", rows)
+    for col, dtype in df.dtypes:
+        got = [r[0] for r in df.select(canonical_col(col, dtype)).collect()]
+        oracle = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {canonical_col_sql(col, dtype)} FROM t"
+            ).fetchall()
+        ]
+        assert got == oracle, f"{dtype}: cross-engine mismatch"
+
+
+def test_wide_decimal_injective_past_2_53(spark):
+    """r6 verdict ask #5: decimal(p>15) must not collide where binary64
+    loses integer resolution.  Neighbors of 2^53 spaced 1e-10 apart all
+    round to the same double — the exact decimal rendering keeps them
+    distinct, bit-identically in both engines."""
+    from decimal import Decimal
+
+    from cdc_lite_spark.functions.hashes import canonical_col, canonical_col_sql
+
+    base = Decimal(2**53)
+    step = Decimal(1) / Decimal(10**10)
+    vals = [base + k * step for k in range(8)]
+    vals += [-v for v in vals[:3]] + [Decimal(0), None]
+    # sanity: these genuinely collide as doubles (the old rendering's defect)
+    assert len({float(v) for v in vals[:8]}) < 8
+
+    df = spark.createDataFrame([(v,) for v in vals], "x decimal(38,10)")
+    got = [
+        r[0]
+        for r in df.select(
+            F.coalesce(canonical_col("x", "decimal(38,10)"), F.lit("∅"))
+        ).collect()
+    ]
+    non_null = [g for g in got if g != "∅"]
+    assert len(set(non_null)) == len(non_null), f"wide-decimal collision: {got}"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DECIMAL(38,10))")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    oracle = [
+        r[0]
+        for r in con.execute(
+            f"SELECT COALESCE({canonical_col_sql('x', 'decimal(38,10)')}, '∅') FROM t"
+        ).fetchall()
+    ]
+    assert got == oracle
+    # narrow decimals keep the r2-r6 double-canonical bytes (no format break)
+    ndf = spark.createDataFrame([(Decimal("1234.56"),)], "x decimal(15,2)")
+    (narrow,) = [r[0] for r in ndf.select(canonical_col("x", "decimal(15,2)")).collect()]
+    assert narrow == "1234.56"
+
+
 def test_partition_checksum_detects_empty_to_null_flip(spark):
     before = spark.createDataFrame([("p1", ""), ("p2", "z")], "part string, v string")
     after = spark.createDataFrame([("p1", None), ("p2", "z")], "part string, v string")

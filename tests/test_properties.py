@@ -550,3 +550,54 @@ def test_dfreq_maintenance_matches_recompute_under_random_histories(spark, chang
     m = {r["term"]: (r["df_count"], r["n_docs"]) for r in state.collect()}
     e = {r["term"]: (r["df_count"], r["n_docs"]) for r in expect.collect()}
     assert m == e
+
+
+DEC_2_53_NEIGHBORS = st.lists(
+    st.tuples(
+        st.integers(min_value=-(10**5), max_value=10**5),  # offset in 1e-10 units
+        st.booleans(),  # negate
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t,
+)
+
+
+@given(neighbors=DEC_2_53_NEIGHBORS)
+@_SETTINGS
+def test_wide_decimal_fingerprints_distinct_near_2_53(spark, neighbors):
+    """r6 verdict ask #5 (property form): decimal(38,10) values clustered
+    around ±2^53 — where adjacent values are indistinguishable as binary64 —
+    must produce pairwise-distinct fingerprints, and the canonical rendering
+    must match the DuckDB twin byte-for-byte."""
+    from decimal import Decimal
+
+    import duckdb
+
+    from cdc_lite_spark.functions.hashes import canonical_col, canonical_col_sql
+
+    unit = Decimal(1) / Decimal(10**10)
+    vals = sorted(
+        {(-1 if neg else 1) * (Decimal(2**53) + off * unit) for off, neg in neighbors}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x decimal(38,10)")
+    got = [r[0] for r in df.select(canonical_col("x", "decimal(38,10)")).collect()]
+    assert len(set(got)) == len(vals), f"collision among {vals}"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DECIMAL(38,10))")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    oracle = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {canonical_col_sql('x', 'decimal(38,10)')} FROM t ORDER BY x"
+        ).fetchall()
+    ]
+    con.close()
+    assert sorted(got) == sorted(oracle)
+    # one-row fingerprint distinctness end-to-end (the checksum gate itself)
+    sums = {
+        table_checksum_value(spark.createDataFrame([(v,)], "x decimal(38,10)"), fast=False)
+        for v in vals[:4]
+    }
+    assert len(sums) == len(vals[:4])
