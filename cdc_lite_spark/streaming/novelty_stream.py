@@ -23,7 +23,6 @@ grams into the state store for no benefit.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,28 +35,31 @@ from cdc_lite_spark.operators.dedup import (
     update_gram_frequencies,
 )
 
+# versioned-state protocol shared with the sketch/anomaly streams — every
+# filesystem touch (pointer swap, replay check, GC) routes through the
+# _state.py adapter, so a remote (hdfs:// / s3a:// / file://) state dir
+# uses ONE filesystem for all of them (r6 advice: the inline os.path
+# replay check silently missed v{e} on remote dirs and double-folded)
+from cdc_lite_spark.streaming._state import (
+    commit_version,
+    fs_for,
+    read_current,
+    read_for_epoch,
+    repoint,
+)
+
 _STATE_SCHEMA = "gram long, doc_freq bigint"
 
 
 def init_novelty_state(corpus: DataFrame, state_dir: str) -> None:
     """Build the initial gram-frequency state from the historical corpus —
     the one O(corpus) pass; every tick afterwards is O(batch)."""
-    gram_frequency_state(corpus).write.mode("overwrite").parquet(
-        os.path.join(state_dir, "v0")
-    )
-    _repoint(state_dir, "v0")
-
-
-# pointer protocol shared with the sketch/anomaly streams — one
-# implementation of the atomic-swap discipline (streaming/_state.py)
-from cdc_lite_spark.streaming._state import current as _current  # noqa: E402
-from cdc_lite_spark.streaming._state import repoint as _repoint  # noqa: E402
+    gram_frequency_state(corpus).write.mode("overwrite").parquet(state_dir + "/v0")
+    repoint(state_dir, "v0")
 
 
 def load_novelty_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    return spark.read.schema(_STATE_SCHEMA).parquet(
-        os.path.join(state_dir, _current(state_dir))
-    )
+    return read_current(spark, state_dir, schema=_STATE_SCHEMA)
 
 
 def start_novelty_stream(
@@ -80,31 +82,19 @@ def start_novelty_stream(
 
     def _tick(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
+        fs = fs_for(state_dir, spark)
         # a replayed epoch must score against the SAME state it originally
         # saw: epoch e always reads version v{e} when it exists (the tick
         # for e-1 wrote it), falling back to the committed head only when
         # the stream's checkpoint predates this state directory
-        versioned = os.path.join(state_dir, f"v{epoch}")
-        if os.path.isdir(versioned):
-            state = spark.read.schema(_STATE_SCHEMA).parquet(versioned)
-        else:
-            state = load_novelty_state(spark, state_dir)
+        state = read_for_epoch(spark, state_dir, epoch, fs, schema=_STATE_SCHEMA)
         scores = batch_gram_novelty(batch, state)
         if on_batch is not None:
             on_batch(scores, epoch)
         scores.write.mode("append").parquet(sink_path)
-        new_version = f"v{epoch + 1}"
-        update_gram_frequencies(state, batch).write.mode("overwrite").parquet(
-            os.path.join(state_dir, new_version)
-        )
-        _repoint(state_dir, new_version)
-        # GC: keep the two newest versions (current + the one a replay of
-        # THIS epoch would re-read); anything older is unreachable
-        import shutil
-
-        for name in os.listdir(state_dir):
-            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < epoch:
-                shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+        # write v{epoch+1}, swing the pointer, GC versions a replay of this
+        # epoch can no longer read — all on the state dir's own filesystem
+        commit_version(update_gram_frequencies(state, batch), state_dir, epoch, fs)
 
     return (
         new_docs_stream.writeStream.foreachBatch(_tick)

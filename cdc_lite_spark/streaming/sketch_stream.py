@@ -24,9 +24,6 @@ state tables expresses it with one O(|state|) join-free union-agg.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -37,11 +34,16 @@ from cdc_lite_spark.operators.sketches import (
     rollup_estimates,
 )
 
-
-# pointer protocol shared with the sketch/anomaly streams — one
-# implementation of the atomic-swap discipline (streaming/_state.py)
-from cdc_lite_spark.streaming._state import current as _current  # noqa: E402
-from cdc_lite_spark.streaming._state import repoint as _repoint  # noqa: E402
+# versioned-state protocol shared with the novelty/anomaly streams — every
+# filesystem touch routes through the _state.py adapter so remote state
+# dirs (hdfs:// / s3a:// / file://) use one filesystem throughout
+from cdc_lite_spark.streaming._state import (
+    commit_version,
+    fs_for,
+    read_current,
+    read_for_epoch,
+    repoint,
+)
 
 
 def init_sketch_state(
@@ -54,12 +56,12 @@ def init_sketch_state(
     """Build initial state from historical rows — the one O(history) pass."""
     distinct_sketch_state(history, grain_cols, value_col, lgk).write.mode(
         "overwrite"
-    ).parquet(os.path.join(state_dir, "v0"))
-    _repoint(state_dir, "v0")
+    ).parquet(state_dir + "/v0")
+    repoint(state_dir, "v0")
 
 
 def load_sketch_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(state_dir, _current(state_dir)))
+    return read_current(spark, state_dir)
 
 
 def start_sketch_stream(
@@ -79,30 +81,20 @@ def start_sketch_stream(
 
     def _tick(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
-        versioned = os.path.join(state_dir, f"v{epoch}")
-        if os.path.isdir(versioned):
-            state = spark.read.parquet(versioned)
-        else:
-            state = load_sketch_state(spark, state_dir)
+        fs = fs_for(state_dir, spark)
+        state = read_for_epoch(spark, state_dir, epoch, fs)
         new_state = merge_states(
             state,
             distinct_sketch_state(batch, grain_cols, value_col, lgk),
             grain_cols,
         ).localCheckpoint()  # one computation feeds both the write and the snapshot
-        new_version = f"v{epoch + 1}"
-        new_state.write.mode("overwrite").parquet(
-            os.path.join(state_dir, new_version)
-        )
-        _repoint(state_dir, new_version)
+        # write v{epoch+1}, swing the pointer, GC — all via the fs adapter
+        commit_version(new_state, state_dir, epoch, fs)
         import pyspark.sql.functions as F
 
         rollup_estimates(new_state, grain_cols).withColumn(
             "epoch", F.lit(epoch).cast("long")
         ).write.mode("append").parquet(sink_path)
-        # GC: keep current + the version a replay of THIS epoch re-reads
-        for name in os.listdir(state_dir):
-            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < epoch:
-                shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(_tick)

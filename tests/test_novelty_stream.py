@@ -152,3 +152,42 @@ def test_novelty_stream_survives_stop_and_restart(spark, tmp_path):
     ]:
         re_batch = spark.createDataFrame([(99, text)], "doc_id long, text string")
         assert batch_gram_novelty(re_batch, state).collect()[0]["novelty"] == 0.0
+
+
+def test_novelty_stream_with_file_scheme_state_dir(spark, tmp_path):
+    """r6 advice (high): the stream's replay check and GC must route
+    through the same fs adapter as the pointer swap — a scheme'd state
+    dir (file:// here, the same adapter seam hdfs:///s3a:// take) runs
+    the full tick path without touching raw os.* on the URI."""
+    (tmp_path / "state").mkdir()
+    state_dir = "file://" + str(tmp_path / "state")
+    sink = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+    new_dir = str(tmp_path / "incoming")
+
+    corpus = spark.createDataFrame([(1, KNOWN)], "doc_id long, text string")
+    init_novelty_state(corpus, state_dir)
+
+    incoming = spark.createDataFrame(
+        [(100, KNOWN), (101, NOVEL)], "doc_id long, text string"
+    )
+    incoming.repartition(2).write.mode("overwrite").parquet(new_dir)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(new_dir)
+    )
+    q = start_novelty_stream(stream, state_dir, sink, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["doc_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert rows[100]["novelty"] == 0.0 and rows[101]["novelty"] == 1.0
+    # versions GC'd through the adapter on the plain local path
+    import os
+
+    names = sorted(
+        n for n in os.listdir(tmp_path / "state") if n.startswith("v")
+    )
+    assert len(names) <= 2 and load_novelty_state(spark, state_dir).count() > 0

@@ -91,3 +91,41 @@ def test_fs_for_scheme_routing(spark):
     assert isinstance(fs_for("file:///tmp/x"), LocalStateFS)
     assert isinstance(fs_for("hdfs://nn:8020/state", spark), HadoopStateFS)
     assert isinstance(fs_for("s3a://bucket/state", spark), HadoopStateFS)
+
+
+@pytest.mark.parametrize("prefix", ["file://", "file:"])
+def test_protocol_over_file_scheme_uri(spark, tmp_path, prefix):
+    """r6 advice (medium): a ``file:`` state dir routes to LocalStateFS,
+    which must strip the scheme before POSIX ops — the full protocol
+    (pointer swap, replay read, commit chain + GC) over a file: URI."""
+    sd = prefix + str(tmp_path)
+    _df(spark, 3).write.parquet(sd + "/v0")
+    repoint(sd, "v0")
+    assert current(sd) == "v0"
+    assert read_current(spark, sd).count() == 3
+    assert read_for_epoch(spark, sd, 0).count() == 3
+    for epoch in range(3):
+        commit_version(_df(spark, epoch + 2), sd, epoch)
+    assert current(sd) == "v3"
+    versions = sorted(n for n in os.listdir(tmp_path) if n.startswith("v"))
+    assert versions == ["v2", "v3"]
+    assert read_for_epoch(spark, sd, 2).count() == 3
+
+
+def test_hadoop_read_pointer_empty_file_raises_clearly(spark, tmp_path):
+    """r6 advice (low): an empty/truncated _CURRENT must surface as a
+    ValueError naming the state dir, not an opaque AttributeError on the
+    Java null."""
+    sd = str(tmp_path)
+    (tmp_path / "_CURRENT").write_text("")
+    with pytest.raises(ValueError, match="_CURRENT"):
+        HadoopStateFS(spark).read_pointer(sd)
+
+
+def test_schema_passthrough_on_reads(spark, tmp_path):
+    sd = str(tmp_path)
+    _df(spark, 2).write.parquet(sd + "/v0")
+    repoint(sd, "v0")
+    got = read_current(spark, sd, schema="v long")
+    assert got.schema.simpleString() == "struct<v:bigint>"
+    assert read_for_epoch(spark, sd, 0, schema="v long").count() == 2
