@@ -6987,3 +6987,190 @@ def q_correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
     return m.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+@register(
+    "schema_drift_report",
+    """
+    WITH prev AS (
+        SELECT column_name AS col_name,
+               CASE data_type
+                   WHEN 'BIGINT' THEN 'bigint'
+                   WHEN 'INTEGER' THEN 'int'
+                   WHEN 'SMALLINT' THEN 'smallint'
+                   WHEN 'TINYINT' THEN 'tinyint'
+                   WHEN 'VARCHAR' THEN 'string'
+                   WHEN 'DOUBLE' THEN 'double'
+                   WHEN 'FLOAT' THEN 'float'
+                   WHEN 'TIMESTAMP' THEN 'timestamp'
+                   WHEN 'DATE' THEN 'date'
+                   WHEN 'BOOLEAN' THEN 'boolean'
+                   ELSE lower(data_type)
+               END AS typ
+        FROM information_schema.columns
+        WHERE table_name = 'events'
+    ),
+    cur AS (
+        SELECT col_name,
+               CASE WHEN col_name = 'value' THEN 'decimal(18,6)' ELSE typ END AS typ
+        FROM prev
+        WHERE col_name <> 'props'
+        UNION ALL
+        SELECT 'ingest_region', 'string'
+    )
+    SELECT COALESCE(c.col_name, p.col_name) AS col_name,
+           CASE WHEN p.col_name IS NULL THEN 'ADD'
+                WHEN c.col_name IS NULL THEN 'DROP'
+                ELSE 'RETYPE' END AS change,
+           COALESCE(p.typ, '') AS from_type,
+           COALESCE(c.typ, '') AS to_type
+    FROM prev p
+    FULL OUTER JOIN cur c ON p.col_name = c.col_name
+    WHERE p.col_name IS NULL OR c.col_name IS NULL OR p.typ <> c.typ
+    """,
+    "A2/DDL extension: classified schema-drift report between the live "
+    "events schema and a migrated v2 (drop props, retype value, add "
+    "ingest_region) — ADD/DROP/RETYPE records the reference only implies "
+    "through changed record shapes (duckdb_cdc.go:146-159); the oracle "
+    "derives the previous schema from DuckDB's information_schema so both "
+    "engines introspect their own catalog",
+    tags=("cdc", "schema"),
+)
+def q_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemas are metadata (a handful of entries per table), so the drift
+    classification is pure driver-side dict comparison — never a Spark job
+    (operators/schema_drift.py); only the resulting handful of records
+    becomes a DataFrame.  At 100 TB this is exactly as cheap: the schema
+    comes from the parquet footer/catalog, not a scan."""
+    from cdc_lite_spark.operators.schema_drift import schema_drift, schema_map
+
+    prev = schema_map(load_table(spark, sf_dir, "events"))
+    cur = {
+        c: ("decimal(18,6)" if c == "value" else t)
+        for c, t in prev.items()
+        if c != "props"
+    }
+    cur["ingest_region"] = "string"
+    rows = [
+        (r["column"], r["change"], r["from_type"], r["to_type"])
+        for r in schema_drift(prev, cur)
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, change string, from_type string, to_type string"
+    )
+
+
+@register(
+    "anomaly_stream_equivalence",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+        SELECT event_type, hour, x,
+               CAST(sum(x) OVER w AS DECIMAL(18,6)) AS sx,
+               CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) OVER w
+                    AS DECIMAL(30,12)) AS sxx,
+               CAST(count(*) OVER w AS DECIMAL(2,0)) AS n_prev
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    cleared AS (
+        SELECT event_type, hour, x, n_prev,
+               CAST(n_prev * x - sx AS DECIMAL(19,6)) AS dev,
+               CAST(CAST(n_prev * sxx AS DECIMAL(33,12))
+                    - CAST(sx AS DECIMAL(19,6)) * CAST(sx AS DECIMAL(19,6))
+                    AS DECIMAL(31,12)) AS var_num
+        FROM framed
+    )
+    SELECT event_type, hour, CAST(x AS DOUBLE) AS x, CAST(n_prev AS BIGINT) AS n_prev,
+           CASE WHEN n_prev >= 8 AND dev * dev > CAST(9 AS DECIMAL(1,0)) * var_num
+                THEN 1 ELSE 0 END AS anomaly
+    FROM cleared
+    """,
+    "H2/H7 stream==batch gate: ACTUALLY RUNS the anomaly stream — events "
+    "split into a history init plus three micro-batches through "
+    "streaming/anomaly_stream.py's versioned-state fold — and returns the "
+    "final emitted snapshot; the oracle is the plain BATCH anomaly SQL "
+    "over all events, so the driver itself pins that the maintained "
+    "streaming state converges to the batch answer bit-for-bit",
+    tags=("streaming", "window", "events"),
+)
+def q_anomaly_stream_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The equivalence holds because the hourly sums are DECIMAL (exact,
+    commutative, associative): state after history ⊕ 3 batches equals one
+    batch aggregate over everything, so the final flag snapshot is the
+    batch answer.  Retention is disabled for the comparison (the oracle
+    sees all history; anomaly_stream.py documents the boundary effect of
+    any finite retention).  Scale: the stream only ever aggregates at
+    (key, hour) grain — the per-tick cost is O(batch) + O(|state|), and
+    the sink snapshot is the tiny aggregate, never fact volume."""
+    import shutil
+    import tempfile
+
+    from cdc_lite_spark.streaming.anomaly_stream import (
+        init_anomaly_state,
+        start_anomaly_stream,
+    )
+
+    td = tempfile.mkdtemp(prefix="cdc_anom_equiv_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+        history = ev.filter(F.crc32(F.col("event_type").cast("binary")) % 4 == 0)
+        incoming = ev.filter(F.crc32(F.col("event_type").cast("binary")) % 4 != 0)
+        incoming.repartition(3).write.parquet(td + "/in")
+        init_anomaly_state(history, td + "/state")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(td + "/in")
+        )
+        q = start_anomaly_stream(
+            stream, td + "/state", td + "/sink", td + "/ckpt", retention_rows=10**9
+        )
+        q.awaitTermination()
+        # materialize before the temp dirs disappear
+        return spark.read.parquet(td + "/sink").drop("epoch").localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
+def _wide_decimal_checksum_oracle() -> str:
+    from cdc_lite_spark.operators.checksum import table_checksum_sql
+
+    inner = (
+        "(SELECT CAST(CAST(9007199254740992 + l_orderkey AS VARCHAR) || '.' || "
+        "lpad(CAST(l_partkey AS VARCHAR), 10, '0') AS DECIMAL(38,10)) AS wide_val "
+        "FROM lineitem) t"
+    )
+    return table_checksum_sql(inner, [("wide_val", "decimal(38,10)")])
+
+
+@register(
+    "cdc_wide_decimal_checksum",
+    _wide_decimal_checksum_oracle(),
+    "C3 on wide decimals: whole-table fingerprint over a decimal(38,10) "
+    "column built past 2^53, where every value collides as binary64 — "
+    "driver-verifies the exact full-scale decimal canonicalization "
+    "(functions/hashes.py r7) cross-engine; the old cast-to-double "
+    "rendering would hash all rows of an order identically",
+    tags=("cdc", "checksum"),
+)
+def q_cdc_wide_decimal_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same plan shape as cdc_table_checksums: one partial-aggregable
+    expression, O(rows) scan + O(partitions) shuffle of (count,sum) pairs.
+    The wide value is constructed by string concat + cast so neither
+    engine's decimal arithmetic width rules are in play — only the
+    canonical rendering under test."""
+    from cdc_lite_spark.operators.checksum import table_checksum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = F.concat(
+        (F.lit(9007199254740992) + F.col("l_orderkey")).cast("string"),
+        F.lit("."),
+        F.lpad(F.col("l_partkey").cast("string"), 10, "0"),
+    ).cast("decimal(38,10)")
+    return table_checksum(li.select(wide.alias("wide_val")))
