@@ -39,14 +39,18 @@ HEX_PREFIX_LEN = 15  # 60 bits < 2^63, safe in signed BIGINT for both engines
 # preserved because the DuckDB twin applies the identical escaping and both
 # engines hash the same canonical bytes.
 #
-# Scope (r6 advice): the injectivity guarantee covers SCALAR columns.
-# Complex types (array/map/struct) fall through to the engine's native
-# string rendering, which is order-preserving but NOT injective — the
-# escape runs over the already-rendered string, so ``['a, b']`` and
-# ``['a', ' b']`` both render ``[a, b]`` and still collide.  Fingerprinting
-# a complex column structurally requires canonicalizing its elements
-# before joining (per-element escape + length prefix); none of the CDC
-# surfaces do today — they fingerprint scalar relational tables.
+# Scope (r6 advice, upgraded r7): the injectivity guarantee covers SCALAR
+# columns and (recursively) ARRAY columns.  Arrays are canonicalized
+# STRUCTURALLY — ``len:`` prefix + per-element canonical rendering, each
+# element escaped before the ',' join, NULL elements as the bare ``\N``
+# sentinel (unforgeable among escaped strings) — so ``['a, b']`` renders
+# ``1:a\, b`` while ``['a', ' b']`` renders ``2:a, b``: distinct arrays
+# always render distinctly, and the engines' native (non-injective,
+# engine-specific) list renderings are never consulted.  Maps/structs
+# still fall through to the native rendering — order-preserving but not
+# injective, and not cross-engine — so they are excluded from the
+# guarantee; fingerprint surfaces canonicalize them to JSON first or
+# explode them into scalar columns.
 #
 # Escape SKIPPING (r6 verdict ask #1): dtypes whose rendering alphabet
 # provably excludes ',' and '\' skip the two replaces entirely — the
@@ -214,53 +218,89 @@ def canonical_col(col: str, dtype: str) -> Column:
     ``NULL_SENTINEL``), NULL renders as ``'\\N'`` and free-form renderings
     are separator-escaped so the per-row canonical string is injective.
     """
-    c = F.col(col)
-    dl = dtype.lower()
+    return F.coalesce(_canon_rendered(F.col(col), dtype.lower()), F.lit(NULL_SENTINEL))
+
+
+def _canon_rendered(c: Column, dl: str) -> Column:
+    """Escaped-or-fixed-alphabet canonical rendering of one VALUE of dtype
+    ``dl`` (NULL propagates as NULL — the caller supplies the sentinel).
+    The same function canonicalizes row columns and array elements, so the
+    injectivity argument recurses: every branch returns a string whose
+    bare ``,`` count equals its logical separator count and which cannot
+    contain the bare ``\\N`` sentinel."""
     if dl.startswith("timestamp"):
         # fixed alphabet [0-9 :.-], can never contain ',' or '\' — no escape
-        rendered = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
-    elif dl in ("double", "float"):
-        rendered = _canon_float(c.cast("double"))
-    elif dl.startswith("decimal"):
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    if dl in ("double", "float"):
+        return _canon_float(c.cast("double"))
+    if dl.startswith("decimal"):
         if _decimal_precision(dl) <= _DECIMAL_DOUBLE_SAFE_P:
             # p<=15 round-trips through binary64 exactly — share the float
             # canonical form (keeps r2-r6 fingerprint bytes for these)
-            rendered = _canon_float(c.cast("double"))
-        else:
-            # wide decimals exceed binary64 (distinct values past 2^53 can
-            # collide as doubles) — render the exact full-scale decimal
-            # string, byte-identical in both engines (see format note above)
-            rendered = c.cast("string")
-    elif dl == "boolean":
-        rendered = c.cast("int").cast("string")
-    elif dl in ("tinyint", "smallint", "int", "integer", "bigint", "long", "date"):
+            return _canon_float(c.cast("double"))
+        # wide decimals exceed binary64 (distinct values past 2^53 can
+        # collide as doubles) — render the exact full-scale decimal
+        # string, byte-identical in both engines (see format note above)
+        return c.cast("string")
+    if dl == "boolean":
+        return c.cast("int").cast("string")
+    if dl in ("tinyint", "smallint", "int", "integer", "bigint", "long", "date"):
         # fixed alphabet [0-9-] — escape would be a byte-level no-op, skip it
-        rendered = c.cast("string")
-    else:
-        # strings / arrays / anything free-form may contain ',' or '\'
-        rendered = _escape_reserved(c.cast("string"))
-    return F.coalesce(rendered, F.lit(NULL_SENTINEL))
+        return c.cast("string")
+    if dl.startswith("array<"):
+        # structural: len-prefix + escaped per-element canonical renderings
+        # joined by ','; NULL element → bare '\N' (unforgeable).  The whole
+        # array string is then escaped for ITS position (row column or
+        # parent array element), keeping the scheme closed under nesting.
+        ed = dl[6:-1]
+        inner = F.concat_ws(
+            ",",
+            F.transform(
+                c, lambda x: F.coalesce(_canon_rendered(x, ed), F.lit(NULL_SENTINEL))
+            ),
+        )
+        return _escape_reserved(
+            F.concat(F.size(c).cast("string"), F.lit(":"), inner)
+        )
+    # strings / structs / maps / anything free-form may contain ',' or '\'
+    return _escape_reserved(c.cast("string"))
 
 
 def canonical_col_sql(col: str, dtype: str) -> str:
     """DuckDB SQL mirror of :func:`canonical_col`."""
-    dl = dtype.lower()
+    return f"COALESCE({_canon_rendered_sql(col, dtype.lower())}, '{NULL_SENTINEL}')"
+
+
+def _canon_rendered_sql(expr: str, dl: str, depth: int = 0) -> str:
+    """DuckDB SQL mirror of :func:`_canon_rendered`.  ``depth`` names the
+    lambda variable per nesting level so nested arrays don't shadow."""
     if dl.startswith("timestamp"):
-        rendered = f"strftime({col}, '%Y-%m-%d %H:%M:%S.%f')"
-    elif dl in ("double", "float"):
-        rendered = _canon_float_sql(col)
-    elif dl.startswith("decimal"):
+        return f"strftime({expr}, '%Y-%m-%d %H:%M:%S.%f')"
+    if dl in ("double", "float"):
+        return _canon_float_sql(expr)
+    if dl.startswith("decimal"):
         if _decimal_precision(dl) <= _DECIMAL_DOUBLE_SAFE_P:
-            rendered = _canon_float_sql(col)
-        else:
-            rendered = f"CAST({col} AS VARCHAR)"
-    elif dl == "boolean":
-        rendered = f"CAST(CAST({col} AS INT) AS VARCHAR)"
-    elif dl in ("tinyint", "smallint", "int", "integer", "bigint", "long", "date"):
-        rendered = f"CAST({col} AS VARCHAR)"
-    else:
-        rendered = _escape_reserved_sql(f"CAST({col} AS VARCHAR)")
-    return f"COALESCE({rendered}, '{NULL_SENTINEL}')"
+            return _canon_float_sql(expr)
+        return f"CAST({expr} AS VARCHAR)"
+    if dl == "boolean":
+        return f"CAST(CAST({expr} AS INT) AS VARCHAR)"
+    if dl in ("tinyint", "smallint", "int", "integer", "bigint", "long", "date"):
+        return f"CAST({expr} AS VARCHAR)"
+    if dl.startswith("array<"):
+        ed = dl[6:-1]
+        var = f"__e{depth}"
+        elem = _canon_rendered_sql(var, ed, depth + 1)
+        # DuckDB's array_to_string returns NULL for empty lists — coalesce
+        # to '' to match Spark's concat_ws; a NULL LIST still renders NULL
+        # because len(NULL) is NULL and '||' propagates it
+        inner = (
+            f"COALESCE(array_to_string(list_transform({expr}, "
+            f"{var} -> COALESCE({elem}, '{NULL_SENTINEL}')), ','), '')"
+        )
+        return _escape_reserved_sql(
+            f"(CAST(len({expr}) AS VARCHAR) || ':' || {inner})"
+        )
+    return _escape_reserved_sql(f"CAST({expr} AS VARCHAR)")
 
 
 def canonical_row_string(cols_with_types: Sequence[tuple[str, str]]) -> Column:

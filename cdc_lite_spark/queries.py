@@ -7174,3 +7174,35 @@ def q_cdc_wide_decimal_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("l_partkey").cast("string"), 10, "0"),
     ).cast("decimal(38,10)")
     return table_checksum(li.select(wide.alias("wide_val")))
+
+
+def _array_checksum_oracle() -> str:
+    from cdc_lite_spark.operators.checksum import table_checksum_sql
+
+    inner = "(SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 = 0) t"
+    return table_checksum_sql(
+        inner,
+        [("vec_id", "bigint"), ("embedding", "array<float>"), ("label", "int")],
+    )
+
+
+@register(
+    "cdc_array_checksum",
+    _array_checksum_oracle(),
+    "C3 over a complex column: whole-table fingerprint of the embeddings "
+    "table including its array<float> column, canonicalized STRUCTURALLY "
+    "(len prefix + per-element escaped canonical floats, functions/"
+    "hashes.py r7) — the engines' native list renderings are neither "
+    "injective nor cross-engine, so the fingerprint never consults them",
+    tags=("cdc", "checksum", "embeddings"),
+)
+def q_cdc_array_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same partial-aggregable plan as every C3 fingerprint — the array
+    canonicalization is a JVM-side higher-order transform per row, no
+    shuffle added, O(rows·dim) scan work.  The vec_id%10 slice keeps the
+    per-round bench cost proportional to the other checksum queries; the
+    operator itself has no such cap."""
+    from cdc_lite_spark.operators.checksum import table_checksum
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return table_checksum(emb.select("vec_id", "embedding", "label"))

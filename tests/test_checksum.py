@@ -277,3 +277,73 @@ def test_partition_checksum_detects_empty_to_null_flip(spark):
     b = {r["part"]: r["checksum"] for r in partition_checksums(before, "part").collect()}
     a = {r["part"]: r["checksum"] for r in partition_checksums(after, "part").collect()}
     assert b["p1"] != a["p1"] and b["p2"] == a["p2"]
+
+
+def test_array_canonicalization_injective_and_cross_engine(spark):
+    """r7: arrays canonicalize STRUCTURALLY (len prefix + escaped elements),
+    so the r6-advice collision class (['a, b'] vs ['a', ' b'] both rendering
+    '[a, b]') is gone, and the rendering is byte-identical in DuckDB."""
+    from cdc_lite_spark.functions.hashes import canonical_col, canonical_col_sql
+
+    rows = [
+        (1, ["a, b"]), (2, ["a", " b"]),          # the advice collision pair
+        (3, []), (4, None), (5, [""]),            # empty vs NULL vs ['']
+        (6, [None]), (7, ["\\N"]),                # NULL element vs forged sentinel
+        (8, ["a\\", ",b"]), (9, ["a\\,", "b"]),   # escape-char adjacency
+        (10, ["x"]), (11, ["x", None]),
+    ]
+    df = spark.createDataFrame(rows, "id int, arr array<string>")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_col("arr", "array<string>").alias("c")).collect()
+    }
+    assert len(set(got.values())) == len(got), f"array canonical collision: {got}"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, arr VARCHAR[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = dict(
+        con.execute(
+            f"SELECT id, {canonical_col_sql('arr', 'array<string>')} FROM t"
+        ).fetchall()
+    )
+    assert got == oracle
+
+
+def test_array_numeric_and_nested_cross_engine(spark):
+    from cdc_lite_spark.functions.hashes import canonical_col, canonical_col_sql
+
+    rows = [
+        (1, [1.5, None, -0.25], [1, 2], [[1, 2], [3]]),
+        (2, [0.1, 2.5e-5], [], [[], [None]]),
+        (3, None, None, None),
+        (4, [float("nan"), float("inf")], [-(2**62)], [[7]]),
+    ]
+    schema = "id int, d array<double>, l array<bigint>, n array<array<int>>"
+    df = spark.createDataFrame(rows, schema)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, d DOUBLE[], l BIGINT[], n INT[][])")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows[:3])
+    # duckdb's Python LIST binding converts NaN -> NULL (a load-side
+    # artifact, not a rendering difference) — insert row 4 as a SQL literal
+    con.execute(
+        "INSERT INTO t VALUES (4, ['nan'::DOUBLE, 'infinity'::DOUBLE], "
+        f"[{-(2**62)}], [[7]])"
+    )
+    for col, dtype in [("d", "array<double>"), ("l", "array<bigint>"), ("n", "array<array<int>>")]:
+        got = {
+            r["id"]: r["c"]
+            for r in df.select("id", canonical_col(col, dtype).alias("c")).collect()
+        }
+        oracle = dict(
+            con.execute(
+                f"SELECT id, {canonical_col_sql(col, dtype)} FROM t"
+            ).fetchall()
+        )
+        assert got == oracle, f"{dtype} cross-engine mismatch"
+    # and the fingerprint sees a 1-ulp change inside an array element
+    import math
+
+    a = spark.createDataFrame([(1, [0.1])], "id int, v array<double>")
+    b = spark.createDataFrame([(1, [math.nextafter(0.1, 1.0)])], "id int, v array<double>")
+    assert table_checksum_value(a) != table_checksum_value(b)
