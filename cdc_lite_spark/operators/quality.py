@@ -216,10 +216,17 @@ def contamination_check(
     # n-gram lambda does n element_at calls per gram, and inlining the
     # split/filter expression there re-tokenizes the document once per
     # element_at (observed 5x on the r02 bench)
-    corp_grams = (
-        corpus.select(F.col(id_col), tokens(text_col).alias("__t"))
-        .select(F.col(id_col), F.explode_outer(_ngrams(F.col("__t"), n)).alias("g"))
-        .dropDuplicates([id_col, "g"])
+    # per-doc gram dedup happens INSIDE the array (array_distinct) before
+    # the explode: the dedup key is (doc_id, gram) and every gram of a doc
+    # lives in that doc's row, so this is exactly dropDuplicates([id, g])
+    # with zero shuffle — the exploded stream then hits the broadcast join
+    # and collapses map-side in the final partial aggregation, so the only
+    # shuffle in the whole plan is |docs| partial rows (r7: the previous
+    # dropDuplicates shuffled the full gram stream, the one above-baseline
+    # query left on the r6 bench)
+    corp_grams = corpus.select(F.col(id_col), tokens(text_col).alias("__t")).select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(_ngrams(F.col("__t"), n))).alias("g"),
     )
     hold_grams = (
         holdout.select(tokens(text_col).alias("__t"))
