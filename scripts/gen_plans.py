@@ -30,7 +30,10 @@ HEADLINERS: dict[str, str] = {
     "encoding_quality_stats": "pure scan-side expression plan: no exchange at all",
     "cdc_replay_reconstruction": "diff materialized via localCheckpoint, then ONE merge join folds it into prev",
     "cluster_canonical_docs": "survivor window over |clustered docs| (broadcast clusters back), not |corpus|",
-    "contamination_check": "holdout gram set broadcast; corpus side never shuffles before the agg",
+    "contamination_check": "holdout gram set broadcast; per-doc gram dedup in-array (r7) — corpus side reaches the join with zero exchanges",
+    "cdc_wide_decimal_checksum": "same single-exchange fingerprint shape over a decimal(38,10) column built past 2^53 — exact rendering, no double round-trip",
+    "cdc_array_checksum": "array<float> canonicalized by a JVM-side transform below the partial agg — fingerprinting a complex column adds no exchange",
+    "schema_drift_report": "schemas are metadata: the whole drift computation is a LocalTableScan, zero jobs against the data",
     "embedding_quantize": "pure scan-side map: zero Exchange",
     "pack_training_batches": "one window per shard — single Exchange for the partitionBy",
     "repetition_stats": "word-count shape: partial+final HashAggregate pairs for words and bigrams",

@@ -90,10 +90,15 @@ def test_checksum_shuffles_only_partials(spark):
 
 def test_contamination_broadcasts_holdout(spark):
     """The holdout gram set is tiny — it must broadcast; the corpus side
-    must never become the build side of a shuffled join."""
+    must never become the build side of a shuffled join.  r7: per-doc gram
+    dedup happens in-array (array_distinct) before the explode, so the
+    corpus gram stream reaches the broadcast join with ZERO exchanges —
+    the plan's only shuffles are the holdout distinct and the final
+    |docs|-row partial-agg exchange (tree + detail each print once → 2×2)."""
     plan = _plan(spark, "contamination_check")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 4
 
 
 def test_embedding_quantize_has_no_shuffle(spark):
