@@ -67,9 +67,12 @@ HEX_PREFIX_LEN = 15  # 60 bits < 2^63, safe in signed BIGINT for both engines
 #   every row hash / table checksum changed; persisted pre-r6 checksum
 #   state registers one spurious capture per table on upgrade.
 # - r7: decimal(p>15,s) switched from cast-to-double (collides past 2^53)
-#   to the exact full-scale decimal string — checksums over wide-decimal
-#   columns change (one spurious capture on upgrade); p<=15 decimals,
-#   doubles, and every other dtype are byte-identical to r6.
+#   to the exact full-scale decimal string, and array columns switched
+#   from the escaped native '[a, b]' rendering (which collided across
+#   element boundaries) to the structural len-prefixed form — checksums
+#   over wide-decimal or array columns change (one spurious capture per
+#   affected table on upgrade); p<=15 decimals, doubles, and every other
+#   scalar dtype are byte-identical to r6.
 NULL_SENTINEL = "\\N"
 
 #: decimal precision up to which binary64 round-trips every value exactly

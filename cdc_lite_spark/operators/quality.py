@@ -50,10 +50,20 @@ MIN_STOPWORD_RATIO = 0.01
 
 
 def _bigrams(toks: Column) -> Column:
-    """Adjacent-pair bigram array (1-based element_at == DuckDB list index)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    """Adjacent-pair bigram array (1-based element_at == DuckDB list index).
+
+    Short-doc clamp: Spark's ``sequence(start, stop)`` steps BACKWARDS when
+    start > stop (``sequence(1, 0)`` -> ``[1, 0]``), unlike DuckDB's empty
+    ``range`` — without the guard a <2-token document generates descending
+    indices and ``element_at`` throws.  A NULL token array still propagates
+    NULL (the ``< 2`` predicate is NULL, matching both engines)."""
+    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
     )
 
 
@@ -62,11 +72,15 @@ def _bigrams_sql(toks: str) -> str:
 
 
 def _ngrams(toks: Column, n: int) -> Column:
-    return F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
+    # same short-doc clamp as _bigrams: a <n-token doc must yield [] (as
+    # DuckDB's range does), not a backwards sequence that crashes element_at
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
     )
 
 
@@ -211,15 +225,22 @@ def contamination_check(
 ) -> DataFrame:
     """Benchmark decontamination: per corpus document, the fraction of its
     distinct ``n``-grams that appear anywhere in the holdout (benchmark)
-    set.  The holdout gram set is broadcast — the corpus never shuffles."""
+    set.  The holdout gram set is broadcast — the corpus never shuffles.
+
+    Precondition: one corpus row per ``id_col`` (a document id).  Gram
+    dedup is per-row (``array_distinct``); if the same id appeared on two
+    rows their shared grams would be double-counted, where a cross-row
+    ``dropDuplicates([id, gram])`` would shuffle the full gram stream —
+    the exact cost this operator exists to avoid."""
     # materialize the token array behind a projection boundary FIRST: the
     # n-gram lambda does n element_at calls per gram, and inlining the
     # split/filter expression there re-tokenizes the document once per
     # element_at (observed 5x on the r02 bench)
     # per-doc gram dedup happens INSIDE the array (array_distinct) before
-    # the explode: the dedup key is (doc_id, gram) and every gram of a doc
-    # lives in that doc's row, so this is exactly dropDuplicates([id, g])
-    # with zero shuffle — the exploded stream then hits the broadcast join
+    # the explode: with one row per doc_id (see docstring precondition)
+    # every gram of a doc lives in that row, so this equals
+    # dropDuplicates([id, g]) with zero shuffle — the exploded stream then
+    # hits the broadcast join
     # and collapses map-side in the final partial aggregation, so the only
     # shuffle in the whole plan is |docs| partial rows (r7: the previous
     # dropDuplicates shuffled the full gram stream, the one above-baseline
@@ -241,7 +262,12 @@ def contamination_check(
         F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_contaminated"),
         F.round(
             F.coalesce(
-                F.sum(F.coalesce("__hit", F.lit(0))).cast("double") / F.count("g"),
+                # try_divide: a 0-gram (shorter-than-n) doc divides by zero,
+                # which ANSI mode turns into a query-killing error
+                F.try_divide(
+                    F.sum(F.coalesce("__hit", F.lit(0))).cast("double"),
+                    F.count("g"),
+                ),
                 F.lit(0.0),
             ),
             6,

@@ -7119,8 +7119,12 @@ def q_anomaly_stream_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     td = tempfile.mkdtemp(prefix="cdc_anom_equiv_")
     try:
         ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
-        history = ev.filter(F.crc32(F.col("event_type").cast("binary")) % 4 == 0)
-        incoming = ev.filter(F.crc32(F.col("event_type").cast("binary")) % 4 != 0)
+        # coalesce makes the split TOTAL: crc32(NULL) % 4 is NULL, which
+        # would fail BOTH filters and silently drop NULL-typed events that
+        # the batch oracle's GROUP BY keeps as its own group
+        split = F.coalesce(F.crc32(F.col("event_type").cast("binary")) % 4, F.lit(0))
+        history = ev.filter(split == 0)
+        incoming = ev.filter(split != 0)
         incoming.repartition(3).write.parquet(td + "/in")
         init_anomaly_state(history, td + "/state")
         stream = (

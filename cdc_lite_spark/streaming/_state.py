@@ -49,7 +49,7 @@ def _local_path(p: str) -> str:
     """Strip a ``file:`` scheme so POSIX ops see a plain path.  Handles
     ``file:/x``, ``file:///x``, and ``file://localhost/x`` forms (r6 advice:
     the raw URI used to reach ``open()`` and fail)."""
-    if not p.startswith("file:"):
+    if not p.lower().startswith("file:"):
         return p
     from urllib.parse import urlparse
 
@@ -68,7 +68,10 @@ class LocalStateFS:
 
     def read_pointer(self, state_dir: str) -> str:
         with open(os.path.join(_local_path(state_dir), "_CURRENT")) as f:
-            return f.read().strip()
+            version = f.read().strip()
+        if not version:
+            raise ValueError(f"empty/truncated _CURRENT pointer in {state_dir}")
+        return version
 
     def dir_exists(self, path: str) -> bool:
         return os.path.isdir(_local_path(path))

@@ -69,6 +69,35 @@ def test_contamination_known_overlap(spark):
     assert out[2]["n_contaminated"] == 0
 
 
+def test_contamination_short_docs_yield_zero_grams(spark):
+    """r7 review: Spark's sequence(1, 0) steps BACKWARDS (unlike DuckDB's
+    empty range), so documents shorter than n tokens crashed element_at
+    with an out-of-range index.  Short docs must yield 0 grams / 0.0
+    ratio, matching the DuckDB oracle's graceful empty-list path."""
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta", "s"),
+            (2, "two words", "s"),  # shorter than n=3
+            (3, "one", "s"),  # single token
+        ],
+    )
+    holdout = _docs(spark, [(100, "alpha beta gamma zzz", "s")])
+    out = {r["doc_id"]: r for r in contamination_check(corpus, holdout, n=3).collect()}
+    assert (out[1]["n_grams"], out[1]["n_contaminated"]) == (2, 1)
+    for short_id in (2, 3):
+        assert (out[short_id]["n_grams"], out[short_id]["n_contaminated"]) == (0, 0)
+        assert out[short_id]["contamination_ratio"] == 0.0
+
+
+def test_repetition_stats_single_token_doc(spark):
+    """Same backwards-sequence clamp for _bigrams (<2 tokens)."""
+    docs = _docs(spark, [(1, "solo", "s"), (2, "a b a b", "s")])
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["dup_bigram_frac"] == 0.0
+    assert out[2]["n_tokens"] == 4
+
+
 def test_pack_sequences_budget_invariant(spark, tables):
     packed = pack_sequences(tables["documents"], budget=256)
     batches = packed.groupBy("shard", "batch_id").agg(

@@ -122,6 +122,25 @@ def test_hadoop_read_pointer_empty_file_raises_clearly(spark, tmp_path):
         HadoopStateFS(spark).read_pointer(sd)
 
 
+def test_local_read_pointer_empty_file_raises_clearly(tmp_path):
+    """r7 review: the same corrupt-pointer guard on the POSIX adapter —
+    an empty _CURRENT used to return '' and send spark.read.parquet at
+    the state-dir root (opaque schema-inference failure)."""
+    (tmp_path / "_CURRENT").write_text("")
+    with pytest.raises(ValueError, match="_CURRENT"):
+        LocalStateFS().read_pointer(str(tmp_path))
+
+
+def test_uppercase_file_scheme_is_stripped(tmp_path):
+    """r7 review: scheme routing lowercases ('FILE://x' -> LocalStateFS)
+    but _local_path's strip was case-sensitive, so the raw URI reached
+    open() — the exact failure class the helper exists to prevent."""
+    sd = "FILE://" + str(tmp_path)
+    assert isinstance(fs_for(sd), LocalStateFS)
+    repoint(sd, "v7")
+    assert current(sd) == "v7"
+
+
 def test_schema_passthrough_on_reads(spark, tmp_path):
     sd = str(tmp_path)
     _df(spark, 2).write.parquet(sd + "/v0")
