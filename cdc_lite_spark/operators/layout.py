@@ -106,6 +106,91 @@ def file_stats(path: str, column: str) -> list[dict]:
     return out
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_by: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` as a bucketed (+ per-bucket sorted) parquet TABLE —
+    the layout that makes REPEATED joins/aggregations on `bucket_by`
+    exchange-free.
+
+    Directory partitioning (write_partitioned) prunes coarse predicates;
+    bucketing removes the other big scale cost: the shuffle.  Two tables
+    bucketed on their join key with the same bucket count sort-merge-join
+    with ZERO Exchange (asserted in tests/test_layout.py), and a groupBy
+    on the bucket key aggregates without one — at 100 TB that's the whole
+    network phase of every fact-fact join amortized into the write.  An
+    equality predicate on the bucket column also prunes to 1/num_buckets
+    of the files (`SelectedBucketsCount` in the scan).
+
+    The write repartitions by the bucket columns into `num_buckets` tasks
+    first: Spark assigns output buckets with the same Murmur3
+    hash-partitioning repartition() uses, so each task holds exactly one
+    bucket's rows and the output is ONE file per bucket — without it,
+    every input task writes a file into every bucket it touches
+    (tasks x buckets small-files explosion), and multi-file buckets also
+    forfeit the sorted-scan optimization.
+
+    Sizing at scale: pick num_buckets so one bucket of the LARGEST
+    co-bucketed table is a comfortable task unit (~128-512 MB compressed);
+    co-joined tables must share bucket count and key.  Bucket metadata
+    lives in the session catalog — `saveAsTable` with an explicit
+    `path` keeps the data external, and `register_bucketed` re-attaches
+    the metadata in a fresh session (local tests use the in-memory
+    catalog; a cluster deployment points the same call at its metastore).
+    Spark's bucket hash is Murmur3 (not Hive's), so the layout is read
+    back by Spark, not by Hive/Trino bucketed readers."""
+    sort_cols = list(sort_by or bucket_by)
+    staged = df.repartition(num_buckets, *[F.col(c) for c in bucket_by])
+    (
+        staged.write.format("parquet")
+        .bucketBy(num_buckets, *bucket_by)
+        .sortBy(*sort_cols)
+        .option("path", path)
+        .mode(mode)
+        .saveAsTable(name)
+    )
+
+
+def register_bucketed(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+) -> DataFrame:
+    """Re-attach catalog metadata for an existing `write_bucketed` output
+    (new session, new metastore, or a table created by another job).
+
+    The parquet files alone don't carry the bucket spec — Spark keeps it
+    in the catalog — so a plain `spark.read.parquet(path)` of a bucketed
+    directory is just an ordinary scan (correct, but shuffles again).
+    This recreates the table entry with an explicit column list (Spark
+    rejects `CLUSTERED BY` without one), inferring the schema from the
+    parquet footers.  The declared spec must match how the files were
+    written: a wrong bucket count or key silently mis-co-locates and
+    JOINS RETURN WRONG RESULTS under the exchange-free plan, so callers
+    should treat (key, count) as part of the dataset's contract, exactly
+    like its schema."""
+    ddl_cols = spark.read.parquet(path)._jdf.schema().toDDL()
+    sort_cols = list(sort_by or bucket_by)
+    bucket_sql = ", ".join(f"`{c}`" for c in bucket_by)
+    sort_sql = ", ".join(f"`{c}`" for c in sort_cols)
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    spark.sql(
+        f"CREATE TABLE `{name}` ({ddl_cols}) USING parquet "
+        f"CLUSTERED BY ({bucket_sql}) SORTED BY ({sort_sql}) "
+        f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+    )
+    return spark.table(name)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -153,3 +153,106 @@ def test_files_per_partition_spreads_without_sort_by(spark, tmp_path):
     files = glob.glob(f"{out}/event_type=*/*.parquet")
     assert n_types < len(files) <= 3 * n_types
     assert read_partitioned(spark, out).count() == ev.count()
+
+
+# --- bucketed tables: the exchange-free co-located join layout ------------
+
+
+def _conf(spark, key, val):
+    prev = spark.conf.get(key)  # no default arg: fetch the EFFECTIVE value
+    spark.conf.set(key, val)
+    return prev
+
+
+def _write_bucketed_pair(spark, tmp_path):
+    from cdc_lite_spark.operators.layout import write_bucketed
+
+    ord_ = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    write_bucketed(
+        ord_, "t_orders_bkt", str(tmp_path / "orders_bkt"), ["o_orderkey"], 8
+    )
+    write_bucketed(
+        li, "t_lineitem_bkt", str(tmp_path / "lineitem_bkt"), ["l_orderkey"], 8
+    )
+    return ord_, li
+
+
+def test_bucketed_write_one_file_per_bucket(spark, tmp_path):
+    _write_bucketed_pair(spark, tmp_path)
+    files = glob.glob(str(tmp_path / "orders_bkt" / "*.parquet"))
+    assert len(files) == 8  # repartition-by-bucket-key prevented tasks x buckets
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed fact-fact join: SortMergeJoin with ZERO shuffle — the
+    network phase of the join was paid once at write time.  This is the
+    layout a 100 TB deployment uses for every repeated join key."""
+    ord_, li = _write_bucketed_pair(spark, tmp_path)
+    prev = _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("t_orders_bkt")
+        b = spark.table("t_lineitem_bkt")
+        j = a.join(b, a.o_orderkey == b.l_orderkey).select("o_orderkey", "l_quantity")
+        plan = explain_str(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == ord_.join(li, ord_.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_agg_has_no_exchange(spark, tmp_path):
+    _write_bucketed_pair(spark, tmp_path)
+    t = spark.table("t_lineitem_bkt")
+    g = t.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    plan = explain_str(g)
+    assert "Exchange" not in plan  # grouping key == bucket key: no shuffle
+    truth = (
+        load_table(spark, SF, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    assert sorted(map(tuple, g.collect())) == sorted(map(tuple, truth.collect()))
+
+
+def test_bucket_pruning_selects_one_bucket(spark, tmp_path):
+    """Equality on the bucket column reads 1/num_buckets of the files.
+    autoBucketedScan turns bucketed reading off for scan-only queries (it
+    exists to re-merge tiny buckets); disabling it re-enables pruning."""
+    _write_bucketed_pair(spark, tmp_path)
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = _conf(spark, key, "false")
+    try:
+        one = spark.table("t_orders_bkt").filter(F.col("o_orderkey") == 32)
+        plan = explain_str(one)
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+        assert one.count() == 1
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_register_bucketed_reattaches_metadata(spark, tmp_path):
+    """A fresh catalog (new session / metastore) re-attaches the bucket
+    spec over the existing files and immediately regains the
+    exchange-free join — the files never move."""
+    from cdc_lite_spark.operators.layout import register_bucketed
+
+    ord_, li = _write_bucketed_pair(spark, tmp_path)
+    spark.sql("DROP TABLE t_orders_bkt")
+    spark.sql("DROP TABLE t_lineitem_bkt")
+    a = register_bucketed(
+        spark, "t_orders_bkt", str(tmp_path / "orders_bkt"), ["o_orderkey"], 8
+    )
+    b = register_bucketed(
+        spark, "t_lineitem_bkt", str(tmp_path / "lineitem_bkt"), ["l_orderkey"], 8
+    )
+    prev = _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = explain_str(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == ord_.join(li, ord_.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
