@@ -786,6 +786,134 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "concurrent_sessions_peak",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id,
+               epoch_us(ts) AS t_us
+        FROM flagged
+    ),
+    ivals AS (
+        SELECT min(t_us) AS s_us, max(t_us) AS e_us
+        FROM sess GROUP BY user_id, session_id
+    ),
+    bounds AS (
+        SELECT t, CAST(sum(s) AS BIGINT) AS starts, CAST(sum(e) AS BIGINT) AS ends
+        FROM (SELECT s_us AS t, 1 AS s, 0 AS e FROM ivals
+              UNION ALL
+              SELECT e_us AS t, 0 AS s, 1 AS e FROM ivals)
+        GROUP BY t
+    ),
+    swept AS (
+        SELECT t, starts,
+               CAST(sum(starts - ends) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) + ends AS BIGINT) AS conc
+        FROM bounds
+    )
+    SELECT (t // 3600000000) * 3600 AS hour_epoch,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency,
+           CAST(sum(starts) AS BIGINT) AS sessions_started
+    FROM swept GROUP BY 1
+    """,
+    "Interval sweep: peak concurrent sessions per hour — the classically "
+    "sequential boundary walk computed as a distributed two-level prefix "
+    "sum (operators/intervals.py); oracle is the plain global-window sweep",
+    tags=("window", "skew"),
+)
+def q_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions (30-min gap, as in `sessionization`) become [start,end]
+    intervals; `interval_concurrency` sweeps their boundaries without a
+    global sort — per-hour-bucket running sums plus an exclusive prefix
+    over the O(buckets) bucket totals (the only single-partition window,
+    sized in buckets not rows).  All-integer arithmetic, so the
+    distributed decomposition hash-matches the oracle's sequential sweep
+    exactly.  At 100 TB only the session boundaries (2 rows/session)
+    reach the sweep; facts shuffle once, on user_id, to sessionize."""
+    from pyspark.sql import Window as W
+
+    from cdc_lite_spark.operators.intervals import interval_concurrency
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (epoch_us("ts") - epoch_us(F.lag("ts").over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    ivals = sess.groupBy("user_id", "session_id").agg(
+        F.min(epoch_us("ts")).alias("s_us"), F.max(epoch_us("ts")).alias("e_us")
+    )
+    # the sweep consumes its input twice; materialize the sessionization so
+    # the fact-side shuffle runs once (see interval_concurrency docstring)
+    swept = interval_concurrency(ivals.localCheckpoint(), "s_us", "e_us")
+    return swept.groupBy(
+        (F.expr("t div 3600000000") * 3600).alias("hour_epoch")
+    ).agg(
+        F.max("concurrency").alias("peak_concurrency"),
+        F.sum("starts").alias("sessions_started"),
+    )
+
+
+@register(
+    "salted_join_segments",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    "Skew path for JOINS: the salted-join rewrite (big side scattered over "
+    "(key, salt), small side replicated) must be result-invariant — the "
+    "oracle computes the plain join",
+    tags=("join", "skew"),
+)
+def q_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/skew.py `salted_join` driven end-to-end: hot join keys
+    spread across n_salts sub-keys, each (key, salt) partition holding
+    1/n of the hot key's rows.  The rewrite is semantics-preserving by
+    construction, which is exactly what the oracle pins.  At this SF
+    Catalyst broadcasts the replicated dim (harmless — the salt rides
+    along); the rewrite matters at scale when the dim exceeds the
+    broadcast threshold AND a key exceeds what AQE's skew splitter can
+    fix, since AQE splits partitions, not keys.  DECIMAL sum keeps the
+    fold order-independent so the salted plan hash-matches."""
+    from cdc_lite_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("value").cast("decimal(18,6)").alias("value")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    j = salted_join(ev, cust, ["k"], n_salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").cast("double").alias("total_value"),
+    )
+
+
+@register(
     "cdc_replay_reconstruction",
     """
     SELECT o_orderkey, o_custkey, o_orderstatus,
