@@ -7270,6 +7270,72 @@ def q_anomaly_stream_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(td, ignore_errors=True)
 
 
+@register(
+    "bucketed_join_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+    "Bucketed-layout join driven end-to-end: both fact tables written as "
+    "co-bucketed sorted parquet (operators/layout.py), joined "
+    "exchange-free, result must equal the plain join the oracle computes "
+    "— the layout is result-invariant",
+    tags=("join", "layout"),
+)
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write pays the shuffle once (repartition by the bucket key);
+    every subsequent join/agg on that key is exchange-free —
+    tests/test_layout.py asserts the SortMergeJoin plan has ZERO Exchange
+    under this layout.  The broadcast threshold is zeroed while building
+    the result so the co-located merge path actually executes at driver
+    SF (a broadcast would bypass the layout under test); at 100 TB the
+    dim side exceeds any threshold and this IS the default path.  The
+    query pins result-invariance: bucketed bytes in, oracle-identical
+    aggregate out.  DECIMAL revenue keeps the fold order-independent."""
+    import shutil
+    import tempfile
+
+    from cdc_lite_spark.operators.layout import write_bucketed
+
+    td = tempfile.mkdtemp(prefix="cdc_bktjoin_")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ord_ = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            _dec("l_extendedprice").alias("price"),
+            _dec("l_discount").alias("disc"),
+        )
+        write_bucketed(ord_, "bkt_orders_q", td + "/o", ["o_orderkey"], 8)
+        write_bucketed(li, "bkt_lineitem_q", td + "/l", ["l_orderkey"], 8)
+        a = spark.table("bkt_orders_q")
+        b = spark.table("bkt_lineitem_q")
+        out = (
+            a.join(b, a.o_orderkey == b.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(F.col("price") * (1 - F.col("disc")))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        # materialize before the temp tables/files disappear
+        return out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("bkt_orders_q", "bkt_lineitem_q"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(td, ignore_errors=True)
+
+
 def _wide_decimal_checksum_oracle() -> str:
     from cdc_lite_spark.operators.checksum import table_checksum_sql
 
