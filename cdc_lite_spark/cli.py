@@ -23,13 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _sources(spark: SparkSession, source: str, tables: list[str]):
     if source.endswith(".duckdb") or source.endswith(".db"):
-        from cdc_lite_spark.sources.duckdb_source import read_duckdb_table
+        from cdc_lite_spark.sources.duckdb_source import ConsistentSnapshotSource
 
         # factories, not DataFrames: a DuckDB-source DataFrame freezes at
         # its first action (the plan-time snapshot copy is reused), so a
-        # DataFrame built once at startup would never see external writes —
-        # the engine invokes the factory per tick for a fresh snapshot
-        return {t: (lambda t=t: read_duckdb_table(spark, source, t)) for t in tables}
+        # DataFrame built once at startup would never see external writes.
+        # The provider gives every table of a tick the SAME copy — the
+        # reference's one-copy-per-tick consistency (duckdb_cdc.go:100-124)
+        return ConsistentSnapshotSource(spark, source).sources(tables)
     # a directory of per-table files — re-read per tick via the path form
     # (the engine's resolve step sniffs the format from the extension)
     import os

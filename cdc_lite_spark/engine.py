@@ -280,6 +280,18 @@ class CdcEngine:
         prev_schemas = self.latest_schemas() if self.emit_schema_changes else {}
         captured: list[str] = []
 
+        # tick-consistent sources (sources/duckdb_source.py
+        # ConsistentSnapshotSource): advance each distinct provider to this
+        # tick's copy ONCE, so every table it serves observes the same
+        # database version — the reference's one-copy-per-tick model
+        # (duckdb_cdc.go:100-124)
+        _seen_providers: set[int] = set()
+        for _src in tables.values():
+            _prov = getattr(_src, "tick_provider", None)
+            if _prov is not None and id(_prov) not in _seen_providers:
+                _seen_providers.add(id(_prov))
+                _prov.begin_tick()
+
         import time as _time
 
         def _detect(table: str, source):

@@ -267,3 +267,85 @@ def read_duckdb_table(spark, path: str, table: str, partitions: int = 4):
         .option("partitions", str(partitions))
         .load()
     )
+
+
+_TICK_SUFFIX = ".cdctick."
+
+
+class ConsistentSnapshotSource:
+    """One database copy per TICK, shared by every monitored table — the
+    reference's cross-table consistency model (duckdb_cdc.go:100-124: the
+    monitor loop copies once, then checks ALL tables against that copy).
+
+    Per-table factories (`read_duckdb_table` per tick) are per-SCAN
+    snapshots: each table's fingerprint can observe a different database
+    version within one tick, so a writer transaction touching two tables
+    can be captured half-applied — orders showing a row whose customer the
+    same tick's customer snapshot doesn't have yet.  This provider pins
+    every table of a tick to the same byte-copy instead.
+
+    Protocol: ``sources(tables)`` returns the per-table factory dict the
+    engine expects; each factory carries a ``tick_provider`` attribute and
+    ``CdcEngine.poll_once`` calls ``begin_tick()`` once per distinct
+    provider at the top of each tick (factories also self-start the first
+    tick, so the provider works with a bare manual ``_resolve`` too).
+
+    The copy lands next to the source file (shared-fs visible to
+    executors, like the per-plan copy), with the previous tick's copy
+    removed on the next ``begin_tick`` and the last one at driver exit.
+    Scale note: as with the rest of this source, this is for modest
+    operational databases — the copy is O(db file) per tick by design,
+    exactly like the reference."""
+
+    def __init__(self, spark, path: str, partitions: int = 4):
+        register_duckdb_source(spark)
+        self.spark = spark
+        self.path = path
+        self.partitions = partitions
+        self._copy: str | None = None
+        import atexit
+
+        atexit.register(self.close)
+
+    def begin_tick(self) -> str:
+        """Make this tick's copy; the previous tick's copy is dropped (any
+        in-flight scan of it has already materialized its tasks)."""
+        d, base = os.path.split(self.path)
+        dst = os.path.join(d, f"{base}{_TICK_SUFFIX}{uuid.uuid4().hex}")
+        shutil.copyfile(self.path, dst)
+        old, self._copy = self._copy, dst
+        if old is not None:
+            try:
+                os.unlink(old)
+            except OSError:
+                pass
+        return dst
+
+    def table(self, name: str):
+        def factory() -> "DataFrame":  # noqa: F821 — pyspark DataFrame
+            if self._copy is None:
+                self.begin_tick()
+            return (
+                self.spark.read.format("duckdb")
+                .option("path", self._copy)
+                .option("table", name)
+                # the tick copy is already immutable: read it directly,
+                # don't snapshot the snapshot
+                .option("snapshot", "false")
+                .option("partitions", str(self.partitions))
+                .load()
+            )
+
+        factory.tick_provider = self
+        return factory
+
+    def sources(self, tables: list[str]) -> dict:
+        return {t: self.table(t) for t in tables}
+
+    def close(self) -> None:
+        if self._copy is not None:
+            try:
+                os.unlink(self._copy)
+            except OSError:
+                pass
+            self._copy = None

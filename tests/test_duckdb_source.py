@@ -167,3 +167,70 @@ def test_streaming_incremental_append_capture(spark, users_db):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+# --- tick-consistent multi-table snapshots ---------------------------------
+
+
+@pytest.fixture
+def two_table_db(tmp_path):
+    path = str(tmp_path / "shop.duckdb")
+    con = duckdb.connect(path)
+    con.execute("CREATE TABLE customers (id INTEGER, name VARCHAR)")
+    con.execute("CREATE TABLE orders (id INTEGER, cust_id INTEGER)")
+    con.execute("INSERT INTO customers VALUES (1, 'a')")
+    con.execute("INSERT INTO orders VALUES (10, 1)")
+    con.close()
+    return path
+
+
+def test_consistent_source_pins_tables_to_one_tick_copy(spark, two_table_db):
+    """A writer transaction landing between two table reads of the same
+    tick must be invisible to BOTH (the reference's one-copy-per-tick
+    model, duckdb_cdc.go:100-124) — per-scan snapshots would show orders
+    referencing a customer the same tick's customers read doesn't have."""
+    from cdc_lite_spark.sources.duckdb_source import ConsistentSnapshotSource
+
+    prov = ConsistentSnapshotSource(spark, two_table_db, partitions=1)
+    srcs = prov.sources(["customers", "orders"])
+    prov.begin_tick()
+    n_cust = srcs["customers"]().count()
+    # cross-table write AFTER the customers read, within the same tick
+    con = duckdb.connect(two_table_db)
+    con.execute("INSERT INTO customers VALUES (2, 'b')")
+    con.execute("INSERT INTO orders VALUES (11, 2)")
+    con.close()
+    assert srcs["orders"]().count() == 1  # same copy: write invisible
+    assert n_cust == 1
+    # next tick observes the committed write in BOTH tables
+    prov.begin_tick()
+    assert srcs["customers"]().count() == 2
+    assert srcs["orders"]().count() == 2
+    prov.close()
+
+
+def test_poll_once_advances_provider_per_tick(spark, tmp_path, two_table_db):
+    """CdcEngine.poll_once drives begin_tick() itself: captures across two
+    ticks see the pre- and post-write versions, and exactly one tick copy
+    file exists at a time."""
+    import glob
+    import os
+
+    from cdc_lite_spark.sources.duckdb_source import ConsistentSnapshotSource
+
+    eng = CdcEngine(
+        spark,
+        output_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+    )
+    prov = ConsistentSnapshotSource(spark, two_table_db, partitions=1)
+    srcs = prov.sources(["customers", "orders"])
+    assert sorted(eng.poll_once(srcs)) == ["customers", "orders"]
+    con = duckdb.connect(two_table_db)
+    con.execute("INSERT INTO orders VALUES (12, 1)")
+    con.close()
+    assert eng.poll_once(srcs) == ["orders"]  # only orders changed
+    copies = glob.glob(two_table_db + ".cdctick.*")
+    assert len(copies) == 1  # previous tick's copy was GC'd
+    prov.close()
+    assert not os.path.exists(copies[0])
