@@ -601,3 +601,38 @@ def test_wide_decimal_fingerprints_distinct_near_2_53(spark, neighbors):
         for v in vals[:4]
     }
     assert len(sums) == len(vals[:4])
+
+
+# --- interval-concurrency sweep (operators/intervals.py) -------------------
+
+INTERVALS = st.lists(
+    st.tuples(
+        # spans chosen to straddle hour buckets (bucket_us = 3.6e9) and to
+        # generate start==end point intervals and heavy boundary ties
+        st.integers(min_value=0, max_value=4 * 3_600_000_000),
+        st.integers(min_value=0, max_value=2 * 3_600_000_000),
+    ).map(lambda p: (p[0], p[0] + p[1])),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(ivals=INTERVALS)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_interval_concurrency_matches_bruteforce(spark, ivals):
+    """The distributed two-level prefix sum equals the O(n^2) definition
+    #{[s,e] : s <= t <= e} at every boundary, for arbitrary interval sets
+    (ties, points, bucket-straddling spans)."""
+    from cdc_lite_spark.operators.intervals import interval_concurrency
+
+    df = spark.createDataFrame(ivals, "s_us long, e_us long")
+    got = {
+        r["t"]: r["concurrency"]
+        for r in interval_concurrency(df, "s_us", "e_us").collect()
+    }
+    want = {
+        t: sum(1 for s, e in ivals if s <= t <= e)
+        for t in {x for iv in ivals for x in iv}
+    }
+    assert got == want
