@@ -164,9 +164,12 @@ def register_bucketed(
     bucket_by: list[str],
     num_buckets: int,
     sort_by: list[str] | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Re-attach catalog metadata for an existing `write_bucketed` output
     (new session, new metastore, or a table created by another job).
+    ``validate=True`` scans the files first and refuses a spec that
+    disagrees with the physical layout (see `validate_bucketed`).
 
     The parquet files alone don't carry the bucket spec — Spark keeps it
     in the catalog — so a plain `spark.read.parquet(path)` of a bucketed
@@ -178,6 +181,14 @@ def register_bucketed(
     JOINS RETURN WRONG RESULTS under the exchange-free plan, so callers
     should treat (key, count) as part of the dataset's contract, exactly
     like its schema."""
+    if validate:
+        bad = validate_bucketed(spark, path, bucket_by, num_buckets)
+        if bad:
+            raise ValueError(
+                f"bucket spec ({bucket_by} INTO {num_buckets}) disagrees with "
+                f"the files at {path}: {bad} rows live in the wrong bucket — "
+                "registering this spec would silently mis-co-locate joins"
+            )
     ddl_cols = spark.read.parquet(path)._jdf.schema().toDDL()
     sort_cols = list(sort_by or bucket_by)
     bucket_sql = ", ".join(f"`{c}`" for c in bucket_by)
@@ -189,6 +200,33 @@ def register_bucketed(
         f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
     )
     return spark.table(name)
+
+
+def validate_bucketed(
+    spark: SparkSession,
+    path: str,
+    bucket_by: list[str],
+    num_buckets: int,
+) -> int:
+    """Count rows whose bucket hash disagrees with the file they live in.
+
+    A declared bucket spec the files weren't actually written with makes
+    the exchange-free join read mismatched buckets — WRONG RESULTS, not an
+    error — so the spec deserves a cheap physical check.  Spark assigns
+    buckets with ``pmod(murmur3(bucket cols), n)``, which is exactly the
+    SQL ``hash()`` function (seed 42, verified bit-for-bit in
+    tests/test_layout.py), and the writer stamps the bucket id into the
+    file name (``..._00007.c000...``); one scan compares the two.  Returns
+    0 for a faithful spec."""
+    df = spark.read.parquet(path)
+    bucket_id = F.regexp_extract(F.input_file_name(), r"_(\d{5})\.c\d+", 1).cast("int")
+    expected = F.pmod(F.hash(*[F.col(c) for c in bucket_by]), F.lit(num_buckets))
+    n_bad = (
+        df.select((bucket_id != expected).cast("int").alias("bad"))
+        .agg(F.sum("bad").alias("n"))
+        .first()["n"]
+    )
+    return int(n_bad or 0)
 
 
 def write_zordered(

@@ -256,3 +256,24 @@ def test_register_bucketed_reattaches_metadata(spark, tmp_path):
         assert j.count() == ord_.join(li, ord_.o_orderkey == li.l_orderkey).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_validate_bucketed_accepts_true_spec_rejects_false(spark, tmp_path):
+    """The validator is the guard against register_bucketed's failure mode:
+    a mis-declared spec mis-co-locates the exchange-free join silently."""
+    from cdc_lite_spark.operators.layout import register_bucketed, validate_bucketed
+
+    _write_bucketed_pair(spark, tmp_path)
+    out = str(tmp_path / "orders_bkt")
+    assert validate_bucketed(spark, out, ["o_orderkey"], 8) == 0
+    # wrong bucket count: most rows hash outside their stamped file
+    assert validate_bucketed(spark, out, ["o_orderkey"], 4) > 0
+    # wrong key column: same
+    assert validate_bucketed(spark, out, ["o_custkey"], 8) > 0
+    spark.sql("DROP TABLE t_orders_bkt")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="wrong bucket"):
+        register_bucketed(spark, "t_orders_bkt", out, ["o_orderkey"], 4, validate=True)
+    t = register_bucketed(spark, "t_orders_bkt", out, ["o_orderkey"], 8, validate=True)
+    assert t.count() > 0
