@@ -255,12 +255,41 @@ class CdcEngine:
             return source()
         return source
 
+    @staticmethod
+    def _advance_tick_providers(sources) -> None:
+        """Advance tick-consistent snapshot providers
+        (sources/duckdb_source.py ConsistentSnapshotSource) ONCE each, so
+        every table a provider serves observes the same database version
+        this tick — the reference's one-copy-per-tick model
+        (duckdb_cdc.go:100-124).  Called by every tick entry point that
+        resolves sources (poll_once AND poll_partitions — a
+        partition-captured table must not freeze on its first copy).
+
+        Only callable sources are probed: a DataFrame's attribute lookup
+        resolves COLUMN names (a table with a column literally called
+        ``tick_provider`` must not crash the tick).  A failed copy is
+        per-tick isolated like any other detect error — the provider keeps
+        serving its previous copy, so the tick sees a stale-but-consistent
+        view and simply captures nothing new (the reference `continue`s on
+        copy failure the same way, duckdb_cdc.go:102-105)."""
+        seen: set[int] = set()
+        for src in sources:
+            prov = getattr(src, "tick_provider", None) if callable(src) else None
+            if prov is None or id(prov) in seen:
+                continue
+            seen.add(id(prov))
+            try:
+                prov.begin_tick()
+            except Exception as exc:  # noqa: BLE001 — per-tick isolation (H6)
+                print(f"cdc_lite_spark: error snapshotting {prov.path}: {exc}")
+
     def poll_once(
         self,
         tables: "dict[str, DataFrame | str | Callable[[], DataFrame]]",
         mode: str = "snapshot",
         keys: dict[str, list[str]] | None = None,
         parallelism: int = 1,
+        advance_providers: bool = True,
     ) -> list[str]:
         """One monitor tick over all tables (≈ monitorTables loop body,
         duckdb_cdc.go:114-120 + checkTableChanges :161-214).
@@ -280,17 +309,11 @@ class CdcEngine:
         prev_schemas = self.latest_schemas() if self.emit_schema_changes else {}
         captured: list[str] = []
 
-        # tick-consistent sources (sources/duckdb_source.py
-        # ConsistentSnapshotSource): advance each distinct provider to this
-        # tick's copy ONCE, so every table it serves observes the same
-        # database version — the reference's one-copy-per-tick model
-        # (duckdb_cdc.go:100-124)
-        _seen_providers: set[int] = set()
-        for _src in tables.values():
-            _prov = getattr(_src, "tick_provider", None)
-            if _prov is not None and id(_prov) not in _seen_providers:
-                _seen_providers.add(id(_prov))
-                _prov.begin_tick()
+        # tick-consistent sources: advance each provider once (see helper);
+        # a loop owner that already advanced this tick (streaming/monitor.py
+        # spans poll_once AND poll_partitions calls) passes False
+        if advance_providers:
+            self._advance_tick_providers(tables.values())
 
         import time as _time
 
@@ -653,7 +676,9 @@ class CdcEngine:
         ).withColumn("timestamp", F.current_timestamp())
         rows.write.mode("append").parquet(self._part_checksum_dir())
 
-    def poll_partitions(self, table: str, source, part_col: str) -> dict:
+    def poll_partitions(
+        self, table: str, source, part_col: str, advance_providers: bool = True
+    ) -> dict:
         """One partition-granular capture tick — the §4 refinement the
         whole-table checksum short-circuit only documents: fingerprint
         each partition value, re-emit SNAPSHOT rows for DRIFTED partitions
@@ -678,6 +703,8 @@ class CdcEngine:
         """
         from cdc_lite_spark.operators.checksum import partition_checksums
 
+        if advance_providers:
+            self._advance_tick_providers([source])
         df = self._resolve(source)
         staged = df.withColumn("__part", F.col(part_col).cast("string"))
         cur = {

@@ -180,7 +180,14 @@ def register_bucketed(
     written: a wrong bucket count or key silently mis-co-locates and
     JOINS RETURN WRONG RESULTS under the exchange-free plan, so callers
     should treat (key, count) as part of the dataset's contract, exactly
-    like its schema."""
+    like its schema.
+
+    ``validate`` checks bucket PLACEMENT only.  The ``SORTED BY``
+    declaration is not physically verified — under default configs that
+    is metadata-only (Spark re-sorts before a merge join unless the
+    legacy ``bucketedTableScan.outputOrdering`` flag is enabled; with
+    that flag on, a false sort declaration is the same wrong-results
+    hazard, so only declare a sort you know the writer produced)."""
     if validate:
         bad = validate_bucketed(spark, path, bucket_by, num_buckets)
         if bad:
@@ -219,12 +226,14 @@ def validate_bucketed(
     file name (``..._00007.c000...``); one scan compares the two.  Returns
     0 for a faithful spec."""
     df = spark.read.parquet(path)
-    bucket_id = F.regexp_extract(F.input_file_name(), r"_(\d{5})\.c\d+", 1).cast("int")
+    stamp = F.regexp_extract(F.input_file_name(), r"_(\d{5})\.c\d+", 1)
     expected = F.pmod(F.hash(*[F.col(c) for c in bucket_by]), F.lit(num_buckets))
+    # a file with NO bucket stamp (plain parquet that was never written
+    # bucketed) is itself a spec violation — count its rows as mismatched
+    # rather than crashing the ANSI cast on '' or null-skipping the compare
+    bad = F.when(stamp == "", True).otherwise(stamp.cast("int") != expected)
     n_bad = (
-        df.select((bucket_id != expected).cast("int").alias("bad"))
-        .agg(F.sum("bad").alias("n"))
-        .first()["n"]
+        df.select(bad.cast("int").alias("bad")).agg(F.sum("bad").alias("n")).first()["n"]
     )
     return int(n_bad or 0)
 

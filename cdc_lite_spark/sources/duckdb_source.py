@@ -236,13 +236,18 @@ class DuckDBDataSource(DataSource):
     def schema(self) -> str:
         import duckdb
 
-        copy = _snapshot_copy(self.options["path"])
+        # snapshot=false means the caller vouches the file is immutable /
+        # uncontended (e.g. it IS already a tick copy) — probing it
+        # directly avoids a second O(db) byte-copy per table per tick
+        live = str(self.options.get("snapshot", "true")).lower() == "true"
+        copy = _snapshot_copy(self.options["path"]) if live else self.options["path"]
         try:
             con = duckdb.connect(copy, read_only=True)
             cols = con.execute(f'DESCRIBE "{self.options["table"]}"').fetchall()
             con.close()
         finally:
-            os.unlink(copy)
+            if live:
+                os.unlink(copy)
         fields = ", ".join(f"{c[0]} {_duck_type_to_spark(c[1])}" for c in cols)
         return fields
 
@@ -292,7 +297,11 @@ class ConsistentSnapshotSource:
 
     The copy lands next to the source file (shared-fs visible to
     executors, like the per-plan copy), with the previous tick's copy
-    removed on the next ``begin_tick`` and the last one at driver exit.
+    removed on the next ``begin_tick`` and the last one at driver exit;
+    copies orphaned by crashed runs are swept on the next ``begin_tick``.
+    One provider per database path per host — the orphan sweep assumes any
+    tick copy it didn't make is stale (two concurrent monitors of one DB
+    file is a deployment error regardless).
     Scale note: as with the rest of this source, this is for modest
     operational databases — the copy is O(db file) per tick by design,
     exactly like the reference."""
@@ -309,8 +318,18 @@ class ConsistentSnapshotSource:
 
     def begin_tick(self) -> str:
         """Make this tick's copy; the previous tick's copy is dropped (any
-        in-flight scan of it has already materialized its tasks)."""
+        in-flight scan of it has already materialized its tasks).  Copies
+        orphaned by CRASHED runs (atexit never fired) are swept here too —
+        anything with this base's tick suffix that isn't the live copy is
+        stale, same discipline as the per-plan copy GC."""
         d, base = os.path.split(self.path)
+        for f in os.listdir(d or "."):
+            stale = os.path.join(d, f)
+            if f.startswith(base + _TICK_SUFFIX) and stale != self._copy:
+                try:
+                    os.unlink(stale)
+                except OSError:
+                    pass
         dst = os.path.join(d, f"{base}{_TICK_SUFFIX}{uuid.uuid4().hex}")
         shutil.copyfile(self.path, dst)
         old, self._copy = self._copy, dst

@@ -60,14 +60,24 @@ def start_monitor(
     part_cols = partition_cols or {}
 
     def _tick(_batch_df: DataFrame, batch_id: int) -> None:
+        # the monitor owns the tick boundary: advance snapshot providers
+        # ONCE for the whole table set, so snapshot-captured and
+        # partition-captured tables of one provider see the same copy
+        engine._advance_tick_providers(tables.values())
         rest = {t: s for t, s in tables.items() if t not in part_cols}
         if rest:
-            engine.poll_once(rest, mode=mode, keys=keys, parallelism=parallelism)
+            engine.poll_once(
+                rest,
+                mode=mode,
+                keys=keys,
+                parallelism=parallelism,
+                advance_providers=False,
+            )
         for t, col in part_cols.items():
             if t not in tables:
                 continue
             try:
-                engine.poll_partitions(t, tables[t], col)
+                engine.poll_partitions(t, tables[t], col, advance_providers=False)
             except Exception as exc:  # noqa: BLE001 — per-table isolation (H6)
                 print(f"cdc_lite_spark: error checking table {t}: {exc}")
         if (

@@ -234,3 +234,42 @@ def test_poll_once_advances_provider_per_tick(spark, tmp_path, two_table_db):
     assert len(copies) == 1  # previous tick's copy was GC'd
     prov.close()
     assert not os.path.exists(copies[0])
+
+
+def test_poll_partitions_advances_provider(spark, tmp_path, two_table_db):
+    """Partition-captured DuckDB tables must not freeze on their first
+    tick copy: poll_partitions advances the provider too (review r7)."""
+    from cdc_lite_spark.sources.duckdb_source import ConsistentSnapshotSource
+
+    eng = CdcEngine(
+        spark,
+        output_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+    )
+    prov = ConsistentSnapshotSource(spark, two_table_db, partitions=1)
+    src = prov.table("orders")
+    first = eng.poll_partitions("orders", src, "cust_id")
+    assert first["drifted"]  # initial capture
+    con = duckdb.connect(two_table_db)
+    con.execute("INSERT INTO orders VALUES (13, 9)")
+    con.close()
+    second = eng.poll_partitions("orders", src, "cust_id")
+    assert "9" in second["drifted"]  # new tick copy observed the write
+    prov.close()
+
+
+def test_begin_tick_sweeps_crash_orphans(spark, two_table_db):
+    """Copies left by a killed run (atexit never fired) are GC'd on the
+    next begin_tick; the provider's own live copy survives."""
+    import os
+
+    from cdc_lite_spark.sources.duckdb_source import ConsistentSnapshotSource
+
+    orphan = two_table_db + ".cdctick.deadbeef"
+    with open(orphan, "wb") as f:
+        f.write(b"stale")
+    prov = ConsistentSnapshotSource(spark, two_table_db, partitions=1)
+    live = prov.begin_tick()
+    assert not os.path.exists(orphan)
+    assert os.path.exists(live)
+    prov.close()

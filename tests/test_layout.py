@@ -277,3 +277,15 @@ def test_validate_bucketed_accepts_true_spec_rejects_false(spark, tmp_path):
         register_bucketed(spark, "t_orders_bkt", out, ["o_orderkey"], 4, validate=True)
     t = register_bucketed(spark, "t_orders_bkt", out, ["o_orderkey"], 8, validate=True)
     assert t.count() > 0
+
+
+def test_validate_bucketed_counts_unstamped_files_as_bad(spark, tmp_path):
+    """Plain (never-bucketed) parquet pointed at the validator — the exact
+    misuse it exists to catch — must count as mismatched, not crash the
+    ANSI cast on the empty stamp or null-skip the compare (review r7)."""
+    from cdc_lite_spark.operators.layout import validate_bucketed
+
+    out = str(tmp_path / "plain")
+    load_table(spark, SF, "orders").write.parquet(out)
+    n = load_table(spark, SF, "orders").count()
+    assert validate_bucketed(spark, out, ["o_orderkey"], 8) == n
