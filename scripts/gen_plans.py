@@ -34,6 +34,11 @@ HEADLINERS: dict[str, str] = {
     "cdc_wide_decimal_checksum": "same single-exchange fingerprint shape over a decimal(38,10) column built past 2^53 — exact rendering, no double round-trip",
     "cdc_array_checksum": "array<float> canonicalized by a JVM-side transform below the partial agg — fingerprinting a complex column adds no exchange",
     "schema_drift_report": "schemas are metadata: the whole drift computation is a LocalTableScan, zero jobs against the data",
+    "concurrent_sessions_peak": "two-level prefix sum: the only unpartitioned window runs over O(hour-bucket) totals and returns via BroadcastExchange — the boundary stream is never globally sorted",
+    "salted_join_segments": "(key, salt) scatter: the salt rides the join keys so one hot key spreads over 8 tasks; replicated dim broadcasts at this SF",
+    # bucketed_join_revenue returns a materialized (localCheckpoint) result,
+    # so its snapshot here would be Scan ExistingRDD; the zero-Exchange
+    # SortMergeJoin property is plan-asserted in tests/test_layout.py
     "embedding_quantize": "pure scan-side map: zero Exchange",
     "pack_training_batches": "one window per shard — single Exchange for the partitionBy",
     "repetition_stats": "word-count shape: partial+final HashAggregate pairs for words and bigrams",
