@@ -489,3 +489,30 @@ def test_bigram_lm_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark):
+    """The skew rewrite's point: the join's hash partitioning includes
+    __salt, so a hot key's rows spread over n_salts partitions instead of
+    one straggler (forced shuffle path — the tiny dim would broadcast at
+    test SF and hide the salted exchange)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "salted_join_segments")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "__salt" in plan
+    part_lines = [
+        l for l in plan.splitlines() if "hashpartitioning" in l and "__salt" in l
+    ]
+    assert part_lines, plan  # the exchange keys are (k, __salt), not k alone
+    assert "CartesianProduct" not in plan
+
+
+def test_concurrent_sessions_offsets_broadcast(spark):
+    """The sweep's O(buckets) offsets return via broadcast; the boundary
+    stream itself is never globally range-sorted."""
+    plan = _plan(spark, "concurrent_sessions_peak")
+    assert "BroadcastExchange" in plan
+    assert "rangepartitioning" not in plan.lower()
