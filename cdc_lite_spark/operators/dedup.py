@@ -678,6 +678,69 @@ def winnowing_summary(
     )
 
 
+def dup_span_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE
+) -> DataFrame:
+    """Per-document DUPLICATED SPANS — the merged token ranges covered by
+    n-gram shingles that occur more than once in the corpus (any document,
+    including elsewhere in the same one).
+
+    `dup_ngram_coverage` reports HOW MUCH of a document is duplicated;
+    this reports WHERE — the contiguous islands a Lee-et-al-style exact
+    substring dedup (ACL 2022) would actually cut.  A duplicated gram at
+    token position p covers [p, p+n-1]; overlapping or adjacent covered
+    ranges merge into one span (classic gaps-and-islands: a range opens a
+    new island iff it starts past the running max end + 1).
+
+    Returns one row per document that HAS duplicated spans:
+    (id, n_tokens, n_dup_spans, dup_tokens, dup_token_fraction).
+
+    Plan: positional shingles scan-side → occurrence count via a count
+    window on the gram key (the same single-lineage trick as
+    dup_ngram_coverage — no groupBy+join-back, no self-join) → two
+    doc-partitioned windows (running max end, island prefix sum) over the
+    DUPLICATED positions only → per-span then per-doc aggregation.
+    Cost O(total shingles) + O(dup positions); never pairwise."""
+    from pyspark.sql import Window as W
+
+    staged = staged_shingles(df, id_col, text_col, n)
+    grams = staged.select(
+        id_col,
+        F.size("__sh").alias("n_grams"),
+        F.posexplode("__sh").alias("pos", "gram"),
+    )
+    dup = grams.withColumn("occ", F.count("*").over(W.partitionBy("gram"))).filter(
+        F.col("occ") > 1
+    )
+    w_prev = W.partitionBy(id_col).orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.partitionBy(id_col).orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    islands = (
+        dup.withColumn("prev_end", F.max(F.col("pos") + (n - 1)).over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_cum))
+    )
+    spans = islands.groupBy(id_col, "n_grams", "island").agg(
+        (F.max("pos") - F.min("pos") + n).alias("span_tokens")
+    )
+    return spans.groupBy(id_col, "n_grams").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    ).select(
+        id_col,
+        (F.col("n_grams") + (n - 1)).cast("bigint").alias("n_tokens"),
+        "n_dup_spans",
+        "dup_tokens",
+        F.round(
+            F.col("dup_tokens") / (F.col("n_grams") + (n - 1)), 6
+        ).alias("dup_token_fraction"),
+    )
+
+
 # --- incremental n-gram novelty (dup-ngram at ingest time) -------------------
 
 

@@ -786,6 +786,63 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_agg",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, value, epoch_us(ts) AS t_us,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(t_us) // 1000000 AS session_start_epoch,
+           max(t_us) // 1000000 + 1800 AS session_end_epoch,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    "H7 third window kind: NATIVE session windows (F.session_window gap "
+    "merge) — completes the tumbling/sliding/session triad; the oracle is "
+    "the lag+cumsum sessionization, pinning that Spark's dynamic-window "
+    "merge equals the explicit gap rule (merge iff diff <= gap, end = "
+    "last event + gap)",
+    tags=("window", "streaming"),
+)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native session-window operator (streaming/event_windows.py
+    `session_windows` is the stream twin — same expression with a
+    watermark, which is what bounds per-key session state on a stream).
+    One shuffle on the grouping key; Spark merges each key's windows
+    within the partition.  Emitted as epoch seconds: start = first event,
+    end = last event + gap (Spark's convention, mirrored arithmetically
+    in the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value", 6)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            epoch_sec(F.col("session_window.start")).alias("session_start_epoch"),
+            epoch_sec(F.col("session_window.end")).alias("session_end_epoch"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "concurrent_sessions_peak",
     """
     WITH flagged AS (
@@ -4774,6 +4831,77 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dup_ngram_coverage(docs)
+
+
+def _dup_span_oracle() -> str:
+    from cdc_lite_spark.operators.dedup import SHINGLE, staged_shingles_sql
+
+    sh = staged_shingles_sql("text")
+    k = SHINGLE - 1
+    return f"""
+    WITH staged AS (SELECT doc_id, {sh} AS __sh FROM documents),
+    grams AS (
+        -- zipped scalar unnests: range(len) pairs 0-based positions with
+        -- the gram list (DuckDB forbids lateral range(col) table calls)
+        SELECT doc_id, len(__sh) AS n_grams,
+               unnest(range(len(__sh))) AS pos,
+               unnest(__sh) AS gram
+        FROM staged
+    ),
+    dup AS (
+        SELECT doc_id, n_grams, pos FROM (
+            SELECT doc_id, n_grams, pos,
+                   count(*) OVER (PARTITION BY gram) AS occ
+            FROM grams
+        ) WHERE occ > 1
+    ),
+    marked AS (
+        SELECT doc_id, n_grams, pos,
+               max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+        FROM dup
+    ),
+    islands AS (
+        SELECT doc_id, n_grams, pos,
+               sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM marked
+    ),
+    spans AS (
+        SELECT doc_id, n_grams, island,
+               max(pos) - min(pos) + {SHINGLE} AS span_tokens
+        FROM islands GROUP BY doc_id, n_grams, island
+    )
+    SELECT doc_id,
+           CAST(n_grams + {k} AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+           round(CAST(sum(span_tokens) AS DOUBLE) / (n_grams + {k}), 6)
+               AS dup_token_fraction
+    FROM spans GROUP BY doc_id, n_grams
+    """
+
+
+@register(
+    "dup_span_stats",
+    _dup_span_oracle(),
+    "X2 extension: merged duplicated-token SPANS per document (the ranges "
+    "a Lee et al. ACL 2022 exact-substring dedup would cut) — "
+    "dup_ngram_coverage says how much is duplicated, this says where",
+    tags=("dedup", "window"),
+)
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over positional shingles: occurrence counts via a
+    count window on the gram key (single shingle lineage, no self-join),
+    island merge via two doc-partitioned windows over DUPLICATED positions
+    only.  O(total shingles), never pairwise; the only rows reaching the
+    doc windows are the duplicated positions."""
+    from cdc_lite_spark.operators.dedup import dup_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_stats(docs)
 
 
 def _winnowing_oracle() -> str:

@@ -268,3 +268,43 @@ def test_winnow_overlap_detects_shared_passage(spark):
     assert (1, 2) in out
     assert out[(1, 2)]["overlap"] >= 0.4
     assert all(3 not in pair for pair in out)
+
+
+def test_dup_span_stats_merges_islands(spark):
+    """Planted duplication: docs 1 and 2 share one contiguous passage;
+    its overlapping 3-gram covers must merge into ONE span covering
+    exactly the shared tokens, and the all-unique doc 3 emits no row."""
+    from cdc_lite_spark.operators.dedup import dup_span_stats
+
+    shared = " ".join(f"dup{i}" for i in range(10))  # 10 shared tokens
+    rows = [
+        (1, f"{shared} u1a u1b u1c u1d u1e"),
+        (2, f"v1a v1b v1c v1d v1e {shared}"),
+        (3, " ".join(f"solo{i}" for i in range(15))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_span_stats(docs).collect()}
+    assert 3 not in out
+    for d in (1, 2):
+        assert out[d]["n_tokens"] == 15
+        assert out[d]["n_dup_spans"] == 1  # overlapping covers merged
+        assert out[d]["dup_tokens"] == 10  # exactly the shared passage
+        assert abs(out[d]["dup_token_fraction"] - 10 / 15) < 1e-6
+
+
+def test_dup_span_stats_separate_islands_stay_separate(spark):
+    """Two duplicated passages split by enough unique tokens are TWO
+    spans; a single-gap adjacency merges."""
+    from cdc_lite_spark.operators.dedup import dup_span_stats
+
+    a = " ".join(f"a{i}" for i in range(5))
+    b = " ".join(f"b{i}" for i in range(5))
+    rows = [
+        (1, f"{a} x0 x1 x2 x3 {b}"),   # 4 unique tokens between passages
+        (2, f"{a} other stuff"),
+        (3, f"{b} more words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_span_stats(docs).collect()}
+    assert out[1]["n_dup_spans"] == 2
+    assert out[1]["dup_tokens"] == 10
