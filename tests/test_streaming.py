@@ -85,11 +85,24 @@ def test_sliding_stream_matches_batch(spark, events_dir):
         assert expect[k] == v
 
 
-def test_session_windows_run(spark, events_dir):
+def test_session_stream_matches_batch(spark, events_dir):
+    """Every session the stream finalizes must be exactly a session the
+    batch form computes — same start, same key, same event count (append
+    mode withholds only sessions not yet closed by the final watermark)."""
     stream2 = _stream(spark, events_dir)
     q2 = _drain(session_windows(stream2), name="session_out")
     assert not q2.isActive
-    assert spark.sql("SELECT count(*) FROM session_out").first()[0] >= 0
+    emitted = {
+        (r["session_start"], r["user_id"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM session_out").collect()
+    }
+    expect = {
+        (r["session_start"], r["user_id"]): r["n_events"]
+        for r in session_windows(spark.read.parquet(events_dir)).collect()
+    }
+    assert len(emitted) > 0
+    for k, v in emitted.items():
+        assert expect[k] == v
 
 
 def test_stream_static_join_enriches(spark, tables, events_dir):
