@@ -694,6 +694,10 @@ def dup_span_stats(
 
     Returns one row per document that HAS duplicated spans:
     (id, n_tokens, n_dup_spans, dup_tokens, dup_token_fraction).
+    Documents with fewer than n tokens are excluded: they have no real
+    n-gram (the shared shingle machinery gives them one whole-doc
+    pseudo-shingle for totality, which is the right dedup signal for
+    `exact_dedup`-style ops but would fabricate an n-token span here).
 
     Plan: positional shingles scan-side → occurrence count via a count
     window on the gram key (the same single-lineage trick as
@@ -703,10 +707,15 @@ def dup_span_stats(
     Cost O(total shingles) + O(dup positions); never pairwise."""
     from pyspark.sql import Window as W
 
-    staged = staged_shingles(df, id_col, text_col, n)
+    staged_wh = df.select(id_col, word_hashes(text_col).alias("__wh"))
+    staged = staged_wh.select(
+        id_col,
+        F.size("__wh").alias("n_tokens"),
+        shingle_hashes(F.col("__wh"), n).alias("__sh"),
+    ).filter(F.col("n_tokens") >= n)
     grams = staged.select(
         id_col,
-        F.size("__sh").alias("n_grams"),
+        "n_tokens",
         F.posexplode("__sh").alias("pos", "gram"),
     )
     dup = grams.withColumn("occ", F.count("*").over(W.partitionBy("gram"))).filter(
@@ -724,20 +733,20 @@ def dup_span_stats(
         )
         .withColumn("island", F.sum("new_island").over(w_cum))
     )
-    spans = islands.groupBy(id_col, "n_grams", "island").agg(
+    spans = islands.groupBy(id_col, "n_tokens", "island").agg(
         (F.max("pos") - F.min("pos") + n).alias("span_tokens")
     )
-    return spans.groupBy(id_col, "n_grams").agg(
+    return spans.groupBy(id_col, "n_tokens").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum("span_tokens").alias("dup_tokens"),
     ).select(
         id_col,
-        (F.col("n_grams") + (n - 1)).cast("bigint").alias("n_tokens"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
         "n_dup_spans",
         "dup_tokens",
-        F.round(
-            F.col("dup_tokens") / (F.col("n_grams") + (n - 1)), 6
-        ).alias("dup_token_fraction"),
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias(
+            "dup_token_fraction"
+        ),
     )
 
 

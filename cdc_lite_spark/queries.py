@@ -4835,52 +4835,57 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dup_span_oracle() -> str:
     from cdc_lite_spark.operators.dedup import SHINGLE, staged_shingles_sql
+    from cdc_lite_spark.operators.text import tokens_sql
 
     sh = staged_shingles_sql("text")
     k = SHINGLE - 1
     return f"""
-    WITH staged AS (SELECT doc_id, {sh} AS __sh FROM documents),
+    WITH staged AS (
+        SELECT doc_id, len({tokens_sql('text')}) AS n_tokens, {sh} AS __sh
+        FROM documents
+        WHERE len({tokens_sql('text')}) >= {SHINGLE}
+    ),
     grams AS (
         -- zipped scalar unnests: range(len) pairs 0-based positions with
         -- the gram list (DuckDB forbids lateral range(col) table calls)
-        SELECT doc_id, len(__sh) AS n_grams,
+        SELECT doc_id, n_tokens,
                unnest(range(len(__sh))) AS pos,
                unnest(__sh) AS gram
         FROM staged
     ),
     dup AS (
-        SELECT doc_id, n_grams, pos FROM (
-            SELECT doc_id, n_grams, pos,
+        SELECT doc_id, n_tokens, pos FROM (
+            SELECT doc_id, n_tokens, pos,
                    count(*) OVER (PARTITION BY gram) AS occ
             FROM grams
         ) WHERE occ > 1
     ),
     marked AS (
-        SELECT doc_id, n_grams, pos,
+        SELECT doc_id, n_tokens, pos,
                max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                    AS prev_end
         FROM dup
     ),
     islands AS (
-        SELECT doc_id, n_grams, pos,
+        SELECT doc_id, n_tokens, pos,
                sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
                    OVER (PARTITION BY doc_id ORDER BY pos
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
         FROM marked
     ),
     spans AS (
-        SELECT doc_id, n_grams, island,
+        SELECT doc_id, n_tokens, island,
                max(pos) - min(pos) + {SHINGLE} AS span_tokens
-        FROM islands GROUP BY doc_id, n_grams, island
+        FROM islands GROUP BY doc_id, n_tokens, island
     )
     SELECT doc_id,
-           CAST(n_grams + {k} AS BIGINT) AS n_tokens,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(count(*) AS BIGINT) AS n_dup_spans,
            CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
-           round(CAST(sum(span_tokens) AS DOUBLE) / (n_grams + {k}), 6)
+           round(CAST(sum(span_tokens) AS DOUBLE) / n_tokens, 6)
                AS dup_token_fraction
-    FROM spans GROUP BY doc_id, n_grams
+    FROM spans GROUP BY doc_id, n_tokens
     """
 
 

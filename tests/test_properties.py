@@ -636,3 +636,52 @@ def test_interval_concurrency_matches_bruteforce(spark, ivals):
         for t in {x for iv in ivals for x in iv}
     }
     assert got == want
+
+
+DOC_TEXTS = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "dup1", "dup2", "dup3"]),
+             min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(texts=DOC_TEXTS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_dup_span_stats_matches_bruteforce(spark, texts):
+    """Span extraction equals a direct python recomputation: corpus 3-gram
+    occurrence counts, covered-position union, island count/size."""
+    from cdc_lite_spark.operators.dedup import dup_span_stats
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_span_stats(docs).collect()}
+
+    from collections import Counter
+
+    n = 3
+    grams_by_doc = {}
+    counts = Counter()
+    for i, t in rows:
+        toks = t.split()
+        grams = [tuple(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+        grams_by_doc[i] = (len(toks), grams)
+        counts.update(grams)
+    for i, (n_toks, grams) in grams_by_doc.items():
+        covered = set()
+        for p, g in enumerate(grams):
+            if counts[g] > 1:
+                covered.update(range(p, p + n))
+        if not covered:
+            assert i not in got
+            continue
+        spans = 0
+        prev = None
+        for p in sorted(covered):
+            if prev is None or p > prev + 1:
+                spans += 1
+            prev = p
+        assert got[i]["n_tokens"] == n_toks
+        assert got[i]["dup_tokens"] == len(covered), (i, texts)
+        assert got[i]["n_dup_spans"] == spans
