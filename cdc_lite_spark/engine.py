@@ -304,6 +304,12 @@ class CdcEngine:
 
         Returns the tables whose change was captured this tick.  Errors are
         isolated per table (H6): one bad table logs and the loop continues.
+
+        Tick-consistent snapshot providers advance once per CALL by
+        default — a loop owner spanning several calls per logical tick
+        (poll_once + poll_partitions, as streaming/monitor.py does) must
+        advance the providers itself and pass ``advance_providers=False``
+        to every call, or each call gets its own database copy.
         """
         previous = self.latest_checksums()
         prev_schemas = self.latest_schemas() if self.emit_schema_changes else {}

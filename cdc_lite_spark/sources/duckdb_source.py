@@ -87,6 +87,19 @@ def _snapshot_copy(path: str) -> str:
 _SNAPSHOT_SUFFIX = ".cdcsnap."
 
 
+def _sweep_copies(d: str, prefix: str, keep: str | None = None) -> None:
+    """Best-effort unlink of every file in ``d`` whose name starts with
+    ``prefix``, sparing ``keep`` — the shared GC loop behind both the
+    per-plan and the per-tick snapshot copies."""
+    for f in os.listdir(d or "."):
+        full = os.path.join(d, f)
+        if f.startswith(prefix) and full != keep:
+            try:
+                os.unlink(full)
+            except OSError:
+                pass
+
+
 def _plan_snapshot_copy(path: str) -> str:
     """One copy per *scan plan*, made next to the source file so the path
     resolves on every executor when the source sits on a shared filesystem
@@ -94,19 +107,13 @@ def _plan_snapshot_copy(path: str) -> str:
     copy, so the scan observes one consistent database state — the same
     guarantee the reference gets from its single per-tick copy
     (duckdb_cdc.go:100-124).  Stale copies from earlier scans are
-    garbage-collected on the next plan; the current copy is removed at
-    driver exit."""
+    garbage-collected on the next plan (best-effort — a copy still being
+    read by a running scan is never older than its own plan); the current
+    copy is removed at driver exit."""
     import atexit
 
     d, base = os.path.split(path)
-    # GC copies left by prior scans of this database (best-effort — a copy
-    # still being read by a running scan is never older than its own plan).
-    for f in os.listdir(d or "."):
-        if f.startswith(base + _SNAPSHOT_SUFFIX):
-            try:
-                os.unlink(os.path.join(d, f))
-            except OSError:
-                pass
+    _sweep_copies(d, base + _SNAPSHOT_SUFFIX)
     dst = os.path.join(d, f"{base}{_SNAPSHOT_SUFFIX}{uuid.uuid4().hex}")
     shutil.copyfile(path, dst)
     atexit.register(lambda p=dst: os.path.exists(p) and os.unlink(p))
@@ -243,8 +250,12 @@ class DuckDBDataSource(DataSource):
         copy = _snapshot_copy(self.options["path"]) if live else self.options["path"]
         try:
             con = duckdb.connect(copy, read_only=True)
-            cols = con.execute(f'DESCRIBE "{self.options["table"]}"').fetchall()
-            con.close()
+            try:
+                cols = con.execute(f'DESCRIBE "{self.options["table"]}"').fetchall()
+            finally:
+                # a leaked read-only handle would pin the shared tick copy
+                # (or block a writer on a caller-vouched live file)
+                con.close()
         finally:
             if live:
                 os.unlink(copy)
@@ -307,13 +318,21 @@ class ConsistentSnapshotSource:
     exactly like the reference."""
 
     def __init__(self, spark, path: str, partitions: int = 4):
+        import atexit
+        import threading
+
         register_duckdb_source(spark)
         self.spark = spark
         self.path = path
         self.partitions = partitions
         self._copy: str | None = None
-        import atexit
-
+        # serializes begin_tick against factory self-starts: poll_once with
+        # parallelism>1 resolves factories from a thread pool, and after a
+        # FAILED advance (which is per-tick isolated, engine.py) several
+        # factories would otherwise race begin_tick — one thread's sweep
+        # could unlink another's fresh copy, or two tables could bind to
+        # two different database versions within one tick
+        self._lock = threading.Lock()
         atexit.register(self.close)
 
     def begin_tick(self) -> str:
@@ -322,14 +341,12 @@ class ConsistentSnapshotSource:
         orphaned by CRASHED runs (atexit never fired) are swept here too —
         anything with this base's tick suffix that isn't the live copy is
         stale, same discipline as the per-plan copy GC."""
+        with self._lock:
+            return self._begin_tick_locked()
+
+    def _begin_tick_locked(self) -> str:
         d, base = os.path.split(self.path)
-        for f in os.listdir(d or "."):
-            stale = os.path.join(d, f)
-            if f.startswith(base + _TICK_SUFFIX) and stale != self._copy:
-                try:
-                    os.unlink(stale)
-                except OSError:
-                    pass
+        _sweep_copies(d, base + _TICK_SUFFIX, keep=self._copy)
         dst = os.path.join(d, f"{base}{_TICK_SUFFIX}{uuid.uuid4().hex}")
         shutil.copyfile(self.path, dst)
         old, self._copy = self._copy, dst
@@ -342,8 +359,12 @@ class ConsistentSnapshotSource:
 
     def table(self, name: str):
         def factory() -> "DataFrame":  # noqa: F821 — pyspark DataFrame
-            if self._copy is None:
-                self.begin_tick()
+            with self._lock:
+                # self-start double-checked under the lock: the first
+                # factory of an unadvanced provider makes the copy, the
+                # rest reuse it
+                if self._copy is None:
+                    self._begin_tick_locked()
             return (
                 self.spark.read.format("duckdb")
                 .option("path", self._copy)
@@ -362,9 +383,10 @@ class ConsistentSnapshotSource:
         return {t: self.table(t) for t in tables}
 
     def close(self) -> None:
-        if self._copy is not None:
-            try:
-                os.unlink(self._copy)
-            except OSError:
-                pass
-            self._copy = None
+        with self._lock:
+            if self._copy is not None:
+                try:
+                    os.unlink(self._copy)
+                except OSError:
+                    pass
+                self._copy = None
