@@ -203,7 +203,10 @@ def test_monitor_inloop_retention_gc(spark, tables, tmp_path):
         expire_every_ticks=1,
     )
     try:
-        deadline = time.time() + 60
+        # generous deadline: under a fully loaded box (whole-suite run) the
+        # first monitor tick + expire can take well over a minute; the loop
+        # exits the moment the GC lands, so the ceiling only pays on failure
+        deadline = time.time() + 120
         while time.time() < deadline:
             if len(glob.glob(str(tmp_path / "changes" / "part-*"))) < n_before:
                 break
