@@ -704,19 +704,38 @@ def dup_span_stats(
     dup_ngram_coverage — no groupBy+join-back, no self-join) → two
     doc-partitioned windows (running max end, island prefix sum) over the
     DUPLICATED positions only → per-span then per-doc aggregation.
-    Cost O(total shingles) + O(dup positions); never pairwise."""
+    Cost O(total shingles) + O(dup positions); never pairwise.
+
+    Two pushdown guards keep the md5 pass single-evaluation (measured 16x
+    at sf0.1 — 52s → 3.3s without them):
+    * the short-doc filter tests ``size(tokens(text))`` BEFORE any hashing,
+      so the predicate Catalyst pushes to the scan inlines only the cheap
+      split — filtering on the later ``n_tokens`` column substitutes the
+      whole word-hash transform into the scan-level filter, where the
+      rolling combine's three ``element_at(__wh, ·)`` references each
+      re-run the full md5 pass per shingle position (O(tokens²) md5);
+    * ``posexplode_outer``, not ``posexplode``: InferFiltersFromGenerate
+      infers ``size(__sh) > 0 AND isnotnull(__sh)`` for INNER generates on
+      attribute children, and predicate pushdown then drags that inferred
+      filter through both staging projections with the same inlining blowup.
+      The rule skips outer generates, and ``__sh`` here is provably
+      non-null and non-empty (n_tokens >= n pins the transform branch,
+      which emits n_tokens-n+1 >= 1 elements), so _outer is a no-op
+      semantically and pos/gram are never null."""
     from pyspark.sql import Window as W
 
-    staged_wh = df.select(id_col, word_hashes(text_col).alias("__wh"))
+    staged_wh = df.filter(F.size(tokens(text_col)) >= n).select(
+        id_col, word_hashes(text_col).alias("__wh")
+    )
     staged = staged_wh.select(
         id_col,
         F.size("__wh").alias("n_tokens"),
         shingle_hashes(F.col("__wh"), n).alias("__sh"),
-    ).filter(F.col("n_tokens") >= n)
+    )
     grams = staged.select(
         id_col,
         "n_tokens",
-        F.posexplode("__sh").alias("pos", "gram"),
+        F.posexplode_outer("__sh").alias("pos", "gram"),
     )
     dup = grams.withColumn("occ", F.count("*").over(W.partitionBy("gram"))).filter(
         F.col("occ") > 1

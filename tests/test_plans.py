@@ -516,3 +516,16 @@ def test_concurrent_sessions_offsets_broadcast(spark):
     plan = _plan(spark, "concurrent_sessions_peak")
     assert "BroadcastExchange" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_dup_span_stats_single_md5_pass(spark):
+    """The md5 tokenizer pass must appear exactly once in the plan.
+    InferFiltersFromGenerate + predicate pushdown can drag an inferred
+    size(__sh)>0 filter through the staging projections, inlining the
+    word-hash transform into a scan-level filter where the rolling
+    combine's element_at references re-run the md5 pass per shingle
+    position — O(tokens^2) md5, measured 16x slower at sf0.1 (52s vs
+    3.3s).  Guarded by filtering on tokens() before hashing and by
+    posexplode_outer (the infer rule skips outer generates)."""
+    plan = _plan(spark, "dup_span_stats")
+    assert plan.count("md5") == 1, plan
