@@ -40,17 +40,22 @@ HEX_PREFIX_LEN = 15  # 60 bits < 2^63, safe in signed BIGINT for both engines
 # engines hash the same canonical bytes.
 #
 # Scope (r6 advice, upgraded r7): the injectivity guarantee covers SCALAR
-# columns and (recursively) ARRAY columns.  Arrays are canonicalized
-# STRUCTURALLY — ``len:`` prefix + per-element canonical rendering, each
-# element escaped before the ',' join, NULL elements as the bare ``\N``
-# sentinel (unforgeable among escaped strings) — so ``['a, b']`` renders
-# ``1:a\, b`` while ``['a', ' b']`` renders ``2:a, b``: distinct arrays
-# always render distinctly, and the engines' native (non-injective,
-# engine-specific) list renderings are never consulted.  Maps/structs
-# still fall through to the native rendering — order-preserving but not
-# injective, and not cross-engine — so they are excluded from the
-# guarantee; fingerprint surfaces canonicalize them to JSON first or
-# explode them into scalar columns.
+# columns and (recursively) ARRAY, STRUCT, and MAP columns.  Arrays are
+# canonicalized STRUCTURALLY — ``len:`` prefix + per-element canonical
+# rendering, each element escaped before the ',' join, NULL elements as the
+# bare ``\N`` sentinel (unforgeable among escaped strings) — so ``['a, b']``
+# renders ``1:a\, b`` while ``['a', ' b']`` renders ``2:a, b``: distinct
+# arrays always render distinctly, and the engines' native (non-injective,
+# engine-specific) list renderings are never consulted.  Structs render as
+# a nested row (per-field canonical renderings joined by ',', the whole
+# escaped for its position; a NULL struct renders the bare sentinel, which
+# an all-NULL-fields struct — whose rendering is escaped — cannot forge).
+# Maps render as the sorted array of ``key,value`` entry strings (sorted
+# unescaped, binary order in both engines; keys are unique so the order is
+# total), making the rendering ORDER-INSENSITIVE over entries, injective
+# over the entry multiset, and independent of either engine's native map
+# rendering.  Struct field names must be plain identifiers (no ':', ','
+# or '<' in names) — Spark's simpleString form is what gets parsed.
 #
 # Escape SKIPPING (r6 verdict ask #1): dtypes whose rendering alphabet
 # provably excludes ',' and '\' skip the two replaces entirely — the
@@ -73,6 +78,10 @@ HEX_PREFIX_LEN = 15  # 60 bits < 2^63, safe in signed BIGINT for both engines
 #   over wide-decimal or array columns change (one spurious capture per
 #   affected table on upgrade); p<=15 decimals, doubles, and every other
 #   scalar dtype are byte-identical to r6.
+# - r7b: struct and map columns switched from the escaped native rendering
+#   (engine-specific, non-injective) to structural forms (see scope note)
+#   — checksums over struct/map columns change on upgrade; all other
+#   dtypes unchanged.
 NULL_SENTINEL = "\\N"
 
 #: decimal precision up to which binary64 round-trips every value exactly
@@ -84,6 +93,35 @@ def _decimal_precision(dtype_lower: str) -> int:
     """Precision p from 'decimal(p,s)' (Spark's default is decimal(10,0))."""
     inside = dtype_lower.partition("(")[2].partition(")")[0]
     return int(inside.split(",")[0]) if inside else 10
+
+
+def _split_top_level(params: str) -> list[str]:
+    """Split a type-parameter list on top-level commas only — nested
+    ``<...>`` (array/struct/map) and ``(...)`` (decimal) keep their commas."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in params:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _struct_fields(dl: str) -> list[tuple[str, str]]:
+    """``[(name, dtype), ...]`` from ``struct<a:int,b:...>`` (Spark's
+    simpleString form; names must be plain identifiers)."""
+    return [
+        (f.partition(":")[0], f.partition(":")[2])
+        for f in _split_top_level(dl[len("struct<") : -1])
+    ]
 
 
 def _escape_reserved(rendered: Column) -> Column:
@@ -265,7 +303,53 @@ def _canon_rendered(c: Column, dl: str) -> Column:
         return _escape_reserved(
             F.concat(F.size(c).cast("string"), F.lit(":"), inner)
         )
-    # strings / structs / maps / anything free-form may contain ',' or '\'
+    if dl.startswith("struct<"):
+        # nested row: per-field canonical renderings joined by ',', the
+        # whole escaped for its position — same injectivity argument as
+        # the top-level row join, recursively
+        inner = F.concat_ws(
+            ",",
+            *[
+                F.coalesce(_canon_rendered(c.getField(n), t), F.lit(NULL_SENTINEL))
+                for n, t in _struct_fields(dl)
+            ],
+        )
+        # concat_ws never yields NULL, so NULL-struct vs all-NULL-fields
+        # needs an explicit guard (both engines agree struct(NULL,..) is
+        # NOT NULL); the escaped all-NULL rendering '\\N,...' cannot forge
+        # the caller's bare '\N' sentinel
+        return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+            _escape_reserved(inner)
+        )
+    if dl.startswith("map<"):
+        # sorted array of 'key,value' entry strings: entries render as
+        # 2-column rows (injective), sort UNESCAPED in binary order (keys
+        # are unique, so the order is total and identical in both engines),
+        # then each entry is escaped as a free-form array element — the
+        # rendering is order-insensitive over entries and injective over
+        # the entry multiset
+        kt, vt = _split_top_level(dl[len("map<") : -1])
+        entries = F.map_entries(c)
+        entry_strs = F.array_sort(
+            F.transform(
+                entries,
+                lambda e: F.concat_ws(
+                    ",",
+                    F.coalesce(
+                        _canon_rendered(e.getField("key"), kt), F.lit(NULL_SENTINEL)
+                    ),
+                    F.coalesce(
+                        _canon_rendered(e.getField("value"), vt), F.lit(NULL_SENTINEL)
+                    ),
+                ),
+            )
+        )
+        inner = F.concat_ws(",", F.transform(entry_strs, _escape_reserved))
+        # size(NULL map) is NULL -> concat propagates -> caller's sentinel
+        return _escape_reserved(
+            F.concat(F.size(entries).cast("string"), F.lit(":"), inner)
+        )
+    # strings / anything free-form may contain ',' or '\'
     return _escape_reserved(c.cast("string"))
 
 
@@ -302,6 +386,37 @@ def _canon_rendered_sql(expr: str, dl: str, depth: int = 0) -> str:
         )
         return _escape_reserved_sql(
             f"(CAST(len({expr}) AS VARCHAR) || ':' || {inner})"
+        )
+    if dl.startswith("struct<"):
+        rendered = ", ".join(
+            "COALESCE("
+            + _canon_rendered_sql(f"struct_extract({expr}, '{n}')", t, depth + 1)
+            + f", '{NULL_SENTINEL}')"
+            for n, t in _struct_fields(dl)
+        )
+        inner = f"concat_ws(',', {rendered})"
+        return (
+            f"CASE WHEN {expr} IS NULL THEN NULL "
+            f"ELSE {_escape_reserved_sql(inner)} END"
+        )
+    if dl.startswith("map<"):
+        kt, vt = _split_top_level(dl[len("map<") : -1])
+        var = f"__me{depth}"
+        entry = (
+            f"concat_ws(',', "
+            f"COALESCE({_canon_rendered_sql(f'''struct_extract({var}, 'key')''', kt, depth + 1)}, '{NULL_SENTINEL}'), "
+            f"COALESCE({_canon_rendered_sql(f'''struct_extract({var}, 'value')''', vt, depth + 1)}, '{NULL_SENTINEL}'))"
+        )
+        svar = f"__ms{depth}"
+        escaped = (
+            f"list_transform(list_sort(list_transform(map_entries({expr}), "
+            f"{var} -> {entry})), {svar} -> {_escape_reserved_sql(svar)})"
+        )
+        # array_to_string(NULL or empty) -> COALESCE '' like the array twin;
+        # cardinality(NULL map) is NULL so '||' propagates the NULL
+        inner = f"COALESCE(array_to_string({escaped}, ','), '')"
+        return _escape_reserved_sql(
+            f"(CAST(cardinality({expr}) AS VARCHAR) || ':' || {inner})"
         )
     return _escape_reserved_sql(f"CAST({expr} AS VARCHAR)")
 

@@ -7537,3 +7537,60 @@ def q_cdc_array_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
     return table_checksum(emb.select("vec_id", "embedding", "label"))
+
+
+def _struct_checksum_oracle() -> str:
+    from cdc_lite_spark.operators.checksum import table_checksum_sql
+
+    inner = (
+        "(SELECT o_orderkey, "
+        "{'s': o_orderstatus, 'p': o_totalprice, 'd': o_orderdate} AS meta, "
+        "map(['priority', 'status'], [o_orderpriority, o_orderstatus]) AS attrs "
+        "FROM orders WHERE o_orderkey % 13 = 0) t"
+    )
+    return table_checksum_sql(
+        inner,
+        [
+            ("o_orderkey", "bigint"),
+            ("meta", "struct<s:string,p:double,d:timestamp>"),
+            ("attrs", "map<string,string>"),
+        ],
+    )
+
+
+@register(
+    "cdc_struct_checksum",
+    _struct_checksum_oracle(),
+    "C3 over nested columns: whole-table fingerprint of a struct (string/"
+    "double/timestamp fields) and a map column, canonicalized STRUCTURALLY "
+    "(functions/hashes.py r7b: struct = nested row join, map = sorted "
+    "entry strings) — closes the injectivity scope to every Spark "
+    "container type; the engines' native struct/map renderings are "
+    "neither injective nor cross-engine and are never consulted",
+    tags=("cdc", "checksum"),
+)
+def q_cdc_struct_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same partial-aggregable plan as every C3 fingerprint: the struct/map
+    canonicalization is JVM-side expression work per row (getField/
+    map_entries/array_sort stay in whole-stage codegen), no extra shuffle
+    — O(rows) scan + O(partitions) shuffle of (count,sum) pairs.  The
+    %13 slice keeps per-round bench cost in line with the checksum family;
+    the operator itself has no cap."""
+    from cdc_lite_spark.operators.checksum import table_checksum
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    df = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_totalprice").alias("p"),
+            F.col("o_orderdate").alias("d"),
+        ).alias("meta"),
+        F.create_map(
+            F.lit("priority"),
+            F.col("o_orderpriority"),
+            F.lit("status"),
+            F.col("o_orderstatus"),
+        ).alias("attrs"),
+    )
+    return table_checksum(df)

@@ -347,3 +347,125 @@ def test_array_numeric_and_nested_cross_engine(spark):
     a = spark.createDataFrame([(1, [0.1])], "id int, v array<double>")
     b = spark.createDataFrame([(1, [math.nextafter(0.1, 1.0)])], "id int, v array<double>")
     assert table_checksum_value(a) != table_checksum_value(b)
+
+
+def test_struct_canonicalization_injective_and_cross_engine(spark):
+    """r7b: structs render as a nested row (per-field canonical renderings
+    joined by ',', escaped for position) — injective where the native
+    rendering collides ('a,b',1) vs ('a','b,1'), NULL struct distinct from
+    all-NULL-fields struct, and byte-identical in DuckDB."""
+    from cdc_lite_spark.functions.hashes import canonical_col, canonical_col_sql
+
+    dtype = "struct<s:string,n:int>"
+    rows = [
+        (1, ("a,b", 1)),
+        (2, ("a", None)),
+        (3, (None, None)),  # all-NULL fields ...
+        (4, None),          # ... vs NULL struct
+        (5, ("\\N", 7)),    # forged sentinel in a field
+        (6, ("a\\", 1)),
+        (7, ("a", 1)),
+    ]
+    df = spark.createDataFrame(rows, f"id int, st {dtype}")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_col("st", dtype).alias("c")).collect()
+    }
+    assert len(set(got.values())) == len(got), f"struct canonical collision: {got}"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, st STRUCT(s VARCHAR, n INT))")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(i, None if st is None else {"s": st[0], "n": st[1]}) for i, st in rows],
+    )
+    oracle = dict(
+        con.execute(f"SELECT id, {canonical_col_sql('st', dtype)} FROM t").fetchall()
+    )
+    assert got == oracle
+
+
+def test_map_canonicalization_order_insensitive_and_cross_engine(spark):
+    """r7b: maps render as the SORTED array of 'key,value' entry strings —
+    entry order never matters, distinct maps always render distinctly,
+    and the bytes match DuckDB's twin."""
+    from cdc_lite_spark.functions.hashes import canonical_col, canonical_col_sql
+
+    dtype = "map<string,string>"
+    rows = [
+        (1, {"k1": "v1", "k2": "v,2"}),
+        (2, {"k2": "v,2", "k1": "v1"}),  # same entries, other order
+        (3, {}),
+        (4, None),
+        (5, {"k,1": None}),
+        (6, {"k": "1,x"}),
+        (7, {"k": "1", "x": None}),      # vs a comma inside row 6's value
+        (8, {"é": "u"}),                 # non-ASCII key exercises binary sort
+        (9, {"Z": "u", "a": "b"}),       # 'Z' < 'a' in binary order
+    ]
+    df = spark.createDataFrame(rows, f"id int, mp {dtype}")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_col("mp", dtype).alias("c")).collect()
+    }
+    assert got[1] == got[2]
+    rest = {k: v for k, v in got.items() if k != 2}
+    assert len(set(rest.values())) == len(rest), f"map canonical collision: {got}"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, mp MAP(VARCHAR, VARCHAR))")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [
+            (
+                i,
+                None
+                if mp is None
+                else {"key": list(mp.keys()), "value": list(mp.values())},
+            )
+            for i, mp in rows
+        ],
+    )
+    oracle = dict(
+        con.execute(f"SELECT id, {canonical_col_sql('mp', dtype)} FROM t").fetchall()
+    )
+    assert got == oracle
+
+
+def test_nested_struct_map_array_cross_engine(spark):
+    """The canonical scheme is closed under nesting: struct containing an
+    array and a double, inside an array, round-trips bit-identically."""
+    from cdc_lite_spark.functions.hashes import canonical_col, canonical_col_sql
+
+    dtype = "array<struct<a:array<int>,d:double>>"
+    rows = [
+        (1, [([1, 2], 0.5), (None, None)]),
+        (2, [([], 2.5e-5)]),
+        (3, None),
+        (4, [None]),
+    ]
+    df = spark.createDataFrame(rows, f"id int, v {dtype}")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_col("v", dtype).alias("c")).collect()
+    }
+    assert len(set(got.values())) == len(got)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, v STRUCT(a INT[], d DOUBLE)[])")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [
+            (
+                i,
+                None
+                if v is None
+                else [None if e is None else {"a": e[0], "d": e[1]} for e in v],
+            )
+            for i, v in rows
+        ],
+    )
+    oracle = dict(
+        con.execute(f"SELECT id, {canonical_col_sql('v', dtype)} FROM t").fetchall()
+    )
+    assert got == oracle
