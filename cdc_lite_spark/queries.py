@@ -7594,3 +7594,75 @@ def q_cdc_struct_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("attrs"),
     )
     return table_checksum(df)
+
+
+@register(
+    "incremental_join_maintenance",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 11 != 0 AND c_custkey % 10 != 3
+    """,
+    "CDC payoff on a JOIN view: materialized fact-dim inner join maintained "
+    "from both sides' change records (affected keys only), never re-joining "
+    "the full tables — the oracle recomputes the join from scratch and the "
+    "maintained view must match it exactly; exercises fact I/U/D, dim "
+    "attribute updates, dim deletes dropping their facts, and a dim INSERT "
+    "re-surfacing previously-dangling facts",
+    tags=("cdc", "incremental", "join"),
+)
+def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated tick over BOTH tables of a star join: snapshot_diff each
+    side, `maintain_join` folds the deltas into the previous
+    materialization.  Every delta/affected-key join broadcasts the small
+    side — no shuffle of the view or the fact table; the per-tick cost is
+    O(|delta|) plus one map-side-pruned fact filter pass (see
+    operators/incremental.py)."""
+    from cdc_lite_spark.operators.diff import snapshot_diff
+    from cdc_lite_spark.operators.incremental import maintain_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    ok, ck = F.col("o_orderkey"), F.col("c_custkey")
+    fact_cur = orders.filter(ok % 11 != 0)
+    fact_prev = orders.filter(ok % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(ok % 13 == 0, F.col("o_totalprice") + 100).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    dim_cur = cust.filter(ck % 10 != 3)
+    dim_prev = cust.filter(ck % 10 != 7).withColumn(
+        "c_acctbal",
+        F.when(ck % 5 == 0, F.col("c_acctbal") + 50).otherwise(F.col("c_acctbal")),
+    )
+    m_old = fact_prev.join(
+        dim_prev, fact_prev["o_custkey"] == dim_prev["c_custkey"], "inner"
+    ).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_custkey", "c_acctbal",
+        "c_mktsegment",
+    )
+    fact_changes = snapshot_diff(fact_prev, fact_cur, ["o_orderkey"])
+    dim_changes = snapshot_diff(dim_prev, dim_cur, ["c_custkey"])
+    out = maintain_join(
+        m_old,
+        fact_cur,
+        dim_cur,
+        fact_changes,
+        dim_changes,
+        fact_key="o_orderkey",
+        fact_dim_col="o_custkey",
+        dim_key="c_custkey",
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )

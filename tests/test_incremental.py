@@ -141,3 +141,96 @@ def test_dfreq_update_without_membership_change_is_noop(spark):
     )
     out = {r["term"]: r["df_count"] for r in apply_text_delta(state, changes).collect()}
     assert out == {"spark": 1, "tables": 1}
+
+
+def _mj_fixture(spark):
+    from cdc_lite_spark.operators.incremental import maintain_join
+
+    fact_prev = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 6.0), (3, 20, 7.0), (4, 30, 8.0), (9, 40, 1.0)],
+        "fid long, did long, v double",
+    )
+    # fact tick: 1 updated, 2 deleted, 5 inserted, 9 references dim 40
+    # which only EXISTS in the current dim snapshot (dangling re-entry)
+    fact_cur = spark.createDataFrame(
+        [(1, 10, 5.5), (3, 20, 7.0), (4, 30, 8.0), (5, 10, 2.0), (9, 40, 1.0)],
+        "fid long, did long, v double",
+    )
+    # dim tick: 10 attribute-updated, 30 deleted (drops fact 4), 40 inserted
+    dim_prev = spark.createDataFrame(
+        [(10, "x"), (20, "y"), (30, "z")], "did long, attr string"
+    )
+    dim_cur = spark.createDataFrame(
+        [(10, "X"), (20, "y"), (40, "w")], "did long, attr string"
+    )
+    m_old = fact_prev.join(dim_prev, "did", "inner").select(
+        "fid", "did", "v", "attr"
+    )
+    fact_changes = snapshot_diff(fact_prev, fact_cur, ["fid"])
+    dim_changes = snapshot_diff(dim_prev, dim_cur, ["did"])
+    return maintain_join, m_old, fact_cur, dim_cur, fact_changes, dim_changes
+
+
+def test_maintain_join_equals_recompute_all_change_classes(spark):
+    """fact I/U/D + dim I/U/D (including a dim DELETE dropping its facts and
+    a dim INSERT re-surfacing a previously-dangling fact) — the maintained
+    view must equal the from-scratch inner join."""
+    maintain_join, m_old, fact_cur, dim_cur, fc, dc = _mj_fixture(spark)
+    out = maintain_join(
+        m_old, fact_cur, dim_cur, fc, dc,
+        fact_key="fid", fact_dim_col="did", dim_key="did",
+    )
+    expect = fact_cur.join(dim_cur, "did", "inner").select("fid", "did", "v", "attr")
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in expect.collect()}
+    assert got == want
+    # the dangling fact 9 re-entered via the dim-40 INSERT
+    assert any(r[0] == 9 for r in got)
+    # fact 4 left with its deleted dim 30
+    assert not any(r[0] == 4 for r in got)
+
+
+def test_maintain_join_fk_integrity_mode(spark):
+    """assume_fk_integrity=True finds dim-affected facts in M_old (no fact
+    scan) — equal to the recompute whenever no fact dangles."""
+    from cdc_lite_spark.operators.incremental import maintain_join
+
+    fact_prev = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 6.0)], "fid long, did long, v double"
+    )
+    fact_cur = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 6.5), (3, 10, 7.0)], "fid long, did long, v double"
+    )
+    dim_prev = spark.createDataFrame([(10, "x"), (20, "y")], "did long, attr string")
+    dim_cur = spark.createDataFrame([(10, "X"), (20, "y")], "did long, attr string")
+    m_old = fact_prev.join(dim_prev, "did", "inner").select("fid", "did", "v", "attr")
+    out = maintain_join(
+        m_old,
+        fact_cur,
+        dim_cur,
+        snapshot_diff(fact_prev, fact_cur, ["fid"]),
+        snapshot_diff(dim_prev, dim_cur, ["did"]),
+        fact_key="fid",
+        fact_dim_col="did",
+        dim_key="did",
+        assume_fk_integrity=True,
+    )
+    expect = fact_cur.join(dim_cur, "did", "inner").select("fid", "did", "v", "attr")
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in expect.collect()}
+
+
+def test_maintain_join_broadcasts_delta_sides(spark):
+    """Scale contract: every join against the delta/affected set is a
+    broadcast join — the view and the fact table are never shuffled.
+    The inputs (stored view + change records, precomputed in production)
+    are checkpointed so the plan under test is the maintenance path only."""
+    maintain_join, m_old, fact_cur, dim_cur, fc, dc = _mj_fixture(spark)
+    out = maintain_join(
+        m_old.localCheckpoint(), fact_cur, dim_cur,
+        fc.localCheckpoint(), dc.localCheckpoint(),
+        fact_key="fid", fact_dim_col="did", dim_key="did",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere in the maintenance path
+    assert "SortMergeJoin" not in plan
