@@ -134,6 +134,35 @@ def maintain_join(
     (duckdb_cdc.go:197-208); this is the O(delta) refinement for views
     that JOIN two captured tables.
     """
+    affected, refreshed = _join_maintenance_parts(
+        m_old,
+        fact_new,
+        dim_new,
+        fact_changes,
+        dim_changes,
+        fact_key,
+        fact_dim_col,
+        dim_key,
+        assume_fk_integrity,
+    )
+    kept = m_old.join(F.broadcast(affected), fact_key, "left_anti")
+    return kept.unionByName(refreshed)
+
+
+def _join_maintenance_parts(
+    m_old: DataFrame,
+    fact_new: DataFrame,
+    dim_new: DataFrame,
+    fact_changes: DataFrame,
+    dim_changes: DataFrame,
+    fact_key: str,
+    fact_dim_col: str,
+    dim_key: str,
+    assume_fk_integrity: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(affected fact keys, refreshed view rows in ``m_old`` column order)
+    — the shared delta machinery behind :func:`maintain_join` and
+    :func:`join_view_changes`."""
     fact_keys = fact_changes.select(fact_key).distinct()
     dim_keys = dim_changes.select(dim_key).distinct()
     ref_side = m_old if assume_fk_integrity else fact_new
@@ -162,12 +191,65 @@ def maintain_join(
         F.col(fact_dim_col) == F.col(f"__dim_{dim_key}"),
         "inner",
     )
-    kept = m_old.join(F.broadcast(affected), fact_key, "left_anti")
     out_cols = [
         F.col(c) if c in fact_new.columns else F.col(f"__dim_{c}").alias(c)
         for c in m_old.columns
     ]
-    return kept.unionByName(refreshed.select(*out_cols))
+    return affected, refreshed.select(*out_cols)
+
+
+def join_view_changes(
+    m_old: DataFrame,
+    fact_new: DataFrame,
+    dim_new: DataFrame,
+    fact_changes: DataFrame,
+    dim_changes: DataFrame,
+    fact_key: str,
+    fact_dim_col: str,
+    dim_key: str,
+    assume_fk_integrity: bool = False,
+) -> DataFrame:
+    """Change records FOR THE JOIN VIEW itself, delta-sized: every affected
+    key emits a DELETE of its old view row (prev\\_-side values) and/or an
+    INSERT of its new one — the ``snapshot_diff(include_prev=True)`` shape
+    that :func:`apply_delta` folds, so an aggregate OVER the join is
+    maintained end-to-end in O(delta) without ever materializing the new
+    view or re-joining the tables.  A key present on both sides emits
+    DELETE+INSERT rather than UPDATE; the apply_delta adds/retracts
+    algebra treats the two encodings identically.
+
+    Same scale shape as :func:`maintain_join` minus the M_old anti-join:
+    both legs are broadcast-pruned; nothing wider than the delta shuffles.
+    """
+    from cdc_lite_spark.envelope import DELETE, INSERT
+
+    affected, refreshed = _join_maintenance_parts(
+        m_old,
+        fact_new,
+        dim_new,
+        fact_changes,
+        dim_changes,
+        fact_key,
+        fact_dim_col,
+        dim_key,
+        assume_fk_integrity,
+    )
+    removed = m_old.join(F.broadcast(affected), fact_key, "left_semi")
+    other = [c for c in m_old.columns if c != fact_key]
+    dtypes = {f.name: f.dataType for f in m_old.schema.fields}
+    ins = refreshed.select(
+        F.col(fact_key),
+        F.lit(INSERT).alias("operation"),
+        *[F.col(c) for c in other],
+        *[F.lit(None).cast(dtypes[c]).alias(f"prev_{c}") for c in other],
+    )
+    dels = removed.select(
+        F.col(fact_key),
+        F.lit(DELETE).alias("operation"),
+        *[F.lit(None).cast(dtypes[c]).alias(c) for c in other],
+        *[F.col(c).alias(f"prev_{c}") for c in other],
+    )
+    return ins.unionByName(dels)
 
 
 # --- incremental retrieval-index statistics ---------------------------------

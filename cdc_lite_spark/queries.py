@@ -7666,3 +7666,79 @@ def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("c_acctbal").cast("double").alias("c_acctbal"),
         "c_mktsegment",
     )
+
+
+@register(
+    "incremental_join_agg_maintenance",
+    """
+    SELECT c_mktsegment,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS agg_sum,
+           CAST(count(o_totalprice) AS BIGINT) AS agg_count,
+           CAST(count(*) AS BIGINT) AS agg_rows
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 11 != 0 AND c_custkey % 10 != 3
+    GROUP BY c_mktsegment
+    """,
+    "The CDC capstone composition: an aggregate OVER a fact-dim join "
+    "maintained end-to-end in O(delta) — join_view_changes turns both "
+    "sides' change records into view-level I/D records, apply_delta folds "
+    "them into the grouped state; the oracle recomputes join+group-by from "
+    "scratch and the maintained state must match exactly",
+    tags=("cdc", "incremental", "join", "agg"),
+)
+def q_incremental_join_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tick cost is O(|delta|): the view's change records come from
+    broadcast-pruned joins (never re-joining the tables), the fold
+    aggregates |changes| rows, and the merge joins on the group-key
+    domain (5 segments).  DECIMAL values keep the maintained sum
+    bit-equal to the recompute regardless of fold order — same fixture
+    tick as incremental_join_maintenance."""
+    from cdc_lite_spark.operators.diff import snapshot_diff
+    from cdc_lite_spark.operators.incremental import (
+        apply_delta,
+        join_view_changes,
+        sum_count_state,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ok, ck = F.col("o_orderkey"), F.col("c_custkey")
+    fact_cur = orders.filter(ok % 11 != 0)
+    fact_prev = orders.filter(ok % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(ok % 13 == 0, F.col("o_totalprice") + 100).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    dim_cur = cust.filter(ck % 10 != 3)
+    # dim tick also MOVES keys across groups: a segment flip must retract
+    # from the old segment and add to the new one
+    dim_prev = cust.filter(ck % 10 != 7).withColumn(
+        "c_mktsegment",
+        F.when(ck % 17 == 0, F.lit("MOVED")).otherwise(F.col("c_mktsegment")),
+    )
+    m_old = fact_prev.join(
+        dim_prev, fact_prev["o_custkey"] == dim_prev["c_custkey"], "inner"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+    changes = join_view_changes(
+        m_old,
+        fact_cur,
+        dim_cur,
+        snapshot_diff(fact_prev, fact_cur, ["o_orderkey"]),
+        snapshot_diff(dim_prev, dim_cur, ["c_custkey"]),
+        fact_key="o_orderkey",
+        fact_dim_col="o_custkey",
+        dim_key="c_custkey",
+    )
+    state = sum_count_state(m_old, ["c_mktsegment"], "o_totalprice")
+    out = apply_delta(state, changes, ["c_mktsegment"], "o_totalprice")
+    return out.select(
+        "c_mktsegment",
+        F.col("agg_sum").cast("double").alias("agg_sum"),
+        "agg_count",
+        "agg_rows",
+    )

@@ -88,6 +88,8 @@ HEADLINERS: dict[str, str] = {
     "rag_chunk_topk": "sparse cosine: dimension-index equi-join, probe side broadcast; integer dot products",
     "filter_funnel_report": "whole funnel = one scan collapsing to a 1-row agg, unpivoted executor-side",
     "hybrid_rank_rrf": "both rankers candidate-bounded; fusion is a full-outer of two rank lists + top-N",
+    "cdc_struct_checksum": "struct/map canonicalized by scan-side expressions (getField/map_entries/array_sort) below the single-exchange fingerprint agg",
+    "incremental_join_maintenance": "O(delta) view refresh: every join against the delta/affected set is a BroadcastHashJoin — view, fact, and dim never shuffle",
 }
 
 

@@ -234,3 +234,33 @@ def test_maintain_join_broadcasts_delta_sides(spark):
     assert "BroadcastHashJoin" in plan
     # no sort-merge join anywhere in the maintenance path
     assert "SortMergeJoin" not in plan
+
+
+def test_join_view_changes_fold_equals_recompute(spark):
+    """Capstone composition: aggregate over the join maintained purely from
+    view-level change records — must equal the from-scratch join+group-by,
+    including a dim attribute flip that MOVES facts across groups."""
+    from cdc_lite_spark.operators.incremental import (
+        apply_delta,
+        join_view_changes,
+        sum_count_state,
+    )
+
+    maintain_join, m_old, fact_cur, dim_cur, fc, dc = _mj_fixture(spark)
+    changes = join_view_changes(
+        m_old, fact_cur, dim_cur, fc, dc,
+        fact_key="fid", fact_dim_col="did", dim_key="did",
+    )
+    state = sum_count_state(m_old, ["attr"], "v")
+    out = apply_delta(state, changes, ["attr"], "v")
+    expect = sum_count_state(
+        fact_cur.join(dim_cur, "did", "inner").select("fid", "did", "v", "attr"),
+        ["attr"],
+        "v",
+    )
+    got = {r["attr"]: (r["agg_sum"], r["agg_count"], r["agg_rows"]) for r in out.collect()}
+    want = {r["attr"]: (r["agg_sum"], r["agg_count"], r["agg_rows"]) for r in expect.collect()}
+    assert got == want
+    # the delta is view-level I/D records only, sized by the affected keys
+    ops = {r["operation"] for r in changes.select("operation").distinct().collect()}
+    assert ops <= {"INSERT", "DELETE"}
