@@ -90,6 +90,7 @@ HEADLINERS: dict[str, str] = {
     "hybrid_rank_rrf": "both rankers candidate-bounded; fusion is a full-outer of two rank lists + top-N",
     "cdc_struct_checksum": "struct/map canonicalized by scan-side expressions (getField/map_entries/array_sort) below the single-exchange fingerprint agg",
     "incremental_join_maintenance": "O(delta) view refresh: every join against the delta/affected set is a BroadcastHashJoin — view, fact, and dim never shuffle",
+    "incremental_join_agg_maintenance": "join+agg maintained from view-level I/D records: delta fold + group-key-domain merge; the tables are never re-joined",
 }
 
 
