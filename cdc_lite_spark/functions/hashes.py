@@ -55,7 +55,10 @@ HEX_PREFIX_LEN = 15  # 60 bits < 2^63, safe in signed BIGINT for both engines
 # total), making the rendering ORDER-INSENSITIVE over entries, injective
 # over the entry multiset, and independent of either engine's native map
 # rendering.  Struct field names must be plain identifiers (no ':', ','
-# or '<' in names) — Spark's simpleString form is what gets parsed.
+# or '<' in names) — Spark's simpleString form is what gets parsed, with
+# the ORIGINAL case preserved (only type tokens are compared lowercased),
+# so field resolution works under spark.sql.caseSensitive=true and for
+# case-variant field names.
 #
 # Escape SKIPPING (r6 verdict ask #1): dtypes whose rendering alphabet
 # provably excludes ',' and '\' skip the two replaces entirely — the
@@ -259,16 +262,21 @@ def canonical_col(col: str, dtype: str) -> Column:
     ``NULL_SENTINEL``), NULL renders as ``'\\N'`` and free-form renderings
     are separator-escaped so the per-row canonical string is injective.
     """
-    return F.coalesce(_canon_rendered(F.col(col), dtype.lower()), F.lit(NULL_SENTINEL))
+    return F.coalesce(_canon_rendered(F.col(col), dtype), F.lit(NULL_SENTINEL))
 
 
-def _canon_rendered(c: Column, dl: str) -> Column:
+def _canon_rendered(c: Column, dt: str) -> Column:
     """Escaped-or-fixed-alphabet canonical rendering of one VALUE of dtype
-    ``dl`` (NULL propagates as NULL — the caller supplies the sentinel).
+    ``dt`` (NULL propagates as NULL — the caller supplies the sentinel).
     The same function canonicalizes row columns and array elements, so the
     injectivity argument recurses: every branch returns a string whose
     bare ``,`` count equals its logical separator count and which cannot
-    contain the bare ``\\N`` sentinel."""
+    contain the bare ``\\N`` sentinel.
+
+    Type DISPATCH compares the lowercased string, but nested field names /
+    element types are sliced from the ORIGINAL ``dt`` so struct field case
+    survives (getField under spark.sql.caseSensitive=true needs it)."""
+    dl = dt.lower()
     if dl.startswith("timestamp"):
         # fixed alphabet [0-9 :.-], can never contain ',' or '\' — no escape
         return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
@@ -293,7 +301,7 @@ def _canon_rendered(c: Column, dl: str) -> Column:
         # joined by ','; NULL element → bare '\N' (unforgeable).  The whole
         # array string is then escaped for ITS position (row column or
         # parent array element), keeping the scheme closed under nesting.
-        ed = dl[6:-1]
+        ed = dt[6:-1]
         inner = F.concat_ws(
             ",",
             F.transform(
@@ -311,7 +319,7 @@ def _canon_rendered(c: Column, dl: str) -> Column:
             ",",
             *[
                 F.coalesce(_canon_rendered(c.getField(n), t), F.lit(NULL_SENTINEL))
-                for n, t in _struct_fields(dl)
+                for n, t in _struct_fields(dt)
             ],
         )
         # concat_ws never yields NULL, so NULL-struct vs all-NULL-fields
@@ -328,7 +336,7 @@ def _canon_rendered(c: Column, dl: str) -> Column:
         # then each entry is escaped as a free-form array element — the
         # rendering is order-insensitive over entries and injective over
         # the entry multiset
-        kt, vt = _split_top_level(dl[len("map<") : -1])
+        kt, vt = _split_top_level(dt[len("map<") : -1])
         entries = F.map_entries(c)
         entry_strs = F.array_sort(
             F.transform(
@@ -355,12 +363,15 @@ def _canon_rendered(c: Column, dl: str) -> Column:
 
 def canonical_col_sql(col: str, dtype: str) -> str:
     """DuckDB SQL mirror of :func:`canonical_col`."""
-    return f"COALESCE({_canon_rendered_sql(col, dtype.lower())}, '{NULL_SENTINEL}')"
+    return f"COALESCE({_canon_rendered_sql(col, dtype)}, '{NULL_SENTINEL}')"
 
 
-def _canon_rendered_sql(expr: str, dl: str, depth: int = 0) -> str:
+def _canon_rendered_sql(expr: str, dt: str, depth: int = 0) -> str:
     """DuckDB SQL mirror of :func:`_canon_rendered`.  ``depth`` names the
-    lambda variable per nesting level so nested arrays don't shadow."""
+    lambda variable per nesting level so nested arrays don't shadow.
+    Like the Spark twin, dispatch lowercases but field names / element
+    types keep the original case."""
+    dl = dt.lower()
     if dl.startswith("timestamp"):
         return f"strftime({expr}, '%Y-%m-%d %H:%M:%S.%f')"
     if dl in ("double", "float"):
@@ -374,7 +385,7 @@ def _canon_rendered_sql(expr: str, dl: str, depth: int = 0) -> str:
     if dl in ("tinyint", "smallint", "int", "integer", "bigint", "long", "date"):
         return f"CAST({expr} AS VARCHAR)"
     if dl.startswith("array<"):
-        ed = dl[6:-1]
+        ed = dt[6:-1]
         var = f"__e{depth}"
         elem = _canon_rendered_sql(var, ed, depth + 1)
         # DuckDB's array_to_string returns NULL for empty lists — coalesce
@@ -392,7 +403,7 @@ def _canon_rendered_sql(expr: str, dl: str, depth: int = 0) -> str:
             "COALESCE("
             + _canon_rendered_sql(f"struct_extract({expr}, '{n}')", t, depth + 1)
             + f", '{NULL_SENTINEL}')"
-            for n, t in _struct_fields(dl)
+            for n, t in _struct_fields(dt)
         )
         inner = f"concat_ws(',', {rendered})"
         return (
@@ -400,7 +411,7 @@ def _canon_rendered_sql(expr: str, dl: str, depth: int = 0) -> str:
             f"ELSE {_escape_reserved_sql(inner)} END"
         )
     if dl.startswith("map<"):
-        kt, vt = _split_top_level(dl[len("map<") : -1])
+        kt, vt = _split_top_level(dt[len("map<") : -1])
         var = f"__me{depth}"
         entry = (
             f"concat_ws(',', "

@@ -103,6 +103,7 @@ def maintain_join(
     fact_dim_col: str,
     dim_key: str,
     assume_fk_integrity: bool = False,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Maintain a materialized many-to-one inner join ``M = fact ⋈ dim``
     from change records instead of re-joining the full tables.
@@ -119,9 +120,19 @@ def maintain_join(
 
         M_new = (M_old ∖ affected)  ∪  ((fact_new ⋉ affected) ⋈ dim_new)
 
-    so a tick's work is delta-sized: every join against the delta/affected
-    set BROADCASTS it (no shuffle of M_old or fact_new; both sides are
-    pruned map-side).  With ``assume_fk_integrity=True`` the dim-side
+    so a tick's work is AFFECTED-sized — |Δfact| plus the fan-out of the
+    changed dim keys into the fact table.  With ``hint_broadcast=True``
+    (default) every join against the delta/affected set BROADCASTS it (no
+    shuffle of M_old or fact_new; both sides are pruned map-side) — right
+    whenever the fan-out is dimension-like (affected ≪ fact).  A HOT dim
+    key (one dim row referenced by ~10^8 facts) makes ``affected``
+    fan-out-sized, and a forced broadcast of it would abort the tick at
+    the 8 GB broadcast cap instead of degrading; for such workloads pass
+    ``hint_broadcast=False`` — the joins fall back to Catalyst/AQE
+    strategy choice (broadcast when runtime stats allow, shuffle join
+    otherwise), slower but completing.  The delta-key sets themselves
+    (``keys(Δfact)``, ``keys(Δdim)``) are bounded by the change feed and
+    are always safe to broadcast.  With ``assume_fk_integrity=True`` the dim-side
     affected facts are found in M_old (every live fact already joined —
     O(|M| filter));  the default finds them in ``fact_new`` instead, which
     additionally surfaces facts whose dim row did not exist before a
@@ -144,8 +155,10 @@ def maintain_join(
         fact_dim_col,
         dim_key,
         assume_fk_integrity,
+        hint_broadcast,
     )
-    kept = m_old.join(F.broadcast(affected), fact_key, "left_anti")
+    aff = F.broadcast(affected) if hint_broadcast else affected
+    kept = m_old.join(aff, fact_key, "left_anti")
     return kept.unionByName(refreshed)
 
 
@@ -159,6 +172,7 @@ def _join_maintenance_parts(
     fact_dim_col: str,
     dim_key: str,
     assume_fk_integrity: bool,
+    hint_broadcast: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(affected fact keys, refreshed view rows in ``m_old`` column order)
     — the shared delta machinery behind :func:`maintain_join` and
@@ -183,9 +197,13 @@ def _join_maintenance_parts(
     )
     # the pruned fact side is ≤ |affected| rows (fact_key unique) — Spark's
     # post-semi-join stats can't see that, so hint the broadcast: the
-    # refresh never shuffles the dim table either
-    refreshed = F.broadcast(
-        fact_new.join(F.broadcast(affected), fact_key, "left_semi")
+    # refresh never shuffles the dim table either.  Both hints are gated on
+    # hint_broadcast: |affected| is fan-out-bounded, not delta-bounded, so
+    # hot-dim-key workloads must be able to fall back to AQE strategy choice
+    aff = F.broadcast(affected) if hint_broadcast else affected
+    pruned_fact = fact_new.join(aff, fact_key, "left_semi")
+    refreshed = (
+        F.broadcast(pruned_fact) if hint_broadcast else pruned_fact
     ).join(
         dim_pfx,
         F.col(fact_dim_col) == F.col(f"__dim_{dim_key}"),
@@ -208,6 +226,7 @@ def join_view_changes(
     fact_dim_col: str,
     dim_key: str,
     assume_fk_integrity: bool = False,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Change records FOR THE JOIN VIEW itself, delta-sized: every affected
     key emits a DELETE of its old view row (prev\\_-side values) and/or an
@@ -220,6 +239,8 @@ def join_view_changes(
 
     Same scale shape as :func:`maintain_join` minus the M_old anti-join:
     both legs are broadcast-pruned; nothing wider than the delta shuffles.
+    ``hint_broadcast`` has the same hot-dim-key escape-hatch semantics as
+    :func:`maintain_join`.
     """
     from cdc_lite_spark.envelope import DELETE, INSERT
 
@@ -233,8 +254,10 @@ def join_view_changes(
         fact_dim_col,
         dim_key,
         assume_fk_integrity,
+        hint_broadcast,
     )
-    removed = m_old.join(F.broadcast(affected), fact_key, "left_semi")
+    aff = F.broadcast(affected) if hint_broadcast else affected
+    removed = m_old.join(aff, fact_key, "left_semi")
     other = [c for c in m_old.columns if c != fact_key]
     dtypes = {f.name: f.dataType for f in m_old.schema.fields}
     ins = refreshed.select(

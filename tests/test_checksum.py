@@ -469,3 +469,41 @@ def test_nested_struct_map_array_cross_engine(spark):
         con.execute(f"SELECT id, {canonical_col_sql('v', dtype)} FROM t").fetchall()
     )
     assert got == oracle
+
+
+def test_struct_field_case_preserved_and_case_sensitive(spark):
+    """Struct field names keep their ORIGINAL case through canonicalization:
+    getField must resolve under spark.sql.caseSensitive=true (r7 review
+    finding — the dtype string used to be lowercased wholesale before
+    parsing, so 'myField' became an unresolvable 'myfield').  DuckDB treats
+    struct entry names case-insensitively, so case-VARIANT duplicate fields
+    stay out of oracle scope; mixed-case names are the contract."""
+    from cdc_lite_spark.functions.hashes import canonical_col, canonical_col_sql
+
+    dtype = "struct<myField:int,OtherName:string>"
+    rows = [(1, (7, "a")), (2, (7, "b")), (3, None)]
+    df = spark.createDataFrame(rows, f"id int, s {dtype}")
+    old = spark.conf.get("spark.sql.caseSensitive")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        got = {
+            r["id"]: r["c"]
+            for r in df.select("id", canonical_col("s", dtype).alias("c")).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", old)
+    assert len(set(got.values())) == len(got)
+
+    con = duckdb.connect()
+    con.execute('CREATE TABLE t(id INT, s STRUCT("myField" INT, "OtherName" VARCHAR))')
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [
+            (i, None if s is None else {"myField": s[0], "OtherName": s[1]})
+            for i, s in rows
+        ],
+    )
+    oracle = dict(
+        con.execute(f"SELECT id, {canonical_col_sql('s', dtype)} FROM t").fetchall()
+    )
+    assert got == oracle

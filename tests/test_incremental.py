@@ -236,6 +236,26 @@ def test_maintain_join_broadcasts_delta_sides(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_maintain_join_hot_key_fallback_no_forced_broadcast(spark):
+    """hint_broadcast=False (the hot-dim-key escape hatch) must drop every
+    forced broadcast hint — |affected| is fan-out-bounded, and an 8 GB+
+    affected set under a forced hint would abort the tick instead of
+    degrading to a shuffle join — while producing the identical view."""
+    maintain_join, m_old, fact_cur, dim_cur, fc, dc = _mj_fixture(spark)
+    out = maintain_join(
+        m_old, fact_cur, dim_cur, fc, dc,
+        fact_key="fid", fact_dim_col="did", dim_key="did",
+        hint_broadcast=False,
+    )
+    # the delta-bounded dim-key semi-joins keep their (always safe) hint;
+    # every fan-out-bounded join — anything keyed on the fact key — must not
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    hinted = [l for l in plan.splitlines() if "strategy=broadcast" in l]
+    assert all("LeftSemi, (did" in l for l in hinted), hinted
+    expect = fact_cur.join(dim_cur, "did", "inner").select("fid", "did", "v", "attr")
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in expect.collect()}
+
+
 def test_join_view_changes_fold_equals_recompute(spark):
     """Capstone composition: aggregate over the join maintained purely from
     view-level change records — must equal the from-scratch join+group-by,
