@@ -182,6 +182,50 @@ def ann_topk(
     )
 
 
+def _centroid_array(
+    centroids: DataFrame, centroid_id_col: str, vec_col: str
+) -> DataFrame:
+    """One-row frame carrying ALL centroids as ``__cents``:
+    array<struct<c_id, c_vec, c_norm>> — the broadcastable closed form of
+    the (small) centroid set.  collect_list order is nondeterministic, but
+    every consumer reduces it with an order-insensitive max."""
+    c = _sided(centroids, centroid_id_col, vec_col, "c")
+    return c.agg(
+        F.collect_list(F.struct("c_id", "c_vec", "c_norm")).alias("__cents")
+    )
+
+
+def _with_centroid(sided: DataFrame, cents: DataFrame, side: str) -> DataFrame:
+    """Attach ``centroid_id`` (nearest centroid by cosine, centroid id as
+    deterministic tie-break) to a ``_sided`` frame ENTIRELY map-side: the
+    one-row centroid array broadcasts, each row reduces it with
+    ``array_max`` over ``struct(sim, cid)`` — the same (sim, id) ordering
+    as a max_by, with each dot product computed exactly once.  No shuffle,
+    no join back on the vector id: at 100 TB this replaces two
+    corpus-wide exchanges (assignment agg + id re-join) with zero.
+    Rows with no assignable centroid (empty centroid set) drop, matching
+    the join semantics this replaces."""
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda x: F.struct(
+                F.round(
+                    dot(F.col(f"{side}_vec"), x["c_vec"])
+                    / (F.col(f"{side}_norm") * x["c_norm"]),
+                    6,
+                ).alias("sim"),
+                x["c_id"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        sided.join(F.broadcast(cents), F.lit(True), "cross")
+        .withColumn("centroid_id", best["cid"])
+        .drop("__cents")
+        .filter(F.col("centroid_id").isNotNull())
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -189,25 +233,17 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
-    """IVF list assignment: each vector joins its nearest centroid (max
+    """IVF list assignment: each vector gets its nearest centroid (max
     cosine, centroid id as deterministic tie-break).  Centroids broadcast
-    (they are few); one scan of the corpus, no corpus shuffle — the
-    assignment can be written alongside the vectors and reused by every
-    subsequent search."""
-    c = _sided(centroids, centroid_id_col, vec_col, "c")
+    as a one-row array (they are few); one scan of the corpus, ZERO
+    shuffles — the per-row argmax folds the broadcast array map-side, so
+    the assignment can be written alongside the vectors and reused by
+    every subsequent search."""
     v = _sided(corpus, id_col, vec_col, "v")
-    scored = v.crossJoin(F.broadcast(c)).select(
-        F.col("v_id").alias(id_col),
-        F.col("c_id").alias("centroid_id"),
-        F.round(
-            dot(F.col("v_vec"), F.col("c_vec")) / (F.col("v_norm") * F.col("c_norm")), 6
-        ).alias("c_sim"),
+    cents = _centroid_array(centroids, centroid_id_col, vec_col)
+    return _with_centroid(v, cents, "v").select(
+        F.col("v_id").alias(id_col), "centroid_id"
     )
-    from cdc_lite_spark.operators.latest import latest_per_key
-
-    return latest_per_key(
-        scored, [id_col], ["c_sim", "centroid_id"], descending=True, via_agg=True
-    ).select(id_col, "centroid_id")
 
 
 def ivf_topk(
@@ -219,20 +255,15 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """IVF search: assign corpus and queries to centroid lists, then rank
-    only within the query's list (single-probe; recall rises with more
-    probes).  Corpus shuffles once on centroid_id — at 100 TB the
-    assignment is precomputed/bucketed so even that shuffle amortizes away."""
-    c_assign = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
-    q_assign = ivf_assign(
-        queries, centroids, id_col=query_id_col, vec_col=vec_col
-    )
-    c = _sided(corpus, id_col, vec_col, "n").join(
-        c_assign.withColumnRenamed(id_col, "n_id"), "n_id"
-    )
-    q = _sided(queries, query_id_col, vec_col, "q").join(
-        q_assign.withColumnRenamed(query_id_col, "q_id"), "q_id"
-    )
+    """IVF search: assign corpus and queries to centroid lists map-side
+    (:func:`_with_centroid` — no assignment shuffle, no id re-join), then
+    rank only within the query's list (single-probe; recall rises with
+    more probes).  The corpus never shuffles: candidates come from the
+    broadcast-query equi-join on centroid_id, so the only exchange in the
+    whole search is the candidate-sized top-k."""
+    cents = _centroid_array(centroids, "centroid_id", vec_col)
+    c = _with_centroid(_sided(corpus, id_col, vec_col, "n"), cents, "n")
+    q = _with_centroid(_sided(queries, query_id_col, vec_col, "q"), cents, "q")
     scored = (
         c.join(F.broadcast(q), "centroid_id")
         .filter(F.col("n_id") != F.col("q_id"))
@@ -277,13 +308,12 @@ def kmeans_refine(
     before = persistent_rdd_ids(spark)
     current = centroids
     for _ in range(iterations):
-        assign = ivf_assign(
-            corpus, current, id_col=id_col, vec_col=vec_col, centroid_id_col=centroid_id_col
-        )
-        v = corpus.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+        # assignment attaches map-side (no assignment shuffle, no id
+        # re-join) — the sided frame already carries the double vector
+        cents = _centroid_array(current, centroid_id_col, vec_col)
+        attached = _with_centroid(_sided(corpus, id_col, vec_col, "v"), cents, "v")
         per_dim = (
-            assign.join(v, id_col)
-            .select("centroid_id", F.posexplode("v").alias("dim", "val"))
+            attached.select("centroid_id", F.posexplode("v_vec").alias("dim", "val"))
             .groupBy("centroid_id", "dim")
             .agg(F.avg("val").alias("mean"))
         )
