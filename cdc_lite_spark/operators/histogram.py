@@ -1,0 +1,185 @@
+"""Mergeable, incrementally-maintainable quantile state (histogram buckets).
+
+Completes the maintained-state family: sums/counts fold exactly
+(``operators/incremental.py``), distinct counts fold via HLL sketches
+(``operators/sketches.py``) — this module does the same for QUANTILES.
+The reference recomputes everything per poll (duckdb_cdc.go:175-183); a
+percentile over 100 TB cannot be recomputed per tick, and Spark's
+``percentile_approx`` state is neither persistable nor retractable.
+
+The state is a per-(key, bucket) row count over FIXED bucket edges:
+
+    bucket(v) = clamp(floor((v - lo) / w), 0, bins-1),  w = (hi - lo)/bins
+
+Fixed edges are the design point, not a shortcut: a maintained histogram
+must keep its buckets stable across ticks (data-derived edges would shift
+when new data lands, invalidating every previously persisted count), and
+out-of-range values clamp into the end buckets rather than failing.
+Because bucket counts are exact integers, the state is
+
+- **exactly mergeable**: state(A) + state(B) = state(A ∪ B), by addition;
+- **exactly retractable**: change records fold as +1 on the current
+  value's bucket and −1 on the previous value's bucket, so the maintained
+  state is bit-equal to a from-scratch rebuild — the estimation error
+  lives ONLY in the final interpolation, never accumulates per tick.
+
+Quantile estimates interpolate the cumulative counts: for target rank
+``q·n``, the first bucket whose running count reaches it contributes
+
+    est = lo + w · (bucket + (q·n − cum_before) / bucket_count)
+
+All arithmetic is binary64 over literals and exact integers, so DuckDB
+reproduces estimates bit-for-bit (driver-checked by
+``incremental_quantile_maintenance``).
+
+100 TB shape: the state build is one scan + one partial-aggregable
+shuffle keyed on (key, bucket) — map-side combine collapses each task to
+≤ |keys|·bins partial rows regardless of input size.  A tick's fold
+touches |changes| rows; quantile evaluation runs entirely on the state
+table (≤ |keys|·bins rows), never the facts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BINS = 64
+
+
+def _bucket(value: Column, lo: float, hi: float, bins: int) -> Column:
+    w = (hi - lo) / bins
+    raw = F.floor((value.cast("double") - F.lit(float(lo))) / F.lit(w)).cast("int")
+    return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+
+
+def histogram_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = DEFAULT_BINS,
+) -> DataFrame:
+    """Per-(key, bucket) row counts — the persistable quantile state.
+    NULL values contribute nothing (matching COUNT(col) semantics in the
+    sum/count state)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, _bucket(F.col(value_col), lo, hi, bins).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("bkt_count"))
+    )
+
+
+def merge_histogram_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """state(A) + state(B) = state(A ∪ B): bucket counts add.  O(|state|)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "bucket")
+        .agg(F.sum("bkt_count").alias("bkt_count"))
+    )
+
+
+def apply_histogram_delta(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = DEFAULT_BINS,
+) -> DataFrame:
+    """Fold diff records (``include_prev=True`` shape) into the state:
+    INSERT adds the current value's bucket, DELETE retracts the previous
+    value's bucket, UPDATE does both (under the PREV-side key for the
+    retraction, so rows moving across groups or buckets stay exact).
+    Buckets whose count reaches zero drop out.  Touches |changes| rows."""
+
+    def _prev_key(k: str) -> Column:
+        return F.col(f"prev_{k}") if f"prev_{k}" in changes.columns else F.col(k)
+
+    adds = (
+        changes.filter(
+            F.col("operation").isin("INSERT", "UPDATE")
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            *[F.col(k).alias(k) for k in keys],
+            _bucket(F.col(value_col), lo, hi, bins).alias("bucket"),
+            F.lit(1).alias("__d"),
+        )
+    )
+    retracts = (
+        changes.filter(
+            F.col("operation").isin("DELETE", "UPDATE")
+            & F.col(f"prev_{value_col}").isNotNull()
+        )
+        .select(
+            *[_prev_key(k).alias(k) for k in keys],
+            _bucket(F.col(f"prev_{value_col}"), lo, hi, bins).alias("bucket"),
+            F.lit(-1).alias("__d"),
+        )
+    )
+    delta = (
+        adds.unionByName(retracts)
+        .groupBy(*keys, "bucket")
+        .agg(F.sum("__d").alias("d"))
+    )
+    return (
+        state.join(delta, [*keys, "bucket"], "full_outer")
+        .select(
+            *keys,
+            "bucket",
+            (
+                F.coalesce("bkt_count", F.lit(0)) + F.coalesce("d", F.lit(0))
+            ).alias("bkt_count"),
+        )
+        .filter(F.col("bkt_count") > 0)
+    )
+
+
+def quantiles_from_histogram(
+    state: DataFrame,
+    keys: list[str],
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    bins: int = DEFAULT_BINS,
+) -> DataFrame:
+    """Per-key quantile estimates from the state alone (facts untouched).
+
+    For each q: target rank ``q·n``; the first bucket whose cumulative
+    count reaches the target interpolates linearly inside its width.
+    Exact-arithmetic inputs (integer counts, literal edges) make the
+    binary64 result engine-portable.  Cost: two windows over ≤ bins rows
+    per key + a bins×|qs| explode of the state — never a fact scan."""
+    w = (hi - lo) / bins
+    wk = Window.partitionBy(*keys)
+    wcum = wk.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    st = (
+        state.withColumn("total", F.sum("bkt_count").over(wk))
+        .withColumn("cum", F.sum("bkt_count").over(wcum))
+        .withColumn("cum_before", (F.col("cum") - F.col("bkt_count")))
+    )
+    cand = st.select(
+        *keys,
+        "bucket",
+        "bkt_count",
+        "cum",
+        "cum_before",
+        "total",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).filter(F.col("cum") >= F.col("q") * F.col("total"))
+    first = cand.groupBy(*keys, "q").agg(
+        F.min_by(
+            F.struct("bucket", "cum_before", "bkt_count", "total"), F.col("bucket")
+        ).alias("b")
+    )
+    est = F.lit(float(lo)) + F.lit(w) * (
+        F.col("b.bucket")
+        + (F.col("q") * F.col("b.total") - F.col("b.cum_before"))
+        / F.col("b.bkt_count")
+    )
+    return first.select(*keys, "q", F.round(est, 6).alias("quantile_est"))

@@ -3159,6 +3159,76 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "incremental_quantile_maintenance",
+    """
+    WITH cur AS (
+        SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS v
+        FROM orders WHERE o_orderkey % 11 != 0
+    ),
+    b AS (
+        SELECT o_orderstatus,
+               LEAST(31, GREATEST(0, CAST(floor((v - 0.0) / 18750.0) AS INT))) AS bucket,
+               count(*) AS cnt
+        FROM cur WHERE v IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT *,
+               sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS cum,
+               sum(cnt) OVER (PARTITION BY o_orderstatus) AS total
+        FROM b
+    ),
+    qq AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE, 0.95::DOUBLE]) AS q),
+    cand AS (
+        SELECT o_orderstatus, q, bucket, cnt, cum - cnt AS cum_before, total,
+               row_number() OVER (PARTITION BY o_orderstatus, q ORDER BY bucket) AS rn
+        FROM c CROSS JOIN qq WHERE cum >= q * total
+    )
+    SELECT o_orderstatus, q,
+           round(0.0 + 18750.0 * (bucket + (q * total - cum_before) / cnt), 6)
+               AS quantile_est
+    FROM cand WHERE rn = 1
+    """,
+    "CDC payoff for QUANTILES: per-key histogram-bucket state maintained "
+    "from change records (+cur bucket / -prev bucket), quantiles "
+    "interpolated from the state alone — the oracle rebuilds the histogram "
+    "from the current snapshot, so a hash-match proves the maintained "
+    "state is bit-equal to a rescan",
+    tags=("cdc", "incremental", "agg"),
+)
+def q_incremental_quantile_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated tick over orders (prev: some keys absent, some values
+    doubled — updates that MOVE rows across buckets), folded into the
+    histogram state by `apply_histogram_delta`; estimates come from
+    `quantiles_from_histogram` without touching the facts.  Bucket counts
+    are exact integers, so maintenance error is zero and the interpolation
+    (binary64 over literals + exact counts) is engine-portable."""
+    from cdc_lite_spark.operators.diff import snapshot_diff
+    from cdc_lite_spark.operators.histogram import (
+        apply_histogram_delta,
+        histogram_state,
+        quantiles_from_histogram,
+    )
+
+    lo, hi, bins = 0.0, 600000.0, 32
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double").alias("v")
+    )
+    k = F.col("o_orderkey")
+    cur = orders.filter(k % 11 != 0)
+    prev = orders.filter(k % 7 != 0).withColumn(
+        "v", F.when(k % 13 == 0, F.col("v") * 2).otherwise(F.col("v"))
+    )
+    state = histogram_state(prev, ["o_orderstatus"], "v", lo, hi, bins)
+    changes = snapshot_diff(prev, cur, ["o_orderkey"], include_prev=True)
+    maintained = apply_histogram_delta(
+        state, changes, ["o_orderstatus"], "v", lo, hi, bins
+    )
+    return quantiles_from_histogram(
+        maintained, ["o_orderstatus"], [0.25, 0.5, 0.75, 0.95], lo, hi, bins
+    )
+
+
+@register(
     "salted_agg_skew",
     """
     SELECT event_type,
