@@ -95,6 +95,8 @@ class CdcEngine:
         #: inference pass) and a new row can't flip an inferred column type
         #: mid-monitoring and surface as a spurious whole-table diff
         self._schema_cache: dict[str, object] = {}
+        #: maintained aggregate views (see :meth:`register_agg_view`)
+        self._agg_views: dict[str, dict] = {}
 
     def set_source_schema(self, path: str, schema) -> None:
         """Pin an explicit schema (StructType or DDL string) for a
@@ -420,7 +422,12 @@ class CdcEngine:
         the atomic pointer flip — a crashed half-written version is simply
         never selected, so no separate manifest (and no second copy of the
         data) is needed."""
-        fs, jpath = self._fs(self._snapshot_path(table))
+        return self._latest_version(self._snapshot_path(table))
+
+    def _latest_version(self, path: str) -> int | None:
+        """Max committed (``_SUCCESS``-marked) ``v=N`` subdir under ``path``
+        — the shared pointer protocol for snapshots and view states."""
+        fs, jpath = self._fs(path)
         if not fs.exists(jpath):
             return None
         versions = []
@@ -436,6 +443,19 @@ class CdcEngine:
                 ):
                     versions.append(v)
         return max(versions) if versions else None
+
+    def _gc_versions(self, path: str, new_v: int, keep: int) -> None:
+        """Delete ``v=N`` dirs older than the newest ``keep`` versions."""
+        fs, jpath = self._fs(path)
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith("v="):
+                try:
+                    v = int(name[2:])
+                except ValueError:
+                    continue
+                if v <= new_v - keep:
+                    fs.delete(st.getPath(), True)
 
     def _capture_diff(self, table: str, cur: DataFrame, keys: list[str]) -> None:
         """Diff current state against the stored previous snapshot, emit
@@ -473,17 +493,131 @@ class CdcEngine:
         # duckdb_cdc.go:291) — one write job, no rewrite
         new_v = (prev_v or 0) + 1
         cur.write.mode("overwrite").parquet(f"{self._snapshot_path(table)}/v={new_v}")
-        # GC versions older than the newest SNAPSHOT_VERSIONS_KEPT
-        fs, jpath = self._fs(self._snapshot_path(table))
-        for st in fs.listStatus(jpath):
-            name = st.getPath().getName()
-            if name.startswith("v="):
-                try:
-                    v = int(name[2:])
-                except ValueError:
-                    continue
-                if v <= new_v - self.SNAPSHOT_VERSIONS_KEPT:
-                    fs.delete(st.getPath(), True)
+        # maintained views fold BEFORE snapshot GC so the healing diff can
+        # still read the version a lagging view was built against
+        self._maintain_views(table, new_v, keys)
+        self._gc_versions(
+            self._snapshot_path(table), new_v, self.SNAPSHOT_VERSIONS_KEPT
+        )
+
+    # -- maintained aggregate views -------------------------------------------
+
+    #: view-state versions older than the newest KEEP are GC'd per fold
+    VIEW_VERSIONS_KEPT = 2
+
+    def register_agg_view(
+        self,
+        name: str,
+        table: str,
+        group_keys: list[str],
+        value_col: str,
+        kind: str = "sum_count",
+        lo: float | None = None,
+        hi: float | None = None,
+        bins: int = 64,
+    ) -> None:
+        """Declare a grouped aggregate over a DIFF-mode monitored table to be
+        MAINTAINED per tick from the captured change records — the engine-loop
+        form of the CDC payoff (operators/incremental.py): each tick folds
+        |changes| rows into persisted state instead of rescanning the table.
+
+        ``kind="sum_count"`` maintains per-key sum/count/rows
+        (:func:`~cdc_lite_spark.operators.incremental.apply_delta`);
+        ``kind="histogram"`` maintains fixed-edge bucket counts for quantiles
+        (:func:`~cdc_lite_spark.operators.histogram.apply_histogram_delta`,
+        requires ``lo``/``hi``).  Both folds are EXACT (integer counts;
+        use DECIMAL/integer value columns for drift-free sums), so the
+        maintained state stays bit-equal to a rescan.
+
+        State is versioned by the SNAPSHOT version it reflects
+        (``views/<name>/v=N`` + ``_SUCCESS`` pointer protocol), which makes
+        maintenance replay-idempotent and self-healing: a view that missed a
+        fold (crash between snapshot write and view write, or registered
+        late) catches up by diffing the snapshot it was built against vs the
+        new one; past snapshot retention it rebuilds from the current
+        snapshot — a one-off table scan, the same cost as the initial build.
+        """
+        if kind not in ("sum_count", "histogram"):
+            raise ValueError(f"unknown view kind: {kind!r}")
+        if kind == "histogram" and (lo is None or hi is None):
+            raise ValueError("histogram views need explicit lo/hi bucket edges")
+        self._agg_views[name] = {
+            "table": table,
+            "group_keys": list(group_keys),
+            "value_col": value_col,
+            "kind": kind,
+            "lo": lo,
+            "hi": hi,
+            "bins": bins,
+        }
+
+    def _view_dir(self, name: str) -> str:
+        return f"{self.state_dir}/views/{name}"
+
+    def view(self, name: str) -> DataFrame:
+        """Current maintained state of a registered view (reads the newest
+        committed version — never touches the monitored table)."""
+        if name not in self._agg_views:
+            raise ValueError(f"no registered view: {name!r}")
+        v = self._latest_version(self._view_dir(name))
+        if v is None:
+            raise ValueError(f"view {name!r} has no materialized state yet")
+        return self.spark.read.parquet(f"{self._view_dir(name)}/v={v}")
+
+    def _maintain_views(self, table: str, new_v: int, keys: list[str]) -> None:
+        """Fold every view registered on ``table`` up to snapshot ``new_v``.
+
+        Normal tick: the view sits at the previous snapshot version, so the
+        fold consumes exactly this tick's diff (recomputed from the two
+        persisted snapshots — stable parquet lineage, one co-partitioned
+        join per view).  vv == new_v → replayed tick, skip (idempotence).
+        vv older than retention → rebuild from the new snapshot."""
+        from cdc_lite_spark.operators.histogram import (
+            apply_histogram_delta,
+            histogram_state,
+        )
+        from cdc_lite_spark.operators.incremental import (
+            apply_delta,
+            sum_count_state,
+        )
+
+        snap = self._snapshot_path(table)
+        for name, s in self._agg_views.items():
+            if s["table"] != table:
+                continue
+            vv = self._latest_version(self._view_dir(name))
+            if vv == new_v:
+                continue
+            cur = self.spark.read.parquet(f"{snap}/v={new_v}")
+            fs, base_jpath = self._fs(f"{snap}/v={vv}/_SUCCESS")
+            if vv is not None and fs.exists(base_jpath):
+                base = self.spark.read.parquet(f"{snap}/v={vv}")
+                changes = snapshot_diff(
+                    base, cur, keys, fast_hash=True, include_prev=True
+                )
+                prev_state = self.spark.read.parquet(f"{self._view_dir(name)}/v={vv}")
+                if s["kind"] == "sum_count":
+                    state = apply_delta(
+                        prev_state, changes, s["group_keys"], s["value_col"]
+                    )
+                else:
+                    state = apply_histogram_delta(
+                        prev_state,
+                        changes,
+                        s["group_keys"],
+                        s["value_col"],
+                        s["lo"],
+                        s["hi"],
+                        s["bins"],
+                    )
+            elif s["kind"] == "sum_count":
+                state = sum_count_state(cur, s["group_keys"], s["value_col"])
+            else:
+                state = histogram_state(
+                    cur, s["group_keys"], s["value_col"], s["lo"], s["hi"], s["bins"]
+                )
+            state.write.mode("overwrite").parquet(f"{self._view_dir(name)}/v={new_v}")
+            self._gc_versions(self._view_dir(name), new_v, self.VIEW_VERSIONS_KEPT)
 
     def monitor(
         self,

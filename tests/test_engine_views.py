@@ -1,0 +1,141 @@
+"""Maintained aggregate views in the engine loop: per-tick O(delta) folds
+of registered aggregates, replay-idempotent and self-healing
+(engine.py register_agg_view / view / _maintain_views)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_lite_spark import CdcEngine
+
+
+def _engine(spark, tmp_path) -> CdcEngine:
+    return CdcEngine(
+        spark, output_dir=str(tmp_path / "changes"), state_dir=str(tmp_path / "state")
+    )
+
+
+def _orders(spark, tables):
+    # DECIMAL values: the maintained sum must be bit-equal to a rescan
+    return tables["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+
+
+def _recompute(df):
+    return {
+        r["o_orderstatus"]: (r["s"], r["c"])
+        for r in df.groupBy("o_orderstatus")
+        .agg(F.sum("price").alias("s"), F.count("price").alias("c"))
+        .collect()
+    }
+
+
+def _view_dict(vdf):
+    return {
+        r["o_orderstatus"]: (r["agg_sum"], r["agg_count"]) for r in vdf.collect()
+    }
+
+
+def test_view_maintained_across_ticks_equals_recompute(spark, tables, tmp_path):
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("rev", "orders", ["o_orderstatus"], "price")
+    base = _orders(spark, tables)
+    keys = {"orders": ["o_orderkey"]}
+
+    eng.poll_once({"orders": base}, mode="diff", keys=keys)
+    assert _view_dict(eng.view("rev")) == _recompute(base)
+
+    k = F.col("o_orderkey")
+    mutated = base.filter(k % 5 != 0).withColumn(
+        "price", F.when(k % 3 == 0, F.col("price") * 2).otherwise(F.col("price"))
+    )
+    eng.poll_once({"orders": mutated}, mode="diff", keys=keys)
+    assert _view_dict(eng.view("rev")) == _recompute(mutated)
+
+    # unchanged tick: no capture, view state version stays committed
+    assert eng.poll_once({"orders": mutated}, mode="diff", keys=keys) == []
+    assert _view_dict(eng.view("rev")) == _recompute(mutated)
+
+
+def test_late_registered_view_heals_from_snapshots(spark, tables, tmp_path):
+    """A view registered AFTER ticks already ran initializes from the
+    current snapshot on its first fold — no log replay required."""
+    eng = _engine(spark, tmp_path)
+    base = _orders(spark, tables)
+    keys = {"orders": ["o_orderkey"]}
+    eng.poll_once({"orders": base}, mode="diff", keys=keys)
+
+    eng.register_agg_view("late", "orders", ["o_orderstatus"], "price")
+    mutated = base.filter(F.col("o_orderkey") % 7 != 0)
+    eng.poll_once({"orders": mutated}, mode="diff", keys=keys)
+    assert _view_dict(eng.view("late")) == _recompute(mutated)
+
+
+def test_maintain_views_is_replay_idempotent(spark, tables, tmp_path):
+    """Re-running the fold for an already-folded snapshot version is a
+    no-op — the version-stamped state is the replay guard."""
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("rev", "orders", ["o_orderstatus"], "price")
+    base = _orders(spark, tables)
+    eng.poll_once({"orders": base}, mode="diff", keys={"orders": ["o_orderkey"]})
+    before = _view_dict(eng.view("rev"))
+    eng._maintain_views("orders", 1, ["o_orderkey"])  # replayed tick
+    assert _view_dict(eng.view("rev")) == before
+
+
+def test_histogram_view_counts_match_rebuild(spark, tables, tmp_path):
+    from cdc_lite_spark.operators.histogram import histogram_state
+
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view(
+        "price_hist",
+        "orders",
+        ["o_orderstatus"],
+        "price",
+        kind="histogram",
+        lo=0.0,
+        hi=600000.0,
+        bins=16,
+    )
+    base = _orders(spark, tables).withColumn(
+        "price", F.col("price").cast("double")
+    )
+    keys = {"orders": ["o_orderkey"]}
+    eng.poll_once({"orders": base}, mode="diff", keys=keys)
+    mutated = base.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "price",
+        F.when(F.col("o_orderkey") % 9 == 0, F.col("price") * 3).otherwise(
+            F.col("price")
+        ),
+    )
+    eng.poll_once({"orders": mutated}, mode="diff", keys=keys)
+
+    got = {
+        (r["o_orderstatus"], r["bucket"]): r["bkt_count"]
+        for r in eng.view("price_hist").collect()
+    }
+    want = {
+        (r["o_orderstatus"], r["bucket"]): r["bkt_count"]
+        for r in histogram_state(
+            mutated, ["o_orderstatus"], "price", 0.0, 600000.0, 16
+        ).collect()
+    }
+    assert got == want
+
+
+def test_view_registration_validation(spark, tmp_path):
+    import pytest
+
+    eng = _engine(spark, tmp_path)
+    with pytest.raises(ValueError, match="kind"):
+        eng.register_agg_view("x", "t", ["k"], "v", kind="median")
+    with pytest.raises(ValueError, match="lo/hi"):
+        eng.register_agg_view("x", "t", ["k"], "v", kind="histogram")
+    with pytest.raises(ValueError, match="no registered view"):
+        eng.view("nope")
+    eng.register_agg_view("x2", "t", ["k"], "v")
+    with pytest.raises(ValueError, match="no materialized state"):
+        eng.view("x2")
