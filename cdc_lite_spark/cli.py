@@ -86,6 +86,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         help="change-log files: json (JSONL, reference parity), parquet, or orc (columnar scale layouts)",
     )
     p.add_argument(
+        "--agg-view",
+        default="",
+        help="name=table:key1+key2:valuecol,... — maintain a grouped "
+        "sum/count aggregate view from each tick's change records "
+        "(diff mode only; read it back with CdcEngine.view(name); "
+        "histogram/quantile views need explicit bucket edges — "
+        "register those via the register_agg_view API)",
+    )
+    p.add_argument(
         "--retention-minutes",
         type=float,
         default=None,
@@ -139,6 +148,20 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     for t in schemas:
         if t not in tables:
             p.error(f"--schema entry for unknown table {t!r} (not in --tables)")
+    for kv in (s for s in args.agg_view.split(",") if s):
+        name, _, spec = kv.partition("=")
+        parts = spec.split(":")
+        if not name or len(parts) != 3 or not all(parts):
+            p.error(
+                f"--agg-view entry {kv!r}: expected name=table:key1+key2:valuecol"
+            )
+        vtable, gk, vcol = parts
+        if args.mode != "diff" or vtable not in keys:
+            p.error(
+                f"--agg-view {name!r}: views fold change records, so the "
+                f"table needs --mode diff and a --keys entry ({vtable!r})"
+            )
+        eng.register_agg_view(name, vtable, gk.split("+"), vcol)
     overlap = set(partition_cols) & set(keys)
     if overlap:
         # retention GC's latest-per-key folding would mangle a

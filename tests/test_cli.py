@@ -126,3 +126,47 @@ def test_cli_rejects_conflicting_partition_and_key_specs(spark, tmp_path):
             + ["--keys", "events=event_id", "--partition-cols", "events=event_type"],
             spark=spark,
         )
+
+
+def test_cli_agg_view_maintained_and_validated(spark, sf_dir, tmp_path):
+    """--agg-view registers a maintained sum/count view that the monitor
+    folds per tick; malformed/keyless specs fail at parse time."""
+    import pytest
+
+    from cdc_lite_spark import CdcEngine
+    from cdc_lite_spark.cli import main
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    rc = main(
+        [
+            "--source", sf_dir,
+            "--tables", "region",
+            "--output-dir", out,
+            "--state-dir", state,
+            "--interval", "0.5",
+            "--duration", "12",
+            "--mode", "diff",
+            "--keys", "region=r_regionkey",
+            "--agg-view", "rk=region:r_name:r_regionkey",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    eng = CdcEngine(spark, output_dir=out, state_dir=state)
+    eng.register_agg_view("rk", "region", ["r_name"], "r_regionkey")
+    view = eng.view("rk")
+    assert view.count() == 5  # one group per region name
+    assert view.filter("agg_rows != 1").count() == 0
+
+    base = [
+        "--source", sf_dir,
+        "--tables", "region",
+        "--output-dir", out,
+        "--state-dir", state,
+        "--duration", "0.1",
+    ]
+    with pytest.raises(SystemExit):  # malformed spec
+        main(base + ["--mode", "diff", "--keys", "region=r_regionkey",
+                     "--agg-view", "rk=region:r_name"], spark=spark)
+    with pytest.raises(SystemExit):  # snapshot mode has no change records
+        main(base + ["--agg-view", "rk=region:r_name:r_regionkey"], spark=spark)
