@@ -685,3 +685,39 @@ def test_dup_span_stats_matches_bruteforce(spark, texts):
         assert got[i]["n_tokens"] == n_toks
         assert got[i]["dup_tokens"] == len(covered), (i, texts)
         assert got[i]["n_dup_spans"] == spans
+
+
+@given(prev_rows=ROWS, cur_rows=ROWS)
+@_SETTINGS
+def test_maintained_histogram_equals_rebuild(spark, prev_rows, cur_rows):
+    """apply_histogram_delta over snapshot_diff change records must land
+    exactly on the histogram rebuilt from the current snapshot — for any
+    pair of snapshots, including null values (contribute nothing),
+    out-of-range values (clamp to end buckets), key drops, and updates
+    that move rows across groups and buckets."""
+    from cdc_lite_spark.operators.histogram import (
+        apply_histogram_delta,
+        histogram_state,
+    )
+
+    schema = "id long, grp string, value double"
+    lo, hi, bins = -3.0, 3.0, 4  # values range -5..5, so both ends clamp
+
+    def _cast(rows):
+        return spark.createDataFrame(
+            [(i, p, float(v) if v != 5 else None) for i, p, v in rows], schema
+        )
+
+    def grouped(df):
+        return df.withColumn(
+            "g", F.coalesce(F.substring("grp", 1, 1), F.lit("<null>"))
+        )
+
+    prev, cur = _cast(prev_rows), _cast(cur_rows)
+    changes = snapshot_diff(grouped(prev), grouped(cur), ["id"], include_prev=True)
+    state = histogram_state(grouped(prev), ["g"], "value", lo, hi, bins)
+    maintained = apply_histogram_delta(state, changes, ["g"], "value", lo, hi, bins)
+    rebuilt = histogram_state(grouped(cur), ["g"], "value", lo, hi, bins)
+    got = {tuple(r) for r in maintained.collect()}
+    want = {tuple(r) for r in rebuilt.collect()}
+    assert got == want
