@@ -156,10 +156,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 f"--agg-view entry {kv!r}: expected name=table:key1+key2:valuecol"
             )
         vtable, gk, vcol = parts
-        if args.mode != "diff" or vtable not in keys:
+        if vtable not in tables or args.mode != "diff" or vtable not in keys:
             p.error(
-                f"--agg-view {name!r}: views fold change records, so the "
-                f"table needs --mode diff and a --keys entry ({vtable!r})"
+                f"--agg-view {name!r}: views fold change records, so "
+                f"{vtable!r} must be monitored (--tables) in --mode diff "
+                f"with a --keys entry"
             )
         eng.register_agg_view(name, vtable, gk.split("+"), vcol)
     overlap = set(partition_cols) & set(keys)

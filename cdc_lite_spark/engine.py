@@ -539,8 +539,13 @@ class CdcEngine:
         """
         if kind not in ("sum_count", "histogram"):
             raise ValueError(f"unknown view kind: {kind!r}")
-        if kind == "histogram" and (lo is None or hi is None):
-            raise ValueError("histogram views need explicit lo/hi bucket edges")
+        if kind == "histogram":
+            if lo is None or hi is None:
+                raise ValueError("histogram views need explicit lo/hi bucket edges")
+            from cdc_lite_spark.operators.histogram import _check_edges
+
+            # fail at registration, not as a per-tick error loop
+            _check_edges(lo, hi, bins)
         self._agg_views[name] = {
             "table": table,
             "group_keys": list(group_keys),
@@ -567,11 +572,16 @@ class CdcEngine:
     def _maintain_views(self, table: str, new_v: int, keys: list[str]) -> None:
         """Fold every view registered on ``table`` up to snapshot ``new_v``.
 
-        Normal tick: the view sits at the previous snapshot version, so the
-        fold consumes exactly this tick's diff (recomputed from the two
-        persisted snapshots — stable parquet lineage, one co-partitioned
-        join per view).  vv == new_v → replayed tick, skip (idempotence).
-        vv older than retention → rebuild from the new snapshot."""
+        Normal tick: every view sits at the previous snapshot version, so
+        the fold consumes exactly this tick's diff (recomputed from the
+        two persisted snapshots — stable parquet lineage, ONE
+        co-partitioned join per distinct base version, shared by every
+        view on it).  vv == new_v → replayed tick, skip (idempotence).
+        vv older than retention → rebuild from the new snapshot.
+
+        Errors are isolated PER VIEW (the engine's H6 discipline): a bad
+        view spec logs and lags — it heals or rebuilds on a later tick —
+        and never blocks the capture, the other views, or snapshot GC."""
         from cdc_lite_spark.operators.histogram import (
             apply_histogram_delta,
             histogram_state,
@@ -582,42 +592,59 @@ class CdcEngine:
         )
 
         snap = self._snapshot_path(table)
+        cur = self.spark.read.parquet(f"{snap}/v={new_v}")
+        diffs: dict[int, DataFrame] = {}  # base version -> shared tick diff
+
+        def _changes_from(vv: int) -> DataFrame | None:
+            if vv in diffs:
+                return diffs[vv]
+            fs, base_jpath = self._fs(f"{snap}/v={vv}/_SUCCESS")
+            if not fs.exists(base_jpath):
+                return None  # base GC'd: caller rebuilds
+            base = self.spark.read.parquet(f"{snap}/v={vv}")
+            diffs[vv] = snapshot_diff(
+                base, cur, keys, fast_hash=True, include_prev=True
+            )
+            return diffs[vv]
+
         for name, s in self._agg_views.items():
             if s["table"] != table:
                 continue
-            vv = self._latest_version(self._view_dir(name))
-            if vv == new_v:
-                continue
-            cur = self.spark.read.parquet(f"{snap}/v={new_v}")
-            fs, base_jpath = self._fs(f"{snap}/v={vv}/_SUCCESS")
-            if vv is not None and fs.exists(base_jpath):
-                base = self.spark.read.parquet(f"{snap}/v={vv}")
-                changes = snapshot_diff(
-                    base, cur, keys, fast_hash=True, include_prev=True
-                )
-                prev_state = self.spark.read.parquet(f"{self._view_dir(name)}/v={vv}")
-                if s["kind"] == "sum_count":
-                    state = apply_delta(
-                        prev_state, changes, s["group_keys"], s["value_col"]
+            try:
+                vv = self._latest_version(self._view_dir(name))
+                if vv == new_v:
+                    continue
+                changes = _changes_from(vv) if vv is not None else None
+                if changes is not None:
+                    prev_state = self.spark.read.parquet(
+                        f"{self._view_dir(name)}/v={vv}"
                     )
+                    if s["kind"] == "sum_count":
+                        state = apply_delta(
+                            prev_state, changes, s["group_keys"], s["value_col"]
+                        )
+                    else:
+                        state = apply_histogram_delta(
+                            prev_state,
+                            changes,
+                            s["group_keys"],
+                            s["value_col"],
+                            s["lo"],
+                            s["hi"],
+                            s["bins"],
+                        )
+                elif s["kind"] == "sum_count":
+                    state = sum_count_state(cur, s["group_keys"], s["value_col"])
                 else:
-                    state = apply_histogram_delta(
-                        prev_state,
-                        changes,
-                        s["group_keys"],
-                        s["value_col"],
-                        s["lo"],
-                        s["hi"],
-                        s["bins"],
+                    state = histogram_state(
+                        cur, s["group_keys"], s["value_col"], s["lo"], s["hi"], s["bins"]
                     )
-            elif s["kind"] == "sum_count":
-                state = sum_count_state(cur, s["group_keys"], s["value_col"])
-            else:
-                state = histogram_state(
-                    cur, s["group_keys"], s["value_col"], s["lo"], s["hi"], s["bins"]
+                state.write.mode("overwrite").parquet(
+                    f"{self._view_dir(name)}/v={new_v}"
                 )
-            state.write.mode("overwrite").parquet(f"{self._view_dir(name)}/v={new_v}")
-            self._gc_versions(self._view_dir(name), new_v, self.VIEW_VERSIONS_KEPT)
+                self._gc_versions(self._view_dir(name), new_v, self.VIEW_VERSIONS_KEPT)
+            except Exception as exc:  # noqa: BLE001 — per-view isolation
+                print(f"cdc_lite_spark: error maintaining view {name}: {exc}")
 
     def monitor(
         self,

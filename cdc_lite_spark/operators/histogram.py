@@ -49,10 +49,23 @@ from pyspark.sql import functions as F
 DEFAULT_BINS = 64
 
 
+def _check_edges(lo: float, hi: float, bins: int) -> None:
+    if not bins > 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got lo={lo}, hi={hi}")
+
+
 def _bucket(value: Column, lo: float, hi: float, bins: int) -> Column:
+    # clamp the LONG floor result BEFORE the int cast: extreme out-of-range
+    # values overflow int32, and a wrapped/saturated cast would land a huge
+    # HIGH outlier in the LOWEST bucket instead of clamping to the top one
     w = (hi - lo) / bins
-    raw = F.floor((value.cast("double") - F.lit(float(lo))) / F.lit(w)).cast("int")
-    return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    raw = F.floor((value.cast("double") - F.lit(float(lo))) / F.lit(w))
+    return (
+        F.least(F.lit(bins - 1).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), raw))
+        .cast("int")
+    )
 
 
 def histogram_state(
@@ -66,6 +79,7 @@ def histogram_state(
     """Per-(key, bucket) row counts — the persistable quantile state.
     NULL values contribute nothing (matching COUNT(col) semantics in the
     sum/count state)."""
+    _check_edges(lo, hi, bins)
     return (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*keys, _bucket(F.col(value_col), lo, hi, bins).alias("bucket"))
@@ -95,10 +109,16 @@ def apply_histogram_delta(
     INSERT adds the current value's bucket, DELETE retracts the previous
     value's bucket, UPDATE does both (under the PREV-side key for the
     retraction, so rows moving across groups or buckets stay exact).
-    Buckets whose count reaches zero drop out.  Touches |changes| rows."""
+    Buckets whose count reaches zero drop out.  Touches |changes| rows.
 
-    def _prev_key(k: str) -> Column:
-        return F.col(f"prev_{k}") if f"prev_{k}" in changes.columns else F.col(k)
+    ``value_col`` may be one of the diff's KEY columns (e.g. counting the
+    PK per group): the diff emits no ``prev_`` twin for keys because a
+    key cannot change — the current column doubles as the previous value
+    (DELETE rows carry coalesced keys)."""
+    _check_edges(lo, hi, bins)
+
+    def _prev(c: str) -> Column:
+        return F.col(f"prev_{c}") if f"prev_{c}" in changes.columns else F.col(c)
 
     adds = (
         changes.filter(
@@ -114,11 +134,11 @@ def apply_histogram_delta(
     retracts = (
         changes.filter(
             F.col("operation").isin("DELETE", "UPDATE")
-            & F.col(f"prev_{value_col}").isNotNull()
+            & _prev(value_col).isNotNull()
         )
         .select(
-            *[_prev_key(k).alias(k) for k in keys],
-            _bucket(F.col(f"prev_{value_col}"), lo, hi, bins).alias("bucket"),
+            *[_prev(k).alias(k) for k in keys],
+            _bucket(_prev(value_col), lo, hi, bins).alias("bucket"),
             F.lit(-1).alias("__d"),
         )
     )
@@ -155,6 +175,7 @@ def quantiles_from_histogram(
     Exact-arithmetic inputs (integer counts, literal edges) make the
     binary64 result engine-portable.  Cost: two windows over ≤ bins rows
     per key + a bins×|qs| explode of the state — never a fact scan."""
+    _check_edges(lo, hi, bins)
     w = (hi - lo) / bins
     wk = Window.partitionBy(*keys)
     wcum = wk.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)

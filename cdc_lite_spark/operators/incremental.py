@@ -43,12 +43,17 @@ def apply_delta(
 
     INSERT contributes +cur; DELETE contributes −prev; UPDATE both.
     Groups whose count reaches zero drop out (key fully deleted).
+
+    ``value_col`` may be one of the diff's KEY columns (e.g. summing or
+    counting the PK per group): the diff emits no ``prev_`` twin for keys
+    because a key cannot change — the current column doubles as the
+    previous value (DELETE rows carry coalesced keys).
     """
     # Two contribution streams so an UPDATE that MOVES a row across groups
     # retracts from the old group and adds to the new one (and DELETE rows,
     # whose cur-side columns are null, retract under their prev-side keys):
-    def _prev_key(k: str):
-        return F.col(f"prev_{k}") if f"prev_{k}" in changes.columns else F.col(k)
+    def _prev(c: str):
+        return F.col(f"prev_{c}") if f"prev_{c}" in changes.columns else F.col(c)
 
     # __dn mirrors F.count(value_col) in sum_count_state, which skips nulls —
     # a null-valued insert/retraction must contribute 0 to the count or the
@@ -61,9 +66,9 @@ def apply_delta(
         F.lit(1).alias("__dr"),
     )
     retracts = changes.filter(F.col("operation").isin("DELETE", "UPDATE")).select(
-        *[_prev_key(k).alias(k) for k in keys],
-        (-F.col(f"prev_{value_col}")).alias("__dv"),
-        F.when(F.col(f"prev_{value_col}").isNotNull(), -1).otherwise(0).alias("__dn"),
+        *[_prev(k).alias(k) for k in keys],
+        (-_prev(value_col)).alias("__dv"),
+        F.when(_prev(value_col).isNotNull(), -1).otherwise(0).alias("__dn"),
         F.lit(-1).alias("__dr"),
     )
     delta = (

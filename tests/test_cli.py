@@ -170,3 +170,11 @@ def test_cli_agg_view_maintained_and_validated(spark, sf_dir, tmp_path):
                      "--agg-view", "rk=region:r_name"], spark=spark)
     with pytest.raises(SystemExit):  # snapshot mode has no change records
         main(base + ["--agg-view", "rk=region:r_name:r_regionkey"], spark=spark)
+    with pytest.raises(SystemExit):  # keyed but UNMONITORED table: the view
+        # would silently never materialize
+        main(
+            base
+            + ["--mode", "diff", "--keys", "region=r_regionkey,orders=o_orderkey",
+               "--agg-view", "rev=orders:o_orderstatus:o_totalprice"],
+            spark=spark,
+        )

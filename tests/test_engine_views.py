@@ -139,3 +139,52 @@ def test_view_registration_validation(spark, tmp_path):
     eng.register_agg_view("x2", "t", ["k"], "v")
     with pytest.raises(ValueError, match="no materialized state"):
         eng.view("x2")
+
+
+def test_key_valued_view_survives_a_changing_tick(spark, tables, tmp_path):
+    """The CLI-shaped view (aggregate the PK per group) must keep folding
+    after a real change tick — the diff has no prev_ twin for keys, so the
+    fold falls back to the coalesced key column (review finding: this
+    crashed with UNRESOLVED_COLUMN on the second tick)."""
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("pk", "region", ["r_name"], "r_regionkey")
+    keys = {"region": ["r_regionkey"]}
+    eng.poll_once({"region": tables["region"]}, mode="diff", keys=keys)
+    mutated = tables["region"].filter(F.col("r_regionkey") != 2)
+    eng.poll_once({"region": mutated}, mode="diff", keys=keys)
+    got = {r["r_name"]: r["agg_rows"] for r in eng.view("pk").collect()}
+    want = {
+        r["r_name"]: r["c"]
+        for r in mutated.groupBy("r_name").agg(F.count("*").alias("c")).collect()
+    }
+    assert got == want
+
+
+def test_bad_view_is_isolated_from_capture_and_other_views(spark, tables, tmp_path, capsys):
+    """A view whose spec cannot fold (group key missing from the table)
+    logs per tick but never blocks the capture, the healthy views, or
+    snapshot GC (review finding: the error used to abort the capture,
+    leaving the checksum unrecorded and snapshots accumulating forever)."""
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("bad", "region", ["no_such_col"], "r_regionkey")
+    eng.register_agg_view("good", "region", ["r_name"], "r_regionkey")
+    keys = {"region": ["r_regionkey"]}
+
+    assert eng.poll_once({"region": tables["region"]}, mode="diff", keys=keys) == ["region"]
+    assert "error maintaining view bad" in capsys.readouterr().out
+    assert eng.view("good").count() == 5
+    # capture committed: an unchanged tick short-circuits (checksum recorded)
+    assert eng.poll_once({"region": tables["region"]}, mode="diff", keys=keys) == []
+    # snapshot GC still ran on later ticks: mutate twice, check version count
+    m1 = tables["region"].filter(F.col("r_regionkey") != 0)
+    m2 = m1.filter(F.col("r_regionkey") != 1)
+    eng.poll_once({"region": m1}, mode="diff", keys=keys)
+    eng.poll_once({"region": m2}, mode="diff", keys=keys)
+    import os
+
+    vdirs = [
+        d for d in os.listdir(str(tmp_path / "state" / "snapshots" / "region"))
+        if d.startswith("v=")
+    ]
+    assert len(vdirs) <= CdcEngine.SNAPSHOT_VERSIONS_KEPT
+    assert eng.view("good").count() == 3

@@ -51,10 +51,12 @@ def test_merge_equals_union(spark):
         ("b", float((i * 7) % 97)) for i in range(200)
     ]
     df = spark.createDataFrame(rows, "g string, v double")
-    left = df.limit(250)
-    right = df.subtract(left)  # not a clean split, but union still covers df
+    # deterministic disjoint split (limit() without ordering can pick
+    # different rows across the two downstream plans)
+    left = df.filter(F.col("v") % 2 == 0)
+    right = df.filter(F.col("v") % 2 != 0)
     a = histogram_state(left, ["g"], "v", LO, HI, BINS)
-    b = histogram_state(df.exceptAll(left), ["g"], "v", LO, HI, BINS)
+    b = histogram_state(right, ["g"], "v", LO, HI, BINS)
     merged = merge_histogram_states(a, b, ["g"])
     full = histogram_state(df, ["g"], "v", LO, HI, BINS)
     assert _state_dict(merged) == _state_dict(full)
@@ -97,3 +99,44 @@ def test_state_build_is_one_partial_agg_shuffle(spark, tables):
     assert plan.count("Exchange hashpartitioning") == 1
     # map-side combine present: partial then final hash aggregate
     assert plan.count("HashAggregate") >= 2
+
+
+def test_extreme_outliers_clamp_to_end_buckets(spark):
+    """int32-overflowing bucket indices must still clamp to the END buckets
+    (review finding: a cast-before-clamp wrapped 1e30 into bucket 0)."""
+    rows = [("x", 1e30), ("x", 3e10), ("x", -1e30), ("x", float("inf"))]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["bucket"]: r["bkt_count"]
+        for r in histogram_state(df, ["g"], "v", LO, HI, BINS).collect()
+    }
+    assert got == {BINS - 1: 3, 0: 1}
+
+
+def test_degenerate_edges_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="bins"):
+        histogram_state(df, ["g"], "v", 0.0, 1.0, 0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        histogram_state(df, ["g"], "v", 5.0, 5.0, 4)
+
+
+def test_value_col_may_be_a_diff_key(spark):
+    """Counting/summing the PK per group (the natural CLI shape): the diff
+    has no prev_ twin for key columns — the fold must use the coalesced
+    key itself as the previous value."""
+    from cdc_lite_spark.operators.diff import snapshot_diff
+
+    prev = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "b")], "id double, g string"
+    )
+    cur = spark.createDataFrame(
+        [(1.0, "a"), (3.0, "c"), (4.0, "b")], "id double, g string"
+    )
+    changes = snapshot_diff(prev, cur, ["id"], include_prev=True)
+    state = histogram_state(prev, ["g"], "id", 0.0, 8.0, 4)
+    maintained = apply_histogram_delta(state, changes, ["g"], "id", 0.0, 8.0, 4)
+    rebuilt = histogram_state(cur, ["g"], "id", 0.0, 8.0, 4)
+    assert _state_dict(maintained) == _state_dict(rebuilt)
