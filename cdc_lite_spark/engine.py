@@ -569,6 +569,26 @@ class CdcEngine:
             raise ValueError(f"view {name!r} has no materialized state yet")
         return self.spark.read.parquet(f"{self._view_dir(name)}/v={v}")
 
+    def view_quantiles(self, name: str, qs: "Sequence[float]") -> DataFrame:
+        """Quantile estimates from a maintained HISTOGRAM view — the bucket
+        edges come from the registered spec, and only the (tiny) state
+        table is read, never the monitored table."""
+        spec = self._agg_views.get(name)
+        if spec is None:
+            raise ValueError(f"no registered view: {name!r}")
+        if spec["kind"] != "histogram":
+            raise ValueError(f"view {name!r} is {spec['kind']}, not histogram")
+        from cdc_lite_spark.operators.histogram import quantiles_from_histogram
+
+        return quantiles_from_histogram(
+            self.view(name),
+            spec["group_keys"],
+            qs,
+            spec["lo"],
+            spec["hi"],
+            spec["bins"],
+        )
+
     def _maintain_views(self, table: str, new_v: int, keys: list[str]) -> None:
         """Fold every view registered on ``table`` up to snapshot ``new_v``.
 

@@ -188,3 +188,39 @@ def test_bad_view_is_isolated_from_capture_and_other_views(spark, tables, tmp_pa
     ]
     assert len(vdirs) <= CdcEngine.SNAPSHOT_VERSIONS_KEPT
     assert eng.view("good").count() == 3
+
+
+def test_view_quantiles_reads_spec_edges(spark, tables, tmp_path):
+    """view_quantiles interpolates from the maintained histogram state
+    using the edges stored in the registered spec, and matches the
+    operator applied directly to the state."""
+    import pytest
+
+    from cdc_lite_spark.operators.histogram import quantiles_from_histogram
+
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view(
+        "ph", "orders", ["o_orderstatus"], "price",
+        kind="histogram", lo=0.0, hi=600000.0, bins=16,
+    )
+    eng.register_agg_view("sc", "orders", ["o_orderstatus"], "price")
+    base = _orders(spark, tables).withColumn("price", F.col("price").cast("double"))
+    eng.poll_once({"orders": base}, mode="diff", keys={"orders": ["o_orderkey"]})
+
+    got = {
+        (r["o_orderstatus"], r["q"]): r["quantile_est"]
+        for r in eng.view_quantiles("ph", [0.5, 0.9]).collect()
+    }
+    want = {
+        (r["o_orderstatus"], r["q"]): r["quantile_est"]
+        for r in quantiles_from_histogram(
+            eng.view("ph"), ["o_orderstatus"], [0.5, 0.9], 0.0, 600000.0, 16
+        ).collect()
+    }
+    assert got == want and got
+    for (g, _), _ in got.items():
+        assert got[(g, 0.5)] <= got[(g, 0.9)]
+    with pytest.raises(ValueError, match="not histogram"):
+        eng.view_quantiles("sc", [0.5])
+    with pytest.raises(ValueError, match="no registered view"):
+        eng.view_quantiles("absent", [0.5])
