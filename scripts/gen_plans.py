@@ -91,6 +91,8 @@ HEADLINERS: dict[str, str] = {
     "cdc_struct_checksum": "struct/map canonicalized by scan-side expressions (getField/map_entries/array_sort) below the single-exchange fingerprint agg",
     "incremental_join_maintenance": "O(delta) view refresh: every join against the delta/affected set is a BroadcastHashJoin — view, fact, and dim never shuffle",
     "incremental_join_agg_maintenance": "join+agg maintained from view-level I/D records: delta fold + group-key-domain merge; the tables are never re-joined",
+    "incremental_quantile_maintenance": "quantile state fold: bucket counts collapse map-side (partial agg), quantile windows run over |keys|x|bins| state rows only",
+    "ivf_topk": "map-side IVF (r7): broadcast centroid array folded per row — the only corpus-sized exchange is the final query-keyed top-k",
 }
 
 
