@@ -355,6 +355,15 @@ class CdcEngine:
                 continue
             if previous.get(table) == current:
                 metrics.append((table, False, False, detect_secs, 0.0, None))
+                # unchanged ticks still RETRY lagging views: a view fold
+                # that failed transiently after its capture committed
+                # would otherwise stay stale until the table next changes
+                if mode == "diff" and any(
+                    s["table"] == table for s in self._agg_views.values()
+                ):
+                    latest = self._latest_snapshot_version(table)
+                    if latest is not None:
+                        self._maintain_views(table, latest, (keys or {})[table])
                 continue  # short-circuit: skip capture when unchanged (§4)
             t0 = _time.monotonic()
             try:
@@ -559,11 +568,52 @@ class CdcEngine:
     def _view_dir(self, name: str) -> str:
         return f"{self.state_dir}/views/{name}"
 
+    def _check_view_spec(self, name: str, s: dict) -> None:
+        """Pin the spec a view's PERSISTED state was built with.
+
+        Bucket edges (and the rest of the spec) live in the registration,
+        but the state survives restarts on disk — re-registering the same
+        view name with different edges would silently reinterpret old
+        bucket counts under new edges and fold mixed definitions.  The
+        first fold writes ``_spec.json`` beside the state; every later
+        fold and read compares against it and refuses on mismatch (use a
+        new view name, or delete the view dir to rebuild)."""
+        import json
+
+        stable = {
+            k: s[k]
+            for k in ("table", "group_keys", "value_col", "kind", "lo", "hi", "bins")
+        }
+        fs, jpath = self._fs(f"{self._view_dir(name)}/_spec.json")
+        if fs.exists(jpath):
+            jvm = self.spark._jvm
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(fs.open(jpath), "UTF-8")
+            )
+            try:
+                line = reader.readLine()
+            finally:
+                reader.close()
+            persisted = json.loads(line) if line else None
+            if persisted != stable:
+                raise ValueError(
+                    f"view {name!r} state was built with spec {persisted}, "
+                    f"but {stable} is registered — re-register under a new "
+                    f"name or delete {self._view_dir(name)} to rebuild"
+                )
+            return
+        out = fs.create(jpath, True)
+        try:
+            out.write(bytearray(json.dumps(stable).encode("utf-8")))
+        finally:
+            out.close()
+
     def view(self, name: str) -> DataFrame:
         """Current maintained state of a registered view (reads the newest
         committed version — never touches the monitored table)."""
         if name not in self._agg_views:
             raise ValueError(f"no registered view: {name!r}")
+        self._check_view_spec(name, self._agg_views[name])
         v = self._latest_version(self._view_dir(name))
         if v is None:
             raise ValueError(f"view {name!r} has no materialized state yet")
@@ -593,15 +643,22 @@ class CdcEngine:
         """Fold every view registered on ``table`` up to snapshot ``new_v``.
 
         Normal tick: every view sits at the previous snapshot version, so
-        the fold consumes exactly this tick's diff (recomputed from the
-        two persisted snapshots — stable parquet lineage, ONE
-        co-partitioned join per distinct base version, shared by every
-        view on it).  vv == new_v → replayed tick, skip (idempotence).
-        vv older than retention → rebuild from the new snapshot.
+        the fold consumes exactly this tick's diff — computed ONCE per
+        distinct base version from the two persisted snapshots and
+        ``persist()``-ed so later views on the same base reuse the
+        materialized delta instead of re-running the join.  vv == new_v →
+        replayed tick, skip (idempotence).  vv older than retention →
+        rebuild from the new snapshot.
 
         Errors are isolated PER VIEW (the engine's H6 discipline): a bad
-        view spec logs and lags — it heals or rebuilds on a later tick —
-        and never blocks the capture, the other views, or snapshot GC."""
+        view spec logs and lags — it heals or rebuilds on a later tick
+        (unchanged ticks retry lagging views, see poll_once) — and never
+        blocks the capture, the other views, or snapshot GC."""
+        specs = [
+            (n, s) for n, s in self._agg_views.items() if s["table"] == table
+        ]
+        if not specs:
+            return
         from cdc_lite_spark.operators.histogram import (
             apply_histogram_delta,
             histogram_state,
@@ -624,47 +681,57 @@ class CdcEngine:
             base = self.spark.read.parquet(f"{snap}/v={vv}")
             diffs[vv] = snapshot_diff(
                 base, cur, keys, fast_hash=True, include_prev=True
-            )
+            ).persist()
             return diffs[vv]
 
-        for name, s in self._agg_views.items():
-            if s["table"] != table:
-                continue
-            try:
-                vv = self._latest_version(self._view_dir(name))
-                if vv == new_v:
-                    continue
-                changes = _changes_from(vv) if vv is not None else None
-                if changes is not None:
-                    prev_state = self.spark.read.parquet(
-                        f"{self._view_dir(name)}/v={vv}"
-                    )
-                    if s["kind"] == "sum_count":
-                        state = apply_delta(
-                            prev_state, changes, s["group_keys"], s["value_col"]
+        try:
+            for name, s in specs:
+                try:
+                    self._check_view_spec(name, s)
+                    vv = self._latest_version(self._view_dir(name))
+                    if vv == new_v:
+                        continue
+                    changes = _changes_from(vv) if vv is not None else None
+                    if changes is not None:
+                        prev_state = self.spark.read.parquet(
+                            f"{self._view_dir(name)}/v={vv}"
                         )
+                        if s["kind"] == "sum_count":
+                            state = apply_delta(
+                                prev_state, changes, s["group_keys"], s["value_col"]
+                            )
+                        else:
+                            state = apply_histogram_delta(
+                                prev_state,
+                                changes,
+                                s["group_keys"],
+                                s["value_col"],
+                                s["lo"],
+                                s["hi"],
+                                s["bins"],
+                            )
+                    elif s["kind"] == "sum_count":
+                        state = sum_count_state(cur, s["group_keys"], s["value_col"])
                     else:
-                        state = apply_histogram_delta(
-                            prev_state,
-                            changes,
+                        state = histogram_state(
+                            cur,
                             s["group_keys"],
                             s["value_col"],
                             s["lo"],
                             s["hi"],
                             s["bins"],
                         )
-                elif s["kind"] == "sum_count":
-                    state = sum_count_state(cur, s["group_keys"], s["value_col"])
-                else:
-                    state = histogram_state(
-                        cur, s["group_keys"], s["value_col"], s["lo"], s["hi"], s["bins"]
+                    state.write.mode("overwrite").parquet(
+                        f"{self._view_dir(name)}/v={new_v}"
                     )
-                state.write.mode("overwrite").parquet(
-                    f"{self._view_dir(name)}/v={new_v}"
-                )
-                self._gc_versions(self._view_dir(name), new_v, self.VIEW_VERSIONS_KEPT)
-            except Exception as exc:  # noqa: BLE001 — per-view isolation
-                print(f"cdc_lite_spark: error maintaining view {name}: {exc}")
+                    self._gc_versions(
+                        self._view_dir(name), new_v, self.VIEW_VERSIONS_KEPT
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-view isolation
+                    print(f"cdc_lite_spark: error maintaining view {name}: {exc}")
+        finally:
+            for df in diffs.values():
+                df.unpersist()
 
     def monitor(
         self,

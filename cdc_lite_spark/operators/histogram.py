@@ -56,6 +56,12 @@ def _check_edges(lo: float, hi: float, bins: int) -> None:
         raise ValueError(f"need lo < hi, got lo={lo}, hi={hi}")
 
 
+def _countable(value: Column) -> Column:
+    """Values that enter the histogram: non-NULL, non-NaN (the double cast
+    makes isnan total over any numeric dtype)."""
+    return value.isNotNull() & ~F.isnan(value.cast("double"))
+
+
 def _bucket(value: Column, lo: float, hi: float, bins: int) -> Column:
     # clamp the LONG floor result BEFORE the int cast: extreme out-of-range
     # values overflow int32, and a wrapped/saturated cast would land a huge
@@ -77,11 +83,12 @@ def histogram_state(
     bins: int = DEFAULT_BINS,
 ) -> DataFrame:
     """Per-(key, bucket) row counts — the persistable quantile state.
-    NULL values contribute nothing (matching COUNT(col) semantics in the
-    sum/count state)."""
+    NULL and NaN values contribute nothing (NULL matches COUNT(col)
+    semantics; NaN has no place on the value axis — floor(NaN) casts to
+    long 0, which would silently count it in the LOWEST bucket)."""
     _check_edges(lo, hi, bins)
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(_countable(F.col(value_col)))
         .groupBy(*keys, _bucket(F.col(value_col), lo, hi, bins).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("bkt_count"))
     )
@@ -123,7 +130,7 @@ def apply_histogram_delta(
     adds = (
         changes.filter(
             F.col("operation").isin("INSERT", "UPDATE")
-            & F.col(value_col).isNotNull()
+            & _countable(F.col(value_col))
         )
         .select(
             *[F.col(k).alias(k) for k in keys],
@@ -134,7 +141,7 @@ def apply_histogram_delta(
     retracts = (
         changes.filter(
             F.col("operation").isin("DELETE", "UPDATE")
-            & _prev(value_col).isNotNull()
+            & _countable(_prev(value_col))
         )
         .select(
             *[_prev(k).alias(k) for k in keys],

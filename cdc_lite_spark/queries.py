@@ -3169,7 +3169,7 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT o_orderstatus,
                LEAST(31, GREATEST(0, CAST(floor((v - 0.0) / 18750.0) AS INT))) AS bucket,
                count(*) AS cnt
-        FROM cur WHERE v IS NOT NULL GROUP BY 1, 2
+        FROM cur WHERE v IS NOT NULL AND NOT isnan(v) GROUP BY 1, 2
     ),
     c AS (
         SELECT *,

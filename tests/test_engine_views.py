@@ -224,3 +224,53 @@ def test_view_quantiles_reads_spec_edges(spark, tables, tmp_path):
         eng.view_quantiles("sc", [0.5])
     with pytest.raises(ValueError, match="no registered view"):
         eng.view_quantiles("absent", [0.5])
+
+
+def test_respec_with_different_edges_is_refused(spark, tables, tmp_path):
+    """The spec a view's persisted state was built with is pinned beside
+    the state: re-registering the same name with different bucket edges
+    (e.g. after a restart) must refuse instead of silently reinterpreting
+    old counts under new edges."""
+    import pytest
+
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view(
+        "ph", "region", ["r_name"], "r_regionkey",
+        kind="histogram", lo=0.0, hi=10.0, bins=4,
+    )
+    keys = {"region": ["r_regionkey"]}
+    eng.poll_once({"region": tables["region"]}, mode="diff", keys=keys)
+    assert eng.view("ph").count() > 0
+
+    eng2 = _engine(spark, tmp_path)  # restart with drifted edges
+    eng2.register_agg_view(
+        "ph", "region", ["r_name"], "r_regionkey",
+        kind="histogram", lo=0.0, hi=20.0, bins=4,
+    )
+    with pytest.raises(ValueError, match="built with spec"):
+        eng2.view("ph")
+    # the fold path refuses too (isolated: capture itself still works)
+    mutated = tables["region"].filter(F.col("r_regionkey") != 4)
+    assert eng2.poll_once({"region": mutated}, mode="diff", keys=keys) == ["region"]
+    # matching re-registration reads fine
+    eng3 = _engine(spark, tmp_path)
+    eng3.register_agg_view(
+        "ph", "region", ["r_name"], "r_regionkey",
+        kind="histogram", lo=0.0, hi=10.0, bins=4,
+    )
+    assert eng3.view("ph").count() > 0
+
+
+def test_lagging_view_retries_on_unchanged_tick(spark, tables, tmp_path):
+    """A view that lags (here: registered after the capture) catches up on
+    the NEXT tick even when the table is unchanged — the retry path for
+    transiently failed folds on quiet tables."""
+    eng = _engine(spark, tmp_path)
+    keys = {"region": ["r_regionkey"]}
+    eng.poll_once({"region": tables["region"]}, mode="diff", keys=keys)
+
+    eng.register_agg_view("lag", "region", ["r_name"], "r_regionkey")
+    # unchanged tick: no capture, but the lagging view folds from the
+    # current snapshot
+    assert eng.poll_once({"region": tables["region"]}, mode="diff", keys=keys) == []
+    assert eng.view("lag").count() == 5

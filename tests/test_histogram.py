@@ -140,3 +140,29 @@ def test_value_col_may_be_a_diff_key(spark):
     maintained = apply_histogram_delta(state, changes, ["g"], "id", 0.0, 8.0, 4)
     rebuilt = histogram_state(cur, ["g"], "id", 0.0, 8.0, 4)
     assert _state_dict(maintained) == _state_dict(rebuilt)
+
+
+def test_nan_values_excluded_and_maintained(spark):
+    """NaN contributes nothing (floor(NaN) would cast to bucket 0 and drag
+    low quantiles down), and NaN<->number transitions keep the maintained
+    state equal to a rebuild."""
+    from cdc_lite_spark.operators.diff import snapshot_diff
+
+    nan = float("nan")
+    prev = spark.createDataFrame(
+        [(1, "a", nan), (2, "a", 50.0), (3, "a", 60.0)], "id long, g string, v double"
+    )
+    cur = spark.createDataFrame(
+        [(1, "a", 55.0), (2, "a", nan), (3, "a", 60.0)], "id long, g string, v double"
+    )
+    assert sum(
+        r["bkt_count"]
+        for r in histogram_state(prev, ["g"], "v", LO, HI, BINS).collect()
+    ) == 2  # the NaN row never lands in any bucket
+    changes = snapshot_diff(prev, cur, ["id"], include_prev=True)
+    maintained = apply_histogram_delta(
+        histogram_state(prev, ["g"], "v", LO, HI, BINS),
+        changes, ["g"], "v", LO, HI, BINS,
+    )
+    rebuilt = histogram_state(cur, ["g"], "v", LO, HI, BINS)
+    assert _state_dict(maintained) == _state_dict(rebuilt)
