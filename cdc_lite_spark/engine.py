@@ -357,13 +357,26 @@ class CdcEngine:
                 metrics.append((table, False, False, detect_secs, 0.0, None))
                 # unchanged ticks still RETRY lagging views: a view fold
                 # that failed transiently after its capture committed
-                # would otherwise stay stale until the table next changes
-                if mode == "diff" and any(
-                    s["table"] == table for s in self._agg_views.values()
-                ):
-                    latest = self._latest_snapshot_version(table)
-                    if latest is not None:
-                        self._maintain_views(table, latest, (keys or {})[table])
+                # would otherwise stay stale until the table next changes.
+                # Isolated like the capture path (H6) — a retry error must
+                # not abort the tick for the other tables.
+                try:
+                    if (
+                        mode == "diff"
+                        and table in (keys or {})
+                        and any(
+                            s["table"] == table
+                            for s in self._agg_views.values()
+                        )
+                    ):
+                        latest = self._latest_snapshot_version(table)
+                        if latest is not None:
+                            self._maintain_views(table, latest, keys[table])
+                except Exception as exc:  # noqa: BLE001
+                    print(
+                        f"cdc_lite_spark: error retrying views for table "
+                        f"{table}: {exc}"
+                    )
                 continue  # short-circuit: skip capture when unchanged (§4)
             t0 = _time.monotonic()
             try:
@@ -568,45 +581,61 @@ class CdcEngine:
     def _view_dir(self, name: str) -> str:
         return f"{self.state_dir}/views/{name}"
 
-    def _check_view_spec(self, name: str, s: dict) -> None:
-        """Pin the spec a view's PERSISTED state was built with.
+    # -- view-spec pinning: the spec persisted state was BUILT with --------
+    #
+    # Bucket edges (and the rest of the spec) live in the registration, but
+    # the state survives restarts on disk — re-registering the same view
+    # name with different edges would silently reinterpret old bucket
+    # counts under new edges and fold mixed definitions.  The spec is
+    # pinned ONLY after a successful state write (a typo'd registration
+    # whose fold fails pins nothing and can simply be corrected), via the
+    # shared atomic pointer protocol (streaming/_state.py: tmp write +
+    # rename, truncation-guarded read) — not a third hand-rolled small-file
+    # writer (r5 consolidated those for drift exactly like this).
 
-        Bucket edges (and the rest of the spec) live in the registration,
-        but the state survives restarts on disk — re-registering the same
-        view name with different edges would silently reinterpret old
-        bucket counts under new edges and fold mixed definitions.  The
-        first fold writes ``_spec.json`` beside the state; every later
-        fold and read compares against it and refuses on mismatch (use a
-        new view name, or delete the view dir to rebuild)."""
-        import json
-
-        stable = {
+    def _stable_spec(self, s: dict) -> dict:
+        return {
             k: s[k]
             for k in ("table", "group_keys", "value_col", "kind", "lo", "hi", "bins")
         }
-        fs, jpath = self._fs(f"{self._view_dir(name)}/_spec.json")
-        if fs.exists(jpath):
-            jvm = self.spark._jvm
-            reader = jvm.java.io.BufferedReader(
-                jvm.java.io.InputStreamReader(fs.open(jpath), "UTF-8")
-            )
-            try:
-                line = reader.readLine()
-            finally:
-                reader.close()
-            persisted = json.loads(line) if line else None
-            if persisted != stable:
-                raise ValueError(
-                    f"view {name!r} state was built with spec {persisted}, "
-                    f"but {stable} is registered — re-register under a new "
-                    f"name or delete {self._view_dir(name)} to rebuild"
-                )
-            return
-        out = fs.create(jpath, True)
+
+    def _read_view_spec(self, name: str) -> dict | None:
+        import json
+
+        from cdc_lite_spark.streaming._state import fs_for
+
+        d = f"{self._view_dir(name)}/_spec"
+        fs = fs_for(d, self.spark)
+        if not fs.dir_exists(d):
+            return None
         try:
-            out.write(bytearray(json.dumps(stable).encode("utf-8")))
-        finally:
-            out.close()
+            return json.loads(fs.read_pointer(d))
+        except FileNotFoundError:
+            return None
+
+    def _pin_view_spec(self, name: str, s: dict) -> None:
+        import json
+
+        from cdc_lite_spark.streaming._state import fs_for
+
+        d = f"{self._view_dir(name)}/_spec"
+        hfs, jd = self._fs(d)
+        hfs.mkdirs(jd)
+        fs_for(d, self.spark).write_pointer(d, json.dumps(self._stable_spec(s)))
+
+    def _check_view_spec(self, name: str, s: dict) -> bool:
+        """Refuse a registration that mismatches the pinned spec.  Returns
+        True when a spec is already pinned (so folds skip re-pinning)."""
+        persisted = self._read_view_spec(name)
+        if persisted is None:
+            return False
+        if persisted != self._stable_spec(s):
+            raise ValueError(
+                f"view {name!r} state was built with spec {persisted}, "
+                f"but {self._stable_spec(s)} is registered — re-register "
+                f"under a new name or delete {self._view_dir(name)} to rebuild"
+            )
+        return True
 
     def view(self, name: str) -> DataFrame:
         """Current maintained state of a registered view (reads the newest
@@ -644,11 +673,12 @@ class CdcEngine:
 
         Normal tick: every view sits at the previous snapshot version, so
         the fold consumes exactly this tick's diff — computed ONCE per
-        distinct base version from the two persisted snapshots and
-        ``persist()``-ed so later views on the same base reuse the
-        materialized delta instead of re-running the join.  vv == new_v →
-        replayed tick, skip (idempotence).  vv older than retention →
-        rebuild from the new snapshot.
+        distinct base version from the two persisted snapshots, and
+        ``persist()``-ed only when two or more views share that base (a
+        lone consumer would pay the cache write for nothing).  vv ==
+        new_v → replayed tick, skip (idempotence) — detected by the cheap
+        FS-listing pre-check before any parquet is opened.  vv older than
+        retention → rebuild from the new snapshot.
 
         Errors are isolated PER VIEW (the engine's H6 discipline): a bad
         view spec logs and lags — it heals or rebuilds on a later tick
@@ -659,6 +689,21 @@ class CdcEngine:
         ]
         if not specs:
             return
+        # cheap lag pre-check (FS listings only): the common quiet-tick /
+        # replayed-tick case returns here without opening any parquet
+        lagging: list[tuple[str, dict, int | None, bool]] = []
+        for name, s in specs:
+            try:
+                pinned = self._check_view_spec(name, s)
+                vv = self._latest_version(self._view_dir(name))
+                if vv != new_v:
+                    lagging.append((name, s, vv, pinned))
+            except Exception as exc:  # noqa: BLE001 — per-view isolation
+                print(f"cdc_lite_spark: error maintaining view {name}: {exc}")
+        if not lagging:
+            return
+        from collections import Counter
+
         from cdc_lite_spark.operators.histogram import (
             apply_histogram_delta,
             histogram_state,
@@ -670,7 +715,11 @@ class CdcEngine:
 
         snap = self._snapshot_path(table)
         cur = self.spark.read.parquet(f"{snap}/v={new_v}")
-        diffs: dict[int, DataFrame] = {}  # base version -> shared tick diff
+        #: views sharing a base version share ONE diff; persist() only pays
+        #: off when more than one write action will consume it
+        sharers = Counter(vv for _, _, vv, _ in lagging if vv is not None)
+        diffs: dict[int, DataFrame] = {}
+        persisted_diffs: list[DataFrame] = []
 
         def _changes_from(vv: int) -> DataFrame | None:
             if vv in diffs:
@@ -679,18 +728,16 @@ class CdcEngine:
             if not fs.exists(base_jpath):
                 return None  # base GC'd: caller rebuilds
             base = self.spark.read.parquet(f"{snap}/v={vv}")
-            diffs[vv] = snapshot_diff(
-                base, cur, keys, fast_hash=True, include_prev=True
-            ).persist()
-            return diffs[vv]
+            df = snapshot_diff(base, cur, keys, fast_hash=True, include_prev=True)
+            if sharers[vv] > 1:
+                df = df.persist()
+                persisted_diffs.append(df)
+            diffs[vv] = df
+            return df
 
         try:
-            for name, s in specs:
+            for name, s, vv, pinned in lagging:
                 try:
-                    self._check_view_spec(name, s)
-                    vv = self._latest_version(self._view_dir(name))
-                    if vv == new_v:
-                        continue
                     changes = _changes_from(vv) if vv is not None else None
                     if changes is not None:
                         prev_state = self.spark.read.parquet(
@@ -727,10 +774,15 @@ class CdcEngine:
                     self._gc_versions(
                         self._view_dir(name), new_v, self.VIEW_VERSIONS_KEPT
                     )
+                    if not pinned:
+                        # pin only after state actually materialized — a
+                        # registration whose fold fails stays unpinned and
+                        # can simply be corrected
+                        self._pin_view_spec(name, s)
                 except Exception as exc:  # noqa: BLE001 — per-view isolation
                     print(f"cdc_lite_spark: error maintaining view {name}: {exc}")
         finally:
-            for df in diffs.values():
+            for df in persisted_diffs:
                 df.unpersist()
 
     def monitor(

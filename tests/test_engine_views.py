@@ -274,3 +274,47 @@ def test_lagging_view_retries_on_unchanged_tick(spark, tables, tmp_path):
     # current snapshot
     assert eng.poll_once({"region": tables["region"]}, mode="diff", keys=keys) == []
     assert eng.view("lag").count() == 5
+
+
+def test_failed_first_fold_does_not_pin_spec(spark, tables, tmp_path):
+    """A registration whose fold never succeeded pins nothing: correcting
+    the spec (fixing a typo'd column) must just work — only state that
+    actually materialized locks its spec."""
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("v", "region", ["no_such_col"], "r_regionkey")
+    keys = {"region": ["r_regionkey"]}
+    eng.poll_once({"region": tables["region"]}, mode="diff", keys=keys)
+
+    eng2 = _engine(spark, tmp_path)  # corrected registration after restart
+    eng2.register_agg_view("v", "region", ["r_name"], "r_regionkey")
+    mutated = tables["region"].filter(F.col("r_regionkey") != 3)
+    eng2.poll_once({"region": mutated}, mode="diff", keys=keys)
+    assert eng2.view("v").count() == 4
+    # ... and NOW the corrected spec is pinned
+    import pytest
+
+    eng3 = _engine(spark, tmp_path)
+    eng3.register_agg_view("v", "region", ["r_comment"], "r_regionkey")
+    with pytest.raises(ValueError, match="built with spec"):
+        eng3.view("v")
+
+
+def test_quiet_tick_retry_is_isolated_per_table(spark, tables, tmp_path):
+    """A view on a table whose keys are missing from THIS poll call must
+    not abort the tick for the other tables (H6 discipline on the retry
+    path too)."""
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("rv", "region", ["r_name"], "r_regionkey")
+    eng.poll_once(
+        {"region": tables["region"]},
+        mode="diff",
+        keys={"region": ["r_regionkey"]},
+    )
+    # later poll spans both tables but carries keys only for nation:
+    # region (unchanged, has a view, no keys entry) must not raise
+    captured = eng.poll_once(
+        {"region": tables["region"], "nation": tables["nation"]},
+        mode="diff",
+        keys={"nation": ["n_nationkey"]},
+    )
+    assert captured == ["nation"]
