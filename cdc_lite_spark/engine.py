@@ -611,7 +611,13 @@ class CdcEngine:
         try:
             return json.loads(fs.read_pointer(d))
         except FileNotFoundError:
-            return None
+            return None  # dir created but pointer never written (crash window)
+        except Exception as exc:  # noqa: BLE001
+            # the Hadoop adapter surfaces the same condition as a Java
+            # FileNotFoundException wrapped in a py4j error
+            if "FileNotFoundException" in str(exc):
+                return None
+            raise
 
     def _pin_view_spec(self, name: str, s: dict) -> None:
         import json
