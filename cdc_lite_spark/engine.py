@@ -611,13 +611,10 @@ class CdcEngine:
         try:
             return json.loads(fs.read_pointer(d))
         except FileNotFoundError:
-            return None  # dir created but pointer never written (crash window)
-        except Exception as exc:  # noqa: BLE001
-            # the Hadoop adapter surfaces the same condition as a Java
-            # FileNotFoundException wrapped in a py4j error
-            if "FileNotFoundException" in str(exc):
-                return None
-            raise
+            # dir created but pointer never written (crash window) — both
+            # adapters raise the typed error (streaming/_state.py normalizes
+            # the JVM FileNotFoundException; no message matching here)
+            return None
 
     def _pin_view_spec(self, name: str, s: dict) -> None:
         import json

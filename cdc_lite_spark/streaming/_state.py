@@ -120,9 +120,35 @@ class HadoopStateFS:
         opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
         fc.rename(tmp, dst, opts)
 
+    @staticmethod
+    def _is_missing_file(exc: Exception) -> bool:
+        """True when a py4j error wraps ``java.io.FileNotFoundException``
+        (directly or anywhere down its cause chain).  Matched by exception
+        CLASS, not message text — Java messages are not a stable contract."""
+        java_exc = getattr(exc, "java_exception", None)
+        while java_exc is not None:
+            try:
+                if java_exc.getClass().getName().endswith("FileNotFoundException"):
+                    return True
+                java_exc = java_exc.getCause()
+            except Exception:  # noqa: BLE001 — dead gateway etc.: treat as opaque
+                return False
+        return False
+
     def read_pointer(self, state_dir: str) -> str:
+        """Read the ``_CURRENT`` pointer.  A missing pointer file raises
+        Python ``FileNotFoundError`` — the SAME typed contract the POSIX
+        adapter gets for free from ``open()`` — so callers branch on the
+        exception type instead of matching JVM error strings."""
         fs = self._fs(state_dir)
-        stream = fs.open(self._path(state_dir + "/_CURRENT"))
+        try:
+            stream = fs.open(self._path(state_dir + "/_CURRENT"))
+        except Exception as exc:  # noqa: BLE001 — narrow re-raise below
+            if self._is_missing_file(exc):
+                raise FileNotFoundError(
+                    f"no _CURRENT pointer in state dir {state_dir!r}"
+                ) from exc
+            raise
         try:
             reader = self._jvm.java.io.BufferedReader(
                 self._jvm.java.io.InputStreamReader(stream, "UTF-8")

@@ -131,6 +131,55 @@ def test_local_read_pointer_empty_file_raises_clearly(tmp_path):
         LocalStateFS().read_pointer(str(tmp_path))
 
 
+def test_missing_pointer_raises_typed_filenotfound(spark, tmp_path, state_fs):
+    """r7 verdict nit: a MISSING _CURRENT pointer is a typed
+    ``FileNotFoundError`` on BOTH adapters — the Hadoop one normalizes the
+    JVM FileNotFoundException by exception class (never by message text),
+    so callers like the engine's view-spec reader branch on the type."""
+    with pytest.raises(FileNotFoundError):
+        state_fs.read_pointer(str(tmp_path))
+
+
+def test_hadoop_missing_detection_matches_class_not_message(spark, tmp_path):
+    """The class-name walk must not misclassify an unrelated JVM error
+    whose MESSAGE happens to mention FileNotFoundException."""
+
+    class FakeJavaExc:
+        def __init__(self, name, cause=None):
+            self._name, self._cause = name, cause
+
+        def getClass(self):
+            outer = self
+
+            class C:
+                def getName(self):
+                    return outer._name
+
+            return C()
+
+        def getCause(self):
+            return self._cause
+
+    class FakeErr(Exception):
+        def __init__(self, java_exception):
+            self.java_exception = java_exception
+
+    is_missing = HadoopStateFS._is_missing_file
+    assert is_missing(FakeErr(FakeJavaExc("java.io.FileNotFoundException")))
+    # wrapped one level down the cause chain
+    assert is_missing(
+        FakeErr(
+            FakeJavaExc(
+                "java.io.IOException",
+                cause=FakeJavaExc("java.io.FileNotFoundException"),
+            )
+        )
+    )
+    # message-only mention (class is RuntimeException): NOT missing
+    assert not is_missing(FakeErr(FakeJavaExc("java.lang.RuntimeException")))
+    assert not is_missing(ValueError("java.io.FileNotFoundException: /x"))
+
+
 def test_uppercase_file_scheme_is_stripped(tmp_path):
     """r7 review: scheme routing lowercases ('FILE://x' -> LocalStateFS)
     but _local_path's strip was case-sensitive, so the raw URI reached
