@@ -299,6 +299,265 @@ def test_failed_first_fold_does_not_pin_spec(spark, tables, tmp_path):
         eng3.view("v")
 
 
+# -- maintained JOIN views (engine-loop form of operators/incremental.py) ----
+
+
+def _join_db(tmp_path) -> str:
+    """An operational DuckDB: orders fact → cust dim, with a dangling fact
+    (o_ck=5 has no dim row) to exercise re-surfacing on dim INSERT."""
+    import duckdb
+
+    db = str(tmp_path / "ops.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE orders (o_id INTEGER, o_ck INTEGER, o_price DOUBLE)")
+    con.execute("CREATE TABLE cust (c_ck INTEGER, c_seg VARCHAR, c_bal DOUBLE)")
+    con.execute(
+        "INSERT INTO orders VALUES (1,1,10.0),(2,1,20.0),(3,2,30.0),"
+        "(4,3,40.0),(5,4,50.0),(6,5,60.0)"
+    )
+    con.execute(
+        "INSERT INTO cust VALUES (1,'A',100.0),(2,'B',200.0),(3,'A',300.0),"
+        "(4,'C',400.0)"
+    )
+    con.close()
+    return db
+
+
+def _join_recompute(db: str) -> dict:
+    import duckdb
+
+    con = duckdb.connect(db, read_only=True)
+    rows = con.execute(
+        "SELECT o_id, o_ck, o_price, c_ck, c_seg, c_bal "
+        "FROM orders JOIN cust ON o_ck = c_ck"
+    ).fetchall()
+    con.close()
+    return {r[0]: r[1:] for r in rows}
+
+
+def _join_sources(spark, db):
+    from cdc_lite_spark.sources.duckdb_source import ConsistentSnapshotSource
+
+    # the multi-table source: ONE tick-consistent copy shared by both
+    # tables (per-table read_duckdb_table factories would be per-SCAN
+    # snapshots whose plan-copy GC races across tables of one file)
+    return ConsistentSnapshotSource(spark, db).sources(["orders", "cust"])
+
+
+_JOIN_KEYS = {"orders": ["o_id"], "cust": ["c_ck"]}
+
+
+def _register_join(eng):
+    eng.register_join_view(
+        "om",
+        fact_table="orders",
+        dim_table="cust",
+        fact_key="o_id",
+        fact_dim_col="o_ck",
+        dim_key="c_ck",
+    )
+
+
+def _view_join_dict(eng):
+    return {
+        r["o_id"]: (r["o_ck"], r["o_price"], r["c_ck"], r["c_seg"], r["c_bal"])
+        for r in eng.view("om").collect()
+    }
+
+
+def test_join_view_e2e_external_writer_both_sides(spark, tmp_path):
+    """r7 verdict ask #1 done-condition: an external DuckDB writer mutates
+    fact AND dim between polls and the maintained join view equals the
+    DuckDB recompute each tick — including fact I/U/D, dim attribute
+    update, a dim DELETE dropping its facts, and a dim INSERT re-surfacing
+    a previously-dangling fact.  The fold tick must take the INCREMENTAL
+    path (pinned by wrapping maintain_join), not a silent rebuild."""
+    import duckdb
+
+    db = _join_db(tmp_path)
+    eng = _engine(spark, tmp_path)
+    _register_join(eng)
+    srcs = _join_sources(spark, db)
+
+    # tick 1: initial build (full join of first snapshots)
+    eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)
+    assert _view_join_dict(eng) == _join_recompute(db)
+
+    # external writer mutates BOTH tables
+    con = duckdb.connect(db)
+    con.execute("INSERT INTO orders VALUES (7,2,70.0)")      # fact INSERT
+    con.execute("UPDATE orders SET o_price = 11.0 WHERE o_id = 1")  # fact UPDATE
+    con.execute("DELETE FROM orders WHERE o_id = 3")          # fact DELETE
+    con.execute("UPDATE cust SET c_bal = 999.0 WHERE c_ck = 1")  # dim UPDATE
+    con.execute("DELETE FROM cust WHERE c_ck = 4")            # drops order 5
+    con.execute("INSERT INTO cust VALUES (5,'D',500.0)")      # resurfaces order 6
+    con.close()
+
+    # tick 2: both deltas fold through the incremental path
+    import cdc_lite_spark.operators.incremental as inc
+
+    calls = []
+    orig = inc.maintain_join
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    inc.maintain_join = spy
+    try:
+        eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)
+    finally:
+        inc.maintain_join = orig
+    assert calls, "fold tick must use maintain_join, not a rebuild"
+    want = _join_recompute(db)
+    assert _view_join_dict(eng) == want
+    assert 5 not in want and 6 in want  # dim delete dropped / insert resurfaced
+
+    # tick 3 (quiet): idempotent, basis unchanged
+    basis_before = eng._read_join_basis("om")
+    assert eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS) == []
+    assert eng._read_join_basis("om") == basis_before
+    assert _view_join_dict(eng) == want
+
+
+def test_join_view_single_side_tick_folds(spark, tmp_path):
+    """A tick where only ONE side changed folds with an empty delta on the
+    unchanged side (the common steady-state shape)."""
+    import duckdb
+
+    db = _join_db(tmp_path)
+    eng = _engine(spark, tmp_path)
+    _register_join(eng)
+    srcs = _join_sources(spark, db)
+    eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)
+
+    con = duckdb.connect(db)
+    con.execute("UPDATE orders SET o_price = o_price * 2 WHERE o_ck = 1")
+    con.close()
+    assert eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS) == ["orders"]
+    assert _view_join_dict(eng) == _join_recompute(db)
+
+
+def test_late_registered_join_view_builds_then_folds(spark, tmp_path):
+    """A join view registered AFTER ticks already ran initializes from the
+    current snapshots on the next tick (changed or quiet)."""
+    import duckdb
+
+    db = _join_db(tmp_path)
+    eng = _engine(spark, tmp_path)
+    srcs = _join_sources(spark, db)
+    eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)
+
+    _register_join(eng)
+    # quiet tick: late view builds from current snapshots
+    assert eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS) == []
+    assert _view_join_dict(eng) == _join_recompute(db)
+
+    con = duckdb.connect(db)
+    con.execute("DELETE FROM orders WHERE o_id = 2")
+    con.close()
+    eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)
+    assert _view_join_dict(eng) == _join_recompute(db)
+
+
+def test_join_view_rebuilds_past_snapshot_retention(spark, tmp_path):
+    """A join view that lagged past snapshot retention (its basis versions
+    GC'd) REBUILDS from the current snapshots instead of failing or going
+    silently stale."""
+    import duckdb
+
+    db = _join_db(tmp_path)
+    eng = _engine(spark, tmp_path)
+    _register_join(eng)
+    srcs = _join_sources(spark, db)
+    eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)
+
+    # detach the view, run several changing ticks so v=1 snapshots are GC'd
+    spec = eng._join_views.pop("om")
+    for price in (101.0, 102.0, 103.0):
+        con = duckdb.connect(db)
+        con.execute(f"UPDATE orders SET o_price = {price} WHERE o_id = 4")
+        con.close()
+        eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)
+    eng._join_views["om"] = spec
+    assert eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS) == []
+    assert _view_join_dict(eng) == _join_recompute(db)
+
+
+def test_join_view_spec_pinned_and_respec_refused(spark, tmp_path):
+    """The join spec pins beside the state after the first successful
+    build; a restart that re-registers the same name with a different join
+    shape must refuse instead of folding mixed definitions."""
+    import pytest
+
+    db = _join_db(tmp_path)
+    eng = _engine(spark, tmp_path)
+    _register_join(eng)
+    srcs = _join_sources(spark, db)
+    eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)
+    assert eng.view("om").count() > 0
+
+    eng2 = _engine(spark, tmp_path)  # restart with a drifted fact FK column
+    eng2.register_join_view(
+        "om",
+        fact_table="orders",
+        dim_table="cust",
+        fact_key="o_id",
+        fact_dim_col="o_price",  # drifted
+        dim_key="c_ck",
+    )
+    with pytest.raises(ValueError, match="built with spec"):
+        eng2.view("om")
+    # the fold path refuses too, isolated: the capture itself still works
+    con = __import__("duckdb").connect(db)
+    con.execute("DELETE FROM orders WHERE o_id = 1")
+    con.close()
+    assert sorted(eng2.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)) == ["orders"]
+
+
+def test_join_view_errors_are_isolated(spark, tables, tmp_path, capsys):
+    """A join view whose tables collide on column names logs per tick and
+    lags; captures and agg views proceed (H6 discipline)."""
+    eng = _engine(spark, tmp_path)
+    # nation and region BOTH after a rename collide on 'shared'
+    nation = tables["nation"].select(
+        "n_nationkey", F.col("n_regionkey").alias("fk"), F.col("n_name").alias("shared")
+    )
+    region = tables["region"].select(
+        "r_regionkey", F.col("r_name").alias("shared")
+    )
+    eng.register_join_view(
+        "bad",
+        fact_table="nat",
+        dim_table="reg",
+        fact_key="n_nationkey",
+        fact_dim_col="fk",
+        dim_key="r_regionkey",
+    )
+    eng.register_agg_view("good", "reg", ["shared"], "r_regionkey")
+    keys = {"nat": ["n_nationkey"], "reg": ["r_regionkey"]}
+    captured = eng.poll_once({"nat": nation, "reg": region}, mode="diff", keys=keys)
+    assert sorted(captured) == ["nat", "reg"]
+    assert "error maintaining view bad" in capsys.readouterr().out
+    assert eng.view("good").count() == 5
+    import pytest
+
+    with pytest.raises(ValueError, match="no materialized state"):
+        eng.view("bad")
+
+
+def test_view_name_collision_across_kinds_is_refused(spark, tmp_path):
+    import pytest
+
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("x", "t", ["k"], "v")
+    with pytest.raises(ValueError, match="already registered as an agg view"):
+        eng.register_join_view("x", "f", "d", "fk", "fdc", "dk")
+    eng.register_join_view("j", "f", "d", "fk", "fdc", "dk")
+    with pytest.raises(ValueError, match="already registered as a join view"):
+        eng.register_agg_view("j", "t", ["k"], "v")
+
+
 def test_quiet_tick_retry_is_isolated_per_table(spark, tables, tmp_path):
     """A view on a table whose keys are missing from THIS poll call must
     not abort the tick for the other tables (H6 discipline on the retry
