@@ -544,6 +544,7 @@ class CdcEngine:
         lo: float | None = None,
         hi: float | None = None,
         bins: int = 64,
+        lgk: int = 12,
     ) -> None:
         """Declare a grouped aggregate over a DIFF-mode monitored table to be
         MAINTAINED per tick from the captured change records — the engine-loop
@@ -558,6 +559,16 @@ class CdcEngine:
         use DECIMAL/integer value columns for drift-free sums), so the
         maintained state stays bit-equal to a rescan.
 
+        ``kind="distinct_count"`` maintains one HyperLogLog sketch per key
+        (``operators/sketches.py``; ``lgk`` sizes the registers).  HLL merge
+        is LOSSLESS (register-max), so an insert-only tick folds by merging
+        the delta's sketches and the maintained estimate equals the
+        from-scratch estimate exactly.  HLLs do NOT retract: a tick whose
+        changes contain a DELETE, or an UPDATE that changes the value,
+        degrades to a rebuild from the current snapshot — the documented
+        tradeoff of sketch state (still O(table) only on such ticks, and
+        only for this view).
+
         State is versioned by the SNAPSHOT version it reflects
         (``views/<name>/v=N`` + ``_SUCCESS`` pointer protocol), which makes
         maintenance replay-idempotent and self-healing: a view that missed a
@@ -566,7 +577,7 @@ class CdcEngine:
         new one; past snapshot retention it rebuilds from the current
         snapshot — a one-off table scan, the same cost as the initial build.
         """
-        if kind not in ("sum_count", "histogram"):
+        if kind not in ("sum_count", "histogram", "distinct_count"):
             raise ValueError(f"unknown view kind: {kind!r}")
         if name in self._join_views:
             raise ValueError(f"view name {name!r} already registered as a join view")
@@ -585,6 +596,7 @@ class CdcEngine:
             "lo": lo,
             "hi": hi,
             "bins": bins,
+            "lgk": lgk,
         }
 
     def _view_dir(self, name: str) -> str:
@@ -614,6 +626,11 @@ class CdcEngine:
             )
         else:
             fields = ("table", "group_keys", "value_col", "kind", "lo", "hi", "bins")
+            # lgk joins the pinned spec only for the kind it parameterizes:
+            # sum_count/histogram states pinned before it existed must keep
+            # matching their persisted spec JSON
+            if s.get("kind") == "distinct_count":
+                fields += ("lgk",)
         return {k: s[k] for k in fields}
 
     def _read_view_spec(self, name: str) -> dict | None:
@@ -730,15 +747,6 @@ class CdcEngine:
             return
         from collections import Counter
 
-        from cdc_lite_spark.operators.histogram import (
-            apply_histogram_delta,
-            histogram_state,
-        )
-        from cdc_lite_spark.operators.incremental import (
-            apply_delta,
-            sum_count_state,
-        )
-
         snap = self._snapshot_path(table)
         cur = self.spark.read.parquet(f"{snap}/v={new_v}")
         #: views sharing a base version share ONE diff; persist() only pays
@@ -765,35 +773,16 @@ class CdcEngine:
             for name, s, vv, pinned in lagging:
                 try:
                     changes = _changes_from(vv) if vv is not None else None
+                    state = None
                     if changes is not None:
                         prev_state = self.spark.read.parquet(
                             f"{self._view_dir(name)}/v={vv}"
                         )
-                        if s["kind"] == "sum_count":
-                            state = apply_delta(
-                                prev_state, changes, s["group_keys"], s["value_col"]
-                            )
-                        else:
-                            state = apply_histogram_delta(
-                                prev_state,
-                                changes,
-                                s["group_keys"],
-                                s["value_col"],
-                                s["lo"],
-                                s["hi"],
-                                s["bins"],
-                            )
-                    elif s["kind"] == "sum_count":
-                        state = sum_count_state(cur, s["group_keys"], s["value_col"])
-                    else:
-                        state = histogram_state(
-                            cur,
-                            s["group_keys"],
-                            s["value_col"],
-                            s["lo"],
-                            s["hi"],
-                            s["bins"],
-                        )
+                        # None = this kind cannot fold THIS delta (HLL
+                        # retraction): fall through to the rebuild
+                        state = self._fold_agg_state(s, prev_state, changes)
+                    if state is None:
+                        state = self._build_agg_state(s, cur)
                     state.write.mode("overwrite").parquet(
                         f"{self._view_dir(name)}/v={new_v}"
                     )
@@ -810,6 +799,95 @@ class CdcEngine:
         finally:
             for df in persisted_diffs:
                 df.unpersist()
+
+    def _build_agg_state(self, s: dict, cur: DataFrame) -> DataFrame:
+        """Per-kind state from a full snapshot scan — the initial build and
+        the healing/rebuild path."""
+        if s["kind"] == "sum_count":
+            from cdc_lite_spark.operators.incremental import sum_count_state
+
+            return sum_count_state(cur, s["group_keys"], s["value_col"])
+        if s["kind"] == "histogram":
+            from cdc_lite_spark.operators.histogram import histogram_state
+
+            return histogram_state(
+                cur, s["group_keys"], s["value_col"], s["lo"], s["hi"], s["bins"]
+            )
+        from cdc_lite_spark.operators.sketches import distinct_sketch_state
+
+        return distinct_sketch_state(cur, s["group_keys"], s["value_col"], s["lgk"])
+
+    def _fold_agg_state(
+        self, s: dict, prev_state: DataFrame, changes: DataFrame
+    ) -> DataFrame | None:
+        """Per-kind O(delta) fold of this tick's diff into the previous
+        state.  Returns ``None`` when the kind cannot fold this particular
+        delta — only ``distinct_count`` with retractions (DELETE, or UPDATE
+        that changed the value): HLL registers are max-only, so the caller
+        rebuilds from the current snapshot instead (documented degradation;
+        sum_count/histogram folds are total)."""
+        if s["kind"] == "sum_count":
+            from cdc_lite_spark.operators.incremental import apply_delta
+
+            return apply_delta(prev_state, changes, s["group_keys"], s["value_col"])
+        if s["kind"] == "histogram":
+            from cdc_lite_spark.operators.histogram import apply_histogram_delta
+
+            return apply_histogram_delta(
+                prev_state,
+                changes,
+                s["group_keys"],
+                s["value_col"],
+                s["lo"],
+                s["hi"],
+                s["bins"],
+            )
+        from cdc_lite_spark.operators.sketches import (
+            distinct_sketch_state,
+            merge_states,
+        )
+
+        v = s["value_col"]
+
+        def _prev(c: str):
+            # no prev_ twin for diff-key columns (a key cannot change)
+            return F.col(f"prev_{c}") if f"prev_{c}" in changes.columns else F.col(c)
+
+        # an UPDATE retracts when the VALUE changed, or when any GROUP KEY
+        # changed (the row left its old group's sketch — also unretractable)
+        moved = F.lit(False)
+        for c in [v, *s["group_keys"]]:
+            moved = moved | ~_prev(c).eqNullSafe(F.col(c))
+        retracting = (
+            changes.filter(
+                (F.col("operation") == "DELETE")
+                | ((F.col("operation") == "UPDATE") & moved)
+            )
+            .limit(1)
+            .count()
+            > 0
+        )
+        if retracting:
+            return None
+        # insert-only delta (UPDATEs left are value-preserving no-ops):
+        # merge the delta's sketches — lossless, estimate equals rebuild
+        inserts = changes.filter(F.col("operation") == "INSERT")
+        delta = distinct_sketch_state(inserts, s["group_keys"], v, s["lgk"])
+        return merge_states(prev_state, delta, s["group_keys"])
+
+    def view_distinct_counts(self, name: str) -> DataFrame:
+        """Per-key distinct-count estimates from a maintained
+        ``distinct_count`` view — reads only the (tiny) sketch state."""
+        spec = self._agg_views.get(name)
+        if spec is None:
+            raise ValueError(f"no registered view: {name!r}")
+        if spec["kind"] != "distinct_count":
+            raise ValueError(f"view {name!r} is {spec['kind']}, not distinct_count")
+        return self.view(name).select(
+            *spec["group_keys"],
+            F.hll_sketch_estimate(F.col("sketch")).alias("distinct_estimate"),
+            F.col("n_rows"),
+        )
 
     # -- maintained join views --------------------------------------------------
 

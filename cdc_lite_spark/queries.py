@@ -7812,3 +7812,165 @@ def q_incremental_join_agg_maintenance(spark: SparkSession, sf_dir: str) -> Data
         "agg_count",
         "agg_rows",
     )
+
+
+@register(
+    "engine_join_view_maintenance",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 11 != 0 AND c_custkey % 10 != 3
+    """,
+    "Engine-loop join-view gate: ACTUALLY RUNS CdcEngine.poll_once twice "
+    "(register_join_view + two diff-mode ticks that mutate BOTH tables) "
+    "against persisted snapshots and the _basis pointer protocol; the "
+    "returned view is the engine's maintained state, the oracle recomputes "
+    "the join from scratch over the final table states — so the driver "
+    "itself pins that the in-loop incremental fold converges to the "
+    "re-join answer",
+    tags=("cdc", "incremental", "join", "engine"),
+)
+def q_engine_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-loop twin of incremental_join_maintenance (same fixture
+    tick, same oracle): tick 1 captures the prev state of fact AND dim,
+    tick 2 captures the cur state — the registered join view folds both
+    sides' snapshot diffs through maintain_join inside poll_once
+    (engine.py _maintain_join_views).  Per-tick work is affected-keys-
+    sized: the deltas broadcast, the fact side is semi-join-pruned, and
+    nothing re-joins the full tables (operators/incremental.py)."""
+    import shutil
+    import tempfile
+
+    from cdc_lite_spark.engine import CdcEngine
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    ok, ck = F.col("o_orderkey"), F.col("c_custkey")
+    fact_prev = orders.filter(ok % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(ok % 13 == 0, F.col("o_totalprice") + 100).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    fact_cur = orders.filter(ok % 11 != 0)
+    dim_prev = cust.filter(ck % 10 != 7).withColumn(
+        "c_acctbal",
+        F.when(ck % 5 == 0, F.col("c_acctbal") + 50).otherwise(F.col("c_acctbal")),
+    )
+    dim_cur = cust.filter(ck % 10 != 3)
+
+    td = tempfile.mkdtemp(prefix="cdc_join_view_")
+    try:
+        eng = CdcEngine(
+            spark,
+            output_dir=td + "/log",
+            state_dir=td + "/state",
+            # schema drift records are irrelevant to this gate and cost a
+            # latest-schema lookup per tick
+            emit_schema_changes=False,
+        )
+        eng.register_join_view(
+            "om",
+            fact_table="orders_v",
+            dim_table="cust_v",
+            fact_key="o_orderkey",
+            fact_dim_col="o_custkey",
+            dim_key="c_custkey",
+        )
+        keys = {"orders_v": ["o_orderkey"], "cust_v": ["c_custkey"]}
+        eng.poll_once(
+            {"orders_v": fact_prev, "cust_v": dim_prev}, mode="diff", keys=keys
+        )
+        eng.poll_once(
+            {"orders_v": fact_cur, "cust_v": dim_cur}, mode="diff", keys=keys
+        )
+        out = eng.view("om").select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        # materialize before the temp state dir disappears
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
+@register(
+    "incremental_distinct_maintenance",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_rows,
+           TRUE AS fold_equals_rebuild,
+           TRUE AS est_within_10pct
+    FROM events
+    WHERE event_id % 3 != 2 OR event_id % 7 = 0
+    GROUP BY event_type
+    """,
+    "Maintained distinct-count state (the third view kind): per-key HLL "
+    "sketches folded from an insert-only delta by LOSSLESS register-max "
+    "merge (operators/sketches.py merge_states) — the folded estimate must "
+    "EQUAL the from-scratch estimate bit-for-bit (fold_equals_rebuild), "
+    "and land within 10%% of the exact twin the oracle computes; n_rows "
+    "is maintained exactly",
+    tags=("cdc", "incremental", "sketch", "approx"),
+)
+def q_incremental_distinct_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimates are engine-specific, so the oracle checks the exact
+    twin plus flags (the approx_distinct_users pattern); the REAL gate is
+    fold_equals_rebuild — union(sketch(A), sketch(B)) is the same sketch
+    as sketch(A ∪ B), so any drift in the incremental path flips the flag
+    and hash-mismatches the row.  100 TB shape: state is one KB-bounded
+    sketch per key; a tick folds |inserts| rows; the flag comparison runs
+    over |keys| state rows only.  The base/insert split is plain integer
+    modulo on event_id so the oracle's WHERE selects exactly the grown
+    population (engine hash functions differ across Spark/DuckDB and are
+    deliberately avoided in the predicate)."""
+    from cdc_lite_spark.operators.sketches import (
+        distinct_sketch_state,
+        merge_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    base = ev.filter((F.col("event_id") % 3 != 2))
+    inserts = ev.filter((F.col("event_id") % 3 == 2) & (F.col("event_id") % 7 == 0))
+    grown = base.unionByName(inserts)
+
+    state = distinct_sketch_state(base, ["event_type"], "user_id")
+    delta = distinct_sketch_state(inserts, ["event_type"], "user_id")
+    folded = merge_states(state, delta, ["event_type"])
+    rebuilt = distinct_sketch_state(grown, ["event_type"], "user_id")
+
+    f = folded.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("est_fold"),
+        F.col("n_rows").alias("n_rows"),
+    )
+    r = rebuilt.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("est_rebuild"),
+    )
+    exact = grown.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        f.join(r, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_rows",
+            (F.col("est_fold") == F.col("est_rebuild")).alias("fold_equals_rebuild"),
+            (
+                F.abs(F.col("est_fold") - F.col("exact_users"))
+                <= 0.1 * F.col("exact_users")
+            ).alias("est_within_10pct"),
+        )
+    )

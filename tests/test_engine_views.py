@@ -299,6 +299,160 @@ def test_failed_first_fold_does_not_pin_spec(spark, tables, tmp_path):
         eng3.view("v")
 
 
+# -- distinct_count views (HLL sketch state, merge-only folds) ---------------
+
+
+def _exact_distinct(df, key, val):
+    return {
+        r[key]: (r["d"], r["n"])
+        for r in df.groupBy(key)
+        .agg(F.countDistinct(val).alias("d"), F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def _estimates(eng, name, key):
+    return {
+        r[key]: (r["distinct_estimate"], r["n_rows"])
+        for r in eng.view_distinct_counts(name).collect()
+    }
+
+
+def _rebuild_estimates(spark, df, key, val, lgk=12):
+    from cdc_lite_spark.operators.sketches import distinct_sketch_state
+
+    state = distinct_sketch_state(df, [key], val, lgk)
+    return {
+        r[key]: (r["est"], r["n_rows"])
+        for r in state.select(
+            key, F.hll_sketch_estimate("sketch").alias("est"), "n_rows"
+        ).collect()
+    }
+
+
+def test_distinct_view_insert_only_fold_equals_rebuild_exactly(spark, tables, tmp_path):
+    """Insert-only ticks fold by LOSSLESS sketch merge: the maintained
+    estimate must equal the from-scratch estimate EXACTLY (register-max
+    union), pinned by spying that merge_states (not a rebuild) ran."""
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view(
+        "du", "orders", ["o_orderstatus"], "o_custkey", kind="distinct_count"
+    )
+    orders = tables["orders"].select("o_orderkey", "o_orderstatus", "o_custkey")
+    base = orders.filter(F.col("o_orderkey") % 3 == 0)
+    keys = {"orders": ["o_orderkey"]}
+    eng.poll_once({"orders": base}, mode="diff", keys=keys)
+    assert _estimates(eng, "du", "o_orderstatus") == _rebuild_estimates(
+        spark, base, "o_orderstatus", "o_custkey"
+    )
+
+    grown = orders.filter(
+        (F.col("o_orderkey") % 3 == 0) | (F.col("o_orderkey") % 5 == 0)
+    )
+    import cdc_lite_spark.operators.sketches as sk
+
+    calls, orig = [], sk.merge_states
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    sk.merge_states = spy
+    try:
+        eng.poll_once({"orders": grown}, mode="diff", keys=keys)
+    finally:
+        sk.merge_states = orig
+    assert calls, "insert-only tick must take the merge fold, not a rebuild"
+    assert _estimates(eng, "du", "o_orderstatus") == _rebuild_estimates(
+        spark, grown, "o_orderstatus", "o_custkey"
+    )
+
+
+def test_distinct_view_retraction_degrades_to_rebuild(spark, tables, tmp_path):
+    """DELETEs (and group-moving or value-changing UPDATEs) cannot retract
+    from an HLL — the fold degrades to a rebuild from the current snapshot
+    and the result still matches a from-scratch build."""
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view(
+        "du", "orders", ["o_orderstatus"], "o_custkey", kind="distinct_count"
+    )
+    orders = tables["orders"].select("o_orderkey", "o_orderstatus", "o_custkey")
+    keys = {"orders": ["o_orderkey"]}
+    eng.poll_once({"orders": orders}, mode="diff", keys=keys)
+
+    import cdc_lite_spark.operators.sketches as sk
+
+    calls, orig = [], sk.merge_states
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    shrunk = orders.filter(F.col("o_orderkey") % 7 != 0)
+    sk.merge_states = spy
+    try:
+        eng.poll_once({"orders": shrunk}, mode="diff", keys=keys)
+    finally:
+        sk.merge_states = orig
+    assert not calls, "a deleting tick must rebuild, not merge"
+    assert _estimates(eng, "du", "o_orderstatus") == _rebuild_estimates(
+        spark, shrunk, "o_orderstatus", "o_custkey"
+    )
+    # sanity: the estimate is near the exact count on this data
+    exact = _exact_distinct(shrunk, "o_orderstatus", "o_custkey")
+    for k, (est, n) in _estimates(eng, "du", "o_orderstatus").items():
+        assert abs(est - exact[k][0]) <= 0.1 * exact[k][0]
+        assert n == exact[k][1]
+
+
+def test_distinct_view_group_moving_update_rebuilds(spark, tables, tmp_path):
+    """An UPDATE that moves rows across GROUPS (value unchanged) is a
+    retraction from the old group's sketch — must rebuild, and match."""
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view(
+        "du", "nation", ["n_regionkey"], "n_name", kind="distinct_count"
+    )
+    keys = {"nation": ["n_nationkey"]}
+    base = tables["nation"]
+    eng.poll_once({"nation": base}, mode="diff", keys=keys)
+    moved = base.withColumn(
+        "n_regionkey",
+        F.when(F.col("n_nationkey") % 6 == 1, F.lit(99)).otherwise(
+            F.col("n_regionkey")
+        ),
+    )
+    eng.poll_once({"nation": moved}, mode="diff", keys=keys)
+    assert _estimates(eng, "du", "n_regionkey") == _rebuild_estimates(
+        spark, moved, "n_regionkey", "n_name"
+    )
+
+
+def test_distinct_view_validation_and_spec(spark, tables, tmp_path):
+    import pytest
+
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("sc", "region", ["r_name"], "r_regionkey")
+    with pytest.raises(ValueError, match="not distinct_count"):
+        eng.view_distinct_counts("sc")
+    with pytest.raises(ValueError, match="no registered view"):
+        eng.view_distinct_counts("absent")
+
+    # lgk is part of the pinned spec: a restart with a different lgk refuses
+    eng.register_agg_view(
+        "du", "region", ["r_name"], "r_regionkey", kind="distinct_count", lgk=12
+    )
+    keys = {"region": ["r_regionkey"]}
+    eng.poll_once({"region": tables["region"]}, mode="diff", keys=keys)
+    assert eng.view_distinct_counts("du").count() == 5
+
+    eng2 = _engine(spark, tmp_path)
+    eng2.register_agg_view(
+        "du", "region", ["r_name"], "r_regionkey", kind="distinct_count", lgk=14
+    )
+    with pytest.raises(ValueError, match="built with spec"):
+        eng2.view("du")
+
+
 # -- maintained JOIN views (engine-loop form of operators/incremental.py) ----
 
 
