@@ -922,7 +922,7 @@ def q_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the sweep consumes its input twice; materialize the sessionization so
     # the fact-side shuffle runs once (see interval_concurrency docstring)
-    swept = interval_concurrency(ivals.localCheckpoint(), "s_us", "e_us")
+    swept = interval_concurrency(ivals, "s_us", "e_us", checkpoint=True)
     return swept.groupBy(
         (F.expr("t div 3600000000") * 3600).alias("hour_epoch")
     ).agg(

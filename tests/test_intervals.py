@@ -101,3 +101,46 @@ def test_agrees_with_plain_global_window(spark):
     a = {r["t"]: r["concurrency"] for r in fast.collect()}
     b = {r["t"]: r["concurrency"] for r in slow.collect()}
     assert a == b
+
+
+def test_checkpoint_computes_expensive_source_once(spark):
+    """checkpoint=True materializes the input ONCE up front: an expensive
+    interval source (counted via an accumulator inside mapInPandas) is
+    derived a single time, where the default plan re-derives it per
+    branch; results are identical either way."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.range(100).coalesce(1).select(
+        (F.col("id") * (US_H // 10)).alias("s_us"),
+        (F.col("id") * (US_H // 10) + US_H).alias("e_us"),
+    )
+    expensive = base.mapInPandas(counted, "s_us long, e_us long")
+
+    want = {
+        r["t"]: r["concurrency"]
+        for r in interval_concurrency(base, "s_us", "e_us").collect()
+    }
+    got = {
+        r["t"]: r["concurrency"]
+        for r in interval_concurrency(
+            expensive, "s_us", "e_us", checkpoint=True
+        ).collect()
+    }
+    assert got == want
+    assert acc.value == 100  # one derivation of the 100-row source
+
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def counted2(batches):
+        for pdf in batches:
+            acc2.add(len(pdf))
+            yield pdf
+
+    expensive2 = base.mapInPandas(counted2, "s_us long, e_us long")
+    interval_concurrency(expensive2, "s_us", "e_us").collect()
+    assert acc2.value >= 200  # default plan re-derives the source per branch
