@@ -95,6 +95,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "register those via the register_agg_view API)",
     )
     p.add_argument(
+        "--join-view",
+        default="",
+        help="name=fact:dim:fact_key:fact_dim_col:dim_key,... — maintain a "
+        "materialized fact⋈dim inner join view from both tables' change "
+        "records (diff mode only; both tables must be monitored with keys; "
+        "read it back with CdcEngine.view(name))",
+    )
+    p.add_argument(
         "--retention-minutes",
         type=float,
         default=None,
@@ -163,6 +171,26 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 f"with a --keys entry"
             )
         eng.register_agg_view(name, vtable, gk.split("+"), vcol)
+    for kv in (s for s in args.join_view.split(",") if s):
+        name, _, spec = kv.partition("=")
+        parts = spec.split(":")
+        if not name or len(parts) != 5 or not all(parts):
+            p.error(
+                f"--join-view entry {kv!r}: expected "
+                f"name=fact:dim:fact_key:fact_dim_col:dim_key"
+            )
+        fact, dim, fkey, fdc, dkey = parts
+        bad = [t for t in (fact, dim) if t not in tables or t not in keys]
+        if bad or args.mode != "diff":
+            p.error(
+                f"--join-view {name!r}: views fold change records, so both "
+                f"{fact!r} and {dim!r} must be monitored (--tables) in "
+                f"--mode diff with --keys entries"
+            )
+        eng.register_join_view(
+            name, fact_table=fact, dim_table=dim,
+            fact_key=fkey, fact_dim_col=fdc, dim_key=dkey,
+        )
     overlap = set(partition_cols) & set(keys)
     if overlap:
         # retention GC's latest-per-key folding would mangle a

@@ -39,6 +39,20 @@ from pyspark.sql import functions as F
 DEFAULT_LGK = 12
 
 
+def _sketchable(df: DataFrame, value_col: str):
+    """``hll_sketch_agg`` accepts only INT/BIGINT/STRING/BINARY — widen
+    narrow ints and render every other atomic type to its string form.
+    The cast is injective within a column's type (DECIMAL keeps its scale,
+    DATE/TIMESTAMP render canonically), so distinctness is preserved;
+    NULLs stay NULL and are skipped by the sketch either way."""
+    t = dict(df.dtypes).get(value_col)
+    if t in ("int", "bigint", "string", "binary"):
+        return F.col(value_col)
+    if t in ("tinyint", "smallint"):
+        return F.col(value_col).cast("int")
+    return F.col(value_col).cast("string")
+
+
 def distinct_sketch_state(
     df: DataFrame,
     grain_cols: list[str],
@@ -50,10 +64,12 @@ def distinct_sketch_state(
     This is the state table a CDC/analytics engine persists: columns are
     the grain keys, `sketch` (binary, bounded size), and `n_rows` (exact,
     for observability).  Build cost is one scan + one partial-aggregable
-    shuffle keyed on the grain.
+    shuffle keyed on the grain.  Any atomic value type is accepted (see
+    :func:`_sketchable`); estimates are only comparable between states
+    built over the same column type, which versioned state guarantees.
     """
     return df.groupBy(*grain_cols).agg(
-        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sketch"),
+        F.hll_sketch_agg(_sketchable(df, value_col), F.lit(lgk)).alias("sketch"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

@@ -1,14 +1,15 @@
-"""CDC with maintained aggregate views, end to end — runnable:
+"""CDC with maintained aggregate AND join views, end to end — runnable:
 
     python examples/maintained_views.py [workdir]
 
-Creates a DuckDB database, monitors it in diff mode with two registered
-views (a per-group sum/count and a fixed-edge histogram), mutates the
-database between polls like an external application would, and prints
-the view states plus interpolated quantiles after each tick.  Each tick
-folds ONLY the change records into the persisted state — the table is
-never rescanned after the initial build, which is the shape that holds
-at 100 TB.
+Creates a DuckDB database, monitors it in diff mode with four registered
+views (a per-group sum/count, a fixed-edge histogram, a per-group HLL
+distinct count, and a fact⋈dim join view), mutates the database between
+polls like an external application would, and prints the view states
+plus interpolated quantiles after each tick.  Each tick folds ONLY the
+change records into the persisted state — the tables are never re-joined
+or rescanned after the initial build (except the documented HLL
+degradation on deleting ticks), which is the shape that holds at 100 TB.
 """
 
 from __future__ import annotations
@@ -46,6 +47,11 @@ def main() -> int:
         "INSERT INTO orders SELECT range, ['open','paid','void'][1 + range % 3], "
         "(range % 900) * 1.25 FROM range(5000)"
     )
+    con.execute("CREATE TABLE status_dim(code VARCHAR, team VARCHAR)")
+    con.execute(
+        "INSERT INTO status_dim VALUES ('open','sales'), ('paid','finance'), "
+        "('void','support')"
+    )
     con.close()
 
     spark = get_spark("maintained_views_example", cpus=8)
@@ -60,24 +66,45 @@ def main() -> int:
         "amount_hist", "orders", ["status"], "amount",
         kind="histogram", lo=0.0, hi=1200.0, bins=24,
     )
-    src = ConsistentSnapshotSource(spark, db).sources(["orders"])["orders"]
-    keys = {"orders": ["id"]}
+    # distinct amounts per status: KB-sized HLL state, lossless merges on
+    # insert-only ticks, rebuild on deleting ticks (HLLs don't retract)
+    eng.register_agg_view(
+        "distinct_amounts", "orders", ["status"], "amount", kind="distinct_count"
+    )
+    # the join view: orders ⋈ status_dim kept current from BOTH sides'
+    # change records — affected keys only, never a full re-join
+    eng.register_join_view(
+        "orders_teams",
+        fact_table="orders",
+        dim_table="status_dim",
+        fact_key="id",
+        fact_dim_col="status",
+        dim_key="code",
+    )
+    srcs = ConsistentSnapshotSource(spark, db).sources(["orders", "status_dim"])
+    keys = {"orders": ["id"], "status_dim": ["code"]}
 
-    eng.poll_once({"orders": src}, mode="diff", keys=keys)
+    eng.poll_once(srcs, mode="diff", keys=keys)
     show("tick 1: revenue by status", eng.view("revenue"))
     show("tick 1: median/p95 amount", eng.view_quantiles("amount_hist", [0.5, 0.95]))
+    show("tick 1: distinct amounts", eng.view_distinct_counts("distinct_amounts"))
+    show("tick 1: joined view (first rows)", eng.view("orders_teams"), limit=3)
 
-    # an external writer mutates the table between polls
+    # an external writer mutates BOTH tables between polls
     con = duckdb.connect(db)
     con.execute("DELETE FROM orders WHERE id % 10 = 0")
     con.execute("UPDATE orders SET amount = amount * 2 WHERE status = 'paid'")
     con.execute("INSERT INTO orders VALUES (90001, 'open', 9999.00)")  # clamps
+    con.execute("UPDATE status_dim SET team = 'treasury' WHERE code = 'paid'")
     con.close()
 
-    captured = eng.poll_once({"orders": src}, mode="diff", keys=keys)
+    captured = eng.poll_once(srcs, mode="diff", keys=keys)
     print(f"tick 2 captured: {captured} (views folded from change records only)")
     show("tick 2: revenue by status", eng.view("revenue"))
     show("tick 2: median/p95 amount", eng.view_quantiles("amount_hist", [0.5, 0.95]))
+    show("tick 2: distinct amounts", eng.view_distinct_counts("distinct_amounts"))
+    teams = eng.view("orders_teams").groupBy("team").count()
+    show("tick 2: joined view rows per team", teams)
 
     if len(sys.argv) <= 1:
         shutil.rmtree(work, ignore_errors=True)

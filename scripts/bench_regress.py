@@ -1,9 +1,11 @@
 """Bench regression gate: compare the latest BENCH_DETAIL.json (written by
 bench.py) against the committed BENCH_BASELINE.json.  Flags any query slower
-than THRESHOLD x its baseline (new queries pass automatically).
+than THRESHOLD x its baseline, and any query MISSING a baseline entry — a
+blind spot is itself a failure (r7: a 3x swing on an unbaselined query went
+unflagged), so extending the registry requires refreshing the baseline.
 
 Usage: python bench.py && python scripts/bench_regress.py [threshold]
-Exit code 1 if any regression is found.
+Exit code 1 if any regression or missing baseline entry is found.
 """
 
 from __future__ import annotations
@@ -19,18 +21,24 @@ repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 detail = json.load(open(os.path.join(repo, "BENCH_DETAIL.json")))
 baseline = json.load(open(os.path.join(repo, "BENCH_BASELINE.json")))
 
-regressions = []
+regressions, missing = [], []
 for name, sec in sorted(detail["queries"].items()):
     base = baseline["queries"].get(name)
-    if base is None or sec < 0:
+    if base is None:
+        missing.append(name)
+        continue
+    if sec < 0:
         continue
     if sec > base * THRESHOLD and sec - base > MIN_SECONDS:
         regressions.append((name, base, sec))
 
 for name, base, sec in regressions:
     print(f"REGRESSION {name}: {base:.2f}s -> {sec:.2f}s ({sec / base:.1f}x)")
+for name in missing:
+    print(f"MISSING BASELINE {name}: refresh BENCH_BASELINE.json (see its 'runs' note)")
 print(
     f"checked {len(detail['queries'])} queries against round-{baseline.get('round', '?')} "
-    f"baseline: {len(regressions)} regression(s), total {detail['value']:.1f}s"
+    f"baseline: {len(regressions)} regression(s), {len(missing)} missing, "
+    f"total {detail['value']:.1f}s"
 )
-sys.exit(1 if regressions else 0)
+sys.exit(1 if regressions or missing else 0)

@@ -178,3 +178,62 @@ def test_cli_agg_view_maintained_and_validated(spark, sf_dir, tmp_path):
                "--agg-view", "rev=orders:o_orderstatus:o_totalprice"],
             spark=spark,
         )
+
+
+def test_cli_join_view_maintained_and_validated(spark, sf_dir, tmp_path):
+    """--join-view registers a maintained fact⋈dim view the monitor folds
+    per tick from both tables' change records; malformed or
+    partially-monitored specs fail at parse time."""
+    import pytest
+
+    from cdc_lite_spark import CdcEngine
+    from cdc_lite_spark.cli import main
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    rc = main(
+        [
+            "--source", sf_dir,
+            "--tables", "nation,region",
+            "--output-dir", out,
+            "--state-dir", state,
+            "--interval", "0.5",
+            "--duration", "14",
+            "--mode", "diff",
+            "--keys", "nation=n_nationkey,region=r_regionkey",
+            "--join-view", "nr=nation:region:n_nationkey:n_regionkey:r_regionkey",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    eng = CdcEngine(spark, output_dir=out, state_dir=state)
+    eng.register_join_view(
+        "nr",
+        fact_table="nation",
+        dim_table="region",
+        fact_key="n_nationkey",
+        fact_dim_col="n_regionkey",
+        dim_key="r_regionkey",
+    )
+    view = eng.view("nr")
+    assert view.count() == 25  # every nation joins its region
+    assert set(view.columns) >= {"n_nationkey", "n_regionkey", "r_regionkey", "r_name"}
+
+    base = [
+        "--source", sf_dir,
+        "--tables", "nation,region",
+        "--output-dir", out,
+        "--state-dir", state,
+        "--duration", "0.1",
+        "--mode", "diff",
+        "--keys", "nation=n_nationkey,region=r_regionkey",
+    ]
+    with pytest.raises(SystemExit):  # malformed spec (4 fields)
+        main(base + ["--join-view", "nr=nation:region:n_nationkey:n_regionkey"],
+             spark=spark)
+    with pytest.raises(SystemExit):  # dim not monitored
+        main(["--source", sf_dir, "--tables", "nation",
+              "--output-dir", out, "--state-dir", state,
+              "--duration", "0.1", "--mode", "diff",
+              "--keys", "nation=n_nationkey",
+              "--join-view", "nr=nation:region:n_nationkey:n_regionkey:r_regionkey"],
+             spark=spark)
