@@ -7883,11 +7883,15 @@ def q_engine_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             dim_key="c_custkey",
         )
         keys = {"orders_v": ["o_orderkey"], "cust_v": ["c_custkey"]}
+        # parallelism=2: the two tables' detect scans are independent jobs —
+        # overlapping them shaves the serial fingerprint latency per tick
         eng.poll_once(
-            {"orders_v": fact_prev, "cust_v": dim_prev}, mode="diff", keys=keys
+            {"orders_v": fact_prev, "cust_v": dim_prev},
+            mode="diff", keys=keys, parallelism=2,
         )
         eng.poll_once(
-            {"orders_v": fact_cur, "cust_v": dim_cur}, mode="diff", keys=keys
+            {"orders_v": fact_cur, "cust_v": dim_cur},
+            mode="diff", keys=keys, parallelism=2,
         )
         out = eng.view("om").select(
             "o_orderkey",
