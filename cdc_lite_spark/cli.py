@@ -187,10 +187,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 f"{fact!r} and {dim!r} must be monitored (--tables) in "
                 f"--mode diff with --keys entries"
             )
-        eng.register_join_view(
-            name, fact_table=fact, dim_table=dim,
-            fact_key=fkey, fact_dim_col=fdc, dim_key=dkey,
-        )
+        if fact == dim:
+            # would fail the column-overlap check on every tick forever —
+            # fail at startup like every other malformed spec
+            p.error(f"--join-view {name!r}: fact and dim must be different tables")
+        try:
+            eng.register_join_view(
+                name, fact_table=fact, dim_table=dim,
+                fact_key=fkey, fact_dim_col=fdc, dim_key=dkey,
+            )
+        except ValueError as exc:  # e.g. name collides with an --agg-view
+            p.error(f"--join-view {name!r}: {exc}")
     overlap = set(partition_cols) & set(keys)
     if overlap:
         # retention GC's latest-per-key folding would mangle a

@@ -7922,7 +7922,7 @@ def q_engine_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     "sketches folded from an insert-only delta by LOSSLESS register-max "
     "merge (operators/sketches.py merge_states) — the folded estimate must "
     "EQUAL the from-scratch estimate bit-for-bit (fold_equals_rebuild), "
-    "and land within 10%% of the exact twin the oracle computes; n_rows "
+    "and land within 10% of the exact twin the oracle computes; n_rows "
     "is maintained exactly",
     tags=("cdc", "incremental", "sketch", "approx"),
 )

@@ -700,6 +700,56 @@ def test_join_view_errors_are_isolated(spark, tables, tmp_path, capsys):
         eng.view("bad")
 
 
+def test_tick_diff_computed_once_and_shared(spark, tables, tmp_path):
+    """r8 review: the prev→cur snapshot diff is the dominant per-tick cost
+    and used to be recomputed by the log write, each agg-view fold, and
+    each join-view fold.  One changed table with an agg view AND a join
+    view must call snapshot_diff exactly ONCE on the changing tick — the
+    persisted tick diff feeds every consumer."""
+    import cdc_lite_spark.engine as eng_mod
+
+    eng = _engine(spark, tmp_path)
+    nation = tables["nation"]
+    region = tables["region"]
+    eng.register_agg_view("per_region", "nation", ["n_regionkey"], "n_nationkey")
+    eng.register_join_view(
+        "nr",
+        fact_table="nation",
+        dim_table="region",
+        fact_key="n_nationkey",
+        fact_dim_col="n_regionkey",
+        dim_key="r_regionkey",
+    )
+    keys = {"nation": ["n_nationkey"], "region": ["r_regionkey"]}
+    eng.poll_once({"nation": nation, "region": region}, mode="diff", keys=keys)
+
+    calls, orig = [], eng_mod.snapshot_diff
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    mutated = nation.filter(F.col("n_nationkey") % 5 != 0)
+    eng_mod.snapshot_diff = spy
+    try:
+        # only nation changes: ONE diff (the capture's), shared by the log
+        # write, the agg fold, and the join fold (region side is empty)
+        eng.poll_once({"nation": mutated, "region": region}, mode="diff", keys=keys)
+    finally:
+        eng_mod.snapshot_diff = orig
+    assert len(calls) == 1
+    # and the shared diff produced correct states everywhere
+    got = {r["n_regionkey"]: r["agg_rows"] for r in eng.view("per_region").collect()}
+    want = {
+        r["n_regionkey"]: r["c"]
+        for r in mutated.groupBy("n_regionkey").agg(F.count("*").alias("c")).collect()
+    }
+    assert got == want
+    assert eng.view("nr").count() == mutated.count()
+    # the tick-scoped cache was dropped at tick end
+    assert eng._tick_diffs == {}
+
+
 def test_view_name_collision_across_kinds_is_refused(spark, tmp_path):
     import pytest
 
