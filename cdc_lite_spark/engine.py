@@ -375,7 +375,7 @@ class CdcEngine:
         """The capture half of a tick (split from poll_once so the shared
         tick-diff cache can be cleared in one place regardless of how the
         loop exits)."""
-        import time as _time
+        _time = time  # module-level import (engine.py top)
 
         for table, df, current, err, detect_secs in detections:
             if err is not None:
@@ -512,18 +512,25 @@ class CdcEngine:
                 if v <= new_v - keep:
                     fs.delete(st.getPath(), True)
 
-    def _view_consumers(self, table: str, keys: list[str]) -> int:
-        """How many registered views will consume THIS tick's prev→cur diff
-        of ``table`` (join views only when their side key matches the diff
-        key — a differently-keyed diff is a different computation)."""
-        n = sum(1 for s in self._agg_views.values() if s["table"] == table)
-        n += sum(
+    def _view_consumers(self, table: str, keys: list[str]) -> tuple[int, int]:
+        """(weighted agg consumers, join consumers) of THIS tick's prev→cur
+        diff of ``table``.  distinct_count folds weigh 2 — their retraction
+        probe is a second action over the same diff.  Join views count only
+        when their side key matches the diff key (a differently-keyed diff
+        is a different computation; a lagging basis misses the cache and
+        recomputes its own, which is the rare heal path)."""
+        agg = sum(
+            2 if s["kind"] == "distinct_count" else 1
+            for s in self._agg_views.values()
+            if s["table"] == table
+        )
+        join = sum(
             1
             for s in self._join_views.values()
             if (s["fact_table"] == table and [s["fact_key"]] == list(keys))
             or (s["dim_table"] == table and [s["dim_key"]] == list(keys))
         )
-        return n
+        return agg, join
 
     def _capture_diff(self, table: str, cur: DataFrame, keys: list[str]) -> None:
         """Diff current state against the stored previous snapshot, emit
@@ -536,33 +543,23 @@ class CdcEngine:
         Writing to a fresh dir also never overwrites an input of ``cur``'s
         lazy plan, which is what forced the old second copy.
 
-        The prev→cur diff is computed ONCE per tick and SHARED: when any
-        registered view will fold it (agg views; join views keyed like the
-        capture), it is computed ``include_prev`` and ``persist()``-ed into
-        the tick-scoped cache, so the change-log write, every agg-view
-        fold, and every join-view fold consume one materialization instead
-        of each re-running the full-outer snapshot join (r8 review: the
-        dominant per-tick cost was paid up to 3x per changed table).  The
-        cache is delta-sized rows, dropped at tick end by poll_once."""
+        The VIEW-FOLD diff is computed once per tick and SHARED: after the
+        new snapshot commits, one diff of the two PERSISTED snapshots lands
+        in the tick-scoped cache for every agg-view and join-view fold,
+        instead of each fold re-running the full-outer snapshot join (r8
+        review: the dominant per-tick cost was paid up to 3x per changed
+        table).  It is deliberately a snapshot-vs-snapshot plan, NOT a
+        reuse of the log diff below: the log diff's lineage reaches the
+        LIVE source, and a persist() is a cache, not storage — a lost
+        executor would recompute those partitions against a source that
+        may have advanced past the snapshot, silently folding rows the
+        recorded state version doesn't contain (r8 review round 2).  The
+        log keeps its own live diff, preserving the log-before-snapshot
+        at-least-once ordering."""
         prev_v = self._latest_snapshot_version(table)
         if prev_v is not None:
             prev = self.spark.read.parquet(f"{self._snapshot_path(table)}/v={prev_v}")
-            n_views = self._view_consumers(table, keys)
-            diff = snapshot_diff(
-                prev, cur, keys, fast_hash=True, include_prev=n_views > 0
-            )
-            if n_views > 0:
-                diff = diff.persist()
-                self._tick_diffs[(table, prev_v, tuple(keys))] = diff
-                # the log envelope carries only cur-side columns — project
-                # the prev_ twins away (DELETE rows keep coalesced keys)
-                changed = diff.select(
-                    *keys,
-                    "operation",
-                    *[c for c in cur.columns if c not in keys],
-                )
-            else:
-                changed = diff
+            changed = snapshot_diff(prev, cur, keys, fast_hash=True)
         else:
             # first sight: everything is an INSERT (reference's ErrNoRows
             # branch, duckdb_cdc.go:197-199 — but row-level, not SNAPSHOT)
@@ -585,6 +582,22 @@ class CdcEngine:
         # duckdb_cdc.go:291) — one write job, no rewrite
         new_v = (prev_v or 0) + 1
         cur.write.mode("overwrite").parquet(f"{self._snapshot_path(table)}/v={new_v}")
+        # seed the shared view-fold diff from the two PERSISTED snapshots
+        # (deterministic lineage — see docstring); include_prev only when an
+        # agg view folds it (join folds read nothing but the key column),
+        # persist() only when more than one action will consume it
+        if prev_v is not None:
+            agg_w, join_w = self._view_consumers(table, keys)
+            if agg_w + join_w > 0:
+                new_snap = self.spark.read.parquet(
+                    f"{self._snapshot_path(table)}/v={new_v}"
+                )
+                shared = snapshot_diff(
+                    prev, new_snap, keys, fast_hash=True, include_prev=agg_w > 0
+                )
+                if agg_w + join_w > 1:
+                    shared = shared.persist()
+                self._tick_diffs[(table, prev_v, tuple(keys))] = shared
         # maintained views fold BEFORE snapshot GC so the healing diff can
         # still read the version a lagging view was built against
         self._maintain_views(table, new_v, keys)

@@ -704,8 +704,12 @@ def test_tick_diff_computed_once_and_shared(spark, tables, tmp_path):
     """r8 review: the prev→cur snapshot diff is the dominant per-tick cost
     and used to be recomputed by the log write, each agg-view fold, and
     each join-view fold.  One changed table with an agg view AND a join
-    view must call snapshot_diff exactly ONCE on the changing tick — the
-    persisted tick diff feeds every consumer."""
+    view calls snapshot_diff exactly TWICE on the changing tick: the log's
+    live diff (at-least-once ordering), and ONE snapshot-vs-snapshot diff
+    shared by every view fold — deliberately not the same plan, because a
+    persist() is a cache, not storage: a lost executor recomputing the
+    live diff could fold rows the recorded snapshot version doesn't
+    contain (r8 review round 2)."""
     import cdc_lite_spark.engine as eng_mod
 
     eng = _engine(spark, tmp_path)
@@ -732,12 +736,13 @@ def test_tick_diff_computed_once_and_shared(spark, tables, tmp_path):
     mutated = nation.filter(F.col("n_nationkey") % 5 != 0)
     eng_mod.snapshot_diff = spy
     try:
-        # only nation changes: ONE diff (the capture's), shared by the log
-        # write, the agg fold, and the join fold (region side is empty)
+        # only nation changes: the log's live diff + ONE shared
+        # snapshot-vs-snapshot diff consumed by the agg fold AND the join
+        # fold (region side is empty) — never one diff per consumer
         eng.poll_once({"nation": mutated, "region": region}, mode="diff", keys=keys)
     finally:
         eng_mod.snapshot_diff = orig
-    assert len(calls) == 1
+    assert len(calls) == 2
     # and the shared diff produced correct states everywhere
     got = {r["n_regionkey"]: r["agg_rows"] for r in eng.view("per_region").collect()}
     want = {
