@@ -520,7 +520,7 @@ class CdcEngine:
         is a different computation; a lagging basis misses the cache and
         recomputes its own, which is the rare heal path)."""
         agg = sum(
-            2 if s["kind"] == "distinct_count" else 1
+            2 if s["kind"] in ("distinct_count", "min_max") else 1
             for s in self._agg_views.values()
             if s["table"] == table
         )
@@ -645,6 +645,14 @@ class CdcEngine:
         tradeoff of sketch state (still O(table) only on such ticks, and
         only for this view).
 
+        ``kind="min_max"`` maintains per-key min/max/count — monotone under
+        inserts, so insert-only ticks fold EXACTLY (least/greatest of old
+        state and the delta's extrema); a retraction may remove the current
+        extremum, which no state smaller than the full value multiset can
+        repair, so deleting/moving ticks rebuild — the same degradation
+        discipline (and the same insert-only steady state where both kinds
+        stay O(delta)).
+
         State is versioned by the SNAPSHOT version it reflects
         (``views/<name>/v=N`` + ``_SUCCESS`` pointer protocol), which makes
         maintenance replay-idempotent and self-healing: a view that missed a
@@ -653,7 +661,7 @@ class CdcEngine:
         new one; past snapshot retention it rebuilds from the current
         snapshot — a one-off table scan, the same cost as the initial build.
         """
-        if kind not in ("sum_count", "histogram", "distinct_count"):
+        if kind not in ("sum_count", "histogram", "distinct_count", "min_max"):
             raise ValueError(f"unknown view kind: {kind!r}")
         if name in self._join_views:
             raise ValueError(f"view name {name!r} already registered as a join view")
@@ -840,7 +848,9 @@ class CdcEngine:
         weight = Counter()
         for _, s, vv, _ in lagging:
             if vv is not None:
-                weight[vv] += 2 if s["kind"] == "distinct_count" else 1
+                weight[vv] += (
+                    2 if s["kind"] in ("distinct_count", "min_max") else 1
+                )
         diffs: dict[int, DataFrame] = {}
         persisted_diffs: list[DataFrame] = []
 
@@ -909,6 +919,10 @@ class CdcEngine:
             return histogram_state(
                 cur, s["group_keys"], s["value_col"], s["lo"], s["hi"], s["bins"]
             )
+        if s["kind"] == "min_max":
+            from cdc_lite_spark.operators.incremental import min_max_state
+
+            return min_max_state(cur, s["group_keys"], s["value_col"])
         from cdc_lite_spark.operators.sketches import distinct_sketch_state
 
         return distinct_sketch_state(cur, s["group_keys"], s["value_col"], s["lgk"])
@@ -938,23 +952,46 @@ class CdcEngine:
                 s["hi"],
                 s["bins"],
             )
+        # distinct_count and min_max share the retraction discipline: their
+        # state cannot give a value back, so only insert-only deltas fold
+        if self._has_retractions(s, changes):
+            return None
+        # insert-only delta (UPDATEs left are value-preserving no-ops)
+        inserts = changes.filter(F.col("operation") == "INSERT")
+        if s["kind"] == "min_max":
+            from cdc_lite_spark.operators.incremental import apply_min_max_inserts
+
+            return apply_min_max_inserts(
+                prev_state, inserts, s["group_keys"], s["value_col"]
+            )
+        # distinct_count: merge the delta's sketches — lossless, the
+        # maintained estimate equals a rebuild exactly
         from cdc_lite_spark.operators.sketches import (
             distinct_sketch_state,
             merge_states,
         )
 
-        v = s["value_col"]
+        delta = distinct_sketch_state(
+            inserts, s["group_keys"], s["value_col"], s["lgk"]
+        )
+        return merge_states(prev_state, delta, s["group_keys"])
+
+    @staticmethod
+    def _has_retractions(s: dict, changes: DataFrame) -> bool:
+        """True when this delta contains a retraction for the view's value
+        multiset: a DELETE, or an UPDATE whose VALUE changed or whose GROUP
+        KEY changed (the row left its old group).  One delta-sized probe
+        (limit(1) short-circuits; the shared tick diff is persisted when a
+        probing view consumes it, so no recompute)."""
 
         def _prev(c: str):
             # no prev_ twin for diff-key columns (a key cannot change)
             return F.col(f"prev_{c}") if f"prev_{c}" in changes.columns else F.col(c)
 
-        # an UPDATE retracts when the VALUE changed, or when any GROUP KEY
-        # changed (the row left its old group's sketch — also unretractable)
         moved = F.lit(False)
-        for c in [v, *s["group_keys"]]:
+        for c in [s["value_col"], *s["group_keys"]]:
             moved = moved | ~_prev(c).eqNullSafe(F.col(c))
-        retracting = (
+        return (
             changes.filter(
                 (F.col("operation") == "DELETE")
                 | ((F.col("operation") == "UPDATE") & moved)
@@ -963,13 +1000,6 @@ class CdcEngine:
             .count()
             > 0
         )
-        if retracting:
-            return None
-        # insert-only delta (UPDATEs left are value-preserving no-ops):
-        # merge the delta's sketches — lossless, estimate equals rebuild
-        inserts = changes.filter(F.col("operation") == "INSERT")
-        delta = distinct_sketch_state(inserts, s["group_keys"], v, s["lgk"])
-        return merge_states(prev_state, delta, s["group_keys"])
 
     def view_distinct_counts(self, name: str) -> DataFrame:
         """Per-key distinct-count estimates from a maintained

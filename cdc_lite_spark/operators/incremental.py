@@ -95,6 +95,48 @@ def apply_delta(
     return merged.filter(F.col("agg_rows") > 0)
 
 
+def min_max_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Per-key min/max/count state — the maintainable extrema aggregate.
+    Monotone under inserts (each new value can only lower the min or raise
+    the max), which is what makes the insert-only fold exact; a retraction
+    may remove the current extremum, which no state smaller than the full
+    value multiset can repair — callers rebuild on deleting ticks
+    (engine.py documents the degradation)."""
+    return df.groupBy(*keys).agg(
+        F.min(value_col).alias("agg_min"),
+        F.max(value_col).alias("agg_max"),
+        F.count(value_col).alias("agg_count"),
+        F.count("*").alias("agg_rows"),
+    )
+
+
+def apply_min_max_inserts(
+    state: DataFrame, inserts: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Fold INSERT-only change records into min/max state exactly:
+    new_min = least(old, delta), new_max = greatest(old, delta) — Spark's
+    least/greatest skip nulls, so a brand-new key takes the delta's extrema
+    and an all-null insert batch leaves them unchanged.  Touches |inserts|
+    rows; the merge joins on the group-key domain."""
+    delta = inserts.groupBy(*keys).agg(
+        F.min(value_col).alias("__d_min"),
+        F.max(value_col).alias("__d_max"),
+        F.count(value_col).alias("__d_count"),
+        F.count("*").alias("__d_rows"),
+    )
+    return state.join(delta, keys, "full_outer").select(
+        *keys,
+        F.least("agg_min", "__d_min").alias("agg_min"),
+        F.greatest("agg_max", "__d_max").alias("agg_max"),
+        (
+            F.coalesce("agg_count", F.lit(0)) + F.coalesce("__d_count", F.lit(0))
+        ).alias("agg_count"),
+        (
+            F.coalesce("agg_rows", F.lit(0)) + F.coalesce("__d_rows", F.lit(0))
+        ).alias("agg_rows"),
+    )
+
+
 # --- incremental join-view maintenance --------------------------------------
 
 

@@ -7978,3 +7978,56 @@ def q_incremental_distinct_maintenance(spark: SparkSession, sf_dir: str) -> Data
             ).alias("est_within_10pct"),
         )
     )
+
+
+@register(
+    "incremental_minmax_maintenance",
+    """
+    SELECT o_orderstatus,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS agg_min,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS agg_max,
+           CAST(count(o_totalprice) AS BIGINT) AS agg_count,
+           CAST(count(*) AS BIGINT) AS agg_rows
+    FROM orders
+    WHERE o_orderkey % 3 != 2 OR o_orderkey % 7 = 0
+    GROUP BY o_orderstatus
+    """,
+    "Maintained min/max state (the fourth view kind): extrema are monotone "
+    "under inserts, so an insert-only delta folds exactly via "
+    "least/greatest of the old state and the delta's extrema "
+    "(operators/incremental.py apply_min_max_inserts) — the oracle "
+    "recomputes min/max/count from scratch over the grown table and the "
+    "folded state must hash-match it exactly (DECIMAL values: no float "
+    "fold-order drift)",
+    tags=("cdc", "incremental", "agg"),
+)
+def q_incremental_minmax_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same insert-only fixture split as incremental_distinct_maintenance
+    (plain integer modulo — engine-portable).  100 TB shape: state is one
+    row per group; a tick aggregates |inserts| rows map-side and merges on
+    the group-key domain; retracting ticks rebuild (engine.py documents
+    the degradation — extrema are not retractable from state smaller than
+    the value multiset)."""
+    from cdc_lite_spark.operators.incremental import (
+        apply_min_max_inserts,
+        min_max_state,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 3 != 2)
+    inserts = orders.filter((k % 3 == 2) & (k % 7 == 0))
+
+    state = min_max_state(base, ["o_orderstatus"], "price")
+    folded = apply_min_max_inserts(state, inserts, ["o_orderstatus"], "price")
+    return folded.select(
+        "o_orderstatus",
+        F.col("agg_min").cast("double").alias("agg_min"),
+        F.col("agg_max").cast("double").alias("agg_max"),
+        "agg_count",
+        "agg_rows",
+    )

@@ -453,6 +453,102 @@ def test_distinct_view_validation_and_spec(spark, tables, tmp_path):
         eng2.view("du")
 
 
+# -- min_max views (monotone-under-inserts extrema, rebuild on retract) ------
+
+
+def _minmax_recompute(df, key, val):
+    return {
+        r[key]: (r["mn"], r["mx"], r["c"], r["n"])
+        for r in df.groupBy(key)
+        .agg(
+            F.min(val).alias("mn"),
+            F.max(val).alias("mx"),
+            F.count(val).alias("c"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+
+
+def _minmax_view(eng, name, key):
+    return {
+        r[key]: (r["agg_min"], r["agg_max"], r["agg_count"], r["agg_rows"])
+        for r in eng.view(name).collect()
+    }
+
+
+def test_minmax_view_insert_only_fold_is_exact(spark, tables, tmp_path):
+    """min/max are monotone under inserts: an insert-only tick folds via
+    apply_min_max_inserts (pinned by a spy) and the state equals a
+    from-scratch rebuild exactly."""
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("mm", "orders", ["o_orderstatus"], "price", kind="min_max")
+    orders = tables["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 == 0)
+    keys = {"orders": ["o_orderkey"]}
+    eng.poll_once({"orders": base}, mode="diff", keys=keys)
+    assert _minmax_view(eng, "mm", "o_orderstatus") == _minmax_recompute(
+        base, "o_orderstatus", "price"
+    )
+
+    import cdc_lite_spark.operators.incremental as inc
+
+    calls, orig = [], inc.apply_min_max_inserts
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    grown = orders.filter(
+        (F.col("o_orderkey") % 3 == 0) | (F.col("o_orderkey") % 5 == 0)
+    )
+    inc.apply_min_max_inserts = spy
+    try:
+        eng.poll_once({"orders": grown}, mode="diff", keys=keys)
+    finally:
+        inc.apply_min_max_inserts = orig
+    assert calls, "insert-only tick must take the extrema fold, not a rebuild"
+    assert _minmax_view(eng, "mm", "o_orderstatus") == _minmax_recompute(
+        grown, "o_orderstatus", "price"
+    )
+
+
+def test_minmax_view_retraction_rebuilds_and_matches(spark, tables, tmp_path):
+    """A DELETE may remove the current extremum — the fold degrades to a
+    rebuild and the state still matches a recompute (including the case
+    where the deleted rows WERE the min/max)."""
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("mm", "orders", ["o_orderstatus"], "price", kind="min_max")
+    orders = tables["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    keys = {"orders": ["o_orderkey"]}
+    eng.poll_once({"orders": orders}, mode="diff", keys=keys)
+    before = _minmax_view(eng, "mm", "o_orderstatus")
+
+    # delete each group's current maximum rows: a fold that ignored the
+    # retraction would keep the stale max
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus")
+    shrunk = (
+        orders.withColumn("__mx", F.max("price").over(w))
+        .filter(F.col("price") != F.col("__mx"))
+        .drop("__mx")
+    )
+    eng.poll_once({"orders": shrunk}, mode="diff", keys=keys)
+    after = _minmax_view(eng, "mm", "o_orderstatus")
+    assert after == _minmax_recompute(shrunk, "o_orderstatus", "price")
+    for k in after:
+        assert after[k][1] < before[k][1]  # the max actually came down
+
+
 # -- maintained JOIN views (engine-loop form of operators/incremental.py) ----
 
 
