@@ -93,6 +93,8 @@ HEADLINERS: dict[str, str] = {
     "incremental_join_agg_maintenance": "join+agg maintained from view-level I/D records: delta fold + group-key-domain merge; the tables are never re-joined",
     "incremental_quantile_maintenance": "quantile state fold: bucket counts collapse map-side (partial agg), quantile windows run over |keys|x|bins| state rows only",
     "ivf_topk": "map-side IVF (r7): broadcast centroid array folded per row — the only corpus-sized exchange is the final query-keyed top-k",
+    "incremental_distinct_maintenance": "HLL state fold (r8): sketches collapse map-side to |keys| KB rows before any exchange; fold==rebuild flag compares |keys| state rows only",
+    "incremental_minmax_maintenance": "extrema fold (r8): |inserts| aggregate map-side, merge joins the group-key domain — monotone under inserts, exact",
 }
 
 
