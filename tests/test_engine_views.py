@@ -851,6 +851,54 @@ def test_tick_diff_computed_once_and_shared(spark, tables, tmp_path):
     assert eng._tick_diffs == {}
 
 
+def test_join_view_maintained_by_monitor_loop(spark, tmp_path):
+    """The PRODUCT loop form: a continuously-running monitor (rate source →
+    foreachBatch poll ticks) keeps the join view current while an external
+    DuckDB writer mutates BOTH tables mid-run — the full reference
+    deployment scenario (duckdb_cdc.go StartMonitoring) with the r8 join
+    view folded inside each tick."""
+    import time
+
+    import duckdb
+
+    db = _join_db(tmp_path)
+    eng = _engine(spark, tmp_path)
+    _register_join(eng)
+    srcs = _join_sources(spark, db)
+
+    q = eng.monitor(srcs, interval_seconds=1.0, mode="diff", keys=_JOIN_KEYS)
+    try:
+        # wait for the initial build
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            try:
+                if _view_join_dict(eng) == _join_recompute(db):
+                    break
+            except ValueError:
+                pass  # no materialized state yet
+            time.sleep(1.0)
+        else:
+            raise AssertionError("initial join-view build never appeared")
+
+        # external writer mutates both sides while the monitor runs
+        con = duckdb.connect(db)
+        con.execute("UPDATE orders SET o_price = 123.0 WHERE o_id = 2")
+        con.execute("DELETE FROM cust WHERE c_ck = 3")  # drops order 4
+        con.close()
+        want = _join_recompute(db)
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            if _view_join_dict(eng) == want:
+                break
+            time.sleep(1.0)
+        else:
+            raise AssertionError("monitor loop never folded the mutation")
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert _view_join_dict(eng) == want and 4 not in want
+
+
 def test_view_name_collision_across_kinds_is_refused(spark, tmp_path):
     import pytest
 
