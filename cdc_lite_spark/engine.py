@@ -99,6 +99,9 @@ class CdcEngine:
         self._agg_views: dict[str, dict] = {}
         #: maintained fact⋈dim join views (see :meth:`register_join_view`)
         self._join_views: dict[str, dict] = {}
+        #: maintained aggregates OVER join views (see
+        #: :meth:`register_join_agg_view`)
+        self._join_agg_views: dict[str, dict] = {}
         #: tick-scoped cache of persisted prev→cur snapshot diffs, keyed
         #: (table, base_version, key-tuple) — shared by the change-log
         #: write and every view fold of the tick; cleared by poll_once
@@ -663,7 +666,7 @@ class CdcEngine:
         """
         if kind not in ("sum_count", "histogram", "distinct_count", "min_max"):
             raise ValueError(f"unknown view kind: {kind!r}")
-        if name in self._join_views:
+        if name in self._join_views or name in self._join_agg_views:
             raise ValueError(f"view name {name!r} already registered as a join view")
         if kind == "histogram":
             if lo is None or hi is None:
@@ -708,6 +711,8 @@ class CdcEngine:
                 "fact_dim_col",
                 "dim_key",
             )
+        elif s.get("kind") == "join_agg":
+            fields = ("kind", "join_view", "group_keys", "value_col")
         else:
             fields = ("table", "group_keys", "value_col", "kind", "lo", "hi", "bins")
             # lgk joins the pinned spec only for the kind it parameterizes:
@@ -768,6 +773,12 @@ class CdcEngine:
     def view(self, name: str) -> DataFrame:
         """Current maintained state of a registered view (reads the newest
         committed version — never touches the monitored table)."""
+        if name in self._join_agg_views:
+            self._check_view_spec(name, self._join_agg_views[name])
+            v = self._latest_version(self._view_dir(name))
+            if v is None:
+                raise ValueError(f"view {name!r} has no materialized state yet")
+            return self.spark.read.parquet(f"{self._view_dir(name)}/v={v}")
         if name in self._join_views:
             self._check_view_spec(name, self._join_views[name])
             basis = self._read_join_basis(name)
@@ -1052,7 +1063,7 @@ class CdcEngine:
         snapshots — a one-off join, the same cost as the initial build.
         Per-view error isolation (H6): a bad spec logs and lags, never
         blocking captures or other views."""
-        if name in self._agg_views:
+        if name in self._agg_views or name in self._join_agg_views:
             raise ValueError(f"view name {name!r} already registered as an agg view")
         self._join_views[name] = {
             "kind": "join",
@@ -1062,6 +1073,36 @@ class CdcEngine:
             "fact_dim_col": fact_dim_col,
             "dim_key": dim_key,
             "hint_broadcast": hint_broadcast,
+        }
+
+    def register_join_agg_view(
+        self, name: str, join_view: str, group_keys: list[str], value_col: str
+    ) -> None:
+        """Declare a grouped sum/count aggregate OVER a registered join view,
+        maintained end-to-end in O(delta): each tick the join fold also emits
+        view-level INSERT/DELETE change records
+        (:func:`~cdc_lite_spark.operators.incremental.join_view_changes`)
+        and :func:`apply_delta` folds them into the aggregate state — the
+        capstone composition: an aggregate over ``fact ⋈ dim`` kept current
+        from BOTH base tables' change records without re-joining the tables
+        or rescanning the view.  ``group_keys``/``value_col`` name columns
+        of the JOIN view (either side).  State versions mirror the join
+        view's; the same spec-pinning / self-healing (late registrations and
+        lagging states rebuild from the join view's persisted state — one
+        aggregation over the view, never a re-join) / per-view isolation
+        discipline applies."""
+        if join_view not in self._join_views:
+            raise ValueError(
+                f"join_agg view {name!r}: {join_view!r} is not a registered "
+                "join view (register_join_view first)"
+            )
+        if name in self._agg_views or name in self._join_views:
+            raise ValueError(f"view name {name!r} already registered")
+        self._join_agg_views[name] = {
+            "kind": "join_agg",
+            "join_view": join_view,
+            "group_keys": list(group_keys),
+            "value_col": value_col,
         }
 
     def _read_join_basis(self, name: str) -> dict | None:
@@ -1090,6 +1131,10 @@ class CdcEngine:
                 print(f"cdc_lite_spark: error maintaining view {name}: {exc}")
 
     def _maintain_one_join_view(self, name: str, s: dict) -> None:
+        aggs = [
+            (n, a) for n, a in self._join_agg_views.items()
+            if a["join_view"] == name
+        ]
         fv = self._latest_snapshot_version(s["fact_table"])
         dv = self._latest_snapshot_version(s["dim_table"])
         if fv is None or dv is None:
@@ -1097,7 +1142,12 @@ class CdcEngine:
         pinned = self._check_view_spec(name, s)
         basis = self._read_join_basis(name)
         if basis is not None and basis["fact_v"] == fv and basis["dim_v"] == dv:
-            return  # up to date (or replayed tick) — idempotence guard
+            # join view up to date (or replayed tick) — idempotence guard;
+            # still heal agg-over-join views that lag it (late registration,
+            # crash between join write and agg write): one aggregation over
+            # the PERSISTED join state, never a re-join
+            self._fold_join_agg_views(name, aggs, basis["v"], None)
+            return
         snap_f = self._snapshot_path(s["fact_table"])
         snap_d = self._snapshot_path(s["dim_table"])
         fact_new = self.spark.read.parquet(f"{snap_f}/v={fv}")
@@ -1109,10 +1159,11 @@ class CdcEngine:
                 f"dim: {sorted(overlap)} — project distinct names before "
                 "monitoring"
             )
-        state = None
+        state = view_changes = None
         if basis is not None:
-            state = self._fold_join_view(
-                name, s, basis, fv, dv, snap_f, snap_d, fact_new, dim_new
+            state, view_changes = self._fold_join_view(
+                name, s, basis, fv, dv, snap_f, snap_d, fact_new, dim_new,
+                with_changes=bool(aggs),
             )
         if state is None:
             # initial build, or healing past snapshot/view retention: one
@@ -1125,12 +1176,84 @@ class CdcEngine:
             ).select(*fact_new.columns, *dim_new.columns)
         new_k = (basis["v"] if basis is not None else 0) + 1
         state.write.mode("overwrite").parquet(f"{self._view_dir(name)}/v={new_k}")
+        # agg-over-join folds run BEFORE the basis flip: a crash in between
+        # leaves the basis at the old version, and the retried tick rewrites
+        # join v=new_k and every agg v=new_k identically (idempotent)
+        self._fold_join_agg_views(
+            name, aggs, new_k, view_changes,
+            prev_k=basis["v"] if basis is not None else None,
+        )
         self._write_join_basis(name, {"v": new_k, "fact_v": fv, "dim_v": dv})
         self._gc_versions(self._view_dir(name), new_k, self.VIEW_VERSIONS_KEPT)
         if not pinned:
             # pin only after state actually materialized (register_agg_view
             # discipline): a registration whose fold fails stays correctable
             self._pin_view_spec(name, s)
+
+    def _fold_join_agg_views(
+        self,
+        join_name: str,
+        aggs: list[tuple[str, dict]],
+        k: int,
+        view_changes: DataFrame | None,
+        prev_k: int | None = None,
+    ) -> None:
+        """Bring every aggregate over ``join_name`` to the join view's
+        version ``k``: apply the view-level I/D records when the agg sits
+        exactly at ``prev_k`` (O(delta)); otherwise rebuild by aggregating
+        the join view's PERSISTED v=k state (O(view), never a re-join).
+        Per-view isolation throughout."""
+        if not aggs:
+            return
+        from cdc_lite_spark.operators.incremental import (
+            apply_delta,
+            sum_count_state,
+        )
+
+        persisted = None
+        if view_changes is not None and len(aggs) > 1:
+            # delta-sized view-change records: one materialization when
+            # several aggregates fold them
+            view_changes = persisted = view_changes.persist()
+        try:
+            for an, a in aggs:
+                try:
+                    a_pinned = self._check_view_spec(an, a)
+                    av = self._latest_version(self._view_dir(an))
+                    if av == k:
+                        continue  # replayed tick / already healed
+                    if (
+                        view_changes is not None
+                        and av is not None
+                        and av == prev_k
+                        and self._committed_dir(f"{self._view_dir(an)}/v={av}")
+                    ):
+                        prev_state = self.spark.read.parquet(
+                            f"{self._view_dir(an)}/v={av}"
+                        )
+                        a_state = apply_delta(
+                            prev_state, view_changes, a["group_keys"], a["value_col"]
+                        )
+                    else:
+                        joined = self.spark.read.parquet(
+                            f"{self._view_dir(join_name)}/v={k}"
+                        )
+                        a_state = sum_count_state(
+                            joined, a["group_keys"], a["value_col"]
+                        )
+                    a_state.write.mode("overwrite").parquet(
+                        f"{self._view_dir(an)}/v={k}"
+                    )
+                    self._gc_versions(
+                        self._view_dir(an), k, self.VIEW_VERSIONS_KEPT
+                    )
+                    if not a_pinned:
+                        self._pin_view_spec(an, a)
+                except Exception as exc:  # noqa: BLE001 — per-view isolation
+                    print(f"cdc_lite_spark: error maintaining view {an}: {exc}")
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
     def _fold_join_view(
         self,
@@ -1143,12 +1266,19 @@ class CdcEngine:
         snap_d: str,
         fact_new: DataFrame,
         dim_new: DataFrame,
-    ) -> DataFrame | None:
+        with_changes: bool = False,
+    ) -> tuple[DataFrame | None, DataFrame | None]:
         """The O(delta) fold: diff each side's basis snapshot against its
-        latest and fold through ``maintain_join``.  Returns ``None`` when
-        any input the fold needs (the basis snapshots, the view state
-        itself) is gone — the caller rebuilds from current snapshots."""
-        from cdc_lite_spark.operators.incremental import maintain_join
+        latest and fold through ``maintain_join``.  With ``with_changes``
+        also emits the view-level I/D records (``join_view_changes``) the
+        agg-over-join folds consume — same delta inputs, delta-sized output.
+        Returns ``(None, None)`` when any input the fold needs (the basis
+        snapshots, the view state itself) is gone — the caller rebuilds
+        from current snapshots."""
+        from cdc_lite_spark.operators.incremental import (
+            join_view_changes,
+            maintain_join,
+        )
 
         old_state_dir = f"{self._view_dir(name)}/v={basis['v']}"
         if not (
@@ -1156,7 +1286,7 @@ class CdcEngine:
             and self._committed_dir(f"{snap_f}/v={basis['fact_v']}")
             and self._committed_dir(f"{snap_d}/v={basis['dim_v']}")
         ):
-            return None
+            return None, None
         m_old = self.spark.read.parquet(old_state_dir)
 
         def _changes(
@@ -1179,17 +1309,23 @@ class CdcEngine:
         dim_changes = _changes(
             snap_d, basis["dim_v"], dv, dim_new, s["dim_key"], s["dim_table"]
         )
-        return maintain_join(
-            m_old,
-            fact_new,
-            dim_new,
-            fact_changes,
-            dim_changes,
+        args = dict(
             fact_key=s["fact_key"],
             fact_dim_col=s["fact_dim_col"],
             dim_key=s["dim_key"],
             hint_broadcast=s["hint_broadcast"],
         )
+        state = maintain_join(
+            m_old, fact_new, dim_new, fact_changes, dim_changes, **args
+        )
+        changes = (
+            join_view_changes(
+                m_old, fact_new, dim_new, fact_changes, dim_changes, **args
+            )
+            if with_changes
+            else None
+        )
+        return state, changes
 
     def monitor(
         self,

@@ -8031,3 +8031,92 @@ def q_incremental_minmax_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         "agg_count",
         "agg_rows",
     )
+
+
+@register(
+    "engine_join_agg_view_maintenance",
+    """
+    SELECT c_mktsegment,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS agg_sum,
+           CAST(count(o_totalprice) AS BIGINT) AS agg_count,
+           CAST(count(*) AS BIGINT) AS agg_rows
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 11 != 0 AND c_custkey % 10 != 3
+    GROUP BY c_mktsegment
+    """,
+    "The capstone composition IN THE ENGINE LOOP: an aggregate over a "
+    "fact-dim join view maintained end-to-end in O(delta) across two real "
+    "poll_once ticks mutating BOTH tables — the join fold emits view-level "
+    "I/D records and apply_delta folds them into the grouped state; the "
+    "oracle recomputes join+group-by from scratch over the final table "
+    "states and the engine-maintained state must match exactly (DECIMAL "
+    "sums: no fold-order drift)",
+    tags=("cdc", "incremental", "join", "agg", "engine"),
+)
+def q_engine_join_agg_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-loop twin of incremental_join_agg_maintenance (same fixture
+    tick, same oracle): register_join_view + register_join_agg_view, two
+    diff-mode ticks, return the maintained aggregate.  Per-tick cost is
+    O(delta): view-level change records come from broadcast-pruned joins,
+    the fold aggregates |changes| rows, the merge joins the group-key
+    domain (engine.py _fold_join_agg_views)."""
+    import shutil
+    import tempfile
+
+    from cdc_lite_spark.engine import CdcEngine
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ok, ck = F.col("o_orderkey"), F.col("c_custkey")
+    fact_prev = orders.filter(ok % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(ok % 13 == 0, F.col("o_totalprice") + 100).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    fact_cur = orders.filter(ok % 11 != 0)
+    dim_prev = cust.filter(ck % 10 != 7).withColumn(
+        "c_mktsegment",
+        F.when(ck % 17 == 0, F.lit("MOVED")).otherwise(F.col("c_mktsegment")),
+    )
+    dim_cur = cust.filter(ck % 10 != 3)
+
+    td = tempfile.mkdtemp(prefix="cdc_join_agg_view_")
+    try:
+        eng = CdcEngine(
+            spark,
+            output_dir=td + "/log",
+            state_dir=td + "/state",
+            emit_schema_changes=False,
+        )
+        eng.register_join_view(
+            "om",
+            fact_table="orders_v",
+            dim_table="cust_v",
+            fact_key="o_orderkey",
+            fact_dim_col="o_custkey",
+            dim_key="c_custkey",
+        )
+        eng.register_join_agg_view("seg_rev", "om", ["c_mktsegment"], "o_totalprice")
+        keys = {"orders_v": ["o_orderkey"], "cust_v": ["c_custkey"]}
+        eng.poll_once(
+            {"orders_v": fact_prev, "cust_v": dim_prev},
+            mode="diff", keys=keys, parallelism=2,
+        )
+        eng.poll_once(
+            {"orders_v": fact_cur, "cust_v": dim_cur},
+            mode="diff", keys=keys, parallelism=2,
+        )
+        out = eng.view("seg_rev").select(
+            "c_mktsegment",
+            F.col("agg_sum").cast("double").alias("agg_sum"),
+            "agg_count",
+            "agg_rows",
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)

@@ -81,6 +81,9 @@ def main() -> int:
         fact_dim_col="status",
         dim_key="code",
     )
+    # ...and an aggregate OVER the join view, folded from view-level
+    # change records — the capstone: join+group-by current in O(delta)
+    eng.register_join_agg_view("team_rev", "orders_teams", ["team"], "amount")
     srcs = ConsistentSnapshotSource(spark, db).sources(["orders", "status_dim"])
     keys = {"orders": ["id"], "status_dim": ["code"]}
 
@@ -105,6 +108,7 @@ def main() -> int:
     show("tick 2: distinct amounts", eng.view_distinct_counts("distinct_amounts"))
     teams = eng.view("orders_teams").groupBy("team").count()
     show("tick 2: joined view rows per team", teams)
+    show("tick 2: maintained revenue per team", eng.view("team_rev"))
 
     if len(sys.argv) <= 1:
         shutil.rmtree(work, ignore_errors=True)

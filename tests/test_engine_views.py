@@ -851,6 +851,102 @@ def test_tick_diff_computed_once_and_shared(spark, tables, tmp_path):
     assert eng._tick_diffs == {}
 
 
+def _join_agg_recompute(db):
+    import duckdb
+
+    con = duckdb.connect(db, read_only=True)
+    rows = con.execute(
+        "SELECT c_seg, sum(o_price), count(o_price), count(*) "
+        "FROM orders JOIN cust ON o_ck = c_ck GROUP BY c_seg"
+    ).fetchall()
+    con.close()
+    return {r[0]: (r[1], r[2], r[3]) for r in rows}
+
+
+def _join_agg_view(eng, name):
+    return {
+        r["c_seg"]: (r["agg_sum"], r["agg_count"], r["agg_rows"])
+        for r in eng.view(name).collect()
+    }
+
+
+def test_join_agg_view_e2e_folds_in_o_delta(spark, tmp_path):
+    """The capstone composition IN THE ENGINE LOOP: an aggregate over the
+    join view maintained from both tables' changes via view-level I/D
+    records — the fold tick must take apply_delta (pinned by a spy), never
+    re-aggregating the view or re-joining the tables, and equal the DuckDB
+    recompute each tick."""
+    import duckdb
+
+    import cdc_lite_spark.operators.incremental as inc
+
+    db = _join_db(tmp_path)
+    eng = _engine(spark, tmp_path)
+    _register_join(eng)
+    eng.register_join_agg_view("seg_rev", "om", ["c_seg"], "o_price")
+    srcs = _join_sources(spark, db)
+
+    eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)
+    assert _join_agg_view(eng, "seg_rev") == _join_agg_recompute(db)
+
+    con = duckdb.connect(db)
+    con.execute("INSERT INTO orders VALUES (8,2,80.0)")
+    con.execute("UPDATE orders SET o_price = 99.0 WHERE o_id = 1")
+    con.execute("DELETE FROM orders WHERE o_id = 4")
+    con.execute("UPDATE cust SET c_seg = 'Z' WHERE c_ck = 2")  # group move
+    con.execute("DELETE FROM cust WHERE c_ck = 4")
+    con.close()
+
+    calls, orig = [], inc.apply_delta
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    inc.apply_delta = spy
+    try:
+        eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)
+    finally:
+        inc.apply_delta = orig
+    assert calls, "agg-over-join fold must use apply_delta, not a rebuild"
+    assert _join_agg_view(eng, "seg_rev") == _join_agg_recompute(db)
+
+    # quiet tick: idempotent
+    assert eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS) == []
+    assert _join_agg_view(eng, "seg_rev") == _join_agg_recompute(db)
+
+
+def test_late_join_agg_view_heals_on_quiet_tick(spark, tmp_path):
+    """An aggregate registered AFTER the join view already materialized
+    builds from the join view's persisted state on the next (even quiet)
+    tick — one aggregation over the view, never a re-join."""
+    db = _join_db(tmp_path)
+    eng = _engine(spark, tmp_path)
+    _register_join(eng)
+    srcs = _join_sources(spark, db)
+    eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)
+
+    eng.register_join_agg_view("late_rev", "om", ["c_seg"], "o_price")
+    assert eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS) == []
+    assert _join_agg_view(eng, "late_rev") == _join_agg_recompute(db)
+
+
+def test_join_agg_view_validation(spark, tmp_path):
+    import pytest
+
+    eng = _engine(spark, tmp_path)
+    with pytest.raises(ValueError, match="not a registered join view"):
+        eng.register_join_agg_view("a", "nope", ["k"], "v")
+    eng.register_join_view("j", "f", "d", "fk", "fdc", "dk")
+    eng.register_join_agg_view("a", "j", ["k"], "v")
+    with pytest.raises(ValueError, match="already registered"):
+        eng.register_agg_view("a", "t", ["k"], "v")
+    with pytest.raises(ValueError, match="already registered"):
+        eng.register_join_agg_view("j", "j", ["k"], "v")
+    with pytest.raises(ValueError, match="no materialized state"):
+        eng.view("a")
+
+
 def test_join_view_maintained_by_monitor_loop(spark, tmp_path):
     """The PRODUCT loop form: a continuously-running monitor (rate source →
     foreachBatch poll ticks) keeps the join view current while an external
