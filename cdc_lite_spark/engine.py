@@ -527,12 +527,19 @@ class CdcEngine:
             for s in self._agg_views.values()
             if s["table"] == table
         )
-        join = sum(
-            1
-            for s in self._join_views.values()
-            if (s["fact_table"] == table and [s["fact_key"]] == list(keys))
-            or (s["dim_table"] == table and [s["dim_key"]] == list(keys))
-        )
+        join = 0
+        for jn, s in self._join_views.items():
+            if (s["fact_table"] == table and [s["fact_key"]] == list(keys)) or (
+                s["dim_table"] == table and [s["dim_key"]] == list(keys)
+            ):
+                # the join-state write consumes the diff, and each aggregate
+                # over the join consumes it again through the view-change
+                # records' lineage
+                join += 1 + sum(
+                    1
+                    for a in self._join_agg_views.values()
+                    if a["join_view"] == jn
+                )
         return agg, join
 
     def _capture_diff(self, table: str, cur: DataFrame, keys: list[str]) -> None:
@@ -666,8 +673,12 @@ class CdcEngine:
         """
         if kind not in ("sum_count", "histogram", "distinct_count", "min_max"):
             raise ValueError(f"unknown view kind: {kind!r}")
-        if name in self._join_views or name in self._join_agg_views:
+        if name in self._join_views:
             raise ValueError(f"view name {name!r} already registered as a join view")
+        if name in self._join_agg_views:
+            raise ValueError(
+                f"view name {name!r} already registered as a join-aggregate view"
+            )
         if kind == "histogram":
             if lo is None or hi is None:
                 raise ValueError("histogram views need explicit lo/hi bucket edges")
@@ -774,11 +785,20 @@ class CdcEngine:
         """Current maintained state of a registered view (reads the newest
         committed version — never touches the monitored table)."""
         if name in self._join_agg_views:
-            self._check_view_spec(name, self._join_agg_views[name])
-            v = self._latest_version(self._view_dir(name))
-            if v is None:
+            a = self._join_agg_views[name]
+            self._check_view_spec(name, a)
+            # the agg's commit point is the underlying JOIN's basis pointer
+            # (agg versions mirror join versions and fold before the basis
+            # flips): a bare v=K ahead of the basis is an uncommitted
+            # leftover of a crashed tick and must not be served
+            basis = self._read_join_basis(a["join_view"])
+            if basis is None or not self._committed_dir(
+                f"{self._view_dir(name)}/v={basis['v']}"
+            ):
                 raise ValueError(f"view {name!r} has no materialized state yet")
-            return self.spark.read.parquet(f"{self._view_dir(name)}/v={v}")
+            return self.spark.read.parquet(
+                f"{self._view_dir(name)}/v={basis['v']}"
+            )
         if name in self._join_views:
             self._check_view_spec(name, self._join_views[name])
             basis = self._read_join_basis(name)
@@ -1143,10 +1163,12 @@ class CdcEngine:
         basis = self._read_join_basis(name)
         if basis is not None and basis["fact_v"] == fv and basis["dim_v"] == dv:
             # join view up to date (or replayed tick) — idempotence guard;
-            # still heal agg-over-join views that lag it (late registration,
-            # crash between join write and agg write): one aggregation over
-            # the PERSISTED join state, never a re-join
-            self._fold_join_agg_views(name, aggs, basis["v"], None)
+            # a crash between the state write and the spec pin still pins
+            # here, and agg-over-join views that lag (late registration)
+            # heal by one aggregation over the PERSISTED join state
+            if not pinned:
+                self._pin_view_spec(name, s)
+            self._fold_join_agg_views(name, aggs, basis["v"], None, heal=True)
             return
         snap_f = self._snapshot_path(s["fact_table"])
         snap_d = self._snapshot_path(s["dim_table"])
@@ -1160,8 +1182,9 @@ class CdcEngine:
                 "monitoring"
             )
         state = view_changes = None
+        shared: list[DataFrame] = []
         if basis is not None:
-            state, view_changes = self._fold_join_view(
+            state, view_changes, shared = self._fold_join_view(
                 name, s, basis, fv, dv, snap_f, snap_d, fact_new, dim_new,
                 with_changes=bool(aggs),
             )
@@ -1174,16 +1197,27 @@ class CdcEngine:
                 fact_new[s["fact_dim_col"]] == dim_new[s["dim_key"]],
                 "inner",
             ).select(*fact_new.columns, *dim_new.columns)
-        new_k = (basis["v"] if basis is not None else 0) + 1
-        state.write.mode("overwrite").parquet(f"{self._view_dir(name)}/v={new_k}")
-        # agg-over-join folds run BEFORE the basis flip: a crash in between
-        # leaves the basis at the old version, and the retried tick rewrites
-        # join v=new_k and every agg v=new_k identically (idempotent)
-        self._fold_join_agg_views(
-            name, aggs, new_k, view_changes,
-            prev_k=basis["v"] if basis is not None else None,
-        )
-        self._write_join_basis(name, {"v": new_k, "fact_v": fv, "dim_v": dv})
+        try:
+            new_k = (basis["v"] if basis is not None else 0) + 1
+            state.write.mode("overwrite").parquet(
+                f"{self._view_dir(name)}/v={new_k}"
+            )
+            # agg-over-join folds run BEFORE the basis flip: a crash in
+            # between leaves the basis at the old version, and the retried
+            # tick rewrites join v=new_k and every agg v=new_k (fold-path
+            # writes are unconditional — a bare v=K from a crashed tick is
+            # never trusted, matching the basis-pointer commit rule)
+            self._fold_join_agg_views(
+                name, aggs, new_k, view_changes,
+                prev_k=basis["v"] if basis is not None else None,
+            )
+            self._write_join_basis(name, {"v": new_k, "fact_v": fv, "dim_v": dv})
+        finally:
+            for df in shared:
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001 — cleanup must not mask errors
+                    pass
         self._gc_versions(self._view_dir(name), new_k, self.VIEW_VERSIONS_KEPT)
         if not pinned:
             # pin only after state actually materialized (register_agg_view
@@ -1197,12 +1231,21 @@ class CdcEngine:
         k: int,
         view_changes: DataFrame | None,
         prev_k: int | None = None,
+        heal: bool = False,
     ) -> None:
         """Bring every aggregate over ``join_name`` to the join view's
-        version ``k``: apply the view-level I/D records when the agg sits
-        exactly at ``prev_k`` (O(delta)); otherwise rebuild by aggregating
+        version ``k``: apply the view-level I/D records onto the agg state
+        COMMITTED at ``prev_k`` (O(delta)); otherwise rebuild by aggregating
         the join view's PERSISTED v=k state (O(view), never a re-join).
-        Per-view isolation throughout."""
+
+        Commit discipline (r8 review): the agg's commit point is the JOIN's
+        basis pointer, so on a FOLD tick (``heal=False``) the agg at ``k``
+        is rewritten UNCONDITIONALLY — a bare v=k left by a crashed
+        pre-basis-flip tick may aggregate different join content and must
+        never be trusted.  Only the HEAL path (join already at committed
+        basis ``k``) skips an existing v=k, because every completed fold
+        rewrote it; the skip still pins an unpinned spec (crash window
+        between state write and pin).  Per-view isolation throughout."""
         if not aggs:
             return
         from cdc_lite_spark.operators.incremental import (
@@ -1210,50 +1253,41 @@ class CdcEngine:
             sum_count_state,
         )
 
-        persisted = None
-        if view_changes is not None and len(aggs) > 1:
-            # delta-sized view-change records: one materialization when
-            # several aggregates fold them
-            view_changes = persisted = view_changes.persist()
-        try:
-            for an, a in aggs:
-                try:
-                    a_pinned = self._check_view_spec(an, a)
-                    av = self._latest_version(self._view_dir(an))
-                    if av == k:
-                        continue  # replayed tick / already healed
-                    if (
-                        view_changes is not None
-                        and av is not None
-                        and av == prev_k
-                        and self._committed_dir(f"{self._view_dir(an)}/v={av}")
-                    ):
-                        prev_state = self.spark.read.parquet(
-                            f"{self._view_dir(an)}/v={av}"
-                        )
-                        a_state = apply_delta(
-                            prev_state, view_changes, a["group_keys"], a["value_col"]
-                        )
-                    else:
-                        joined = self.spark.read.parquet(
-                            f"{self._view_dir(join_name)}/v={k}"
-                        )
-                        a_state = sum_count_state(
-                            joined, a["group_keys"], a["value_col"]
-                        )
-                    a_state.write.mode("overwrite").parquet(
-                        f"{self._view_dir(an)}/v={k}"
-                    )
-                    self._gc_versions(
-                        self._view_dir(an), k, self.VIEW_VERSIONS_KEPT
-                    )
+        for an, a in aggs:
+            try:
+                a_pinned = self._check_view_spec(an, a)
+                if heal and self._committed_dir(f"{self._view_dir(an)}/v={k}"):
                     if not a_pinned:
                         self._pin_view_spec(an, a)
-                except Exception as exc:  # noqa: BLE001 — per-view isolation
-                    print(f"cdc_lite_spark: error maintaining view {an}: {exc}")
-        finally:
-            if persisted is not None:
-                persisted.unpersist()
+                    continue  # committed by the fold that committed basis k
+                if (
+                    view_changes is not None
+                    and prev_k is not None
+                    and self._committed_dir(f"{self._view_dir(an)}/v={prev_k}")
+                ):
+                    # the version the CURRENT basis references — committed
+                    # content by construction (orphans are always ahead)
+                    prev_state = self.spark.read.parquet(
+                        f"{self._view_dir(an)}/v={prev_k}"
+                    )
+                    a_state = apply_delta(
+                        prev_state, view_changes, a["group_keys"], a["value_col"]
+                    )
+                else:
+                    joined = self.spark.read.parquet(
+                        f"{self._view_dir(join_name)}/v={k}"
+                    )
+                    a_state = sum_count_state(
+                        joined, a["group_keys"], a["value_col"]
+                    )
+                a_state.write.mode("overwrite").parquet(
+                    f"{self._view_dir(an)}/v={k}"
+                )
+                self._gc_versions(self._view_dir(an), k, self.VIEW_VERSIONS_KEPT)
+                if not a_pinned:
+                    self._pin_view_spec(an, a)
+            except Exception as exc:  # noqa: BLE001 — per-view isolation
+                print(f"cdc_lite_spark: error maintaining view {an}: {exc}")
 
     def _fold_join_view(
         self,
@@ -1267,18 +1301,17 @@ class CdcEngine:
         fact_new: DataFrame,
         dim_new: DataFrame,
         with_changes: bool = False,
-    ) -> tuple[DataFrame | None, DataFrame | None]:
+    ) -> tuple[DataFrame | None, DataFrame | None, list[DataFrame]]:
         """The O(delta) fold: diff each side's basis snapshot against its
-        latest and fold through ``maintain_join``.  With ``with_changes``
-        also emits the view-level I/D records (``join_view_changes``) the
-        agg-over-join folds consume — same delta inputs, delta-sized output.
-        Returns ``(None, None)`` when any input the fold needs (the basis
+        latest and fold through ``maintain_join_with_changes``.  With
+        ``with_changes`` the view-level I/D records the agg-over-join folds
+        consume come from the SAME delta evaluation, with the delta-sized
+        intermediates persisted once and returned as handles the caller
+        unpersists after all consuming actions ran.  Returns
+        ``(None, None, [])`` when any input the fold needs (the basis
         snapshots, the view state itself) is gone — the caller rebuilds
         from current snapshots."""
-        from cdc_lite_spark.operators.incremental import (
-            join_view_changes,
-            maintain_join,
-        )
+        from cdc_lite_spark.operators.incremental import maintain_join_with_changes
 
         old_state_dir = f"{self._view_dir(name)}/v={basis['v']}"
         if not (
@@ -1286,7 +1319,7 @@ class CdcEngine:
             and self._committed_dir(f"{snap_f}/v={basis['fact_v']}")
             and self._committed_dir(f"{snap_d}/v={basis['dim_v']}")
         ):
-            return None, None
+            return None, None, []
         m_old = self.spark.read.parquet(old_state_dir)
 
         def _changes(
@@ -1309,23 +1342,19 @@ class CdcEngine:
         dim_changes = _changes(
             snap_d, basis["dim_v"], dv, dim_new, s["dim_key"], s["dim_table"]
         )
-        args = dict(
+        state, changes, handles = maintain_join_with_changes(
+            m_old,
+            fact_new,
+            dim_new,
+            fact_changes,
+            dim_changes,
             fact_key=s["fact_key"],
             fact_dim_col=s["fact_dim_col"],
             dim_key=s["dim_key"],
             hint_broadcast=s["hint_broadcast"],
+            persist_shared=with_changes,
         )
-        state = maintain_join(
-            m_old, fact_new, dim_new, fact_changes, dim_changes, **args
-        )
-        changes = (
-            join_view_changes(
-                m_old, fact_new, dim_new, fact_changes, dim_changes, **args
-            )
-            if with_changes
-            else None
-        )
-        return state, changes
+        return state, (changes if with_changes else None), handles
 
     def monitor(
         self,

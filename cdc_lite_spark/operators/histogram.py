@@ -154,11 +154,14 @@ def apply_histogram_delta(
         .groupBy(*keys, "bucket")
         .agg(F.sum("__d").alias("d"))
     )
+    # null-safe merge: a NULL group key must stay ONE group (a plain
+    # column-list join never matches NULL==NULL — r8 review)
+    from cdc_lite_spark.operators.incremental import nullsafe_merge
+
+    joined, key_cols = nullsafe_merge(state, delta, [*keys, "bucket"])
     return (
-        state.join(delta, [*keys, "bucket"], "full_outer")
-        .select(
-            *keys,
-            "bucket",
+        joined.select(
+            *key_cols,
             (
                 F.coalesce("bkt_count", F.lit(0)) + F.coalesce("d", F.lit(0))
             ).alias("bkt_count"),

@@ -19,6 +19,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def nullsafe_merge(state: DataFrame, delta: DataFrame, keys: list[str]):
+    """Full-outer state⊕delta merge that treats NULL group keys as ONE
+    group: a plain column-list join never matches NULL==NULL, so a
+    NULL-keyed group would split into two state rows with divided totals
+    (r8 review).  Returns ``(joined, key_cols)`` where ``key_cols`` are the
+    coalesced output key columns — callers select state/delta columns by
+    NAME (unambiguous: only the join keys exist on both sides)."""
+    from functools import reduce
+
+    # dataset aliases, not DataFrame column refs: state and delta often
+    # share lineage (both derive from the same table), and qualified refs
+    # on a self-join trip Spark's ambiguity check
+    s, d = state.alias("__state"), delta.alias("__delta")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__state.{k}").eqNullSafe(F.col(f"__delta.{k}")) for k in keys],
+    )
+    joined = s.join(d, cond, "full_outer")
+    key_cols = [
+        F.coalesce(F.col(f"__state.{k}"), F.col(f"__delta.{k}")).alias(k)
+        for k in keys
+    ]
+    return joined, key_cols
+
+
 def sum_count_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """The maintainable aggregate state: per-key sum + count (avg derives).
 
@@ -82,8 +107,9 @@ def apply_delta(
     )
     new_count = F.coalesce("agg_count", F.lit(0)) + F.coalesce("d_count", F.lit(0))
     new_sum = F.coalesce("agg_sum", F.lit(0)) + F.coalesce("d_sum", F.lit(0))
-    merged = state.join(delta, keys, "full_outer").select(
-        *keys,
+    joined, key_cols = nullsafe_merge(state, delta, keys)
+    merged = joined.select(
+        *key_cols,
         # SQL SUM over zero non-null values is NULL, not 0
         F.when(new_count > 0, new_sum).alias("agg_sum"),
         new_count.alias("agg_count"),
@@ -124,8 +150,9 @@ def apply_min_max_inserts(
         F.count(value_col).alias("__d_count"),
         F.count("*").alias("__d_rows"),
     )
-    return state.join(delta, keys, "full_outer").select(
-        *keys,
+    joined, key_cols = nullsafe_merge(state, delta, keys)
+    return joined.select(
+        *key_cols,
         F.least("agg_min", "__d_min").alias("agg_min"),
         F.greatest("agg_max", "__d_max").alias("agg_max"),
         (
@@ -192,7 +219,7 @@ def maintain_join(
     (duckdb_cdc.go:197-208); this is the O(delta) refinement for views
     that JOIN two captured tables.
     """
-    affected, refreshed = _join_maintenance_parts(
+    state, _, _ = maintain_join_with_changes(
         m_old,
         fact_new,
         dim_new,
@@ -201,12 +228,10 @@ def maintain_join(
         fact_key,
         fact_dim_col,
         dim_key,
-        assume_fk_integrity,
-        hint_broadcast,
+        assume_fk_integrity=assume_fk_integrity,
+        hint_broadcast=hint_broadcast,
     )
-    aff = F.broadcast(affected) if hint_broadcast else affected
-    kept = m_old.join(aff, fact_key, "left_anti")
-    return kept.unionByName(refreshed)
+    return state
 
 
 def _join_maintenance_parts(
@@ -289,6 +314,47 @@ def join_view_changes(
     ``hint_broadcast`` has the same hot-dim-key escape-hatch semantics as
     :func:`maintain_join`.
     """
+    _, changes, _ = maintain_join_with_changes(
+        m_old,
+        fact_new,
+        dim_new,
+        fact_changes,
+        dim_changes,
+        fact_key,
+        fact_dim_col,
+        dim_key,
+        assume_fk_integrity=assume_fk_integrity,
+        hint_broadcast=hint_broadcast,
+    )
+    return changes
+
+
+def maintain_join_with_changes(
+    m_old: DataFrame,
+    fact_new: DataFrame,
+    dim_new: DataFrame,
+    fact_changes: DataFrame,
+    dim_changes: DataFrame,
+    fact_key: str,
+    fact_dim_col: str,
+    dim_key: str,
+    assume_fk_integrity: bool = False,
+    hint_broadcast: bool = True,
+    persist_shared: bool = False,
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """Both fold outputs from ONE delta evaluation:
+    ``(new_view, view_changes, persisted_handles)``.
+
+    :func:`maintain_join` and :func:`join_view_changes` are thin wrappers;
+    a caller that needs BOTH (the engine loop maintains the join state AND
+    folds aggregates from its change records) uses this form with
+    ``persist_shared=True`` so the delta-sized intermediates —
+    ``affected`` fact keys, ``refreshed`` view rows, ``removed`` old rows —
+    materialize once and every consuming action (the state write, each
+    aggregate's state write) reuses them instead of re-running the
+    affected-set computation and the pruned refresh join per action (r8
+    review).  The caller unpersists the returned handles when its actions
+    are done."""
     from cdc_lite_spark.envelope import DELETE, INSERT
 
     affected, refreshed = _join_maintenance_parts(
@@ -303,8 +369,18 @@ def join_view_changes(
         assume_fk_integrity,
         hint_broadcast,
     )
+    handles: list[DataFrame] = []
+    if persist_shared:
+        affected = affected.persist()
+        refreshed = refreshed.persist()
+        handles += [affected, refreshed]
     aff = F.broadcast(affected) if hint_broadcast else affected
+    kept = m_old.join(aff, fact_key, "left_anti")
+    state = kept.unionByName(refreshed)
     removed = m_old.join(aff, fact_key, "left_semi")
+    if persist_shared:
+        removed = removed.persist()
+        handles.append(removed)
     other = [c for c in m_old.columns if c != fact_key]
     dtypes = {f.name: f.dataType for f in m_old.schema.fields}
     ins = refreshed.select(
@@ -319,7 +395,7 @@ def join_view_changes(
         *[F.lit(None).cast(dtypes[c]).alias(c) for c in other],
         *[F.col(c).alias(f"prev_{c}") for c in other],
     )
-    return ins.unionByName(dels)
+    return state, ins.unionByName(dels), handles
 
 
 # --- incremental retrieval-index statistics ---------------------------------

@@ -647,18 +647,18 @@ def test_join_view_e2e_external_writer_both_sides(spark, tmp_path):
     import cdc_lite_spark.operators.incremental as inc
 
     calls = []
-    orig = inc.maintain_join
+    orig = inc.maintain_join_with_changes
 
     def spy(*a, **k):
         calls.append(1)
         return orig(*a, **k)
 
-    inc.maintain_join = spy
+    inc.maintain_join_with_changes = spy
     try:
         eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)
     finally:
-        inc.maintain_join = orig
-    assert calls, "fold tick must use maintain_join, not a rebuild"
+        inc.maintain_join_with_changes = orig
+    assert calls, "fold tick must use the incremental fold, not a rebuild"
     want = _join_recompute(db)
     assert _view_join_dict(eng) == want
     assert 5 not in want and 6 in want  # dim delete dropped / insert resurfaced
@@ -945,6 +945,74 @@ def test_join_agg_view_validation(spark, tmp_path):
         eng.register_join_agg_view("j", "j", ["k"], "v")
     with pytest.raises(ValueError, match="no materialized state"):
         eng.view("a")
+
+
+def test_null_group_key_stays_one_group_across_folds(spark, tmp_path):
+    """r8 review: the state⊕delta merge join must be NULL-SAFE on group
+    keys — a plain column-list full-outer never matches NULL==NULL, so a
+    NULL-keyed group used to split into duplicate rows with divided
+    totals after the first fold."""
+    rows = [(1, None, 10.0), (2, None, 20.0), (3, "a", 30.0), (4, "a", 5.0)]
+    base = spark.createDataFrame(rows, "id int, grp string, val double")
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("g", "t", ["grp"], "val")
+    eng.register_agg_view(
+        "gm", "t", ["grp"], "val", kind="min_max"
+    )
+    eng.register_agg_view(
+        "gh", "t", ["grp"], "val", kind="histogram", lo=0.0, hi=100.0, bins=4
+    )
+    keys = {"t": ["id"]}
+    eng.poll_once({"t": base}, mode="diff", keys=keys)
+    # second tick touches the NULL group again (insert + update)
+    grown = base.unionByName(
+        spark.createDataFrame([(5, None, 40.0)], "id int, grp string, val double")
+    ).withColumn(
+        "val", F.when(F.col("id") == 1, F.lit(11.0)).otherwise(F.col("val"))
+    )
+    eng.poll_once({"t": grown}, mode="diff", keys=keys)
+
+    sc = {r["grp"]: (r["agg_sum"], r["agg_rows"]) for r in eng.view("g").collect()}
+    assert len(sc) == 2 and sc[None] == (71.0, 3)
+    mm = {r["grp"]: (r["agg_min"], r["agg_max"]) for r in eng.view("gm").collect()}
+    assert len(mm) == 2 and mm[None] == (11.0, 40.0)
+    hist_null = [
+        (r["bucket"], r["bkt_count"])
+        for r in eng.view("gh").filter(F.col("grp").isNull()).collect()
+    ]
+    assert sorted(hist_null) == [(0, 2), (1, 1)]  # 11→b0, 20→b0, 40→b1
+
+
+def test_orphaned_join_agg_state_is_overwritten_on_fold(spark, tmp_path):
+    """r8 review: an agg v=K left by a crashed pre-basis-flip tick must
+    never be trusted — the retried fold rewrites it unconditionally, and
+    view() reads only the version the join's basis pointer commits."""
+    import duckdb
+
+    db = _join_db(tmp_path)
+    eng = _engine(spark, tmp_path)
+    _register_join(eng)
+    eng.register_join_agg_view("seg_rev", "om", ["c_seg"], "o_price")
+    srcs = _join_sources(spark, db)
+    eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)  # basis v=1
+
+    # simulate the crash window: a bogus agg v=2 exists, basis still v=1
+    bogus = spark.createDataFrame(
+        [("XX", 1.0, 1, 1)], "c_seg string, agg_sum double, agg_count long, agg_rows long"
+    )
+    bogus.write.mode("overwrite").parquet(
+        str(tmp_path / "state" / "views" / "seg_rev" / "v=2")
+    )
+    # view() must NOT serve the uncommitted v=2
+    assert "XX" not in _join_agg_view(eng, "seg_rev")
+
+    con = duckdb.connect(db)
+    con.execute("UPDATE orders SET o_price = 77.0 WHERE o_id = 1")
+    con.close()
+    eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)  # fold writes v=2
+    got = _join_agg_view(eng, "seg_rev")
+    assert "XX" not in got
+    assert got == _join_agg_recompute(db)
 
 
 def test_join_view_maintained_by_monitor_loop(spark, tmp_path):
