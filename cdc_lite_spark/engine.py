@@ -482,9 +482,11 @@ class CdcEngine:
         data) is needed."""
         return self._latest_version(self._snapshot_path(table))
 
-    def _latest_version(self, path: str) -> int | None:
+    def _latest_version(self, path: str, cap: int | None = None) -> int | None:
         """Max committed (``_SUCCESS``-marked) ``v=N`` subdir under ``path``
-        — the shared pointer protocol for snapshots and view states."""
+        — the shared pointer protocol for snapshots and view states.
+        ``cap`` bounds the answer to versions ≤ cap (join-agg reads: never
+        serve a version ahead of the join's committed basis)."""
         fs, jpath = self._fs(path)
         if not fs.exists(jpath):
             return None
@@ -495,6 +497,8 @@ class CdcEngine:
                 try:
                     v = int(name[2:])
                 except ValueError:
+                    continue
+                if cap is not None and v > cap:
                     continue
                 if fs.exists(
                     self.spark._jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
@@ -527,19 +531,15 @@ class CdcEngine:
             for s in self._agg_views.values()
             if s["table"] == table
         )
-        join = 0
-        for jn, s in self._join_views.items():
-            if (s["fact_table"] == table and [s["fact_key"]] == list(keys)) or (
-                s["dim_table"] == table and [s["dim_key"]] == list(keys)
-            ):
-                # the join-state write consumes the diff, and each aggregate
-                # over the join consumes it again through the view-change
-                # records' lineage
-                join += 1 + sum(
-                    1
-                    for a in self._join_agg_views.values()
-                    if a["join_view"] == jn
-                )
+        # each join view consumes the diff ONCE: with aggregates registered
+        # the fold persists its own delta-sized intermediates (affected/
+        # refreshed/removed), so the agg actions read those, not the diff
+        join = sum(
+            1
+            for s in self._join_views.values()
+            if (s["fact_table"] == table and [s["fact_key"]] == list(keys))
+            or (s["dim_table"] == table and [s["dim_key"]] == list(keys))
+        )
         return agg, join
 
     def _capture_diff(self, table: str, cur: DataFrame, keys: list[str]) -> None:
@@ -790,15 +790,20 @@ class CdcEngine:
             # the agg's commit point is the underlying JOIN's basis pointer
             # (agg versions mirror join versions and fold before the basis
             # flips): a bare v=K ahead of the basis is an uncommitted
-            # leftover of a crashed tick and must not be served
+            # leftover of a crashed tick and must not be served.  An agg
+            # LAGGING the basis (its fold failed transiently and will heal
+            # next tick) serves its newest committed version at-or-below
+            # the basis — stale beats unreadable, matching the lag
+            # semantics of every other maintained view.
             basis = self._read_join_basis(a["join_view"])
-            if basis is None or not self._committed_dir(
-                f"{self._view_dir(name)}/v={basis['v']}"
-            ):
-                raise ValueError(f"view {name!r} has no materialized state yet")
-            return self.spark.read.parquet(
-                f"{self._view_dir(name)}/v={basis['v']}"
+            v = (
+                self._latest_version(self._view_dir(name), cap=basis["v"])
+                if basis is not None
+                else None
             )
+            if v is None:
+                raise ValueError(f"view {name!r} has no materialized state yet")
+            return self.spark.read.parquet(f"{self._view_dir(name)}/v={v}")
         if name in self._join_views:
             self._check_view_spec(name, self._join_views[name])
             basis = self._read_join_basis(name)
@@ -1288,6 +1293,19 @@ class CdcEngine:
                     self._pin_view_spec(an, a)
             except Exception as exc:  # noqa: BLE001 — per-view isolation
                 print(f"cdc_lite_spark: error maintaining view {an}: {exc}")
+                if not heal:
+                    # the heal path's trust in a committed v=k rests on
+                    # "every completed fold rewrote it" — a fold whose
+                    # rewrite FAILED must invalidate any pre-existing v=k
+                    # (e.g. a crashed earlier tick's orphan over different
+                    # join content) or it would be served as committed once
+                    # the basis flips (r8 review round 3)
+                    try:
+                        fs, jp = self._fs(f"{self._view_dir(an)}/v={k}")
+                        if fs.exists(jp):
+                            fs.delete(jp, True)
+                    except Exception:  # noqa: BLE001 — best-effort cleanup
+                        pass
 
     def _fold_join_view(
         self,
@@ -1353,8 +1371,9 @@ class CdcEngine:
             dim_key=s["dim_key"],
             hint_broadcast=s["hint_broadcast"],
             persist_shared=with_changes,
+            with_changes=with_changes,
         )
-        return state, (changes if with_changes else None), handles
+        return state, changes, handles
 
     def monitor(
         self,

@@ -32,13 +32,18 @@ def nullsafe_merge(state: DataFrame, delta: DataFrame, keys: list[str]):
     # share lineage (both derive from the same table), and qualified refs
     # on a self-join trip Spark's ambiguity check
     s, d = state.alias("__state"), delta.alias("__delta")
+    # backtick-quote the key names: a qualified ref parses dots as struct
+    # access, so an unquoted key named "a.b" would fail to resolve
     cond = reduce(
         lambda a, b: a & b,
-        [F.col(f"__state.{k}").eqNullSafe(F.col(f"__delta.{k}")) for k in keys],
+        [
+            F.col(f"__state.`{k}`").eqNullSafe(F.col(f"__delta.`{k}`"))
+            for k in keys
+        ],
     )
     joined = s.join(d, cond, "full_outer")
     key_cols = [
-        F.coalesce(F.col(f"__state.{k}"), F.col(f"__delta.{k}")).alias(k)
+        F.coalesce(F.col(f"__state.`{k}`"), F.col(f"__delta.`{k}`")).alias(k)
         for k in keys
     ]
     return joined, key_cols
@@ -230,6 +235,7 @@ def maintain_join(
         dim_key,
         assume_fk_integrity=assume_fk_integrity,
         hint_broadcast=hint_broadcast,
+        with_changes=False,
     )
     return state
 
@@ -341,7 +347,8 @@ def maintain_join_with_changes(
     assume_fk_integrity: bool = False,
     hint_broadcast: bool = True,
     persist_shared: bool = False,
-) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    with_changes: bool = True,
+) -> tuple[DataFrame, DataFrame | None, list[DataFrame]]:
     """Both fold outputs from ONE delta evaluation:
     ``(new_view, view_changes, persisted_handles)``.
 
@@ -354,7 +361,11 @@ def maintain_join_with_changes(
     aggregate's state write) reuses them instead of re-running the
     affected-set computation and the pruned refresh join per action (r8
     review).  The caller unpersists the returned handles when its actions
-    are done."""
+    are done.  ``with_changes=False`` skips BUILDING the change-record
+    plan entirely (returns ``None``): the I/D projection requires the
+    view to have no ``operation``/``prev_``-prefixed columns, and a
+    state-only caller must not fail that requirement for records it never
+    consumes."""
     from cdc_lite_spark.envelope import DELETE, INSERT
 
     affected, refreshed = _join_maintenance_parts(
@@ -370,32 +381,46 @@ def maintain_join_with_changes(
         hint_broadcast,
     )
     handles: list[DataFrame] = []
-    if persist_shared:
-        affected = affected.persist()
-        refreshed = refreshed.persist()
-        handles += [affected, refreshed]
-    aff = F.broadcast(affected) if hint_broadcast else affected
-    kept = m_old.join(aff, fact_key, "left_anti")
-    state = kept.unionByName(refreshed)
-    removed = m_old.join(aff, fact_key, "left_semi")
-    if persist_shared:
-        removed = removed.persist()
-        handles.append(removed)
-    other = [c for c in m_old.columns if c != fact_key]
-    dtypes = {f.name: f.dataType for f in m_old.schema.fields}
-    ins = refreshed.select(
-        F.col(fact_key),
-        F.lit(INSERT).alias("operation"),
-        *[F.col(c) for c in other],
-        *[F.lit(None).cast(dtypes[c]).alias(f"prev_{c}") for c in other],
-    )
-    dels = removed.select(
-        F.col(fact_key),
-        F.lit(DELETE).alias("operation"),
-        *[F.lit(None).cast(dtypes[c]).alias(c) for c in other],
-        *[F.col(c).alias(f"prev_{c}") for c in other],
-    )
-    return state, ins.unionByName(dels), handles
+    try:
+        if persist_shared:
+            affected = affected.persist()
+            handles.append(affected)
+            refreshed = refreshed.persist()
+            handles.append(refreshed)
+        aff = F.broadcast(affected) if hint_broadcast else affected
+        kept = m_old.join(aff, fact_key, "left_anti")
+        state = kept.unionByName(refreshed)
+        if not with_changes:
+            return state, None, handles
+        removed = m_old.join(aff, fact_key, "left_semi")
+        if persist_shared:
+            removed = removed.persist()
+            handles.append(removed)
+        other = [c for c in m_old.columns if c != fact_key]
+        dtypes = {f.name: f.dataType for f in m_old.schema.fields}
+        ins = refreshed.select(
+            F.col(fact_key),
+            F.lit(INSERT).alias("operation"),
+            *[F.col(c) for c in other],
+            *[F.lit(None).cast(dtypes[c]).alias(f"prev_{c}") for c in other],
+        )
+        dels = removed.select(
+            F.col(fact_key),
+            F.lit(DELETE).alias("operation"),
+            *[F.lit(None).cast(dtypes[c]).alias(c) for c in other],
+            *[F.col(c).alias(f"prev_{c}") for c in other],
+        )
+        return state, ins.unionByName(dels), handles
+    except Exception:
+        # plan construction failed after persists registered: release the
+        # handles here — the caller never received them (r8 review: they
+        # would otherwise leak in the cache manager for the session's life)
+        for df in handles:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        raise
 
 
 # --- incremental retrieval-index statistics ---------------------------------
