@@ -663,6 +663,14 @@ class CdcEngine:
         discipline (and the same insert-only steady state where both kinds
         stay O(delta)).
 
+        ``kind="moments"`` maintains per-key Σv/Σv²/count/rows — both
+        moments are abelian-group aggregates, so the fold is TOTAL like
+        sum_count (every tick stays O(delta), retractions included) and the
+        state is bit-equal to a rebuild when the value column is
+        DECIMAL/integer.  :meth:`view_moments` derives mean, population
+        variance, and stddev from the state alone — the maintained form of
+        the drift statistics a 100 TB table cannot rescan per tick.
+
         State is versioned by the SNAPSHOT version it reflects
         (``views/<name>/v=N`` + ``_SUCCESS`` pointer protocol), which makes
         maintenance replay-idempotent and self-healing: a view that missed a
@@ -671,7 +679,7 @@ class CdcEngine:
         new one; past snapshot retention it rebuilds from the current
         snapshot — a one-off table scan, the same cost as the initial build.
         """
-        if kind not in ("sum_count", "histogram", "distinct_count", "min_max"):
+        if kind not in ("sum_count", "histogram", "distinct_count", "min_max", "moments"):
             raise ValueError(f"unknown view kind: {kind!r}")
         if name in self._join_views:
             raise ValueError(f"view name {name!r} already registered as a join view")
@@ -959,6 +967,10 @@ class CdcEngine:
             from cdc_lite_spark.operators.incremental import min_max_state
 
             return min_max_state(cur, s["group_keys"], s["value_col"])
+        if s["kind"] == "moments":
+            from cdc_lite_spark.operators.incremental import moments_state
+
+            return moments_state(cur, s["group_keys"], s["value_col"])
         from cdc_lite_spark.operators.sketches import distinct_sketch_state
 
         return distinct_sketch_state(cur, s["group_keys"], s["value_col"], s["lgk"])
@@ -976,6 +988,12 @@ class CdcEngine:
             from cdc_lite_spark.operators.incremental import apply_delta
 
             return apply_delta(prev_state, changes, s["group_keys"], s["value_col"])
+        if s["kind"] == "moments":
+            from cdc_lite_spark.operators.incremental import apply_moments_delta
+
+            return apply_moments_delta(
+                prev_state, changes, s["group_keys"], s["value_col"]
+            )
         if s["kind"] == "histogram":
             from cdc_lite_spark.operators.histogram import apply_histogram_delta
 
@@ -1049,6 +1067,74 @@ class CdcEngine:
             *spec["group_keys"],
             F.hll_sketch_estimate(F.col("sketch")).alias("distinct_estimate"),
             F.col("n_rows"),
+        )
+
+    def view_moments(self, name: str) -> DataFrame:
+        """Per-key mean / population variance / stddev derived from a
+        maintained ``moments`` view — state-only arithmetic (Σ, Σv², n are
+        exact when the value column is DECIMAL/integer; the derivation is
+        binary64 over those exact inputs, so it never drifts across ticks).
+        ``variance = Σv²/n − (Σv/n)²`` clamped at 0 against rounding."""
+        spec = self._agg_views.get(name)
+        if spec is None:
+            raise ValueError(f"no registered view: {name!r}")
+        if spec["kind"] != "moments":
+            raise ValueError(f"view {name!r} is {spec['kind']}, not moments")
+        n = F.col("agg_count").cast("double")
+        mean = F.col("agg_sum").cast("double") / n
+        var = F.greatest(
+            F.lit(0.0), F.col("agg_sum2").cast("double") / n - mean * mean
+        )
+        has = F.col("agg_count") > 0
+        return self.view(name).select(
+            *spec["group_keys"],
+            F.when(has, mean).alias("mean"),
+            F.when(has, var).alias("variance"),
+            F.when(has, F.sqrt(var)).alias("stddev"),
+            F.col("agg_count"),
+            F.col("agg_rows"),
+        )
+
+    def view_topk(
+        self,
+        name: str,
+        k: int,
+        partition_keys: list[str],
+        by: str = "agg_sum",
+        ascending: bool = False,
+    ) -> DataFrame:
+        """Top-k rows per ``partition_keys`` from a maintained ``sum_count``
+        or ``moments`` view, ranked on state column ``by`` (``agg_sum`` /
+        ``agg_count`` / ``agg_rows``) — the maintained heavy-hitters report:
+        register the view with ``group_keys=[*dims, item]`` and each tick's
+        O(delta) fold keeps per-(dim, item) totals current; the ranking runs
+        over the (tiny) state table only, never the facts.  Remaining group
+        keys break ties deterministically.  Spark rewrites the rank filter
+        to a WindowGroupLimit partial, so only k rows per group survive each
+        partition before the shuffle."""
+        spec = self._agg_views.get(name)
+        if spec is None:
+            raise ValueError(f"no registered view: {name!r}")
+        if spec["kind"] not in ("sum_count", "moments"):
+            raise ValueError(
+                f"view {name!r} is {spec['kind']}; top-k ranks sum_count/moments state"
+            )
+        missing = [p for p in partition_keys if p not in spec["group_keys"]]
+        if missing:
+            raise ValueError(
+                f"partition_keys {missing} are not group keys of view {name!r}"
+            )
+        if not k > 0:
+            raise ValueError(f"k must be positive, got {k}")
+        from pyspark.sql import Window
+
+        rank_col = F.col(by).asc() if ascending else F.col(by).desc()
+        ties = [c for c in spec["group_keys"] if c not in partition_keys]
+        w = Window.partitionBy(*partition_keys).orderBy(rank_col, *ties)
+        return (
+            self.view(name)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
         )
 
     # -- maintained join views --------------------------------------------------

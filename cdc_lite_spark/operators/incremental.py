@@ -169,6 +169,89 @@ def apply_min_max_inserts(
     )
 
 
+def moments_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Per-key second-moment state: Σv, Σv², count, rows — the maintainable
+    form of mean/variance/stddev.  Like sums and counts (and unlike extrema
+    or sketches), both moments are abelian-group aggregates, so the state is
+    EXACTLY retractable: a tick folds +cur/−prev and the maintained state
+    stays bit-equal to a from-scratch rebuild — use DECIMAL value columns so
+    Σ and Σv² are exact regardless of fold order.  Mean/variance derive from
+    state alone (see ``engine.CdcEngine.view_moments``); the reference
+    recomputes every statistic per poll (duckdb_cdc.go:175-183) — this is
+    the O(delta) path for the drift-monitoring statistics a 100 TB corpus
+    cannot rescan per tick.
+
+    Scale shape: one partial-aggregable shuffle on the group keys for the
+    build; a tick aggregates |changes| rows map-side and merges on the
+    group-key domain."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.sum(v).alias("agg_sum"),
+        F.sum(v * v).alias("agg_sum2"),
+        F.count(v).alias("agg_count"),
+        F.count("*").alias("agg_rows"),
+    )
+
+
+def apply_moments_delta(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Fold diff records (``include_prev=True`` shape) into moments state:
+    INSERT contributes (+v, +v²), DELETE (−prev, −prev²) under the PREV-side
+    keys, UPDATE both — rows moving across groups retract from the old group
+    and add to the new one, exactly :func:`apply_delta`'s algebra extended
+    with the second moment.  Groups whose row count reaches zero drop out;
+    a group left with zero non-null values carries NULL moments (matching
+    SQL SUM-over-empty)."""
+
+    def _prev(c: str):
+        return F.col(f"prev_{c}") if f"prev_{c}" in changes.columns else F.col(c)
+
+    cur_v, prev_v = F.col(value_col), _prev(value_col)
+    adds = changes.filter(F.col("operation").isin("INSERT", "UPDATE")).select(
+        *[F.col(k).alias(k) for k in keys],
+        cur_v.alias("__dv"),
+        (cur_v * cur_v).alias("__dv2"),
+        F.when(cur_v.isNotNull(), 1).otherwise(0).alias("__dn"),
+        F.lit(1).alias("__dr"),
+    )
+    retracts = changes.filter(F.col("operation").isin("DELETE", "UPDATE")).select(
+        *[_prev(k).alias(k) for k in keys],
+        (-prev_v).alias("__dv"),
+        (-(prev_v * prev_v)).alias("__dv2"),
+        F.when(prev_v.isNotNull(), -1).otherwise(0).alias("__dn"),
+        F.lit(-1).alias("__dr"),
+    )
+    delta = (
+        adds.unionByName(retracts)
+        .groupBy(*keys)
+        .agg(
+            F.sum("__dv").alias("d_sum"),
+            F.sum("__dv2").alias("d_sum2"),
+            F.sum("__dn").alias("d_count"),
+            F.sum("__dr").alias("d_rows"),
+        )
+    )
+    new_count = F.coalesce("agg_count", F.lit(0)) + F.coalesce("d_count", F.lit(0))
+    new_sum = F.coalesce("agg_sum", F.lit(0)) + F.coalesce("d_sum", F.lit(0))
+    new_sum2 = F.coalesce("agg_sum2", F.lit(0)) + F.coalesce("d_sum2", F.lit(0))
+    joined, key_cols = nullsafe_merge(state, delta, keys)
+    merged = joined.select(
+        *key_cols,
+        # SQL SUM over zero non-null values is NULL, not 0
+        F.when(new_count > 0, new_sum).alias("agg_sum"),
+        F.when(new_count > 0, new_sum2).alias("agg_sum2"),
+        new_count.alias("agg_count"),
+        (F.coalesce("agg_rows", F.lit(0)) + F.coalesce("d_rows", F.lit(0))).alias(
+            "agg_rows"
+        ),
+    )
+    return merged.filter(F.col("agg_rows") > 0)
+
+
 # --- incremental join-view maintenance --------------------------------------
 
 

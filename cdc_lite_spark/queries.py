@@ -8120,3 +8120,79 @@ def q_engine_join_agg_view_maintenance(spark: SparkSession, sf_dir: str) -> Data
         return out.localCheckpoint()
     finally:
         shutil.rmtree(td, ignore_errors=True)
+
+
+@register(
+    "incremental_moments_maintenance",
+    """
+    WITH cur AS (
+        SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        FROM orders WHERE o_orderkey % 11 != 0
+    ),
+    st AS (
+        SELECT o_orderstatus,
+               CAST(sum(v) AS DOUBLE) AS agg_sum,
+               CAST(sum(v * v) AS VARCHAR) AS agg_sum2,
+               CAST(count(v) AS BIGINT) AS agg_count,
+               CAST(count(*) AS BIGINT) AS agg_rows
+        FROM cur GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, agg_sum, agg_sum2, agg_count, agg_rows,
+           agg_sum / agg_count AS mean
+    FROM st
+    """,
+    "Maintained second-moment state (the fifth view kind): Σv and Σv² are "
+    "abelian-group aggregates, so the fold is TOTAL — a tick with DELETEs "
+    "and group-moving UPDATEs still folds in O(delta), never rebuilding "
+    "(operators/incremental.py apply_moments_delta) — and the oracle's "
+    "from-scratch recompute must hash-match the folded state exactly "
+    "(DECIMAL moments: no float fold-order drift); Σv² is emitted as the "
+    "fixed-scale DECIMAL string — its scaled integer exceeds 2^53, where "
+    "the two engines' decimal→double conversions legitimately differ by "
+    "1 ulp, so the gate compares the EXACT value instead of a lossy cast",
+    tags=("cdc", "incremental", "agg"),
+)
+def q_incremental_moments_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same simulated tick as incremental_agg_maintenance (prev snapshot
+    with stale values and extra keys vs current — the diff carries all
+    three operation classes) but maintaining Σv² alongside Σv, the state
+    behind maintained mean/variance/stddev (engine view kind "moments",
+    reader CdcEngine.view_moments).  100 TB shape: the delta aggregation
+    touches |changes| rows map-side; the merge joins the group-key domain;
+    the mean/variance derivation reads ONLY the |keys|-row state — the
+    drift statistics a 100 TB table cannot rescan per tick.  The
+    variance/stddev derivation itself is gated in pytest against Spark's
+    var_pop (test_engine_views.py) — here the oracle pins the STATE, and
+    mean (whose double is exactly representable at this magnitude)."""
+    from cdc_lite_spark.operators.diff import snapshot_diff
+    from cdc_lite_spark.operators.incremental import (
+        apply_moments_delta,
+        moments_state,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    cur = orders.filter(k % 11 != 0)
+    prev = orders.filter(k % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 13 == 0, F.col("o_totalprice") + 100).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    changes = snapshot_diff(prev, cur, ["o_orderkey"], include_prev=True)
+    state = moments_state(prev, ["o_orderstatus"], "o_totalprice")
+    folded = apply_moments_delta(state, changes, ["o_orderstatus"], "o_totalprice")
+    s = F.col("agg_sum").cast("double")
+    n = F.col("agg_count")
+    return folded.select(
+        "o_orderstatus",
+        s.alias("agg_sum"),
+        F.col("agg_sum2").cast("string").alias("agg_sum2"),
+        "agg_count",
+        "agg_rows",
+        (s / n).alias("mean"),
+    )

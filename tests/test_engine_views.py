@@ -1094,3 +1094,161 @@ def test_quiet_tick_retry_is_isolated_per_table(spark, tables, tmp_path):
         keys={"nation": ["n_nationkey"]},
     )
     assert captured == ["nation"]
+
+
+# -- maintained MOMENTS views (Σv / Σv² / count — exactly retractable) --------
+
+
+def _moments_recompute(df, key, val):
+    v = F.col(val)
+    return {
+        r[key]: (r["s"], r["s2"], r["c"], r["n"])
+        for r in df.groupBy(key)
+        .agg(
+            F.sum(v).alias("s"),
+            F.sum(v * v).alias("s2"),
+            F.count(v).alias("c"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+
+
+def _moments_view(eng, name, key):
+    return {
+        r[key]: (r["agg_sum"], r["agg_sum2"], r["agg_count"], r["agg_rows"])
+        for r in eng.view(name).collect()
+    }
+
+
+def test_moments_view_fold_is_total_and_exact(spark, tables, tmp_path):
+    """Σv and Σv² are abelian-group aggregates: a tick with DELETEs,
+    value UPDATEs, and group-moving UPDATEs still folds (pinned by a spy —
+    never a rebuild) and the state equals a from-scratch recompute exactly
+    (DECIMAL values: no float fold-order drift)."""
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("mom", "orders", ["o_orderstatus"], "price", kind="moments")
+    orders = _orders(spark, tables)
+    keys = {"orders": ["o_orderkey"]}
+    eng.poll_once({"orders": orders}, mode="diff", keys=keys)
+    assert _moments_view(eng, "mom", "o_orderstatus") == _moments_recompute(
+        orders, "o_orderstatus", "price"
+    )
+
+    import cdc_lite_spark.operators.incremental as inc
+
+    calls, orig = [], inc.apply_moments_delta
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    k = F.col("o_orderkey")
+    mutated = (
+        orders.filter(k % 5 != 0)  # DELETEs
+        .withColumn(
+            "price",
+            F.when(k % 3 == 0, F.col("price") * 2).otherwise(F.col("price")),
+        )  # value UPDATEs
+        .withColumn(
+            "o_orderstatus",
+            F.when(k % 17 == 0, F.lit("Z")).otherwise(F.col("o_orderstatus")),
+        )  # group-moving UPDATEs
+    )
+    inc.apply_moments_delta = spy
+    try:
+        eng.poll_once({"orders": mutated}, mode="diff", keys=keys)
+    finally:
+        inc.apply_moments_delta = orig
+    assert calls, "a retracting tick must still FOLD moments, never rebuild"
+    assert _moments_view(eng, "mom", "o_orderstatus") == _moments_recompute(
+        mutated, "o_orderstatus", "price"
+    )
+
+
+def test_view_moments_derives_mean_variance_from_state(spark, tables, tmp_path):
+    """view_moments computes mean/variance/stddev from the state alone and
+    matches a direct recompute over the table; kind validation enforced."""
+    import math
+
+    import pytest
+
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("mom", "orders", ["o_orderstatus"], "price", kind="moments")
+    eng.register_agg_view("sc", "orders", ["o_orderstatus"], "price")
+    orders = _orders(spark, tables)
+    eng.poll_once({"orders": orders}, mode="diff", keys={"orders": ["o_orderkey"]})
+
+    got = {
+        r["o_orderstatus"]: (r["mean"], r["variance"], r["stddev"], r["agg_count"])
+        for r in eng.view_moments("mom").collect()
+    }
+    want = {
+        r["o_orderstatus"]: (r["m"], r["v"], r["c"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.avg(F.col("price").cast("double")).alias("m"),
+            F.var_pop(F.col("price").cast("double")).alias("v"),
+            F.count("price").alias("c"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for key, (m, v, sd, c) in got.items():
+        wm, wv, wc = want[key]
+        assert c == wc
+        assert math.isclose(m, wm, rel_tol=1e-9)
+        # Σv²/n − mean² vs Spark's var_pop: same quantity, different
+        # accumulation — binary64 round-off only
+        assert math.isclose(v, wv, rel_tol=1e-6, abs_tol=1e-6)
+        assert math.isclose(sd, math.sqrt(v), rel_tol=1e-12)
+    with pytest.raises(ValueError, match="not moments"):
+        eng.view_moments("sc")
+
+
+def test_view_topk_ranks_maintained_state(spark, tables, tmp_path):
+    """view_topk returns the k heaviest state rows per partition key from a
+    maintained (status, priority)-grained sum_count view — ranking runs on
+    the state table only."""
+    import pytest
+
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view(
+        "by_prio", "orders", ["o_orderstatus", "o_orderpriority"], "price"
+    )
+    orders = tables["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    eng.poll_once({"orders": orders}, mode="diff", keys={"orders": ["o_orderkey"]})
+
+    top2 = eng.view_topk("by_prio", 2, ["o_orderstatus"])
+    got = {
+        (r["o_orderstatus"], r["rank"]): r["o_orderpriority"]
+        for r in top2.collect()
+    }
+    # recompute: per status, priorities by descending sum (ties by name)
+    want = {}
+    for r in (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("price").alias("s"))
+        .collect()
+    ):
+        want.setdefault(r["o_orderstatus"], []).append((r["s"], r["o_orderpriority"]))
+    for status, rows in want.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        for i, (_, prio) in enumerate(rows[:2], start=1):
+            assert got[(status, i)] == prio
+    assert all(r["rank"] <= 2 for r in top2.collect())
+
+    with pytest.raises(ValueError, match="not group keys"):
+        eng.view_topk("by_prio", 2, ["nope"])
+    with pytest.raises(ValueError, match="k must be positive"):
+        eng.view_topk("by_prio", 0, ["o_orderstatus"])
+    eng.register_agg_view(
+        "h", "orders", ["o_orderstatus"], "price", kind="histogram", lo=0, hi=1e6
+    )
+    with pytest.raises(ValueError, match="top-k ranks"):
+        eng.view_topk("h", 2, ["o_orderstatus"])
