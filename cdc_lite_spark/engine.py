@@ -521,13 +521,16 @@ class CdcEngine:
 
     def _view_consumers(self, table: str, keys: list[str]) -> tuple[int, int]:
         """(weighted agg consumers, join consumers) of THIS tick's prev→cur
-        diff of ``table``.  distinct_count folds weigh 2 — their retraction
-        probe is a second action over the same diff.  Join views count only
-        when their side key matches the diff key (a differently-keyed diff
-        is a different computation; a lagging basis misses the cache and
-        recomputes its own, which is the rare heal path)."""
+        diff of ``table``.  distinct_count/min_max folds weigh 2 — their
+        retraction probe is a second action over the same diff; term_df
+        weighs 2 because its single fold plan scans the diff three times
+        (adds, retracts, doc-count delta), so caching pays even when it is
+        the only consumer.  Join views count only when their side key
+        matches the diff key (a differently-keyed diff is a different
+        computation; a lagging basis misses the cache and recomputes its
+        own, which is the rare heal path)."""
         agg = sum(
-            2 if s["kind"] in ("distinct_count", "min_max") else 1
+            2 if s["kind"] in ("distinct_count", "min_max", "term_df") else 1
             for s in self._agg_views.values()
             if s["table"] == table
         )
@@ -671,6 +674,17 @@ class CdcEngine:
         variance, and stddev from the state alone — the maintained form of
         the drift statistics a 100 TB table cannot rescan per tick.
 
+        ``kind="term_df"`` maintains the retrieval-index statistics of a
+        TEXT column (``value_col`` names it; ``group_keys`` must be empty —
+        the state is keyed by term): per-term document frequency plus the
+        corpus doc count, the pair TF-IDF/BM25 idf reads.  Document counts
+        are abelian too, so the fold is TOTAL: a tick touches the tokens of
+        |changed docs| only — an UPDATE retracts the old text's distinct
+        terms and adds the new text's — and the state stays bit-equal to a
+        rebuild (``operators/incremental.py`` ``apply_text_delta``).  The
+        maintained form of the corpus statistics behind every ranking
+        query, kept current without re-tokenizing 100 TB per tick.
+
         State is versioned by the SNAPSHOT version it reflects
         (``views/<name>/v=N`` + ``_SUCCESS`` pointer protocol), which makes
         maintenance replay-idempotent and self-healing: a view that missed a
@@ -679,8 +693,20 @@ class CdcEngine:
         new one; past snapshot retention it rebuilds from the current
         snapshot — a one-off table scan, the same cost as the initial build.
         """
-        if kind not in ("sum_count", "histogram", "distinct_count", "min_max", "moments"):
+        if kind not in (
+            "sum_count",
+            "histogram",
+            "distinct_count",
+            "min_max",
+            "moments",
+            "term_df",
+        ):
             raise ValueError(f"unknown view kind: {kind!r}")
+        if kind == "term_df" and group_keys:
+            raise ValueError(
+                "term_df state is keyed by term, not by table columns — "
+                "pass group_keys=[]"
+            )
         if name in self._join_views:
             raise ValueError(f"view name {name!r} already registered as a join view")
         if name in self._join_agg_views:
@@ -893,7 +919,9 @@ class CdcEngine:
         for _, s, vv, _ in lagging:
             if vv is not None:
                 weight[vv] += (
-                    2 if s["kind"] in ("distinct_count", "min_max") else 1
+                    2
+                    if s["kind"] in ("distinct_count", "min_max", "term_df")
+                    else 1
                 )
         diffs: dict[int, DataFrame] = {}
         persisted_diffs: list[DataFrame] = []
@@ -971,6 +999,10 @@ class CdcEngine:
             from cdc_lite_spark.operators.incremental import moments_state
 
             return moments_state(cur, s["group_keys"], s["value_col"])
+        if s["kind"] == "term_df":
+            from cdc_lite_spark.operators.incremental import dfreq_state
+
+            return dfreq_state(cur, text_col=s["value_col"])
         from cdc_lite_spark.operators.sketches import distinct_sketch_state
 
         return distinct_sketch_state(cur, s["group_keys"], s["value_col"], s["lgk"])
@@ -993,6 +1025,14 @@ class CdcEngine:
 
             return apply_moments_delta(
                 prev_state, changes, s["group_keys"], s["value_col"]
+            )
+        if s["kind"] == "term_df":
+            from cdc_lite_spark.operators.incremental import apply_text_delta
+
+            v = s["value_col"]
+            prev_c = f"prev_{v}" if f"prev_{v}" in changes.columns else v
+            return apply_text_delta(
+                prev_state, changes, cur_col=v, prev_col=prev_c
             )
         if s["kind"] == "histogram":
             from cdc_lite_spark.operators.histogram import apply_histogram_delta

@@ -515,11 +515,13 @@ def dfreq_state(
     """The maintainable retrieval-index statistics: per-term document
     frequency plus the corpus doc count carried on every row (the pair
     TF-IDF/BM25 idf reads).  One explode over DISTINCT per-doc terms +
-    one hash-agg."""
+    one hash-agg.  ``id_col`` is unused (df is a per-term count of docs,
+    which array_distinct already guarantees per row) and kept only for
+    signature stability."""
     from cdc_lite_spark.operators.text import tokens
 
     terms = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
+        F.explode(F.array_distinct(tokens(text_col))).alias("term")
     )
     df_counts = terms.groupBy("term").agg(F.count("*").alias("df_count"))
     n = docs.agg(F.count("*").alias("n_docs"))

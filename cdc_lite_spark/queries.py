@@ -8196,3 +8196,60 @@ def q_incremental_moments_maintenance(spark: SparkSession, sf_dir: str) -> DataF
         "agg_rows",
         (s / n).alias("mean"),
     )
+
+
+def _dfreq_oracle() -> str:
+    from cdc_lite_spark.operators.text import tokens_sql
+
+    return f"""
+    WITH cur AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 11 != 0
+    ),
+    terms AS (
+        SELECT unnest(list_distinct({tokens_sql('text')})) AS term FROM cur
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df_count,
+           (SELECT CAST(count(*) AS BIGINT) FROM cur) AS n_docs
+    FROM terms GROUP BY term
+    """
+
+
+@register(
+    "incremental_dfreq_maintenance",
+    _dfreq_oracle(),
+    "Maintained retrieval-index statistics (the sixth view kind, term_df): "
+    "per-term document frequency + corpus doc count folded from document "
+    "change records — doc counts are abelian, so a tick with doc DELETEs "
+    "and text-changing UPDATEs (old text's distinct terms retracted, new "
+    "text's added) stays O(|changed docs| tokens) and the folded state "
+    "must hash-match the oracle's from-scratch re-tokenization of the "
+    "final corpus exactly",
+    tags=("cdc", "incremental", "text"),
+)
+def q_incremental_dfreq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated tick over the documents corpus: the prev snapshot is
+    missing some docs, carries extra docs, and has drifted text on others
+    (so the diff exercises INSERT, DELETE, and term-moving UPDATE);
+    apply_text_delta folds it into dfreq_state built over prev — the
+    engine-loop form is register_agg_view(kind="term_df")
+    (test_engine_views.py pins the in-loop fold).  100 TB shape: the fold
+    explodes only the changed documents' tokens and merges on the
+    vocabulary key; the corpus is never re-tokenized after the initial
+    build — the maintained form of the df/N statistics every TF-IDF/BM25
+    ranking reads."""
+    from cdc_lite_spark.operators.diff import snapshot_diff
+    from cdc_lite_spark.operators.incremental import apply_text_delta, dfreq_state
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    cur = docs.filter(k % 11 != 0)
+    prev = docs.filter(k % 7 != 0).withColumn(
+        "text",
+        F.when(k % 13 == 0, F.concat(F.col("text"), F.lit(" zzdriftterm"))).otherwise(
+            F.col("text")
+        ),
+    )
+    changes = snapshot_diff(prev, cur, ["doc_id"], include_prev=True)
+    state = dfreq_state(prev, text_col="text")
+    return apply_text_delta(state, changes, cur_col="text", prev_col="prev_text")

@@ -1252,3 +1252,59 @@ def test_view_topk_ranks_maintained_state(spark, tables, tmp_path):
     )
     with pytest.raises(ValueError, match="top-k ranks"):
         eng.view_topk("h", 2, ["o_orderstatus"])
+
+
+# -- maintained TERM_DF views (retrieval-index statistics in the loop) --------
+
+
+def _dfreq_dict(df):
+    return {r["term"]: (r["df_count"], r["n_docs"]) for r in df.collect()}
+
+
+def test_term_df_view_fold_is_total_and_exact(spark, tables, tmp_path):
+    """Document frequencies are abelian: a tick with doc DELETEs and
+    text-changing UPDATEs folds via apply_text_delta (pinned by a spy —
+    never a rebuild) and the maintained state equals dfreq_state over the
+    final corpus exactly."""
+    from cdc_lite_spark.operators.incremental import dfreq_state
+
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("vocab", "docs", [], "text", kind="term_df")
+    docs = tables["documents"].select("doc_id", "text")
+    keys = {"docs": ["doc_id"]}
+    eng.poll_once({"docs": docs}, mode="diff", keys=keys)
+    assert _dfreq_dict(eng.view("vocab")) == _dfreq_dict(dfreq_state(docs))
+
+    import cdc_lite_spark.operators.incremental as inc
+
+    calls, orig = [], inc.apply_text_delta
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    k = F.col("doc_id")
+    mutated = docs.filter(k % 5 != 0).withColumn(
+        "text",
+        F.when(
+            k % 3 == 0, F.concat(F.col("text"), F.lit(" zzdriftterm"))
+        ).otherwise(F.col("text")),
+    )
+    inc.apply_text_delta = spy
+    try:
+        eng.poll_once({"docs": mutated}, mode="diff", keys=keys)
+    finally:
+        inc.apply_text_delta = orig
+    assert calls, "a retracting tick must still FOLD term_df, never rebuild"
+    got = _dfreq_dict(eng.view("vocab"))
+    assert got == _dfreq_dict(dfreq_state(mutated))
+    assert "zzdriftterm" in got  # the updated texts actually moved terms
+
+
+def test_term_df_registration_requires_empty_group_keys(spark, tmp_path):
+    import pytest
+
+    eng = _engine(spark, tmp_path)
+    with pytest.raises(ValueError, match="group_keys"):
+        eng.register_agg_view("v", "docs", ["lang"], "text", kind="term_df")
+    eng.register_agg_view("v", "docs", [], "text", kind="term_df")
