@@ -88,11 +88,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     p.add_argument(
         "--agg-view",
         default="",
-        help="name=table:key1+key2:valuecol,... — maintain a grouped "
-        "sum/count aggregate view from each tick's change records "
-        "(diff mode only; read it back with CdcEngine.view(name); "
-        "histogram/quantile views need explicit bucket edges — "
-        "register those via the register_agg_view API)",
+        help="name=table:key1+key2:valuecol[:kind],... — maintain an "
+        "aggregate view from each tick's change records (diff mode only; "
+        "read it back with CdcEngine.view(name)).  kind defaults to "
+        "sum_count; also: moments (Σv/Σv² → view_moments), min_max, "
+        "distinct_count (HLL), term_df (per-term document frequency of a "
+        "text column — pass an empty key segment).  histogram views need "
+        "explicit bucket edges — register those via the register_agg_view "
+        "API",
     )
     p.add_argument(
         "--join-view",
@@ -159,18 +162,36 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     for kv in (s for s in args.agg_view.split(",") if s):
         name, _, spec = kv.partition("=")
         parts = spec.split(":")
-        if not name or len(parts) != 3 or not all(parts):
+        # the key segment may be empty (term_df state is keyed by term);
+        # every other segment must be non-empty
+        if (
+            not name
+            or len(parts) not in (3, 4)
+            or not all(parts[:1] + parts[2:])
+        ):
             p.error(
-                f"--agg-view entry {kv!r}: expected name=table:key1+key2:valuecol"
+                f"--agg-view entry {kv!r}: expected "
+                f"name=table:key1+key2:valuecol[:kind]"
             )
-        vtable, gk, vcol = parts
+        vtable, gk, vcol = parts[:3]
+        kind = parts[3] if len(parts) == 4 else "sum_count"
         if vtable not in tables or args.mode != "diff" or vtable not in keys:
             p.error(
                 f"--agg-view {name!r}: views fold change records, so "
                 f"{vtable!r} must be monitored (--tables) in --mode diff "
                 f"with a --keys entry"
             )
-        eng.register_agg_view(name, vtable, gk.split("+"), vcol)
+        if kind == "histogram":
+            p.error(
+                f"--agg-view {name!r}: histogram views need explicit "
+                f"lo/hi bucket edges — register via the register_agg_view API"
+            )
+        try:
+            eng.register_agg_view(
+                name, vtable, [k for k in gk.split("+") if k], vcol, kind=kind
+            )
+        except ValueError as exc:  # unknown kind, term_df with keys, ...
+            p.error(f"--agg-view {name!r}: {exc}")
     for kv in (s for s in args.join_view.split(",") if s):
         name, _, spec = kv.partition("=")
         parts = spec.split(":")

@@ -237,3 +237,55 @@ def test_cli_join_view_maintained_and_validated(spark, sf_dir, tmp_path):
               "--keys", "nation=n_nationkey",
               "--join-view", "nr=nation:region:n_nationkey:n_regionkey:r_regionkey"],
              spark=spark)
+
+
+def test_cli_agg_view_kind_suffix(spark, sf_dir, tmp_path):
+    """The optional 4th spec segment routes kinds: moments views fold and
+    read back through view_moments; term_df takes an empty key segment;
+    bad kinds and histogram (needs edges) fail at parse time."""
+    import pytest
+
+    from cdc_lite_spark import CdcEngine
+    from cdc_lite_spark.cli import main
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    rc = main(
+        [
+            "--source", sf_dir,
+            "--tables", "region",
+            "--output-dir", out,
+            "--state-dir", state,
+            "--interval", "0.5",
+            "--duration", "12",
+            "--mode", "diff",
+            "--keys", "region=r_regionkey",
+            "--agg-view", "mom=region:r_name:r_regionkey:moments",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    eng = CdcEngine(spark, output_dir=out, state_dir=state)
+    eng.register_agg_view("mom", "region", ["r_name"], "r_regionkey", kind="moments")
+    m = eng.view_moments("mom")
+    assert m.count() == 5 and m.filter("agg_rows != 1").count() == 0
+
+    base = [
+        "--source", sf_dir,
+        "--tables", "region",
+        "--output-dir", out,
+        "--state-dir", state,
+        "--duration", "0.1",
+        "--mode", "diff",
+        "--keys", "region=r_regionkey",
+    ]
+    with pytest.raises(SystemExit):  # unknown kind
+        main(base + ["--agg-view", "x=region:r_name:r_regionkey:nope"], spark=spark)
+    with pytest.raises(SystemExit):  # histogram needs edges: API-only
+        main(
+            base + ["--agg-view", "x=region:r_name:r_regionkey:histogram"],
+            spark=spark,
+        )
+    with pytest.raises(SystemExit):  # term_df with group keys
+        main(
+            base + ["--agg-view", "x=region:r_name:r_comment:term_df"], spark=spark
+        )
