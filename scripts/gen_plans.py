@@ -95,6 +95,8 @@ HEADLINERS: dict[str, str] = {
     "ivf_topk": "map-side IVF (r7): broadcast centroid array folded per row — the only corpus-sized exchange is the final query-keyed top-k",
     "incremental_distinct_maintenance": "HLL state fold (r8): sketches collapse map-side to |keys| KB rows before any exchange; fold==rebuild flag compares |keys| state rows only",
     "incremental_minmax_maintenance": "extrema fold (r8): |inserts| aggregate map-side, merge joins the group-key domain — monotone under inserts, exact",
+    "incremental_moments_maintenance": "moments fold (r8): Σv/Σv² abelian — delta aggregates map-side, merge joins the group-key domain; retracting ticks fold, never rebuild",
+    "incremental_dfreq_maintenance": "term_df fold (r8): only CHANGED docs explode to tokens; the merge joins the vocabulary key — the corpus is never re-tokenized",
 }
 
 

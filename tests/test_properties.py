@@ -721,3 +721,39 @@ def test_maintained_histogram_equals_rebuild(spark, prev_rows, cur_rows):
     got = {tuple(r) for r in maintained.collect()}
     want = {tuple(r) for r in rebuilt.collect()}
     assert got == want
+
+
+@given(prev_rows=ROWS, cur_rows=ROWS)
+@_SETTINGS
+def test_maintained_moments_equal_rebuild(spark, prev_rows, cur_rows):
+    """apply_moments_delta over snapshot_diff change records must land
+    exactly on moments_state rebuilt from the current snapshot — for any
+    pair of snapshots, including null values (contribute nothing to
+    Σ/Σv²/count, but keep the row alive), key drops, and updates that
+    move rows across groups.  Integer values keep both sides exact, so
+    the comparison is equality, not tolerance."""
+    from cdc_lite_spark.operators.incremental import (
+        apply_moments_delta,
+        moments_state,
+    )
+
+    def _cast(rows):
+        # value 5 → NULL: exercises the null-contribution arm
+        return spark.createDataFrame(
+            [(i, p, v if v != 5 else None) for i, p, v in rows],
+            "id long, grp string, value long",
+        )
+
+    def grouped(df):
+        return df.withColumn(
+            "g", F.coalesce(F.substring("grp", 1, 1), F.lit("<null>"))
+        )
+
+    prev, cur = _cast(prev_rows), _cast(cur_rows)
+    changes = snapshot_diff(grouped(prev), grouped(cur), ["id"], include_prev=True)
+    state = moments_state(grouped(prev), ["g"], "value")
+    maintained = apply_moments_delta(state, changes, ["g"], "value")
+    rebuilt = moments_state(grouped(cur), ["g"], "value")
+    got = {tuple(r) for r in maintained.collect()}
+    want = {tuple(r) for r in rebuilt.collect()}
+    assert got == want
