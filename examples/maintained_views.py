@@ -2,9 +2,11 @@
 
     python examples/maintained_views.py [workdir]
 
-Creates a DuckDB database, monitors it in diff mode with four registered
-views (a per-group sum/count, a fixed-edge histogram, a per-group HLL
-distinct count, and a fact⋈dim join view), mutates the database between
+Creates a DuckDB database, monitors it in diff mode with seven registered
+views (a per-group sum/count, moments for mean/variance, a fixed-edge
+histogram, a per-group HLL distinct count, per-term document frequency
+of a text column, a fact⋈dim join view, and an aggregate OVER that join
+view), mutates the database between
 polls like an external application would, and prints the view states
 plus interpolated quantiles after each tick.  Each tick folds ONLY the
 change records into the persisted state — the tables are never re-joined
@@ -42,10 +44,14 @@ def main() -> int:
     work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="cdc_views_")
     db = os.path.join(work, "app.duckdb")
     con = duckdb.connect(db)
-    con.execute("CREATE TABLE orders(id BIGINT, status VARCHAR, amount DECIMAL(18,2))")
+    con.execute(
+        "CREATE TABLE orders(id BIGINT, status VARCHAR, amount DECIMAL(18,2), "
+        "memo VARCHAR)"
+    )
     con.execute(
         "INSERT INTO orders SELECT range, ['open','paid','void'][1 + range % 3], "
-        "(range % 900) * 1.25 FROM range(5000)"
+        "(range % 900) * 1.25, 'order ' || ['rush','standard','bulk'][1 + range % 3] "
+        "FROM range(5000)"
     )
     con.execute("CREATE TABLE status_dim(code VARCHAR, team VARCHAR)")
     con.execute(
@@ -71,6 +77,14 @@ def main() -> int:
     eng.register_agg_view(
         "distinct_amounts", "orders", ["status"], "amount", kind="distinct_count"
     )
+    # moments: Σv/Σv² — maintained mean/variance/stddev, fold TOTAL even
+    # on deleting/moving ticks (abelian, exactly retractable)
+    eng.register_agg_view(
+        "amount_moments", "orders", ["status"], "amount", kind="moments"
+    )
+    # per-term document frequency of the memo text — the retrieval-index
+    # statistics (df/N behind TF-IDF/BM25) folded from changed rows only
+    eng.register_agg_view("memo_vocab", "orders", [], "memo", kind="term_df")
     # the join view: orders ⋈ status_dim kept current from BOTH sides'
     # change records — affected keys only, never a full re-join
     eng.register_join_view(
@@ -91,13 +105,17 @@ def main() -> int:
     show("tick 1: revenue by status", eng.view("revenue"))
     show("tick 1: median/p95 amount", eng.view_quantiles("amount_hist", [0.5, 0.95]))
     show("tick 1: distinct amounts", eng.view_distinct_counts("distinct_amounts"))
+    show("tick 1: mean/stddev amount", eng.view_moments("amount_moments"))
+    show("tick 1: top memo terms", eng.view("memo_vocab").orderBy("term"), limit=4)
     show("tick 1: joined view (first rows)", eng.view("orders_teams"), limit=3)
 
     # an external writer mutates BOTH tables between polls
     con = duckdb.connect(db)
     con.execute("DELETE FROM orders WHERE id % 10 = 0")
     con.execute("UPDATE orders SET amount = amount * 2 WHERE status = 'paid'")
-    con.execute("INSERT INTO orders VALUES (90001, 'open', 9999.00)")  # clamps
+    con.execute(
+        "INSERT INTO orders VALUES (90001, 'open', 9999.00, 'order expedite')"
+    )  # amount clamps into the top histogram bucket; 'expedite' enters the vocab
     con.execute("UPDATE status_dim SET team = 'treasury' WHERE code = 'paid'")
     con.close()
 
@@ -106,6 +124,9 @@ def main() -> int:
     show("tick 2: revenue by status", eng.view("revenue"))
     show("tick 2: median/p95 amount", eng.view_quantiles("amount_hist", [0.5, 0.95]))
     show("tick 2: distinct amounts", eng.view_distinct_counts("distinct_amounts"))
+    show("tick 2: mean/stddev amount", eng.view_moments("amount_moments"))
+    show("tick 2: top-2 heaviest statuses", eng.view_topk("revenue", 2, []))
+    show("tick 2: top memo terms", eng.view("memo_vocab").orderBy("term"), limit=5)
     teams = eng.view("orders_teams").groupBy("team").count()
     show("tick 2: joined view rows per team", teams)
     show("tick 2: maintained revenue per team", eng.view("team_rev"))
