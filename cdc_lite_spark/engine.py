@@ -1177,6 +1177,81 @@ class CdcEngine:
             .filter(F.col("rank") <= k)
         )
 
+    def view_status(self) -> "list[dict]":
+        """One dict per REGISTERED view: the operational lag report.
+
+        Keys: ``name``, ``kind``, ``tables`` (the monitored tables it folds
+        from), ``state_version`` (newest committed state, None = never
+        materialized), ``table_version``/``basis`` (what the state SHOULD
+        reflect: the table's latest committed snapshot version, or the join
+        basis pair), ``lagging`` (True = a fold failed or hasn't run — the
+        engine retries it on every tick, changed or quiet, so persistent
+        lag means a persistent error worth reading the tick logs for).
+
+        Driver-side cost: FS listings only — O(|views|), no parquet opened,
+        no job run.  The monitoring twin of :meth:`metrics` for the
+        maintained-view tier."""
+        out: list[dict] = []
+        for name, s in self._agg_views.items():
+            sv = self._latest_version(self._view_dir(name))
+            tv = self._latest_snapshot_version(s["table"])
+            out.append(
+                {
+                    "name": name,
+                    "kind": s["kind"],
+                    "tables": [s["table"]],
+                    "state_version": sv,
+                    "table_version": tv,
+                    "lagging": sv != tv,
+                }
+            )
+        for name, s in self._join_views.items():
+            basis = self._read_join_basis(name)
+            fv = self._latest_snapshot_version(s["fact_table"])
+            dv = self._latest_snapshot_version(s["dim_table"])
+            out.append(
+                {
+                    "name": name,
+                    "kind": "join",
+                    "tables": [s["fact_table"], s["dim_table"]],
+                    "state_version": basis["v"] if basis else None,
+                    "basis": (
+                        {"fact_v": basis["fact_v"], "dim_v": basis["dim_v"]}
+                        if basis
+                        else None
+                    ),
+                    "table_version": {"fact_v": fv, "dim_v": dv},
+                    "lagging": basis is None
+                    or basis["fact_v"] != fv
+                    or basis["dim_v"] != dv,
+                }
+            )
+        for name, a in self._join_agg_views.items():
+            basis = self._read_join_basis(a["join_view"])
+            # the agg's commit point is the JOIN's basis (view() semantics):
+            # its newest committed version at-or-below the basis
+            sv = (
+                self._latest_version(self._view_dir(name), cap=basis["v"])
+                if basis is not None
+                else None
+            )
+            js = self._join_views.get(a["join_view"], {})
+            out.append(
+                {
+                    "name": name,
+                    "kind": "join_agg",
+                    "tables": [
+                        t
+                        for t in (js.get("fact_table"), js.get("dim_table"))
+                        if t is not None
+                    ],
+                    "state_version": sv,
+                    "table_version": basis["v"] if basis else None,
+                    "lagging": basis is None or sv != basis["v"],
+                }
+            )
+        return out
+
     # -- maintained join views --------------------------------------------------
 
     def register_join_view(

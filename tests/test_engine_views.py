@@ -1308,3 +1308,41 @@ def test_term_df_registration_requires_empty_group_keys(spark, tmp_path):
     with pytest.raises(ValueError, match="group_keys"):
         eng.register_agg_view("v", "docs", ["lang"], "text", kind="term_df")
     eng.register_agg_view("v", "docs", [], "text", kind="term_df")
+
+
+def test_view_status_reports_lag_and_health(spark, tables, tmp_path, capsys):
+    """view_status: healthy views report state_version == table_version,
+    a view whose fold fails every tick reports lagging=True, and join/
+    join-agg rows carry their basis — FS listings only, no job run."""
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("ok_view", "orders", ["o_orderstatus"], "price")
+    # a view over a column that does not exist: folds fail, view lags
+    eng.register_agg_view("bad_view", "orders", ["o_orderstatus"], "nope")
+    orders = _orders(spark, tables)
+    keys = {"orders": ["o_orderkey"]}
+    eng.poll_once({"orders": orders}, mode="diff", keys=keys)
+    capsys.readouterr()  # swallow the bad view's logged per-tick error
+
+    st = {r["name"]: r for r in eng.view_status()}
+    assert st["ok_view"]["lagging"] is False
+    assert st["ok_view"]["state_version"] == st["ok_view"]["table_version"] == 1
+    assert st["bad_view"]["lagging"] is True
+    assert st["bad_view"]["state_version"] is None
+    assert st["ok_view"]["tables"] == ["orders"]
+
+
+def test_view_status_join_rows_carry_basis(spark, tmp_path):
+    db = _join_db(tmp_path)
+    eng = _engine(spark, tmp_path)
+    _register_join(eng)
+    eng.register_join_agg_view("agg", "om", ["c_seg"], "o_price")
+    srcs = _join_sources(spark, db)
+    eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)
+
+    st = {r["name"]: r for r in eng.view_status()}
+    j = st["om"]
+    assert j["kind"] == "join" and j["lagging"] is False
+    assert j["basis"] == {"fact_v": 1, "dim_v": 1} and j["state_version"] == 1
+    a = st["agg"]
+    assert a["kind"] == "join_agg" and a["lagging"] is False
+    assert a["state_version"] == 1 and set(a["tables"]) == {"orders", "cust"}
