@@ -97,6 +97,9 @@ class CdcEngine:
         self._schema_cache: dict[str, object] = {}
         #: maintained aggregate views (see :meth:`register_agg_view`)
         self._agg_views: dict[str, dict] = {}
+        #: partition-granular maintained aggregates (see
+        #: :meth:`register_partition_agg_view`)
+        self._part_agg_views: dict[str, dict] = {}
         #: maintained fact⋈dim join views (see :meth:`register_join_view`)
         self._join_views: dict[str, dict] = {}
         #: maintained aggregates OVER join views (see
@@ -713,6 +716,10 @@ class CdcEngine:
             raise ValueError(
                 f"view name {name!r} already registered as a join-aggregate view"
             )
+        if name in self._part_agg_views:
+            raise ValueError(
+                f"view name {name!r} already registered as a partition view"
+            )
         if kind == "histogram":
             if lo is None or hi is None:
                 raise ValueError("histogram views need explicit lo/hi bucket edges")
@@ -747,6 +754,20 @@ class CdcEngine:
     # writer (r5 consolidated those for drift exactly like this).
 
     def _stable_spec(self, s: dict) -> dict:
+        if "part_col" in s:
+            fields = (
+                "table",
+                "part_col",
+                "group_keys",
+                "value_col",
+                "kind",
+                "lo",
+                "hi",
+                "bins",
+            )
+            if s.get("kind") == "distinct_count":
+                fields += ("lgk",)
+            return {k: s[k] for k in fields}
         if s.get("kind") == "join":
             fields = (
                 "kind",
@@ -844,6 +865,14 @@ class CdcEngine:
             if basis is None:
                 raise ValueError(f"view {name!r} has no materialized state yet")
             return self.spark.read.parquet(f"{self._view_dir(name)}/v={basis['v']}")
+        if name in self._part_agg_views:
+            self._check_view_spec(name, self._part_agg_views[name])
+            # commit point is the _parts pointer (a bare v=K ahead of it is
+            # an uncommitted leftover of a crashed tick)
+            ptr = self._read_parts_pointer(name)
+            if ptr is None:
+                raise ValueError(f"view {name!r} has no materialized state yet")
+            return self.spark.read.parquet(f"{self._view_dir(name)}/v={ptr['v']}")
         if name not in self._agg_views:
             raise ValueError(f"no registered view: {name!r}")
         self._check_view_spec(name, self._agg_views[name])
@@ -1177,6 +1206,232 @@ class CdcEngine:
             .filter(F.col("rank") <= k)
         )
 
+    # -- partition-granular maintained aggregates ------------------------------
+
+    #: agg kinds whose per-partition states MERGE losslessly at read time —
+    #: the property that makes partition-granular maintenance total: a
+    #: drifted partition's state is REPLACED (no retraction needed), and the
+    #: per-group answer is the merge of per-partition rows
+    _MERGEABLE_KINDS = (
+        "sum_count",
+        "moments",
+        "min_max",
+        "histogram",
+        "distinct_count",
+    )
+
+    def register_partition_agg_view(
+        self,
+        name: str,
+        table: str,
+        part_col: str,
+        group_keys: list[str],
+        value_col: str,
+        kind: str = "sum_count",
+        lo: float | None = None,
+        hi: float | None = None,
+        bins: int = 64,
+        lgk: int = 12,
+    ) -> None:
+        """Declare a grouped aggregate over a PARTITION-captured table
+        (:meth:`poll_partitions`) to be maintained per tick at PARTITION
+        granularity — the §4 checksum refinement carried into the view
+        tier: state is one row per (partition value, group key), and a tick
+        re-aggregates ONLY the drifted partitions' rows, replacing their
+        state rows wholesale (dropped partitions' rows just disappear).
+
+        Replacement needs no retraction algebra, so EVERY mergeable kind is
+        total here — including ``min_max`` and ``distinct_count``, which
+        degrade to rebuilds under keyed diffs: deleting rows inside a
+        partition simply makes that partition's state fresh from its
+        current rows.  ``kind`` ∈ ``sum_count`` / ``moments`` / ``min_max``
+        / ``histogram`` / ``distinct_count``; per-group answers come from
+        :meth:`view_merged` (states merge losslessly: sums add, extrema
+        least/greatest, bucket counts add, HLL sketches union).
+
+        Self-healing without snapshot versions: the state commits with a
+        ``_parts`` pointer recording the per-partition fingerprints it
+        reflects; every :meth:`poll_partitions` tick compares that map to
+        the fingerprints just computed and re-aggregates any partition
+        that differs — a fold that failed (or a view registered late)
+        catches up on the next tick automatically, and replaying a tick
+        replaces partitions with identical content (idempotent).  Spec
+        pinning, per-view error isolation, and version GC as for
+        :meth:`register_agg_view`.
+
+        100 TB shape: the per-tick fold scans only drifted partitions (on a
+        ``part_col``-partitioned lakehouse layout the read prunes to those
+        directories); state is O(|parts| · |groups|) rows; the merged read
+        never touches the facts."""
+        if kind not in self._MERGEABLE_KINDS:
+            raise ValueError(
+                f"unknown partition view kind: {kind!r} "
+                f"(one of {self._MERGEABLE_KINDS})"
+            )
+        if kind == "histogram":
+            if lo is None or hi is None:
+                raise ValueError("histogram views need explicit lo/hi bucket edges")
+            from cdc_lite_spark.operators.histogram import _check_edges
+
+            _check_edges(lo, hi, bins)
+        for other in (
+            self._agg_views,
+            self._join_views,
+            self._join_agg_views,
+            self._part_agg_views,
+        ):
+            if name in other:
+                raise ValueError(f"view name {name!r} already registered")
+        self._part_agg_views[name] = {
+            "table": table,
+            "part_col": part_col,
+            "group_keys": list(group_keys),
+            "value_col": value_col,
+            "kind": kind,
+            "lo": lo,
+            "hi": hi,
+            "bins": bins,
+            "lgk": lgk,
+        }
+
+    def _read_parts_pointer(self, name: str) -> "dict | None":
+        ptr = self._read_pointer_json(f"{self._view_dir(name)}/_parts")
+        if ptr is None:
+            return None
+        # parts serialize as [part, checksum] pairs: a JSON object key
+        # cannot be None, and the NULL partition is a real partition
+        return {"v": ptr["v"], "parts": {p: c for p, c in ptr["parts"]}}
+
+    def _write_parts_pointer(self, name: str, v: int, parts: dict) -> None:
+        self._write_pointer_json(
+            f"{self._view_dir(name)}/_parts",
+            {"v": v, "parts": [[p, c] for p, c in sorted(parts.items(), key=str)]},
+        )
+
+    @staticmethod
+    def _part_filter(col, parts: "list[str | None]"):
+        """Membership over partition VALUES where None is the real NULL
+        partition — isin never matches NULL, so it needs its own arm."""
+        non_null = [p for p in parts if p is not None]
+        cond = col.isin(non_null) if non_null else F.lit(False)
+        if any(p is None for p in parts):
+            cond = cond | col.isNull()
+        return cond
+
+    def _build_part_state(self, s: dict, rows: DataFrame) -> DataFrame:
+        """Per-(partition, group) state over ``rows`` (which already carry
+        the string-cast ``__part`` column) — same builders as the keyed
+        views, keyed by the partition value first."""
+        keyed = dict(s, group_keys=["__part", *s["group_keys"]])
+        return self._build_agg_state(keyed, rows)
+
+    def _maintain_partition_views(
+        self, table: str, part_col: str, staged: DataFrame, cur: dict
+    ) -> None:
+        """Bring every partition view on ``table`` up to THIS tick's
+        per-partition fingerprints (``cur``): stale partitions (fingerprint
+        differs from the view's ``_parts`` pointer, or never folded) are
+        re-aggregated from ``staged`` and replace their state rows; parts
+        gone from ``cur`` drop out.  Runs every tick — including
+        no-drift ticks — so lagging views heal for free.  Per-view error
+        isolation (H6)."""
+        specs = [
+            (n, s) for n, s in self._part_agg_views.items() if s["table"] == table
+        ]
+        for name, s in specs:
+            try:
+                if s["part_col"] != part_col:
+                    raise ValueError(
+                        f"view {name!r} was registered on partition column "
+                        f"{s['part_col']!r} but poll_partitions ran on "
+                        f"{part_col!r}"
+                    )
+                pinned = self._check_view_spec(name, s)
+                ptr = self._read_parts_pointer(name)
+                if ptr is not None and ptr["parts"] == cur:
+                    if not pinned:
+                        self._pin_view_spec(name, s)
+                    continue
+                if ptr is None:
+                    # initial build (or late registration): the full table —
+                    # the same one-off cost every maintained view pays first
+                    state = self._build_part_state(s, staged)
+                    new_v = (self._latest_version(self._view_dir(name)) or 0) + 1
+                else:
+                    stale = [
+                        p for p, c in cur.items() if ptr["parts"].get(p, object()) != c
+                    ]
+                    gone = [p for p in ptr["parts"] if p not in cur]
+                    prev_state = self.spark.read.parquet(
+                        f"{self._view_dir(name)}/v={ptr['v']}"
+                    )
+                    kept = prev_state.filter(
+                        ~self._part_filter(F.col("__part"), [*stale, *gone])
+                    )
+                    fresh = self._build_part_state(
+                        s, staged.filter(self._part_filter(F.col("__part"), stale))
+                    )
+                    state = kept.unionByName(fresh)
+                    new_v = ptr["v"] + 1
+                state.write.mode("overwrite").parquet(
+                    f"{self._view_dir(name)}/v={new_v}"
+                )
+                # the _parts pointer write IS the commit (atomic swap): a
+                # crash before it leaves the old pointer, and the retried
+                # tick rewrites v=new_v from the same comparison
+                self._write_parts_pointer(name, new_v, cur)
+                self._gc_versions(self._view_dir(name), new_v, self.VIEW_VERSIONS_KEPT)
+                if not pinned:
+                    self._pin_view_spec(name, s)
+            except Exception as exc:  # noqa: BLE001 — per-view isolation (H6)
+                print(f"cdc_lite_spark: error maintaining view {name}: {exc}")
+
+    def view_merged(self, name: str) -> DataFrame:
+        """Per-group aggregate from a partition view's state alone — the
+        lossless merge across partitions (sums add, extrema least/greatest,
+        bucket counts add, HLL sketches union; ``histogram`` output keeps
+        the (group, bucket) grain so ``quantiles_from_histogram`` applies
+        directly).  Never touches the monitored table."""
+        s = self._part_agg_views.get(name)
+        if s is None:
+            raise ValueError(f"no registered partition view: {name!r}")
+        st = self.view(name)
+        gk = s["group_keys"]
+        kind = s["kind"]
+        if kind == "sum_count":
+            return st.groupBy(*gk).agg(
+                F.sum("agg_sum").alias("agg_sum"),
+                F.sum("agg_count").alias("agg_count"),
+                F.sum("agg_rows").alias("agg_rows"),
+            )
+        if kind == "moments":
+            return st.groupBy(*gk).agg(
+                F.sum("agg_sum").alias("agg_sum"),
+                F.sum("agg_sum2").alias("agg_sum2"),
+                F.sum("agg_count").alias("agg_count"),
+                F.sum("agg_rows").alias("agg_rows"),
+            )
+        if kind == "min_max":
+            return st.groupBy(*gk).agg(
+                F.min("agg_min").alias("agg_min"),
+                F.max("agg_max").alias("agg_max"),
+                F.sum("agg_count").alias("agg_count"),
+                F.sum("agg_rows").alias("agg_rows"),
+            )
+        if kind == "histogram":
+            return st.groupBy(*gk, "bucket").agg(
+                F.sum("bkt_count").alias("bkt_count")
+            )
+        # distinct_count: union the per-partition sketches, then surface
+        # the estimate (the view_distinct_counts shape — readers want a
+        # number, not sketch bytes)
+        return st.groupBy(*gk).agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias(
+                "distinct_estimate"
+            ),
+            F.sum("n_rows").alias("n_rows"),
+        )
+
     def view_status(self) -> "list[dict]":
         """One dict per REGISTERED view: the operational lag report.
 
@@ -1189,9 +1444,32 @@ class CdcEngine:
         lag means a persistent error worth reading the tick logs for).
 
         Driver-side cost: FS listings only — O(|views|), no parquet opened,
-        no job run.  The monitoring twin of :meth:`metrics` for the
+        no job run — EXCEPT partition views, whose lag check compares the
+        view's ``_parts`` pointer against the recorded partition-checksum
+        state (one small state-table aggregation per partition-viewed
+        table).  The monitoring twin of :meth:`metrics` for the
         maintained-view tier."""
         out: list[dict] = []
+        part_cksums: dict[str, dict] = {}
+        for name, s in self._part_agg_views.items():
+            ptr = self._read_parts_pointer(name)
+            t = s["table"]
+            if t not in part_cksums:
+                part_cksums[t] = {
+                    p: c
+                    for p, c in self.latest_partition_checksums(t).items()
+                    if c != self._PART_GONE
+                }
+            out.append(
+                {
+                    "name": name,
+                    "kind": f"partition_{s['kind']}",
+                    "tables": [t],
+                    "state_version": ptr["v"] if ptr else None,
+                    "table_version": None,
+                    "lagging": ptr is None or ptr["parts"] != part_cksums[t],
+                }
+            )
         for name, s in self._agg_views.items():
             sv = self._latest_version(self._view_dir(name))
             tv = self._latest_snapshot_version(s["table"])
@@ -1289,7 +1567,11 @@ class CdcEngine:
         snapshots — a one-off join, the same cost as the initial build.
         Per-view error isolation (H6): a bad spec logs and lags, never
         blocking captures or other views."""
-        if name in self._agg_views or name in self._join_agg_views:
+        if (
+            name in self._agg_views
+            or name in self._join_agg_views
+            or name in self._part_agg_views
+        ):
             raise ValueError(f"view name {name!r} already registered as an agg view")
         self._join_views[name] = {
             "kind": "join",
@@ -1322,7 +1604,11 @@ class CdcEngine:
                 f"join_agg view {name!r}: {join_view!r} is not a registered "
                 "join view (register_join_view first)"
             )
-        if name in self._agg_views or name in self._join_views:
+        if (
+            name in self._agg_views
+            or name in self._join_views
+            or name in self._part_agg_views
+        ):
             raise ValueError(f"view name {name!r} already registered")
         self._join_agg_views[name] = {
             "kind": "join_agg",
@@ -1819,6 +2105,10 @@ class CdcEngine:
         )
         report = {"drifted": drifted, "dropped": dropped, "skipped": not (drifted or dropped)}
         if report["skipped"]:
+            # no-drift ticks still run the view fold: a lagging partition
+            # view (failed fold, late registration) heals by comparing its
+            # _parts pointer against this tick's fingerprints
+            self._maintain_partition_views(table, part_col, staged, cur)
             return report
         if drifted:
             # isin never matches NULL — a null partition value (rows whose
@@ -1846,6 +2136,10 @@ class CdcEngine:
         new_state = {p: cur[p] for p in drifted}
         new_state.update({p: self._PART_GONE for p in dropped})
         self.record_partition_checksums(table, new_state)
+        # partition views fold AFTER the capture commits (same ordering as
+        # record_partition_checksums); their own _parts pointer makes a
+        # failed fold retry next tick regardless of further drift
+        self._maintain_partition_views(table, part_col, staged, cur)
         return report
 
     def materialize_partitions(

@@ -8253,3 +8253,85 @@ def q_incremental_dfreq_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     changes = snapshot_diff(prev, cur, ["doc_id"], include_prev=True)
     state = dfreq_state(prev, text_col="text")
     return apply_text_delta(state, changes, cur_col="text", prev_col="prev_text")
+
+
+@register(
+    "engine_partition_view_maintenance",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS agg_sum,
+           CAST(count(o_totalprice) AS BIGINT) AS agg_count,
+           CAST(count(*) AS BIGINT) AS agg_rows
+    FROM orders
+    WHERE o_orderkey % 11 != 0
+    GROUP BY o_orderpriority
+    """,
+    "Partition-granular maintained views IN THE ENGINE LOOP: ACTUALLY RUNS "
+    "CdcEngine.poll_partitions twice with a registered partition view — "
+    "tick 2 re-aggregates ONLY the drifted partitions' rows and replaces "
+    "their (partition, group) state rows; the returned per-group answer is "
+    "the lossless merge of per-partition states, and the oracle recomputes "
+    "the aggregate from scratch over the final table — so the driver pins "
+    "that replacement-based partition maintenance converges to the rescan "
+    "answer (DECIMAL sums: no fold-order drift)",
+    tags=("cdc", "incremental", "partition", "engine"),
+)
+def q_engine_partition_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §4 checksum refinement carried into the view tier
+    (engine.register_partition_agg_view / _maintain_partition_views):
+    state is per-(partition, group); a tick's fold scans only drifted
+    partitions (on a partitioned lakehouse layout the read prunes to those
+    directories) and REPLACES their rows — no retraction algebra, so even
+    min/max and HLL distinct stay total here.  The fixture mutates only
+    SOME partitions between ticks (prices tweaked under two statuses),
+    and test_engine_views.py pins with a spy that the fold scanned only
+    the drifted partitions.  100 TB shape: per-tick work ∝ drifted data;
+    the merged read touches O(|parts|·|groups|) state rows, never facts."""
+    import shutil
+    import tempfile
+
+    from cdc_lite_spark.engine import CdcEngine
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    # tick 1: some keys missing, prices drifted WITHIN partition F only
+    prev = orders.filter(k % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            (F.col("o_orderstatus") == "F") & (k % 13 == 0),
+            F.col("o_totalprice") + 100,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    cur = orders.filter(k % 11 != 0)
+
+    td = tempfile.mkdtemp(prefix="cdc_part_view_")
+    try:
+        eng = CdcEngine(
+            spark,
+            output_dir=td + "/log",
+            state_dir=td + "/state",
+            emit_schema_changes=False,
+        )
+        eng.register_partition_agg_view(
+            "prio_rev",
+            "orders_v",
+            "o_orderstatus",
+            ["o_orderpriority"],
+            "o_totalprice",
+        )
+        eng.poll_partitions("orders_v", prev, "o_orderstatus")
+        eng.poll_partitions("orders_v", cur, "o_orderstatus")
+        out = eng.view_merged("prio_rev").select(
+            "o_orderpriority",
+            F.col("agg_sum").cast("double").alias("agg_sum"),
+            "agg_count",
+            "agg_rows",
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)

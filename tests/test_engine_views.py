@@ -1346,3 +1346,174 @@ def test_view_status_join_rows_carry_basis(spark, tmp_path):
     a = st["agg"]
     assert a["kind"] == "join_agg" and a["lagging"] is False
     assert a["state_version"] == 1 and set(a["tables"]) == {"orders", "cust"}
+
+
+# -- partition-granular maintained views (poll_partitions tier) ---------------
+
+
+def _p_orders(spark, tables):
+    return tables["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+
+
+def _p_recompute(df):
+    return {
+        (r["o_orderpriority"],): (r["s"], r["c"], r["n"])
+        for r in df.groupBy("o_orderpriority")
+        .agg(
+            F.sum("price").alias("s"),
+            F.count("price").alias("c"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+
+
+def _p_merged(eng, name):
+    return {
+        (r["o_orderpriority"],): (r["agg_sum"], r["agg_count"], r["agg_rows"])
+        for r in eng.view_merged(name).collect()
+    }
+
+
+def test_partition_view_folds_only_drifted_partitions(spark, tables, tmp_path):
+    """A tick re-aggregates ONLY the drifted partitions' rows (pinned by a
+    spy counting what the fresh build scans), replaces their state rows,
+    and the merged per-group answer equals a from-scratch recompute —
+    dropped partitions disappear from the state wholesale."""
+    eng = _engine(spark, tmp_path)
+    eng.register_partition_agg_view(
+        "pv", "orders", "o_orderstatus", ["o_orderpriority"], "price"
+    )
+    orders = _p_orders(spark, tables)
+    eng.poll_partitions("orders", orders, "o_orderstatus")
+    assert _p_merged(eng, "pv") == _p_recompute(orders)
+
+    # tick 2: mutate rows of ONE partition (status F) only
+    mutated = orders.withColumn(
+        "price",
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0),
+            F.col("price") * 2,
+        ).otherwise(F.col("price")),
+    )
+    fresh_counts, orig = [], eng._build_part_state
+
+    def spy(s, rows):
+        fresh_counts.append(rows.count())
+        return orig(s, rows)
+
+    eng._build_part_state = spy
+    try:
+        report = eng.poll_partitions("orders", mutated, "o_orderstatus")
+    finally:
+        eng._build_part_state = orig
+    assert report["drifted"] == ["F"]
+    f_rows = mutated.filter(F.col("o_orderstatus") == "F").count()
+    assert fresh_counts == [f_rows], "fold must scan only the drifted partition"
+    assert _p_merged(eng, "pv") == _p_recompute(mutated)
+
+    # tick 3: a whole partition vanishes — its state rows drop out
+    shrunk = mutated.filter(F.col("o_orderstatus") != "O")
+    report = eng.poll_partitions("orders", shrunk, "o_orderstatus")
+    assert report["dropped"] == ["O"]
+    assert _p_merged(eng, "pv") == _p_recompute(shrunk)
+    assert eng.view("pv").filter(F.col("__part") == "O").count() == 0
+
+    # replay-shaped quiet tick: nothing changes, fold is a pointer compare
+    report = eng.poll_partitions("orders", shrunk, "o_orderstatus")
+    assert report["skipped"] is True
+    assert _p_merged(eng, "pv") == _p_recompute(shrunk)
+
+
+def test_partition_view_mergeable_kinds_and_validation(spark, tables, tmp_path):
+    """min_max and distinct_count are TOTAL under partition replacement
+    (no keyed-diff rebuild degradation): deleting a partition's extremum
+    rows still folds, and the merged answers match recomputes.  Histogram
+    states merge to the (group, bucket) grain quantiles read directly."""
+    import pytest
+
+    eng = _engine(spark, tmp_path)
+    eng.register_partition_agg_view(
+        "mm", "orders", "o_orderstatus", ["o_orderpriority"], "price", kind="min_max"
+    )
+    eng.register_partition_agg_view(
+        "dc", "orders", "o_orderstatus", [], "o_custkey", kind="distinct_count"
+    )
+    eng.register_partition_agg_view(
+        "h", "orders", "o_orderstatus", [], "price",
+        kind="histogram", lo=0.0, hi=600000.0, bins=8,
+    )
+    orders = _p_orders(spark, tables).join(
+        tables["orders"].select("o_orderkey", "o_custkey"), "o_orderkey"
+    )
+    eng.poll_partitions("orders", orders, "o_orderstatus")
+
+    # delete each (status, priority) group's maximum-price rows: a keyed
+    # min_max view would need a rebuild; partition replacement just folds
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus", "o_orderpriority")
+    shrunk = (
+        orders.withColumn("__mx", F.max("price").over(w))
+        .filter(F.col("price") != F.col("__mx"))
+        .drop("__mx")
+    )
+    eng.poll_partitions("orders", shrunk, "o_orderstatus")
+
+    got_mm = {
+        (r["o_orderpriority"],): (r["agg_min"], r["agg_max"], r["agg_rows"])
+        for r in eng.view_merged("mm").collect()
+    }
+    want_mm = {
+        (r["o_orderpriority"],): (r["mn"], r["mx"], r["n"])
+        for r in shrunk.groupBy("o_orderpriority")
+        .agg(
+            F.min("price").alias("mn"),
+            F.max("price").alias("mx"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert got_mm == want_mm
+
+    est = eng.view_merged("dc").collect()[0]
+    exact = shrunk.select("o_custkey").distinct().count()
+    assert abs(est["distinct_estimate"] - exact) <= 0.1 * exact
+    assert est["n_rows"] == shrunk.count()
+
+    from cdc_lite_spark.operators.histogram import quantiles_from_histogram
+
+    q = quantiles_from_histogram(
+        eng.view_merged("h"), [], [0.5], 0.0, 600000.0, 8
+    ).collect()[0]["quantile_est"]
+    assert 0.0 < q < 600000.0
+
+    with pytest.raises(ValueError, match="unknown partition view kind"):
+        eng.register_partition_agg_view("x", "t", "p", [], "v", kind="term_df")
+    with pytest.raises(ValueError, match="bucket edges"):
+        eng.register_partition_agg_view("x", "t", "p", [], "v", kind="histogram")
+    with pytest.raises(ValueError, match="already registered"):
+        eng.register_agg_view("mm", "orders", ["k"], "v")
+    with pytest.raises(ValueError, match="already registered"):
+        eng.register_partition_agg_view("mm", "t", "p", [], "v")
+
+
+def test_partition_view_part_col_mismatch_is_isolated(spark, tables, tmp_path, capsys):
+    """Polling on a different partition column than the view was
+    registered with logs and lags (per-view isolation) — the capture
+    itself still commits, and view_status reports the lag."""
+    eng = _engine(spark, tmp_path)
+    eng.register_partition_agg_view(
+        "pv", "orders", "o_orderstatus", [], "price"
+    )
+    orders = _p_orders(spark, tables)
+    report = eng.poll_partitions("orders", orders, "o_orderpriority")
+    assert report["drifted"]  # capture committed despite the view error
+    assert "error maintaining view pv" in capsys.readouterr().out
+    st = {r["name"]: r for r in eng.view_status()}
+    assert st["pv"]["lagging"] is True and st["pv"]["kind"] == "partition_sum_count"
