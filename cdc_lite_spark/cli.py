@@ -98,6 +98,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "API",
     )
     p.add_argument(
+        "--partition-view",
+        default="",
+        help="name=table:key1+key2:valuecol[:kind],... — maintain a "
+        "partition-granular aggregate view over a --partition-cols table: "
+        "each tick re-aggregates only drifted partitions and replaces "
+        "their state rows (kinds: sum_count default, moments, min_max, "
+        "distinct_count; histogram needs edges — use the "
+        "register_partition_agg_view API).  Read back with "
+        "CdcEngine.view_merged(name)",
+    )
+    p.add_argument(
         "--join-view",
         default="",
         help="name=fact:dim:fact_key:fact_dim_col:dim_key,... — maintain a "
@@ -192,6 +203,43 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             )
         except ValueError as exc:  # unknown kind, term_df with keys, ...
             p.error(f"--agg-view {name!r}: {exc}")
+    for kv in (s for s in args.partition_view.split(",") if s):
+        name, _, spec = kv.partition("=")
+        parts = spec.split(":")
+        if (
+            not name
+            or len(parts) not in (3, 4)
+            or not all(parts[:1] + parts[2:])
+        ):
+            p.error(
+                f"--partition-view entry {kv!r}: expected "
+                f"name=table:key1+key2:valuecol[:kind]"
+            )
+        vtable, gk, vcol = parts[:3]
+        kind = parts[3] if len(parts) == 4 else "sum_count"
+        if vtable not in partition_cols:
+            p.error(
+                f"--partition-view {name!r}: {vtable!r} must be "
+                f"partition-captured (--partition-cols) — keyed-diff "
+                f"tables take --agg-view instead"
+            )
+        if kind == "histogram":
+            p.error(
+                f"--partition-view {name!r}: histogram views need explicit "
+                f"lo/hi bucket edges — register via the "
+                f"register_partition_agg_view API"
+            )
+        try:
+            eng.register_partition_agg_view(
+                name,
+                vtable,
+                partition_cols[vtable],
+                [k for k in gk.split("+") if k],
+                vcol,
+                kind=kind,
+            )
+        except ValueError as exc:
+            p.error(f"--partition-view {name!r}: {exc}")
     for kv in (s for s in args.join_view.split(",") if s):
         name, _, spec = kv.partition("=")
         parts = spec.split(":")

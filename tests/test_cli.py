@@ -289,3 +289,52 @@ def test_cli_agg_view_kind_suffix(spark, sf_dir, tmp_path):
         main(
             base + ["--agg-view", "x=region:r_name:r_comment:term_df"], spark=spark
         )
+
+
+def test_cli_partition_view_maintained_and_validated(spark, sf_dir, tmp_path):
+    """--partition-view registers a partition-granular view that the
+    monitor folds per tick over a --partition-cols table; specs on
+    non-partition-captured tables and bad kinds fail at parse time."""
+    import pytest
+
+    from cdc_lite_spark import CdcEngine
+    from cdc_lite_spark.cli import main
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    rc = main(
+        [
+            "--source", sf_dir,
+            "--tables", "region",
+            "--output-dir", out,
+            "--state-dir", state,
+            "--interval", "0.5",
+            "--duration", "12",
+            "--partition-cols", "region=r_regionkey",
+            "--partition-view", "rn=region:r_name:r_regionkey",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    eng = CdcEngine(spark, output_dir=out, state_dir=state)
+    eng.register_partition_agg_view(
+        "rn", "region", "r_regionkey", ["r_name"], "r_regionkey"
+    )
+    merged = eng.view_merged("rn")
+    assert merged.count() == 5 and merged.filter("agg_rows != 1").count() == 0
+
+    base = [
+        "--source", sf_dir,
+        "--tables", "region",
+        "--output-dir", out,
+        "--state-dir", state,
+        "--duration", "0.1",
+    ]
+    with pytest.raises(SystemExit):  # table not partition-captured
+        main(base + ["--partition-view", "x=region:r_name:r_regionkey"], spark=spark)
+    with pytest.raises(SystemExit):  # unknown kind
+        main(
+            base
+            + ["--partition-cols", "region=r_regionkey",
+               "--partition-view", "x=region:r_name:r_regionkey:nope"],
+            spark=spark,
+        )
