@@ -885,15 +885,22 @@ class CdcEngine:
         """Quantile estimates from a maintained HISTOGRAM view — the bucket
         edges come from the registered spec, and only the (tiny) state
         table is read, never the monitored table."""
-        spec = self._agg_views.get(name)
+        spec = self._agg_views.get(name) or self._part_agg_views.get(name)
         if spec is None:
             raise ValueError(f"no registered view: {name!r}")
         if spec["kind"] != "histogram":
             raise ValueError(f"view {name!r} is {spec['kind']}, not histogram")
         from cdc_lite_spark.operators.histogram import quantiles_from_histogram
 
+        # partition views first merge bucket counts across partitions —
+        # lossless (integer adds), still state-only
+        state = (
+            self.view_merged(name)
+            if name in self._part_agg_views
+            else self.view(name)
+        )
         return quantiles_from_histogram(
-            self.view(name),
+            state,
             spec["group_keys"],
             qs,
             spec["lo"],

@@ -1492,6 +1492,8 @@ def test_partition_view_mergeable_kinds_and_validation(spark, tables, tmp_path):
         eng.view_merged("h"), [], [0.5], 0.0, 600000.0, 8
     ).collect()[0]["quantile_est"]
     assert 0.0 < q < 600000.0
+    # view_quantiles routes partition histogram views through the merge
+    assert eng.view_quantiles("h", [0.5]).collect()[0]["quantile_est"] == q
 
     with pytest.raises(ValueError, match="unknown partition view kind"):
         eng.register_partition_agg_view("x", "t", "p", [], "v", kind="term_df")
