@@ -170,73 +170,55 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     for t in schemas:
         if t not in tables:
             p.error(f"--schema entry for unknown table {t!r} (not in --tables)")
-    for kv in (s for s in args.agg_view.split(",") if s):
+    def _parse_view_spec(flag: str, kv: str) -> tuple[str, str, list[str], str, str]:
+        """Shared grammar of --agg-view and --partition-view entries:
+        name=table:key1+key2:valuecol[:kind].  The key segment may be empty
+        (term_df state is keyed by term; partition views may aggregate the
+        whole partition); every other segment must be non-empty, and
+        histogram views need bucket edges only the API can carry."""
         name, _, spec = kv.partition("=")
         parts = spec.split(":")
-        # the key segment may be empty (term_df state is keyed by term);
-        # every other segment must be non-empty
         if (
             not name
             or len(parts) not in (3, 4)
             or not all(parts[:1] + parts[2:])
         ):
             p.error(
-                f"--agg-view entry {kv!r}: expected "
+                f"{flag} entry {kv!r}: expected "
                 f"name=table:key1+key2:valuecol[:kind]"
             )
         vtable, gk, vcol = parts[:3]
         kind = parts[3] if len(parts) == 4 else "sum_count"
+        if kind == "histogram":
+            p.error(
+                f"{flag} {name!r}: histogram views need explicit lo/hi "
+                f"bucket edges — register via the engine API"
+            )
+        return name, vtable, [k for k in gk.split("+") if k], vcol, kind
+
+    for kv in (s for s in args.agg_view.split(",") if s):
+        name, vtable, gk, vcol, kind = _parse_view_spec("--agg-view", kv)
         if vtable not in tables or args.mode != "diff" or vtable not in keys:
             p.error(
                 f"--agg-view {name!r}: views fold change records, so "
                 f"{vtable!r} must be monitored (--tables) in --mode diff "
                 f"with a --keys entry"
             )
-        if kind == "histogram":
-            p.error(
-                f"--agg-view {name!r}: histogram views need explicit "
-                f"lo/hi bucket edges — register via the register_agg_view API"
-            )
         try:
-            eng.register_agg_view(
-                name, vtable, [k for k in gk.split("+") if k], vcol, kind=kind
-            )
+            eng.register_agg_view(name, vtable, gk, vcol, kind=kind)
         except ValueError as exc:  # unknown kind, term_df with keys, ...
             p.error(f"--agg-view {name!r}: {exc}")
     for kv in (s for s in args.partition_view.split(",") if s):
-        name, _, spec = kv.partition("=")
-        parts = spec.split(":")
-        if (
-            not name
-            or len(parts) not in (3, 4)
-            or not all(parts[:1] + parts[2:])
-        ):
-            p.error(
-                f"--partition-view entry {kv!r}: expected "
-                f"name=table:key1+key2:valuecol[:kind]"
-            )
-        vtable, gk, vcol = parts[:3]
-        kind = parts[3] if len(parts) == 4 else "sum_count"
+        name, vtable, gk, vcol, kind = _parse_view_spec("--partition-view", kv)
         if vtable not in partition_cols:
             p.error(
                 f"--partition-view {name!r}: {vtable!r} must be "
                 f"partition-captured (--partition-cols) — keyed-diff "
                 f"tables take --agg-view instead"
             )
-        if kind == "histogram":
-            p.error(
-                f"--partition-view {name!r}: histogram views need explicit "
-                f"lo/hi bucket edges — register via the "
-                f"register_partition_agg_view API"
-            )
         try:
             eng.register_partition_agg_view(
-                name,
-                vtable,
-                partition_cols[vtable],
-                [k for k in gk.split("+") if k],
-                vcol,
-                kind=kind,
+                name, vtable, partition_cols[vtable], gk, vcol, kind=kind
             )
         except ValueError as exc:
             p.error(f"--partition-view {name!r}: {exc}")

@@ -522,6 +522,15 @@ class CdcEngine:
                 if v <= new_v - keep:
                     fs.delete(st.getPath(), True)
 
+    @staticmethod
+    def _fold_weight(kind: str) -> int:
+        """How many times one fold of this kind evaluates the shared tick
+        diff — the persist()-or-recompute decision (ONE definition so the
+        two call sites cannot drift, r8 review): distinct_count/min_max run
+        a retraction-probe action before the state write; term_df's single
+        plan scans the diff three times (adds, retracts, doc-count delta)."""
+        return 2 if kind in ("distinct_count", "min_max", "term_df") else 1
+
     def _view_consumers(self, table: str, keys: list[str]) -> tuple[int, int]:
         """(weighted agg consumers, join consumers) of THIS tick's prev→cur
         diff of ``table``.  distinct_count/min_max folds weigh 2 — their
@@ -533,7 +542,7 @@ class CdcEngine:
         computation; a lagging basis misses the cache and recomputes its
         own, which is the rare heal path)."""
         agg = sum(
-            2 if s["kind"] in ("distinct_count", "min_max", "term_df") else 1
+            self._fold_weight(s["kind"])
             for s in self._agg_views.values()
             if s["table"] == table
         )
@@ -954,11 +963,7 @@ class CdcEngine:
         weight = Counter()
         for _, s, vv, _ in lagging:
             if vv is not None:
-                weight[vv] += (
-                    2
-                    if s["kind"] in ("distinct_count", "min_max", "term_df")
-                    else 1
-                )
+                weight[vv] += self._fold_weight(s["kind"])
         diffs: dict[int, DataFrame] = {}
         persisted_diffs: list[DataFrame] = []
 
@@ -1065,6 +1070,12 @@ class CdcEngine:
         if s["kind"] == "term_df":
             from cdc_lite_spark.operators.incremental import apply_text_delta
 
+            # a state with ZERO term rows cannot carry the corpus doc count
+            # (n_docs rides on term rows), so folding onto it would restart
+            # n_docs from this tick's net inserts — rebuild instead (r8
+            # review; the probe reads one row of the tiny state table)
+            if prev_state.limit(1).count() == 0:
+                return None
             v = s["value_col"]
             prev_c = f"prev_{v}" if f"prev_{v}" in changes.columns else v
             return apply_text_delta(
@@ -1318,9 +1329,18 @@ class CdcEngine:
     @staticmethod
     def _part_filter(col, parts: "list[str | None]"):
         """Membership over partition VALUES where None is the real NULL
-        partition — isin never matches NULL, so it needs its own arm."""
+        partition — isin never matches NULL, so it needs its own arm; and
+        the result is coalesced to a TOTAL boolean because callers also
+        NEGATE it (isin over a NULL column yields NULL, and ~NULL is still
+        NULL, which a filter drops — the kept-state branch would silently
+        discard the NULL partition's rows whenever any other partition
+        drifted, r8 review)."""
         non_null = [p for p in parts if p is not None]
-        cond = col.isin(non_null) if non_null else F.lit(False)
+        cond = (
+            F.coalesce(col.isin(non_null), F.lit(False))
+            if non_null
+            else F.lit(False)
+        )
         if any(p is None for p in parts):
             cond = cond | col.isNull()
         return cond

@@ -33,13 +33,16 @@ def nullsafe_merge(state: DataFrame, delta: DataFrame, keys: list[str]):
     # on a self-join trip Spark's ambiguity check
     s, d = state.alias("__state"), delta.alias("__delta")
     # backtick-quote the key names: a qualified ref parses dots as struct
-    # access, so an unquoted key named "a.b" would fail to resolve
+    # access, so an unquoted key named "a.b" would fail to resolve.
+    # Seeded with TRUE so keys=[] (a GLOBAL aggregate view) merges the two
+    # one-row states instead of raising on reduce-of-empty (r8 review)
     cond = reduce(
         lambda a, b: a & b,
         [
             F.col(f"__state.`{k}`").eqNullSafe(F.col(f"__delta.`{k}`"))
             for k in keys
         ],
+        F.lit(True),
     )
     joined = s.join(d, cond, "full_outer")
     key_cols = [
@@ -544,7 +547,14 @@ def apply_text_delta(
     This is the CDC payoff applied to the TEXT tier: the 100 TB corpus's
     retrieval statistics stay current by touching |changed docs| tokens
     per tick, never rescanning the corpus.  Cost: one explode over changed
-    docs + a vocabulary-keyed merge join."""
+    docs + a vocabulary-keyed merge join.
+
+    Representation caveat: ``n_docs`` rides on the term rows, so a state
+    with ZERO term rows (an all-termless corpus) cannot carry a non-zero
+    doc count — folding onto such a state restarts ``n_docs`` from this
+    delta's net inserts.  Rebuild from the current corpus instead when the
+    state is empty (the engine's ``term_df`` view kind does exactly that,
+    engine.py ``_fold_agg_state``)."""
     from cdc_lite_spark.operators.text import tokens
 
     adds = changes.filter(F.col("operation").isin("INSERT", "UPDATE")).select(

@@ -1519,3 +1519,86 @@ def test_partition_view_part_col_mismatch_is_isolated(spark, tables, tmp_path, c
     assert "error maintaining view pv" in capsys.readouterr().out
     st = {r["name"]: r for r in eng.view_status()}
     assert st["pv"]["lagging"] is True and st["pv"]["kind"] == "partition_sum_count"
+
+
+def test_partition_view_null_partition_survives_other_drift(spark, tmp_path):
+    """r8 review: the kept-state branch negates an isin(), which is NULL
+    (not false) for the NULL partition's state rows — they must survive a
+    tick where only OTHER partitions drift."""
+    rows = [(1, None, 10.0), (2, None, 20.0), (3, "a", 30.0), (4, "b", 40.0)]
+    schema = "id long, part string, v double"
+    eng = _engine(spark, tmp_path)
+    eng.register_partition_agg_view("pv", "t", "part", [], "v")
+    base = spark.createDataFrame(rows, schema)
+    eng.poll_partitions("t", base, "part")
+    assert {
+        (r["agg_sum"], r["agg_rows"]) for r in eng.view_merged("pv").collect()
+    } == {(100.0, 4)}
+
+    # drift ONLY partition 'a' — the NULL partition's state must persist
+    drifted = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "a", 35.0), (4, "b", 40.0)],
+        schema,
+    )
+    report = eng.poll_partitions("t", drifted, "part")
+    assert report["drifted"] == ["a"]
+    assert {
+        (r["agg_sum"], r["agg_rows"]) for r in eng.view_merged("pv").collect()
+    } == {(105.0, 4)}
+    # and the NULL partition itself still folds when IT drifts
+    null_drift = spark.createDataFrame(
+        [(1, None, 15.0), (3, "a", 35.0), (4, "b", 40.0)], schema
+    )
+    eng.poll_partitions("t", null_drift, "part")
+    assert {
+        (r["agg_sum"], r["agg_rows"]) for r in eng.view_merged("pv").collect()
+    } == {(90.0, 3)}
+
+
+def test_global_agg_view_folds_across_ticks(spark, tables, tmp_path):
+    """r8 review: group_keys=[] (one global group) used to crash the fold
+    on reduce-of-empty in nullsafe_merge — a global sum and global moments
+    view must fold across a mutating tick and match recomputes."""
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("total", "orders", [], "price")
+    eng.register_agg_view("tmom", "orders", [], "price", kind="moments")
+    orders = _orders(spark, tables)
+    keys = {"orders": ["o_orderkey"]}
+    eng.poll_once({"orders": orders}, mode="diff", keys=keys)
+
+    mutated = orders.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "price",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("price") + 5).otherwise(
+            F.col("price")
+        ),
+    )
+    eng.poll_once({"orders": mutated}, mode="diff", keys=keys)
+    want = mutated.agg(
+        F.sum("price").alias("s"), F.count("price").alias("c")
+    ).collect()[0]
+    got = eng.view("total").collect()[0]
+    assert (got["agg_sum"], got["agg_count"]) == (want["s"], want["c"])
+    gm = eng.view("tmom").collect()[0]
+    want2 = mutated.agg(F.sum(F.col("price") * F.col("price")).alias("s2")).collect()[0]
+    assert (gm["agg_sum"], gm["agg_sum2"]) == (want["s"], want2["s2"])
+
+
+def test_term_df_empty_state_rebuilds_doc_count(spark, tmp_path):
+    """r8 review: a state with zero term rows cannot carry n_docs — the
+    engine must REBUILD (not fold) on the next tick, so the corpus doc
+    count includes the termless documents instead of restarting from the
+    tick's net inserts."""
+    schema = "doc_id long, text string"
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("vocab", "docs", [], "text", kind="term_df")
+    keys = {"docs": ["doc_id"]}
+    termless = spark.createDataFrame([(i, "") for i in range(100)], schema)
+    eng.poll_once({"docs": termless}, mode="diff", keys=keys)
+    assert eng.view("vocab").count() == 0  # no terms, hence no n_docs carrier
+
+    grown = termless.unionByName(
+        spark.createDataFrame([(100, "hello world")], schema)
+    )
+    eng.poll_once({"docs": grown}, mode="diff", keys=keys)
+    got = {r["term"]: (r["df_count"], r["n_docs"]) for r in eng.view("vocab").collect()}
+    assert got == {"hello": (1, 101), "world": (1, 101)}
