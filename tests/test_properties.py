@@ -757,3 +757,82 @@ def test_maintained_moments_equal_rebuild(spark, prev_rows, cur_rows):
     got = {tuple(r) for r in maintained.collect()}
     want = {tuple(r) for r in rebuilt.collect()}
     assert got == want
+
+
+FACT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # fact pk
+        st.integers(min_value=0, max_value=8),   # fk into dim
+        st.integers(min_value=-5, max_value=5),  # value
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+DIM_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),   # dim pk (some facts dangle)
+        st.sampled_from(["A", "B", "C"]),        # group attr
+    ),
+    min_size=0,
+    max_size=7,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(
+    fact_prev=FACT_ROWS, fact_cur=FACT_ROWS, dim_prev=DIM_ROWS, dim_cur=DIM_ROWS
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_maintained_join_and_agg_match_rejoin_under_random_histories(
+    spark, fact_prev, fact_cur, dim_prev, dim_cur
+):
+    """For ANY pair of fact/dim snapshot transitions — inserts, deletes,
+    FK flips, dim group moves, dangling facts (re-)entering the inner
+    join — the maintained join view equals a full re-join, and the
+    aggregate folded from the view-level I/D records equals a from-scratch
+    join+group-by."""
+    from cdc_lite_spark.operators.incremental import (
+        apply_delta,
+        maintain_join_with_changes,
+        sum_count_state,
+    )
+
+    def _fact(rows):
+        return spark.createDataFrame(rows, "o_id long, o_fk long, o_val long")
+
+    def _dim(rows):
+        return spark.createDataFrame(rows, "d_k long, d_attr string")
+
+    fp, fc = _fact(fact_prev), _fact(fact_cur)
+    dp, dc = _dim(dim_prev), _dim(dim_cur)
+
+    def _join(f, d):
+        return f.join(d, f["o_fk"] == d["d_k"], "inner").select(
+            "o_id", "o_fk", "o_val", "d_k", "d_attr"
+        )
+
+    m_old = _join(fp, dp).localCheckpoint()
+    fact_changes = snapshot_diff(fp, fc, ["o_id"])
+    dim_changes = snapshot_diff(dp, dc, ["d_k"])
+    state, view_changes, handles = maintain_join_with_changes(
+        m_old, fc, dc, fact_changes, dim_changes,
+        fact_key="o_id", fact_dim_col="o_fk", dim_key="d_k",
+    )
+    try:
+        expect = _join(fc, dc)
+        assert {tuple(r) for r in state.collect()} == {
+            tuple(r) for r in expect.collect()
+        }
+
+        agg_old = sum_count_state(m_old, ["d_attr"], "o_val")
+        folded = apply_delta(agg_old, view_changes, ["d_attr"], "o_val")
+        rebuilt = sum_count_state(expect, ["d_attr"], "o_val")
+        assert {tuple(r) for r in folded.collect()} == {
+            tuple(r) for r in rebuilt.collect()
+        }
+    finally:
+        for h in handles:
+            h.unpersist()
