@@ -145,11 +145,24 @@ class CdcEngine:
         be swept into partition discovery when reading the state parquet."""
         return f"{self.state_dir}/checksums"
 
-    def _state(self) -> DataFrame:
+    def _state_parquet(self, path: str, schema) -> "DataFrame | None":
+        """Read a state parquet dir; ``None`` when it does not exist YET.
+        Any OTHER read failure propagates (r8 review: swallowing a
+        transient error as 'no state' would make latest_checksums return
+        {} and the tick re-capture EVERY table — in snapshot mode an
+        O(total data) duplicate write storm from one FS hiccup)."""
+        from pyspark.errors import AnalysisException
+
         try:
-            return self.spark.read.schema(CHECKSUM_SCHEMA).parquet(self._checksum_dir())
-        except Exception:
-            return self.spark.createDataFrame([], CHECKSUM_SCHEMA)
+            return self.spark.read.schema(schema).parquet(path)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc):
+                return None
+            raise
+
+    def _state(self) -> DataFrame:
+        df = self._state_parquet(self._checksum_dir(), CHECKSUM_SCHEMA)
+        return df if df is not None else self.spark.createDataFrame([], CHECKSUM_SCHEMA)
 
     def latest_checksums(self) -> dict[str, str]:
         """Latest recorded fingerprint per table (D1/G1 over state)."""
@@ -177,9 +190,8 @@ class CdcEngine:
         import json
 
         schema = "table_name string, schema_json string, timestamp timestamp"
-        try:
-            df = self.spark.read.schema(schema).parquet(self._schema_dir())
-        except Exception:
+        df = self._state_parquet(self._schema_dir(), schema)
+        if df is None:
             return {}
         latest = latest_per_key(df, ["table_name"], ["timestamp"], via_agg=True)
         return {
@@ -295,7 +307,11 @@ class CdcEngine:
             try:
                 prov.begin_tick()
             except Exception as exc:  # noqa: BLE001 — per-tick isolation (H6)
-                print(f"cdc_lite_spark: error snapshotting {prov.path}: {exc}")
+                # getattr: the provider protocol is begin_tick() alone — a
+                # custom provider without .path must not turn its isolated
+                # failure into an AttributeError that kills the tick
+                where = getattr(prov, "path", prov)
+                print(f"cdc_lite_spark: error snapshotting {where}: {exc}")
 
     def poll_once(
         self,
@@ -326,7 +342,6 @@ class CdcEngine:
         to every call, or each call gets its own database copy.
         """
         previous = self.latest_checksums()
-        prev_schemas = self.latest_schemas() if self.emit_schema_changes else {}
         captured: list[str] = []
 
         # tick-consistent sources: advance each provider once (see helper);
@@ -358,6 +373,17 @@ class CdcEngine:
                 detections = list(pool.map(lambda kv: _detect(*kv), tables.items()))
         else:
             detections = [_detect(t, s) for t, s in tables.items()]
+
+        # the schema-state lookup (a parquet scan + max_by + collect) is
+        # only consumed for tables that actually CAPTURE — defer it so a
+        # quiet tick costs zero extra jobs (r8 review: an always-on 1 s
+        # monitor paid it every tick)
+        prev_schemas: dict = {}
+        if self.emit_schema_changes and any(
+            err is None and previous.get(t) != cur
+            for t, _df, cur, err, _secs in detections
+        ):
+            prev_schemas = self.latest_schemas()
 
         metrics: list[tuple] = []
         try:
@@ -422,7 +448,15 @@ class CdcEngine:
                         table, prev_schemas.get(table), schema_map(df)
                     )
                 if mode == "diff":
-                    self._capture_diff(table, df, (keys or {})[table])
+                    if table not in (keys or {}):
+                        # raise a READABLE error into the H6 handler — the
+                        # bare KeyError's "error capturing table orders:
+                        # 'orders'" hid the actual problem (r8 review)
+                        raise ValueError(
+                            f"diff mode needs a primary key for table "
+                            f"{table!r}: pass keys={{{table!r}: [...]}}"
+                        )
+                    self._capture_diff(table, df, keys[table])
                 else:
                     append_changes(self.snapshot(df, table), self.output_dir, fmt=self.log_format)
                 self.record_checksum(table, current)
@@ -947,6 +981,13 @@ class CdcEngine:
                 vv = self._latest_version(self._view_dir(name))
                 if vv != new_v:
                     lagging.append((name, s, vv, pinned))
+                elif not pinned:
+                    # crash window between state write and spec pin: the
+                    # view is up to date, so the fold loop below never
+                    # reaches it — pin here, as the join/partition paths
+                    # already do on their replayed-tick branch (r8 review:
+                    # an unpinned up-to-date view would accept a re-spec)
+                    self._pin_view_spec(name, s)
             except Exception as exc:  # noqa: BLE001 — per-view isolation
                 print(f"cdc_lite_spark: error maintaining view {name}: {exc}")
         if not lagging:
@@ -1292,12 +1333,10 @@ class CdcEngine:
             from cdc_lite_spark.operators.histogram import _check_edges
 
             _check_edges(lo, hi, bins)
-        for other in (
-            self._agg_views,
-            self._join_views,
-            self._join_agg_views,
-            self._part_agg_views,
-        ):
+        # NOT checked against _part_agg_views itself: re-registering the
+        # same partition view (e.g. correcting a typo'd spec before any
+        # state pinned) must stay possible, as for every other view kind
+        for other in (self._agg_views, self._join_views, self._join_agg_views):
             if name in other:
                 raise ValueError(f"view name {name!r} already registered")
         self._part_agg_views[name] = {
@@ -2061,11 +2100,8 @@ class CdcEngine:
     def latest_partition_checksums(self, table: str) -> dict[str, str]:
         """Latest fingerprint per partition value of ``table`` (vanished
         partitions carry the tombstone '')."""
-        try:
-            state = self.spark.read.schema(self._PART_STATE_SCHEMA).parquet(
-                self._part_checksum_dir()
-            )
-        except Exception:
+        state = self._state_parquet(self._part_checksum_dir(), self._PART_STATE_SCHEMA)
+        if state is None:
             return {}
         from cdc_lite_spark.operators.latest import latest_per_key
 
@@ -2138,14 +2174,11 @@ class CdcEngine:
             self._maintain_partition_views(table, part_col, staged, cur)
             return report
         if drifted:
-            # isin never matches NULL — a null partition value (rows whose
-            # part_col is null form their own partition) needs the explicit
-            # isNull arm
-            non_null = [p for p in drifted if p is not None]
-            cond = F.col("__part").isin(non_null) if non_null else F.lit(False)
-            if any(p is None for p in drifted):
-                cond = cond | F.col("__part").isNull()
-            rows = staged.filter(cond).drop("__part")
+            # null-safe membership (the NULL partition is real) — one
+            # definition shared with the view folds (_part_filter)
+            rows = staged.filter(
+                self._part_filter(F.col("__part"), drifted)
+            ).drop("__part")
             append_changes(
                 self.snapshot(rows, table), self.output_dir, fmt=self.log_format
             )

@@ -186,7 +186,12 @@ def _has_remote_scheme(path: str) -> bool:
 
 def fs_for(state_dir: str, spark: SparkSession | None = None):
     """Pick the adapter for a state dir: Hadoop for remote-scheme URIs,
-    POSIX otherwise."""
+    POSIX for explicit ``file:`` paths.  A SCHEME-LESS path resolves the
+    way Spark's own parquet writes resolve it — against ``fs.defaultFS``
+    (r8 review: on a cluster whose defaultFS is HDFS/S3A, the state
+    parquet lands on the DFS, so the pointer must too; routing it to
+    driver-local disk would strand every pointer-backed view).  Local
+    sessions keep the POSIX fast path: their defaultFS is ``file:///``."""
     if _has_remote_scheme(state_dir):
         spark = spark or SparkSession.getActiveSession()
         if spark is None:
@@ -194,6 +199,17 @@ def fs_for(state_dir: str, spark: SparkSession | None = None):
                 f"remote state dir {state_dir!r} needs an active SparkSession"
             )
         return HadoopStateFS(spark)
+    if not state_dir.lower().startswith("file:"):
+        spark = spark or SparkSession.getActiveSession()
+        if spark is not None:
+            try:
+                default = spark._jsc.hadoopConfiguration().get(
+                    "fs.defaultFS", "file:///"
+                )
+            except Exception:  # noqa: BLE001 — dead gateway: POSIX fallback
+                default = "file:///"
+            if _has_remote_scheme(default):
+                return HadoopStateFS(spark)
     return LocalStateFS()
 
 

@@ -1501,8 +1501,12 @@ def test_partition_view_mergeable_kinds_and_validation(spark, tables, tmp_path):
         eng.register_partition_agg_view("x", "t", "p", [], "v", kind="histogram")
     with pytest.raises(ValueError, match="already registered"):
         eng.register_agg_view("mm", "orders", ["k"], "v")
-    with pytest.raises(ValueError, match="already registered"):
-        eng.register_partition_agg_view("mm", "t", "p", [], "v")
+    # re-registering the SAME partition view stays possible (the typo-
+    # correction path every view kind supports; fold-time spec pinning is
+    # what refuses a conflicting respec)
+    eng.register_partition_agg_view(
+        "mm", "orders", "o_orderstatus", ["o_orderpriority"], "price", kind="min_max"
+    )
 
 
 def test_partition_view_part_col_mismatch_is_isolated(spark, tables, tmp_path, capsys):
@@ -1602,3 +1606,40 @@ def test_term_df_empty_state_rebuilds_doc_count(spark, tmp_path):
     eng.poll_once({"docs": grown}, mode="diff", keys=keys)
     got = {r["term"]: (r["df_count"], r["n_docs"]) for r in eng.view("vocab").collect()}
     assert got == {"hello": (1, 101), "world": (1, 101)}
+
+
+def test_up_to_date_view_repins_lost_spec_on_quiet_tick(spark, tables, tmp_path):
+    """r8 review: a crash between the state write and the spec pin left an
+    up-to-date view unpinned until the table next changed — the quiet-tick
+    retry path must re-pin without waiting for new data."""
+    import shutil
+
+    eng = _engine(spark, tmp_path)
+    eng.register_agg_view("rev", "orders", ["o_orderstatus"], "price")
+    orders = _orders(spark, tables)
+    keys = {"orders": ["o_orderkey"]}
+    eng.poll_once({"orders": orders}, mode="diff", keys=keys)
+    spec_dir = f"{eng._view_dir('rev')}/_spec"
+    assert eng._read_view_spec("rev") is not None
+    shutil.rmtree(spec_dir)  # simulate the crash window after the write
+    assert eng._read_view_spec("rev") is None
+
+    eng.poll_once({"orders": orders}, mode="diff", keys=keys)  # quiet tick
+    assert eng._read_view_spec("rev") is not None
+
+
+def test_diff_mode_missing_key_is_a_readable_isolated_error(
+    spark, tables, tmp_path, capsys
+):
+    """r8 review: a CHANGED diff-mode table without a keys entry used to
+    die on a bare KeyError ('error capturing table orders: ..orders..');
+    it must log the actual problem and stay per-table isolated."""
+    eng = _engine(spark, tmp_path)
+    captured = eng.poll_once(
+        {"orders": _orders(spark, tables), "region": tables["region"]},
+        mode="diff",
+        keys={"region": ["r_regionkey"]},
+    )
+    out = capsys.readouterr().out
+    assert "diff mode needs a primary key for table 'orders'" in out
+    assert captured == ["region"]  # the keyed table still captured

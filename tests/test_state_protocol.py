@@ -197,3 +197,24 @@ def test_schema_passthrough_on_reads(spark, tmp_path):
     got = read_current(spark, sd, schema="v long")
     assert got.schema.simpleString() == "struct<v:bigint>"
     assert read_for_epoch(spark, sd, 0, schema="v long").count() == 2
+
+
+def test_fs_for_resolves_schemeless_paths_like_spark_does(spark, tmp_path):
+    """r8 review: a scheme-less state dir must route the pointer protocol
+    to the SAME filesystem Spark's parquet writes resolve to (fs.defaultFS)
+    — on a cluster whose defaultFS is HDFS, LocalStateFS would strand every
+    pointer on driver-local disk while the state parquet lands on the DFS."""
+    conf = spark._jsc.hadoopConfiguration()
+    orig = conf.get("fs.defaultFS", "file:///")
+    try:
+        # local-session default: scheme-less → POSIX fast path
+        conf.set("fs.defaultFS", "file:///")
+        assert isinstance(fs_for(str(tmp_path), spark), LocalStateFS)
+        # cluster shape: defaultFS remote → Hadoop adapter for the same path
+        conf.set("fs.defaultFS", "hdfs://nn:8020")
+        assert isinstance(fs_for(str(tmp_path), spark), HadoopStateFS)
+        # explicit schemes are never re-routed
+        assert isinstance(fs_for(f"file://{tmp_path}", spark), LocalStateFS)
+        assert isinstance(fs_for("s3a://bucket/state", spark), HadoopStateFS)
+    finally:
+        conf.set("fs.defaultFS", orig)
