@@ -305,6 +305,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 f"{r['captures']} captures, avg detect {r['avg_detect_s']}s, "
                 f"{r['errors']} errors"
             )
+        # maintained-view health: a view still lagging at shutdown means
+        # its fold kept failing — surface it next to the tick summary
+        for v in eng.view_status():
+            state = "LAGGING" if v["lagging"] else "current"
+            print(
+                f"cdc_lite_spark: view {v['name']} ({v['kind']} over "
+                f"{'+'.join(v['tables'])}): {state}, "
+                f"state v={v['state_version']}"
+            )
     except Exception:  # noqa: BLE001 — summary is best-effort
         pass
     if owns_spark:
