@@ -822,6 +822,11 @@ class CdcEngine:
             )
         elif s.get("kind") == "join_agg":
             fields = ("kind", "join_view", "group_keys", "value_col")
+            # agg_kind joins the pinned spec only when it parameterizes the
+            # state (the lgk discipline): sum_count states pinned before
+            # the field existed must keep matching their persisted JSON
+            if s.get("agg_kind", "sum_count") != "sum_count":
+                fields += ("agg_kind",)
         else:
             fields = ("table", "group_keys", "value_col", "kind", "lo", "hi", "bins")
             # lgk joins the pinned spec only for the kind it parameterizes:
@@ -1202,12 +1207,15 @@ class CdcEngine:
         maintained ``moments`` view — state-only arithmetic (Σ, Σv², n are
         exact when the value column is DECIMAL/integer; the derivation is
         binary64 over those exact inputs, so it never drifts across ticks).
-        ``variance = Σv²/n − (Σv/n)²`` clamped at 0 against rounding."""
-        spec = self._agg_views.get(name)
+        ``variance = Σv²/n − (Σv/n)²`` clamped at 0 against rounding.
+        Serves ``kind="moments"`` agg views AND ``agg_kind="moments"``
+        join-aggregate views (maintained variance over a fact⋈dim view)."""
+        spec = self._agg_views.get(name) or self._join_agg_views.get(name)
         if spec is None:
             raise ValueError(f"no registered view: {name!r}")
-        if spec["kind"] != "moments":
-            raise ValueError(f"view {name!r} is {spec['kind']}, not moments")
+        kind = spec.get("agg_kind") if spec["kind"] == "join_agg" else spec["kind"]
+        if kind != "moments":
+            raise ValueError(f"view {name!r} is {kind}, not moments")
         n = F.col("agg_count").cast("double")
         mean = F.col("agg_sum").cast("double") / n
         var = F.greatest(
@@ -1650,25 +1658,41 @@ class CdcEngine:
         }
 
     def register_join_agg_view(
-        self, name: str, join_view: str, group_keys: list[str], value_col: str
+        self,
+        name: str,
+        join_view: str,
+        group_keys: list[str],
+        value_col: str,
+        agg_kind: str = "sum_count",
     ) -> None:
-        """Declare a grouped sum/count aggregate OVER a registered join view,
+        """Declare a grouped aggregate OVER a registered join view,
         maintained end-to-end in O(delta): each tick the join fold also emits
         view-level INSERT/DELETE change records
         (:func:`~cdc_lite_spark.operators.incremental.join_view_changes`)
-        and :func:`apply_delta` folds them into the aggregate state — the
-        capstone composition: an aggregate over ``fact ⋈ dim`` kept current
-        from BOTH base tables' change records without re-joining the tables
-        or rescanning the view.  ``group_keys``/``value_col`` name columns
-        of the JOIN view (either side).  State versions mirror the join
-        view's; the same spec-pinning / self-healing (late registrations and
-        lagging states rebuild from the join view's persisted state — one
-        aggregation over the view, never a re-join) / per-view isolation
-        discipline applies."""
+        and the per-kind delta fold applies them to the aggregate state —
+        the capstone composition: an aggregate over ``fact ⋈ dim`` kept
+        current from BOTH base tables' change records without re-joining
+        the tables or rescanning the view.  ``group_keys``/``value_col``
+        name columns of the JOIN view (either side).
+
+        ``agg_kind="sum_count"`` (default) maintains per-key
+        sum/count/rows; ``agg_kind="moments"`` maintains Σv/Σv²/count/rows
+        — maintained mean/variance/stddev over the denormalized view, read
+        via :meth:`view_moments` (both kinds are abelian, so every tick
+        folds, retractions included).  State versions mirror the join
+        view's; the same spec-pinning / self-healing (late registrations
+        and lagging states rebuild from the join view's persisted state —
+        one aggregation over the view, never a re-join) / per-view
+        isolation discipline applies."""
         if join_view not in self._join_views:
             raise ValueError(
                 f"join_agg view {name!r}: {join_view!r} is not a registered "
                 "join view (register_join_view first)"
+            )
+        if agg_kind not in ("sum_count", "moments"):
+            raise ValueError(
+                f"join_agg view {name!r}: agg_kind must be sum_count or "
+                f"moments (abelian folds), got {agg_kind!r}"
             )
         if (
             name in self._agg_views
@@ -1681,6 +1705,7 @@ class CdcEngine:
             "join_view": join_view,
             "group_keys": list(group_keys),
             "value_col": value_col,
+            "agg_kind": agg_kind,
         }
 
     def _read_join_basis(self, name: str) -> dict | None:
@@ -1808,11 +1833,16 @@ class CdcEngine:
             return
         from cdc_lite_spark.operators.incremental import (
             apply_delta,
+            apply_moments_delta,
+            moments_state,
             sum_count_state,
         )
 
         for an, a in aggs:
             try:
+                moments = a.get("agg_kind", "sum_count") == "moments"
+                fold = apply_moments_delta if moments else apply_delta
+                build = moments_state if moments else sum_count_state
                 a_pinned = self._check_view_spec(an, a)
                 if heal and self._committed_dir(f"{self._view_dir(an)}/v={k}"):
                     if not a_pinned:
@@ -1828,16 +1858,14 @@ class CdcEngine:
                     prev_state = self.spark.read.parquet(
                         f"{self._view_dir(an)}/v={prev_k}"
                     )
-                    a_state = apply_delta(
+                    a_state = fold(
                         prev_state, view_changes, a["group_keys"], a["value_col"]
                     )
                 else:
                     joined = self.spark.read.parquet(
                         f"{self._view_dir(join_name)}/v={k}"
                     )
-                    a_state = sum_count_state(
-                        joined, a["group_keys"], a["value_col"]
-                    )
+                    a_state = build(joined, a["group_keys"], a["value_col"])
                 a_state.write.mode("overwrite").parquet(
                     f"{self._view_dir(an)}/v={k}"
                 )

@@ -1643,3 +1643,75 @@ def test_diff_mode_missing_key_is_a_readable_isolated_error(
     out = capsys.readouterr().out
     assert "diff mode needs a primary key for table 'orders'" in out
     assert captured == ["region"]  # the keyed table still captured
+
+
+def test_join_agg_moments_view_folds_and_reads(spark, tmp_path):
+    """agg_kind="moments" over a join view: maintained Σv/Σv² fold from
+    view-level I/D records (pinned by a spy — never a re-aggregation on
+    the fold tick) equals a from-scratch join recompute, and view_moments
+    serves it."""
+    import math
+
+    import duckdb
+
+    import cdc_lite_spark.operators.incremental as inc
+
+    db = _join_db(tmp_path)
+    eng = _engine(spark, tmp_path)
+    _register_join(eng)
+    eng.register_join_agg_view(
+        "seg_mom", "om", ["c_seg"], "o_price", agg_kind="moments"
+    )
+    srcs = _join_sources(spark, db)
+    eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)
+
+    def _recompute(db):
+        con = duckdb.connect(db, read_only=True)
+        rows = con.execute(
+            "SELECT c_seg, sum(o_price), sum(o_price * o_price), count(*) "
+            "FROM orders JOIN cust ON o_ck = c_ck GROUP BY c_seg"
+        ).fetchall()
+        con.close()
+        return {r[0]: (r[1], r[2], r[3]) for r in rows}
+
+    def _view(eng):
+        return {
+            r["c_seg"]: (r["agg_sum"], r["agg_sum2"], r["agg_rows"])
+            for r in eng.view("seg_mom").collect()
+        }
+
+    assert _view(eng) == _recompute(db)
+
+    calls, orig = [], inc.apply_moments_delta
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    con = duckdb.connect(db)
+    con.execute("INSERT INTO orders VALUES (9,2,90.0)")
+    con.execute("UPDATE orders SET o_price = 99.0 WHERE o_id = 1")
+    con.execute("DELETE FROM orders WHERE o_id = 4")
+    con.execute("UPDATE cust SET c_seg = 'Z' WHERE c_ck = 2")  # group move
+    con.close()
+    inc.apply_moments_delta = spy
+    try:
+        eng.poll_once(srcs, mode="diff", keys=_JOIN_KEYS)
+    finally:
+        inc.apply_moments_delta = orig
+    assert calls, "the fold tick must apply moments deltas, not re-aggregate"
+    assert _view(eng) == _recompute(db)
+
+    # derived statistics come from state alone
+    got = {r["c_seg"]: r for r in eng.view_moments("seg_mom").collect()}
+    want = _recompute(db)
+    for seg, (s, s2, n) in want.items():
+        assert math.isclose(got[seg]["mean"], s / n, rel_tol=1e-9)
+        assert math.isclose(
+            got[seg]["variance"], s2 / n - (s / n) ** 2, rel_tol=1e-9, abs_tol=1e-9
+        )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="agg_kind must be"):
+        eng.register_join_agg_view("x", "om", ["c_seg"], "o_price", agg_kind="nope")
