@@ -3,7 +3,8 @@
     python examples/maintained_views.py [workdir]
 
 Creates a DuckDB database, monitors it in diff mode with seven registered
-views (a per-group sum/count, moments for mean/variance, a fixed-edge
+views plus an aggregate pair OVER the join (a per-group sum/count,
+moments for mean/variance, a fixed-edge
 histogram, a per-group HLL distinct count, per-term document frequency
 of a text column, a fact⋈dim join view, and an aggregate OVER that join
 view), mutates the database between
@@ -98,6 +99,10 @@ def main() -> int:
     # ...and an aggregate OVER the join view, folded from view-level
     # change records — the capstone: join+group-by current in O(delta)
     eng.register_join_agg_view("team_rev", "orders_teams", ["team"], "amount")
+    # ...and maintained variance over the same join view (agg_kind moments)
+    eng.register_join_agg_view(
+        "team_spread", "orders_teams", ["team"], "amount", agg_kind="moments"
+    )
     srcs = ConsistentSnapshotSource(spark, db).sources(["orders", "status_dim"])
     keys = {"orders": ["id"], "status_dim": ["code"]}
 
@@ -130,6 +135,7 @@ def main() -> int:
     teams = eng.view("orders_teams").groupBy("team").count()
     show("tick 2: joined view rows per team", teams)
     show("tick 2: maintained revenue per team", eng.view("team_rev"))
+    show("tick 2: maintained amount spread per team", eng.view_moments("team_spread"))
 
     if len(sys.argv) <= 1:
         shutil.rmtree(work, ignore_errors=True)
