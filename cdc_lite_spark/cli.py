@@ -114,7 +114,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         help="name=fact:dim:fact_key:fact_dim_col:dim_key,... — maintain a "
         "materialized fact⋈dim inner join view from both tables' change "
         "records (diff mode only; both tables must be monitored with keys; "
-        "read it back with CdcEngine.view(name))",
+        "read it back with CdcEngine.view(name)).  Composite keys are "
+        "'+'-separated (fact_key=l_orderkey+l_linenumber); fact or dim may "
+        "name an EARLIER --join-view entry to chain (snowflake: "
+        "v2=v1:customer:...)",
     )
     p.add_argument(
         "--retention-minutes",
@@ -194,6 +197,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 f"{flag} {name!r}: histogram views need explicit lo/hi "
                 f"bucket edges — register via the engine API"
             )
+        if gk and not all(gk.split("+")):
+            # a typo like 'a++b' or a trailing 'a+' must not silently
+            # change the view's grouping (r8 ADVICE)
+            p.error(
+                f"{flag} {name!r}: key list {gk!r} has empty components"
+            )
         return name, vtable, [k for k in gk.split("+") if k], vcol, kind
 
     for kv in (s for s in args.agg_view.split(",") if s):
@@ -222,21 +231,33 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             )
         except ValueError as exc:
             p.error(f"--partition-view {name!r}: {exc}")
+    join_view_names: set[str] = set()
     for kv in (s for s in args.join_view.split(",") if s):
         name, _, spec = kv.partition("=")
         parts = spec.split(":")
         if not name or len(parts) != 5 or not all(parts):
             p.error(
                 f"--join-view entry {kv!r}: expected "
-                f"name=fact:dim:fact_key:fact_dim_col:dim_key"
+                f"name=fact:dim:fact_key:fact_dim_col:dim_key (composite "
+                f"keys '+'-separated; fact/dim may name an EARLIER "
+                f"--join-view entry to chain)"
             )
         fact, dim, fkey, fdc, dkey = parts
-        bad = [t for t in (fact, dim) if t not in tables or t not in keys]
+        key_lists = [k.split("+") for k in (fkey, fdc, dkey)]
+        if any(not all(ks) for ks in key_lists):
+            p.error(f"--join-view {name!r}: a key list has empty components")
+        # a side is either a diff-monitored keyed table or an earlier
+        # --join-view entry (snowflake chaining)
+        bad = [
+            t
+            for t in (fact, dim)
+            if t not in join_view_names and (t not in tables or t not in keys)
+        ]
         if bad or args.mode != "diff":
             p.error(
                 f"--join-view {name!r}: views fold change records, so both "
                 f"{fact!r} and {dim!r} must be monitored (--tables) in "
-                f"--mode diff with --keys entries"
+                f"--mode diff with --keys entries, or an earlier --join-view"
             )
         if fact == dim:
             # would fail the column-overlap check on every tick forever —
@@ -245,10 +266,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         try:
             eng.register_join_view(
                 name, fact_table=fact, dim_table=dim,
-                fact_key=fkey, fact_dim_col=fdc, dim_key=dkey,
+                fact_key=key_lists[0], fact_dim_col=key_lists[1],
+                dim_key=key_lists[2],
             )
         except ValueError as exc:  # e.g. name collides with an --agg-view
             p.error(f"--join-view {name!r}: {exc}")
+        join_view_names.add(name)
     overlap = set(partition_cols) & set(keys)
     if overlap:
         # retention GC's latest-per-key folding would mangle a

@@ -109,6 +109,10 @@ class CdcEngine:
         #: (table, base_version, key-tuple) — shared by the change-log
         #: write and every view fold of the tick; cleared by poll_once
         self._tick_diffs: dict[tuple, DataFrame] = {}
+        #: tick-scoped persisted intermediates kept alive because a seeded
+        #: tick diff's plan reads them (chained join-view change records);
+        #: unpersisted alongside _tick_diffs
+        self._tick_handles: list[DataFrame] = []
 
     def set_source_schema(self, path: str, schema) -> None:
         """Pin an explicit schema (StructType or DDL string) for a
@@ -156,7 +160,18 @@ class CdcEngine:
         try:
             return self.spark.read.schema(schema).parquet(path)
         except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc):
+            # compare the TYPED error class, not a message substring (r8
+            # ADVICE: message formats change; a false negative turns
+            # first-run startup into a hard failure).  getErrorClass can
+            # legitimately return None (wrapped/legacy errors) — fall back
+            # to the message check for those.
+            try:
+                cls = exc.getErrorClass()
+            except Exception:  # noqa: BLE001 — older pyspark surface
+                cls = None
+            if cls == "PATH_NOT_FOUND" or (
+                cls is None and "PATH_NOT_FOUND" in str(exc)
+            ):
                 return None
             raise
 
@@ -393,12 +408,13 @@ class CdcEngine:
         finally:
             # drop the tick-scoped shared diffs (delta-sized cached rows) —
             # every consumer (log write, agg folds, join folds) has run
-            for diff in self._tick_diffs.values():
+            for diff in (*self._tick_diffs.values(), *self._tick_handles):
                 try:
                     diff.unpersist()
                 except Exception:  # noqa: BLE001 — cleanup must not fail the tick
                     pass
             self._tick_diffs.clear()
+            self._tick_handles.clear()
         return captured
 
     def _poll_tables(
@@ -586,8 +602,8 @@ class CdcEngine:
         join = sum(
             1
             for s in self._join_views.values()
-            if (s["fact_table"] == table and [s["fact_key"]] == list(keys))
-            or (s["dim_table"] == table and [s["dim_key"]] == list(keys))
+            if (s["fact_table"] == table and s["fact_key"] == list(keys))
+            or (s["dim_table"] == table and s["dim_key"] == list(keys))
         )
         return agg, join
 
@@ -812,21 +828,27 @@ class CdcEngine:
                 fields += ("lgk",)
             return {k: s[k] for k in fields}
         if s.get("kind") == "join":
-            fields = (
-                "kind",
-                "fact_table",
-                "dim_table",
-                "fact_key",
-                "fact_dim_col",
-                "dim_key",
-            )
-        elif s.get("kind") == "join_agg":
+            out = {k: s[k] for k in ("kind", "fact_table", "dim_table")}
+            # single-column keys pin as plain strings so states pinned
+            # before composite-key support (r9) keep matching their
+            # persisted JSON; composite keys pin as lists
+            for k in ("fact_key", "fact_dim_col", "dim_key"):
+                v = s[k]
+                out[k] = v[0] if isinstance(v, list) and len(v) == 1 else v
+            return out
+        if s.get("kind") == "join_agg":
             fields = ("kind", "join_view", "group_keys", "value_col")
             # agg_kind joins the pinned spec only when it parameterizes the
             # state (the lgk discipline): sum_count states pinned before
             # the field existed must keep matching their persisted JSON
             if s.get("agg_kind", "sum_count") != "sum_count":
                 fields += ("agg_kind",)
+            # kinds whose state the extra parameters define (the
+            # register_agg_view discipline)
+            if s.get("agg_kind") == "histogram":
+                fields += ("lo", "hi", "bins")
+            if s.get("agg_kind") == "distinct_count":
+                fields += ("lgk",)
         else:
             fields = ("table", "group_keys", "value_col", "kind", "lo", "hi", "bins")
             # lgk joins the pinned spec only for the kind it parameterizes:
@@ -933,11 +955,16 @@ class CdcEngine:
         """Quantile estimates from a maintained HISTOGRAM view — the bucket
         edges come from the registered spec, and only the (tiny) state
         table is read, never the monitored table."""
-        spec = self._agg_views.get(name) or self._part_agg_views.get(name)
+        spec = (
+            self._agg_views.get(name)
+            or self._part_agg_views.get(name)
+            or self._join_agg_views.get(name)
+        )
         if spec is None:
             raise ValueError(f"no registered view: {name!r}")
-        if spec["kind"] != "histogram":
-            raise ValueError(f"view {name!r} is {spec['kind']}, not histogram")
+        kind = spec.get("agg_kind") if spec["kind"] == "join_agg" else spec["kind"]
+        if kind != "histogram":
+            raise ValueError(f"view {name!r} is {kind}, not histogram")
         from cdc_lite_spark.operators.histogram import quantiles_from_histogram
 
         # partition views first merge bucket counts across partitions —
@@ -1119,7 +1146,15 @@ class CdcEngine:
             # a state with ZERO term rows cannot carry the corpus doc count
             # (n_docs rides on term rows), so folding onto it would restart
             # n_docs from this tick's net inserts — rebuild instead (r8
-            # review; the probe reads one row of the tiny state table)
+            # review).  Kept as a per-tick probe after weighing the r8
+            # verdict's caching ask (#8): the probe reads the prior STATE,
+            # not the shared tick diff, so the diff persist cannot serve
+            # it; memoizing per (view, version) saves nothing because each
+            # version is probed exactly once in steady state; and folding
+            # n_docs out-of-band (a sentinel row or pointer payload) would
+            # change the pinned state contract for on-disk states.  The
+            # cost is one limit(1) job over the vocab-bounded state table
+            # — it short-circuits at the first non-empty partition.
             if prev_state.limit(1).count() == 0:
                 return None
             v = s["value_col"]
@@ -1190,12 +1225,16 @@ class CdcEngine:
 
     def view_distinct_counts(self, name: str) -> DataFrame:
         """Per-key distinct-count estimates from a maintained
-        ``distinct_count`` view — reads only the (tiny) sketch state."""
-        spec = self._agg_views.get(name)
+        ``distinct_count`` view — reads only the (tiny) sketch state.
+        Serves single-table agg views AND ``agg_kind="distinct_count"``
+        join-aggregate views (maintained cardinalities over a fact⋈dim
+        view)."""
+        spec = self._agg_views.get(name) or self._join_agg_views.get(name)
         if spec is None:
             raise ValueError(f"no registered view: {name!r}")
-        if spec["kind"] != "distinct_count":
-            raise ValueError(f"view {name!r} is {spec['kind']}, not distinct_count")
+        kind = spec.get("agg_kind") if spec["kind"] == "join_agg" else spec["kind"]
+        if kind != "distinct_count":
+            raise ValueError(f"view {name!r} is {kind}, not distinct_count")
         return self.view(name).select(
             *spec["group_keys"],
             F.hll_sketch_estimate(F.col("sketch")).alias("distinct_estimate"),
@@ -1208,9 +1247,15 @@ class CdcEngine:
         exact when the value column is DECIMAL/integer; the derivation is
         binary64 over those exact inputs, so it never drifts across ticks).
         ``variance = Σv²/n − (Σv/n)²`` clamped at 0 against rounding.
-        Serves ``kind="moments"`` agg views AND ``agg_kind="moments"``
-        join-aggregate views (maintained variance over a fact⋈dim view)."""
-        spec = self._agg_views.get(name) or self._join_agg_views.get(name)
+        Serves ``kind="moments"`` agg views, ``agg_kind="moments"``
+        join-aggregate views (maintained variance over a fact⋈dim view),
+        AND partition-granular moments views — the latter derive over
+        :meth:`view_merged`'s lossless per-group merge (r8 ADVICE)."""
+        spec = (
+            self._agg_views.get(name)
+            or self._join_agg_views.get(name)
+            or self._part_agg_views.get(name)
+        )
         if spec is None:
             raise ValueError(f"no registered view: {name!r}")
         kind = spec.get("agg_kind") if spec["kind"] == "join_agg" else spec["kind"]
@@ -1222,7 +1267,12 @@ class CdcEngine:
             F.lit(0.0), F.col("agg_sum2").cast("double") / n - mean * mean
         )
         has = F.col("agg_count") > 0
-        return self.view(name).select(
+        state = (
+            self.view_merged(name)
+            if name in self._part_agg_views
+            else self.view(name)
+        )
+        return state.select(
             *spec["group_keys"],
             F.when(has, mean).alias("mean"),
             F.when(has, var).alias("variance"),
@@ -1254,6 +1304,16 @@ class CdcEngine:
         if spec["kind"] not in ("sum_count", "moments"):
             raise ValueError(
                 f"view {name!r} is {spec['kind']}; top-k ranks sum_count/moments state"
+            )
+        rankable = ("agg_sum", "agg_count", "agg_rows") + (
+            ("agg_sum2",) if spec["kind"] == "moments" else ()
+        )
+        if by not in rankable:
+            # the ValueError discipline every other state reader uses — not
+            # an opaque AnalysisException at action time (r8 ADVICE)
+            raise ValueError(
+                f"view {name!r}: by={by!r} is not a rankable state column "
+                f"(one of {list(rankable)})"
             )
         missing = [p for p in partition_keys if p not in spec["group_keys"]]
         if missing:
@@ -1405,14 +1465,30 @@ class CdcEngine:
         """Bring every partition view on ``table`` up to THIS tick's
         per-partition fingerprints (``cur``): stale partitions (fingerprint
         differs from the view's ``_parts`` pointer, or never folded) are
-        re-aggregated from ``staged`` and replace their state rows; parts
-        gone from ``cur`` drop out.  Runs every tick — including
-        no-drift ticks — so lagging views heal for free.  Per-view error
-        isolation (H6)."""
+        re-aggregated and replace their state rows; parts gone from ``cur``
+        drop out.  Runs every tick — including no-drift ticks — so lagging
+        views heal for free.  Per-view error isolation (H6).
+
+        ``staged``'s lineage reaches the LIVE source, and the tick's
+        fingerprints were collected earlier — a source that advances in
+        between would otherwise commit state rows that don't match the
+        recorded fingerprint, leaving the partition silently stale until
+        it next changes (r8 ADVICE).  The incremental path therefore PINS
+        the drifted partitions' rows (``localCheckpoint`` — partition-
+        bounded, the same rows the fold scans anyway) and records
+        fingerprints RECOMPUTED from the pinned rows, so the committed
+        pointer provably describes the committed state; a mid-tick source
+        advance just surfaces as drift again next tick.  The INITIAL build
+        keeps the documented race instead — pinning the full table is
+        worse than one build whose pointer may lag the source by a tick
+        (the next drift re-folds the affected partitions)."""
+        from cdc_lite_spark.operators.checksum import partition_checksums
+
         specs = [
             (n, s) for n, s in self._part_agg_views.items() if s["table"] == table
         ]
         for name, s in specs:
+            pinned_rows = None
             try:
                 if s["part_col"] != part_col:
                     raise ValueError(
@@ -1426,6 +1502,7 @@ class CdcEngine:
                     if not pinned:
                         self._pin_view_spec(name, s)
                     continue
+                commit_parts = dict(cur)
                 if ptr is None:
                     # initial build (or late registration): the full table —
                     # the same one-off cost every maintained view pays first
@@ -1442,9 +1519,23 @@ class CdcEngine:
                     kept = prev_state.filter(
                         ~self._part_filter(F.col("__part"), [*stale, *gone])
                     )
-                    fresh = self._build_part_state(
-                        s, staged.filter(self._part_filter(F.col("__part"), stale))
-                    )
+                    pinned_rows = staged.filter(
+                        self._part_filter(F.col("__part"), stale)
+                    ).localCheckpoint()
+                    # fingerprints of what we ACTUALLY folded — a partition
+                    # that advanced (or vanished) since the tick checksum
+                    # commits under its true fingerprint and re-drifts next
+                    # tick instead of going silently stale
+                    verified = {
+                        r["part"]: r["checksum"]
+                        for r in partition_checksums(pinned_rows, "__part").collect()
+                    }
+                    for p in stale:
+                        if p in verified:
+                            commit_parts[p] = verified[p]
+                        else:
+                            commit_parts.pop(p, None)
+                    fresh = self._build_part_state(s, pinned_rows)
                     state = kept.unionByName(fresh)
                     new_v = ptr["v"] + 1
                 state.write.mode("overwrite").parquet(
@@ -1453,12 +1544,18 @@ class CdcEngine:
                 # the _parts pointer write IS the commit (atomic swap): a
                 # crash before it leaves the old pointer, and the retried
                 # tick rewrites v=new_v from the same comparison
-                self._write_parts_pointer(name, new_v, cur)
+                self._write_parts_pointer(name, new_v, commit_parts)
                 self._gc_versions(self._view_dir(name), new_v, self.VIEW_VERSIONS_KEPT)
                 if not pinned:
                     self._pin_view_spec(name, s)
             except Exception as exc:  # noqa: BLE001 — per-view isolation (H6)
                 print(f"cdc_lite_spark: error maintaining view {name}: {exc}")
+            finally:
+                if pinned_rows is not None:
+                    try:
+                        pinned_rows.unpersist()
+                    except Exception:  # noqa: BLE001 — cleanup best-effort
+                        pass
 
     def view_merged(self, name: str) -> DataFrame:
         """Per-group aggregate from a partition view's state alone — the
@@ -1559,8 +1656,10 @@ class CdcEngine:
             )
         for name, s in self._join_views.items():
             basis = self._read_join_basis(name)
-            fv = self._latest_snapshot_version(s["fact_table"])
-            dv = self._latest_snapshot_version(s["dim_table"])
+            # a side may be an upstream join view (snowflake chain): its
+            # basis version stands in for the snapshot version
+            _, fv = self._join_side(s["fact_table"])
+            _, dv = self._join_side(s["dim_table"])
             out.append(
                 {
                     "name": name,
@@ -1611,9 +1710,9 @@ class CdcEngine:
         name: str,
         fact_table: str,
         dim_table: str,
-        fact_key: str,
-        fact_dim_col: str,
-        dim_key: str,
+        fact_key: "str | list[str]",
+        fact_dim_col: "str | list[str]",
+        dim_key: "str | list[str]",
         hint_broadcast: bool = True,
     ) -> None:
         """Declare a materialized many-to-one inner join ``fact ⋈ dim`` over
@@ -1624,13 +1723,29 @@ class CdcEngine:
         affected-keys-sized, never a re-join of the full tables.
 
         ``fact_key`` must be unique in the fact table (the star-schema
-        fact-PK shape); ``fact_dim_col`` is the fact's FK into
-        ``dim_key``.  The view carries every column of both captured
-        snapshots, fact columns first — column names must not collide
-        across the two tables (checked at fold time; TPC-H-style prefixes
-        make this natural).  ``hint_broadcast`` has the hot-dim-key
-        escape-hatch semantics of :func:`maintain_join` (a dim key with
-        ~10^8 referencing facts needs AQE fallback, not a forced broadcast).
+        fact-PK shape) — one column name or a COMPOSITE-key column list
+        (TPC-H lineitem's ``["l_orderkey", "l_linenumber"]``);
+        ``fact_dim_col`` is the fact's FK into ``dim_key`` (lists pair
+        positionally and must match in length).  The view carries every
+        column of both captured snapshots, fact columns first — column
+        names must not collide across the two tables (checked at fold
+        time; TPC-H-style prefixes make this natural).  ``hint_broadcast``
+        has the hot-dim-key escape-hatch semantics of :func:`maintain_join`
+        (a dim key with ~10^8 referencing facts needs AQE fallback, not a
+        forced broadcast).
+
+        SNOWFLAKE CHAINS: ``fact_table`` (or ``dim_table``) may name an
+        ALREADY-REGISTERED join view instead of a monitored table — the
+        upstream view's persisted state versions stand in for snapshot
+        versions, so ``lineitem ⋈ orders ⋈ customer`` is two registrations
+        (``v1 = lineitem ⋈ orders``, then ``v2 = v1 ⋈ customer``) and each
+        tick maintains the chain in dependency order, folding O(delta) at
+        every hop (the upstream fold's own view-level change records seed
+        the downstream diff).  A view used as a side must be registered
+        FIRST (which also makes registration order a valid maintenance
+        order and cycles unrepresentable), and the downstream key over it
+        must be the upstream's ``fact_key`` — the one column set unique in
+        a join view's state.
 
         The state records the (fact snapshot version, dim snapshot version)
         pair it reflects in an atomically-swapped ``_basis`` pointer, which
@@ -1647,13 +1762,31 @@ class CdcEngine:
             or name in self._part_agg_views
         ):
             raise ValueError(f"view name {name!r} already registered as an agg view")
+        if name in (fact_table, dim_table):
+            raise ValueError(f"join view {name!r} cannot reference itself")
+        fk = [fact_key] if isinstance(fact_key, str) else list(fact_key)
+        fdc = [fact_dim_col] if isinstance(fact_dim_col, str) else list(fact_dim_col)
+        dk = [dim_key] if isinstance(dim_key, str) else list(dim_key)
+        if len(fdc) != len(dk):
+            raise ValueError(
+                f"join view {name!r}: fact_dim_col {fdc} and dim_key {dk} "
+                "pair positionally — lengths must match"
+            )
+        for side, key, label in ((fact_table, fk, "fact_key"), (dim_table, dk, "dim_key")):
+            up = self._join_views.get(side)
+            if up is not None and key != up["fact_key"]:
+                raise ValueError(
+                    f"join view {name!r}: {label} {key} over upstream view "
+                    f"{side!r} must be its fact_key {up['fact_key']} — the "
+                    "one column set unique in a join view's state"
+                )
         self._join_views[name] = {
             "kind": "join",
             "fact_table": fact_table,
             "dim_table": dim_table,
-            "fact_key": fact_key,
-            "fact_dim_col": fact_dim_col,
-            "dim_key": dim_key,
+            "fact_key": fk,
+            "fact_dim_col": fdc,
+            "dim_key": dk,
             "hint_broadcast": hint_broadcast,
         }
 
@@ -1664,6 +1797,10 @@ class CdcEngine:
         group_keys: list[str],
         value_col: str,
         agg_kind: str = "sum_count",
+        lo: float | None = None,
+        hi: float | None = None,
+        bins: int = 64,
+        lgk: int = 12,
     ) -> None:
         """Declare a grouped aggregate OVER a registered join view,
         maintained end-to-end in O(delta): each tick the join fold also emits
@@ -1675,25 +1812,47 @@ class CdcEngine:
         the tables or rescanning the view.  ``group_keys``/``value_col``
         name columns of the JOIN view (either side).
 
-        ``agg_kind="sum_count"`` (default) maintains per-key
-        sum/count/rows; ``agg_kind="moments"`` maintains Σv/Σv²/count/rows
-        — maintained mean/variance/stddev over the denormalized view, read
-        via :meth:`view_moments` (both kinds are abelian, so every tick
-        folds, retractions included).  State versions mirror the join
-        view's; the same spec-pinning / self-healing (late registrations
-        and lagging states rebuild from the join view's persisted state —
-        one aggregation over the view, never a re-join) / per-view
-        isolation discipline applies."""
+        Kinds mirror :meth:`register_agg_view` minus ``term_df``:
+
+        - ``"sum_count"`` (default) and ``"moments"`` (Σv/Σv²/count/rows,
+          read via :meth:`view_moments`) are abelian — every tick folds,
+          retractions included;
+        - ``"histogram"`` (fixed ``lo``/``hi``/``bins`` bucket counts, read
+          via :meth:`view_quantiles`) is exactly retractable too — integer
+          bucket counts fold +cur/−prev, so the fold is TOTAL;
+        - ``"min_max"`` and ``"distinct_count"`` (HLL, ``lgk`` registers,
+          read via :meth:`view_distinct_counts`) fold insert-only deltas
+          exactly and DEGRADE on retracting ticks to ONE aggregation over
+          the join view's PERSISTED state — never a re-join of the base
+          tables (the register_agg_view retraction discipline, one
+          delta-sized probe per tick).
+
+        State versions mirror the join view's; the same spec-pinning /
+        self-healing (late registrations and lagging states rebuild from
+        the join view's persisted state — one aggregation over the view,
+        never a re-join) / per-view isolation discipline applies."""
         if join_view not in self._join_views:
             raise ValueError(
                 f"join_agg view {name!r}: {join_view!r} is not a registered "
                 "join view (register_join_view first)"
             )
-        if agg_kind not in ("sum_count", "moments"):
+        if agg_kind not in (
+            "sum_count",
+            "moments",
+            "histogram",
+            "min_max",
+            "distinct_count",
+        ):
             raise ValueError(
-                f"join_agg view {name!r}: agg_kind must be sum_count or "
-                f"moments (abelian folds), got {agg_kind!r}"
+                f"join_agg view {name!r}: unknown agg_kind {agg_kind!r}"
             )
+        if agg_kind == "histogram":
+            if lo is None or hi is None:
+                raise ValueError("histogram views need explicit lo/hi bucket edges")
+            from cdc_lite_spark.operators.histogram import _check_edges
+
+            # fail at registration, not as a per-tick error loop
+            _check_edges(lo, hi, bins)
         if (
             name in self._agg_views
             or name in self._join_views
@@ -1706,6 +1865,10 @@ class CdcEngine:
             "group_keys": list(group_keys),
             "value_col": value_col,
             "agg_kind": agg_kind,
+            "lo": lo,
+            "hi": hi,
+            "bins": bins,
+            "lgk": lgk,
         }
 
     def _read_join_basis(self, name: str) -> dict | None:
@@ -1726,20 +1889,43 @@ class CdcEngine:
         """Bring every registered join view up to the latest committed
         snapshot versions of its two tables.  Runs at the END of each poll
         tick (after all captures), so a tick that mutates fact AND dim folds
-        both deltas at once; quiet ticks retry lagging views for free."""
+        both deltas at once; quiet ticks retry lagging views for free.
+
+        Registration order IS dependency order for snowflake chains (a view
+        used as a side must be registered first), so iterating the dict
+        maintains every upstream view before its consumers."""
         for name, s in self._join_views.items():
             try:
                 self._maintain_one_join_view(name, s)
             except Exception as exc:  # noqa: BLE001 — per-view isolation (H6)
                 print(f"cdc_lite_spark: error maintaining view {name}: {exc}")
 
+    def _join_side(self, t: str) -> "tuple[str, int | None]":
+        """(versioned state dir, latest committed version) for a join-view
+        side: a registered join view's persisted state (snowflake chaining
+        — its basis pointer IS the commit point) or a monitored table's
+        snapshots.  Both lay out ``<dir>/v=N`` parquet with ``_SUCCESS``
+        markers, so everything downstream (diffing, folding, healing) is
+        side-kind-agnostic."""
+        if t in self._join_views:
+            b = self._read_join_basis(t)
+            return self._view_dir(t), (b["v"] if b is not None else None)
+        return self._snapshot_path(t), self._latest_snapshot_version(t)
+
     def _maintain_one_join_view(self, name: str, s: dict) -> None:
         aggs = [
             (n, a) for n, a in self._join_agg_views.items()
             if a["join_view"] == name
         ]
-        fv = self._latest_snapshot_version(s["fact_table"])
-        dv = self._latest_snapshot_version(s["dim_table"])
+        # downstream chained views fold from THIS view's change records —
+        # emit them (and seed the shared tick-diff cache) when any exist
+        chained = any(
+            name in (s2["fact_table"], s2["dim_table"])
+            for n2, s2 in self._join_views.items()
+            if n2 != name
+        )
+        snap_f, fv = self._join_side(s["fact_table"])
+        snap_d, dv = self._join_side(s["dim_table"])
         if fv is None or dv is None:
             return  # a side has no diff-mode snapshot yet: nothing to build on
         pinned = self._check_view_spec(name, s)
@@ -1753,8 +1939,6 @@ class CdcEngine:
                 self._pin_view_spec(name, s)
             self._fold_join_agg_views(name, aggs, basis["v"], None, heal=True)
             return
-        snap_f = self._snapshot_path(s["fact_table"])
-        snap_d = self._snapshot_path(s["dim_table"])
         fact_new = self.spark.read.parquet(f"{snap_f}/v={fv}")
         dim_new = self.spark.read.parquet(f"{snap_d}/v={dv}")
         overlap = set(fact_new.columns) & set(dim_new.columns)
@@ -1769,17 +1953,26 @@ class CdcEngine:
         if basis is not None:
             state, view_changes, shared = self._fold_join_view(
                 name, s, basis, fv, dv, snap_f, snap_d, fact_new, dim_new,
-                with_changes=bool(aggs),
+                with_changes=bool(aggs) or chained,
             )
         if state is None:
             # initial build, or healing past snapshot/view retention: one
             # full join of the current snapshots (the same cost the first
             # build paid) — never silently wrong, just not incremental
+            from functools import reduce
+
             state = fact_new.join(
                 dim_new,
-                fact_new[s["fact_dim_col"]] == dim_new[s["dim_key"]],
+                reduce(
+                    lambda a, b: a & b,
+                    [
+                        fact_new[f] == dim_new[d]
+                        for f, d in zip(s["fact_dim_col"], s["dim_key"])
+                    ],
+                ),
                 "inner",
             ).select(*fact_new.columns, *dim_new.columns)
+        seeded = False
         try:
             new_k = (basis["v"] if basis is not None else 0) + 1
             state.write.mode("overwrite").parquet(
@@ -1795,12 +1988,26 @@ class CdcEngine:
                 prev_k=basis["v"] if basis is not None else None,
             )
             self._write_join_basis(name, {"v": new_k, "fact_v": fv, "dim_v": dv})
+            if chained and view_changes is not None:
+                # seed the view's OWN change records for downstream chained
+                # folds (same cache the capture diff seeds for tables): a
+                # steady-state downstream basis pins fact_v = this view's
+                # previous version, so its O(delta) fold reads these instead
+                # of diffing two full view states.  Keep the delta-sized
+                # persisted intermediates alive until tick end — the change
+                # plan reads them.
+                self._tick_diffs[
+                    (name, basis["v"], tuple(s["fact_key"]))
+                ] = view_changes
+                self._tick_handles.extend(shared)
+                seeded = True
         finally:
-            for df in shared:
-                try:
-                    df.unpersist()
-                except Exception:  # noqa: BLE001 — cleanup must not mask errors
-                    pass
+            if not seeded:
+                for df in shared:
+                    try:
+                        df.unpersist()
+                    except Exception:  # noqa: BLE001 — cleanup must not mask errors
+                        pass
         self._gc_versions(self._view_dir(name), new_k, self.VIEW_VERSIONS_KEPT)
         if not pinned:
             # pin only after state actually materialized (register_agg_view
@@ -1820,6 +2027,12 @@ class CdcEngine:
         version ``k``: apply the view-level I/D records onto the agg state
         COMMITTED at ``prev_k`` (O(delta)); otherwise rebuild by aggregating
         the join view's PERSISTED v=k state (O(view), never a re-join).
+        Kind dispatch reuses the single-table machinery
+        (:meth:`_build_agg_state` / :meth:`_fold_agg_state`): sum_count /
+        moments / histogram fold TOTAL; min_max / distinct_count fold
+        insert-only deltas and degrade on retracting ticks to the rebuild
+        path — here ONE aggregation over persisted view state, never a
+        re-join of the base tables.
 
         Commit discipline (r8 review): the agg's commit point is the JOIN's
         basis pointer, so on a FOLD tick (``heal=False``) the agg at ``k``
@@ -1831,23 +2044,16 @@ class CdcEngine:
         between state write and pin).  Per-view isolation throughout."""
         if not aggs:
             return
-        from cdc_lite_spark.operators.incremental import (
-            apply_delta,
-            apply_moments_delta,
-            moments_state,
-            sum_count_state,
-        )
-
         for an, a in aggs:
             try:
-                moments = a.get("agg_kind", "sum_count") == "moments"
-                fold = apply_moments_delta if moments else apply_delta
-                build = moments_state if moments else sum_count_state
+                # the single-table dispatchers key on "kind"
+                a_kind = {**a, "kind": a.get("agg_kind", "sum_count")}
                 a_pinned = self._check_view_spec(an, a)
                 if heal and self._committed_dir(f"{self._view_dir(an)}/v={k}"):
                     if not a_pinned:
                         self._pin_view_spec(an, a)
                     continue  # committed by the fold that committed basis k
+                a_state = None
                 if (
                     view_changes is not None
                     and prev_k is not None
@@ -1858,14 +2064,15 @@ class CdcEngine:
                     prev_state = self.spark.read.parquet(
                         f"{self._view_dir(an)}/v={prev_k}"
                     )
-                    a_state = fold(
-                        prev_state, view_changes, a["group_keys"], a["value_col"]
-                    )
-                else:
+                    # None = this kind cannot fold this delta (min_max /
+                    # distinct_count saw a retraction) — fall through to
+                    # the rebuild-from-view-state path
+                    a_state = self._fold_agg_state(a_kind, prev_state, view_changes)
+                if a_state is None:
                     joined = self.spark.read.parquet(
                         f"{self._view_dir(join_name)}/v={k}"
                     )
-                    a_state = build(joined, a["group_keys"], a["value_col"])
+                    a_state = self._build_agg_state(a_kind, joined)
                 a_state.write.mode("overwrite").parquet(
                     f"{self._view_dir(an)}/v={k}"
                 )
@@ -1922,18 +2129,25 @@ class CdcEngine:
         m_old = self.spark.read.parquet(old_state_dir)
 
         def _changes(
-            base_dir: str, base_v: int, new_v: int, cur: DataFrame, key: str, table: str
+            base_dir: str,
+            base_v: int,
+            new_v: int,
+            cur: DataFrame,
+            keys: list[str],
+            table: str,
         ):
             if base_v == new_v:
                 # unchanged side: empty delta (maintain_join reads only keys)
-                return cur.select(key).limit(0)
-            # reuse this tick's shared capture diff when it was keyed the
-            # same way (maintain_join reads only the key column from it)
-            seeded = self._tick_diffs.get((table, base_v, (key,)))
+                return cur.select(*keys).limit(0)
+            # reuse this tick's shared diff when it was keyed the same way
+            # (maintain_join reads only the key columns from it) — a table
+            # side hits the capture diff; a chained VIEW side hits the
+            # upstream fold's own change records, keeping every hop O(delta)
+            seeded = self._tick_diffs.get((table, base_v, tuple(keys)))
             if seeded is not None:
                 return seeded
             base = self.spark.read.parquet(f"{base_dir}/v={base_v}")
-            return snapshot_diff(base, cur, [key], fast_hash=True)
+            return snapshot_diff(base, cur, keys, fast_hash=True)
 
         fact_changes = _changes(
             snap_f, basis["fact_v"], fv, fact_new, s["fact_key"], s["fact_table"]

@@ -8335,3 +8335,413 @@ def q_engine_partition_view_maintenance(spark: SparkSession, sf_dir: str) -> Dat
         return out.localCheckpoint()
     finally:
         shutil.rmtree(td, ignore_errors=True)
+
+
+@register(
+    "engine_composite_join_view_maintenance",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CAST(l_quantity AS DOUBLE) AS l_quantity,
+           p_partkey, p_brand, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_orderkey % 4 = 1
+      AND (l_orderkey * 8 + l_linenumber) % 11 != 0
+      AND p_partkey % 10 != 3
+    """,
+    "Composite-fact-key join view IN THE ENGINE LOOP (r8 verdict #1): "
+    "lineitem's (l_orderkey, l_linenumber) primary key — the commonest "
+    "real fact shape, which register_join_view could not express before "
+    "r9 — maintained across two real poll_once ticks mutating BOTH "
+    "tables; the oracle recomputes the join from scratch over the final "
+    "table states",
+    tags=("cdc", "incremental", "join", "engine"),
+)
+def q_engine_composite_join_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The engine_join_view_maintenance gate over a COMPOSITE fact key:
+    fact_key=["l_orderkey","l_linenumber"] flows through the basis-pointer
+    protocol, the shared tick-diff cache (keyed by the key TUPLE), and the
+    maintain_join fold (operators/incremental.py — multi-column broadcast
+    semi/anti joins).  The fact is restricted to a deterministic quarter
+    of lineitem (l_orderkey % 4 = 1) so the gate's two snapshot writes
+    stay at the cost of the single-key gates; per-tick fold work is
+    affected-keys-sized regardless (nothing re-joins the full tables).
+    O(delta) refinement of the reference's whole-table re-emit
+    (duckdb_cdc.go:217-258)."""
+    import shutil
+    import tempfile
+
+    from cdc_lite_spark.engine import CdcEngine
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    ).filter(F.col("l_orderkey") % 4 == 1)
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    lk = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    pk = F.col("p_partkey")
+    fact_prev = li.filter(lk % 7 != 0).withColumn(
+        "l_quantity",
+        F.when(lk % 13 == 0, F.col("l_quantity") + 5).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    fact_cur = li.filter(lk % 11 != 0)
+    dim_prev = part.filter(pk % 10 != 7).withColumn(
+        "p_retailprice",
+        F.when(pk % 5 == 0, F.col("p_retailprice") + 50).otherwise(
+            F.col("p_retailprice")
+        ),
+    )
+    dim_cur = part.filter(pk % 10 != 3)
+
+    td = tempfile.mkdtemp(prefix="cdc_comp_join_view_")
+    try:
+        eng = CdcEngine(
+            spark,
+            output_dir=td + "/log",
+            state_dir=td + "/state",
+            emit_schema_changes=False,
+        )
+        eng.register_join_view(
+            "lp",
+            fact_table="li_v",
+            dim_table="part_v",
+            fact_key=["l_orderkey", "l_linenumber"],
+            fact_dim_col="l_partkey",
+            dim_key="p_partkey",
+        )
+        keys = {"li_v": ["l_orderkey", "l_linenumber"], "part_v": ["p_partkey"]}
+        eng.poll_once(
+            {"li_v": fact_prev, "part_v": dim_prev},
+            mode="diff", keys=keys, parallelism=2,
+        )
+        eng.poll_once(
+            {"li_v": fact_cur, "part_v": dim_cur},
+            mode="diff", keys=keys, parallelism=2,
+        )
+        out = eng.view("lp").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+            "p_partkey",
+            "p_brand",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
+@register(
+    "engine_chain_join_view_maintenance",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           c_custkey, c_mktsegment, n_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderkey % 11 != 0 AND c_custkey % 10 != 3
+    """,
+    "Snowflake chain IN THE ENGINE LOOP (r8 verdict #4): "
+    "v1 = orders ⋈ customer, v2 = v1 ⋈ nation — a registered join view "
+    "serving as the FACT of another — maintained across two real "
+    "poll_once ticks in which the fact AND BOTH dims mutate; the oracle "
+    "recomputes the three-way join from scratch over the final states",
+    tags=("cdc", "incremental", "join", "engine"),
+)
+def q_engine_chain_join_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-hop maintained join chain: the upstream view's persisted state
+    versions stand in for snapshot versions (engine.py _join_side), its
+    basis pointer is the commit point, and its own fold's view-level I/D
+    records seed the downstream diff (the shared tick cache) — so BOTH
+    hops fold O(delta) in one tick, never re-joining full tables.
+    Registration order is dependency order; healing degrades hop-by-hop
+    (a lagging v2 diffs v1's retained state versions, then rebuilds from
+    v1's current state — one join, never three-way)."""
+    import shutil
+    import tempfile
+
+    from cdc_lite_spark.engine import CdcEngine
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ok, ck, nk = F.col("o_orderkey"), F.col("c_custkey"), F.col("n_nationkey")
+    fact_prev = orders.filter(ok % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(ok % 13 == 0, F.col("o_totalprice") + 100).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    fact_cur = orders.filter(ok % 11 != 0)
+    d1_prev = cust.filter(ck % 10 != 7).withColumn(
+        "c_mktsegment",
+        F.when(ck % 17 == 0, F.lit("MOVED")).otherwise(F.col("c_mktsegment")),
+    )
+    d1_cur = cust.filter(ck % 10 != 3)
+    d2_prev = nat.filter(nk % 5 != 2).withColumn(
+        "n_name",
+        F.when(nk % 3 == 0, F.lit("RENAMED")).otherwise(F.col("n_name")),
+    )
+    d2_cur = nat
+
+    td = tempfile.mkdtemp(prefix="cdc_chain_join_view_")
+    try:
+        eng = CdcEngine(
+            spark,
+            output_dir=td + "/log",
+            state_dir=td + "/state",
+            emit_schema_changes=False,
+        )
+        eng.register_join_view(
+            "oc",
+            fact_table="orders_v",
+            dim_table="cust_v",
+            fact_key="o_orderkey",
+            fact_dim_col="o_custkey",
+            dim_key="c_custkey",
+        )
+        eng.register_join_view(
+            "ocn",
+            fact_table="oc",
+            dim_table="nation_v",
+            fact_key="o_orderkey",
+            fact_dim_col="c_nationkey",
+            dim_key="n_nationkey",
+        )
+        keys = {
+            "orders_v": ["o_orderkey"],
+            "cust_v": ["c_custkey"],
+            "nation_v": ["n_nationkey"],
+        }
+        eng.poll_once(
+            {"orders_v": fact_prev, "cust_v": d1_prev, "nation_v": d2_prev},
+            mode="diff", keys=keys, parallelism=2,
+        )
+        eng.poll_once(
+            {"orders_v": fact_cur, "cust_v": d1_cur, "nation_v": d2_cur},
+            mode="diff", keys=keys, parallelism=2,
+        )
+        out = eng.view("ocn").select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "c_custkey",
+            "c_mktsegment",
+            "n_name",
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
+@register(
+    "engine_join_histogram_view_maintenance",
+    """
+    WITH cur AS (
+        SELECT c_mktsegment, CAST(o_totalprice AS DOUBLE) AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderkey % 11 != 0 AND c_custkey % 10 != 3
+    ),
+    b AS (
+        SELECT c_mktsegment,
+               LEAST(31, GREATEST(0, CAST(floor((v - 0.0) / 18750.0) AS INT))) AS bucket,
+               count(*) AS cnt
+        FROM cur WHERE v IS NOT NULL AND NOT isnan(v) GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT *,
+               sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY bucket) AS cum,
+               sum(cnt) OVER (PARTITION BY c_mktsegment) AS total
+        FROM b
+    ),
+    qq AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE, 0.95::DOUBLE]) AS q),
+    cand AS (
+        SELECT c_mktsegment, q, bucket, cnt, cum - cnt AS cum_before, total,
+               row_number() OVER (PARTITION BY c_mktsegment, q ORDER BY bucket) AS rn
+        FROM c CROSS JOIN qq WHERE cum >= q * total
+    )
+    SELECT c_mktsegment, q,
+           round(0.0 + 18750.0 * (bucket + (q * total - cum_before) / cnt), 6)
+               AS quantile_est
+    FROM cand WHERE rn = 1
+    """,
+    "Maintained QUANTILES over a join view IN THE ENGINE LOOP (r8 verdict "
+    "#3): register_join_agg_view(kind=histogram) folds the join fold's "
+    "view-level I/D records into fixed-edge bucket counts — exactly "
+    "retractable, so the fold is TOTAL across two real ticks with deletes "
+    "and group-moving updates on both tables; the oracle rebuilds the "
+    "histogram from a from-scratch join and interpolates identically",
+    tags=("cdc", "incremental", "join", "agg", "engine"),
+)
+def q_engine_join_histogram_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram agg-over-join: the engine_join_agg_view_maintenance
+    machinery with the bucket-count kind (engine.py _fold_join_agg_views
+    dispatches through the shared _fold_agg_state), read back through
+    view_quantiles — estimates interpolate the maintained state alone,
+    never the facts.  Bucket counts are exact integers, so the maintained
+    state is bit-equal to the oracle's rebuild and the interpolation
+    (binary64 over literals + exact counts) is engine-portable."""
+    import shutil
+    import tempfile
+
+    from cdc_lite_spark.engine import CdcEngine
+
+    lo, hi, bins = 0.0, 600000.0, 32
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ok, ck = F.col("o_orderkey"), F.col("c_custkey")
+    fact_prev = orders.filter(ok % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(ok % 13 == 0, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    fact_cur = orders.filter(ok % 11 != 0)
+    dim_prev = cust.filter(ck % 10 != 7).withColumn(
+        "c_mktsegment",
+        F.when(ck % 17 == 0, F.lit("MOVED")).otherwise(F.col("c_mktsegment")),
+    )
+    dim_cur = cust.filter(ck % 10 != 3)
+
+    td = tempfile.mkdtemp(prefix="cdc_join_hist_view_")
+    try:
+        eng = CdcEngine(
+            spark,
+            output_dir=td + "/log",
+            state_dir=td + "/state",
+            emit_schema_changes=False,
+        )
+        eng.register_join_view(
+            "om",
+            fact_table="orders_v",
+            dim_table="cust_v",
+            fact_key="o_orderkey",
+            fact_dim_col="o_custkey",
+            dim_key="c_custkey",
+        )
+        eng.register_join_agg_view(
+            "seg_hist", "om", ["c_mktsegment"], "o_totalprice",
+            agg_kind="histogram", lo=lo, hi=hi, bins=bins,
+        )
+        keys = {"orders_v": ["o_orderkey"], "cust_v": ["c_custkey"]}
+        eng.poll_once(
+            {"orders_v": fact_prev, "cust_v": dim_prev},
+            mode="diff", keys=keys, parallelism=2,
+        )
+        eng.poll_once(
+            {"orders_v": fact_cur, "cust_v": dim_cur},
+            mode="diff", keys=keys, parallelism=2,
+        )
+        out = eng.view_quantiles("seg_hist", [0.25, 0.5, 0.75, 0.95])
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
+@register(
+    "changelog_view_maintenance",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS agg_sum,
+           CAST(count(o_totalprice) AS BIGINT) AS agg_count,
+           CAST(count(*) AS BIGINT) AS agg_rows
+    FROM orders
+    WHERE o_orderkey % 11 != 0
+    GROUP BY o_orderstatus
+    """,
+    "Changelog-DRIVEN view maintenance (r8 verdict #6): a foreachBatch "
+    "consumer of the A8 wire-format change stream folds the published "
+    "change records into maintained aggregate state directly — REAL "
+    "micro-batches over the JSONL log an engine wrote across two diff "
+    "ticks; the oracle recomputes the aggregate from the final table "
+    "state, so the stream-maintained state must converge to it exactly "
+    "(DECIMAL sums: no fold-order drift)",
+    tags=("cdc", "incremental", "streaming", "engine"),
+)
+def q_changelog_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end wire-format loop: CdcEngine.poll_once × 2 writes the A8
+    change log (INSERT-everything first sight, then a diff tick with
+    deletes and group-moving updates); streaming/view_stream.py consumes
+    it via stream_changes + availableNow with maxFilesPerTrigger forcing
+    MULTIPLE micro-batches, maintaining a latest-per-key replica (prev
+    values for retractions — the wire carries cur only) and the grouped
+    agg state under the versioned exactly-once protocol.  Per batch the
+    fold is |batch|-sized (replica pruned by broadcast semi-join); the
+    reference's consumers re-read the whole log per poll
+    (duckdb_cdc.go:259-291) — this is the O(delta) subscription."""
+    import shutil
+    import tempfile
+
+    from cdc_lite_spark.engine import CdcEngine
+    from cdc_lite_spark.sources.changelog import stream_changes
+    from cdc_lite_spark.streaming.view_stream import (
+        init_changelog_view,
+        read_changelog_view,
+        start_changelog_view,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    prev = orders.filter(k % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 13 == 0, F.col("o_totalprice") + 100).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    cur = orders.filter(k % 11 != 0)
+
+    td = tempfile.mkdtemp(prefix="cdc_changelog_view_")
+    try:
+        eng = CdcEngine(
+            spark,
+            output_dir=td + "/log",
+            state_dir=td + "/state",
+            emit_schema_changes=False,
+        )
+        eng.poll_once({"orders_v": prev}, mode="diff", keys={"orders_v": ["o_orderkey"]})
+        eng.poll_once({"orders_v": cur}, mode="diff", keys={"orders_v": ["o_orderkey"]})
+
+        ddl = "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DECIMAL(18,2)"
+        init_changelog_view(
+            spark, td + "/vstate", ddl, ["o_orderstatus"], "o_totalprice"
+        )
+        q = start_changelog_view(
+            stream_changes(spark, td + "/log", max_files_per_trigger=24),
+            "orders_v",
+            ddl,
+            ["o_orderkey"],
+            ["o_orderstatus"],
+            "o_totalprice",
+            td + "/vstate",
+            td + "/ckpt",
+            available_now=True,
+        )
+        q.awaitTermination()
+        out = read_changelog_view(spark, td + "/vstate").select(
+            "o_orderstatus",
+            F.col("agg_sum").cast("double").alias("agg_sum"),
+            "agg_count",
+            "agg_rows",
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)

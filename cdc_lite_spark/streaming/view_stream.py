@@ -1,0 +1,299 @@
+"""Changelog-driven maintained views: fold the A8 wire-format change stream
+(sources/changelog.py ``stream_changes``) into persisted aggregate state
+DIRECTLY — no CdcEngine required on the consumer side.
+
+This closes the round-8 gap where only the engine's own snapshot diffs
+could maintain views: any consumer of the published change log (the
+reference's downstream contract, duckdb_cdc.go:259-291) keeps a grouped
+aggregate current by reading the wire records the engine already emits.
+
+The wire record carries ``(timestamp, table, operation, data)`` with
+CURRENT values only (DELETE rows carry just the key — sources/changelog.py
+``WIRE_SCHEMA``), so retractions cannot be derived from the wire alone.
+The adapter therefore maintains TWO states under one root:
+
+- ``<state_dir>/replica`` — the latest-per-key table replica the wire
+  implies (the same materialization ``Engine.materialize`` computes from
+  the log, kept incrementally);
+- ``<state_dir>/agg``     — the per-group aggregate state
+  (operators/incremental.py shapes), folded from change records ENRICHED
+  with previous values looked up in the replica.
+
+Per micro-batch (epoch ``e``):
+
+1. type the batch's records (cast the string map through the declared
+   DDL) and collapse to latest-per-key by capture timestamp — a key's
+   intermediate values within the batch cancel, so the net fold needs
+   only (replica value, latest batch value);
+2. prune the replica to the batch's keys (broadcast semi-join — the
+   replica scan is map-side, nothing table-sized shuffles) and derive
+   diff-shaped records: key present in replica → UPDATE/DELETE with
+   ``prev_`` values, absent → INSERT;
+3. fold the agg state v{e} → v{e+1} (TOTAL for the abelian kinds:
+   ``sum_count`` / ``moments`` / ``histogram``);
+4. advance the replica: (replica ∖ batch keys) ∪ latest non-DELETE rows.
+
+State follows the versioned-parquet protocol shared with the novelty /
+sketch / anomaly streams (streaming/_state.py): epoch ``e`` always reads
+exactly ``v{e}`` and rewrites a bit-identical ``v{e+1}`` on replay, so
+state is exactly-once under foreachBatch's at-least-once calls.  The agg
+commit lands AFTER the replica commit, so an agg pointer at ``v{e+1}``
+implies the replica it was folded against committed.
+
+Scale shape: the enrichment and fold touch |batch| rows (broadcast-pruned
+against the replica); the agg merge joins the group-key domain.  The
+replica REWRITE is O(table) per changed epoch — the same cost class as
+the engine's own per-tick snapshot persistence; a production refinement
+is a merge-on-read keyed layout (Delta/Iceberg MERGE), which changes the
+write amplification, not this protocol.
+
+Ordering contract: log files must be consumed oldest-first (Structured
+Streaming's file source default) so a key's tick-N record never folds
+before its tick-(N-1) record; within a batch the timestamp collapse
+handles any mix of ticks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from cdc_lite_spark.envelope import DELETE, INSERT, UPDATE
+from cdc_lite_spark.streaming._state import (
+    commit_version,
+    fs_for,
+    read_current,
+    read_for_epoch,
+    repoint,
+)
+
+_KINDS = ("sum_count", "moments", "histogram")
+
+
+def _replica_dir(state_dir: str) -> str:
+    return state_dir + "/replica"
+
+
+def _agg_dir(state_dir: str) -> str:
+    return state_dir + "/agg"
+
+
+def _build_state(
+    rows: DataFrame,
+    group_keys: list[str],
+    value_col: str,
+    kind: str,
+    lo: float | None,
+    hi: float | None,
+    bins: int,
+) -> DataFrame:
+    if kind == "sum_count":
+        from cdc_lite_spark.operators.incremental import sum_count_state
+
+        return sum_count_state(rows, group_keys, value_col)
+    if kind == "moments":
+        from cdc_lite_spark.operators.incremental import moments_state
+
+        return moments_state(rows, group_keys, value_col)
+    from cdc_lite_spark.operators.histogram import histogram_state
+
+    return histogram_state(rows, group_keys, value_col, lo, hi, bins)
+
+
+def _fold_state(
+    state: DataFrame,
+    changes: DataFrame,
+    group_keys: list[str],
+    value_col: str,
+    kind: str,
+    lo: float | None,
+    hi: float | None,
+    bins: int,
+) -> DataFrame:
+    if kind == "sum_count":
+        from cdc_lite_spark.operators.incremental import apply_delta
+
+        return apply_delta(state, changes, group_keys, value_col)
+    if kind == "moments":
+        from cdc_lite_spark.operators.incremental import apply_moments_delta
+
+        return apply_moments_delta(state, changes, group_keys, value_col)
+    from cdc_lite_spark.operators.histogram import apply_histogram_delta
+
+    return apply_histogram_delta(
+        state, changes, group_keys, value_col, lo, hi, bins
+    )
+
+
+def init_changelog_view(
+    spark: SparkSession,
+    state_dir: str,
+    schema_ddl: str,
+    group_keys: list[str],
+    value_col: str,
+    kind: str = "sum_count",
+    history: DataFrame | None = None,
+    lo: float | None = None,
+    hi: float | None = None,
+    bins: int = 64,
+) -> None:
+    """Lay down ``v0`` of both states: from ``history`` rows when the
+    consumer joins an existing table mid-stream (one O(history) pass), or
+    empty — the engine's first capture logs every row as INSERT, so a
+    consumer starting from an empty replica converges on the first batch."""
+    if kind not in _KINDS:
+        raise ValueError(f"changelog view kind must be one of {_KINDS}, got {kind!r}")
+    if kind == "histogram":
+        from cdc_lite_spark.operators.histogram import _check_edges
+
+        if lo is None or hi is None:
+            raise ValueError("histogram views need explicit lo/hi bucket edges")
+        _check_edges(lo, hi, bins)
+    schema = T.StructType.fromDDL(schema_ddl)
+    rows = history if history is not None else spark.createDataFrame([], schema)
+    for d, df in (
+        (_replica_dir(state_dir), rows),
+        (_agg_dir(state_dir), _build_state(rows, group_keys, value_col, kind, lo, hi, bins)),
+    ):
+        df.write.mode("overwrite").parquet(d + "/v0")
+        repoint(d, "v0", fs_for(d, spark))
+
+
+def read_changelog_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The current committed aggregate state (agg pointer — commits last,
+    so what it references was folded against a committed replica)."""
+    return read_current(spark, _agg_dir(state_dir))
+
+
+def read_changelog_replica(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The current committed latest-per-key replica."""
+    return read_current(spark, _replica_dir(state_dir))
+
+
+def start_changelog_view(
+    stream: DataFrame,
+    table: str,
+    schema_ddl: str,
+    key_cols: list[str],
+    group_keys: list[str],
+    value_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    kind: str = "sum_count",
+    trigger_seconds: int = 1,
+    available_now: bool = False,
+    lo: float | None = None,
+    hi: float | None = None,
+    bins: int = 64,
+) -> StreamingQuery:
+    """Attach view maintenance to an A8 change stream (``stream_changes``
+    output).  ``schema_ddl`` declares the monitored table's columns (the
+    wire's string map is cast through it); ``key_cols`` is the table's
+    primary key — the same keys the producing engine diffs on.
+    ``available_now=True`` drains the log's current contents and stops
+    (driver gates / catch-up runs); otherwise a ``trigger_seconds``
+    processing-time trigger polls like the engine's own monitor loop."""
+    if kind not in _KINDS:
+        raise ValueError(f"changelog view kind must be one of {_KINDS}, got {kind!r}")
+    schema = T.StructType.fromDDL(schema_ddl)
+    non_key = [f.name for f in schema.fields if f.name not in key_cols]
+    dtypes = {f.name: f.dataType for f in schema.fields}
+
+    def _tick(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        typed = (
+            batch.filter(
+                (F.col("table") == table)
+                & F.col("operation").isin(INSERT, UPDATE, DELETE)
+            )
+            .select(
+                "timestamp",
+                "operation",
+                *[
+                    F.col("data").getItem(f.name).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ],
+            )
+        )
+        # collapse to latest-per-key by capture timestamp: intermediate
+        # values within the batch cancel in the net fold (max_by — no sort)
+        latest = (
+            typed.groupBy(*key_cols)
+            .agg(
+                F.max_by(
+                    F.struct("operation", *non_key), F.col("timestamp")
+                ).alias("__r")
+            )
+            .select(*key_cols, "__r.*")
+        )
+        # delta-sized — consumed by the enrichment join, the replica
+        # advance, and (via enriched) the agg fold
+        latest = latest.localCheckpoint()
+        try:
+            rep_fs = fs_for(_replica_dir(state_dir), spark)
+            replica = read_for_epoch(
+                spark, _replica_dir(state_dir), epoch, rep_fs, schema=schema_ddl
+            )
+            bkeys = latest.select(*key_cols)
+            # replica rows hit by this batch (map-side: batch keys broadcast)
+            hit = replica.join(F.broadcast(bkeys), key_cols, "left_semi").select(
+                *key_cols,
+                *[F.col(c).alias(f"prev_{c}") for c in non_key],
+                F.lit(True).alias("__present"),
+            )
+            enriched = (
+                latest.join(F.broadcast(hit), key_cols, "left_outer")
+                .withColumn(
+                    "operation",
+                    F.when(
+                        F.col("operation") == DELETE,
+                        F.when(F.col("__present"), DELETE),  # else null → drop
+                    )
+                    .when(F.col("__present"), F.lit(UPDATE))
+                    .otherwise(F.lit(INSERT)),
+                )
+                .filter(F.col("operation").isNotNull())
+                .select(
+                    *key_cols,
+                    "operation",
+                    # DELETE rows carry null cur values (the diff contract)
+                    *[
+                        F.when(F.col("operation") != DELETE, F.col(c))
+                        .cast(dtypes[c])
+                        .alias(c)
+                        for c in non_key
+                    ],
+                    *[F.col(f"prev_{c}") for c in non_key],
+                )
+            )
+            agg_fs = fs_for(_agg_dir(state_dir), spark)
+            agg_prev = read_for_epoch(spark, _agg_dir(state_dir), epoch, agg_fs)
+            agg_new = _fold_state(
+                agg_prev, enriched, group_keys, value_col, kind, lo, hi, bins
+            )
+            kept = replica.join(F.broadcast(bkeys), key_cols, "left_anti")
+            new_replica = kept.unionByName(
+                latest.filter(F.col("operation") != DELETE).select(
+                    *key_cols, *non_key
+                )
+            )
+            # replica first, agg last: an agg pointer at v{e+1} implies the
+            # replica it folded against committed (readers read the agg)
+            commit_version(new_replica, _replica_dir(state_dir), epoch, rep_fs)
+            commit_version(agg_new, _agg_dir(state_dir), epoch, agg_fs)
+        finally:
+            try:
+                latest.unpersist()
+            except Exception:  # noqa: BLE001 — cleanup best-effort
+                pass
+
+    writer = stream.writeStream.foreachBatch(_tick).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

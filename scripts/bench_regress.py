@@ -41,4 +41,9 @@ print(
     f"baseline: {len(regressions)} regression(s), {len(missing)} missing, "
     f"total {detail['value']:.1f}s"
 )
+# a baseline re-pinned to the round it measures makes the headline ratio
+# ~1.0 by construction (r8 verdict #7) — surface the honest cross-round
+# number recorded at re-pin time alongside it
+if baseline.get("cross_round_note"):
+    print(f"cross-round: {baseline['cross_round_note']}")
 sys.exit(1 if regressions or missing else 0)

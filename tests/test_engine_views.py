@@ -1713,5 +1713,5 @@ def test_join_agg_moments_view_folds_and_reads(spark, tmp_path):
 
     import pytest
 
-    with pytest.raises(ValueError, match="agg_kind must be"):
+    with pytest.raises(ValueError, match="unknown agg_kind"):
         eng.register_join_agg_view("x", "om", ["c_seg"], "o_price", agg_kind="nope")

@@ -1,0 +1,158 @@
+"""Changelog-driven view maintenance (streaming/view_stream.py — r8
+verdict ask #6): a foreachBatch consumer of the A8 wire stream must
+converge to the from-scratch aggregate over the final table state, across
+REAL micro-batches, for every supported kind — the stream==batch
+equivalence discipline of the other stream twins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cdc_lite_spark.engine import CdcEngine
+from cdc_lite_spark.sources.changelog import stream_changes
+from cdc_lite_spark.streaming.view_stream import (
+    init_changelog_view,
+    read_changelog_replica,
+    read_changelog_view,
+    start_changelog_view,
+)
+
+_DDL = "id BIGINT, grp STRING, v DECIMAL(10,2)"
+
+
+def _df(spark, rows):
+    # python floats can't feed DecimalType directly — build DOUBLE and cast
+    return spark.createDataFrame(
+        rows, "id BIGINT, grp STRING, v DOUBLE"
+    ).withColumn("v", F.col("v").cast("decimal(10,2)"))
+
+
+_T1 = [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)]
+# tick 2: UPDATE value (1), UPDATE moving groups (2: a→b), DELETE (3), INSERT (5)
+_T2 = [(1, "a", 11.0), (2, "b", 20.0), (4, "b", 40.0), (5, "c", 50.0)]
+# tick 3: DELETE the last 'a' row, INSERT a null-valued row
+_T3 = [(2, "b", 20.0), (4, "b", 41.0), (5, "c", 50.0), (6, "c", None)]
+
+
+def _write_log(spark, tmp_path, ticks) -> str:
+    eng = CdcEngine(
+        spark,
+        output_dir=str(tmp_path / "log"),
+        state_dir=str(tmp_path / "estate"),
+        emit_schema_changes=False,
+    )
+    for t in ticks:
+        eng.poll_once({"t": _df(spark, t)}, mode="diff", keys={"t": ["id"]})
+    return str(tmp_path / "log")
+
+
+def _drain(spark, log_dir, tmp_path, kind, **kw):
+    state_dir = str(tmp_path / f"vstate_{kind}")
+    init_changelog_view(spark, state_dir, _DDL, ["grp"], "v", kind=kind, **kw)
+    q = start_changelog_view(
+        stream_changes(spark, log_dir, max_files_per_trigger=2),
+        "t",
+        _DDL,
+        ["id"],
+        ["grp"],
+        "v",
+        state_dir,
+        str(tmp_path / f"ckpt_{kind}"),
+        kind=kind,
+        available_now=True,
+        **kw,
+    )
+    q.awaitTermination()
+    return state_dir
+
+
+def test_changelog_sum_count_converges_across_batches(spark, tmp_path):
+    """Empty-init consumer drains a 3-tick log in multiple micro-batches;
+    the maintained state and the replica both equal the final table."""
+    log = _write_log(spark, tmp_path, [_T1, _T2, _T3])
+    state_dir = _drain(spark, log, tmp_path, "sum_count")
+
+    final = _df(spark, _T3)
+    got = {
+        r["grp"]: (r["agg_sum"], r["agg_count"], r["agg_rows"])
+        for r in read_changelog_view(spark, state_dir).collect()
+    }
+    want = {
+        r["grp"]: (r["agg_sum"], r["agg_count"], r["agg_rows"])
+        for r in final.groupBy("grp")
+        .agg(
+            F.sum("v").alias("agg_sum"),
+            F.count("v").alias("agg_count"),
+            F.count("*").alias("agg_rows"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert "a" not in got  # the group fully drained out
+
+    rep = read_changelog_replica(spark, state_dir)
+    assert {tuple(r) for r in rep.collect()} == {
+        tuple(r) for r in final.collect()
+    }
+
+
+def test_changelog_moments_and_histogram_kinds(spark, tmp_path):
+    """The moments and histogram folds converge identically (both TOTAL)."""
+    from cdc_lite_spark.operators.histogram import histogram_state
+    from cdc_lite_spark.operators.incremental import moments_state
+
+    log = _write_log(spark, tmp_path, [_T1, _T2])
+    final = _df(spark, _T2)
+
+    sd = _drain(spark, log, tmp_path, "moments")
+    got = {tuple(r) for r in read_changelog_view(spark, sd).collect()}
+    want = {tuple(r) for r in moments_state(final, ["grp"], "v").collect()}
+    assert got == want
+
+    sd = _drain(spark, log, tmp_path, "histogram", lo=0.0, hi=60.0, bins=6)
+    got = {tuple(r) for r in read_changelog_view(spark, sd).collect()}
+    want = {
+        tuple(r)
+        for r in histogram_state(final, ["grp"], "v", 0.0, 60.0, 6).collect()
+    }
+    assert got == want
+
+
+def test_changelog_view_history_init_and_validation(spark, tmp_path):
+    """A consumer joining mid-stream seeds the replica/agg from history
+    rows; bad kinds and missing histogram edges fail at init."""
+    log = _write_log(spark, tmp_path, [_T1, _T2])
+    state_dir = str(tmp_path / "vstate_hist_init")
+    # seed from tick-1 state, then drain the WHOLE log: the first batch's
+    # INSERT-everything records fold as value-preserving no-op UPDATEs
+    # against the seeded replica, so convergence still holds
+    init_changelog_view(
+        spark, state_dir, _DDL, ["grp"], "v", history=_df(spark, _T1)
+    )
+    q = start_changelog_view(
+        stream_changes(spark, log, max_files_per_trigger=2),
+        "t", _DDL, ["id"], ["grp"], "v",
+        state_dir, str(tmp_path / "ckpt_hist_init"), available_now=True,
+    )
+    q.awaitTermination()
+    final = _df(spark, _T2)
+    got = {
+        r["grp"]: (r["agg_sum"], r["agg_rows"])
+        for r in read_changelog_view(spark, state_dir).collect()
+    }
+    want = {
+        r["grp"]: (r["agg_sum"], r["agg_rows"])
+        for r in final.groupBy("grp")
+        .agg(F.sum("v").alias("agg_sum"), F.count("*").alias("agg_rows"))
+        .collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="kind must be one of"):
+        init_changelog_view(spark, str(tmp_path / "x"), _DDL, ["grp"], "v", kind="nope")
+    with pytest.raises(ValueError, match="lo/hi"):
+        init_changelog_view(
+            spark, str(tmp_path / "y"), _DDL, ["grp"], "v", kind="histogram"
+        )
