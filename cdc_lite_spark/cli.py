@@ -120,6 +120,16 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "v2=v1:customer:...)",
     )
     p.add_argument(
+        "--join-agg-view",
+        default="",
+        help="name=joinview:key1+key2:valuecol[:kind],... — maintain a "
+        "grouped aggregate OVER a --join-view entry, folded from the join "
+        "fold's own change records in O(delta) (kinds: sum_count default, "
+        "moments, min_max, distinct_count; histogram needs bucket edges — "
+        "use the register_join_agg_view API).  Read back with "
+        "CdcEngine.view(name)",
+    )
+    p.add_argument(
         "--retention-minutes",
         type=float,
         default=None,
@@ -272,6 +282,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         except ValueError as exc:  # e.g. name collides with an --agg-view
             p.error(f"--join-view {name!r}: {exc}")
         join_view_names.add(name)
+    for kv in (s for s in args.join_agg_view.split(",") if s):
+        name, jview, gk, vcol, kind = _parse_view_spec("--join-agg-view", kv)
+        if jview not in join_view_names:
+            p.error(
+                f"--join-agg-view {name!r}: {jview!r} must be declared by "
+                f"an earlier --join-view entry"
+            )
+        try:
+            eng.register_join_agg_view(name, jview, gk, vcol, agg_kind=kind)
+        except ValueError as exc:
+            p.error(f"--join-agg-view {name!r}: {exc}")
     overlap = set(partition_cols) & set(keys)
     if overlap:
         # retention GC's latest-per-key folding would mangle a

@@ -59,6 +59,11 @@ def main() -> int:
         "INSERT INTO status_dim VALUES ('open','sales'), ('paid','finance'), "
         "('void','support')"
     )
+    con.execute("CREATE TABLE team_dim(team_code VARCHAR, org VARCHAR)")
+    con.execute(
+        "INSERT INTO team_dim VALUES ('sales','field'), ('finance','hq'), "
+        "('support','field')"
+    )
     con.close()
 
     spark = get_spark("maintained_views_example", cpus=8)
@@ -103,8 +108,27 @@ def main() -> int:
     eng.register_join_agg_view(
         "team_spread", "orders_teams", ["team"], "amount", agg_kind="moments"
     )
-    srcs = ConsistentSnapshotSource(spark, db).sources(["orders", "status_dim"])
-    keys = {"orders": ["id"], "status_dim": ["code"]}
+    # ...and maintained QUANTILES over the join (agg_kind histogram, r9):
+    # bucket counts retract exactly, so the fold is TOTAL like moments
+    eng.register_join_agg_view(
+        "team_hist", "orders_teams", ["team"], "amount",
+        agg_kind="histogram", lo=0.0, hi=1200.0, bins=24,
+    )
+    # SNOWFLAKE CHAIN (r9): the join view itself is the fact of a second
+    # join view — orders ⋈ status_dim ⋈ team_dim, every hop folding
+    # O(delta) from the upstream fold's own change records
+    eng.register_join_view(
+        "orders_orgs",
+        fact_table="orders_teams",
+        dim_table="team_dim",
+        fact_key="id",
+        fact_dim_col="team",
+        dim_key="team_code",
+    )
+    srcs = ConsistentSnapshotSource(spark, db).sources(
+        ["orders", "status_dim", "team_dim"]
+    )
+    keys = {"orders": ["id"], "status_dim": ["code"], "team_dim": ["team_code"]}
 
     eng.poll_once(srcs, mode="diff", keys=keys)
     show("tick 1: revenue by status", eng.view("revenue"))
@@ -122,6 +146,9 @@ def main() -> int:
         "INSERT INTO orders VALUES (90001, 'open', 9999.00, 'order expedite')"
     )  # amount clamps into the top histogram bucket; 'expedite' enters the vocab
     con.execute("UPDATE status_dim SET team = 'treasury' WHERE code = 'paid'")
+    # the renamed team dangles in the chain until its leaf-dim row lands —
+    # this INSERT makes the chained view re-surface all 'paid' orders
+    con.execute("INSERT INTO team_dim VALUES ('treasury','hq')")
     con.close()
 
     captured = eng.poll_once(srcs, mode="diff", keys=keys)
@@ -136,6 +163,34 @@ def main() -> int:
     show("tick 2: joined view rows per team", teams)
     show("tick 2: maintained revenue per team", eng.view("team_rev"))
     show("tick 2: maintained amount spread per team", eng.view_moments("team_spread"))
+    show(
+        "tick 2: maintained median amount per team (quantiles over the join)",
+        eng.view_quantiles("team_hist", [0.5]),
+    )
+    orgs = eng.view("orders_orgs").groupBy("org").count()
+    show("tick 2: chained view (orders ⋈ status ⋈ team_dim) rows per org", orgs)
+
+    # CHANGELOG-DRIVEN consumer (r9): a downstream process — no engine —
+    # folds the published A8 wire records into its own maintained view
+    from cdc_lite_spark.sources.changelog import stream_changes
+    from cdc_lite_spark.streaming.view_stream import (
+        init_changelog_view,
+        read_changelog_view,
+        start_changelog_view,
+    )
+
+    ddl = "id BIGINT, status STRING, amount DECIMAL(18,2), memo STRING"
+    init_changelog_view(spark, f"{work}/sub", ddl, ["status"], "amount")
+    q = start_changelog_view(
+        stream_changes(spark, f"{work}/changes", max_files_per_trigger=8),
+        "orders", ddl, ["id"], ["status"], "amount",
+        f"{work}/sub", f"{work}/sub_ckpt", available_now=True,
+    )
+    q.awaitTermination()
+    show(
+        "changelog consumer: revenue by status (engine-less, from the wire)",
+        read_changelog_view(spark, f"{work}/sub"),
+    )
 
     if len(sys.argv) <= 1:
         shutil.rmtree(work, ignore_errors=True)

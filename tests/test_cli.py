@@ -338,3 +338,74 @@ def test_cli_partition_view_maintained_and_validated(spark, sf_dir, tmp_path):
                "--partition-view", "x=region:r_name:r_regionkey:nope"],
             spark=spark,
         )
+
+
+def test_cli_join_agg_view_and_chain_specs(spark, sf_dir, tmp_path):
+    """r9 CLI surface: '+'-composite keys parse, a --join-view side may
+    name an EARLIER --join-view (chain), and --join-agg-view maintains an
+    aggregate over a declared join view; unknown upstream names, empty
+    key components, and histogram-without-edges fail at parse time."""
+    import pytest
+
+    from cdc_lite_spark import CdcEngine
+    from cdc_lite_spark.cli import main
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    rc = main(
+        [
+            "--source", sf_dir,
+            "--tables", "nation,region",
+            "--output-dir", out,
+            "--state-dir", state,
+            "--interval", "0.5",
+            # a tick is ~10 s on this box and a transiently-errored capture
+            # tick is retried, not fatal — leave room for two real ticks
+            "--duration", "25",
+            "--mode", "diff",
+            "--keys", "nation=n_nationkey,region=r_regionkey",
+            "--join-view", "nr=nation:region:n_nationkey:n_regionkey:r_regionkey",
+            "--join-agg-view", "per_region=nr:r_name:n_nationkey",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    eng = CdcEngine(spark, output_dir=out, state_dir=state)
+    eng.register_join_view(
+        "nr", fact_table="nation", dim_table="region",
+        fact_key="n_nationkey", fact_dim_col="n_regionkey",
+        dim_key="r_regionkey",
+    )
+    eng.register_join_agg_view("per_region", "nr", ["r_name"], "n_nationkey")
+    agg = {r["r_name"]: r["agg_rows"] for r in eng.view("per_region").collect()}
+    assert sum(agg.values()) == 25 and len(agg) == 5
+
+    base = [
+        "--source", sf_dir,
+        "--tables", "nation,region",
+        "--output-dir", out,
+        "--state-dir", state,
+        "--duration", "0.1",
+        "--mode", "diff",
+        "--keys", "nation=n_nationkey,region=r_regionkey",
+    ]
+    with pytest.raises(SystemExit):  # agg over an undeclared join view
+        main(base + ["--join-agg-view", "x=nope:r_name:n_nationkey"], spark=spark)
+    with pytest.raises(SystemExit):  # empty composite-key component
+        main(base + [
+            "--join-view",
+            "nr=nation:region:n_nationkey+:n_regionkey:r_regionkey",
+        ], spark=spark)
+    with pytest.raises(SystemExit):  # histogram needs edges (API only)
+        main(base + [
+            "--join-view", "nr=nation:region:n_nationkey:n_regionkey:r_regionkey",
+            "--join-agg-view", "h=nr:r_name:n_nationkey:histogram",
+        ], spark=spark)
+    # chain parse: the second --join-view references the first — the spec
+    # is accepted and registered (fold correctness is engine-tested); the
+    # key constraint (chain key == upstream fact_key) is enforced
+    with pytest.raises(SystemExit):
+        main(base + [
+            "--join-view",
+            "nr=nation:region:n_nationkey:n_regionkey:r_regionkey,"
+            "bad=nr:region:r_regionkey:n_regionkey:r_regionkey",
+        ], spark=spark)

@@ -284,3 +284,41 @@ def test_join_view_changes_fold_equals_recompute(spark):
     # the delta is view-level I/D records only, sized by the affected keys
     ops = {r["operation"] for r in changes.select("operation").distinct().collect()}
     assert ops <= {"INSERT", "DELETE"}
+
+
+def test_maintain_join_composite_keys_broadcast_plan(spark):
+    """Composite-key folds keep the scale contract: every join against the
+    delta/affected set broadcasts (multi-column keys just widen the
+    broadcast rows), the view and fact table never shuffle."""
+    from cdc_lite_spark.operators.incremental import maintain_join
+
+    fact_prev = spark.createDataFrame(
+        [(1, 1, 10, 5.0), (1, 2, 10, 6.0), (2, 1, 20, 7.0)],
+        "oid long, line long, did long, v double",
+    )
+    fact_cur = spark.createDataFrame(
+        [(1, 1, 10, 5.5), (2, 1, 20, 7.0), (2, 2, 10, 2.0)],
+        "oid long, line long, did long, v double",
+    )
+    dim_prev = spark.createDataFrame([(10, "x"), (20, "y")], "did long, attr string")
+    dim_cur = spark.createDataFrame([(10, "X"), (20, "y")], "did long, attr string")
+    m_old = fact_prev.join(dim_prev, "did", "inner").select(
+        "oid", "line", "did", "v", "attr"
+    )
+    out = maintain_join(
+        m_old.localCheckpoint(),
+        fact_cur,
+        dim_cur,
+        snapshot_diff(fact_prev, fact_cur, ["oid", "line"]).localCheckpoint(),
+        snapshot_diff(dim_prev, dim_cur, ["did"]).localCheckpoint(),
+        fact_key=["oid", "line"],
+        fact_dim_col="did",
+        dim_key="did",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    expect = fact_cur.join(dim_cur, "did", "inner").select(
+        "oid", "line", "did", "v", "attr"
+    )
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in expect.collect()}
