@@ -501,3 +501,38 @@ def test_view_moments_over_partition_view(spark, tmp_path):
     assert math.isclose(got["a"]["mean"], 3.0)
     assert math.isclose(got["a"]["variance"], (1 + 9 + 25) / 3 - 9.0)
     assert math.isclose(got["b"]["mean"], 7.0)
+
+
+def test_chain_late_registration_heals_from_upstream_state(spark, tmp_path):
+    """A chained view registered AFTER ticks already ran builds from the
+    upstream view's CURRENT persisted state (one single join, never a
+    three-way re-join), then folds normally on later ticks."""
+    eng = _engine(spark, tmp_path)
+    eng.register_join_view(
+        "oc", fact_table="orders", dim_table="cust",
+        fact_key="o_id", fact_dim_col="o_ck", dim_key="c_ck",
+    )
+    o1, c1, n1 = _ord_df(spark, _ORD), _cust_df(spark, _CUST), _nat_df(spark, _NAT)
+    eng.poll_once(
+        {"orders": o1, "cust": c1, "nation": n1}, mode="diff", keys=_CHAIN_KEYS
+    )
+    o2 = _ord_df(spark, [(1, 1, 11.0), (3, 2, 30.0), (4, 3, 40.0)])
+    eng.poll_once(
+        {"orders": o2, "cust": c1, "nation": n1}, mode="diff", keys=_CHAIN_KEYS
+    )
+    # late registration: the chain view has missed two ticks
+    eng.register_join_view(
+        "ocn", fact_table="oc", dim_table="nation",
+        fact_key="o_id", fact_dim_col="c_nk", dim_key="n_nk",
+    )
+    # quiet tick: the lagging view heals from oc's current state
+    eng.poll_once(
+        {"orders": o2, "cust": c1, "nation": n1}, mode="diff", keys=_CHAIN_KEYS
+    )
+    assert _chain_view(eng) == _chain_recompute(o2, c1, n1)
+    # and a later mutating tick folds the healed chain incrementally
+    o3 = _ord_df(spark, [(1, 1, 12.0), (4, 3, 40.0), (6, 1, 60.0)])
+    eng.poll_once(
+        {"orders": o3, "cust": c1, "nation": n1}, mode="diff", keys=_CHAIN_KEYS
+    )
+    assert _chain_view(eng) == _chain_recompute(o3, c1, n1)

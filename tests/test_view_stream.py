@@ -156,3 +156,28 @@ def test_changelog_view_history_init_and_validation(spark, tmp_path):
         init_changelog_view(
             spark, str(tmp_path / "y"), _DDL, ["grp"], "v", kind="histogram"
         )
+
+
+def test_changelog_full_redrain_converges_to_same_state(spark, tmp_path):
+    """Replay robustness: draining the SAME log a second time with a fresh
+    checkpoint (every record reprocessed against the already-current
+    state) converges to the identical state — enrichment derives net
+    operations from the replica, so replayed INSERTs become
+    value-preserving no-ops and replayed DELETEs retract nothing."""
+    log = _write_log(spark, tmp_path, [_T1, _T2])
+    state_dir = _drain(spark, log, tmp_path, "sum_count")
+    first = {tuple(r) for r in read_changelog_view(spark, state_dir).collect()}
+
+    q = start_changelog_view(
+        stream_changes(spark, log, max_files_per_trigger=2),
+        "t", _DDL, ["id"], ["grp"], "v",
+        state_dir, str(tmp_path / "ckpt_redrain"),  # fresh checkpoint
+        available_now=True,
+    )
+    q.awaitTermination()
+    second = {tuple(r) for r in read_changelog_view(spark, state_dir).collect()}
+    assert second == first
+    rep = read_changelog_replica(spark, state_dir)
+    assert {tuple(r) for r in rep.collect()} == {
+        tuple(r) for r in _df(spark, _T2).collect()
+    }
