@@ -356,6 +356,17 @@ class CdcEngine:
         advance the providers itself and pass ``advance_providers=False``
         to every call, or each call gets its own database copy.
         """
+        # a monitored table sharing a registered join view's name would be
+        # SHADOWED by the view everywhere _join_side resolves sides (and the
+        # two would collide in the shared tick-diff cache namespace) — a
+        # configuration error, so fail the call, not silently the views
+        shadow = sorted(set(tables) & set(self._join_views))
+        if shadow:
+            raise ValueError(
+                f"monitored table(s) {shadow} collide with registered join "
+                "view names — rename the view (view names shadow table "
+                "names when chains resolve sides)"
+            )
         previous = self.latest_checksums()
         captured: list[str] = []
 
@@ -1488,7 +1499,6 @@ class CdcEngine:
             (n, s) for n, s in self._part_agg_views.items() if s["table"] == table
         ]
         for name, s in specs:
-            pinned_rows = None
             try:
                 if s["part_col"] != part_col:
                     raise ValueError(
@@ -1550,12 +1560,13 @@ class CdcEngine:
                     self._pin_view_spec(name, s)
             except Exception as exc:  # noqa: BLE001 — per-view isolation (H6)
                 print(f"cdc_lite_spark: error maintaining view {name}: {exc}")
-            finally:
-                if pinned_rows is not None:
-                    try:
-                        pinned_rows.unpersist()
-                    except Exception:  # noqa: BLE001 — cleanup best-effort
-                        pass
+            # no explicit release for pinned_rows: unpersist() on a
+            # localCheckpoint'd frame is a silent no-op — its blocks free
+            # via the ContextCleaner when the (tick-scoped) frame is GC'd,
+            # and the footprint is bounded by one tick's drifted volume.
+            # localCheckpoint (not persist) is load-bearing here: a cache
+            # recompute would re-read the LIVE source and break the
+            # state==fingerprint provenance this path exists to provide.
 
     def view_merged(self, name: str) -> DataFrame:
         """Per-group aggregate from a partition view's state alone — the
@@ -1764,6 +1775,24 @@ class CdcEngine:
             raise ValueError(f"view name {name!r} already registered as an agg view")
         if name in (fact_table, dim_table):
             raise ValueError(f"join view {name!r} cannot reference itself")
+        # a chain side must be registered BEFORE its consumer (registration
+        # order IS maintenance order): if an EARLIER view already names this
+        # view as a side, that was a forward reference treated as a table —
+        # accepting it now would invert the maintenance order (and a mutual
+        # pair would form a cycle in which neither ever materializes), and
+        # it would shadow any monitored table of the same name (poll_once
+        # rejects that collision too)
+        back_refs = [
+            n2
+            for n2, s2 in self._join_views.items()
+            if name in (s2["fact_table"], s2["dim_table"])
+        ]
+        if back_refs:
+            raise ValueError(
+                f"join view {name!r} is already referenced as a side of "
+                f"{back_refs} — register upstream views first (chains "
+                "maintain in registration order)"
+            )
         fk = [fact_key] if isinstance(fact_key, str) else list(fact_key)
         fdc = [fact_dim_col] if isinstance(fact_dim_col, str) else list(fact_dim_col)
         dk = [dim_key] if isinstance(dim_key, str) else list(dim_key)
@@ -1959,16 +1988,13 @@ class CdcEngine:
             # initial build, or healing past snapshot/view retention: one
             # full join of the current snapshots (the same cost the first
             # build paid) — never silently wrong, just not incremental
-            from functools import reduce
+            from cdc_lite_spark.operators.incremental import key_eq
 
             state = fact_new.join(
                 dim_new,
-                reduce(
-                    lambda a, b: a & b,
-                    [
-                        fact_new[f] == dim_new[d]
-                        for f, d in zip(s["fact_dim_col"], s["dim_key"])
-                    ],
+                key_eq(
+                    (fact_new[f], dim_new[d])
+                    for f, d in zip(s["fact_dim_col"], s["dim_key"])
                 ),
                 "inner",
             ).select(*fact_new.columns, *dim_new.columns)

@@ -267,6 +267,17 @@ def _cols(x: "str | list[str]") -> list[str]:
     return [x] if isinstance(x, str) else list(x)
 
 
+def key_eq(pairs) -> "F.Column":
+    """ONE multi-column equality predicate builder for every composite-key
+    join site (fold path and the engine's initial build) — plain ``==``,
+    matching the non-null PK/FK contract above; a future change (e.g.
+    null-safe keys) lands once here instead of drifting across call sites.
+    ``pairs`` is an iterable of (left Column, right Column)."""
+    from functools import reduce
+
+    return reduce(lambda a, b: a & b, [left == right for left, right in pairs])
+
+
 def maintain_join(
     m_old: DataFrame,
     fact_new: DataFrame,
@@ -355,8 +366,6 @@ def _join_maintenance_parts(
     """(affected fact keys, refreshed view rows in ``m_old`` column order)
     — the shared delta machinery behind :func:`maintain_join` and
     :func:`join_view_changes`."""
-    from functools import reduce
-
     fk, fdc, dk = _cols(fact_key), _cols(fact_dim_col), _cols(dim_key)
     if len(fdc) != len(dk):
         raise ValueError(
@@ -369,10 +378,7 @@ def _join_maintenance_parts(
     affected_via_dim = (
         ref_side.join(
             F.broadcast(dim_keys),
-            reduce(
-                lambda a, b: a & b,
-                [ref_side[f] == dim_keys[d] for f, d in zip(fdc, dk)],
-            ),
+            key_eq((ref_side[f], dim_keys[d]) for f, d in zip(fdc, dk)),
             "left_semi",
         ).select(*fk)
     )
@@ -395,10 +401,7 @@ def _join_maintenance_parts(
         F.broadcast(pruned_fact) if hint_broadcast else pruned_fact
     ).join(
         dim_pfx,
-        reduce(
-            lambda a, b: a & b,
-            [F.col(f) == F.col(f"__dim_{d}") for f, d in zip(fdc, dk)],
-        ),
+        key_eq((F.col(f), F.col(f"__dim_{d}")) for f, d in zip(fdc, dk)),
         "inner",
     )
     out_cols = [

@@ -80,6 +80,65 @@ def _agg_dir(state_dir: str) -> str:
     return state_dir + "/agg"
 
 
+def _spec_of(
+    schema_ddl: str,
+    group_keys: list[str],
+    value_col: str,
+    kind: str,
+    lo: float | None,
+    hi: float | None,
+    bins: int,
+) -> dict:
+    s = {
+        "schema_ddl": schema_ddl,
+        "group_keys": list(group_keys),
+        "value_col": value_col,
+        "kind": kind,
+    }
+    if kind == "histogram":  # only histogram state is edge-parameterized
+        s.update({"lo": lo, "hi": hi, "bins": bins})
+    return s
+
+
+def _pin_spec(spark: SparkSession, state_dir: str, spec: dict) -> None:
+    import json
+
+    d = state_dir + "/_spec"
+    fs = fs_for(d, spark)
+    try:
+        fs.write_pointer(d, json.dumps(spec))
+    except FileNotFoundError:
+        # the POSIX adapter needs the dir to exist first (the Hadoop
+        # adapter's create() makes parents itself and never lands here)
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        fs.write_pointer(d, json.dumps(spec))
+
+
+def _check_spec(spark: SparkSession, state_dir: str, spec: dict) -> None:
+    """Refuse to attach a stream whose parameters mismatch what the state
+    on disk was BUILT with (the engine's spec-pin discipline): folding
+    moments records into sum_count state, or new bucket edges onto old
+    counts, would silently corrupt — fail at start, not mid-batch."""
+    import json
+
+    d = state_dir + "/_spec"
+    fs = fs_for(d, spark)
+    if not fs.dir_exists(d):
+        return  # pre-r9 state (or hand-built): nothing pinned to check
+    try:
+        persisted = json.loads(fs.read_pointer(d))
+    except FileNotFoundError:
+        return
+    if persisted != spec:
+        raise ValueError(
+            f"changelog view state at {state_dir!r} was initialized with "
+            f"{persisted}, but the stream was started with {spec} — "
+            "re-init under a new state_dir or match the parameters"
+        )
+
+
 def _build_state(
     rows: DataFrame,
     group_keys: list[str],
@@ -159,6 +218,11 @@ def init_changelog_view(
     ):
         df.write.mode("overwrite").parquet(d + "/v0")
         repoint(d, "v0", fs_for(d, spark))
+    # pin what the state was BUILT with (the engine's _spec discipline) so
+    # a later start with mismatched parameters fails fast, not mid-batch
+    _pin_spec(
+        spark, state_dir, _spec_of(schema_ddl, group_keys, value_col, kind, lo, hi, bins)
+    )
 
 
 def read_changelog_view(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -194,9 +258,29 @@ def start_changelog_view(
     primary key — the same keys the producing engine diffs on.
     ``available_now=True`` drains the log's current contents and stops
     (driver gates / catch-up runs); otherwise a ``trigger_seconds``
-    processing-time trigger polls like the engine's own monitor loop."""
+    processing-time trigger polls like the engine's own monitor loop.
+
+    Parameters are validated at START (kind, histogram edges, and the
+    pinned init spec) — a mismatch must fail here, not as an opaque
+    StreamingQueryException inside the first micro-batch."""
     if kind not in _KINDS:
         raise ValueError(f"changelog view kind must be one of {_KINDS}, got {kind!r}")
+    if kind == "histogram":
+        from cdc_lite_spark.operators.histogram import _check_edges
+
+        if lo is None or hi is None:
+            raise ValueError("histogram views need explicit lo/hi bucket edges")
+        _check_edges(lo, hi, bins)
+    spark = stream.sparkSession
+    if not fs_for(_replica_dir(state_dir), spark).dir_exists(_replica_dir(state_dir)):
+        raise ValueError(
+            f"no changelog view state under {state_dir!r} — call "
+            "init_changelog_view first (empty init converges from the "
+            "log's INSERT-everything first tick)"
+        )
+    _check_spec(
+        spark, state_dir, _spec_of(schema_ddl, group_keys, value_col, kind, lo, hi, bins)
+    )
     schema = T.StructType.fromDDL(schema_ddl)
     non_key = [f.name for f in schema.fields if f.name not in key_cols]
     dtypes = {f.name: f.dataType for f in schema.fields}
@@ -229,8 +313,13 @@ def start_changelog_view(
             .select(*key_cols, "__r.*")
         )
         # delta-sized — consumed by the enrichment join, the replica
-        # advance, and (via enriched) the agg fold
-        latest = latest.localCheckpoint()
+        # advance, and (via enriched) the agg fold.  persist(), not
+        # localCheckpoint(): the micro-batch file source is deterministic
+        # (a cache miss recomputes the same rows), and unpersist() on a
+        # checkpointed frame is a silent no-op (blocks only free on driver
+        # GC) — a 1 s-trigger stream would accumulate executor storage
+        # between GC cycles (r9 review)
+        latest = latest.persist()
         try:
             rep_fs = fs_for(_replica_dir(state_dir), spark)
             replica = read_for_epoch(

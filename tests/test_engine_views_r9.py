@@ -536,3 +536,29 @@ def test_chain_late_registration_heals_from_upstream_state(spark, tmp_path):
         {"orders": o3, "cust": c1, "nation": n1}, mode="diff", keys=_CHAIN_KEYS
     )
     assert _chain_view(eng) == _chain_recompute(o3, c1, n1)
+
+
+def test_forward_reference_and_table_shadow_rejected(spark, tmp_path):
+    """r9 review: a chain side must be registered FIRST — a later
+    registration of a name an earlier view already references is rejected
+    (it would invert maintenance order / form a cycle), and a monitored
+    table colliding with a join-view name fails the poll call."""
+    eng = _engine(spark, tmp_path)
+    eng.register_join_view(
+        "v2", fact_table="v1", dim_table="d",
+        fact_key="k", fact_dim_col="x", dim_key="dk",
+    )
+    with pytest.raises(ValueError, match="register upstream views first"):
+        eng.register_join_view(
+            "v1", fact_table="f", dim_table="d2",
+            fact_key="k", fact_dim_col="y", dim_key="dk2",
+        )
+
+    eng2 = _engine(spark, tmp_path / "e2")
+    eng2.register_join_view(
+        "orders", fact_table="f", dim_table="d",
+        fact_key="k", fact_dim_col="x", dim_key="dk",
+    )
+    df = spark.createDataFrame([(1, 2)], "k INT, x INT")
+    with pytest.raises(ValueError, match="collide with registered join view"):
+        eng2.poll_once({"orders": df}, mode="diff", keys={"orders": ["k"]})

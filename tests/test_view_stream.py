@@ -181,3 +181,41 @@ def test_changelog_full_redrain_converges_to_same_state(spark, tmp_path):
     assert {tuple(r) for r in rep.collect()} == {
         tuple(r) for r in _df(spark, _T2).collect()
     }
+
+
+def test_stream_start_validates_edges_and_pinned_spec(spark, tmp_path):
+    """r9 review: parameter mismatches fail at START, not mid-batch —
+    histogram without edges, and a start whose kind/params mismatch what
+    init pinned the state with."""
+    log = _write_log(spark, tmp_path, [_T1])
+    state_dir = str(tmp_path / "vstate_pin")
+    init_changelog_view(spark, state_dir, _DDL, ["grp"], "v", kind="sum_count")
+
+    def _start(**kw):
+        return start_changelog_view(
+            stream_changes(spark, log, max_files_per_trigger=2),
+            "t", _DDL, ["id"], ["grp"], "v",
+            state_dir, str(tmp_path / "ckpt_pin"), available_now=True, **kw,
+        )
+
+    with pytest.raises(ValueError, match="lo/hi"):
+        _start(kind="histogram")
+    with pytest.raises(ValueError, match="initialized with"):
+        _start(kind="moments")
+    with pytest.raises(ValueError, match="kind must be one of"):
+        _start(kind="nope")
+    # matching parameters attach fine
+    q = _start(kind="sum_count")
+    q.awaitTermination()
+    assert read_changelog_view(spark, state_dir).count() > 0
+
+
+def test_stream_start_requires_init(spark, tmp_path):
+    log = _write_log(spark, tmp_path, [_T1])
+    with pytest.raises(ValueError, match="call .*init_changelog_view"):
+        start_changelog_view(
+            stream_changes(spark, log),
+            "t", _DDL, ["id"], ["grp"], "v",
+            str(tmp_path / "nostate"), str(tmp_path / "ckpt_ni"),
+            available_now=True,
+        )
