@@ -562,3 +562,36 @@ def test_forward_reference_and_table_shadow_rejected(spark, tmp_path):
     df = spark.createDataFrame([(1, 2)], "k INT, x INT")
     with pytest.raises(ValueError, match="collide with registered join view"):
         eng2.poll_once({"orders": df}, mode="diff", keys={"orders": ["k"]})
+
+
+def test_agg_over_chained_view_folds(spark, tmp_path):
+    """The deepest composition: base tables → chain hop 1 → chain hop 2 →
+    aggregate fold, all maintained in one poll loop — the agg consumes the
+    CHAINED view's own I/D records (which themselves derive from the
+    upstream fold's seeded records) and equals the from-scratch three-way
+    join + group-by."""
+    eng = _chain_engine(spark, tmp_path)
+    eng.register_join_agg_view("by_nation", "ocn", ["n_name"], "o_price")
+    o1, c1, n1 = _ord_df(spark, _ORD), _cust_df(spark, _CUST), _nat_df(spark, _NAT)
+    eng.poll_once(
+        {"orders": o1, "cust": c1, "nation": n1}, mode="diff", keys=_CHAIN_KEYS
+    )
+    o2 = _ord_df(spark, [(1, 1, 11.0), (3, 2, 30.0), (4, 3, 40.0), (5, 2, 50.0)])
+    c2 = _cust_df(spark, [(1, 200, "A"), (2, 100, "B"), (3, 200, "A2")])
+    n2 = _nat_df(spark, [(100, "USA"), (200, "FR"), (300, "DE")])
+    eng.poll_once(
+        {"orders": o2, "cust": c2, "nation": n2}, mode="diff", keys=_CHAIN_KEYS
+    )
+    got = {
+        r["n_name"]: (r["agg_sum"], r["agg_rows"])
+        for r in eng.view("by_nation").collect()
+    }
+    want = {
+        r["n_name"]: (r["s"], r["n"])
+        for r in o2.join(c2, o2["o_ck"] == c2["c_ck"])
+        .join(n2, c2["c_nk"] == n2["n_nk"])
+        .groupBy("n_name")
+        .agg(F.sum("o_price").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
