@@ -219,3 +219,53 @@ def test_stream_start_requires_init(spark, tmp_path):
             str(tmp_path / "nostate"), str(tmp_path / "ckpt_ni"),
             available_now=True,
         )
+
+
+def test_changelog_continuous_trigger_tracks_live_writer(spark, tmp_path):
+    """Production shape: a processing-time-trigger stream stays attached
+    while the ENGINE keeps appending ticks to the log — after each new
+    tick drains (processAllAvailable — deterministic, no sleeps), the
+    maintained state equals the from-scratch aggregate of that tick's
+    table state.  Five ticks exercise group births, drains, moves, and
+    null values under continuous operation."""
+    eng = CdcEngine(
+        spark,
+        output_dir=str(tmp_path / "log"),
+        state_dir=str(tmp_path / "estate"),
+        emit_schema_changes=False,
+    )
+    ticks = [
+        _T1,
+        _T2,
+        _T3,
+        [(2, "b", 21.0), (5, "a", 5.0), (6, "c", None), (7, "a", 1.0)],
+        [(5, "a", 5.0), (7, "b", 2.0)],
+    ]
+    eng.poll_once({"t": _df(spark, ticks[0])}, mode="diff", keys={"t": ["id"]})
+
+    state_dir = str(tmp_path / "vstate_live")
+    init_changelog_view(spark, state_dir, _DDL, ["grp"], "v")
+    q = start_changelog_view(
+        stream_changes(spark, str(tmp_path / "log"), max_files_per_trigger=4),
+        "t", _DDL, ["id"], ["grp"], "v",
+        state_dir, str(tmp_path / "ckpt_live"), trigger_seconds=1,
+    )
+    try:
+        for i, rows in enumerate(ticks):
+            if i:  # tick 0 was captured before the stream attached
+                eng.poll_once({"t": _df(spark, rows)}, mode="diff", keys={"t": ["id"]})
+            q.processAllAvailable()
+            got = {
+                r["grp"]: (r["agg_sum"], r["agg_rows"])
+                for r in read_changelog_view(spark, state_dir).collect()
+            }
+            want = {
+                r["grp"]: (r["agg_sum"], r["agg_rows"])
+                for r in _df(spark, rows)
+                .groupBy("grp")
+                .agg(F.sum("v").alias("agg_sum"), F.count("*").alias("agg_rows"))
+                .collect()
+            }
+            assert got == want, f"tick {i}: {got} != {want}"
+    finally:
+        q.stop()
