@@ -587,10 +587,13 @@ class CdcEngine:
     def _fold_weight(kind: str) -> int:
         """How many times one fold of this kind evaluates the shared tick
         diff — the persist()-or-recompute decision (ONE definition so the
-        two call sites cannot drift, r8 review): distinct_count/min_max run
-        a retraction-probe action before the state write; term_df's single
-        plan scans the diff three times (adds, retracts, doc-count delta)."""
-        return 2 if kind in ("distinct_count", "min_max", "term_df") else 1
+        two call sites cannot drift, r8 review): distinct_count/min_max/
+        freq_items run a retraction-probe action before the state write;
+        term_df's single plan scans the diff three times (adds, retracts,
+        doc-count delta)."""
+        return (
+            2 if kind in ("distinct_count", "min_max", "term_df", "freq_items") else 1
+        )
 
     def _view_consumers(self, table: str, keys: list[str]) -> tuple[int, int]:
         """(weighted agg consumers, join consumers) of THIS tick's prev→cur
@@ -707,6 +710,7 @@ class CdcEngine:
         hi: float | None = None,
         bins: int = 64,
         lgk: int = 12,
+        k: int = 64,
     ) -> None:
         """Declare a grouped aggregate over a DIFF-mode monitored table to be
         MAINTAINED per tick from the captured change records — the engine-loop
@@ -758,6 +762,18 @@ class CdcEngine:
         maintained form of the corpus statistics behind every ranking
         query, kept current without re-tokenizing 100 TB per tick.
 
+        ``kind="freq_items"`` maintains a per-group Misra-Gries
+        frequent-items summary of ``value_col`` (``operators/freq.py``;
+        ``k`` sizes it) — ONE array-valued row per group, so both state
+        and shuffle stay O(k) per group even when the item DOMAIN is
+        unbounded (frequent n-grams/URLs over 100 TB — where sum_count +
+        view_topk's one-row-per-item state stops being viable).
+        Insert-only ticks fold by summary merge (presence guarantee and
+        the ``wt ≤ true ≤ wt + deficit`` bracket hold for the grown
+        total); retracting ticks rebuild — the decremented mass cannot be
+        given back — the same degradation discipline as distinct_count /
+        min_max.  Read via :meth:`view_heavy_hitters`.
+
         State is versioned by the SNAPSHOT version it reflects
         (``views/<name>/v=N`` + ``_SUCCESS`` pointer protocol), which makes
         maintenance replay-idempotent and self-healing: a view that missed a
@@ -773,6 +789,7 @@ class CdcEngine:
             "min_max",
             "moments",
             "term_df",
+            "freq_items",
         ):
             raise ValueError(f"unknown view kind: {kind!r}")
         if kind == "term_df" and group_keys:
@@ -797,6 +814,8 @@ class CdcEngine:
 
             # fail at registration, not as a per-tick error loop
             _check_edges(lo, hi, bins)
+        if kind == "freq_items" and not k > 0:
+            raise ValueError(f"k must be positive, got {k}")
         self._agg_views[name] = {
             "table": table,
             "group_keys": list(group_keys),
@@ -806,6 +825,7 @@ class CdcEngine:
             "hi": hi,
             "bins": bins,
             "lgk": lgk,
+            "k": k,
         }
 
     def _view_dir(self, name: str) -> str:
@@ -860,13 +880,17 @@ class CdcEngine:
                 fields += ("lo", "hi", "bins")
             if s.get("agg_kind") == "distinct_count":
                 fields += ("lgk",)
+            if s.get("agg_kind") == "freq_items":
+                fields += ("k",)
         else:
             fields = ("table", "group_keys", "value_col", "kind", "lo", "hi", "bins")
-            # lgk joins the pinned spec only for the kind it parameterizes:
-            # sum_count/histogram states pinned before it existed must keep
-            # matching their persisted spec JSON
+            # lgk/k join the pinned spec only for the kind they
+            # parameterize: states pinned before each field existed must
+            # keep matching their persisted spec JSON
             if s.get("kind") == "distinct_count":
                 fields += ("lgk",)
+            if s.get("kind") == "freq_items":
+                fields += ("k",)
         return {k: s[k] for k in fields}
 
     def _read_pointer_json(self, d: str) -> dict | None:
@@ -1128,6 +1152,12 @@ class CdcEngine:
             from cdc_lite_spark.operators.incremental import dfreq_state
 
             return dfreq_state(cur, text_col=s["value_col"])
+        if s["kind"] == "freq_items":
+            from cdc_lite_spark.operators.freq import freq_items_state
+
+            return freq_items_state(
+                cur, s["group_keys"], s["value_col"], s.get("k", 64)
+            )
         from cdc_lite_spark.operators.sketches import distinct_sketch_state
 
         return distinct_sketch_state(cur, s["group_keys"], s["value_col"], s["lgk"])
@@ -1185,8 +1215,9 @@ class CdcEngine:
                 s["hi"],
                 s["bins"],
             )
-        # distinct_count and min_max share the retraction discipline: their
-        # state cannot give a value back, so only insert-only deltas fold
+        # distinct_count, min_max, and freq_items share the retraction
+        # discipline: their state cannot give a value back, so only
+        # insert-only deltas fold
         if self._has_retractions(s, changes):
             return None
         # insert-only delta (UPDATEs left are value-preserving no-ops)
@@ -1196,6 +1227,12 @@ class CdcEngine:
 
             return apply_min_max_inserts(
                 prev_state, inserts, s["group_keys"], s["value_col"]
+            )
+        if s["kind"] == "freq_items":
+            from cdc_lite_spark.operators.freq import fold_freq_inserts
+
+            return fold_freq_inserts(
+                prev_state, inserts, s["group_keys"], s["value_col"], s.get("k", 64)
             )
         # distinct_count: merge the delta's sketches — lossless, the
         # maintained estimate equals a rebuild exactly
@@ -1291,6 +1328,26 @@ class CdcEngine:
             F.col("agg_count"),
             F.col("agg_rows"),
         )
+
+    def view_heavy_hitters(
+        self, name: str, min_share: float | None = None
+    ) -> DataFrame:
+        """Frequent items with count brackets from a maintained
+        ``freq_items`` view: one row per surviving item —
+        ``(group_keys..., item, count_lo, count_hi, n_rows)`` with
+        ``count_lo ≤ true_count ≤ count_hi`` guaranteed.  ``min_share``
+        keeps items whose LOWER bound clears that share of the group's
+        rows (no false positives).  Reads only the ≤ k-entry state arrays
+        — never the monitored table (operators/freq.py heavy_hitters)."""
+        spec = self._agg_views.get(name) or self._join_agg_views.get(name)
+        if spec is None:
+            raise ValueError(f"no registered view: {name!r}")
+        kind = spec.get("agg_kind") if spec["kind"] == "join_agg" else spec["kind"]
+        if kind != "freq_items":
+            raise ValueError(f"view {name!r} is {kind}, not freq_items")
+        from cdc_lite_spark.operators.freq import heavy_hitters
+
+        return heavy_hitters(self.view(name), spec["group_keys"], min_share)
 
     def view_topk(
         self,
@@ -1830,6 +1887,7 @@ class CdcEngine:
         hi: float | None = None,
         bins: int = 64,
         lgk: int = 12,
+        k: int = 64,
     ) -> None:
         """Declare a grouped aggregate OVER a registered join view,
         maintained end-to-end in O(delta): each tick the join fold also emits
@@ -1849,12 +1907,17 @@ class CdcEngine:
         - ``"histogram"`` (fixed ``lo``/``hi``/``bins`` bucket counts, read
           via :meth:`view_quantiles`) is exactly retractable too — integer
           bucket counts fold +cur/−prev, so the fold is TOTAL;
-        - ``"min_max"`` and ``"distinct_count"`` (HLL, ``lgk`` registers,
-          read via :meth:`view_distinct_counts`) fold insert-only deltas
-          exactly and DEGRADE on retracting ticks to ONE aggregation over
-          the join view's PERSISTED state — never a re-join of the base
-          tables (the register_agg_view retraction discipline, one
-          delta-sized probe per tick).
+        - ``"min_max"``, ``"distinct_count"`` (HLL, ``lgk`` registers,
+          read via :meth:`view_distinct_counts`), and ``"freq_items"``
+          (Misra-Gries, ``k`` entries, read via
+          :meth:`view_heavy_hitters`) fold insert-only deltas and DEGRADE
+          on retracting ticks to ONE aggregation over the join view's
+          PERSISTED state — never a re-join of the base tables (the
+          register_agg_view retraction discipline, one delta-sized probe
+          per tick; note the join fold emits DELETE+INSERT pairs for
+          updated keys, so these kinds rebuild on any tick that touches
+          existing view rows — their steady state is append-mostly
+          workloads).
 
         State versions mirror the join view's; the same spec-pinning /
         self-healing (late registrations and lagging states rebuild from
@@ -1871,6 +1934,7 @@ class CdcEngine:
             "histogram",
             "min_max",
             "distinct_count",
+            "freq_items",
         ):
             raise ValueError(
                 f"join_agg view {name!r}: unknown agg_kind {agg_kind!r}"
@@ -1898,6 +1962,7 @@ class CdcEngine:
             "hi": hi,
             "bins": bins,
             "lgk": lgk,
+            "k": k,
         }
 
     def _read_join_basis(self, name: str) -> dict | None:

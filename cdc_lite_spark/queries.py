@@ -8745,3 +8745,15 @@ def q_changelog_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(td, ignore_errors=True)
+
+
+# --- staged for the r10 correctness window ----------------------------------
+# operators/freq.py (Misra-Gries frequent items, r9) has full pytest
+# coverage (tests/test_freq.py property suite + the engine-kind test in
+# tests/test_engine_views_r9.py) but NO registry entry yet: the r9 window's
+# 50 slots are budgeted 4 new gates + 46 of the r5-stale rotation (r8
+# verdict ask #2), and one more registration would displace another stale
+# query.  r10: register a `freq_items_heavy_hitters` gate on the events
+# table — flags-style oracle (the HLL-gate pattern): exact heavy set from
+# DuckDB, assert all-present + bracket-sound booleans — alongside the
+# leftover `correlation_matrix_lineitem` rotation.

@@ -595,3 +595,70 @@ def test_agg_over_chained_view_folds(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# -- freq_items view kind (bounded frequent-items state, r9) -------------------
+
+
+def test_freq_items_view_folds_inserts_and_rebuilds_on_retraction(spark, tmp_path):
+    """The seventh view kind: Misra-Gries frequent items — insert-only
+    ticks fold by summary merge (fold_freq_inserts spy), retracting ticks
+    rebuild (freq_items_state spy), and the reader's guarantees hold vs
+    the exact recompute throughout."""
+    import cdc_lite_spark.operators.freq as fq
+
+    eng = _engine(spark, tmp_path)
+    # k=8 covers the domain -> maintained weights are EXACT (deficit 0)
+    eng.register_agg_view("hot", "t", ["grp"], "item", kind="freq_items", k=8)
+    keys = {"t": ["id"]}
+
+    def tdf(rows):
+        return spark.createDataFrame(rows, "id INT, grp STRING, item STRING")
+
+    t1 = tdf([(1, "a", "x"), (2, "a", "x"), (3, "a", "y"), (4, "b", "z")])
+    eng.poll_once({"t": t1}, mode="diff", keys=keys)
+
+    # fold_freq_inserts itself summarizes the batch via freq_items_state,
+    # so "rebuild happened" is pinned as "the fold was NOT called" (plus
+    # the converged values), not by spying the state builder
+    folds = []
+    orig_fold = fq.fold_freq_inserts
+
+    def spy_fold(*a, **kw):
+        folds.append(1)
+        return orig_fold(*a, **kw)
+
+    fq.fold_freq_inserts = spy_fold
+    try:
+        # insert-only tick folds
+        t2 = tdf([*t1.collect(), (5, "a", "x"), (6, "b", "w")])
+        eng.poll_once({"t": t2}, mode="diff", keys=keys)
+        assert folds, "insert-only tick must fold the summary"
+        got = {
+            (r["grp"], r["item"]): (r["count_lo"], r["count_hi"])
+            for r in eng.view_heavy_hitters("hot").collect()
+        }
+        assert got[("a", "x")] == (3, 3) and got[("b", "w")] == (1, 1)
+        # min_share filters on the lower bound
+        top = eng.view_heavy_hitters("hot", min_share=0.5).collect()
+        assert {(r["grp"], r["item"]) for r in top} == {("a", "x"), ("b", "z"), ("b", "w")}
+
+        # retracting tick (delete id=1) rebuilds — the fold is skipped and
+        # the state still equals the exact recompute
+        folds.clear()
+        t3 = tdf([(2, "a", "x"), (3, "a", "y"), (4, "b", "z"), (6, "b", "w")])
+        eng.poll_once({"t": t3}, mode="diff", keys=keys)
+        assert not folds, "retracting tick must rebuild, not fold"
+        got = {
+            (r["grp"], r["item"]): r["count_lo"]
+            for r in eng.view_heavy_hitters("hot").collect()
+        }
+        assert got[("a", "x")] == 1
+    finally:
+        fq.fold_freq_inserts = orig_fold
+
+    with pytest.raises(ValueError, match="not freq_items"):
+        eng.register_agg_view("sums", "t", ["grp"], "id")
+        eng.view_heavy_hitters("sums")
+    with pytest.raises(ValueError, match="k must be positive"):
+        eng.register_agg_view("bad", "t", ["grp"], "item", kind="freq_items", k=0)
