@@ -93,9 +93,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "read it back with CdcEngine.view(name)).  kind defaults to "
         "sum_count; also: moments (Σv/Σv² → view_moments), min_max, "
         "distinct_count (HLL), term_df (per-term document frequency of a "
-        "text column — pass an empty key segment).  histogram views need "
-        "explicit bucket edges — register those via the register_agg_view "
-        "API",
+        "text column — pass an empty key segment), freq_items "
+        "(Misra-Gries heavy hitters → view_heavy_hitters).  histogram "
+        "views need explicit bucket edges — register those via the "
+        "register_agg_view API",
     )
     p.add_argument(
         "--partition-view",
