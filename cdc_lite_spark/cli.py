@@ -131,6 +131,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "CdcEngine.view(name)",
     )
     p.add_argument(
+        "--view-where",
+        action="append",
+        default=[],
+        metavar="NAME=SQLEXPR",
+        help="restrict a declared view to a predicate subset: NAME matches "
+        "an --agg-view / --partition-view / --join-agg-view entry and "
+        "SQLEXPR is a SQL boolean over the table's (or join view's) "
+        "columns, e.g. --view-where 'rev=o_totalprice > 1000'.  Repeatable "
+        "(one flag per view; the expression may contain commas/colons).  "
+        "Folds stay O(delta): updates crossing the predicate become "
+        "inserts into / deletes from the view's world",
+    )
+    p.add_argument(
         "--retention-minutes",
         type=float,
         default=None,
@@ -216,6 +229,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             )
         return name, vtable, [k for k in gk.split("+") if k], vcol, kind
 
+    wheres: dict[str, str] = {}
+    for kv in args.view_where:
+        wname, sep, wexpr = kv.partition("=")
+        if not wname or not sep or not wexpr.strip():
+            p.error(f"--view-where entry {kv!r}: expected NAME=SQLEXPR")
+        if wname in wheres:
+            p.error(f"--view-where {wname!r} given more than once")
+        wheres[wname] = wexpr
+
     for kv in (s for s in args.agg_view.split(",") if s):
         name, vtable, gk, vcol, kind = _parse_view_spec("--agg-view", kv)
         if vtable not in tables or args.mode != "diff" or vtable not in keys:
@@ -225,7 +247,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 f"with a --keys entry"
             )
         try:
-            eng.register_agg_view(name, vtable, gk, vcol, kind=kind)
+            eng.register_agg_view(
+                name, vtable, gk, vcol, kind=kind, where=wheres.pop(name, None)
+            )
         except ValueError as exc:  # unknown kind, term_df with keys, ...
             p.error(f"--agg-view {name!r}: {exc}")
     for kv in (s for s in args.partition_view.split(",") if s):
@@ -238,7 +262,13 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             )
         try:
             eng.register_partition_agg_view(
-                name, vtable, partition_cols[vtable], gk, vcol, kind=kind
+                name,
+                vtable,
+                partition_cols[vtable],
+                gk,
+                vcol,
+                kind=kind,
+                where=wheres.pop(name, None),
             )
         except ValueError as exc:
             p.error(f"--partition-view {name!r}: {exc}")
@@ -291,9 +321,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 f"an earlier --join-view entry"
             )
         try:
-            eng.register_join_agg_view(name, jview, gk, vcol, agg_kind=kind)
+            eng.register_join_agg_view(
+                name, jview, gk, vcol, agg_kind=kind, where=wheres.pop(name, None)
+            )
         except ValueError as exc:
             p.error(f"--join-agg-view {name!r}: {exc}")
+    if wheres:
+        # a --view-where naming no declared view is a typo that would
+        # silently register the view UNfiltered
+        p.error(
+            f"--view-where for undeclared view(s): {sorted(wheres)} — "
+            f"names must match an --agg-view / --partition-view / "
+            f"--join-agg-view entry"
+        )
     overlap = set(partition_cols) & set(keys)
     if overlap:
         # retention GC's latest-per-key folding would mangle a

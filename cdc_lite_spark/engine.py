@@ -711,6 +711,7 @@ class CdcEngine:
         bins: int = 64,
         lgk: int = 12,
         k: int = 64,
+        where: str | None = None,
     ) -> None:
         """Declare a grouped aggregate over a DIFF-mode monitored table to be
         MAINTAINED per tick from the captured change records — the engine-loop
@@ -774,6 +775,16 @@ class CdcEngine:
         given back — the same degradation discipline as distinct_count /
         min_max.  Read via :meth:`view_heavy_hitters`.
 
+        ``where`` (any kind) restricts the view to the predicate subset
+        σ_where(table) — a SQL boolean expression over the table's own
+        columns (``"o_totalprice > 1000 AND o_orderstatus = 'O'"``).  The
+        fold stays O(delta): each tick's diff records are re-classified
+        against both row images (``operators/diff.py`` ``filter_diff`` —
+        an UPDATE that crosses the predicate becomes an INSERT into /
+        DELETE from the view's world), builds and rebuilds filter the
+        snapshot scan.  NULL predicate results count as false (SQL WHERE
+        semantics).
+
         State is versioned by the SNAPSHOT version it reflects
         (``views/<name>/v=N`` + ``_SUCCESS`` pointer protocol), which makes
         maintenance replay-idempotent and self-healing: a view that missed a
@@ -816,6 +827,8 @@ class CdcEngine:
             _check_edges(lo, hi, bins)
         if kind == "freq_items" and not k > 0:
             raise ValueError(f"k must be positive, got {k}")
+        if where is not None and not str(where).strip():
+            raise ValueError("where must be a non-empty SQL boolean expression")
         self._agg_views[name] = {
             "table": table,
             "group_keys": list(group_keys),
@@ -826,6 +839,7 @@ class CdcEngine:
             "bins": bins,
             "lgk": lgk,
             "k": k,
+            "where": where,
         }
 
     def _view_dir(self, name: str) -> str:
@@ -857,6 +871,10 @@ class CdcEngine:
             )
             if s.get("kind") == "distinct_count":
                 fields += ("lgk",)
+            # where joins the pinned spec only when set: states pinned
+            # before the field existed must keep matching their JSON
+            if s.get("where"):
+                fields += ("where",)
             return {k: s[k] for k in fields}
         if s.get("kind") == "join":
             out = {k: s[k] for k in ("kind", "fact_table", "dim_table")}
@@ -891,6 +909,10 @@ class CdcEngine:
                 fields += ("lgk",)
             if s.get("kind") == "freq_items":
                 fields += ("k",)
+        # a predicate defines WHICH rows the state aggregates — same
+        # pinning rule as bucket edges, conditional for back-compat
+        if s.get("where"):
+            fields += ("where",)
         return {k: s[k] for k in fields}
 
     def _read_pointer_json(self, d: str) -> dict | None:
@@ -1129,7 +1151,13 @@ class CdcEngine:
 
     def _build_agg_state(self, s: dict, cur: DataFrame) -> DataFrame:
         """Per-kind state from a full snapshot scan — the initial build and
-        the healing/rebuild path."""
+        the healing/rebuild path.  A ``where`` predicate restricts the view
+        to σ_pred(table) — applied here (builds/rebuilds) and in
+        :meth:`_fold_agg_state` (delta re-classification), which covers
+        every family that dispatches through these two: keyed agg views,
+        partition views, and aggregates over join views."""
+        if s.get("where"):
+            cur = cur.filter(F.expr(s["where"]))
         if s["kind"] == "sum_count":
             from cdc_lite_spark.operators.incremental import sum_count_state
 
@@ -1171,6 +1199,14 @@ class CdcEngine:
         that changed the value): HLL registers are max-only, so the caller
         rebuilds from the current snapshot instead (documented degradation;
         sum_count/histogram folds are total)."""
+        if s.get("where"):
+            from cdc_lite_spark.operators.diff import filter_diff
+
+            # re-classify each record against σ_pred(table): an UPDATE
+            # crossing the predicate boundary becomes an INSERT into /
+            # DELETE from the view's world, so every fold below (and the
+            # retraction probes) consumes the filtered diff unchanged
+            changes = filter_diff(changes, s["where"])
         if s["kind"] == "sum_count":
             from cdc_lite_spark.operators.incremental import apply_delta
 
@@ -1427,6 +1463,7 @@ class CdcEngine:
         hi: float | None = None,
         bins: int = 64,
         lgk: int = 12,
+        where: str | None = None,
     ) -> None:
         """Declare a grouped aggregate over a PARTITION-captured table
         (:meth:`poll_partitions`) to be maintained per tick at PARTITION
@@ -1454,6 +1491,13 @@ class CdcEngine:
         pinning, per-view error isolation, and version GC as for
         :meth:`register_agg_view`.
 
+        ``where`` restricts the view to σ_where(table), as for
+        :meth:`register_agg_view` — replacement semantics make it free
+        here: drift is detected on the UNFILTERED partition fingerprints
+        (a superset trigger — a change outside the predicate re-aggregates
+        a partition to an identical state, never misses one inside), and
+        the re-aggregation filters the drifted partitions' rows.
+
         100 TB shape: the per-tick fold scans only drifted partitions (on a
         ``part_col``-partitioned lakehouse layout the read prunes to those
         directories); state is O(|parts| · |groups|) rows; the merged read
@@ -1475,6 +1519,8 @@ class CdcEngine:
         for other in (self._agg_views, self._join_views, self._join_agg_views):
             if name in other:
                 raise ValueError(f"view name {name!r} already registered")
+        if where is not None and not str(where).strip():
+            raise ValueError("where must be a non-empty SQL boolean expression")
         self._part_agg_views[name] = {
             "table": table,
             "part_col": part_col,
@@ -1485,6 +1531,7 @@ class CdcEngine:
             "hi": hi,
             "bins": bins,
             "lgk": lgk,
+            "where": where,
         }
 
     def _read_parts_pointer(self, name: str) -> "dict | None":
@@ -1888,6 +1935,7 @@ class CdcEngine:
         bins: int = 64,
         lgk: int = 12,
         k: int = 64,
+        where: str | None = None,
     ) -> None:
         """Declare a grouped aggregate OVER a registered join view,
         maintained end-to-end in O(delta): each tick the join fold also emits
@@ -1918,6 +1966,14 @@ class CdcEngine:
           updated keys, so these kinds rebuild on any tick that touches
           existing view rows — their steady state is append-mostly
           workloads).
+
+        ``where`` restricts the aggregate to σ_where(join view) — a SQL
+        boolean expression over the JOIN VIEW's columns (either side's),
+        e.g. ``"o_totalprice > 1000 AND c_mktsegment = 'BUILDING'"``: the
+        view-level I/D records are re-classified through the same
+        ``filter_diff`` transform the single-table views use, and the
+        rebuild path filters the persisted view state (still never a
+        re-join).
 
         State versions mirror the join view's; the same spec-pinning /
         self-healing (late registrations and lagging states rebuild from
@@ -1952,6 +2008,8 @@ class CdcEngine:
             or name in self._part_agg_views
         ):
             raise ValueError(f"view name {name!r} already registered")
+        if where is not None and not str(where).strip():
+            raise ValueError("where must be a non-empty SQL boolean expression")
         self._join_agg_views[name] = {
             "kind": "join_agg",
             "join_view": join_view,
@@ -1963,6 +2021,7 @@ class CdcEngine:
             "bins": bins,
             "lgk": lgk,
             "k": k,
+            "where": where,
         }
 
     def _read_join_basis(self, name: str) -> dict | None:

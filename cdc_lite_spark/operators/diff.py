@@ -111,3 +111,94 @@ def inserted_keys(prev: DataFrame, cur: DataFrame, keys: list[str]) -> DataFrame
 def persisted_keys(prev: DataFrame, cur: DataFrame, keys: list[str]) -> DataFrame:
     """Op F2 — keys present in both snapshots (left-semi join)."""
     return cur.join(prev.select(*keys), keys, "left_semi")
+
+
+def filter_diff(changes: DataFrame, predicate: str) -> DataFrame:
+    """Diff records of the FILTERED relation σ_pred(T), derived from the
+    diff records of T — what lets a maintained view aggregate a predicate
+    subset of a table while still folding O(delta) per tick.
+
+    A filter commutes with the snapshot diff as long as ``predicate``
+    depends only on the row's own columns, but each change record must be
+    re-classified against both row images:
+
+    =========  ========  ========  =================================
+    operation  prev ok?  cur ok?   emitted for the filtered relation
+    =========  ========  ========  =================================
+    INSERT        —       yes      INSERT (as-is)
+    INSERT        —       no       (dropped)
+    DELETE       yes       —       DELETE (as-is)
+    DELETE       no        —       (dropped)
+    UPDATE       yes      yes      UPDATE (as-is)
+    UPDATE       no       yes      INSERT of the new image (prev_ nulled)
+    UPDATE       yes      no       DELETE of the old image (cur nulled)
+    UPDATE       no       no       (dropped)
+    =========  ========  ========  =================================
+
+    Input and output are both the ``snapshot_diff(include_prev=True)``
+    shape, so every existing fold (``apply_delta``, histogram/moments/
+    min_max/sketch folds, the retraction probes) consumes the result
+    unchanged — an UPDATE that crosses the predicate boundary correctly
+    becomes an INSERT into / DELETE from the view's world.
+
+    NULL predicate results count as false (SQL WHERE semantics).  The
+    predicate is evaluated twice per record — once against the current
+    columns, once against the previous row image (``prev_`` twins where
+    they exist; diff-key columns have no twin because a key cannot
+    change) — via two narrow projections: zero shuffles, zero UDFs.
+    """
+    cols = changes.columns
+    data_cols = [c for c in cols if c != "operation" and not c.startswith("prev_")]
+    has_prev = {c for c in data_cols if f"prev_{c}" in cols}
+
+    def _ok(col):
+        return F.coalesce(col.cast("boolean"), F.lit(False))
+
+    step = changes.select("*", _ok(F.expr(predicate)).alias("__cur_ok"))
+    # evaluate the predicate over the PREVIOUS row image: stash every
+    # column positionally, rebind prev values under the data-column names,
+    # evaluate, then restore the originals
+    stashed = step.columns
+    prev_env = step.select(
+        *[F.col(f"`{c}`").alias(f"__o{i}") for i, c in enumerate(stashed)],
+        *[
+            (F.col(f"`prev_{c}`") if c in has_prev else F.col(f"`{c}`")).alias(c)
+            for c in data_cols
+        ],
+    )
+    flagged = prev_env.select(
+        *[F.col(f"__o{i}").alias(c) for i, c in enumerate(stashed)],
+        _ok(F.expr(predicate)).alias("__prev_ok"),
+    )
+
+    ins = F.col("operation") == INSERT
+    dele = F.col("operation") == DELETE
+    upd = F.col("operation") == UPDATE
+    entering = upd & F.col("__cur_ok") & ~F.col("__prev_ok")
+    leaving = upd & ~F.col("__cur_ok") & F.col("__prev_ok")
+    kept = (
+        (ins & F.col("__cur_ok"))
+        | (dele & F.col("__prev_ok"))
+        | (upd & F.col("__cur_ok") & F.col("__prev_ok"))
+        | entering
+        | leaving
+    )
+
+    def _shape(c: str):
+        if c == "operation":
+            return (
+                F.when(entering, F.lit(INSERT))
+                .when(leaving, F.lit(DELETE))
+                .otherwise(F.col("operation"))
+                .alias(c)
+            )
+        if c.startswith("prev_"):
+            # an UPDATE promoted to INSERT has no previous image in the view
+            return F.when(entering, F.lit(None)).otherwise(F.col(f"`{c}`")).alias(c)
+        if c in has_prev:
+            # an UPDATE demoted to DELETE nulls the current payload columns
+            # (keys keep their values — snapshot_diff's DELETE shape)
+            return F.when(leaving, F.lit(None)).otherwise(F.col(f"`{c}`")).alias(c)
+        return F.col(f"`{c}`")
+
+    return flagged.filter(kept).select(*[_shape(c) for c in cols])

@@ -8751,9 +8751,70 @@ def q_changelog_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/freq.py (Misra-Gries frequent items, r9) has full pytest
 # coverage (tests/test_freq.py property suite + the engine-kind test in
 # tests/test_engine_views_r9.py) but NO registry entry yet: the r9 window's
-# 50 slots are budgeted 4 new gates + 46 of the r5-stale rotation (r8
-# verdict ask #2), and one more registration would displace another stale
-# query.  r10: register a `freq_items_heavy_hitters` gate on the events
-# table — flags-style oracle (the HLL-gate pattern): exact heavy set from
-# DuckDB, assert all-present + bracket-sound booleans — alongside the
-# leftover `correlation_matrix_lineitem` rotation.
+# 50 slots are budgeted 5 new gates (the 4 r8-verdict asks below plus
+# filtered_view_maintenance) + 45 of the 47-query r5-stale rotation (r8
+# verdict ask #2 anticipated the split), so the 2 newest-registered of
+# that cohort carry to r10.  r10: register a `freq_items_heavy_hitters`
+# gate on the events table — flags-style oracle (the HLL-gate pattern):
+# exact heavy set from DuckDB, assert all-present + bracket-sound
+# booleans — alongside the leftover rotation.
+
+
+@register(
+    "filtered_view_maintenance",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS agg_sum,
+           CAST(count(o_totalprice) AS BIGINT) AS agg_count,
+           CAST(count(*) AS BIGINT) AS agg_rows
+    FROM orders
+    WHERE o_orderkey % 11 != 0
+      AND CAST(o_totalprice AS DECIMAL(18,2)) > 150000
+    GROUP BY o_orderstatus
+    """,
+    "Filtered maintained views (r9): an aggregate over the predicate "
+    "subset σ_pred(table) maintained O(delta) — filter_diff re-classifies "
+    "each change record against both row images (an UPDATE crossing the "
+    "predicate becomes an INSERT into / DELETE from the view's world), "
+    "apply_delta folds the result; the oracle recomputes the filtered "
+    "aggregate from scratch and the folded state must match exactly "
+    "(DECIMAL sums: no fold-order drift)",
+    tags=("cdc", "incremental", "agg", "filter"),
+)
+def q_filtered_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine semantics behind register_agg_view(where=...) at the operator
+    level (the incremental_agg_maintenance fixture plus a predicate): prev
+    shifts %13 keys' prices up 100k so the tick's UPDATEs cross the
+    150k predicate in BOTH directions, %7/%11 drive inserts/deletes on
+    either side of it.  100 TB shape: filter_diff is two narrow
+    projections over the delta (zero shuffles, zero UDFs); the fold stays
+    |changes|-sized regardless of how much of the table the predicate
+    keeps — the whole point of filtering the DIFF, not the table."""
+    from cdc_lite_spark.operators.diff import filter_diff, snapshot_diff
+    from cdc_lite_spark.operators.incremental import apply_delta, sum_count_state
+
+    pred = "o_totalprice > 150000"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    k = F.col("o_orderkey")
+    cur = orders.filter(k % 11 != 0)
+    prev = orders.filter(k % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 13 == 0, F.col("o_totalprice") + 100000).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    changes = snapshot_diff(prev, cur, ["o_orderkey"], include_prev=True)
+    state = sum_count_state(prev.filter(pred), ["o_orderstatus"], "o_totalprice")
+    out = apply_delta(
+        state, filter_diff(changes, pred), ["o_orderstatus"], "o_totalprice"
+    )
+    return out.select(
+        "o_orderstatus",
+        F.col("agg_sum").cast("double").alias("agg_sum"),
+        "agg_count",
+        "agg_rows",
+    )

@@ -88,6 +88,7 @@ def _spec_of(
     lo: float | None,
     hi: float | None,
     bins: int,
+    where: str | None = None,
 ) -> dict:
     s = {
         "schema_ddl": schema_ddl,
@@ -97,6 +98,8 @@ def _spec_of(
     }
     if kind == "histogram":  # only histogram state is edge-parameterized
         s.update({"lo": lo, "hi": hi, "bins": bins})
+    if where:  # conditional: states pinned before the field keep matching
+        s["where"] = where
     return s
 
 
@@ -147,7 +150,10 @@ def _build_state(
     lo: float | None,
     hi: float | None,
     bins: int,
+    where: str | None = None,
 ) -> DataFrame:
+    if where:
+        rows = rows.filter(F.expr(where))
     if kind == "sum_count":
         from cdc_lite_spark.operators.incremental import sum_count_state
 
@@ -170,7 +176,14 @@ def _fold_state(
     lo: float | None,
     hi: float | None,
     bins: int,
+    where: str | None = None,
 ) -> DataFrame:
+    if where:
+        from cdc_lite_spark.operators.diff import filter_diff
+
+        # re-classify against the predicate subset: an UPDATE crossing the
+        # boundary becomes an INSERT into / DELETE from the view's world
+        changes = filter_diff(changes, where)
     if kind == "sum_count":
         from cdc_lite_spark.operators.incremental import apply_delta
 
@@ -197,6 +210,7 @@ def init_changelog_view(
     lo: float | None = None,
     hi: float | None = None,
     bins: int = 64,
+    where: str | None = None,
 ) -> None:
     """Lay down ``v0`` of both states: from ``history`` rows when the
     consumer joins an existing table mid-stream (one O(history) pass), or
@@ -210,18 +224,28 @@ def init_changelog_view(
         if lo is None or hi is None:
             raise ValueError("histogram views need explicit lo/hi bucket edges")
         _check_edges(lo, hi, bins)
+    if where is not None and not str(where).strip():
+        raise ValueError("where must be a non-empty SQL boolean expression")
     schema = T.StructType.fromDDL(schema_ddl)
     rows = history if history is not None else spark.createDataFrame([], schema)
     for d, df in (
+        # the replica stays UNFILTERED — it is the latest-per-key table the
+        # wire implies, and the prev_-value enrichment needs every key to
+        # classify boundary-crossing updates; only the agg applies ``where``
         (_replica_dir(state_dir), rows),
-        (_agg_dir(state_dir), _build_state(rows, group_keys, value_col, kind, lo, hi, bins)),
+        (
+            _agg_dir(state_dir),
+            _build_state(rows, group_keys, value_col, kind, lo, hi, bins, where),
+        ),
     ):
         df.write.mode("overwrite").parquet(d + "/v0")
         repoint(d, "v0", fs_for(d, spark))
     # pin what the state was BUILT with (the engine's _spec discipline) so
     # a later start with mismatched parameters fails fast, not mid-batch
     _pin_spec(
-        spark, state_dir, _spec_of(schema_ddl, group_keys, value_col, kind, lo, hi, bins)
+        spark,
+        state_dir,
+        _spec_of(schema_ddl, group_keys, value_col, kind, lo, hi, bins, where),
     )
 
 
@@ -251,6 +275,7 @@ def start_changelog_view(
     lo: float | None = None,
     hi: float | None = None,
     bins: int = 64,
+    where: str | None = None,
 ) -> StreamingQuery:
     """Attach view maintenance to an A8 change stream (``stream_changes``
     output).  ``schema_ddl`` declares the monitored table's columns (the
@@ -259,6 +284,9 @@ def start_changelog_view(
     ``available_now=True`` drains the log's current contents and stops
     (driver gates / catch-up runs); otherwise a ``trigger_seconds``
     processing-time trigger polls like the engine's own monitor loop.
+    ``where`` restricts the AGGREGATE to σ_where(table) (the engine's
+    filtered-view semantics); the replica stays unfiltered so boundary-
+    crossing updates classify correctly.
 
     Parameters are validated at START (kind, histogram edges, and the
     pinned init spec) — a mismatch must fail here, not as an opaque
@@ -278,8 +306,12 @@ def start_changelog_view(
             "init_changelog_view first (empty init converges from the "
             "log's INSERT-everything first tick)"
         )
+    if where is not None and not str(where).strip():
+        raise ValueError("where must be a non-empty SQL boolean expression")
     _check_spec(
-        spark, state_dir, _spec_of(schema_ddl, group_keys, value_col, kind, lo, hi, bins)
+        spark,
+        state_dir,
+        _spec_of(schema_ddl, group_keys, value_col, kind, lo, hi, bins, where),
     )
     schema = T.StructType.fromDDL(schema_ddl)
     non_key = [f.name for f in schema.fields if f.name not in key_cols]
@@ -360,7 +392,7 @@ def start_changelog_view(
             agg_fs = fs_for(_agg_dir(state_dir), spark)
             agg_prev = read_for_epoch(spark, _agg_dir(state_dir), epoch, agg_fs)
             agg_new = _fold_state(
-                agg_prev, enriched, group_keys, value_col, kind, lo, hi, bins
+                agg_prev, enriched, group_keys, value_col, kind, lo, hi, bins, where
             )
             kept = replica.join(F.broadcast(bkeys), key_cols, "left_anti")
             new_replica = kept.unionByName(

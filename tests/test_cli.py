@@ -409,3 +409,68 @@ def test_cli_join_agg_view_and_chain_specs(spark, sf_dir, tmp_path):
             "nr=nation:region:n_nationkey:n_regionkey:r_regionkey,"
             "bad=nr:region:r_regionkey:n_regionkey:r_regionkey",
         ], spark=spark)
+
+
+def test_cli_view_where(spark, sf_dir, tmp_path):
+    """--view-where attaches a predicate to a declared view (read back as
+    the filtered aggregate); unknown names, duplicates, and malformed
+    entries fail at parse time."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cdc_lite_spark import CdcEngine
+    from cdc_lite_spark.cli import main
+    from cdc_lite_spark.sources.tables import load_table
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    rc = main(
+        [
+            "--source", sf_dir,
+            "--tables", "nation",
+            "--output-dir", out,
+            "--state-dir", state,
+            "--interval", "0.5",
+            "--duration", "12",
+            "--mode", "diff",
+            "--keys", "nation=n_nationkey",
+            "--agg-view", "nk=nation:n_regionkey:n_nationkey",
+            "--view-where", "nk=n_nationkey >= 10",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    eng = CdcEngine(spark, output_dir=out, state_dir=state)
+    eng.register_agg_view(
+        "nk", "nation", ["n_regionkey"], "n_nationkey",
+        where="n_nationkey >= 10",
+    )
+    got = {
+        r["n_regionkey"]: r["agg_rows"] for r in eng.view("nk").collect()
+    }
+    want = {
+        r["n_regionkey"]: r["n"]
+        for r in load_table(spark, sf_dir, "nation")
+        .filter("n_nationkey >= 10")
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    base = [
+        "--source", sf_dir,
+        "--tables", "nation",
+        "--output-dir", out,
+        "--state-dir", state,
+        "--duration", "0.1",
+        "--mode", "diff",
+        "--keys", "nation=n_nationkey",
+        "--agg-view", "nk=nation:n_regionkey:n_nationkey",
+    ]
+    with pytest.raises(SystemExit):  # names no declared view
+        main(base + ["--view-where", "typo=n_nationkey >= 10"], spark=spark)
+    with pytest.raises(SystemExit):  # duplicate
+        main(base + ["--view-where", "nk=x > 1", "--view-where", "nk=x > 2"],
+             spark=spark)
+    with pytest.raises(SystemExit):  # malformed (no '=')
+        main(base + ["--view-where", "nk"], spark=spark)

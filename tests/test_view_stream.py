@@ -269,3 +269,55 @@ def test_changelog_continuous_trigger_tracks_live_writer(spark, tmp_path):
             assert got == want, f"tick {i}: {got} != {want}"
     finally:
         q.stop()
+
+
+def test_changelog_filtered_view_converges(spark, tmp_path):
+    """``where`` restricts the maintained aggregate to the predicate
+    subset: across real micro-batches — with boundary-crossing updates, a
+    group-moving update, deletes, and a NULL-valued insert (NULL predicate
+    = false) — the state equals the filtered from-scratch aggregate."""
+    log = _write_log(spark, tmp_path, [_T1, _T2, _T3])
+    state_dir = _drain(spark, log, tmp_path, "sum_count", where="v >= 20")
+
+    final = _df(spark, _T3)
+    got = {
+        r["grp"]: (r["agg_sum"], r["agg_count"], r["agg_rows"])
+        for r in read_changelog_view(spark, state_dir).collect()
+    }
+    want = {
+        r["grp"]: (r["agg_sum"], r["agg_count"], r["agg_rows"])
+        for r in final.filter("v >= 20")
+        .groupBy("grp")
+        .agg(
+            F.sum("v").alias("agg_sum"),
+            F.count("v").alias("agg_count"),
+            F.count("*").alias("agg_rows"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the replica stays UNFILTERED (it is the wire's latest-per-key table)
+    rep = read_changelog_replica(spark, state_dir)
+    assert rep.count() == len(_T3)
+
+
+def test_changelog_where_is_spec_pinned(spark, tmp_path):
+    """A stream started with a different ``where`` than the state was
+    initialized with must fail at start, not silently mix definitions."""
+    log = _write_log(spark, tmp_path, [_T1])
+    state_dir = str(tmp_path / "vstate_pin")
+    init_changelog_view(
+        spark, state_dir, _DDL, ["grp"], "v", where="v >= 20"
+    )
+    with pytest.raises(ValueError, match="initialized with"):
+        start_changelog_view(
+            stream_changes(spark, log),
+            "t",
+            _DDL,
+            ["id"],
+            ["grp"],
+            "v",
+            state_dir,
+            str(tmp_path / "ckpt_pin"),
+            available_now=True,
+        )
