@@ -1401,16 +1401,27 @@ class CdcEngine:
         over the (tiny) state table only, never the facts.  Remaining group
         keys break ties deterministically.  Spark rewrites the rank filter
         to a WindowGroupLimit partial, so only k rows per group survive each
-        partition before the shuffle."""
-        spec = self._agg_views.get(name)
+        partition before the shuffle.
+
+        Serves all three sum_count/moments families (r9 reader parity):
+        single-table agg views, ``agg_kind`` join-aggregate views
+        (maintained top revenue segments over a fact⋈dim view), and
+        partition-granular views — the latter rank over
+        :meth:`view_merged`'s lossless per-group merge."""
+        spec = (
+            self._agg_views.get(name)
+            or self._join_agg_views.get(name)
+            or self._part_agg_views.get(name)
+        )
         if spec is None:
             raise ValueError(f"no registered view: {name!r}")
-        if spec["kind"] not in ("sum_count", "moments"):
+        kind = spec.get("agg_kind") if spec["kind"] == "join_agg" else spec["kind"]
+        if kind not in ("sum_count", "moments"):
             raise ValueError(
-                f"view {name!r} is {spec['kind']}; top-k ranks sum_count/moments state"
+                f"view {name!r} is {kind}; top-k ranks sum_count/moments state"
             )
         rankable = ("agg_sum", "agg_count", "agg_rows") + (
-            ("agg_sum2",) if spec["kind"] == "moments" else ()
+            ("agg_sum2",) if kind == "moments" else ()
         )
         if by not in rankable:
             # the ValueError discipline every other state reader uses — not
@@ -1431,10 +1442,12 @@ class CdcEngine:
         rank_col = F.col(by).asc() if ascending else F.col(by).desc()
         ties = [c for c in spec["group_keys"] if c not in partition_keys]
         w = Window.partitionBy(*partition_keys).orderBy(rank_col, *ties)
-        return (
-            self.view(name)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+        # partition views rank the MERGED per-group totals (a raw state row
+        # is a per-(partition, group) fragment — ranking fragments would be
+        # meaningless); the merge is lossless and still state-only
+        st = self.view_merged(name) if name in self._part_agg_views else self.view(name)
+        return st.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
         )
 
     # -- partition-granular maintained aggregates ------------------------------

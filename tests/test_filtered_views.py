@@ -276,3 +276,65 @@ def test_where_registration_validation(spark, tmp_path):
         eng.register_agg_view("x", "t", ["g"], "v", where="  ")
     with pytest.raises(ValueError, match="non-empty"):
         eng.register_partition_agg_view("x", "t", "p", ["g"], "v", where="")
+
+
+# -------------------------------------------------- view_topk reader parity
+
+
+def test_view_topk_serves_join_agg_and_partition_views(spark, tables, tmp_path):
+    """r9 reader parity: view_topk ranks join-aggregate state and partition
+    views' MERGED per-group totals — the same state-only discipline."""
+    eng = _engine(spark, tmp_path)
+    orders = tables["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cust = tables["customer"].select("c_custkey", "c_mktsegment")
+    eng.register_join_view(
+        "oc", fact_table="orders", dim_table="customer",
+        fact_key="o_orderkey", fact_dim_col="o_custkey", dim_key="c_custkey",
+    )
+    eng.register_join_agg_view("seg_rev", "oc", ["c_mktsegment"], "price")
+    keys = {"orders": ["o_orderkey"], "customer": ["c_custkey"]}
+    eng.poll_once({"orders": orders, "customer": cust}, mode="diff", keys=keys)
+
+    top3 = eng.view_topk("seg_rev", 3, [])
+    got = [r["c_mktsegment"] for r in top3.orderBy("rank").collect()]
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    want = [
+        r["c_mktsegment"]
+        for r in j.groupBy("c_mktsegment")
+        .agg(F.sum("price").alias("s"))
+        .orderBy(F.col("s").desc(), "c_mktsegment")
+        .limit(3)
+        .collect()
+    ]
+    assert got == want
+
+    # partition view: per-(partition, group) fragments merge before ranking
+    eng2 = _engine(spark, tmp_path / "p")
+    eng2.register_partition_agg_view(
+        "pprio", "orders", "o_orderpriority", ["o_custkey"], "price"
+    )
+    eng2.poll_partitions("orders", orders, "o_orderpriority")
+    top5 = eng2.view_topk("pprio", 5, [])
+    got = [r["o_custkey"] for r in top5.orderBy("rank").collect()]
+    want = [
+        r["o_custkey"]
+        for r in orders.groupBy("o_custkey")
+        .agg(F.sum("price").alias("s"))
+        .orderBy(F.col("s").desc(), "o_custkey")
+        .limit(5)
+        .collect()
+    ]
+    assert got == want
+
+    # non-rankable kinds still refuse with the ValueError discipline
+    eng2.register_partition_agg_view(
+        "phist", "orders", "o_orderpriority", [], "price",
+        kind="histogram", lo=0.0, hi=600000.0,
+    )
+    with pytest.raises(ValueError, match="top-k ranks"):
+        eng2.view_topk("phist", 2, [])
