@@ -94,7 +94,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "sum_count; also: moments (Σv/Σv² → view_moments), min_max, "
         "distinct_count (HLL), term_df (per-term document frequency of a "
         "text column — pass an empty key segment), freq_items "
-        "(Misra-Gries heavy hitters → view_heavy_hitters).  histogram "
+        "(Misra-Gries heavy hitters → view_heavy_hitters), sample "
+        "(deterministic bottom-k-by-key-hash row sample → view_sample; "
+        "k defaults to 64 — size it via the API).  histogram "
         "views need explicit bucket edges — register those via the "
         "register_agg_view API",
     )

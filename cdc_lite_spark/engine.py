@@ -592,7 +592,9 @@ class CdcEngine:
         term_df's single plan scans the diff three times (adds, retracts,
         doc-count delta)."""
         return (
-            2 if kind in ("distinct_count", "min_max", "term_df", "freq_items") else 1
+            2
+            if kind in ("distinct_count", "min_max", "term_df", "freq_items", "sample")
+            else 1
         )
 
     def _view_consumers(self, table: str, keys: list[str]) -> tuple[int, int]:
@@ -775,6 +777,19 @@ class CdcEngine:
         given back — the same degradation discipline as distinct_count /
         min_max.  Read via :meth:`view_heavy_hitters`.
 
+        ``kind="sample"`` maintains a per-group DETERMINISTIC uniform row
+        sample of size ``k``: the rows whose primary-key hash is smallest
+        (the KMV bottom-k construction over row identity —
+        ``operators/incremental.py`` ``sample_state``).  Membership is a
+        pure function of the key, so inserts fold exactly (bottom-k of
+        state ∪ inserts) and in-group UPDATEs replace the sampled payload
+        in place — both O(delta); a DELETE or group-moving UPDATE may
+        evict a sampled row that state cannot backfill, so such ticks
+        rebuild (the min_max degradation; value-changing updates do NOT
+        degrade here, unlike min_max).  Read via :meth:`view_sample` —
+        the maintained "show me k current example rows per group" a
+        100 TB table cannot answer by scanning.
+
         ``where`` (any kind) restricts the view to the predicate subset
         σ_where(table) — a SQL boolean expression over the table's own
         columns (``"o_totalprice > 1000 AND o_orderstatus = 'O'"``).  The
@@ -801,8 +816,16 @@ class CdcEngine:
             "moments",
             "term_df",
             "freq_items",
+            "sample",
         ):
             raise ValueError(f"unknown view kind: {kind!r}")
+        if kind == "sample" and value_col in group_keys:
+            raise ValueError(
+                "sample views keep the payload beside the group keys — "
+                f"value_col {value_col!r} must not be one of the group keys"
+            )
+        if kind == "sample" and not k > 0:
+            raise ValueError(f"k must be positive, got {k}")
         if kind == "term_df" and group_keys:
             raise ValueError(
                 "term_df state is keyed by term, not by table columns — "
@@ -907,7 +930,7 @@ class CdcEngine:
             # keep matching their persisted spec JSON
             if s.get("kind") == "distinct_count":
                 fields += ("lgk",)
-            if s.get("kind") == "freq_items":
+            if s.get("kind") in ("freq_items", "sample"):
                 fields += ("k",)
         # a predicate defines WHICH rows the state aggregates — same
         # pinning rule as bucket edges, conditional for back-compat
@@ -1121,6 +1144,10 @@ class CdcEngine:
         try:
             for name, s, vv, pinned in lagging:
                 try:
+                    if s["kind"] == "sample":
+                        # row identity = this tick's diff keys; a transient
+                        # copy only — _stable_spec never pins pk_cols
+                        s = dict(s, pk_cols=keys)
                     changes = _changes_from(vv) if vv is not None else None
                     state = None
                     if changes is not None:
@@ -1185,6 +1212,15 @@ class CdcEngine:
 
             return freq_items_state(
                 cur, s["group_keys"], s["value_col"], s.get("k", 64)
+            )
+        if s["kind"] == "sample":
+            from cdc_lite_spark.operators.incremental import sample_state
+
+            # pk_cols is injected per tick from the table's diff keys —
+            # sample state is keyed-table-only (registration refuses the
+            # kind everywhere keys are unavailable)
+            return sample_state(
+                cur, s["group_keys"], s["value_col"], s["pk_cols"], s.get("k", 64)
             )
         from cdc_lite_spark.operators.sketches import distinct_sketch_state
 
@@ -1251,11 +1287,24 @@ class CdcEngine:
                 s["hi"],
                 s["bins"],
             )
-        # distinct_count, min_max, and freq_items share the retraction
-        # discipline: their state cannot give a value back, so only
-        # insert-only deltas fold
+        # distinct_count, min_max, freq_items, and sample share the
+        # retraction discipline: their state cannot give a value back, so
+        # only retraction-free deltas fold (for sample, a value-changing
+        # in-group UPDATE is NOT a retraction — membership rides on the
+        # key hash, so the payload patches in place)
         if self._has_retractions(s, changes):
             return None
+        if s["kind"] == "sample":
+            from cdc_lite_spark.operators.incremental import apply_sample_delta
+
+            return apply_sample_delta(
+                prev_state,
+                changes,
+                s["group_keys"],
+                s["value_col"],
+                s["pk_cols"],
+                s.get("k", 64),
+            )
         # insert-only delta (UPDATEs left are value-preserving no-ops)
         inserts = changes.filter(F.col("operation") == "INSERT")
         if s["kind"] == "min_max":
@@ -1294,8 +1343,16 @@ class CdcEngine:
             # no prev_ twin for diff-key columns (a key cannot change)
             return F.col(f"prev_{c}") if f"prev_{c}" in changes.columns else F.col(c)
 
+        # sample state retracts only when the GROUP changes — a changed
+        # value patches the sampled payload in place (membership rides on
+        # the key hash); every other kind retracts on value change too
+        watched = (
+            s["group_keys"]
+            if s["kind"] == "sample"
+            else [s["value_col"], *s["group_keys"]]
+        )
         moved = F.lit(False)
-        for c in [s["value_col"], *s["group_keys"]]:
+        for c in watched:
             moved = moved | ~_prev(c).eqNullSafe(F.col(c))
         return (
             changes.filter(
@@ -1384,6 +1441,22 @@ class CdcEngine:
         from cdc_lite_spark.operators.freq import heavy_hitters
 
         return heavy_hitters(self.view(name), spec["group_keys"], min_share)
+
+    def view_sample(self, name: str) -> DataFrame:
+        """The maintained per-group row sample from a ``sample`` view —
+        ``(group_keys..., pk, value_col)`` where ``pk`` is the sampled
+        row's key rendering (US-separated for composite keys).  Reads only
+        the O(|groups|·k) state, never the monitored table."""
+        spec = self._agg_views.get(name)
+        if spec is None:
+            raise ValueError(f"no registered view: {name!r}")
+        if spec["kind"] != "sample":
+            raise ValueError(f"view {name!r} is {spec['kind']}, not sample")
+        return self.view(name).select(
+            *spec["group_keys"],
+            F.col("__pk").alias("pk"),
+            F.col(spec["value_col"]),
+        )
 
     def view_topk(
         self,

@@ -623,3 +623,118 @@ def apply_text_delta(
         (F.coalesce("n_prev", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_docs")
     )
     return merged.crossJoin(F.broadcast(n_new))
+
+
+# -- maintained deterministic sample (bottom-k by key hash) -------------------
+#
+# A per-group uniform sample maintained from change records: keep the k rows
+# whose PRIMARY-KEY hash is smallest (the KMV / bottom-k sketch construction
+# — Bar-Yossef et al., "Counting distinct elements in a data stream",
+# RANDOM'02 — applied to row identity instead of value identity).  Hashing
+# the key makes membership a PURE function of row identity: deterministic
+# across ticks, partitionings, and engines — and uniformly random in the
+# hash's randomness, so the sample is an unbiased row sample per group.
+#
+# Fold algebra (the min_max family, one refinement):
+# - INSERT: bottom-k(state ∪ inserts) — exact, because state already holds
+#   the k smallest of the previous rows (monotone under inserts).
+# - UPDATE that keeps the group: the row's hash — and so its MEMBERSHIP —
+#   is unchanged (keys cannot change); if it is in the sample, its payload
+#   is replaced in place.  Exact, |updates|-sized.
+# - DELETE / UPDATE that moves groups: may evict a sampled row, and no
+#   state smaller than the group's full row set can name the (k+1)-th —
+#   callers rebuild (the engine degradation shared with min_max).
+
+
+def _sample_hash(pk_cols: "list[str]"):
+    """Deterministic 60-bit hash of the key tuple (DuckDB-reproducible —
+    functions/hashes.py portable_hash64 over the US-joined key rendering,
+    NULL components as NUL).  Key columns have no prev_ twins in diff
+    records (a key cannot change), so the same expression reads both row
+    images."""
+    from cdc_lite_spark.functions.hashes import portable_hash64
+
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in pk_cols]
+    return portable_hash64(F.concat_ws("\x1f", *parts))
+
+
+def sample_state(
+    df: DataFrame, keys: list[str], value_col: str, pk_cols: list[str], k: int
+) -> DataFrame:
+    """Per-group bottom-k sample state: ``(keys..., __pk, __h, value_col)``
+    — the k rows with the smallest key hash per group, ties broken by the
+    key string (total order: membership is deterministic).  One shuffle on
+    the group keys; Spark rewrites the rank filter to a WindowGroupLimit
+    partial, so only k rows per group survive each input partition before
+    the shuffle."""
+    from pyspark.sql import Window
+
+    pk_str = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in pk_cols]
+    )
+    if value_col in keys:
+        raise ValueError(
+            "sample state keeps the payload beside the group keys — "
+            f"value_col {value_col!r} must not be one of the group keys"
+        )
+    w = Window.partitionBy(*keys).orderBy(F.col("__h"), F.col("__pk"))
+    return (
+        df.select(
+            *keys,
+            pk_str.alias("__pk"),
+            _sample_hash(pk_cols).alias("__h"),
+            F.col(value_col),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def apply_sample_delta(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    value_col: str,
+    pk_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Fold a delta WITHOUT retractions (no DELETE, no group-moving
+    UPDATE — the engine probes and rebuilds on those) into bottom-k sample
+    state exactly: in-group updates replace the payload of sampled rows in
+    place (membership rides on the key hash, which cannot change), then
+    inserts re-rank against the survivors.  Touches |changes| rows; the
+    re-rank shuffles O(k)-per-group state rows, never the table."""
+    from pyspark.sql import Window
+
+    upd = changes.filter(F.col("operation") == "UPDATE").select(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in pk_cols],
+        ).alias("__pk"),
+        F.col(value_col).alias("__new_v"),
+    )
+    # broadcast the delta-sized update map against the O(groups·k) state
+    patched = (
+        state.join(F.broadcast(upd), "__pk", "left_outer")
+        .withColumn(value_col, F.coalesce("__new_v", value_col))
+        .drop("__new_v")
+    )
+    ins = changes.filter(F.col("operation") == "INSERT")
+    delta = ins.select(
+        *keys,
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in pk_cols],
+        ).alias("__pk"),
+        _sample_hash(pk_cols).alias("__h"),
+        F.col(value_col),
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("__h"), F.col("__pk"))
+    return (
+        patched.select(*keys, "__pk", "__h", value_col)
+        .unionByName(delta)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

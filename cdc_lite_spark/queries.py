@@ -8757,7 +8757,10 @@ def q_changelog_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # that cohort carry to r10.  r10: register a `freq_items_heavy_hitters`
 # gate on the events table — flags-style oracle (the HLL-gate pattern):
 # exact heavy set from DuckDB, assert all-present + bracket-sound
-# booleans — alongside the leftover rotation.
+# booleans — and an `incremental_sample_maintenance` gate for the r9
+# sample view kind (exact oracle: portable_hash64_sql bottom-k via
+# row_number — membership is engine-reproducible by construction) —
+# alongside the leftover rotation.
 
 
 @register(
