@@ -91,6 +91,17 @@ def main() -> int:
     # per-term document frequency of the memo text — the retrieval-index
     # statistics (df/N behind TF-IDF/BM25) folded from changed rows only
     eng.register_agg_view("memo_vocab", "orders", [], "memo", kind="term_df")
+    # FILTERED view (r9): the predicate subset is maintained O(delta) too —
+    # updates crossing the 500 boundary become inserts/deletes of the
+    # view's world (filter_diff), never a rescan
+    eng.register_agg_view(
+        "big_revenue", "orders", ["status"], "amount", where="amount > 500"
+    )
+    # deterministic SAMPLE (r9): k example rows per status, membership by
+    # key hash — inserts fold, in-group updates patch the payload in place
+    eng.register_agg_view(
+        "examples", "orders", ["status"], "memo", kind="sample", k=3
+    )
     # the join view: orders ⋈ status_dim kept current from BOTH sides'
     # change records — affected keys only, never a full re-join
     eng.register_join_view(
@@ -159,6 +170,8 @@ def main() -> int:
     show("tick 2: mean/stddev amount", eng.view_moments("amount_moments"))
     show("tick 2: top-2 heaviest statuses", eng.view_topk("revenue", 2, []))
     show("tick 2: top memo terms", eng.view("memo_vocab").orderBy("term"), limit=5)
+    show("tick 2: revenue WHERE amount > 500 (filtered view)", eng.view("big_revenue"))
+    show("tick 2: 3 sampled memos per status", eng.view_sample("examples"))
     teams = eng.view("orders_teams").groupBy("team").count()
     show("tick 2: joined view rows per team", teams)
     show("tick 2: maintained revenue per team", eng.view("team_rev"))
