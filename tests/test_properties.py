@@ -928,3 +928,41 @@ def test_maintained_join_composite_keys_match_rejoin_under_random_histories(
     finally:
         for h in handles:
             h.unpersist()
+
+
+PREDICATES = st.sampled_from(
+    [
+        "value > 0",
+        "value <= 2",
+        "payload IS NOT NULL",
+        "payload LIKE '%a%'",
+        "value % 2 = 0 AND payload IS NOT NULL",
+        "id < 25 OR value > 3",
+    ]
+)
+
+
+@given(prev_rows=ROWS, cur_rows=ROWS, pred=PREDICATES)
+@_SETTINGS
+def test_filter_diff_commutes_with_filter_under_random_histories(
+    spark, prev_rows, cur_rows, pred
+):
+    """The filtered-view invariant (r9): for ANY two snapshots and any
+    row-local predicate, folding filter_diff(diff(prev, cur)) onto the
+    aggregate of σ_pred(prev) equals the from-scratch aggregate of
+    σ_pred(cur) — i.e. filter_diff(diff(T)) IS diff(σ_pred(T)).  Random
+    histories cover every transition class: inserts/deletes on either
+    side of the predicate, updates crossing it in both directions,
+    NULL-valued predicate results, and group-moving updates."""
+    from cdc_lite_spark.operators.diff import filter_diff
+    from cdc_lite_spark.operators.incremental import apply_delta, sum_count_state
+
+    prev, cur = _df(spark, prev_rows), _df(spark, cur_rows)
+    changes = snapshot_diff(prev, cur, ["id"], include_prev=True)
+    state = sum_count_state(prev.filter(pred), ["payload"], "value")
+    folded = apply_delta(
+        state, filter_diff(changes, pred), ["payload"], "value"
+    )
+    want = sum_count_state(cur.filter(pred), ["payload"], "value")
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(folded) == as_set(want)
