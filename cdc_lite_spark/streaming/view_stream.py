@@ -29,8 +29,12 @@ Per micro-batch (epoch ``e``):
    replica scan is map-side, nothing table-sized shuffles) and derive
    diff-shaped records: key present in replica → UPDATE/DELETE with
    ``prev_`` values, absent → INSERT;
-3. fold the agg state v{e} → v{e+1} (TOTAL for the abelian kinds:
-   ``sum_count`` / ``moments`` / ``histogram``);
+3. fold the agg state v{e} → v{e+1} — TOTAL for the abelian kinds
+   (``sum_count`` / ``moments`` / ``histogram``); the degrading kinds
+   (``min_max`` / ``distinct_count`` / ``freq_items``) fold insert-only
+   batches and on a retracting batch REBUILD from the advanced replica
+   (it IS the latest-per-key table — one aggregation in the replica
+   rewrite's own cost class, the engine's degradation discipline);
 4. advance the replica: (replica ∖ batch keys) ∪ latest non-DELETE rows.
 
 State follows the versioned-parquet protocol shared with the novelty /
@@ -69,7 +73,21 @@ from cdc_lite_spark.streaming._state import (
     repoint,
 )
 
-_KINDS = ("sum_count", "moments", "histogram")
+#: abelian kinds fold TOTAL per batch; the degrading kinds (min_max /
+#: distinct_count / freq_items — states that cannot give a value back)
+#: fold insert-only batches and REBUILD FROM THE REPLICA on retracting
+#: ones: the replica IS the latest-per-key table, so the rebuild is one
+#: aggregation over it — the same cost class as the per-epoch replica
+#: rewrite, and exactly the engine's degradation discipline
+_KINDS = (
+    "sum_count",
+    "moments",
+    "histogram",
+    "min_max",
+    "distinct_count",
+    "freq_items",
+)
+_DEGRADING = ("min_max", "distinct_count", "freq_items")
 
 
 def _replica_dir(state_dir: str) -> str:
@@ -89,6 +107,8 @@ def _spec_of(
     hi: float | None,
     bins: int,
     where: str | None = None,
+    lgk: int = 12,
+    k: int = 64,
 ) -> dict:
     s = {
         "schema_ddl": schema_ddl,
@@ -96,8 +116,12 @@ def _spec_of(
         "value_col": value_col,
         "kind": kind,
     }
-    if kind == "histogram":  # only histogram state is edge-parameterized
+    if kind == "histogram":  # parameterized kinds pin their parameters
         s.update({"lo": lo, "hi": hi, "bins": bins})
+    if kind == "distinct_count":
+        s["lgk"] = lgk
+    if kind == "freq_items":
+        s["k"] = k
     if where:  # conditional: states pinned before the field keep matching
         s["where"] = where
     return s
@@ -151,6 +175,8 @@ def _build_state(
     hi: float | None,
     bins: int,
     where: str | None = None,
+    lgk: int = 12,
+    k: int = 64,
 ) -> DataFrame:
     if where:
         rows = rows.filter(F.expr(where))
@@ -162,6 +188,18 @@ def _build_state(
         from cdc_lite_spark.operators.incremental import moments_state
 
         return moments_state(rows, group_keys, value_col)
+    if kind == "min_max":
+        from cdc_lite_spark.operators.incremental import min_max_state
+
+        return min_max_state(rows, group_keys, value_col)
+    if kind == "distinct_count":
+        from cdc_lite_spark.operators.sketches import distinct_sketch_state
+
+        return distinct_sketch_state(rows, group_keys, value_col, lgk)
+    if kind == "freq_items":
+        from cdc_lite_spark.operators.freq import freq_items_state
+
+        return freq_items_state(rows, group_keys, value_col, k)
     from cdc_lite_spark.operators.histogram import histogram_state
 
     return histogram_state(rows, group_keys, value_col, lo, hi, bins)
@@ -177,7 +215,12 @@ def _fold_state(
     hi: float | None,
     bins: int,
     where: str | None = None,
-) -> DataFrame:
+    lgk: int = 12,
+    k: int = 64,
+) -> "DataFrame | None":
+    """Fold one batch's diff-shaped records into the agg state.  Returns
+    ``None`` when the kind cannot fold THIS delta (a degrading kind saw a
+    retraction) — the caller rebuilds from the advanced replica."""
     if where:
         from cdc_lite_spark.operators.diff import filter_diff
 
@@ -192,10 +235,56 @@ def _fold_state(
         from cdc_lite_spark.operators.incremental import apply_moments_delta
 
         return apply_moments_delta(state, changes, group_keys, value_col)
+    if kind in _DEGRADING:
+        if _has_retractions(changes, group_keys, value_col):
+            return None
+        inserts = changes.filter(F.col("operation") == INSERT)
+        if kind == "min_max":
+            from cdc_lite_spark.operators.incremental import (
+                apply_min_max_inserts,
+            )
+
+            return apply_min_max_inserts(state, inserts, group_keys, value_col)
+        if kind == "freq_items":
+            from cdc_lite_spark.operators.freq import fold_freq_inserts
+
+            return fold_freq_inserts(state, inserts, group_keys, value_col, k)
+        from cdc_lite_spark.operators.sketches import (
+            distinct_sketch_state,
+            merge_states,
+        )
+
+        delta = distinct_sketch_state(inserts, group_keys, value_col, lgk)
+        return merge_states(state, delta, group_keys)
     from cdc_lite_spark.operators.histogram import apply_histogram_delta
 
     return apply_histogram_delta(
         state, changes, group_keys, value_col, lo, hi, bins
+    )
+
+
+def _has_retractions(
+    changes: DataFrame, group_keys: list[str], value_col: str
+) -> bool:
+    """The engine's retraction probe (engine.py _has_retractions) over the
+    batch's diff-shaped records: a DELETE, or an UPDATE whose value or
+    group key changed.  One limit(1) action over the delta-sized
+    (persisted) enrichment."""
+
+    def _prev(c: str):
+        return F.col(f"prev_{c}") if f"prev_{c}" in changes.columns else F.col(c)
+
+    moved = F.lit(False)
+    for c in [value_col, *group_keys]:
+        moved = moved | ~_prev(c).eqNullSafe(F.col(c))
+    return (
+        changes.filter(
+            (F.col("operation") == DELETE)
+            | ((F.col("operation") == UPDATE) & moved)
+        )
+        .limit(1)
+        .count()
+        > 0
     )
 
 
@@ -211,6 +300,8 @@ def init_changelog_view(
     hi: float | None = None,
     bins: int = 64,
     where: str | None = None,
+    lgk: int = 12,
+    k: int = 64,
 ) -> None:
     """Lay down ``v0`` of both states: from ``history`` rows when the
     consumer joins an existing table mid-stream (one O(history) pass), or
@@ -235,7 +326,9 @@ def init_changelog_view(
         (_replica_dir(state_dir), rows),
         (
             _agg_dir(state_dir),
-            _build_state(rows, group_keys, value_col, kind, lo, hi, bins, where),
+            _build_state(
+                rows, group_keys, value_col, kind, lo, hi, bins, where, lgk, k
+            ),
         ),
     ):
         df.write.mode("overwrite").parquet(d + "/v0")
@@ -245,7 +338,9 @@ def init_changelog_view(
     _pin_spec(
         spark,
         state_dir,
-        _spec_of(schema_ddl, group_keys, value_col, kind, lo, hi, bins, where),
+        _spec_of(
+            schema_ddl, group_keys, value_col, kind, lo, hi, bins, where, lgk, k
+        ),
     )
 
 
@@ -276,6 +371,8 @@ def start_changelog_view(
     hi: float | None = None,
     bins: int = 64,
     where: str | None = None,
+    lgk: int = 12,
+    k: int = 64,
 ) -> StreamingQuery:
     """Attach view maintenance to an A8 change stream (``stream_changes``
     output).  ``schema_ddl`` declares the monitored table's columns (the
@@ -311,7 +408,9 @@ def start_changelog_view(
     _check_spec(
         spark,
         state_dir,
-        _spec_of(schema_ddl, group_keys, value_col, kind, lo, hi, bins, where),
+        _spec_of(
+            schema_ddl, group_keys, value_col, kind, lo, hi, bins, where, lgk, k
+        ),
     )
     schema = T.StructType.fromDDL(schema_ddl)
     non_key = [f.name for f in schema.fields if f.name not in key_cols]
@@ -391,15 +490,43 @@ def start_changelog_view(
             )
             agg_fs = fs_for(_agg_dir(state_dir), spark)
             agg_prev = read_for_epoch(spark, _agg_dir(state_dir), epoch, agg_fs)
-            agg_new = _fold_state(
-                agg_prev, enriched, group_keys, value_col, kind, lo, hi, bins, where
-            )
             kept = replica.join(F.broadcast(bkeys), key_cols, "left_anti")
             new_replica = kept.unionByName(
                 latest.filter(F.col("operation") != DELETE).select(
                     *key_cols, *non_key
                 )
             )
+            agg_new = _fold_state(
+                agg_prev,
+                enriched,
+                group_keys,
+                value_col,
+                kind,
+                lo,
+                hi,
+                bins,
+                where,
+                lgk,
+                k,
+            )
+            if agg_new is None:
+                # a degrading kind saw a retraction: rebuild from the
+                # ADVANCED replica — it IS the latest-per-key table, so
+                # this is one aggregation in the replica rewrite's own
+                # cost class (the engine's degradation discipline; replay
+                # recomputes the identical state, exactly-once holds)
+                agg_new = _build_state(
+                    new_replica,
+                    group_keys,
+                    value_col,
+                    kind,
+                    lo,
+                    hi,
+                    bins,
+                    where,
+                    lgk,
+                    k,
+                )
             # replica first, agg last: an agg pointer at v{e+1} implies the
             # replica it folded against committed (readers read the agg)
             commit_version(new_replica, _replica_dir(state_dir), epoch, rep_fs)

@@ -321,3 +321,108 @@ def test_changelog_where_is_spec_pinned(spark, tmp_path):
             str(tmp_path / "ckpt_pin"),
             available_now=True,
         )
+
+
+def test_changelog_minmax_converges_with_retractions(spark, tmp_path):
+    """min_max over the wire: insert-only batches fold; the deleting /
+    value-moving ticks rebuild from the advanced replica — final state
+    equals the from-scratch extrema of the final table."""
+    log = _write_log(spark, tmp_path, [_T1, _T2, _T3])
+    state_dir = _drain(spark, log, tmp_path, "min_max")
+    final = _df(spark, _T3)
+    got = {
+        r["grp"]: (r["agg_min"], r["agg_max"], r["agg_count"], r["agg_rows"])
+        for r in read_changelog_view(spark, state_dir).collect()
+    }
+    want = {
+        r["grp"]: (r["mn"], r["mx"], r["c"], r["n"])
+        for r in final.groupBy("grp")
+        .agg(
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.count("v").alias("c"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_changelog_distinct_count_converges(spark, tmp_path):
+    """HLL distinct over the wire: the estimate over the drained stream
+    equals the estimate over the final table exactly (same lgk; retracting
+    batches rebuilt from the replica)."""
+    log = _write_log(spark, tmp_path, [_T1, _T2, _T3])
+    state_dir = _drain(spark, log, tmp_path, "distinct_count")
+    got = {
+        r["grp"]: r["est"]
+        for r in read_changelog_view(spark, state_dir)
+        .select("grp", F.hll_sketch_estimate("sketch").alias("est"))
+        .collect()
+    }
+    from cdc_lite_spark.operators.sketches import distinct_sketch_state
+
+    want = {
+        r["grp"]: r["est"]
+        for r in distinct_sketch_state(_df(spark, _T3), ["grp"], "v", 12)
+        .select("grp", F.hll_sketch_estimate("sketch").alias("est"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_changelog_freq_items_converges(spark, tmp_path):
+    """Misra-Gries over the wire: after draining (with retracting batches
+    rebuilding from the replica), every surviving item's bracket holds
+    against the final table's true counts."""
+    log = _write_log(spark, tmp_path, [_T1, _T2, _T3])
+    state_dir = _drain(spark, log, tmp_path, "freq_items", k=4)
+    from cdc_lite_spark.operators.freq import heavy_hitters
+
+    hh = heavy_hitters(read_changelog_view(spark, state_dir), ["grp"])
+    truth = {
+        (r["grp"], str(r["v"])): r["n"]
+        for r in _df(spark, _T3).groupBy("grp", "v").agg(F.count("*").alias("n")).collect()
+    }
+    rows = hh.collect()
+    assert rows, "summary must survive the drain"
+    for r in rows:
+        true_n = truth.get((r["grp"], str(r["item"])), 0)
+        assert r["count_lo"] <= true_n <= r["count_hi"]
+
+
+def test_changelog_degrading_kind_folds_insert_only_batch(spark, tmp_path):
+    """An insert-only log (single growing tick sequence) must FOLD, not
+    rebuild: pin by spying on the rebuild builder."""
+    import cdc_lite_spark.streaming.view_stream as vs
+
+    t2_grow = _T1 + [(9, "d", 90.0), (10, "d", 95.0)]
+    log = _write_log(spark, tmp_path, [_T1, t2_grow])
+    builds = []
+    real = vs._build_state
+
+    def spy(*a, **kw):
+        builds.append(1)
+        return real(*a, **kw)
+
+    vs._build_state = spy
+    try:
+        state_dir = _drain(spark, log, tmp_path, "min_max")
+    finally:
+        vs._build_state = real
+    # one build at INIT (v0 from empty history) — zero batch rebuilds...
+    # except the first batch folds onto EMPTY state where min_max's fold
+    # is still exact (least/greatest of null state and delta)
+    assert sum(builds) == 1
+    got = {
+        r["grp"]: (r["agg_min"], r["agg_max"])
+        for r in read_changelog_view(spark, state_dir).collect()
+    }
+    want = {
+        r["grp"]: (r["mn"], r["mx"])
+        for r in _df(spark, t2_grow)
+        .groupBy("grp")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
