@@ -146,6 +146,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "inserts into / deletes from the view's world",
     )
     p.add_argument(
+        "--view-derive",
+        action="append",
+        default=[],
+        metavar="NAME=COL=SQLEXPR",
+        help="extend a declared view's rows with a derived expression "
+        "column before grouping: NAME matches an --agg-view / "
+        "--partition-view / --join-agg-view entry, COL is the new column "
+        "name, SQLEXPR a row-local deterministic SQL expression — e.g. "
+        "--view-derive 'rev=revenue=o_totalprice * 0.9'.  The view's key "
+        "list, value column, and --view-where may reference COL.  "
+        "Repeatable (several per view allowed); folds stay O(delta)",
+    )
+    p.add_argument(
         "--retention-minutes",
         type=float,
         default=None,
@@ -240,6 +253,16 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             p.error(f"--view-where {wname!r} given more than once")
         wheres[wname] = wexpr
 
+    derives: dict[str, dict[str, str]] = {}
+    for kv in args.view_derive:
+        dname, sep1, rest = kv.partition("=")
+        dcol, sep2, dexpr = rest.partition("=")
+        if not dname or not sep1 or not dcol.strip() or not sep2 or not dexpr.strip():
+            p.error(f"--view-derive entry {kv!r}: expected NAME=COL=SQLEXPR")
+        if dcol.strip() in derives.get(dname, {}):
+            p.error(f"--view-derive {dname!r}: column {dcol.strip()!r} repeated")
+        derives.setdefault(dname, {})[dcol.strip()] = dexpr
+
     for kv in (s for s in args.agg_view.split(",") if s):
         name, vtable, gk, vcol, kind = _parse_view_spec("--agg-view", kv)
         if vtable not in tables or args.mode != "diff" or vtable not in keys:
@@ -250,7 +273,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             )
         try:
             eng.register_agg_view(
-                name, vtable, gk, vcol, kind=kind, where=wheres.pop(name, None)
+                name, vtable, gk, vcol, kind=kind,
+                where=wheres.pop(name, None), derive=derives.pop(name, None),
             )
         except ValueError as exc:  # unknown kind, term_df with keys, ...
             p.error(f"--agg-view {name!r}: {exc}")
@@ -271,6 +295,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 vcol,
                 kind=kind,
                 where=wheres.pop(name, None),
+                derive=derives.pop(name, None),
             )
         except ValueError as exc:
             p.error(f"--partition-view {name!r}: {exc}")
@@ -324,15 +349,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             )
         try:
             eng.register_join_agg_view(
-                name, jview, gk, vcol, agg_kind=kind, where=wheres.pop(name, None)
+                name, jview, gk, vcol, agg_kind=kind,
+                where=wheres.pop(name, None), derive=derives.pop(name, None),
             )
         except ValueError as exc:
             p.error(f"--join-agg-view {name!r}: {exc}")
-    if wheres:
-        # a --view-where naming no declared view is a typo that would
-        # silently register the view UNfiltered
+    if wheres or derives:
+        # a --view-where/--view-derive naming no declared view is a typo
+        # that would silently register the view unfiltered/underived
+        bad = sorted(set(wheres) | set(derives))
         p.error(
-            f"--view-where for undeclared view(s): {sorted(wheres)} — "
+            f"--view-where/--view-derive for undeclared view(s): {bad} — "
             f"names must match an --agg-view / --partition-view / "
             f"--join-agg-view entry"
         )

@@ -714,6 +714,7 @@ class CdcEngine:
         lgk: int = 12,
         k: int = 64,
         where: str | None = None,
+        derive: "dict[str, str] | None" = None,
     ) -> None:
         """Declare a grouped aggregate over a DIFF-mode monitored table to be
         MAINTAINED per tick from the captured change records — the engine-loop
@@ -790,9 +791,23 @@ class CdcEngine:
         the maintained "show me k current example rows per group" a
         100 TB table cannot answer by scanning.
 
+        ``derive`` (any kind) extends each row with EXPRESSION columns
+        before grouping/aggregating — ``derive={"revenue":
+        "l_extendedprice * (1 - l_discount)", "hour": "date_trunc('hour',
+        ts)"}`` — and ``group_keys`` / ``value_col`` / ``where`` may all
+        reference the derived names: the maintained form of TPC-H-Q1-style
+        rollups (sum of an arithmetic expression by a time bucket), which
+        raw-column views cannot express.  The fold stays O(delta):
+        ``operators/diff.py`` ``derive_diff`` evaluates each expression
+        against BOTH row images of the change records (two narrow
+        projections), so folds and retraction probes consume derived
+        columns exactly like stored ones.  Expressions must be row-local
+        and deterministic — a ``rand()`` would break fold==rebuild.
+
         ``where`` (any kind) restricts the view to the predicate subset
         σ_where(table) — a SQL boolean expression over the table's own
-        columns (``"o_totalprice > 1000 AND o_orderstatus = 'O'"``).  The
+        columns (``"o_totalprice > 1000 AND o_orderstatus = 'O'"``) or
+        derived names.  The
         fold stays O(delta): each tick's diff records are re-classified
         against both row images (``operators/diff.py`` ``filter_diff`` —
         an UPDATE that crosses the predicate becomes an INSERT into /
@@ -863,6 +878,7 @@ class CdcEngine:
             "lgk": lgk,
             "k": k,
             "where": where,
+            "derive": self._check_derive(derive),
         }
 
     def _view_dir(self, name: str) -> str:
@@ -880,6 +896,21 @@ class CdcEngine:
     # rename, truncation-guarded read) — not a third hand-rolled small-file
     # writer (r5 consolidated those for drift exactly like this).
 
+    @staticmethod
+    def _check_derive(derive: "dict[str, str] | None") -> "dict[str, str] | None":
+        """Validate a view's derived-column map at registration: non-empty
+        string names/expressions; expressions must be row-local and
+        deterministic (documented contract — a rand() here would break
+        fold==rebuild)."""
+        if derive is None:
+            return None
+        if not isinstance(derive, dict) or not derive:
+            raise ValueError("derive must be a non-empty {name: sql} dict")
+        for dn, dsql in derive.items():
+            if not str(dn).strip() or not str(dsql).strip():
+                raise ValueError(f"derive entry {dn!r}: empty name or expression")
+        return dict(derive)
+
     def _stable_spec(self, s: dict) -> dict:
         if "part_col" in s:
             fields = (
@@ -894,10 +925,12 @@ class CdcEngine:
             )
             if s.get("kind") == "distinct_count":
                 fields += ("lgk",)
-            # where joins the pinned spec only when set: states pinned
-            # before the field existed must keep matching their JSON
+            # where/derive join the pinned spec only when set: states
+            # pinned before the fields existed must keep matching their JSON
             if s.get("where"):
                 fields += ("where",)
+            if s.get("derive"):
+                fields += ("derive",)
             return {k: s[k] for k in fields}
         if s.get("kind") == "join":
             out = {k: s[k] for k in ("kind", "fact_table", "dim_table")}
@@ -932,10 +965,13 @@ class CdcEngine:
                 fields += ("lgk",)
             if s.get("kind") in ("freq_items", "sample"):
                 fields += ("k",)
-        # a predicate defines WHICH rows the state aggregates — same
-        # pinning rule as bucket edges, conditional for back-compat
+        # a predicate defines WHICH rows the state aggregates, and derived
+        # expressions define WHAT it aggregates — same pinning rule as
+        # bucket edges, conditional for back-compat
         if s.get("where"):
             fields += ("where",)
+        if s.get("derive"):
+            fields += ("derive",)
         return {k: s[k] for k in fields}
 
     def _read_pointer_json(self, d: str) -> dict | None:
@@ -1178,11 +1214,16 @@ class CdcEngine:
 
     def _build_agg_state(self, s: dict, cur: DataFrame) -> DataFrame:
         """Per-kind state from a full snapshot scan — the initial build and
-        the healing/rebuild path.  A ``where`` predicate restricts the view
-        to σ_pred(table) — applied here (builds/rebuilds) and in
-        :meth:`_fold_agg_state` (delta re-classification), which covers
-        every family that dispatches through these two: keyed agg views,
-        partition views, and aggregates over join views."""
+        the healing/rebuild path.  ``derive`` extends the rows with
+        expression columns FIRST (so group keys, the value column, and the
+        ``where`` predicate may all reference them); ``where`` then
+        restricts the view to σ_pred — both applied here (builds/rebuilds)
+        and in :meth:`_fold_agg_state` (delta re-derivation /
+        re-classification), which covers every family that dispatches
+        through these two: keyed agg views, partition views, and
+        aggregates over join views."""
+        for dn, dsql in (s.get("derive") or {}).items():
+            cur = cur.withColumn(dn, F.expr(dsql))
         if s.get("where"):
             cur = cur.filter(F.expr(s["where"]))
         if s["kind"] == "sum_count":
@@ -1235,6 +1276,13 @@ class CdcEngine:
         that changed the value): HLL registers are max-only, so the caller
         rebuilds from the current snapshot instead (documented degradation;
         sum_count/histogram folds are total)."""
+        if s.get("derive"):
+            from cdc_lite_spark.operators.diff import derive_diff
+
+            # extend BOTH row images with the derived expressions first, so
+            # the predicate, the folds, and the retraction probes all see
+            # derived columns exactly like stored ones
+            changes = derive_diff(changes, s["derive"])
         if s.get("where"):
             from cdc_lite_spark.operators.diff import filter_diff
 
@@ -1550,6 +1598,7 @@ class CdcEngine:
         bins: int = 64,
         lgk: int = 12,
         where: str | None = None,
+        derive: "dict[str, str] | None" = None,
     ) -> None:
         """Declare a grouped aggregate over a PARTITION-captured table
         (:meth:`poll_partitions`) to be maintained per tick at PARTITION
@@ -1618,6 +1667,7 @@ class CdcEngine:
             "bins": bins,
             "lgk": lgk,
             "where": where,
+            "derive": self._check_derive(derive),
         }
 
     def _read_parts_pointer(self, name: str) -> "dict | None":
@@ -2022,6 +2072,7 @@ class CdcEngine:
         lgk: int = 12,
         k: int = 64,
         where: str | None = None,
+        derive: "dict[str, str] | None" = None,
     ) -> None:
         """Declare a grouped aggregate OVER a registered join view,
         maintained end-to-end in O(delta): each tick the join fold also emits
@@ -2053,7 +2104,12 @@ class CdcEngine:
           existing view rows — their steady state is append-mostly
           workloads).
 
-        ``where`` restricts the aggregate to σ_where(join view) — a SQL
+        ``derive`` extends each view row with expression columns (either
+        side's columns may feed them) before grouping, exactly as for
+        :meth:`register_agg_view` — a maintained revenue-by-segment over
+        ``lineitem ⋈ part`` can aggregate ``l_extendedprice *
+        (1 - l_discount)`` directly.  ``where`` restricts the aggregate to
+        σ_where(join view) — a SQL
         boolean expression over the JOIN VIEW's columns (either side's),
         e.g. ``"o_totalprice > 1000 AND c_mktsegment = 'BUILDING'"``: the
         view-level I/D records are re-classified through the same
@@ -2108,6 +2164,7 @@ class CdcEngine:
             "lgk": lgk,
             "k": k,
             "where": where,
+            "derive": self._check_derive(derive),
         }
 
     def _read_join_basis(self, name: str) -> dict | None:

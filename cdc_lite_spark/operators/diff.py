@@ -113,6 +113,35 @@ def persisted_keys(prev: DataFrame, cur: DataFrame, keys: list[str]) -> DataFram
     return cur.join(prev.select(*keys), keys, "left_semi")
 
 
+def _eval_both_images(changes: DataFrame, exprs: "dict[str, str]") -> DataFrame:
+    """Evaluate SQL expressions against BOTH row images of diff records:
+    adds ``__cur_<alias>`` (current columns) and ``__prev_<alias>``
+    (``prev_`` twins where they exist; diff-key columns have no twin
+    because a key cannot change) for every ``alias -> sql`` entry — via
+    two narrow projections (positional stash, rebind prev values under the
+    data-column names, evaluate, restore): zero shuffles, zero UDFs.
+    Shared by :func:`filter_diff` and :func:`derive_diff`."""
+    cols = changes.columns
+    data_cols = [c for c in cols if c != "operation" and not c.startswith("prev_")]
+    has_prev = {c for c in data_cols if f"prev_{c}" in cols}
+
+    step = changes.select(
+        "*", *[F.expr(sql).alias(f"__cur_{a}") for a, sql in exprs.items()]
+    )
+    stashed = step.columns
+    prev_env = step.select(
+        *[F.col(f"`{c}`").alias(f"__o{i}") for i, c in enumerate(stashed)],
+        *[
+            (F.col(f"`prev_{c}`") if c in has_prev else F.col(f"`{c}`")).alias(c)
+            for c in data_cols
+        ],
+    )
+    return prev_env.select(
+        *[F.col(f"__o{i}").alias(c) for i, c in enumerate(stashed)],
+        *[F.expr(sql).alias(f"__prev_{a}") for a, sql in exprs.items()],
+    )
+
+
 def filter_diff(changes: DataFrame, predicate: str) -> DataFrame:
     """Diff records of the FILTERED relation σ_pred(T), derived from the
     diff records of T — what lets a maintained view aggregate a predicate
@@ -151,24 +180,11 @@ def filter_diff(changes: DataFrame, predicate: str) -> DataFrame:
     data_cols = [c for c in cols if c != "operation" and not c.startswith("prev_")]
     has_prev = {c for c in data_cols if f"prev_{c}" in cols}
 
-    def _ok(col):
-        return F.coalesce(col.cast("boolean"), F.lit(False))
+    def _ok(c):
+        return F.coalesce(F.col(c).cast("boolean"), F.lit(False))
 
-    step = changes.select("*", _ok(F.expr(predicate)).alias("__cur_ok"))
-    # evaluate the predicate over the PREVIOUS row image: stash every
-    # column positionally, rebind prev values under the data-column names,
-    # evaluate, then restore the originals
-    stashed = step.columns
-    prev_env = step.select(
-        *[F.col(f"`{c}`").alias(f"__o{i}") for i, c in enumerate(stashed)],
-        *[
-            (F.col(f"`prev_{c}`") if c in has_prev else F.col(f"`{c}`")).alias(c)
-            for c in data_cols
-        ],
-    )
-    flagged = prev_env.select(
-        *[F.col(f"__o{i}").alias(c) for i, c in enumerate(stashed)],
-        _ok(F.expr(predicate)).alias("__prev_ok"),
+    flagged = _eval_both_images(changes, {"ok": predicate}).withColumns(
+        {"__cur_ok": _ok("__cur_ok"), "__prev_ok": _ok("__prev_ok")}
     )
 
     ins = F.col("operation") == INSERT
@@ -202,3 +218,44 @@ def filter_diff(changes: DataFrame, predicate: str) -> DataFrame:
         return F.col(f"`{c}`")
 
     return flagged.filter(kept).select(*[_shape(c) for c in cols])
+
+
+def derive_diff(changes: DataFrame, derive: "dict[str, str]") -> DataFrame:
+    """Diff records EXTENDED with derived columns, evaluated against both
+    row images — what lets a maintained view group or aggregate by an
+    EXPRESSION of the row (``{"revenue": "l_extendedprice*(1-l_discount)"}``,
+    ``{"hour": "date_trunc('hour', ts)"}``) while folding O(delta).
+
+    Each ``name -> sql`` entry adds ``name`` (from the current image, NULL
+    on DELETE rows — the diff contract for payload columns) and
+    ``prev_name`` (from the previous image, NULL on INSERT rows), so the
+    output is still the ``snapshot_diff(include_prev=True)`` shape and
+    every fold and retraction probe consumes derived columns exactly like
+    stored ones.  Expressions must be row-local and deterministic (the
+    same discipline as :func:`filter_diff` predicates); names must not
+    collide with existing columns.  Two narrow projections — no shuffle,
+    no UDFs.
+    """
+    cols = changes.columns
+    for name in derive:
+        if name in cols or f"prev_{name}" in cols:
+            raise ValueError(
+                f"derived column {name!r} collides with an existing diff column"
+            )
+    ev = _eval_both_images(changes, derive)
+    ins = F.col("operation") == INSERT
+    dele = F.col("operation") == DELETE
+    return ev.select(
+        *[F.col(f"`{c}`") for c in cols],
+        # cur-side derived values are NULL on DELETE rows even when the
+        # expression itself is null-tolerant (e.g. coalesce(x, 0)) — the
+        # retracts stream must read only prev-side values
+        *[
+            F.when(~dele, F.col(f"__cur_{a}")).alias(a)
+            for a in derive
+        ],
+        *[
+            F.when(~ins, F.col(f"__prev_{a}")).alias(f"prev_{a}")
+            for a in derive
+        ],
+    )

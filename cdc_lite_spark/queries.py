@@ -8751,10 +8751,10 @@ def q_changelog_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/freq.py (Misra-Gries frequent items, r9) has full pytest
 # coverage (tests/test_freq.py property suite + the engine-kind test in
 # tests/test_engine_views_r9.py) but NO registry entry yet: the r9 window's
-# 50 slots are budgeted 5 new gates (the 4 r8-verdict asks below plus
-# filtered_view_maintenance) + 45 of the 47-query r5-stale rotation (r8
-# verdict ask #2 anticipated the split), so the 2 newest-registered of
-# that cohort carry to r10.  r10: register a `freq_items_heavy_hitters`
+# 50 slots are budgeted 6 new gates (the 4 r8-verdict asks below plus
+# filtered_view_maintenance and derived_view_maintenance) + 44 of the
+# 47-query r5-stale rotation (r8 verdict ask #2 anticipated the split),
+# so the 3 newest-registered of that cohort carry to r10.  r10: register a `freq_items_heavy_hitters`
 # gate on the events table — flags-style oracle (the HLL-gate pattern):
 # exact heavy set from DuckDB, assert all-present + bracket-sound
 # booleans — and an `incremental_sample_maintenance` gate for the r9
@@ -8819,5 +8819,72 @@ def q_filtered_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.col("agg_sum").cast("double").alias("agg_sum"),
         "agg_count",
+        "agg_rows",
+    )
+
+
+@register(
+    "derived_view_maintenance",
+    """
+    WITH cur AS (
+        SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 11 != 0
+    )
+    SELECT CAST(FLOOR(price / 100000) AS INT) AS band,
+           CAST(sum(price * CAST(0.9 AS DECIMAL(3,2))) AS DOUBLE) AS agg_sum,
+           CAST(count(*) AS BIGINT) AS agg_rows
+    FROM cur
+    GROUP BY 1
+    """,
+    "Derived-column maintained views (r9): group key AND value column are "
+    "EXPRESSIONS of the row (a FLOOR price band; a net-revenue product) — "
+    "derive_diff evaluates each expression against both row images of the "
+    "change records, so the fold retracts the OLD expression values and "
+    "adds the new ones (a price update that crosses a band boundary moves "
+    "the row between derived groups); the oracle recomputes the derived "
+    "aggregate from scratch and the folded state must match exactly",
+    tags=("cdc", "incremental", "agg", "derive"),
+)
+def q_derived_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine semantics behind register_agg_view(derive=...) at the
+    operator level (the incremental_agg_maintenance fixture with derived
+    group + value): prev shifts %13 keys' prices up 100k so the tick's
+    UPDATEs move rows ACROSS derived band groups.  FLOOR, not a bare int
+    cast — Spark truncates numeric→int while DuckDB rounds, so the band
+    expression must pin floor semantics to stay engine-portable.  100 TB
+    shape: derive_diff is two narrow projections over the delta; the fold
+    stays |changes|-sized however complex the derived expressions are."""
+    from cdc_lite_spark.operators.diff import derive_diff, snapshot_diff
+    from cdc_lite_spark.operators.incremental import apply_delta, sum_count_state
+
+    derive = {
+        "band": "CAST(FLOOR(price / 100000) AS INT)",
+        "net": "price * CAST(0.9 AS DECIMAL(3,2))",
+    }
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    k = F.col("o_orderkey")
+    cur = orders.filter(k % 11 != 0)
+    prev = orders.filter(k % 7 != 0).withColumn(
+        "price",
+        F.when(k % 13 == 0, F.col("price") + 100000).otherwise(F.col("price")),
+    )
+
+    def _derived(df):
+        out = df
+        for dn, dsql in derive.items():
+            out = out.withColumn(dn, F.expr(dsql))
+        return out
+
+    changes = snapshot_diff(prev, cur, ["o_orderkey"], include_prev=True)
+    state = sum_count_state(_derived(prev), ["band"], "net")
+    out = apply_delta(
+        state, derive_diff(changes, derive), ["band"], "net"
+    )
+    return out.select(
+        "band",
+        F.col("agg_sum").cast("double").alias("agg_sum"),
         "agg_rows",
     )

@@ -109,6 +109,7 @@ def _spec_of(
     where: str | None = None,
     lgk: int = 12,
     k: int = 64,
+    derive: "dict[str, str] | None" = None,
 ) -> dict:
     s = {
         "schema_ddl": schema_ddl,
@@ -124,6 +125,8 @@ def _spec_of(
         s["k"] = k
     if where:  # conditional: states pinned before the field keep matching
         s["where"] = where
+    if derive:
+        s["derive"] = dict(derive)
     return s
 
 
@@ -177,7 +180,10 @@ def _build_state(
     where: str | None = None,
     lgk: int = 12,
     k: int = 64,
+    derive: "dict[str, str] | None" = None,
 ) -> DataFrame:
+    for dn, dsql in (derive or {}).items():
+        rows = rows.withColumn(dn, F.expr(dsql))
     if where:
         rows = rows.filter(F.expr(where))
     if kind == "sum_count":
@@ -217,10 +223,17 @@ def _fold_state(
     where: str | None = None,
     lgk: int = 12,
     k: int = 64,
+    derive: "dict[str, str] | None" = None,
 ) -> "DataFrame | None":
     """Fold one batch's diff-shaped records into the agg state.  Returns
     ``None`` when the kind cannot fold THIS delta (a degrading kind saw a
     retraction) — the caller rebuilds from the advanced replica."""
+    if derive:
+        from cdc_lite_spark.operators.diff import derive_diff
+
+        # extend both row images first — group keys / value / where may
+        # all reference derived names (the engine's ordering contract)
+        changes = derive_diff(changes, derive)
     if where:
         from cdc_lite_spark.operators.diff import filter_diff
 
@@ -302,6 +315,7 @@ def init_changelog_view(
     where: str | None = None,
     lgk: int = 12,
     k: int = 64,
+    derive: "dict[str, str] | None" = None,
 ) -> None:
     """Lay down ``v0`` of both states: from ``history`` rows when the
     consumer joins an existing table mid-stream (one O(history) pass), or
@@ -327,7 +341,8 @@ def init_changelog_view(
         (
             _agg_dir(state_dir),
             _build_state(
-                rows, group_keys, value_col, kind, lo, hi, bins, where, lgk, k
+                rows, group_keys, value_col, kind, lo, hi, bins, where, lgk, k,
+                derive,
             ),
         ),
     ):
@@ -339,7 +354,8 @@ def init_changelog_view(
         spark,
         state_dir,
         _spec_of(
-            schema_ddl, group_keys, value_col, kind, lo, hi, bins, where, lgk, k
+            schema_ddl, group_keys, value_col, kind, lo, hi, bins, where, lgk, k,
+            derive,
         ),
     )
 
@@ -373,6 +389,7 @@ def start_changelog_view(
     where: str | None = None,
     lgk: int = 12,
     k: int = 64,
+    derive: "dict[str, str] | None" = None,
 ) -> StreamingQuery:
     """Attach view maintenance to an A8 change stream (``stream_changes``
     output).  ``schema_ddl`` declares the monitored table's columns (the
@@ -409,7 +426,8 @@ def start_changelog_view(
         spark,
         state_dir,
         _spec_of(
-            schema_ddl, group_keys, value_col, kind, lo, hi, bins, where, lgk, k
+            schema_ddl, group_keys, value_col, kind, lo, hi, bins, where, lgk, k,
+            derive,
         ),
     )
     schema = T.StructType.fromDDL(schema_ddl)
@@ -508,6 +526,7 @@ def start_changelog_view(
                 where,
                 lgk,
                 k,
+                derive,
             )
             if agg_new is None:
                 # a degrading kind saw a retraction: rebuild from the
@@ -526,6 +545,7 @@ def start_changelog_view(
                     where,
                     lgk,
                     k,
+                    derive,
                 )
             # replica first, agg last: an agg pointer at v{e+1} implies the
             # replica it folded against committed (readers read the agg)

@@ -102,6 +102,15 @@ def main() -> int:
     eng.register_agg_view(
         "examples", "orders", ["status"], "memo", kind="sample", k=3
     )
+    # DERIVED columns (r9): group by an expression bucket, aggregate an
+    # expression value — the maintained Q1-style rollup
+    eng.register_agg_view(
+        "banded_net", "orders", ["band"], "net",
+        derive={
+            "band": "CAST(FLOOR(amount / 250) AS INT)",
+            "net": "amount * CAST(0.9 AS DECIMAL(3,2))",
+        },
+    )
     # the join view: orders ⋈ status_dim kept current from BOTH sides'
     # change records — affected keys only, never a full re-join
     eng.register_join_view(
@@ -172,6 +181,10 @@ def main() -> int:
     show("tick 2: top memo terms", eng.view("memo_vocab").orderBy("term"), limit=5)
     show("tick 2: revenue WHERE amount > 500 (filtered view)", eng.view("big_revenue"))
     show("tick 2: 3 sampled memos per status", eng.view_sample("examples"))
+    show(
+        "tick 2: net revenue by derived price band",
+        eng.view("banded_net").orderBy("band"),
+    )
     teams = eng.view("orders_teams").groupBy("team").count()
     show("tick 2: joined view rows per team", teams)
     show("tick 2: maintained revenue per team", eng.view("team_rev"))

@@ -474,3 +474,64 @@ def test_cli_view_where(spark, sf_dir, tmp_path):
              spark=spark)
     with pytest.raises(SystemExit):  # malformed (no '=')
         main(base + ["--view-where", "nk"], spark=spark)
+
+
+def test_cli_view_derive(spark, sf_dir, tmp_path):
+    """--view-derive attaches expression columns a view's keys/value/where
+    may reference; malformed entries and unknown names fail at parse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cdc_lite_spark import CdcEngine
+    from cdc_lite_spark.cli import main
+    from cdc_lite_spark.sources.tables import load_table
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    rc = main(
+        [
+            "--source", sf_dir,
+            "--tables", "nation",
+            "--output-dir", out,
+            "--state-dir", state,
+            "--interval", "0.5",
+            "--duration", "12",
+            "--mode", "diff",
+            "--keys", "nation=n_nationkey",
+            "--agg-view", "nk=nation:n_regionkey:doubled",
+            "--view-derive", "nk=doubled=n_nationkey * 2",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    eng = CdcEngine(spark, output_dir=out, state_dir=state)
+    eng.register_agg_view(
+        "nk", "nation", ["n_regionkey"], "doubled",
+        derive={"doubled": "n_nationkey * 2"},
+    )
+    got = {r["n_regionkey"]: r["agg_sum"] for r in eng.view("nk").collect()}
+    want = {
+        r["n_regionkey"]: r["s"]
+        for r in load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.sum(F.col("n_nationkey") * 2).alias("s"))
+        .collect()
+    }
+    assert got == want
+
+    base = [
+        "--source", sf_dir,
+        "--tables", "nation",
+        "--output-dir", out,
+        "--state-dir", state,
+        "--duration", "0.1",
+        "--mode", "diff",
+        "--keys", "nation=n_nationkey",
+        "--agg-view", "nk=nation:n_regionkey:doubled",
+    ]
+    with pytest.raises(SystemExit):  # undeclared view name
+        main(base + ["--view-derive", "typo=doubled=n_nationkey * 2"], spark=spark)
+    with pytest.raises(SystemExit):  # malformed (missing expr)
+        main(base + ["--view-derive", "nk=doubled"], spark=spark)
+    with pytest.raises(SystemExit):  # repeated column for one view
+        main(base + ["--view-derive", "nk=d=1", "--view-derive", "nk=d=2"],
+             spark=spark)

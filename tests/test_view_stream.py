@@ -426,3 +426,36 @@ def test_changelog_degrading_kind_folds_insert_only_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_changelog_derived_view_converges(spark, tmp_path):
+    """derive= over the wire: a maintained sum of an EXPRESSION (v * 2)
+    grouped by a derived bucket, across real micro-batches with deletes
+    and group-moving updates, equals the filtered from-scratch aggregate."""
+    log = _write_log(spark, tmp_path, [_T1, _T2, _T3])
+    state_dir = str(tmp_path / "vstate_derived")
+    derive = {"bucket": "CAST(FLOOR(v / 25) AS INT)", "dbl": "v * 2"}
+    init_changelog_view(
+        spark, state_dir, _DDL, ["bucket"], "dbl", derive=derive
+    )
+    q = start_changelog_view(
+        stream_changes(spark, log, max_files_per_trigger=2),
+        "t", _DDL, ["id"], ["bucket"], "dbl",
+        state_dir, str(tmp_path / "ckpt_derived"),
+        available_now=True, derive=derive,
+    )
+    q.awaitTermination()
+    final = _df(spark, _T3)
+    got = {
+        r["bucket"]: (r["agg_sum"], r["agg_rows"])
+        for r in read_changelog_view(spark, state_dir).collect()
+    }
+    want = {
+        r["bucket"]: (r["s"], r["n"])
+        for r in final.withColumn("bucket", F.expr("CAST(FLOOR(v / 25) AS INT)"))
+        .withColumn("dbl", F.expr("v * 2"))
+        .groupBy("bucket")
+        .agg(F.sum("dbl").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
