@@ -966,3 +966,44 @@ def test_filter_diff_commutes_with_filter_under_random_histories(
     want = sum_count_state(cur.filter(pred), ["payload"], "value")
     as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
     assert as_set(folded) == as_set(want)
+
+
+DERIVES = st.sampled_from(
+    [
+        {"dv": "value * 2"},
+        {"dv": "coalesce(value, 0) + id"},
+        {"dv": "value * value", "bucket": "CAST(FLOOR(id / 10) AS INT)"},
+        {"dv": "CASE WHEN payload IS NULL THEN 0 ELSE value END"},
+    ]
+)
+
+
+@given(prev_rows=ROWS, cur_rows=ROWS, derive=DERIVES)
+@_SETTINGS
+def test_derive_diff_commutes_with_derivation_under_random_histories(
+    spark, prev_rows, cur_rows, derive
+):
+    """The derived-view invariant (r9): folding derive_diff(diff(prev,
+    cur)) onto the aggregate of the DERIVED previous snapshot equals the
+    from-scratch aggregate of the derived current snapshot — i.e.
+    derive_diff(diff(T)) IS diff(extend(T)).  Random histories cover
+    inserts/deletes/updates including NULL payloads and expressions that
+    are null-tolerant (whose DELETE-row cur-side must still be nulled)."""
+    from cdc_lite_spark.operators.diff import derive_diff
+    from cdc_lite_spark.operators.incremental import apply_delta, sum_count_state
+
+    gk = "bucket" if "bucket" in derive else "payload"
+    prev, cur = _df(spark, prev_rows), _df(spark, cur_rows)
+
+    def _extend(df):
+        out = df
+        for dn, dsql in derive.items():
+            out = out.withColumn(dn, F.expr(dsql))
+        return out
+
+    changes = snapshot_diff(prev, cur, ["id"], include_prev=True)
+    state = sum_count_state(_extend(prev), [gk], "dv")
+    folded = apply_delta(state, derive_diff(changes, derive), [gk], "dv")
+    want = sum_count_state(_extend(cur), [gk], "dv")
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(folded) == as_set(want)
