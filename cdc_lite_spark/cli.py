@@ -128,7 +128,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         help="name=joinview:key1+key2:valuecol[:kind],... — maintain a "
         "grouped aggregate OVER a --join-view entry, folded from the join "
         "fold's own change records in O(delta) (kinds: sum_count default, "
-        "moments, min_max, distinct_count; histogram needs bucket edges — "
+        "moments, min_max, distinct_count, freq_items, sample; histogram "
+        "needs bucket edges — "
         "use the register_join_agg_view API).  Read back with "
         "CdcEngine.view(name)",
     )

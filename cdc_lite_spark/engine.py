@@ -954,7 +954,7 @@ class CdcEngine:
                 fields += ("lo", "hi", "bins")
             if s.get("agg_kind") == "distinct_count":
                 fields += ("lgk",)
-            if s.get("agg_kind") == "freq_items":
+            if s.get("agg_kind") in ("freq_items", "sample"):
                 fields += ("k",)
         else:
             fields = ("table", "group_keys", "value_col", "kind", "lo", "hi", "bins")
@@ -1495,11 +1495,12 @@ class CdcEngine:
         ``(group_keys..., pk, value_col)`` where ``pk`` is the sampled
         row's key rendering (US-separated for composite keys).  Reads only
         the O(|groups|·k) state, never the monitored table."""
-        spec = self._agg_views.get(name)
+        spec = self._agg_views.get(name) or self._join_agg_views.get(name)
         if spec is None:
             raise ValueError(f"no registered view: {name!r}")
-        if spec["kind"] != "sample":
-            raise ValueError(f"view {name!r} is {spec['kind']}, not sample")
+        kind = spec.get("agg_kind") if spec["kind"] == "join_agg" else spec["kind"]
+        if kind != "sample":
+            raise ValueError(f"view {name!r} is {kind}, not sample")
         return self.view(name).select(
             *spec["group_keys"],
             F.col("__pk").alias("pk"),
@@ -2093,9 +2094,11 @@ class CdcEngine:
           via :meth:`view_quantiles`) is exactly retractable too — integer
           bucket counts fold +cur/−prev, so the fold is TOTAL;
         - ``"min_max"``, ``"distinct_count"`` (HLL, ``lgk`` registers,
-          read via :meth:`view_distinct_counts`), and ``"freq_items"``
+          read via :meth:`view_distinct_counts`), ``"freq_items"``
           (Misra-Gries, ``k`` entries, read via
-          :meth:`view_heavy_hitters`) fold insert-only deltas and DEGRADE
+          :meth:`view_heavy_hitters`), and ``"sample"`` (deterministic
+          bottom-k-by-fact-key-hash view rows, read via
+          :meth:`view_sample`) fold insert-only deltas and DEGRADE
           on retracting ticks to ONE aggregation over the join view's
           PERSISTED state — never a re-join of the base tables (the
           register_agg_view retraction discipline, one delta-sized probe
@@ -2133,10 +2136,19 @@ class CdcEngine:
             "min_max",
             "distinct_count",
             "freq_items",
+            "sample",
         ):
             raise ValueError(
                 f"join_agg view {name!r}: unknown agg_kind {agg_kind!r}"
             )
+        if agg_kind == "sample":
+            if value_col in group_keys:
+                raise ValueError(
+                    "sample views keep the payload beside the group keys — "
+                    f"value_col {value_col!r} must not be one of the group keys"
+                )
+            if not k > 0:
+                raise ValueError(f"k must be positive, got {k}")
         if agg_kind == "histogram":
             if lo is None or hi is None:
                 raise ValueError("histogram views need explicit lo/hi bucket edges")
@@ -2341,6 +2353,12 @@ class CdcEngine:
             try:
                 # the single-table dispatchers key on "kind"
                 a_kind = {**a, "kind": a.get("agg_kind", "sum_count")}
+                if a_kind["kind"] == "sample":
+                    # row identity of a join view = its unique fact key
+                    # (transient — _stable_spec never pins pk_cols)
+                    a_kind["pk_cols"] = list(
+                        self._join_views[a["join_view"]]["fact_key"]
+                    )
                 a_pinned = self._check_view_spec(an, a)
                 if heal and self._committed_dir(f"{self._view_dir(an)}/v={k}"):
                     if not a_pinned:

@@ -205,3 +205,60 @@ def test_filtered_sample_view(spark, tables, tmp_path):
         mutated.filter(pred), ["o_orderstatus"], "price", ["o_orderkey"], K
     )
     assert _sample_set(eng.view("exf")) == _sample_set(want)
+
+
+def test_join_agg_sample_view(spark, tables, tmp_path):
+    """agg_kind='sample' over a join view: the maintained per-segment
+    example rows equal a from-scratch bottom-k over the joined relation
+    (row identity = the fact key); an append-only tick folds, a tick
+    touching existing rows rebuilds from the persisted view state."""
+    eng = _engine(spark, tmp_path)
+    orders = tables["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cust = tables["customer"].select("c_custkey", "c_mktsegment")
+    eng.register_join_view(
+        "oc", fact_table="orders", dim_table="customer",
+        fact_key="o_orderkey", fact_dim_col="o_custkey", dim_key="c_custkey",
+    )
+    eng.register_join_agg_view(
+        "seg_examples", "oc", ["c_mktsegment"], "price", agg_kind="sample", k=K
+    )
+    keys = {"orders": ["o_orderkey"], "customer": ["c_custkey"]}
+
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    eng.poll_once({"orders": base, "customer": cust}, mode="diff", keys=keys)
+
+    def _want(fact):
+        j = fact.join(cust, fact["o_custkey"] == cust["c_custkey"]).select(
+            "o_orderkey", "c_mktsegment", "price"
+        )
+        return sample_state(j, ["c_mktsegment"], "price", ["o_orderkey"], K)
+
+    def _got():
+        return {
+            (r["c_mktsegment"], r["__pk"], str(r["price"]))
+            for r in eng.view("seg_examples").collect()
+        }
+
+    def _set(df):
+        return {
+            (r["c_mktsegment"], r["__pk"], str(r["price"])) for r in df.collect()
+        }
+
+    assert _got() == _set(_want(base))
+
+    # append-only tick folds
+    eng.poll_once({"orders": orders, "customer": cust}, mode="diff", keys=keys)
+    assert _got() == _set(_want(orders))
+
+    # deleting tick rebuilds (from persisted view state) — still exact
+    shrunk = orders.filter(F.col("o_orderkey") % 7 != 0)
+    eng.poll_once({"orders": shrunk, "customer": cust}, mode="diff", keys=keys)
+    assert _got() == _set(_want(shrunk))
+
+    with pytest.raises(ValueError, match="not sample"):
+        eng.register_join_agg_view("bad", "oc", ["c_mktsegment"], "price")
+        eng.view_sample("bad")
