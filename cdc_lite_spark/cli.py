@@ -107,7 +107,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         "partition-granular aggregate view over a --partition-cols table: "
         "each tick re-aggregates only drifted partitions and replaces "
         "their state rows (kinds: sum_count default, moments, min_max, "
-        "distinct_count; histogram needs edges — use the "
+        "distinct_count, freq_items; histogram needs edges — use the "
         "register_partition_agg_view API).  Read back with "
         "CdcEngine.view_merged(name)",
     )

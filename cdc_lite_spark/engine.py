@@ -925,6 +925,8 @@ class CdcEngine:
             )
             if s.get("kind") == "distinct_count":
                 fields += ("lgk",)
+            if s.get("kind") == "freq_items":
+                fields += ("k",)
             # where/derive join the pinned spec only when set: states
             # pinned before the fields existed must keep matching their JSON
             if s.get("where"):
@@ -1479,8 +1481,15 @@ class CdcEngine:
         ``count_lo ≤ true_count ≤ count_hi`` guaranteed.  ``min_share``
         keeps items whose LOWER bound clears that share of the group's
         rows (no false positives).  Reads only the ≤ k-entry state arrays
-        — never the monitored table (operators/freq.py heavy_hitters)."""
-        spec = self._agg_views.get(name) or self._join_agg_views.get(name)
+        — never the monitored table (operators/freq.py heavy_hitters).
+        Serves single-table, join-aggregate, AND partition-granular
+        freq_items views — the latter over :meth:`view_merged`'s
+        bracket-preserving summary merge."""
+        spec = (
+            self._agg_views.get(name)
+            or self._join_agg_views.get(name)
+            or self._part_agg_views.get(name)
+        )
         if spec is None:
             raise ValueError(f"no registered view: {name!r}")
         kind = spec.get("agg_kind") if spec["kind"] == "join_agg" else spec["kind"]
@@ -1488,7 +1497,12 @@ class CdcEngine:
             raise ValueError(f"view {name!r} is {kind}, not freq_items")
         from cdc_lite_spark.operators.freq import heavy_hitters
 
-        return heavy_hitters(self.view(name), spec["group_keys"], min_share)
+        st = (
+            self.view_merged(name)
+            if name in self._part_agg_views
+            else self.view(name)
+        )
+        return heavy_hitters(st, spec["group_keys"], min_share)
 
     def view_sample(self, name: str) -> DataFrame:
         """The maintained per-group row sample from a ``sample`` view —
@@ -1584,6 +1598,7 @@ class CdcEngine:
         "min_max",
         "histogram",
         "distinct_count",
+        "freq_items",
     )
 
     def register_partition_agg_view(
@@ -1598,6 +1613,7 @@ class CdcEngine:
         hi: float | None = None,
         bins: int = 64,
         lgk: int = 12,
+        k: int = 64,
         where: str | None = None,
         derive: "dict[str, str] | None" = None,
     ) -> None:
@@ -1667,6 +1683,7 @@ class CdcEngine:
             "hi": hi,
             "bins": bins,
             "lgk": lgk,
+            "k": k,
             "where": where,
             "derive": self._check_derive(derive),
         }
@@ -1811,10 +1828,12 @@ class CdcEngine:
 
     def view_merged(self, name: str) -> DataFrame:
         """Per-group aggregate from a partition view's state alone — the
-        lossless merge across partitions (sums add, extrema least/greatest,
-        bucket counts add, HLL sketches union; ``histogram`` output keeps
-        the (group, bucket) grain so ``quantiles_from_histogram`` applies
-        directly).  Never touches the monitored table."""
+        merge across partitions (sums add, extrema least/greatest, bucket
+        counts add, HLL sketches union — all lossless; ``freq_items``
+        summaries merge with the bracket guarantee preserved,
+        deficit ≤ Σnᵢ/(k+1); ``histogram`` output keeps the (group,
+        bucket) grain so ``quantiles_from_histogram`` applies directly).
+        Never touches the monitored table."""
         s = self._part_agg_views.get(name)
         if s is None:
             raise ValueError(f"no registered partition view: {name!r}")
@@ -1844,6 +1863,14 @@ class CdcEngine:
         if kind == "histogram":
             return st.groupBy(*gk, "bucket").agg(
                 F.sum("bkt_count").alias("bkt_count")
+            )
+        if kind == "freq_items":
+            from cdc_lite_spark.operators.freq import merge_grouped_freq
+
+            # one summary row per (partition, group) → one per group;
+            # O(|parts|·k) state arithmetic, never the facts
+            return merge_grouped_freq(
+                st.drop("__part"), gk, s.get("k", 64)
             )
         # distinct_count: union the per-partition sketches, then surface
         # the estimate (the view_distinct_counts shape — readers want a

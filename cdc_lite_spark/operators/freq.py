@@ -181,31 +181,39 @@ def freq_items_state(
     return partials.groupBy(*keys).applyInPandas(_merge_rows(keys, k), schema)
 
 
+def merge_grouped_freq(
+    state: DataFrame, keys: list[str], k: int = 64
+) -> DataFrame:
+    """N-way merge: collapse MULTIPLE summary rows per group (one per
+    source / partition) into one — weights of shared items add, one
+    decrement round restores capacity, deficits and row counts add, so
+    the ``wt ≤ true ≤ wt + deficit`` bracket holds for the union with
+    deficit ≤ Σnᵢ/(k+1).  Input is one row per (group, source) — state
+    arithmetic, never the data."""
+    schema = _state_schema(
+        [f for f in state.schema.fields if f.name in keys],
+        state.schema["items"].dataType.elementType,
+    )
+    if not keys:
+        return (
+            state.withColumn("__g", F.lit(0))
+            .groupBy("__g")
+            .applyInPandas(_merge_rows(["__g"], k), _state_schema(
+                [T.StructField("__g", T.IntegerType(), False)],
+                state.schema["items"].dataType.elementType,
+            ))
+            .drop("__g")
+        )
+    return state.groupBy(*keys).applyInPandas(_merge_rows(keys, k), schema)
+
+
 def merge_freq_states(
     a: DataFrame, b: DataFrame, keys: list[str], k: int = 64
 ) -> DataFrame:
     """Merge two summaries in the ``freq_items_state`` shape (each one row
-    per group): weights of shared items add, one decrement round restores
-    capacity, deficits and row counts add — so the bracket
-    ``wt ≤ true ≤ wt + deficit`` holds for the union with
-    deficit ≤ (n_a + n_b)/(k+1).  Input is ≤ 2 rows per group — state
-    arithmetic, never the data."""
-    both = a.unionByName(b)
-    schema = _state_schema(
-        [f for f in a.schema.fields if f.name in keys],
-        a.schema["items"].dataType.elementType,
-    )
-    if not keys:
-        return (
-            both.withColumn("__g", F.lit(0))
-            .groupBy("__g")
-            .applyInPandas(_merge_rows(["__g"], k), _state_schema(
-                [T.StructField("__g", T.IntegerType(), False)],
-                a.schema["items"].dataType.elementType,
-            ))
-            .drop("__g")
-        )
-    return both.groupBy(*keys).applyInPandas(_merge_rows(keys, k), schema)
+    per group) — the two-source special case of
+    :func:`merge_grouped_freq`."""
+    return merge_grouped_freq(a.unionByName(b), keys, k)
 
 
 def fold_freq_inserts(

@@ -165,3 +165,39 @@ def test_mg_guarantees_under_random_multisets(spark, rows, k):
     ).repartition(5)
     state = freq_items_state(df, ["g"], "item", k)
     _check_guarantees(_exact(df, ["g"], "item"), _summary(state, ["g"]), k)
+
+
+def test_partition_freq_items_view_merges_with_guarantees(spark, tables, tmp_path):
+    """freq_items as a PARTITION-view kind (r9): per-partition summaries
+    replace wholesale on drift; view_merged collapses them with the
+    bracket guarantee, and with k >= |distinct items| the merged weights
+    equal true counts exactly (deficit 0)."""
+    from pyspark.sql import functions as F
+
+    from cdc_lite_spark import CdcEngine
+
+    eng = CdcEngine(
+        spark, output_dir=str(tmp_path / "c"), state_dir=str(tmp_path / "s")
+    )
+    eng.register_partition_agg_view(
+        "prio_status", "orders", "o_orderpriority", [], "o_orderstatus",
+        kind="freq_items", k=16,
+    )
+    orders = tables["orders"].select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    eng.poll_partitions("orders", orders, "o_orderpriority")
+
+    mutated = orders.filter(F.col("o_orderkey") % 4 != 1)
+    eng.poll_partitions("orders", mutated, "o_orderpriority")
+
+    hh = eng.view_heavy_hitters("prio_status")
+    got = {r["item"]: (r["count_lo"], r["count_hi"]) for r in hh.collect()}
+    want = {
+        r["o_orderstatus"]: r["n"]
+        for r in mutated.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # k=16 >= 3 distinct statuses: exact (deficit 0 in every partition)
+    assert got == {item: (n, n) for item, n in want.items()}
