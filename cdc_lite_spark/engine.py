@@ -1629,9 +1629,11 @@ class CdcEngine:
         degrade to rebuilds under keyed diffs: deleting rows inside a
         partition simply makes that partition's state fresh from its
         current rows.  ``kind`` ∈ ``sum_count`` / ``moments`` / ``min_max``
-        / ``histogram`` / ``distinct_count``; per-group answers come from
-        :meth:`view_merged` (states merge losslessly: sums add, extrema
-        least/greatest, bucket counts add, HLL sketches union).
+        / ``histogram`` / ``distinct_count`` / ``freq_items``; per-group
+        answers come from :meth:`view_merged` (sums add, extrema
+        least/greatest, bucket counts add, HLL sketches union — all
+        lossless; freq_items summaries merge with the count bracket
+        preserved).
 
         Self-healing without snapshot versions: the state commits with a
         ``_parts`` pointer recording the per-partition fingerprints it
