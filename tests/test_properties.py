@@ -1007,3 +1007,44 @@ def test_derive_diff_commutes_with_derivation_under_random_histories(
     want = sum_count_state(_extend(cur), [gk], "dv")
     as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
     assert as_set(folded) == as_set(want)
+
+
+@given(prev_rows=ROWS, cur_rows=ROWS)
+@_SETTINGS
+def test_maintained_sample_equals_rebuild_under_random_histories(
+    spark, prev_rows, cur_rows
+):
+    """The sample-view invariant (r9): whenever the delta is foldable (no
+    DELETE, no group-moving UPDATE — the engine's retraction probe), the
+    fold equals a from-scratch bottom-k rebuild EXACTLY; and the rebuild
+    itself is partitioning-invariant.  Random histories are projected to
+    the foldable subset by replaying deletions/group-moves as part of the
+    base (what the engine's rebuild path covers — pinned separately in
+    tests/test_sample_views.py)."""
+    from cdc_lite_spark.operators.incremental import (
+        apply_sample_delta,
+        sample_state,
+    )
+
+    prev_by_id = {r[0]: r for r in prev_rows}
+    # foldable cur: keep every prev row's group (payload), allow value
+    # changes, and add pure inserts — drop cur rows that would delete or
+    # group-move a prev row
+    cur_map = {r[0]: r for r in cur_rows}
+    foldable = []
+    for rid, r in prev_by_id.items():
+        c = cur_map.get(rid)
+        if c is not None and c[1] == r[1]:
+            foldable.append(c)  # value may differ — in-group update
+        else:
+            foldable.append(r)  # keep (no deletes / group moves)
+    foldable += [r for rid, r in cur_map.items() if rid not in prev_by_id]
+
+    prev, cur = _df(spark, list(prev_by_id.values())), _df(spark, foldable)
+    changes = snapshot_diff(prev, cur, ["id"], include_prev=True)
+    state = sample_state(prev, ["payload"], "value", ["id"], 3)
+    folded = apply_sample_delta(state, changes, ["payload"], "value", ["id"], 3)
+    rebuilt = sample_state(cur, ["payload"], "value", ["id"], 3)
+    rebuilt2 = sample_state(cur.repartition(7), ["payload"], "value", ["id"], 3)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(folded) == as_set(rebuilt) == as_set(rebuilt2)
