@@ -201,3 +201,32 @@ def test_partition_freq_items_view_merges_with_guarantees(spark, tables, tmp_pat
     }
     # k=16 >= 3 distinct statuses: exact (deficit 0 in every partition)
     assert got == {item: (n, n) for item, n in want.items()}
+
+
+@given(rows=ITEMS, k=st.integers(min_value=1, max_value=6),
+       parts=st.integers(min_value=2, max_value=4))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_nway_merge_guarantees_under_random_splits(spark, rows, k, parts):
+    """merge_grouped_freq (r9, the partition-view merge): split ANY
+    multiset into N parts, summarize each independently, merge — every
+    true-heavy item of the UNION present, every bracket contains its true
+    count, deficit ≤ n/(k+1)."""
+    from cdc_lite_spark.operators.freq import merge_grouped_freq
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(g, f"i{v}", i % parts) for i, (g, v) in enumerate(rows)],
+        "g STRING, item STRING, part INT",
+    )
+    summaries = [
+        freq_items_state(df.filter(F.col("part") == p).drop("part"), ["g"], "item", k)
+        for p in range(parts)
+    ]
+    allp = summaries[0]
+    for s in summaries[1:]:
+        allp = allp.unionByName(s)
+    merged = merge_grouped_freq(allp, ["g"], k)
+    _check_guarantees(_exact(df.drop("part"), ["g"], "item"), _summary(merged, ["g"]), k)
