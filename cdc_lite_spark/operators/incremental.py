@@ -646,16 +646,23 @@ def apply_text_delta(
 #   callers rebuild (the engine degradation shared with min_max).
 
 
+def _pk_string(pk_cols: "list[str]"):
+    """The canonical string rendering of the key tuple: US-separated,
+    NULL components as NUL.  THE single definition — sample_state,
+    apply_sample_delta, and _sample_hash must all hash/join on the exact
+    same bytes or row identities silently split."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in pk_cols]
+    return F.concat_ws("\x1f", *parts)
+
+
 def _sample_hash(pk_cols: "list[str]"):
     """Deterministic 60-bit hash of the key tuple (DuckDB-reproducible —
-    functions/hashes.py portable_hash64 over the US-joined key rendering,
-    NULL components as NUL).  Key columns have no prev_ twins in diff
-    records (a key cannot change), so the same expression reads both row
-    images."""
+    functions/hashes.py portable_hash64 over the _pk_string rendering).
+    Key columns have no prev_ twins in diff records (a key cannot
+    change), so the same expression reads both row images."""
     from cdc_lite_spark.functions.hashes import portable_hash64
 
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in pk_cols]
-    return portable_hash64(F.concat_ws("\x1f", *parts))
+    return portable_hash64(_pk_string(pk_cols))
 
 
 def sample_state(
@@ -669,9 +676,7 @@ def sample_state(
     the shuffle."""
     from pyspark.sql import Window
 
-    pk_str = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in pk_cols]
-    )
+    pk_str = _pk_string(pk_cols)
     if value_col in keys:
         raise ValueError(
             "sample state keeps the payload beside the group keys — "
@@ -708,25 +713,28 @@ def apply_sample_delta(
     from pyspark.sql import Window
 
     upd = changes.filter(F.col("operation") == "UPDATE").select(
-        F.concat_ws(
-            "\x1f",
-            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in pk_cols],
-        ).alias("__pk"),
+        _pk_string(pk_cols).alias("__pk"),
         F.col(value_col).alias("__new_v"),
+        # explicit hit marker: NULL payloads must patch THROUGH — a bare
+        # coalesce(__new_v, old) would silently keep the stale value when
+        # an update sets the value column to NULL
+        F.lit(True).alias("__hit"),
     )
     # broadcast the delta-sized update map against the O(groups·k) state
     patched = (
         state.join(F.broadcast(upd), "__pk", "left_outer")
-        .withColumn(value_col, F.coalesce("__new_v", value_col))
-        .drop("__new_v")
+        .withColumn(
+            value_col,
+            F.when(F.col("__hit").isNotNull(), F.col("__new_v")).otherwise(
+                F.col(value_col)
+            ),
+        )
+        .drop("__new_v", "__hit")
     )
     ins = changes.filter(F.col("operation") == "INSERT")
     delta = ins.select(
         *keys,
-        F.concat_ws(
-            "\x1f",
-            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in pk_cols],
-        ).alias("__pk"),
+        _pk_string(pk_cols).alias("__pk"),
         _sample_hash(pk_cols).alias("__h"),
         F.col(value_col),
     )

@@ -25,7 +25,11 @@ ROWS = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=50),  # id
         st.text(alphabet="abcxyz ", max_size=8) | st.none(),  # payload
-        st.integers(min_value=-5, max_value=5),  # value
+        # include None so NULL-valued updates are generated — the exact
+        # blind spot that hid the apply_sample_delta coalesce bug (r9
+        # ADVICE): an in-group UPDATE setting the value to NULL must
+        # patch through, not keep the stale payload
+        st.integers(min_value=-5, max_value=5) | st.none(),  # value
     ),
     min_size=0,
     max_size=12,

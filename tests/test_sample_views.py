@@ -86,6 +86,26 @@ def test_sample_fold_equals_rebuild_on_inserts_and_updates(spark, tables):
     assert _sample_set(folded) == _sample_set(rebuilt)
 
 
+def test_sample_fold_patches_null_setting_updates(spark):
+    """Regression (r9 ADVICE high): an in-group UPDATE that sets the value
+    column to NULL must patch through to the sampled payload — a bare
+    coalesce(new, old) would silently keep the stale value while a rebuild
+    yields NULL, breaking fold==rebuild."""
+    from cdc_lite_spark.operators.diff import snapshot_diff
+
+    schema = "id int, grp string, v int"
+    prev = spark.createDataFrame([(1, "a", 5), (2, "a", 7), (3, "b", 9)], schema)
+    cur = spark.createDataFrame([(1, "a", None), (2, "a", 7), (3, "b", 9)], schema)
+    changes = snapshot_diff(prev, cur, ["id"], include_prev=True)
+    state = sample_state(prev, ["grp"], "v", ["id"], K)
+    folded = apply_sample_delta(state, changes, ["grp"], "v", ["id"], K)
+    rebuilt = sample_state(cur, ["grp"], "v", ["id"], K)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(folded) == as_set(rebuilt)
+    # the patched row really is NULL now
+    assert {r["v"] for r in folded.filter(F.col("__pk") == "1").collect()} == {None}
+
+
 def test_sample_state_rejects_value_col_in_keys(spark, tables):
     with pytest.raises(ValueError, match="must not be one of the group keys"):
         sample_state(
