@@ -8747,20 +8747,10 @@ def q_changelog_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(td, ignore_errors=True)
 
 
-# --- staged for the r10 correctness window ----------------------------------
-# operators/freq.py (Misra-Gries frequent items, r9) has full pytest
-# coverage (tests/test_freq.py property suite + the engine-kind test in
-# tests/test_engine_views_r9.py) but NO registry entry yet: the r9 window's
-# 50 slots are budgeted 6 new gates (the 4 r8-verdict asks below plus
-# filtered_view_maintenance and derived_view_maintenance) + 44 of the
-# 47-query r5-stale rotation (r8 verdict ask #2 anticipated the split),
-# so the 3 newest-registered of that cohort carry to r10.  r10: register a `freq_items_heavy_hitters`
-# gate on the events table — flags-style oracle (the HLL-gate pattern):
-# exact heavy set from DuckDB, assert all-present + bracket-sound
-# booleans — and an `incremental_sample_maintenance` gate for the r9
-# sample view kind (exact oracle: portable_hash64_sql bottom-k via
-# row_number — membership is engine-reproducible by construction) —
-# alongside the leftover rotation.
+# The r9-staged freq_items / sample oracle gates are registered at the end
+# of this file (`freq_items_heavy_hitters`, `incremental_sample_maintenance`
+# — r10 verdict ask #1); the r10 window budget is those 2 + the 3 r5-stale
+# + 45 of the 50 r6-stale rotations.
 
 
 @register(
@@ -8887,4 +8877,143 @@ def q_derived_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         F.col("agg_sum").cast("double").alias("agg_sum"),
         "agg_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# r10: driver oracle gates for the last two r9 view kinds — freq_items
+# (Misra-Gries) and sample (deterministic bottom-k).  With these, every
+# registered operator family has a driver correctness row.
+# ---------------------------------------------------------------------------
+
+# The item expression is shared VERBATIM between the Spark builder and the
+# DuckDB oracle (both dialects accept `CAST(x AS STRING)` and this CASE):
+# two deliberately heavy items (~1/3 of rows each — the user_id%3∈{0,1}
+# classes) over a long tail of ~50 light per-user items, so the Misra-Gries
+# guarantee (every item with count > n/(k+1) present) has a wide margin on
+# both sides of the threshold at every SF.
+_FREQ_ITEM_SQL = (
+    "CASE WHEN user_id % 3 = 0 THEN 'hot_a' "
+    "WHEN user_id % 3 = 1 THEN 'hot_b' "
+    "ELSE CAST(user_id AS STRING) END"
+)
+_FREQ_K = 16
+
+
+@register(
+    "freq_items_heavy_hitters",
+    f"""
+    WITH it AS (SELECT event_type, {_FREQ_ITEM_SQL} AS item FROM events),
+    n AS (SELECT event_type, count(*) AS n_rows FROM it GROUP BY 1),
+    c AS (SELECT event_type, item, count(*) AS exact_count FROM it GROUP BY 1, 2)
+    SELECT c.event_type, c.item, c.exact_count,
+           TRUE AS present, TRUE AS bracket_ok
+    FROM c JOIN n USING (event_type)
+    WHERE c.exact_count * {_FREQ_K + 1} > n.n_rows
+    """,
+    "freq_items (Misra-Gries, r9): distributed mergeable heavy-hitters "
+    "summary checked by its GUARANTEES, not its weights (the HLL-gate "
+    "pattern — MG weights are partition-dependent, the guarantees are "
+    "not): DuckDB computes the exact heavy set (count·(k+1) > n per "
+    "group); the Spark side must report every such item present in the "
+    "k=16 summary with a sound [count_lo, count_hi] bracket around the "
+    "exact count",
+    tags=("approx", "freq", "incremental"),
+)
+def q_freq_items_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/freq.py freq_items_state → heavy_hitters, judged against
+    an exact recompute.  A missing true-heavy item or an exact count
+    outside its bracket flips a boolean and fails the hash match.  100 TB
+    shape: the summary is one O(k) array row per (group, partition) out of
+    each mapInPandas task — the shuffle carries |groups|·|partitions|
+    bounded rows, never the |domain|-sized exact counts (which exist here
+    only as the judge)."""
+    from cdc_lite_spark.operators.freq import freq_items_state, heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(_FREQ_ITEM_SQL).alias("item")
+    )
+    state = freq_items_state(ev, ["event_type"], "item", _FREQ_K)
+    report = heavy_hitters(state, ["event_type"]).select(
+        "event_type", "item", "count_lo", "count_hi"
+    )
+    exact = ev.groupBy("event_type", "item").agg(F.count("*").alias("exact_count"))
+    n = ev.groupBy("event_type").agg(F.count("*").alias("n_rows"))
+    heavy = exact.join(F.broadcast(n), "event_type").filter(
+        F.col("exact_count") * (_FREQ_K + 1) > F.col("n_rows")
+    )
+    out = heavy.join(F.broadcast(report), ["event_type", "item"], "left_outer")
+    return out.select(
+        "event_type",
+        "item",
+        "exact_count",
+        F.col("count_lo").isNotNull().alias("present"),
+        (
+            F.col("count_lo").isNotNull()
+            & (F.col("count_lo") <= F.col("exact_count"))
+            & (F.col("exact_count") <= F.col("count_hi"))
+        ).alias("bracket_ok"),
+    )
+
+
+def _sample_maintenance_oracle(k: int = 10) -> str:
+    from cdc_lite_spark.functions.hashes import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(o_orderkey AS STRING)")
+    return f"""
+    SELECT o_orderstatus, pk, CAST(price AS DOUBLE) AS price FROM (
+        SELECT o_orderstatus,
+               CAST(o_orderkey AS STRING) AS pk,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY {h}, CAST(o_orderkey AS STRING)) AS rn
+        FROM orders
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "incremental_sample_maintenance",
+    _sample_maintenance_oracle(),
+    "sample view kind (deterministic bottom-k by key hash, r9): a foldable "
+    "insert+in-group-update delta applied to the previous sample must land "
+    "EXACTLY on the bottom-k of the current table — membership is a pure "
+    "function of the portable key hash, so the DuckDB oracle reproduces "
+    "the exact member set and payloads via the same md5-prefix hash and a "
+    "row_number window",
+    tags=("cdc", "incremental", "sampling"),
+)
+def q_incremental_sample_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/incremental.py sample_state + apply_sample_delta over a
+    real snapshot_diff delta (the incremental_agg_maintenance fixture,
+    foldable subset): prev lacks the %7 keys (INSERTs) and carries %13
+    prices shifted +100 (in-group UPDATEs restoring the originals), cur is
+    the full table — no deletes, no group moves, so the engine's
+    retraction probe classifies the tick foldable.  The fold touches
+    |changes| + O(groups·k) rows, never re-ranks the table; the oracle is
+    the from-scratch bottom-k of cur, equal iff the fold is exact
+    (including the r10 NULL-patching fix path)."""
+    from cdc_lite_spark.operators.diff import snapshot_diff
+    from cdc_lite_spark.operators.incremental import apply_sample_delta, sample_state
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    k = F.col("o_orderkey")
+    cur = orders
+    prev = orders.filter(k % 7 != 0).withColumn(
+        "price",
+        F.when(k % 13 == 0, F.col("price") + 100).otherwise(F.col("price")),
+    )
+    changes = snapshot_diff(prev, cur, ["o_orderkey"], include_prev=True)
+    state = sample_state(prev, ["o_orderstatus"], "price", ["o_orderkey"], 10)
+    folded = apply_sample_delta(
+        state, changes, ["o_orderstatus"], "price", ["o_orderkey"], 10
+    )
+    return folded.select(
+        "o_orderstatus",
+        F.col("__pk").alias("pk"),
+        F.col("price").cast("double").alias("price"),
     )
