@@ -74,11 +74,14 @@ from cdc_lite_spark.streaming._state import (
 )
 
 #: abelian kinds fold TOTAL per batch; the degrading kinds (min_max /
-#: distinct_count / freq_items — states that cannot give a value back)
-#: fold insert-only batches and REBUILD FROM THE REPLICA on retracting
-#: ones: the replica IS the latest-per-key table, so the rebuild is one
-#: aggregation over it — the same cost class as the per-epoch replica
-#: rewrite, and exactly the engine's degradation discipline
+#: distinct_count / freq_items / sample — states that cannot give a value
+#: back) fold insert-only batches and REBUILD FROM THE REPLICA on
+#: retracting ones: the replica IS the latest-per-key table, so the
+#: rebuild is one aggregation over it — the same cost class as the
+#: per-epoch replica rewrite, and exactly the engine's degradation
+#: discipline.  ``sample`` folds in-group UPDATEs too (membership rides
+#: on the key hash, so a changed value patches the sampled payload in
+#: place) and retracts only on DELETE / group-moving UPDATE.
 _KINDS = (
     "sum_count",
     "moments",
@@ -86,8 +89,9 @@ _KINDS = (
     "min_max",
     "distinct_count",
     "freq_items",
+    "sample",
 )
-_DEGRADING = ("min_max", "distinct_count", "freq_items")
+_DEGRADING = ("min_max", "distinct_count", "freq_items", "sample")
 
 
 def _replica_dir(state_dir: str) -> str:
@@ -110,6 +114,7 @@ def _spec_of(
     lgk: int = 12,
     k: int = 64,
     derive: "dict[str, str] | None" = None,
+    pk_cols: "list[str] | None" = None,
 ) -> dict:
     s = {
         "schema_ddl": schema_ddl,
@@ -123,6 +128,9 @@ def _spec_of(
         s["lgk"] = lgk
     if kind == "freq_items":
         s["k"] = k
+    if kind == "sample":  # membership rides on the key hash: pin both
+        s["k"] = k
+        s["pk_cols"] = list(pk_cols or [])
     if where:  # conditional: states pinned before the field keep matching
         s["where"] = where
     if derive:
@@ -181,11 +189,16 @@ def _build_state(
     lgk: int = 12,
     k: int = 64,
     derive: "dict[str, str] | None" = None,
+    pk_cols: "list[str] | None" = None,
 ) -> DataFrame:
     for dn, dsql in (derive or {}).items():
         rows = rows.withColumn(dn, F.expr(dsql))
     if where:
         rows = rows.filter(F.expr(where))
+    if kind == "sample":
+        from cdc_lite_spark.operators.incremental import sample_state
+
+        return sample_state(rows, group_keys, value_col, pk_cols, k)
     if kind == "sum_count":
         from cdc_lite_spark.operators.incremental import sum_count_state
 
@@ -224,6 +237,7 @@ def _fold_state(
     lgk: int = 12,
     k: int = 64,
     derive: "dict[str, str] | None" = None,
+    pk_cols: "list[str] | None" = None,
 ) -> "DataFrame | None":
     """Fold one batch's diff-shaped records into the agg state.  Returns
     ``None`` when the kind cannot fold THIS delta (a degrading kind saw a
@@ -249,8 +263,18 @@ def _fold_state(
 
         return apply_moments_delta(state, changes, group_keys, value_col)
     if kind in _DEGRADING:
-        if _has_retractions(changes, group_keys, value_col):
+        # sample retracts only on DELETE / group-moving UPDATE — an
+        # in-group value change patches the sampled payload in place
+        # (engine.py _has_retractions, the same carve-out)
+        watched = group_keys if kind == "sample" else [value_col, *group_keys]
+        if _has_retractions(changes, watched):
             return None
+        if kind == "sample":
+            from cdc_lite_spark.operators.incremental import apply_sample_delta
+
+            return apply_sample_delta(
+                state, changes, group_keys, value_col, pk_cols, k
+            )
         inserts = changes.filter(F.col("operation") == INSERT)
         if kind == "min_max":
             from cdc_lite_spark.operators.incremental import (
@@ -276,19 +300,18 @@ def _fold_state(
     )
 
 
-def _has_retractions(
-    changes: DataFrame, group_keys: list[str], value_col: str
-) -> bool:
+def _has_retractions(changes: DataFrame, watched: list[str]) -> bool:
     """The engine's retraction probe (engine.py _has_retractions) over the
-    batch's diff-shaped records: a DELETE, or an UPDATE whose value or
-    group key changed.  One limit(1) action over the delta-sized
-    (persisted) enrichment."""
+    batch's diff-shaped records: a DELETE, or an UPDATE whose watched
+    columns changed (value + group keys for most kinds; group keys only
+    for ``sample``).  One limit(1) action over the delta-sized (persisted)
+    enrichment."""
 
     def _prev(c: str):
         return F.col(f"prev_{c}") if f"prev_{c}" in changes.columns else F.col(c)
 
     moved = F.lit(False)
-    for c in [value_col, *group_keys]:
+    for c in watched:
         moved = moved | ~_prev(c).eqNullSafe(F.col(c))
     return (
         changes.filter(
@@ -316,11 +339,15 @@ def init_changelog_view(
     lgk: int = 12,
     k: int = 64,
     derive: "dict[str, str] | None" = None,
+    key_cols: "list[str] | None" = None,
 ) -> None:
     """Lay down ``v0`` of both states: from ``history`` rows when the
     consumer joins an existing table mid-stream (one O(history) pass), or
     empty — the engine's first capture logs every row as INSERT, so a
-    consumer starting from an empty replica converges on the first batch."""
+    consumer starting from an empty replica converges on the first batch.
+    ``kind="sample"`` needs ``key_cols`` (the table's primary key —
+    sample membership is a pure function of the key hash) and must match
+    the ``key_cols`` later passed to :func:`start_changelog_view`."""
     if kind not in _KINDS:
         raise ValueError(f"changelog view kind must be one of {_KINDS}, got {kind!r}")
     if kind == "histogram":
@@ -329,6 +356,7 @@ def init_changelog_view(
         if lo is None or hi is None:
             raise ValueError("histogram views need explicit lo/hi bucket edges")
         _check_edges(lo, hi, bins)
+    _check_sample_params(kind, key_cols, group_keys, value_col, k)
     if where is not None and not str(where).strip():
         raise ValueError("where must be a non-empty SQL boolean expression")
     schema = T.StructType.fromDDL(schema_ddl)
@@ -342,7 +370,7 @@ def init_changelog_view(
             _agg_dir(state_dir),
             _build_state(
                 rows, group_keys, value_col, kind, lo, hi, bins, where, lgk, k,
-                derive,
+                derive, key_cols,
             ),
         ),
     ):
@@ -355,9 +383,32 @@ def init_changelog_view(
         state_dir,
         _spec_of(
             schema_ddl, group_keys, value_col, kind, lo, hi, bins, where, lgk, k,
-            derive,
+            derive, key_cols,
         ),
     )
+
+
+def _check_sample_params(
+    kind: str,
+    key_cols: "list[str] | None",
+    group_keys: list[str],
+    value_col: str,
+    k: int,
+) -> None:
+    if kind != "sample":
+        return
+    if not key_cols:
+        raise ValueError(
+            "sample views need key_cols — membership is a pure function "
+            "of the primary-key hash"
+        )
+    if value_col in group_keys:
+        raise ValueError(
+            "sample views keep the payload beside the group keys — "
+            f"value_col {value_col!r} must not be one of the group keys"
+        )
+    if not k > 0:
+        raise ValueError(f"sample views need k > 0, got {k}")
 
 
 def read_changelog_view(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -413,6 +464,7 @@ def start_changelog_view(
         if lo is None or hi is None:
             raise ValueError("histogram views need explicit lo/hi bucket edges")
         _check_edges(lo, hi, bins)
+    _check_sample_params(kind, key_cols, group_keys, value_col, k)
     spark = stream.sparkSession
     if not fs_for(_replica_dir(state_dir), spark).dir_exists(_replica_dir(state_dir)):
         raise ValueError(
@@ -427,7 +479,7 @@ def start_changelog_view(
         state_dir,
         _spec_of(
             schema_ddl, group_keys, value_col, kind, lo, hi, bins, where, lgk, k,
-            derive,
+            derive, key_cols,
         ),
     )
     schema = T.StructType.fromDDL(schema_ddl)
@@ -527,6 +579,7 @@ def start_changelog_view(
                 lgk,
                 k,
                 derive,
+                key_cols,
             )
             if agg_new is None:
                 # a degrading kind saw a retraction: rebuild from the
@@ -546,6 +599,7 @@ def start_changelog_view(
                     lgk,
                     k,
                     derive,
+                    key_cols,
                 )
             # replica first, agg last: an agg pointer at v{e+1} implies the
             # replica it folded against committed (readers read the agg)

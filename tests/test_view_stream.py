@@ -51,6 +51,9 @@ def _write_log(spark, tmp_path, ticks) -> str:
 def _drain(spark, log_dir, tmp_path, kind, **kw):
     state_dir = str(tmp_path / f"vstate_{kind}")
     init_changelog_view(spark, state_dir, _DDL, ["grp"], "v", kind=kind, **kw)
+    # start_changelog_view takes the table key positionally — init's
+    # key_cols kw (sample kind) must not be passed twice
+    start_kw = {k2: v for k2, v in kw.items() if k2 != "key_cols"}
     q = start_changelog_view(
         stream_changes(spark, log_dir, max_files_per_trigger=2),
         "t",
@@ -62,7 +65,7 @@ def _drain(spark, log_dir, tmp_path, kind, **kw):
         str(tmp_path / f"ckpt_{kind}"),
         kind=kind,
         available_now=True,
-        **kw,
+        **start_kw,
     )
     q.awaitTermination()
     return state_dir
@@ -389,6 +392,85 @@ def test_changelog_freq_items_converges(spark, tmp_path):
     for r in rows:
         true_n = truth.get((r["grp"], str(r["item"])), 0)
         assert r["count_lo"] <= true_n <= r["count_hi"]
+
+
+def test_changelog_sample_converges_with_retractions(spark, tmp_path):
+    """Deterministic bottom-k sample over the wire (r10): retracting
+    batches (deletes / group-moving updates) rebuild from the advanced
+    replica, in-group updates patch payloads — the drained state equals
+    the from-scratch bottom-k of the final table EXACTLY (membership is a
+    pure function of the key hash)."""
+    from cdc_lite_spark.operators.incremental import sample_state
+
+    log = _write_log(spark, tmp_path, [_T1, _T2, _T3])
+    state_dir = _drain(spark, log, tmp_path, "sample", k=2, key_cols=["id"])
+    got = {tuple(r) for r in read_changelog_view(spark, state_dir).collect()}
+    want = {
+        tuple(r) for r in sample_state(_df(spark, _T3), ["grp"], "v", ["id"], 2).collect()
+    }
+    assert got == want
+    # the null-valued insert (id=6) must be able to appear with v=None
+    assert any(pk == "6" for (_, pk, _h, _v) in got) == any(
+        pk == "6" for (_, pk, _h, _v) in want
+    )
+
+
+def test_changelog_sample_insert_only_folds_and_update_patches(spark, tmp_path):
+    """An insert-only then in-group-update log must FOLD (zero batch
+    rebuilds beyond the init build) and still equal the rebuild — the
+    payload patch path over the wire, including the engine-enriched
+    UPDATE classification."""
+    import cdc_lite_spark.streaming.view_stream as vs
+    from cdc_lite_spark.operators.incremental import sample_state
+
+    t2 = _T1 + [(9, "d", 90.0), (10, "d", 95.0)]
+    # tick 3: in-group value updates only (no deletes, no group moves)
+    t3 = [(i, g, v + 1 if i % 2 == 0 else v) for (i, g, v) in t2]
+    log = _write_log(spark, tmp_path, [_T1, t2, t3])
+    builds = []
+    real = vs._build_state
+
+    def spy(*a, **kw):
+        builds.append(1)
+        return real(*a, **kw)
+
+    vs._build_state = spy
+    try:
+        state_dir = _drain(spark, log, tmp_path, "sample", k=3, key_cols=["id"])
+    finally:
+        vs._build_state = real
+    assert sum(builds) == 1  # init only — every batch folded
+    got = {tuple(r) for r in read_changelog_view(spark, state_dir).collect()}
+    want = {
+        tuple(r) for r in sample_state(_df(spark, t3), ["grp"], "v", ["id"], 3).collect()
+    }
+    assert got == want
+
+
+def test_changelog_sample_requires_key_cols_and_pins_spec(spark, tmp_path):
+    """Param validation + the spec pin: init without key_cols fails; a
+    start whose k mismatches the pinned init spec fails fast."""
+    state_dir = str(tmp_path / "vstate")
+    with pytest.raises(ValueError, match="need key_cols"):
+        init_changelog_view(spark, state_dir, _DDL, ["grp"], "v", kind="sample")
+    init_changelog_view(
+        spark, state_dir, _DDL, ["grp"], "v", kind="sample", k=2, key_cols=["id"]
+    )
+    (tmp_path / "nolog").mkdir()  # stream source needs the dir to exist
+    with pytest.raises(ValueError, match="initialized with"):
+        start_changelog_view(
+            stream_changes(spark, str(tmp_path / "nolog")),
+            "t",
+            _DDL,
+            ["id"],
+            ["grp"],
+            "v",
+            state_dir,
+            str(tmp_path / "ckpt"),
+            kind="sample",
+            k=5,
+            available_now=True,
+        )
 
 
 def test_changelog_degrading_kind_folds_insert_only_batch(spark, tmp_path):
