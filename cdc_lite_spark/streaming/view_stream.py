@@ -324,6 +324,91 @@ def _has_retractions(changes: DataFrame, watched: list[str]) -> bool:
     )
 
 
+def _typed_latest(
+    batch: DataFrame, table: str, schema: T.StructType, key_cols: list[str]
+) -> DataFrame:
+    """Steps 1 of the batch protocol for one table: cast the wire's string
+    map through the declared DDL and collapse to latest-per-key by capture
+    timestamp (max_by — no sort); a key's intermediate values within the
+    batch cancel in the net fold."""
+    non_key = [f.name for f in schema.fields if f.name not in key_cols]
+    typed = batch.filter(
+        (F.col("table") == table)
+        & F.col("operation").isin(INSERT, UPDATE, DELETE)
+    ).select(
+        "timestamp",
+        "operation",
+        *[
+            F.col("data").getItem(f.name).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ],
+    )
+    return (
+        typed.groupBy(*key_cols)
+        .agg(
+            F.max_by(F.struct("operation", *non_key), F.col("timestamp")).alias(
+                "__r"
+            )
+        )
+        .select(*key_cols, "__r.*")
+    )
+
+
+def _diff_records(
+    latest: DataFrame,
+    replica: DataFrame,
+    key_cols: list[str],
+    non_key: list[str],
+    dtypes: dict,
+) -> DataFrame:
+    """Step 2: classify the batch's net rows against the replica into
+    diff-shaped records with ``prev_`` values (key in replica →
+    UPDATE/DELETE, absent → INSERT; DELETE of an absent key drops).  The
+    replica scan is map-side — the batch keys broadcast."""
+    bkeys = latest.select(*key_cols)
+    hit = replica.join(F.broadcast(bkeys), key_cols, "left_semi").select(
+        *key_cols,
+        *[F.col(c).alias(f"prev_{c}") for c in non_key],
+        F.lit(True).alias("__present"),
+    )
+    return (
+        latest.join(F.broadcast(hit), key_cols, "left_outer")
+        .withColumn(
+            "operation",
+            F.when(
+                F.col("operation") == DELETE,
+                F.when(F.col("__present"), DELETE),  # else null → drop
+            )
+            .when(F.col("__present"), F.lit(UPDATE))
+            .otherwise(F.lit(INSERT)),
+        )
+        .filter(F.col("operation").isNotNull())
+        .select(
+            *key_cols,
+            "operation",
+            # DELETE rows carry null cur values (the diff contract)
+            *[
+                F.when(F.col("operation") != DELETE, F.col(c))
+                .cast(dtypes[c])
+                .alias(c)
+                for c in non_key
+            ],
+            *[F.col(f"prev_{c}") for c in non_key],
+        )
+    )
+
+
+def _advance_replica(
+    replica: DataFrame, latest: DataFrame, key_cols: list[str], non_key: list[str]
+) -> DataFrame:
+    """Step 4: (replica ∖ batch keys) ∪ latest non-DELETE rows."""
+    bkeys = latest.select(*key_cols)
+    kept = replica.join(F.broadcast(bkeys), key_cols, "left_anti")
+    return kept.unionByName(
+        latest.filter(F.col("operation") != DELETE).select(*key_cols, *non_key)
+    )
+
+
 def init_changelog_view(
     spark: SparkSession,
     state_dir: str,
@@ -488,31 +573,6 @@ def start_changelog_view(
 
     def _tick(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
-        typed = (
-            batch.filter(
-                (F.col("table") == table)
-                & F.col("operation").isin(INSERT, UPDATE, DELETE)
-            )
-            .select(
-                "timestamp",
-                "operation",
-                *[
-                    F.col("data").getItem(f.name).cast(f.dataType).alias(f.name)
-                    for f in schema.fields
-                ],
-            )
-        )
-        # collapse to latest-per-key by capture timestamp: intermediate
-        # values within the batch cancel in the net fold (max_by — no sort)
-        latest = (
-            typed.groupBy(*key_cols)
-            .agg(
-                F.max_by(
-                    F.struct("operation", *non_key), F.col("timestamp")
-                ).alias("__r")
-            )
-            .select(*key_cols, "__r.*")
-        )
         # delta-sized — consumed by the enrichment join, the replica
         # advance, and (via enriched) the agg fold.  persist(), not
         # localCheckpoint(): the micro-batch file source is deterministic
@@ -520,52 +580,16 @@ def start_changelog_view(
         # checkpointed frame is a silent no-op (blocks only free on driver
         # GC) — a 1 s-trigger stream would accumulate executor storage
         # between GC cycles (r9 review)
-        latest = latest.persist()
+        latest = _typed_latest(batch, table, schema, key_cols).persist()
         try:
             rep_fs = fs_for(_replica_dir(state_dir), spark)
             replica = read_for_epoch(
                 spark, _replica_dir(state_dir), epoch, rep_fs, schema=schema_ddl
             )
-            bkeys = latest.select(*key_cols)
-            # replica rows hit by this batch (map-side: batch keys broadcast)
-            hit = replica.join(F.broadcast(bkeys), key_cols, "left_semi").select(
-                *key_cols,
-                *[F.col(c).alias(f"prev_{c}") for c in non_key],
-                F.lit(True).alias("__present"),
-            )
-            enriched = (
-                latest.join(F.broadcast(hit), key_cols, "left_outer")
-                .withColumn(
-                    "operation",
-                    F.when(
-                        F.col("operation") == DELETE,
-                        F.when(F.col("__present"), DELETE),  # else null → drop
-                    )
-                    .when(F.col("__present"), F.lit(UPDATE))
-                    .otherwise(F.lit(INSERT)),
-                )
-                .filter(F.col("operation").isNotNull())
-                .select(
-                    *key_cols,
-                    "operation",
-                    # DELETE rows carry null cur values (the diff contract)
-                    *[
-                        F.when(F.col("operation") != DELETE, F.col(c))
-                        .cast(dtypes[c])
-                        .alias(c)
-                        for c in non_key
-                    ],
-                    *[F.col(f"prev_{c}") for c in non_key],
-                )
-            )
+            enriched = _diff_records(latest, replica, key_cols, non_key, dtypes)
             agg_fs = fs_for(_agg_dir(state_dir), spark)
             agg_prev = read_for_epoch(spark, _agg_dir(state_dir), epoch, agg_fs)
-            kept = replica.join(F.broadcast(bkeys), key_cols, "left_anti")
-            new_replica = kept.unionByName(
-                latest.filter(F.col("operation") != DELETE).select(
-                    *key_cols, *non_key
-                )
-            )
+            new_replica = _advance_replica(replica, latest, key_cols, non_key)
             agg_new = _fold_state(
                 agg_prev,
                 enriched,
@@ -610,6 +634,273 @@ def start_changelog_view(
                 latest.unpersist()
             except Exception:  # noqa: BLE001 — cleanup best-effort
                 pass
+
+    writer = stream.writeStream.foreachBatch(_tick).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+# --- wire-driven JOIN views --------------------------------------------------
+#
+# A changelog consumer maintaining ``fact ⋈ dim`` WITHOUT the engine: the
+# one wire stream carries both tables' records (each wire row names its
+# ``table``), so one foreachBatch keeps a latest-per-key replica PER SIDE
+# and folds the join state with the same affected-key algebra the engine
+# loop uses (operators/incremental.py ``maintain_join``) — a tick's work is
+# |Δfact| + the fan-out of the changed dim keys, never a re-join of the
+# tables.  This closes for joins the engine-only gap the single-table
+# adapter closed for aggregates (the reference's downstream contract:
+# consumers see only the wire, duckdb_cdc.go:259-291).
+#
+# State layout under one root, committed per epoch in dependency order —
+# fact replica, dim replica, then the JOIN state LAST — so a join pointer
+# at ``v{e+1}`` implies both replicas it was folded against committed
+# (readers read the join):
+#
+# - ``<state_dir>/fact_replica`` / ``<state_dir>/dim_replica`` — the
+#   latest-per-key tables the wire implies;
+# - ``<state_dir>/join`` — one row per fact key, fact columns first then
+#   every dim column (the engine's join-view column contract: names must
+#   not collide — TPC-H-style prefixes make this natural).
+#
+# The affected-key sets fed to maintain_join are just the batches' key
+# sets (any batched fact key, plus every fact referencing a batched dim
+# key) — the wire consumer never needs prev_-enriched records for the
+# join itself, because the fold re-reads refreshed rows from the advanced
+# replicas.  Dangling facts re-enter on dim arrival via the fact-side
+# semi-join (assume_fk_integrity=False), exactly as in the engine loop.
+
+
+def _fact_replica_dir(state_dir: str) -> str:
+    return state_dir + "/fact_replica"
+
+
+def _dim_replica_dir(state_dir: str) -> str:
+    return state_dir + "/dim_replica"
+
+
+def _join_dir(state_dir: str) -> str:
+    return state_dir + "/join"
+
+
+def _join_spec_of(
+    fact_table: str,
+    dim_table: str,
+    fact_ddl: str,
+    dim_ddl: str,
+    fact_key: list[str],
+    fact_dim_col: list[str],
+    dim_key: list[str],
+) -> dict:
+    return {
+        "kind": "join",
+        "fact_table": fact_table,
+        "dim_table": dim_table,
+        "fact_ddl": fact_ddl,
+        "dim_ddl": dim_ddl,
+        "fact_key": list(fact_key),
+        "fact_dim_col": list(fact_dim_col),
+        "dim_key": list(dim_key),
+    }
+
+
+def _check_join_params(
+    fact_schema: T.StructType,
+    dim_schema: T.StructType,
+    fact_key: list[str],
+    fact_dim_col: list[str],
+    dim_key: list[str],
+) -> None:
+    if len(fact_dim_col) != len(dim_key):
+        raise ValueError(
+            f"fact_dim_col {fact_dim_col} and dim_key {dim_key} pair "
+            "positionally — lengths must match"
+        )
+    fcols, dcols = set(fact_schema.names), set(dim_schema.names)
+    clash = fcols & dcols
+    if clash:
+        raise ValueError(
+            "join view columns must not collide across the two tables "
+            f"(the engine's join-view contract), got {sorted(clash)}"
+        )
+    for cols, names, label in (
+        (fcols, fact_key, "fact_key"),
+        (fcols, fact_dim_col, "fact_dim_col"),
+        (dcols, dim_key, "dim_key"),
+    ):
+        missing = [c for c in names if c not in cols]
+        if missing:
+            raise ValueError(f"{label} {missing} not in the declared schema")
+
+
+def _initial_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_dim_col: list[str],
+    dim_key: list[str],
+) -> DataFrame:
+    from cdc_lite_spark.operators.incremental import key_eq
+
+    return fact.join(
+        dim,
+        key_eq((fact[f], dim[d]) for f, d in zip(fact_dim_col, dim_key)),
+        "inner",
+    )
+
+
+def init_changelog_join_view(
+    spark: SparkSession,
+    state_dir: str,
+    fact_table: str,
+    dim_table: str,
+    fact_ddl: str,
+    dim_ddl: str,
+    fact_key: list[str],
+    fact_dim_col: list[str],
+    dim_key: list[str],
+    fact_history: DataFrame | None = None,
+    dim_history: DataFrame | None = None,
+) -> None:
+    """Lay down ``v0`` of both replicas and the join state: from history
+    rows when the consumer joins mid-stream (one O(history) join), or
+    empty — the engine's first capture logs every row as INSERT, so an
+    empty init converges on the first batch."""
+    fschema = T.StructType.fromDDL(fact_ddl)
+    dschema = T.StructType.fromDDL(dim_ddl)
+    _check_join_params(fschema, dschema, fact_key, fact_dim_col, dim_key)
+    fact = (
+        fact_history
+        if fact_history is not None
+        else spark.createDataFrame([], fschema)
+    )
+    dim = dim_history if dim_history is not None else spark.createDataFrame([], dschema)
+    for d, df in (
+        (_fact_replica_dir(state_dir), fact),
+        (_dim_replica_dir(state_dir), dim),
+        (_join_dir(state_dir), _initial_join(fact, dim, fact_dim_col, dim_key)),
+    ):
+        df.write.mode("overwrite").parquet(d + "/v0")
+        repoint(d, "v0", fs_for(d, spark))
+    _pin_spec(
+        spark,
+        state_dir,
+        _join_spec_of(
+            fact_table, dim_table, fact_ddl, dim_ddl, fact_key, fact_dim_col,
+            dim_key,
+        ),
+    )
+
+
+def read_changelog_join_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The current committed join state (join pointer — commits last, so
+    what it references was folded against committed replicas)."""
+    return read_current(spark, _join_dir(state_dir))
+
+
+def start_changelog_join_view(
+    stream: DataFrame,
+    fact_table: str,
+    dim_table: str,
+    fact_ddl: str,
+    dim_ddl: str,
+    fact_key: list[str],
+    fact_dim_col: list[str],
+    dim_key: list[str],
+    state_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 1,
+    available_now: bool = False,
+    hint_broadcast: bool = True,
+) -> StreamingQuery:
+    """Attach ``fact ⋈ dim`` maintenance to an A8 change stream carrying
+    both tables' records.  ``fact_key`` must be unique in the fact table
+    (the star fact-PK shape); ``fact_dim_col``/``dim_key`` pair
+    positionally.  ``hint_broadcast`` has maintain_join's hot-dim-key
+    escape-hatch semantics (a dim key with ~10^8 referencing facts needs
+    AQE fallback, not a forced broadcast).
+
+    Per micro-batch (epoch ``e``): collapse each side's wire records to
+    net latest-per-key, advance each replica, fold the join state with
+    the batches' key sets as the affected sets, then commit fact replica
+    → dim replica → join (the join commit is the epoch's externally
+    visible barrier).  Replay recomputes bit-identical versions, so state
+    is exactly-once under foreachBatch's at-least-once calls."""
+    from cdc_lite_spark.operators.incremental import maintain_join
+
+    fschema = T.StructType.fromDDL(fact_ddl)
+    dschema = T.StructType.fromDDL(dim_ddl)
+    _check_join_params(fschema, dschema, fact_key, fact_dim_col, dim_key)
+    spark = stream.sparkSession
+    if not fs_for(_join_dir(state_dir), spark).dir_exists(_join_dir(state_dir)):
+        raise ValueError(
+            f"no changelog join state under {state_dir!r} — call "
+            "init_changelog_join_view first (empty init converges from "
+            "the log's INSERT-everything first tick)"
+        )
+    _check_spec(
+        spark,
+        state_dir,
+        _join_spec_of(
+            fact_table, dim_table, fact_ddl, dim_ddl, fact_key, fact_dim_col,
+            dim_key,
+        ),
+    )
+    f_non_key = [f.name for f in fschema.fields if f.name not in fact_key]
+    d_non_key = [f.name for f in dschema.fields if f.name not in dim_key]
+    join_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in [*fschema.fields, *dschema.fields]
+    )
+
+    def _tick(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        f_latest = _typed_latest(batch, fact_table, fschema, fact_key).persist()
+        d_latest = _typed_latest(batch, dim_table, dschema, dim_key).persist()
+        try:
+            f_fs = fs_for(_fact_replica_dir(state_dir), spark)
+            d_fs = fs_for(_dim_replica_dir(state_dir), spark)
+            j_fs = fs_for(_join_dir(state_dir), spark)
+            f_rep = read_for_epoch(
+                spark, _fact_replica_dir(state_dir), epoch, f_fs, schema=fact_ddl
+            )
+            d_rep = read_for_epoch(
+                spark, _dim_replica_dir(state_dir), epoch, d_fs, schema=dim_ddl
+            )
+            m_old = read_for_epoch(
+                spark, _join_dir(state_dir), epoch, j_fs, schema=join_ddl
+            )
+            new_f = _advance_replica(f_rep, f_latest, fact_key, f_non_key)
+            new_d = _advance_replica(d_rep, d_latest, dim_key, d_non_key)
+            # the affected sets are just the batches' key sets — the fold
+            # re-reads refreshed rows from the ADVANCED replicas, so no
+            # prev_-enrichment is needed for the join itself
+            m_new = maintain_join(
+                m_old,
+                new_f,
+                new_d,
+                f_latest,
+                d_latest,
+                fact_key,
+                fact_dim_col,
+                dim_key,
+                hint_broadcast=hint_broadcast,
+            )
+            # dependency order: both replicas before the join — a join
+            # pointer at v{e+1} implies the replicas it folded against
+            commit_version(new_f, _fact_replica_dir(state_dir), epoch, f_fs)
+            commit_version(new_d, _dim_replica_dir(state_dir), epoch, d_fs)
+            commit_version(m_new, _join_dir(state_dir), epoch, j_fs)
+        finally:
+            for h in (f_latest, d_latest):
+                try:
+                    h.unpersist()
+                except Exception:  # noqa: BLE001 — cleanup best-effort
+                    pass
 
     writer = stream.writeStream.foreachBatch(_tick).option(
         "checkpointLocation", checkpoint_dir

@@ -541,3 +541,181 @@ def test_changelog_derived_view_converges(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# --- wire-driven JOIN views (r10) -------------------------------------------
+
+from cdc_lite_spark.streaming.view_stream import (  # noqa: E402
+    init_changelog_join_view,
+    read_changelog_join_view,
+    start_changelog_join_view,
+)
+
+_FACT_DDL = "fid BIGINT, fk BIGINT, amount DECIMAL(10,2)"
+_DIM_DDL = "did BIGINT, label STRING"
+
+
+def _fact(spark, rows):
+    return spark.createDataFrame(
+        rows, "fid BIGINT, fk BIGINT, amount DOUBLE"
+    ).withColumn("amount", F.col("amount").cast("decimal(10,2)"))
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, "did BIGINT, label STRING")
+
+
+# tick 1: two dims, three facts, one DANGLING fact (fk=3 has no dim yet)
+_F1 = [(1, 1, 10.0), (2, 1, 20.0), (3, 2, 30.0), (4, 3, 40.0)]
+_D1 = [(1, "a"), (2, "b")]
+# tick 2: dim 3 ARRIVES (dangling fact re-enters), dim 2 relabeled
+# (fan-out into fact 3), fact 2 deleted, fact 5 inserted, fact 1 updated
+_F2 = [(1, 1, 11.0), (3, 2, 30.0), (4, 3, 40.0), (5, 2, 50.0)]
+_D2 = [(1, "a"), (2, "B"), (3, "c")]
+# tick 3: dim 1 DELETED (its facts drop out of the inner join)
+_F3 = [(1, 1, 11.0), (3, 2, 30.0), (4, 3, 40.0), (5, 2, 50.0)]
+_D3 = [(2, "B"), (3, "c")]
+
+
+def _write_join_log(spark, tmp_path, ticks) -> str:
+    eng = CdcEngine(
+        spark,
+        output_dir=str(tmp_path / "jlog"),
+        state_dir=str(tmp_path / "jestate"),
+        emit_schema_changes=False,
+    )
+    for frows, drows in ticks:
+        eng.poll_once(
+            {"f": _fact(spark, frows), "d": _dim(spark, drows)},
+            mode="diff",
+            keys={"f": ["fid"], "d": ["did"]},
+        )
+    return str(tmp_path / "jlog")
+
+
+def _drain_join(spark, log_dir, tmp_path, **kw):
+    state_dir = str(tmp_path / "jvstate")
+    init_changelog_join_view(
+        spark, state_dir, "f", "d", _FACT_DDL, _DIM_DDL, ["fid"], ["fk"], ["did"],
+        **kw,
+    )
+    q = start_changelog_join_view(
+        stream_changes(spark, log_dir, max_files_per_trigger=2),
+        "f",
+        "d",
+        _FACT_DDL,
+        _DIM_DDL,
+        ["fid"],
+        ["fk"],
+        ["did"],
+        state_dir,
+        str(tmp_path / "jckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    return state_dir
+
+
+def _expected_join(spark, frows, drows):
+    f, d = _fact(spark, frows), _dim(spark, drows)
+    return {
+        tuple(r)
+        for r in f.join(d, f["fk"] == d["did"], "inner").collect()
+    }
+
+
+def test_changelog_join_view_converges_across_batches(spark, tmp_path):
+    """Wire-only fact⋈dim maintenance across real micro-batches: dangling
+    facts re-enter when their dim arrives, dim relabels fan out, fact and
+    dim deletes retract — the final join state equals the from-scratch
+    join of the final tables."""
+    log = _write_join_log(
+        spark, tmp_path, [(_F1, _D1), (_F2, _D2), (_F3, _D3)]
+    )
+    state_dir = _drain_join(spark, log, tmp_path)
+    got = {tuple(r) for r in read_changelog_join_view(spark, state_dir).collect()}
+    assert got == _expected_join(spark, _F3, _D3)
+    # the dangling fact (fid=4) entered when dim 3 arrived and survived
+    assert any(r[0] == 4 for r in got)
+    # dim 1's facts dropped with its delete
+    assert not any(r[1] == 1 for r in got)
+
+
+def test_changelog_join_view_history_init_and_spec_pin(spark, tmp_path):
+    """Mid-stream consumer: v0 built from history joins immediately; a
+    restart with different keys fails against the pinned spec."""
+    state_dir = str(tmp_path / "jvstate2")
+    init_changelog_join_view(
+        spark, state_dir, "f", "d", _FACT_DDL, _DIM_DDL, ["fid"], ["fk"], ["did"],
+        fact_history=_fact(spark, _F1),
+        dim_history=_dim(spark, _D1),
+    )
+    got = {tuple(r) for r in read_changelog_join_view(spark, state_dir).collect()}
+    assert got == _expected_join(spark, _F1, _D1)
+    (tmp_path / "jnolog").mkdir()
+    with pytest.raises(ValueError, match="initialized with"):
+        start_changelog_join_view(
+            stream_changes(spark, str(tmp_path / "jnolog")),
+            "f",
+            "d",
+            _FACT_DDL,
+            _DIM_DDL,
+            ["fid"],
+            ["amount"],  # different FK than pinned
+            ["did"],
+            state_dir,
+            str(tmp_path / "jckpt2"),
+            available_now=True,
+        )
+
+
+def test_changelog_join_view_validates_params(spark, tmp_path):
+    state_dir = str(tmp_path / "jvstate3")
+    with pytest.raises(ValueError, match="pair positionally"):
+        init_changelog_join_view(
+            spark, state_dir, "f", "d", _FACT_DDL, _DIM_DDL,
+            ["fid"], ["fk"], ["did", "label"],
+        )
+    with pytest.raises(ValueError, match="must not collide"):
+        init_changelog_join_view(
+            spark, state_dir, "f", "d", _FACT_DDL,
+            "fid BIGINT, label STRING",  # fid collides with the fact side
+            ["fid"], ["fk"], ["fid"],
+        )
+    with pytest.raises(ValueError, match="not in the declared schema"):
+        init_changelog_join_view(
+            spark, state_dir, "f", "d", _FACT_DDL, _DIM_DDL,
+            ["fid"], ["nope"], ["did"],
+        )
+    with pytest.raises(ValueError, match="call\\s+init_changelog_join_view"):
+        (tmp_path / "jnolog3").mkdir()
+        start_changelog_join_view(
+            stream_changes(spark, str(tmp_path / "jnolog3")),
+            "f", "d", _FACT_DDL, _DIM_DDL, ["fid"], ["fk"], ["did"],
+            state_dir + "_missing",
+            str(tmp_path / "jckpt3"),
+            available_now=True,
+        )
+
+
+def test_changelog_join_redrain_converges_to_same_state(spark, tmp_path):
+    """Exactly-once: a second consumer draining the same log from scratch
+    lands on the identical join state (replay determinism)."""
+    log = _write_join_log(spark, tmp_path, [(_F1, _D1), (_F2, _D2)])
+    s1 = _drain_join(spark, log, tmp_path)
+    got1 = {tuple(r) for r in read_changelog_join_view(spark, s1).collect()}
+
+    state_dir2 = str(tmp_path / "jvstate_b")
+    init_changelog_join_view(
+        spark, state_dir2, "f", "d", _FACT_DDL, _DIM_DDL, ["fid"], ["fk"], ["did"]
+    )
+    q = start_changelog_join_view(
+        stream_changes(spark, log, max_files_per_trigger=1),  # different batching
+        "f", "d", _FACT_DDL, _DIM_DDL, ["fid"], ["fk"], ["did"],
+        state_dir2,
+        str(tmp_path / "jckpt_b"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    got2 = {tuple(r) for r in read_changelog_join_view(spark, state_dir2).collect()}
+    assert got1 == got2 == _expected_join(spark, _F2, _D2)
