@@ -942,6 +942,11 @@ class CdcEngine:
             for k in ("fact_key", "fact_dim_col", "dim_key"):
                 v = s[k]
                 out[k] = v[0] if isinstance(v, list) and len(v) == 1 else v
+            # how joins the pinned spec only when non-default (r10
+            # left_outer): inner states pinned before the field existed
+            # must keep matching their persisted JSON
+            if s.get("how", "inner") != "inner":
+                out["how"] = s["how"]
             return out
         if s.get("kind") == "join_agg":
             fields = ("kind", "join_view", "group_keys", "value_col")
@@ -1995,6 +2000,7 @@ class CdcEngine:
         fact_dim_col: "str | list[str]",
         dim_key: "str | list[str]",
         hint_broadcast: bool = True,
+        how: str = "inner",
     ) -> None:
         """Declare a materialized many-to-one inner join ``fact ⋈ dim`` over
         TWO diff-mode monitored tables, maintained per tick from BOTH sides'
@@ -2014,6 +2020,15 @@ class CdcEngine:
         has the hot-dim-key escape-hatch semantics of :func:`maintain_join`
         (a dim key with ~10^8 referencing facts needs AQE fallback, not a
         forced broadcast).
+
+        ``how="left_outer"`` maintains the LEFT-OUTER join (r9 verdict
+        ask #6): facts with dangling FKs stay in the view with null dim
+        payloads instead of silently dropping, flip to joined rows when
+        their dim key arrives, and flip back on dim delete — the
+        affected-key fold algebra is unchanged (only the refresh join's
+        type differs), so every tick stays affected-keys-sized.  Aggregates
+        registered over a left-outer view see the null-extended rows (a
+        SUM over a dim column skips them; COUNT(*) counts every fact).
 
         SNOWFLAKE CHAINS: ``fact_table`` (or ``dim_table``) may name an
         ALREADY-REGISTERED join view instead of a monitored table — the
@@ -2079,6 +2094,10 @@ class CdcEngine:
                     f"{side!r} must be its fact_key {up['fact_key']} — the "
                     "one column set unique in a join view's state"
                 )
+        if how not in ("inner", "left_outer"):
+            raise ValueError(
+                f"join view {name!r}: how must be inner or left_outer, got {how!r}"
+            )
         self._join_views[name] = {
             "kind": "join",
             "fact_table": fact_table,
@@ -2087,6 +2106,7 @@ class CdcEngine:
             "fact_dim_col": fdc,
             "dim_key": dk,
             "hint_broadcast": hint_broadcast,
+            "how": how,
         }
 
     def register_join_agg_view(
@@ -2304,7 +2324,7 @@ class CdcEngine:
                     (fact_new[f], dim_new[d])
                     for f, d in zip(s["fact_dim_col"], s["dim_key"])
                 ),
-                "inner",
+                s.get("how", "inner"),
             ).select(*fact_new.columns, *dim_new.columns)
         seeded = False
         try:
@@ -2507,6 +2527,7 @@ class CdcEngine:
             hint_broadcast=s["hint_broadcast"],
             persist_shared=with_changes,
             with_changes=with_changes,
+            how=s.get("how", "inner"),
         )
         return state, changes, handles
 

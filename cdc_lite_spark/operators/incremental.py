@@ -289,9 +289,18 @@ def maintain_join(
     dim_key: "str | list[str]",
     assume_fk_integrity: bool = False,
     hint_broadcast: bool = True,
+    how: str = "inner",
 ) -> DataFrame:
     """Maintain a materialized many-to-one inner join ``M = fact ⋈ dim``
     from change records instead of re-joining the full tables.
+
+    ``how="left_outer"`` maintains the LEFT-OUTER join instead: facts with
+    dangling FKs stay in the view with null dim payloads, flip to joined
+    rows when their dim key arrives, and flip back on dim delete.  The
+    affected-key algebra is UNCHANGED — a dangling fact is affected
+    exactly when its key (or its referenced dim key) is in a delta — so
+    only the refresh join's type differs; the delete/insert fold and every
+    scale property carry over verbatim.
 
     Every key argument takes one column name or a composite-key list:
     ``fact_key=["l_orderkey", "l_linenumber"]`` maintains a view over a
@@ -347,6 +356,7 @@ def maintain_join(
         assume_fk_integrity=assume_fk_integrity,
         hint_broadcast=hint_broadcast,
         with_changes=False,
+        how=how,
     )
     return state
 
@@ -362,10 +372,15 @@ def _join_maintenance_parts(
     dim_key: "str | list[str]",
     assume_fk_integrity: bool,
     hint_broadcast: bool = True,
+    how: str = "inner",
 ) -> tuple[DataFrame, DataFrame]:
     """(affected fact keys, refreshed view rows in ``m_old`` column order)
     — the shared delta machinery behind :func:`maintain_join` and
-    :func:`join_view_changes`."""
+    :func:`join_view_changes`.  ``how`` is the refresh join's type: with
+    ``left_outer`` an affected fact with no dim match re-enters
+    null-extended instead of dropping."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"join view how must be inner or left_outer, got {how!r}")
     fk, fdc, dk = _cols(fact_key), _cols(fact_dim_col), _cols(dim_key)
     if len(fdc) != len(dk):
         raise ValueError(
@@ -402,7 +417,7 @@ def _join_maintenance_parts(
     ).join(
         dim_pfx,
         key_eq((F.col(f), F.col(f"__dim_{d}")) for f, d in zip(fdc, dk)),
-        "inner",
+        how,
     )
     out_cols = [
         F.col(c) if c in fact_new.columns else F.col(f"__dim_{c}").alias(c)
@@ -422,6 +437,7 @@ def join_view_changes(
     dim_key: "str | list[str]",
     assume_fk_integrity: bool = False,
     hint_broadcast: bool = True,
+    how: str = "inner",
 ) -> DataFrame:
     """Change records FOR THE JOIN VIEW itself, delta-sized: every affected
     key emits a DELETE of its old view row (prev\\_-side values) and/or an
@@ -448,6 +464,7 @@ def join_view_changes(
         dim_key,
         assume_fk_integrity=assume_fk_integrity,
         hint_broadcast=hint_broadcast,
+        how=how,
     )
     return changes
 
@@ -465,6 +482,7 @@ def maintain_join_with_changes(
     hint_broadcast: bool = True,
     persist_shared: bool = False,
     with_changes: bool = True,
+    how: str = "inner",
 ) -> tuple[DataFrame, DataFrame | None, list[DataFrame]]:
     """Both fold outputs from ONE delta evaluation:
     ``(new_view, view_changes, persisted_handles)``.
@@ -497,6 +515,7 @@ def maintain_join_with_changes(
         dim_key,
         assume_fk_integrity,
         hint_broadcast,
+        how,
     )
     handles: list[DataFrame] = []
     try:

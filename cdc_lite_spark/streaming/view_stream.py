@@ -696,8 +696,9 @@ def _join_spec_of(
     fact_key: list[str],
     fact_dim_col: list[str],
     dim_key: list[str],
+    how: str = "inner",
 ) -> dict:
-    return {
+    s = {
         "kind": "join",
         "fact_table": fact_table,
         "dim_table": dim_table,
@@ -707,6 +708,9 @@ def _join_spec_of(
         "fact_dim_col": list(fact_dim_col),
         "dim_key": list(dim_key),
     }
+    if how != "inner":  # inner states pinned before the field keep matching
+        s["how"] = how
+    return s
 
 
 def _check_join_params(
@@ -743,13 +747,16 @@ def _initial_join(
     dim: DataFrame,
     fact_dim_col: list[str],
     dim_key: list[str],
+    how: str = "inner",
 ) -> DataFrame:
     from cdc_lite_spark.operators.incremental import key_eq
 
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"join view how must be inner or left_outer, got {how!r}")
     return fact.join(
         dim,
         key_eq((fact[f], dim[d]) for f, d in zip(fact_dim_col, dim_key)),
-        "inner",
+        how,
     )
 
 
@@ -765,6 +772,7 @@ def init_changelog_join_view(
     dim_key: list[str],
     fact_history: DataFrame | None = None,
     dim_history: DataFrame | None = None,
+    how: str = "inner",
 ) -> None:
     """Lay down ``v0`` of both replicas and the join state: from history
     rows when the consumer joins mid-stream (one O(history) join), or
@@ -782,7 +790,10 @@ def init_changelog_join_view(
     for d, df in (
         (_fact_replica_dir(state_dir), fact),
         (_dim_replica_dir(state_dir), dim),
-        (_join_dir(state_dir), _initial_join(fact, dim, fact_dim_col, dim_key)),
+        (
+            _join_dir(state_dir),
+            _initial_join(fact, dim, fact_dim_col, dim_key, how),
+        ),
     ):
         df.write.mode("overwrite").parquet(d + "/v0")
         repoint(d, "v0", fs_for(d, spark))
@@ -791,7 +802,7 @@ def init_changelog_join_view(
         state_dir,
         _join_spec_of(
             fact_table, dim_table, fact_ddl, dim_ddl, fact_key, fact_dim_col,
-            dim_key,
+            dim_key, how,
         ),
     )
 
@@ -816,6 +827,7 @@ def start_changelog_join_view(
     trigger_seconds: int = 1,
     available_now: bool = False,
     hint_broadcast: bool = True,
+    how: str = "inner",
 ) -> StreamingQuery:
     """Attach ``fact ⋈ dim`` maintenance to an A8 change stream carrying
     both tables' records.  ``fact_key`` must be unique in the fact table
@@ -842,12 +854,14 @@ def start_changelog_join_view(
             "init_changelog_join_view first (empty init converges from "
             "the log's INSERT-everything first tick)"
         )
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"join view how must be inner or left_outer, got {how!r}")
     _check_spec(
         spark,
         state_dir,
         _join_spec_of(
             fact_table, dim_table, fact_ddl, dim_ddl, fact_key, fact_dim_col,
-            dim_key,
+            dim_key, how,
         ),
     )
     f_non_key = [f.name for f in fschema.fields if f.name not in fact_key]
@@ -889,6 +903,7 @@ def start_changelog_join_view(
                 fact_dim_col,
                 dim_key,
                 hint_broadcast=hint_broadcast,
+                how=how,
             )
             # dependency order: both replicas before the join — a join
             # pointer at v{e+1} implies the replicas it folded against
