@@ -1,0 +1,293 @@
+"""Hash-bucketed replica layout: bound the changelog view stream's only
+table-sized write (r9 verdict ask #5).
+
+The flat replica rewrites O(table) parquet per changed epoch (view_stream
+step 4).  This layout hash-partitions the replica into ``n`` key buckets
+(``pmod(xxhash64(key), n)`` — the operators/layout.py bucketing
+discipline) so an epoch rewrites ONLY the buckets its batch keys touch:
+epoch write cost is ``O(batch + touched_buckets · table/n)`` and the
+enrichment READ prunes to the same touched buckets.  With batch ≪ table
+and n sized so a bucket fits a task, the epoch cost is batch-proportional
+— the probe in scripts/probe_bucketed_replica.py measures the exponent.
+
+Layout under one replica root::
+
+    <dir>/e{K}/__b={b}/part-*.parquet   bucket b's content, written at epoch K-1's commit
+    <dir>/m{K}.json                     manifest: epoch K's committed state
+    <dir>/_CURRENT                      names the current manifest file
+
+A manifest maps bucket id → the ``e{K}`` dir holding its current content
+(absent id = empty bucket).  Commit of epoch ``e`` writes the touched
+buckets' NEW content in ONE partitioned job to ``e{e+1}/``, writes
+``m{e+1}.json`` whose untouched entries carry forward, and atomically
+repoints ``_CURRENT`` — the pointer swap is the commit, exactly the
+versioned-parquet protocol (streaming/_state.py) with a manifest where
+the version name used to be.
+
+Exactly-once: epoch ``e`` reads ``m{e}.json`` when it exists (replay
+safety — the replayed epoch sees its original basis and rewrites a
+bit-identical ``e{e+1}``), else ``_CURRENT``.  GC after the pointer swap
+deletes bucket dirs referenced by NEITHER ``m{e}`` nor ``m{e+1}`` (the
+two manifests a replay can still need), so an untouched bucket's content
+lives on in the old ``e{K}`` dir exactly as long as a manifest names it.
+
+100 TB shape: ``n`` should scale with table size (table/n ≈ a task's
+worth, e.g. 128-512 MB).  The touched-bucket read and the rewrite are one
+job each; the manifest is O(n) JSON — driver-side but tiny (n ≤ 4096 is
+plenty at 100 TB).  Skewed batches degrade gracefully: worst case every
+bucket is touched and the epoch costs one flat rewrite, never more.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_lite_spark.streaming._state import fs_for
+
+_BUCKET = "__b"
+
+
+class BucketedReplica:
+    """One hash-bucketed replica under ``root`` with ``n`` buckets keyed by
+    ``key_cols``.  All methods are driver-side plan builders except the
+    tiny manifest/pointer I/O and the ``touched_ids`` collect (≤ n ids)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n: int,
+        key_cols: list[str],
+        schema_ddl: str,
+    ):
+        if not n > 0:
+            raise ValueError(f"bucket count must be positive, got {n}")
+        self.spark = spark
+        self.root = root
+        self.n = n
+        self.key_cols = list(key_cols)
+        self.schema_ddl = schema_ddl
+        self.fs = fs_for(root, spark)
+
+    # -- bucket id ------------------------------------------------------------
+
+    def bucket_expr(self) -> F.Column:
+        """Deterministic bucket of the key tuple.  xxhash64 is stable across
+        sessions/partitionings; NULL key components hash via the null-safe
+        string rendering so NULL-keyed rows land in one bucket."""
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in self.key_cols
+        ]
+        return F.pmod(F.xxhash64(F.concat_ws("\x1f", *parts)), F.lit(self.n)).cast(
+            "int"
+        )
+
+    def touched_ids(self, batch: DataFrame) -> list[int]:
+        """The bucket ids this batch's keys land in — one tiny distinct
+        over the delta (≤ n rows collected)."""
+        return sorted(
+            r[0]
+            for r in batch.select(self.bucket_expr().alias(_BUCKET))
+            .distinct()
+            .collect()
+        )
+
+    # -- manifests ------------------------------------------------------------
+
+    def _manifest_path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def _read_manifest_file(self, name: str) -> dict:
+        import os
+
+        from cdc_lite_spark.streaming._state import LocalStateFS, _local_path
+
+        if isinstance(self.fs, LocalStateFS):
+            with open(os.path.join(_local_path(self.root), name)) as f:
+                return json.loads(f.read())
+        # Hadoop adapter: the pointer reader IS a small-file reader — the
+        # manifest protocol needs only read/write of tiny named files, so
+        # a DFS deployment routes these two methods through it
+        raise NotImplementedError(
+            "remote manifest reads route through read_pointer-style IO; "
+            "wire when a DFS deployment needs bucketed replicas"
+        )
+
+    def _write_manifest_file(self, name: str, manifest: dict) -> None:
+        import os
+
+        from cdc_lite_spark.streaming._state import LocalStateFS, _local_path
+
+        if not isinstance(self.fs, LocalStateFS):
+            raise NotImplementedError(
+                "remote manifest writes route through write_pointer-style "
+                "IO; wire when a DFS deployment needs bucketed replicas"
+            )
+        os.makedirs(_local_path(self.root), exist_ok=True)
+        tmp = os.path.join(_local_path(self.root), name + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps(manifest, sort_keys=True))
+        os.replace(tmp, os.path.join(_local_path(self.root), name))
+
+    def manifest_for_epoch(self, epoch: int) -> dict:
+        """The manifest epoch ``epoch`` must fold against: ``m{epoch}.json``
+        when present (replay), else ``_CURRENT``'s manifest."""
+        name = f"m{epoch}.json"
+        try:
+            return self._read_manifest_file(name)
+        except FileNotFoundError:
+            pass
+        return self.current_manifest()
+
+    def current_manifest(self) -> dict:
+        return self._read_manifest_file(self.fs.read_pointer(self.root))
+
+    # -- reads ----------------------------------------------------------------
+
+    def _bucket_path(self, edir: str, b: int) -> str:
+        return f"{self.root}/{edir}/{_BUCKET}={b}"
+
+    def read(self, manifest: dict, bucket_ids: "list[int] | None") -> DataFrame:
+        """Rows of the given buckets (``None`` = the whole replica) as of
+        ``manifest``.  One multi-path parquet scan — no shuffle."""
+        ids = (
+            [int(b) for b in manifest["buckets"]]
+            if bucket_ids is None
+            else bucket_ids
+        )
+        paths = [
+            self._bucket_path(manifest["buckets"][str(b)], b)
+            for b in ids
+            if str(b) in manifest["buckets"]
+        ]
+        reader = self.spark.read.schema(self.schema_ddl)
+        if not paths:
+            import pyspark.sql.types as T
+
+            return self.spark.createDataFrame(
+                [], T.StructType.fromDDL(self.schema_ddl)
+            )
+        return reader.parquet(*paths)
+
+    # -- init / commit --------------------------------------------------------
+
+    def init(self, rows: DataFrame) -> None:
+        """Lay down epoch-0 state: every row written once, partitioned by
+        bucket, under ``e0/``; manifest ``m0.json``; pointer.  The
+        manifest's ``gen`` counter names epoch dirs (NOT the stream epoch):
+        a fresh-checkpoint redrain restarts epochs at 0 but must never
+        alias an epoch dir still referenced by a live manifest — gen is
+        derived from the basis manifest, so replays of one epoch reuse one
+        name while redrains allocate fresh ones."""
+        (
+            rows.withColumn(_BUCKET, self.bucket_expr())
+            .repartition(_BUCKET)
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET)
+            .parquet(f"{self.root}/e0")
+        )
+        manifest = {
+            "gen": 0,
+            "buckets": {str(b): "e0" for b in self._written_buckets("e0")},
+        }
+        self._write_manifest_file("m0.json", manifest)
+        self.fs.write_pointer(self.root, "m0.json")
+
+    def _written_buckets(self, edir: str) -> list[int]:
+        try:
+            names = self.fs.list_names(f"{self.root}/{edir}")
+        except FileNotFoundError:
+            return []
+        out = []
+        for nm in names:
+            if nm.startswith(f"{_BUCKET}="):
+                try:
+                    out.append(int(nm.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def commit(
+        self,
+        new_touched: DataFrame,
+        touched: list[int],
+        manifest: dict,
+        epoch: int,
+        gc: bool = True,
+    ) -> dict:
+        """Write the touched buckets' new content as ``e{gen+1}/`` (ONE
+        partitioned job; gen from the basis manifest so a replayed epoch
+        rewrites the same dir bit-identically and a fresh-checkpoint
+        redrain never aliases a referenced dir), publish ``m{epoch+1}.json``
+        with untouched entries carried forward, swing the pointer, GC
+        unreferenced bucket dirs.  Returns the new manifest."""
+        gen = int(manifest.get("gen", 0)) + 1
+        edir = f"e{gen}"
+        (
+            new_touched.withColumn(_BUCKET, self.bucket_expr())
+            .repartition(_BUCKET)
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET)
+            .parquet(f"{self.root}/{edir}")
+        )
+        written = set(self._written_buckets(edir))
+        new_buckets = dict(manifest["buckets"])
+        for b in touched:
+            if b in written:
+                new_buckets[str(b)] = edir
+            else:
+                new_buckets.pop(str(b), None)  # bucket drained empty
+        new_manifest = {"gen": gen, "buckets": new_buckets}
+        self._write_manifest_file(f"m{epoch + 1}.json", new_manifest)
+        self.fs.write_pointer(self.root, f"m{epoch + 1}.json")
+        if gc:
+            self.gc(epoch, new_manifest, manifest)
+        return new_manifest
+
+    def gc(self, epoch: int, new_manifest: dict, basis: "dict | None" = None) -> None:
+        """Delete manifests older than the replayable epoch and bucket dirs
+        referenced by no live manifest: ``m{epoch}`` (may still be replayed
+        until epoch+1's checkpoint commits), ``m{epoch+1}``, and the BASIS
+        manifest this epoch folded against (a redrain's fallback basis is
+        ``_CURRENT``, not ``m{epoch}`` — a caller with lazy plans still
+        referencing it passes it here, or calls ``commit(gc=False)`` and
+        runs this after those plans executed)."""
+        live: set[tuple[str, int]] = set()
+        for m in (basis,) if basis else ():
+            for b, edir in m["buckets"].items():
+                live.add((edir, int(b)))
+        for name in (f"m{epoch}.json", f"m{epoch + 1}.json"):
+            try:
+                m = self._read_manifest_file(name)
+            except FileNotFoundError:
+                continue
+            for b, edir in m["buckets"].items():
+                live.add((edir, int(b)))
+        for name in self.fs.list_names(self.root):
+            if (
+                name.startswith("m")
+                and name.endswith(".json")
+                and name[1:-5].isdigit()
+                and int(name[1:-5]) < epoch
+            ):
+                import os
+
+                from cdc_lite_spark.streaming._state import _local_path
+
+                try:
+                    os.remove(os.path.join(_local_path(self.root), name))
+                except OSError:
+                    pass
+            if name.startswith("e") and name[1:].isdigit():
+                for b in self._written_buckets(name):
+                    if (name, b) not in live:
+                        self.fs.remove_dir(self._bucket_path(name, b))
+                if not self._written_buckets(name):
+                    self.fs.remove_dir(f"{self.root}/{name}")
+
+
+__all__ = ["BucketedReplica"]

@@ -115,6 +115,7 @@ def _spec_of(
     k: int = 64,
     derive: "dict[str, str] | None" = None,
     pk_cols: "list[str] | None" = None,
+    buckets: "int | None" = None,
 ) -> dict:
     s = {
         "schema_ddl": schema_ddl,
@@ -122,6 +123,9 @@ def _spec_of(
         "value_col": value_col,
         "kind": kind,
     }
+    if buckets:  # bucketed replica layout: bucket count + key pinned
+        s["buckets"] = int(buckets)
+        s["key_cols"] = list(pk_cols or [])
     if kind == "histogram":  # parameterized kinds pin their parameters
         s.update({"lo": lo, "hi": hi, "bins": bins})
     if kind == "distinct_count":
@@ -425,6 +429,7 @@ def init_changelog_view(
     k: int = 64,
     derive: "dict[str, str] | None" = None,
     key_cols: "list[str] | None" = None,
+    buckets: "int | None" = None,
 ) -> None:
     """Lay down ``v0`` of both states: from ``history`` rows when the
     consumer joins an existing table mid-stream (one O(history) pass), or
@@ -432,7 +437,11 @@ def init_changelog_view(
     consumer starting from an empty replica converges on the first batch.
     ``kind="sample"`` needs ``key_cols`` (the table's primary key —
     sample membership is a pure function of the key hash) and must match
-    the ``key_cols`` later passed to :func:`start_changelog_view`."""
+    the ``key_cols`` later passed to :func:`start_changelog_view`.
+
+    ``buckets=n`` lays the replica out hash-bucketed (streaming/bucketed.py)
+    so each epoch rewrites only the buckets its batch touches instead of
+    the whole table — requires ``key_cols``; the agg state stays flat."""
     if kind not in _KINDS:
         raise ValueError(f"changelog view kind must be one of {_KINDS}, got {kind!r}")
     if kind == "histogram":
@@ -442,25 +451,29 @@ def init_changelog_view(
             raise ValueError("histogram views need explicit lo/hi bucket edges")
         _check_edges(lo, hi, bins)
     _check_sample_params(kind, key_cols, group_keys, value_col, k)
+    _check_bucket_params(buckets, key_cols)
     if where is not None and not str(where).strip():
         raise ValueError("where must be a non-empty SQL boolean expression")
     schema = T.StructType.fromDDL(schema_ddl)
     rows = history if history is not None else spark.createDataFrame([], schema)
-    for d, df in (
-        # the replica stays UNFILTERED — it is the latest-per-key table the
-        # wire implies, and the prev_-value enrichment needs every key to
-        # classify boundary-crossing updates; only the agg applies ``where``
-        (_replica_dir(state_dir), rows),
-        (
-            _agg_dir(state_dir),
-            _build_state(
-                rows, group_keys, value_col, kind, lo, hi, bins, where, lgk, k,
-                derive, key_cols,
-            ),
-        ),
-    ):
-        df.write.mode("overwrite").parquet(d + "/v0")
-        repoint(d, "v0", fs_for(d, spark))
+    # the replica stays UNFILTERED — it is the latest-per-key table the
+    # wire implies, and the prev_-value enrichment needs every key to
+    # classify boundary-crossing updates; only the agg applies ``where``
+    if buckets:
+        from cdc_lite_spark.streaming.bucketed import BucketedReplica
+
+        BucketedReplica(
+            spark, _replica_dir(state_dir), buckets, key_cols, schema_ddl
+        ).init(rows)
+    else:
+        rows.write.mode("overwrite").parquet(_replica_dir(state_dir) + "/v0")
+        repoint(_replica_dir(state_dir), "v0", fs_for(_replica_dir(state_dir), spark))
+    agg0 = _build_state(
+        rows, group_keys, value_col, kind, lo, hi, bins, where, lgk, k,
+        derive, key_cols,
+    )
+    agg0.write.mode("overwrite").parquet(_agg_dir(state_dir) + "/v0")
+    repoint(_agg_dir(state_dir), "v0", fs_for(_agg_dir(state_dir), spark))
     # pin what the state was BUILT with (the engine's _spec discipline) so
     # a later start with mismatched parameters fails fast, not mid-batch
     _pin_spec(
@@ -468,9 +481,21 @@ def init_changelog_view(
         state_dir,
         _spec_of(
             schema_ddl, group_keys, value_col, kind, lo, hi, bins, where, lgk, k,
-            derive, key_cols,
+            derive, key_cols, buckets,
         ),
     )
+
+
+def _check_bucket_params(buckets: "int | None", key_cols: "list[str] | None") -> None:
+    if buckets is None:
+        return
+    if not buckets > 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    if not key_cols:
+        raise ValueError(
+            "bucketed replicas need key_cols — the layout hashes the "
+            "table's primary key"
+        )
 
 
 def _check_sample_params(
@@ -503,8 +528,34 @@ def read_changelog_view(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 def read_changelog_replica(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The current committed latest-per-key replica."""
+    """The current committed latest-per-key replica (flat or bucketed —
+    the pinned spec says which)."""
+    spec = _read_pinned_spec(spark, state_dir)
+    if spec and spec.get("buckets"):
+        from cdc_lite_spark.streaming.bucketed import BucketedReplica
+
+        brep = BucketedReplica(
+            spark,
+            _replica_dir(state_dir),
+            spec["buckets"],
+            spec["key_cols"],
+            spec["schema_ddl"],
+        )
+        return brep.read(brep.current_manifest(), None)
     return read_current(spark, _replica_dir(state_dir))
+
+
+def _read_pinned_spec(spark: SparkSession, state_dir: str) -> "dict | None":
+    import json
+
+    d = state_dir + "/_spec"
+    fs = fs_for(d, spark)
+    if not fs.dir_exists(d):
+        return None
+    try:
+        return json.loads(fs.read_pointer(d))
+    except FileNotFoundError:
+        return None
 
 
 def start_changelog_view(
@@ -526,6 +577,7 @@ def start_changelog_view(
     lgk: int = 12,
     k: int = 64,
     derive: "dict[str, str] | None" = None,
+    buckets: "int | None" = None,
 ) -> StreamingQuery:
     """Attach view maintenance to an A8 change stream (``stream_changes``
     output).  ``schema_ddl`` declares the monitored table's columns (the
@@ -550,6 +602,7 @@ def start_changelog_view(
             raise ValueError("histogram views need explicit lo/hi bucket edges")
         _check_edges(lo, hi, bins)
     _check_sample_params(kind, key_cols, group_keys, value_col, k)
+    _check_bucket_params(buckets, key_cols)
     spark = stream.sparkSession
     if not fs_for(_replica_dir(state_dir), spark).dir_exists(_replica_dir(state_dir)):
         raise ValueError(
@@ -564,12 +617,19 @@ def start_changelog_view(
         state_dir,
         _spec_of(
             schema_ddl, group_keys, value_col, kind, lo, hi, bins, where, lgk, k,
-            derive, key_cols,
+            derive, key_cols, buckets,
         ),
     )
     schema = T.StructType.fromDDL(schema_ddl)
     non_key = [f.name for f in schema.fields if f.name not in key_cols]
     dtypes = {f.name: f.dataType for f in schema.fields}
+
+    def _brep(spark):
+        from cdc_lite_spark.streaming.bucketed import BucketedReplica
+
+        return BucketedReplica(
+            spark, _replica_dir(state_dir), buckets, key_cols, schema_ddl
+        )
 
     def _tick(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
@@ -582,10 +642,22 @@ def start_changelog_view(
         # between GC cycles (r9 review)
         latest = _typed_latest(batch, table, schema, key_cols).persist()
         try:
-            rep_fs = fs_for(_replica_dir(state_dir), spark)
-            replica = read_for_epoch(
-                spark, _replica_dir(state_dir), epoch, rep_fs, schema=schema_ddl
-            )
+            if buckets:
+                # bucketed path: the enrichment READS and the advance
+                # WRITES only the buckets this batch's keys touch — the
+                # epoch's replica cost is O(batch + touched·table/n), the
+                # flat path's only table-sized term gone.  The enrichment
+                # against the touched subset is exact: a key's replica row
+                # lives in its key's bucket by construction.
+                brep = _brep(spark)
+                man = brep.manifest_for_epoch(epoch)
+                touched = brep.touched_ids(latest)
+                replica = brep.read(man, touched)
+            else:
+                rep_fs = fs_for(_replica_dir(state_dir), spark)
+                replica = read_for_epoch(
+                    spark, _replica_dir(state_dir), epoch, rep_fs, schema=schema_ddl
+                )
             enriched = _diff_records(latest, replica, key_cols, non_key, dtypes)
             agg_fs = fs_for(_agg_dir(state_dir), spark)
             agg_prev = read_for_epoch(spark, _agg_dir(state_dir), epoch, agg_fs)
@@ -610,9 +682,19 @@ def start_changelog_view(
                 # ADVANCED replica — it IS the latest-per-key table, so
                 # this is one aggregation in the replica rewrite's own
                 # cost class (the engine's degradation discipline; replay
-                # recomputes the identical state, exactly-once holds)
+                # recomputes the identical state, exactly-once holds).
+                # Bucketed: full replica = untouched buckets ∪ the new
+                # touched content (a rebuild pays one full scan — the
+                # degradation's cost, not the layout's)
+                full = (
+                    brep.read(
+                        man, [b for b in map(int, man["buckets"]) if b not in touched]
+                    ).unionByName(new_replica)
+                    if buckets
+                    else new_replica
+                )
                 agg_new = _build_state(
-                    new_replica,
+                    full,
                     group_keys,
                     value_col,
                     kind,
@@ -627,8 +709,16 @@ def start_changelog_view(
                 )
             # replica first, agg last: an agg pointer at v{e+1} implies the
             # replica it folded against committed (readers read the agg)
-            commit_version(new_replica, _replica_dir(state_dir), epoch, rep_fs)
-            commit_version(agg_new, _agg_dir(state_dir), epoch, agg_fs)
+            if buckets:
+                # gc AFTER the agg commit: the agg plan lazily reads the
+                # basis manifest's bucket paths, which a pre-agg GC could
+                # delete on a redrain whose basis fell back to _CURRENT
+                new_man = brep.commit(new_replica, touched, man, epoch, gc=False)
+                commit_version(agg_new, _agg_dir(state_dir), epoch, agg_fs)
+                brep.gc(epoch, new_man, man)
+            else:
+                commit_version(new_replica, _replica_dir(state_dir), epoch, rep_fs)
+                commit_version(agg_new, _agg_dir(state_dir), epoch, agg_fs)
         finally:
             try:
                 latest.unpersist()

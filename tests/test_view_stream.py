@@ -719,3 +719,136 @@ def test_changelog_join_redrain_converges_to_same_state(spark, tmp_path):
     q.awaitTermination()
     got2 = {tuple(r) for r in read_changelog_join_view(spark, state_dir2).collect()}
     assert got1 == got2 == _expected_join(spark, _F2, _D2)
+
+
+# --- bucketed replica layout (r10) ------------------------------------------
+
+
+def test_bucketed_replica_parity_with_flat(spark, tmp_path):
+    """The hash-bucketed replica layout is a pure layout change: draining
+    the same log bucketed and flat lands on identical agg state AND
+    identical replica contents — for an abelian kind and for a degrading
+    kind whose retracting batches rebuild from the (bucketed) replica."""
+    log = _write_log(spark, tmp_path, [_T1, _T2, _T3])
+
+    for kind in ("sum_count", "min_max"):
+        flat = _drain(spark, log, tmp_path, kind)
+        bk_state = str(tmp_path / f"vstate_bkp_{kind}")
+        init_changelog_view(
+            spark, bk_state, _DDL, ["grp"], "v", kind=kind,
+            key_cols=["id"], buckets=8,
+        )
+        q = start_changelog_view(
+            stream_changes(spark, log, max_files_per_trigger=2),
+            "t", _DDL, ["id"], ["grp"], "v",
+            bk_state, str(tmp_path / f"ckpt_bkp_{kind}"),
+            kind=kind, available_now=True, buckets=8,
+        )
+        q.awaitTermination()
+        got = {tuple(r) for r in read_changelog_view(spark, bk_state).collect()}
+        want = {tuple(r) for r in read_changelog_view(spark, flat).collect()}
+        assert got == want, kind
+        got_rep = {
+            tuple(r) for r in read_changelog_replica(spark, bk_state).collect()
+        }
+        assert got_rep == {tuple(r) for r in _df(spark, _T3).collect()}, kind
+
+
+def test_bucketed_epoch_writes_only_touched_buckets(spark, tmp_path):
+    """The layout's point: an epoch whose batch touches few keys writes
+    only those keys' buckets — untouched buckets carry forward their OLD
+    epoch dir in the manifest, and the new epoch dir contains only the
+    touched bucket subdirs."""
+    import os
+
+    from cdc_lite_spark.streaming.bucketed import BucketedReplica
+
+    # tick 1: 40 keys across many buckets; tick 2: ONE key updated
+    t1 = [(i, "g", float(i)) for i in range(40)]
+    t2 = [(i, "g", float(i) if i != 7 else 700.0) for i in range(40)]
+    log = _write_log(spark, tmp_path, [t1, t2])
+    state_dir = str(tmp_path / "vstate_touch")
+    init_changelog_view(
+        spark, state_dir, _DDL, ["grp"], "v", key_cols=["id"], buckets=8
+    )
+    q = start_changelog_view(
+        # one tick per micro-batch: the engine writes one file per tick
+        stream_changes(spark, log, max_files_per_trigger=1),
+        "t", _DDL, ["id"], ["grp"], "v",
+        state_dir, str(tmp_path / "ckpt_touch"),
+        available_now=True, buckets=8,
+    )
+    q.awaitTermination()
+
+    brep = BucketedReplica(spark, state_dir + "/replica", 8, ["id"], _DDL)
+    man = brep.current_manifest()
+    # the single-key tick-2 batch touched exactly one bucket
+    batch2 = spark.createDataFrame([(7,)], "id BIGINT")
+    [touched_bucket] = brep.touched_ids(batch2)
+    last_edir = man["buckets"][str(touched_bucket)]
+    written = brep._written_buckets(last_edir)
+    assert written == [touched_bucket], (
+        "the final epoch dir must hold ONLY the touched bucket"
+    )
+    # untouched buckets reference an OLDER epoch dir
+    other = [e for b, e in man["buckets"].items() if int(b) != touched_bucket]
+    assert other and all(e != last_edir for e in other)
+    # and the whole replica still reads correctly
+    got = {tuple(r) for r in read_changelog_replica(spark, state_dir).collect()}
+    assert got == {tuple(r) for r in _df(spark, t2).collect()}
+    # convergence of the agg too
+    agg = {
+        r["grp"]: r["agg_sum"]
+        for r in read_changelog_view(spark, state_dir).collect()
+    }
+    assert float(agg["g"]) == float(sum(v for _, _, v in t2))
+
+
+def test_bucketed_redrain_fresh_checkpoint_converges(spark, tmp_path):
+    """A second consumer run over the same log with a FRESH checkpoint
+    (epochs restart at 0 over advanced state) must converge identically —
+    the gen-named epoch dirs prevent aliasing a still-referenced dir."""
+    log = _write_log(spark, tmp_path, [_T1, _T2])
+    state_dir = str(tmp_path / "vstate_rd")
+    init_changelog_view(
+        spark, state_dir, _DDL, ["grp"], "v", key_cols=["id"], buckets=4
+    )
+
+    def _go(ck):
+        q = start_changelog_view(
+            stream_changes(spark, log, max_files_per_trigger=2),
+            "t", _DDL, ["id"], ["grp"], "v",
+            state_dir, str(tmp_path / ck), available_now=True, buckets=4,
+        )
+        q.awaitTermination()
+
+    _go("ckpt_rd1")
+    first = {tuple(r) for r in read_changelog_view(spark, state_dir).collect()}
+    _go("ckpt_rd2")
+    second = {tuple(r) for r in read_changelog_view(spark, state_dir).collect()}
+    assert first == second
+    rep = {tuple(r) for r in read_changelog_replica(spark, state_dir).collect()}
+    assert rep == {tuple(r) for r in _df(spark, _T2).collect()}
+
+
+def test_bucketed_validation_and_spec_pin(spark, tmp_path):
+    state_dir = str(tmp_path / "vstate_val")
+    with pytest.raises(ValueError, match="need key_cols"):
+        init_changelog_view(
+            spark, state_dir, _DDL, ["grp"], "v", buckets=8
+        )
+    with pytest.raises(ValueError, match="must be positive"):
+        init_changelog_view(
+            spark, state_dir, _DDL, ["grp"], "v", key_cols=["id"], buckets=0
+        )
+    init_changelog_view(
+        spark, state_dir, _DDL, ["grp"], "v", key_cols=["id"], buckets=8
+    )
+    (tmp_path / "nolog_bk").mkdir()
+    # starting FLAT against bucketed-pinned state must fail fast
+    with pytest.raises(ValueError, match="initialized with"):
+        start_changelog_view(
+            stream_changes(spark, str(tmp_path / "nolog_bk")),
+            "t", _DDL, ["id"], ["grp"], "v",
+            state_dir, str(tmp_path / "ckpt_val"), available_now=True,
+        )
