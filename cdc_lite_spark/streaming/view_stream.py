@@ -803,6 +803,39 @@ def _join_spec_of(
     return s
 
 
+def _norm_join_agg(
+    agg: "dict | None",
+    fact_key: list[str],
+    fschema: "T.StructType",
+    dschema: "T.StructType",
+) -> "dict | None":
+    """Validate + normalize the agg-over-join spec: a dict with
+    ``group_keys``/``value_col`` plus the single-table kind parameters
+    (the engine's ``register_join_agg_view`` surface).  Sample row
+    identity is the join view's unique fact key."""
+    if agg is None:
+        return None
+    a = dict(agg)
+    kind = a.setdefault("kind", "sum_count")
+    if kind not in _KINDS:
+        raise ValueError(f"join agg kind must be one of {_KINDS}, got {kind!r}")
+    gk, vc = a.get("group_keys"), a.get("value_col")
+    if not gk or not vc:
+        raise ValueError("join agg needs group_keys and value_col")
+    cols = set(fschema.names) | set(dschema.names) | set(a.get("derive") or {})
+    missing = [c for c in [*gk, vc] if c not in cols]
+    if missing:
+        raise ValueError(f"join agg columns {missing} not in the join view")
+    if kind == "histogram":
+        from cdc_lite_spark.operators.histogram import _check_edges
+
+        if a.get("lo") is None or a.get("hi") is None:
+            raise ValueError("histogram join aggs need explicit lo/hi edges")
+        _check_edges(a["lo"], a["hi"], a.setdefault("bins", 64))
+    _check_sample_params(kind, fact_key, gk, vc, a.get("k", 64))
+    return a
+
+
 def _check_join_params(
     fact_schema: T.StructType,
     dim_schema: T.StructType,
@@ -863,38 +896,89 @@ def init_changelog_join_view(
     fact_history: DataFrame | None = None,
     dim_history: DataFrame | None = None,
     how: str = "inner",
+    agg: "dict | None" = None,
 ) -> None:
     """Lay down ``v0`` of both replicas and the join state: from history
     rows when the consumer joins mid-stream (one O(history) join), or
     empty — the engine's first capture logs every row as INSERT, so an
-    empty init converges on the first batch."""
+    empty init converges on the first batch.
+
+    ``agg`` declares a grouped aggregate OVER the join maintained
+    alongside it (the engine's ``register_join_agg_view`` surface as a
+    dict: ``{"group_keys": [...], "value_col": ..., "kind": ...,`` plus
+    kind parameters / ``where`` / ``derive``}) — read it back with
+    :func:`read_changelog_join_agg`."""
     fschema = T.StructType.fromDDL(fact_ddl)
     dschema = T.StructType.fromDDL(dim_ddl)
     _check_join_params(fschema, dschema, fact_key, fact_dim_col, dim_key)
+    agg = _norm_join_agg(agg, fact_key, fschema, dschema)
     fact = (
         fact_history
         if fact_history is not None
         else spark.createDataFrame([], fschema)
     )
     dim = dim_history if dim_history is not None else spark.createDataFrame([], dschema)
-    for d, df in (
+    m0 = _initial_join(fact, dim, fact_dim_col, dim_key, how)
+    targets = [
         (_fact_replica_dir(state_dir), fact),
         (_dim_replica_dir(state_dir), dim),
-        (
-            _join_dir(state_dir),
-            _initial_join(fact, dim, fact_dim_col, dim_key, how),
-        ),
-    ):
+        (_join_dir(state_dir), m0),
+    ]
+    if agg is not None:
+        targets.append((_agg_dir(state_dir), _join_agg_build(m0, agg, fact_key)))
+    for d, df in targets:
         df.write.mode("overwrite").parquet(d + "/v0")
         repoint(d, "v0", fs_for(d, spark))
-    _pin_spec(
-        spark,
-        state_dir,
-        _join_spec_of(
-            fact_table, dim_table, fact_ddl, dim_ddl, fact_key, fact_dim_col,
-            dim_key, how,
-        ),
+    spec = _join_spec_of(
+        fact_table, dim_table, fact_ddl, dim_ddl, fact_key, fact_dim_col,
+        dim_key, how,
     )
+    if agg is not None:
+        spec["agg"] = agg
+    _pin_spec(spark, state_dir, spec)
+
+
+def _join_agg_build(rows: DataFrame, agg: dict, fact_key: list[str]) -> DataFrame:
+    return _build_state(
+        rows,
+        agg["group_keys"],
+        agg["value_col"],
+        agg["kind"],
+        agg.get("lo"),
+        agg.get("hi"),
+        agg.get("bins", 64),
+        agg.get("where"),
+        agg.get("lgk", 12),
+        agg.get("k", 64),
+        agg.get("derive"),
+        fact_key,  # sample row identity = the join view's unique fact key
+    )
+
+
+def _join_agg_fold(
+    state: DataFrame, changes: DataFrame, agg: dict, fact_key: list[str]
+) -> "DataFrame | None":
+    return _fold_state(
+        state,
+        changes,
+        agg["group_keys"],
+        agg["value_col"],
+        agg["kind"],
+        agg.get("lo"),
+        agg.get("hi"),
+        agg.get("bins", 64),
+        agg.get("where"),
+        agg.get("lgk", 12),
+        agg.get("k", 64),
+        agg.get("derive"),
+        fact_key,
+    )
+
+
+def read_changelog_join_agg(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The current committed aggregate-over-join state (commits after the
+    join state, so what it references was folded against it)."""
+    return read_current(spark, _agg_dir(state_dir))
 
 
 def read_changelog_join_view(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -918,6 +1002,7 @@ def start_changelog_join_view(
     available_now: bool = False,
     hint_broadcast: bool = True,
     how: str = "inner",
+    agg: "dict | None" = None,
 ) -> StreamingQuery:
     """Attach ``fact ⋈ dim`` maintenance to an A8 change stream carrying
     both tables' records.  ``fact_key`` must be unique in the fact table
@@ -932,11 +1017,12 @@ def start_changelog_join_view(
     → dim replica → join (the join commit is the epoch's externally
     visible barrier).  Replay recomputes bit-identical versions, so state
     is exactly-once under foreachBatch's at-least-once calls."""
-    from cdc_lite_spark.operators.incremental import maintain_join
+    from cdc_lite_spark.operators.incremental import maintain_join_with_changes
 
     fschema = T.StructType.fromDDL(fact_ddl)
     dschema = T.StructType.fromDDL(dim_ddl)
     _check_join_params(fschema, dschema, fact_key, fact_dim_col, dim_key)
+    agg = _norm_join_agg(agg, fact_key, fschema, dschema)
     spark = stream.sparkSession
     if not fs_for(_join_dir(state_dir), spark).dir_exists(_join_dir(state_dir)):
         raise ValueError(
@@ -946,14 +1032,13 @@ def start_changelog_join_view(
         )
     if how not in ("inner", "left_outer"):
         raise ValueError(f"join view how must be inner or left_outer, got {how!r}")
-    _check_spec(
-        spark,
-        state_dir,
-        _join_spec_of(
-            fact_table, dim_table, fact_ddl, dim_ddl, fact_key, fact_dim_col,
-            dim_key, how,
-        ),
+    spec = _join_spec_of(
+        fact_table, dim_table, fact_ddl, dim_ddl, fact_key, fact_dim_col,
+        dim_key, how,
     )
+    if agg is not None:
+        spec["agg"] = agg
+    _check_spec(spark, state_dir, spec)
     f_non_key = [f.name for f in fschema.fields if f.name not in fact_key]
     d_non_key = [f.name for f in dschema.fields if f.name not in dim_key]
     join_ddl = ", ".join(
@@ -965,6 +1050,7 @@ def start_changelog_join_view(
         spark = batch.sparkSession
         f_latest = _typed_latest(batch, fact_table, fschema, fact_key).persist()
         d_latest = _typed_latest(batch, dim_table, dschema, dim_key).persist()
+        handles: list = []
         try:
             f_fs = fs_for(_fact_replica_dir(state_dir), spark)
             d_fs = fs_for(_dim_replica_dir(state_dir), spark)
@@ -982,8 +1068,12 @@ def start_changelog_join_view(
             new_d = _advance_replica(d_rep, d_latest, dim_key, d_non_key)
             # the affected sets are just the batches' key sets — the fold
             # re-reads refreshed rows from the ADVANCED replicas, so no
-            # prev_-enrichment is needed for the join itself
-            m_new = maintain_join(
+            # prev_-enrichment is needed for the join itself.  With an agg
+            # riding on the view, the SAME delta evaluation also emits the
+            # view-level I/D records the agg fold consumes (the engine's
+            # register_join_agg_view composition), with the delta-sized
+            # intermediates persisted once across all consuming actions.
+            m_new, view_changes, shared = maintain_join_with_changes(
                 m_old,
                 new_f,
                 new_d,
@@ -994,14 +1084,30 @@ def start_changelog_join_view(
                 dim_key,
                 hint_broadcast=hint_broadcast,
                 how=how,
+                with_changes=agg is not None,
+                persist_shared=agg is not None,
             )
-            # dependency order: both replicas before the join — a join
-            # pointer at v{e+1} implies the replicas it folded against
+            handles.extend(shared)
+            agg_new = None
+            if agg is not None:
+                a_fs = fs_for(_agg_dir(state_dir), spark)
+                agg_prev = read_for_epoch(spark, _agg_dir(state_dir), epoch, a_fs)
+                agg_new = _join_agg_fold(agg_prev, view_changes, agg, fact_key)
+                if agg_new is None:
+                    # degrading kind: the I/D encoding always carries
+                    # DELETEs on a changed tick — rebuild from the NEW
+                    # join state (one aggregation, never a re-join; the
+                    # engine's join-agg degradation)
+                    agg_new = _join_agg_build(m_new, agg, fact_key)
+            # dependency order: replicas → join → agg LAST — each pointer
+            # implies everything it folded against committed
             commit_version(new_f, _fact_replica_dir(state_dir), epoch, f_fs)
             commit_version(new_d, _dim_replica_dir(state_dir), epoch, d_fs)
             commit_version(m_new, _join_dir(state_dir), epoch, j_fs)
+            if agg_new is not None:
+                commit_version(agg_new, _agg_dir(state_dir), epoch, a_fs)
         finally:
-            for h in (f_latest, d_latest):
+            for h in (f_latest, d_latest, *handles):
                 try:
                     h.unpersist()
                 except Exception:  # noqa: BLE001 — cleanup best-effort

@@ -852,3 +852,99 @@ def test_bucketed_validation_and_spec_pin(spark, tmp_path):
             "t", _DDL, ["id"], ["grp"], "v",
             state_dir, str(tmp_path / "ckpt_val"), available_now=True,
         )
+
+
+# --- aggregates over wire-driven join views (r10) ----------------------------
+
+from cdc_lite_spark.streaming.view_stream import (  # noqa: E402
+    read_changelog_join_agg,
+)
+
+
+def _drain_join_agg(spark, log_dir, tmp_path, agg, tag):
+    state_dir = str(tmp_path / f"jvagg_{tag}")
+    init_changelog_join_view(
+        spark, state_dir, "f", "d", _FACT_DDL, _DIM_DDL,
+        ["fid"], ["fk"], ["did"], agg=agg,
+    )
+    q = start_changelog_join_view(
+        stream_changes(spark, log_dir, max_files_per_trigger=2),
+        "f", "d", _FACT_DDL, _DIM_DDL, ["fid"], ["fk"], ["did"],
+        state_dir, str(tmp_path / f"jvagg_ck_{tag}"),
+        available_now=True, agg=agg,
+    )
+    q.awaitTermination()
+    return state_dir
+
+
+def test_wire_join_agg_sum_count_converges(spark, tmp_path):
+    """A grouped sum over fact⋈dim maintained end-to-end from the wire:
+    the agg folds the join fold's own I/D records — final state equals
+    the from-scratch aggregate of the final join."""
+    log = _write_join_log(spark, tmp_path, [(_F1, _D1), (_F2, _D2), (_F3, _D3)])
+    agg = {"group_keys": ["label"], "value_col": "amount"}
+    state_dir = _drain_join_agg(spark, log, tmp_path, agg, "sc")
+    got = {
+        r["label"]: (r["agg_sum"], r["agg_count"], r["agg_rows"])
+        for r in read_changelog_join_agg(spark, state_dir).collect()
+    }
+    f, d = _fact(spark, _F3), _dim(spark, _D3)
+    want = {
+        r["label"]: (r["agg_sum"], r["agg_count"], r["agg_rows"])
+        for r in f.join(d, f["fk"] == d["did"], "inner")
+        .groupBy("label")
+        .agg(
+            F.sum("amount").alias("agg_sum"),
+            F.count("amount").alias("agg_count"),
+            F.count("*").alias("agg_rows"),
+        )
+        .collect()
+    }
+    assert got == want
+    # and the join state itself still converged
+    assert {
+        tuple(r) for r in read_changelog_join_view(spark, state_dir).collect()
+    } == _expected_join(spark, _F3, _D3)
+
+
+def test_wire_join_agg_minmax_degrades_to_view_rebuild(spark, tmp_path):
+    """A degrading kind over the wire join: changed ticks carry DELETEs in
+    the I/D encoding, so min_max rebuilds from the NEW join state (never a
+    re-join) — final extrema equal the from-scratch recompute."""
+    log = _write_join_log(spark, tmp_path, [(_F1, _D1), (_F2, _D2)])
+    agg = {"group_keys": ["label"], "value_col": "amount", "kind": "min_max"}
+    state_dir = _drain_join_agg(spark, log, tmp_path, agg, "mm")
+    got = {
+        r["label"]: (r["agg_min"], r["agg_max"])
+        for r in read_changelog_join_agg(spark, state_dir).collect()
+    }
+    f, d = _fact(spark, _F2), _dim(spark, _D2)
+    want = {
+        r["label"]: (r["mn"], r["mx"])
+        for r in f.join(d, f["fk"] == d["did"], "inner")
+        .groupBy("label")
+        .agg(F.min("amount").alias("mn"), F.max("amount").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_wire_join_agg_validation_and_spec(spark, tmp_path):
+    log = _write_join_log(spark, tmp_path, [(_F1, _D1)])
+    with pytest.raises(ValueError, match="group_keys and value_col"):
+        _drain_join_agg(spark, log, tmp_path, {"kind": "sum_count"}, "bad1")
+    with pytest.raises(ValueError, match="not in the join view"):
+        _drain_join_agg(
+            spark, log, tmp_path,
+            {"group_keys": ["nope"], "value_col": "amount"}, "bad2",
+        )
+    # agg is part of the pinned spec: restart without it must fail
+    agg = {"group_keys": ["label"], "value_col": "amount"}
+    state_dir = _drain_join_agg(spark, log, tmp_path, agg, "pin")
+    (tmp_path / "nolog_ja").mkdir()
+    with pytest.raises(ValueError, match="initialized with"):
+        start_changelog_join_view(
+            stream_changes(spark, str(tmp_path / "nolog_ja")),
+            "f", "d", _FACT_DDL, _DIM_DDL, ["fid"], ["fk"], ["did"],
+            state_dir, str(tmp_path / "ck_ja_pin2"), available_now=True,
+        )
