@@ -114,13 +114,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     p.add_argument(
         "--join-view",
         default="",
-        help="name=fact:dim:fact_key:fact_dim_col:dim_key,... — maintain a "
-        "materialized fact⋈dim inner join view from both tables' change "
-        "records (diff mode only; both tables must be monitored with keys; "
-        "read it back with CdcEngine.view(name)).  Composite keys are "
-        "'+'-separated (fact_key=l_orderkey+l_linenumber); fact or dim may "
-        "name an EARLIER --join-view entry to chain (snowflake: "
-        "v2=v1:customer:...)",
+        help="name=fact:dim:fact_key:fact_dim_col:dim_key[:how],... — "
+        "maintain a materialized fact⋈dim join view from both tables' "
+        "change records (diff mode only; both tables must be monitored "
+        "with keys; read it back with CdcEngine.view(name)).  Composite "
+        "keys are '+'-separated (fact_key=l_orderkey+l_linenumber); fact "
+        "or dim may name an EARLIER --join-view entry to chain "
+        "(snowflake: v2=v1:customer:...); how is inner (default) or "
+        "left_outer (danglers carried with null dim payloads)",
     )
     p.add_argument(
         "--join-agg-view",
@@ -304,14 +305,16 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     for kv in (s for s in args.join_view.split(",") if s):
         name, _, spec = kv.partition("=")
         parts = spec.split(":")
-        if not name or len(parts) != 5 or not all(parts):
+        if not name or len(parts) not in (5, 6) or not all(parts):
             p.error(
                 f"--join-view entry {kv!r}: expected "
-                f"name=fact:dim:fact_key:fact_dim_col:dim_key (composite "
-                f"keys '+'-separated; fact/dim may name an EARLIER "
-                f"--join-view entry to chain)"
+                f"name=fact:dim:fact_key:fact_dim_col:dim_key[:how] "
+                f"(composite keys '+'-separated; fact/dim may name an "
+                f"EARLIER --join-view entry to chain; how is inner or "
+                f"left_outer)"
             )
-        fact, dim, fkey, fdc, dkey = parts
+        fact, dim, fkey, fdc, dkey = parts[:5]
+        how = parts[5] if len(parts) == 6 else "inner"
         key_lists = [k.split("+") for k in (fkey, fdc, dkey)]
         if any(not all(ks) for ks in key_lists):
             p.error(f"--join-view {name!r}: a key list has empty components")
@@ -336,7 +339,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             eng.register_join_view(
                 name, fact_table=fact, dim_table=dim,
                 fact_key=key_lists[0], fact_dim_col=key_lists[1],
-                dim_key=key_lists[2],
+                dim_key=key_lists[2], how=how,
             )
         except ValueError as exc:  # e.g. name collides with an --agg-view
             p.error(f"--join-view {name!r}: {exc}")

@@ -237,6 +237,17 @@ def test_cli_join_view_maintained_and_validated(spark, sf_dir, tmp_path):
               "--keys", "nation=n_nationkey",
               "--join-view", "nr=nation:region:n_nationkey:n_regionkey:r_regionkey"],
              spark=spark)
+    with pytest.raises(SystemExit):  # bad how suffix
+        main(base + [
+            "--join-view",
+            "nr2=nation:region:n_nationkey:n_regionkey:r_regionkey:full_outer",
+        ], spark=spark)
+    # the optional 6th :how segment parses and registers (r10 left_outer)
+    rc = main(base + [
+        "--join-view",
+        "nr2=nation:region:n_nationkey:n_regionkey:r_regionkey:left_outer",
+    ], spark=spark)
+    assert rc == 0
 
 
 def test_cli_agg_view_kind_suffix(spark, sf_dir, tmp_path):
