@@ -927,6 +927,11 @@ class CdcEngine:
                 fields += ("lgk",)
             if s.get("kind") == "freq_items":
                 fields += ("k",)
+            if s.get("kind") == "sample":
+                # unlike keyed/join-agg sample (pk_cols transient, derived
+                # from diff keys / the fact key), a partition view's row
+                # identity is registration state — pin it
+                fields += ("k", "pk_cols")
             # where/derive join the pinned spec only when set: states
             # pinned before the fields existed must keep matching their JSON
             if s.get("where"):
@@ -1264,9 +1269,9 @@ class CdcEngine:
         if s["kind"] == "sample":
             from cdc_lite_spark.operators.incremental import sample_state
 
-            # pk_cols is injected per tick from the table's diff keys —
-            # sample state is keyed-table-only (registration refuses the
-            # kind everywhere keys are unavailable)
+            # pk_cols: injected per tick from the table's diff keys
+            # (keyed views), the fact key (join aggs), or pinned at
+            # registration (partition views)
             return sample_state(
                 cur, s["group_keys"], s["value_col"], s["pk_cols"], s.get("k", 64)
             )
@@ -1514,13 +1519,23 @@ class CdcEngine:
         ``(group_keys..., pk, value_col)`` where ``pk`` is the sampled
         row's key rendering (US-separated for composite keys).  Reads only
         the O(|groups|·k) state, never the monitored table."""
-        spec = self._agg_views.get(name) or self._join_agg_views.get(name)
+        spec = (
+            self._agg_views.get(name)
+            or self._join_agg_views.get(name)
+            or self._part_agg_views.get(name)
+        )
         if spec is None:
             raise ValueError(f"no registered view: {name!r}")
-        kind = spec.get("agg_kind") if spec["kind"] == "join_agg" else spec["kind"]
+        kind = spec.get("agg_kind") if spec.get("kind") == "join_agg" else spec["kind"]
         if kind != "sample":
             raise ValueError(f"view {name!r} is {kind}, not sample")
-        return self.view(name).select(
+        st = (
+            # partition sample: the merged (re-ranked) global bottom-k
+            self.view_merged(name)
+            if name in self._part_agg_views
+            else self.view(name)
+        )
+        return st.select(
             *spec["group_keys"],
             F.col("__pk").alias("pk"),
             F.col(spec["value_col"]),
@@ -1604,6 +1619,10 @@ class CdcEngine:
         "histogram",
         "distinct_count",
         "freq_items",
+        # bottom-k by key hash merges losslessly too: a group's k smallest
+        # hashes overall are each within their own partition's k smallest,
+        # so re-ranking the per-partition samples IS the global sample
+        "sample",
     )
 
     def register_partition_agg_view(
@@ -1621,6 +1640,7 @@ class CdcEngine:
         k: int = 64,
         where: str | None = None,
         derive: "dict[str, str] | None" = None,
+        pk_cols: "list[str] | None" = None,
     ) -> None:
         """Declare a grouped aggregate over a PARTITION-captured table
         (:meth:`poll_partitions`) to be maintained per tick at PARTITION
@@ -1634,11 +1654,13 @@ class CdcEngine:
         degrade to rebuilds under keyed diffs: deleting rows inside a
         partition simply makes that partition's state fresh from its
         current rows.  ``kind`` ∈ ``sum_count`` / ``moments`` / ``min_max``
-        / ``histogram`` / ``distinct_count`` / ``freq_items``; per-group
+        / ``histogram`` / ``distinct_count`` / ``freq_items`` / ``sample``
+        (``sample`` needs ``pk_cols`` — row identity); per-group
         answers come from :meth:`view_merged` (sums add, extrema
         least/greatest, bucket counts add, HLL sketches union — all
         lossless; freq_items summaries merge with the count bracket
-        preserved).
+        preserved; per-partition bottom-k samples re-rank into the exact
+        global bottom-k, readable via :meth:`view_sample`).
 
         Self-healing without snapshot versions: the state commits with a
         ``_parts`` pointer recording the per-partition fingerprints it
@@ -1672,6 +1694,19 @@ class CdcEngine:
             from cdc_lite_spark.operators.histogram import _check_edges
 
             _check_edges(lo, hi, bins)
+        if kind == "sample":
+            if not pk_cols:
+                raise ValueError(
+                    "sample partition views need pk_cols — membership is a "
+                    "pure function of the primary-key hash"
+                )
+            if value_col in group_keys:
+                raise ValueError(
+                    "sample views keep the payload beside the group keys — "
+                    f"value_col {value_col!r} must not be one of the group keys"
+                )
+            if not k > 0:
+                raise ValueError(f"sample views need k > 0, got {k}")
         # NOT checked against _part_agg_views itself: re-registering the
         # same partition view (e.g. correcting a typo'd spec before any
         # state pinned) must stay possible, as for every other view kind
@@ -1693,6 +1728,7 @@ class CdcEngine:
             "k": k,
             "where": where,
             "derive": self._check_derive(derive),
+            **({"pk_cols": list(pk_cols)} if kind == "sample" else {}),
         }
 
     def _read_parts_pointer(self, name: str) -> "dict | None":
@@ -1878,6 +1914,19 @@ class CdcEngine:
             # O(|parts|·k) state arithmetic, never the facts
             return merge_grouped_freq(
                 st.drop("__part"), gk, s.get("k", 64)
+            )
+        if kind == "sample":
+            from pyspark.sql import Window
+
+            # bottom-k of the per-partition bottom-ks IS the global
+            # bottom-k: a group's k smallest hashes are each within their
+            # own partition's k smallest.  O(|parts|·k) state rows re-rank.
+            w = Window.partitionBy(*gk).orderBy(F.col("__h"), F.col("__pk"))
+            return (
+                st.drop("__part")
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= s.get("k", 64))
+                .drop("__rn")
             )
         # distinct_count: union the per-partition sketches, then surface
         # the estimate (the view_distinct_counts shape — readers want a

@@ -1715,3 +1715,78 @@ def test_join_agg_moments_view_folds_and_reads(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown agg_kind"):
         eng.register_join_agg_view("x", "om", ["c_seg"], "o_price", agg_kind="nope")
+
+
+def test_partition_sample_view_merges_to_global_bottom_k(spark, tables, tmp_path):
+    """kind="sample" as a partition-view kind (r10): per-(partition, group)
+    bottom-k states REPLACE under drift (total — no keyed-diff rebuild),
+    and the merged read re-ranks them into the EXACT global bottom-k
+    (membership is a pure function of the key hash, so the merge equals a
+    from-scratch sample_state of the whole table).  view_sample serves
+    partition views through the merged path."""
+    from cdc_lite_spark.operators.incremental import sample_state
+
+    K = 5
+    eng = _engine(spark, tmp_path)
+    eng.register_partition_agg_view(
+        "ps", "orders", "o_orderstatus", ["o_orderpriority"], "price",
+        kind="sample", k=K, pk_cols=["o_orderkey"],
+    )
+    orders = _p_orders(spark, tables)
+    eng.poll_partitions("orders", orders, "o_orderstatus")
+
+    def _want(df):
+        return {
+            tuple(r)
+            for r in sample_state(
+                df, ["o_orderpriority"], "price", ["o_orderkey"], K
+            ).collect()
+        }
+
+    got = {
+        tuple(r)
+        for r in eng.view_merged("ps")
+        .select("o_orderpriority", "__pk", "__h", "price")
+        .collect()
+    }
+    assert got == _want(orders)
+    # the reader projection
+    vs = {tuple(r) for r in eng.view_sample("ps").collect()}
+    assert vs == {(p, pk, v) for (p, pk, _h, v) in got}
+
+    # drift ONE partition: its per-partition states replace; merged stays
+    # the exact global bottom-k of the mutated table (deletes included —
+    # no degradation under replacement semantics)
+    mutated = orders.filter(
+        ~((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0))
+    )
+    report = eng.poll_partitions("orders", mutated, "o_orderstatus")
+    assert report["drifted"] == ["F"]
+    got = {
+        tuple(r)
+        for r in eng.view_merged("ps")
+        .select("o_orderpriority", "__pk", "__h", "price")
+        .collect()
+    }
+    assert got == _want(mutated)
+
+
+def test_partition_sample_view_validation(spark, tables, tmp_path):
+    import pytest
+
+    eng = _engine(spark, tmp_path)
+    with pytest.raises(ValueError, match="need pk_cols"):
+        eng.register_partition_agg_view(
+            "x", "orders", "o_orderstatus", ["o_orderpriority"], "price",
+            kind="sample",
+        )
+    with pytest.raises(ValueError, match="must not be one of the group keys"):
+        eng.register_partition_agg_view(
+            "x", "orders", "o_orderstatus", ["price"], "price",
+            kind="sample", pk_cols=["o_orderkey"],
+        )
+    with pytest.raises(ValueError, match="k > 0"):
+        eng.register_partition_agg_view(
+            "x", "orders", "o_orderstatus", [], "price",
+            kind="sample", k=0, pk_cols=["o_orderkey"],
+        )
