@@ -417,13 +417,34 @@ def _join_maintenance_parts(
     ).join(
         dim_pfx,
         key_eq((F.col(f), F.col(f"__dim_{d}")) for f, d in zip(fdc, dk)),
-        how,
+        "inner",
     )
     out_cols = [
         F.col(c) if c in fact_new.columns else F.col(f"__dim_{c}").alias(c)
         for c in m_old.columns
     ]
-    return affected, refreshed.select(*out_cols)
+    refreshed = refreshed.select(*out_cols)
+    if how == "left_outer":
+        # a LeftOuter BroadcastHashJoin can only BUILD ITS RIGHT side, so
+        # the delta-bounded fact broadcast is unusable in a direct outer
+        # refresh — Spark would fall back to shuffling BOTH the pruned
+        # fact and the whole dim table (observed SortMergeJoin).  Express
+        # the outer refresh as inner ∪ null-extended-unmatched instead:
+        # the anti join builds on the delta-sized matched-key set, so
+        # every leg stays delta-broadcast and the dim never shuffles.
+        matched = refreshed.select(*fk)
+        m = F.broadcast(matched) if hint_broadcast else matched
+        dim_types = {f.name: f.dataType for f in dim_new.schema.fields}
+        null_ext = pruned_fact.join(m, fk, "left_anti").select(
+            *[
+                F.col(c)
+                if c in fact_new.columns
+                else F.lit(None).cast(dim_types[c]).alias(c)
+                for c in m_old.columns
+            ]
+        )
+        refreshed = refreshed.unionByName(null_ext)
+    return affected, refreshed
 
 
 def join_view_changes(

@@ -1121,3 +1121,32 @@ def start_changelog_join_view(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def changelog_view_status(spark: SparkSession, state_dir: str) -> dict:
+    """Operational status of a changelog-maintained view (single-table or
+    join): the pinned spec plus each state's current committed version —
+    the wire-consumer twin of ``CdcEngine.view_status()``.  FS reads only
+    (pointers + the spec), no parquet opened, no job run."""
+    spec = _read_pinned_spec(spark, state_dir)
+    out: dict = {"state_dir": state_dir, "spec": spec, "states": {}}
+    kind = (spec or {}).get("kind")
+    dirs = (
+        {
+            "fact_replica": _fact_replica_dir(state_dir),
+            "dim_replica": _dim_replica_dir(state_dir),
+            "join": _join_dir(state_dir),
+            "agg": _agg_dir(state_dir),
+        }
+        if kind == "join"
+        else {"replica": _replica_dir(state_dir), "agg": _agg_dir(state_dir)}
+    )
+    for label, d in dirs.items():
+        fs = fs_for(d, spark)
+        if not fs.dir_exists(d):
+            continue  # e.g. a join view registered without an agg
+        try:
+            out["states"][label] = fs.read_pointer(d)
+        except FileNotFoundError:
+            out["states"][label] = None  # dir exists but never committed
+    return out

@@ -84,6 +84,30 @@ def test_maintain_join_rejects_bad_how(spark):
         )
 
 
+def test_maintain_join_left_outer_broadcasts_delta_sides(spark):
+    """The left-outer refresh keeps the inner path's scale contract: every
+    join broadcasts a delta-bounded side and nothing sort-merges.  A
+    direct outer refresh could NOT do this (BroadcastHashJoin LeftOuter
+    builds its right side only, so the dim would shuffle) — the refresh
+    is expressed as inner ∪ null-extended-unmatched instead, both legs
+    delta-broadcast."""
+    fact_prev, fact_cur, dim_prev, dim_cur = _fixture(spark)
+    out = maintain_join(
+        _left(fact_prev, dim_prev).localCheckpoint(),
+        fact_cur,
+        dim_cur,
+        snapshot_diff(fact_prev, fact_cur, ["fid"]).localCheckpoint(),
+        snapshot_diff(dim_prev, dim_cur, ["did"]).localCheckpoint(),
+        fact_key="fid",
+        fact_dim_col="did",
+        dim_key="did",
+        how="left_outer",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_engine_left_outer_join_view_across_ticks(spark, tmp_path):
     """Two real engine ticks: the left-outer view equals the from-scratch
     left join after each, carries danglers throughout, and the fold tick

@@ -948,3 +948,26 @@ def test_wire_join_agg_validation_and_spec(spark, tmp_path):
             "f", "d", _FACT_DDL, _DIM_DDL, ["fid"], ["fk"], ["did"],
             state_dir, str(tmp_path / "ck_ja_pin2"), available_now=True,
         )
+
+
+def test_changelog_view_status_reports_pointers(spark, tmp_path):
+    """The wire-consumer status helper: pinned spec + per-state committed
+    pointer, for both the single-table and the join layout — FS reads
+    only."""
+    from cdc_lite_spark.streaming.view_stream import changelog_view_status
+
+    log = _write_log(spark, tmp_path, [_T1, _T2])
+    sd = _drain(spark, log, tmp_path, "sum_count")
+    st = changelog_view_status(spark, sd)
+    assert st["spec"]["kind"] == "sum_count"
+    assert st["states"]["replica"] == st["states"]["agg"]  # same epoch chain
+    assert st["states"]["agg"].startswith("v")
+
+    jlog = _write_join_log(spark, tmp_path, [(_F1, _D1)])
+    jsd = _drain_join_agg(
+        spark, jlog, tmp_path,
+        {"group_keys": ["label"], "value_col": "amount"}, "status",
+    )
+    jst = changelog_view_status(spark, jsd)
+    assert jst["spec"]["kind"] == "join"
+    assert set(jst["states"]) == {"fact_replica", "dim_replica", "join", "agg"}
