@@ -239,3 +239,53 @@ def test_wire_left_outer_join_view_converges(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_engine_agg_over_left_outer_join_view(spark, tmp_path):
+    """register_join_agg_view over a left-outer view: null-extended rows
+    flow through the I/D fold — a sum over a DIM column skips danglers'
+    nulls while agg_rows counts every fact; after the dim arrives the
+    fold moves the fact's contribution in (retract null row / insert
+    joined row), matching a from-scratch recompute."""
+    fact_prev, fact_cur, dim_prev, dim_cur = _fixture(spark)
+    dim_prev = dim_prev.select(
+        F.col("did").alias("did2"), F.col("did").cast("double").alias("w")
+    )
+    dim_cur = dim_cur.select(
+        F.col("did").alias("did2"), F.col("did").cast("double").alias("w")
+    )
+    eng = CdcEngine(
+        spark,
+        output_dir=str(tmp_path / "log"),
+        state_dir=str(tmp_path / "state"),
+        emit_schema_changes=False,
+    )
+    eng.register_join_view(
+        "lo", fact_table="f", dim_table="d",
+        fact_key="fid", fact_dim_col="did", dim_key="did2", how="left_outer",
+    )
+    eng.register_join_agg_view("agg", "lo", ["did"], "w")
+    keys = {"f": ["fid"], "d": ["did2"]}
+
+    def _want(fact, dim):
+        j = fact.join(dim, fact["did"] == dim["did2"], "left_outer")
+        return {
+            r["did"]: (r["s"], r["c"], r["n"])
+            for r in j.groupBy("did")
+            .agg(
+                F.sum("w").alias("s"),
+                F.count("w").alias("c"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        }
+
+    for fact, dim in ((fact_prev, dim_prev), (fact_cur, dim_cur)):
+        eng.poll_once({"f": fact, "d": dim}, mode="diff", keys=keys)
+        got = {
+            r["did"]: (r["agg_sum"], r["agg_count"], r["agg_rows"])
+            for r in eng.view("agg").collect()
+        }
+        assert got == _want(fact, dim)
+    # the dangling groups really are present with null-skipping counts
+    assert got[99] == (None, 0, 1)  # fact 6: dim 99 never arrived
