@@ -289,3 +289,57 @@ def test_engine_agg_over_left_outer_join_view(spark, tmp_path):
         assert got == _want(fact, dim)
     # the dangling groups really are present with null-skipping counts
     assert got[99] == (None, 0, 1)  # fact 6: dim 99 never arrived
+
+
+def test_left_outer_view_chains_as_snowflake_side(spark, tmp_path):
+    """A left-outer view composes as the FACT of a downstream join view
+    (snowflake chain): the chain folds the upstream's null-extended rows
+    like any other state rows, and the final chain equals the
+    from-scratch (f ⟕ d) ⋈ d2 across two mutating ticks."""
+    fact_prev, fact_cur, dim_prev, dim_cur = _fixture(spark)
+    dim_prev = dim_prev.select(F.col("did").alias("did2"), "attr")
+    dim_cur = dim_cur.select(F.col("did").alias("did2"), "attr")
+    # second dim keyed by the fact's own v-independent column: join on fid
+    d2_prev = spark.createDataFrame(
+        [(1, "p1"), (3, "p3"), (4, "p4"), (9, "p9")], "fid2 long, tag string"
+    )
+    d2_cur = spark.createDataFrame(
+        [(1, "P1"), (3, "p3"), (5, "p5"), (9, "p9"), (6, "p6")],
+        "fid2 long, tag string",
+    )
+    eng = CdcEngine(
+        spark,
+        output_dir=str(tmp_path / "log"),
+        state_dir=str(tmp_path / "state"),
+        emit_schema_changes=False,
+    )
+    eng.register_join_view(
+        "lo", fact_table="f", dim_table="d",
+        fact_key="fid", fact_dim_col="did", dim_key="did2", how="left_outer",
+    )
+    eng.register_join_view(
+        "chain", fact_table="lo", dim_table="d2",
+        fact_key="fid", fact_dim_col="fid", dim_key="fid2",
+    )
+    keys = {"f": ["fid"], "d": ["did2"], "d2": ["fid2"]}
+
+    def _want(fact, dim, d2):
+        lo = fact.join(dim, fact["did"] == dim["did2"], "left_outer")
+        return {
+            tuple(r)
+            for r in lo.join(d2, lo["fid"] == d2["fid2"], "inner").collect()
+        }
+
+    eng.poll_once(
+        {"f": fact_prev, "d": dim_prev, "d2": d2_prev}, mode="diff", keys=keys
+    )
+    got = {tuple(r) for r in eng.view("chain").collect()}
+    assert got == _want(fact_prev, dim_prev, d2_prev)
+    eng.poll_once(
+        {"f": fact_cur, "d": dim_cur, "d2": d2_cur}, mode="diff", keys=keys
+    )
+    got = {tuple(r) for r in eng.view("chain").collect()}
+    assert got == _want(fact_cur, dim_cur, d2_cur)
+    # the chain carries the upstream's null-extended rows (fact 6's dim 99
+    # never arrived, but its d2 tag did)
+    assert any(r[0] == 6 and r[4] is None and r[6] == "p6" for r in got)

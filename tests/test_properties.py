@@ -172,11 +172,14 @@ def test_maintained_aggregate_equals_recompute(spark, prev_rows, cur_rows):
     schema = "id long, grp string, value long"
     # fold some null VALUES in deterministically (v=5 -> null): the
     # count-skips-nulls path (ADVICE r01) must hold, not just null groups
+    # v=5 (and generated Nones) -> null
     prev = spark.createDataFrame(
-        [(i, p, v if v < 5 else None) for i, p, v in prev_rows], schema
+        [(i, p, v if v is not None and v < 5 else None) for i, p, v in prev_rows],
+        schema,
     )
     cur = spark.createDataFrame(
-        [(i, p, v if v < 5 else None) for i, p, v in cur_rows], schema
+        [(i, p, v if v is not None and v < 5 else None) for i, p, v in cur_rows],
+        schema,
     )
     # group by a low-cardinality key derived from payload so updates can
     # MOVE rows between groups (the retract-from-old/add-to-new path)
@@ -709,7 +712,11 @@ def test_maintained_histogram_equals_rebuild(spark, prev_rows, cur_rows):
 
     def _cast(rows):
         return spark.createDataFrame(
-            [(i, p, float(v) if v != 5 else None) for i, p, v in rows], schema
+            [
+                (i, p, float(v) if v is not None and v != 5 else None)
+                for i, p, v in rows
+            ],
+            schema,
         )
 
     def grouped(df):
