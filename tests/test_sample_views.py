@@ -192,8 +192,9 @@ def test_view_sample_reader_and_validation(spark, tables, tmp_path):
         eng.register_agg_view(
             "bad", "orders", ["o_orderstatus"], "price", kind="sample", k=0
         )
-    # sample is not a mergeable partition-view kind (no keys there)
-    with pytest.raises(ValueError, match="unknown partition view kind"):
+    # sample IS a partition-view kind since r10 — but row identity is
+    # registration state there, so omitting pk_cols must fail fast
+    with pytest.raises(ValueError, match="need pk_cols"):
         eng.register_partition_agg_view(
             "bad", "orders", "o_orderstatus", [], "price", kind="sample"
         )
