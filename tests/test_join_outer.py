@@ -343,3 +343,60 @@ def test_left_outer_view_chains_as_snowflake_side(spark, tmp_path):
     # the chain carries the upstream's null-extended rows (fact 6's dim 99
     # never arrived, but its d2 tag did)
     assert any(r[0] == 6 and r[4] is None and r[6] == "p6" for r in got)
+
+
+def test_wire_left_outer_join_agg_composes(spark, tmp_path):
+    """how="left_outer" + agg compose in the wire consumer: the agg folds
+    I/D records that include null-extended rows — a sum over the dim
+    column counts only joined facts while agg_rows counts every fact."""
+    from cdc_lite_spark.sources.changelog import stream_changes
+    from cdc_lite_spark.streaming.view_stream import (
+        init_changelog_join_view,
+        read_changelog_join_agg,
+        start_changelog_join_view,
+    )
+
+    fact_prev, fact_cur, dim_prev, dim_cur = _fixture(spark)
+    dim_prev = dim_prev.select(
+        F.col("did").alias("did2"), F.col("did").cast("double").alias("w")
+    )
+    dim_cur = dim_cur.select(
+        F.col("did").alias("did2"), F.col("did").cast("double").alias("w")
+    )
+    eng = CdcEngine(
+        spark,
+        output_dir=str(tmp_path / "log"),
+        state_dir=str(tmp_path / "estate"),
+        emit_schema_changes=False,
+    )
+    keys = {"f": ["fid"], "d": ["did2"]}
+    eng.poll_once({"f": fact_prev, "d": dim_prev}, mode="diff", keys=keys)
+    eng.poll_once({"f": fact_cur, "d": dim_cur}, mode="diff", keys=keys)
+
+    fddl, dddl = "fid BIGINT, did BIGINT, v DOUBLE", "did2 BIGINT, w DOUBLE"
+    agg = {"group_keys": ["did"], "value_col": "w"}
+    state_dir = str(tmp_path / "vstate")
+    init_changelog_join_view(
+        spark, state_dir, "f", "d", fddl, dddl, ["fid"], ["did"], ["did2"],
+        how="left_outer", agg=agg,
+    )
+    q = start_changelog_join_view(
+        stream_changes(spark, str(tmp_path / "log"), max_files_per_trigger=2),
+        "f", "d", fddl, dddl, ["fid"], ["did"], ["did2"],
+        state_dir, str(tmp_path / "ckpt"),
+        available_now=True, how="left_outer", agg=agg,
+    )
+    q.awaitTermination()
+    got = {
+        r["did"]: (r["agg_sum"], r["agg_count"], r["agg_rows"])
+        for r in read_changelog_join_agg(spark, state_dir).collect()
+    }
+    j = fact_cur.join(dim_cur, fact_cur["did"] == dim_cur["did2"], "left_outer")
+    want = {
+        r["did"]: (r["s"], r["c"], r["n"])
+        for r in j.groupBy("did")
+        .agg(F.sum("w").alias("s"), F.count("w").alias("c"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert got[99] == (None, 0, 1)  # the dangling fact's group
