@@ -1150,3 +1150,52 @@ def changelog_view_status(spark: SparkSession, state_dir: str) -> dict:
         except FileNotFoundError:
             out["states"][label] = None  # dir exists but never committed
     return out
+
+
+def changelog_view_quantiles(
+    spark: SparkSession, state_dir: str, qs: "list[float]"
+) -> DataFrame:
+    """Quantile estimates from a wire-maintained HISTOGRAM view — the
+    bucket edges come from the pinned spec (single-table kind or an
+    agg-over-join), and only the state table is read, never the log or
+    the replicas.  The wire twin of ``CdcEngine.view_quantiles``."""
+    from cdc_lite_spark.operators.histogram import quantiles_from_histogram
+
+    spec = _read_pinned_spec(spark, state_dir)
+    if spec is None:
+        raise ValueError(f"no pinned spec under {state_dir!r}")
+    a = spec.get("agg") if spec.get("kind") == "join" else spec
+    if not a or a.get("kind") != "histogram":
+        raise ValueError(
+            f"state at {state_dir!r} is {(a or {}).get('kind')!r}, not histogram"
+        )
+    return quantiles_from_histogram(
+        read_current(spark, _agg_dir(state_dir)),
+        a["group_keys"],
+        qs,
+        a["lo"],
+        a["hi"],
+        a.get("bins", 64),
+    )
+
+
+def changelog_heavy_hitters(
+    spark: SparkSession, state_dir: str, min_share: "float | None" = None
+) -> DataFrame:
+    """Heavy-hitter report from a wire-maintained FREQ_ITEMS view —
+    ``[count_lo, count_hi]``-bracketed items per group, lower-bound
+    filtered by ``min_share`` (no false positives).  The wire twin of
+    ``CdcEngine.view_heavy_hitters``; reads only the O(k)-entry state."""
+    from cdc_lite_spark.operators.freq import heavy_hitters
+
+    spec = _read_pinned_spec(spark, state_dir)
+    if spec is None:
+        raise ValueError(f"no pinned spec under {state_dir!r}")
+    a = spec.get("agg") if spec.get("kind") == "join" else spec
+    if not a or a.get("kind") != "freq_items":
+        raise ValueError(
+            f"state at {state_dir!r} is {(a or {}).get('kind')!r}, not freq_items"
+        )
+    return heavy_hitters(
+        read_current(spark, _agg_dir(state_dir)), a["group_keys"], min_share
+    )

@@ -971,3 +971,48 @@ def test_changelog_view_status_reports_pointers(spark, tmp_path):
     jst = changelog_view_status(spark, jsd)
     assert jst["spec"]["kind"] == "join"
     assert set(jst["states"]) == {"fact_replica", "dim_replica", "join", "agg"}
+
+
+def test_changelog_quantiles_and_heavy_hitters_readers(spark, tmp_path):
+    """The wire twins of view_quantiles / view_heavy_hitters read their
+    parameters from the pinned spec and only touch state; kind mismatch
+    fails with a clear error."""
+    from cdc_lite_spark.operators.histogram import (
+        histogram_state,
+        quantiles_from_histogram,
+    )
+    from cdc_lite_spark.streaming.view_stream import (
+        changelog_heavy_hitters,
+        changelog_view_quantiles,
+    )
+
+    log = _write_log(spark, tmp_path, [_T1, _T2])
+    final = _df(spark, _T2)
+    hd = _drain(spark, log, tmp_path, "histogram", lo=0.0, hi=60.0, bins=6)
+    got = {
+        tuple(r) for r in changelog_view_quantiles(spark, hd, [0.5, 0.9]).collect()
+    }
+    want = {
+        tuple(r)
+        for r in quantiles_from_histogram(
+            histogram_state(final, ["grp"], "v", 0.0, 60.0, 6),
+            ["grp"], [0.5, 0.9], 0.0, 60.0, 6,
+        ).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="not freq_items"):
+        changelog_heavy_hitters(spark, hd)
+
+    fd = _drain(spark, log, tmp_path, "freq_items", k=4)
+    hh = changelog_heavy_hitters(spark, fd)
+    truth = {
+        (r["grp"], str(r["v"])): r["n"]
+        for r in final.groupBy("grp", "v").agg(F.count("*").alias("n")).collect()
+    }
+    rows = hh.collect()
+    assert rows
+    for r in rows:
+        true_n = truth.get((r["grp"], str(r["item"])), 0)
+        assert r["count_lo"] <= true_n <= r["count_hi"]
+    with pytest.raises(ValueError, match="not histogram"):
+        changelog_view_quantiles(spark, fd, [0.5])
