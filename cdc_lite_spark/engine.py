@@ -1916,18 +1916,13 @@ class CdcEngine:
                 st.drop("__part"), gk, s.get("k", 64)
             )
         if kind == "sample":
-            from pyspark.sql import Window
+            from cdc_lite_spark.operators.incremental import bottom_k
 
             # bottom-k of the per-partition bottom-ks IS the global
             # bottom-k: a group's k smallest hashes are each within their
-            # own partition's k smallest.  O(|parts|·k) state rows re-rank.
-            w = Window.partitionBy(*gk).orderBy(F.col("__h"), F.col("__pk"))
-            return (
-                st.drop("__part")
-                .withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") <= s.get("k", 64))
-                .drop("__rn")
-            )
+            # own partition's k smallest.  O(|parts|·k) state rows re-rank
+            # through the ONE shared ranking definition.
+            return bottom_k(st.drop("__part"), gk, s.get("k", 64))
         # distinct_count: union the per-partition sketches, then surface
         # the estimate (the view_distinct_counts shape — readers want a
         # number, not sketch bytes)

@@ -429,13 +429,29 @@ def _join_maintenance_parts(
         # the delta-bounded fact broadcast is unusable in a direct outer
         # refresh — Spark would fall back to shuffling BOTH the pruned
         # fact and the whole dim table (observed SortMergeJoin).  Express
-        # the outer refresh as inner ∪ null-extended-unmatched instead:
-        # the anti join builds on the delta-sized matched-key set, so
-        # every leg stays delta-broadcast and the dim never shuffles.
-        matched = refreshed.select(*fk)
-        m = F.broadcast(matched) if hint_broadcast else matched
+        # the outer refresh as inner ∪ null-extended-unmatched instead.
+        # The unmatched set comes from a dim-key semi pass (NOT from the
+        # inner refresh's output — that would re-evaluate the whole join
+        # subtree once more per consuming action): dim keys referenced by
+        # the pruned facts are delta-bounded (dim_key unique), so both
+        # the semi and the anti build on broadcast delta sets, the dim is
+        # scanned narrow/map-side, and nothing shuffles.
+        fk_vals = pruned_fact.select(*fdc).distinct()
+        fkv = F.broadcast(fk_vals) if hint_broadcast else fk_vals
+        dim_hit = dim_pfx.join(
+            fkv,
+            key_eq(
+                (F.col(f"__dim_{d}"), fk_vals[f]) for f, d in zip(fdc, dk)
+            ),
+            "left_semi",
+        ).select(*[F.col(f"__dim_{d}") for d in dk])
+        dh = F.broadcast(dim_hit) if hint_broadcast else dim_hit
         dim_types = {f.name: f.dataType for f in dim_new.schema.fields}
-        null_ext = pruned_fact.join(m, fk, "left_anti").select(
+        null_ext = pruned_fact.join(
+            dh,
+            key_eq((F.col(f), F.col(f"__dim_{d}")) for f, d in zip(fdc, dk)),
+            "left_anti",
+        ).select(
             *[
                 F.col(c)
                 if c in fact_new.columns
@@ -705,6 +721,23 @@ def _sample_hash(pk_cols: "list[str]"):
     return portable_hash64(_pk_string(pk_cols))
 
 
+def bottom_k(df: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Keep each group's k smallest ``(__h, __pk)`` rows — THE single
+    definition of sample ordering (total order: hash, then key string).
+    sample_state, apply_sample_delta, and the engine's partition-sample
+    merge (view_merged) must all rank identically or maintained samples
+    silently diverge from rebuilds — one helper, not three copies (the
+    _pk_string lesson, r9 ADVICE)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col("__h"), F.col("__pk"))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def sample_state(
     df: DataFrame, keys: list[str], value_col: str, pk_cols: list[str], k: int
 ) -> DataFrame:
@@ -722,17 +755,15 @@ def sample_state(
             "sample state keeps the payload beside the group keys — "
             f"value_col {value_col!r} must not be one of the group keys"
         )
-    w = Window.partitionBy(*keys).orderBy(F.col("__h"), F.col("__pk"))
-    return (
+    return bottom_k(
         df.select(
             *keys,
             pk_str.alias("__pk"),
             _sample_hash(pk_cols).alias("__h"),
             F.col(value_col),
-        )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+        ),
+        keys,
+        k,
     )
 
 
@@ -778,11 +809,8 @@ def apply_sample_delta(
         _sample_hash(pk_cols).alias("__h"),
         F.col(value_col),
     )
-    w = Window.partitionBy(*keys).orderBy(F.col("__h"), F.col("__pk"))
-    return (
-        patched.select(*keys, "__pk", "__h", value_col)
-        .unionByName(delta)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+    return bottom_k(
+        patched.select(*keys, "__pk", "__h", value_col).unionByName(delta),
+        keys,
+        k,
     )

@@ -8806,8 +8806,10 @@ def q_changelog_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The r9-staged freq_items / sample oracle gates are registered at the end
 # of this file (`freq_items_heavy_hitters`, `incremental_sample_maintenance`
-# — r10 verdict ask #1); the r10 window budget is those 2 + the 3 r5-stale
-# + 45 of the 50 r6-stale rotations.
+# — r10 verdict ask #1), joined by `wire_join_view_maintenance` (ask #4);
+# the r10 window budget is those THREE + the 3 r5-stale + 44 of the 50
+# r6-stale rotations (six r6 queries carry to r11 — named in
+# BENCH_NOTES.md, the budget's source of truth).
 
 
 @register(

@@ -18,18 +18,23 @@ Layout under one replica root::
 
 A manifest maps bucket id → the ``e{K}`` dir holding its current content
 (absent id = empty bucket).  Commit of epoch ``e`` writes the touched
-buckets' NEW content in ONE partitioned job to ``e{e+1}/``, writes
-``m{e+1}.json`` whose untouched entries carry forward, and atomically
-repoints ``_CURRENT`` — the pointer swap is the commit, exactly the
-versioned-parquet protocol (streaming/_state.py) with a manifest where
-the version name used to be.
+buckets' NEW content in ONE partitioned job to a NEVER-BEFORE-USED epoch
+dir ((max existing e-index)+1 — fresh names can never alias a dir a live
+manifest still references, whatever mix of replays and fresh-checkpoint
+redrains produced the on-disk state), writes ``m{e+1}.json`` whose
+untouched entries carry forward, and atomically repoints ``_CURRENT`` —
+the pointer swap is the commit, exactly the versioned-parquet protocol
+(streaming/_state.py) with a manifest where the version name used to be.
 
 Exactly-once: epoch ``e`` reads ``m{e}.json`` when it exists (replay
-safety — the replayed epoch sees its original basis and rewrites a
-bit-identical ``e{e+1}``), else ``_CURRENT``.  GC after the pointer swap
-deletes bucket dirs referenced by NEITHER ``m{e}`` nor ``m{e+1}`` (the
-two manifests a replay can still need), so an untouched bucket's content
-lives on in the old ``e{K}`` dir exactly as long as a manifest names it.
+safety — the replayed epoch sees its original basis and rewrites the
+SAME state content, under a fresh dir name; ``m{e+1}.json`` is
+atomically overwritten to reference it and GC removes the orphan), else
+``_CURRENT``.  GC after the pointer swap deletes bucket dirs referenced
+by NEITHER ``m{e}`` nor ``m{e+1}`` nor the epoch's basis manifest (the
+manifests a replay or in-flight lazy plan can still need), so an
+untouched bucket's content lives on in its old ``e{K}`` dir exactly as
+long as a manifest names it.
 
 100 TB shape: ``n`` should scale with table size (table/n ≈ a task's
 worth, e.g. 128-512 MB).  The touched-bucket read and the rewrite are one
@@ -177,12 +182,7 @@ class BucketedReplica:
 
     def init(self, rows: DataFrame) -> None:
         """Lay down epoch-0 state: every row written once, partitioned by
-        bucket, under ``e0/``; manifest ``m0.json``; pointer.  The
-        manifest's ``gen`` counter names epoch dirs (NOT the stream epoch):
-        a fresh-checkpoint redrain restarts epochs at 0 but must never
-        alias an epoch dir still referenced by a live manifest — gen is
-        derived from the basis manifest, so replays of one epoch reuse one
-        name while redrains allocate fresh ones."""
+        bucket, under ``e0/``; manifest ``m0.json``; pointer."""
         (
             rows.withColumn(_BUCKET, self.bucket_expr())
             .repartition(_BUCKET)
@@ -196,6 +196,17 @@ class BucketedReplica:
         }
         self._write_manifest_file("m0.json", manifest)
         self.fs.write_pointer(self.root, "m0.json")
+
+    def _next_edir(self) -> str:
+        """A never-before-used epoch dir name: (max existing e-index)+1.
+        One listing; crashed writes count (their names exist on disk), so
+        retries never collide with a partial dir either."""
+        try:
+            names = self.fs.list_names(self.root)
+        except FileNotFoundError:
+            names = []
+        used = [int(n[1:]) for n in names if n.startswith("e") and n[1:].isdigit()]
+        return f"e{max(used, default=-1) + 1}"
 
     def _written_buckets(self, edir: str) -> list[int]:
         try:
@@ -219,14 +230,23 @@ class BucketedReplica:
         epoch: int,
         gc: bool = True,
     ) -> dict:
-        """Write the touched buckets' new content as ``e{gen+1}/`` (ONE
-        partitioned job; gen from the basis manifest so a replayed epoch
-        rewrites the same dir bit-identically and a fresh-checkpoint
-        redrain never aliases a referenced dir), publish ``m{epoch+1}.json``
-        with untouched entries carried forward, swing the pointer, GC
-        unreferenced bucket dirs.  Returns the new manifest."""
-        gen = int(manifest.get("gen", 0)) + 1
-        edir = f"e{gen}"
+        """Write the touched buckets' new content as a FRESH epoch dir
+        (ONE partitioned job), publish ``m{epoch+1}.json`` with untouched
+        entries carried forward, swing the pointer, GC unreferenced
+        bucket dirs.  Returns the new manifest.
+
+        The epoch dir name is allocated as (max existing e-index)+1 — a
+        name NEVER used before — not derived from the basis manifest's
+        generation: deriving it would alias a still-referenced dir
+        whenever a fresh-checkpoint redrain's epoch 0 finds a surviving
+        ``m0.json`` basis while ``_CURRENT`` references the dir that same
+        arithmetic names (a reader mid-overwrite, or a crash before the
+        pointer swing, would then see a committed manifest pointing at
+        deleted/partial buckets).  Exactly-once needs the replayed
+        epoch's STATE to be identical, not its directory name: a replay
+        writes the same content under a fresh dir, atomically overwrites
+        ``m{epoch+1}.json`` to reference it, and GC removes the orphan."""
+        edir = self._next_edir()
         (
             new_touched.withColumn(_BUCKET, self.bucket_expr())
             .repartition(_BUCKET)
@@ -241,7 +261,7 @@ class BucketedReplica:
                 new_buckets[str(b)] = edir
             else:
                 new_buckets.pop(str(b), None)  # bucket drained empty
-        new_manifest = {"gen": gen, "buckets": new_buckets}
+        new_manifest = {"gen": int(edir[1:]), "buckets": new_buckets}
         self._write_manifest_file(f"m{epoch + 1}.json", new_manifest)
         self.fs.write_pointer(self.root, f"m{epoch + 1}.json")
         if gc:

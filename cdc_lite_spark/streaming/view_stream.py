@@ -123,9 +123,15 @@ def _spec_of(
         "value_col": value_col,
         "kind": kind,
     }
-    if buckets:  # bucketed replica layout: bucket count + key pinned
+    # the replica's identity key is correctness-critical for EVERY kind
+    # (a restart with different key_cols would silently collapse/split
+    # replica rows — r10 review); pinned only when the caller declares it
+    # so pre-r10 states (no key_cols in their JSON) keep matching when
+    # started the pre-r10 way
+    if pk_cols:
+        s["key_cols"] = list(pk_cols)
+    if buckets:  # bucketed replica layout: bucket count pinned too
         s["buckets"] = int(buckets)
-        s["key_cols"] = list(pk_cols or [])
     if kind == "histogram":  # parameterized kinds pin their parameters
         s.update({"lo": lo, "hi": hi, "bins": bins})
     if kind == "distinct_count":
@@ -158,11 +164,24 @@ def _pin_spec(spark: SparkSession, state_dir: str, spec: dict) -> None:
         fs.write_pointer(d, json.dumps(spec))
 
 
-def _check_spec(spark: SparkSession, state_dir: str, spec: dict) -> None:
+def _check_spec(
+    spark: SparkSession,
+    state_dir: str,
+    spec: dict,
+    upgradable: tuple = ("key_cols",),
+) -> None:
     """Refuse to attach a stream whose parameters mismatch what the state
     on disk was BUILT with (the engine's spec-pin discipline): folding
     moments records into sum_count state, or new bucket edges onto old
-    counts, would silently corrupt — fail at start, not mid-batch."""
+    counts, would silently corrupt — fail at start, not mid-batch.
+
+    ``upgradable`` fields may be ABSENT from an older persisted spec (they
+    postdate it); when everything else matches, the pin is upgraded in
+    place with the new fields so subsequent restarts enforce them too —
+    e.g. ``key_cols`` (r10): pinned at init only when the caller declared
+    it, always carried by a start, and a restart with DIFFERENT key_cols
+    than a pin that has them must fail (it would silently collapse/split
+    replica rows)."""
     import json
 
     d = state_dir + "/_spec"
@@ -174,6 +193,19 @@ def _check_spec(spark: SparkSession, state_dir: str, spec: dict) -> None:
     except FileNotFoundError:
         return
     if persisted != spec:
+        missing = set(spec) - set(persisted)
+        if (
+            missing
+            and missing <= set(upgradable)
+            and all(
+                persisted.get(k2) == v
+                for k2, v in spec.items()
+                if k2 in persisted
+            )
+            and set(persisted) <= set(spec)
+        ):
+            _pin_spec(spark, state_dir, spec)
+            return
         raise ValueError(
             f"changelog view state at {state_dir!r} was initialized with "
             f"{persisted}, but the stream was started with {spec} — "

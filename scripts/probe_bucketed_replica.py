@@ -48,7 +48,7 @@ def _table(spark, n):
 
 
 def _batch(spark, n):
-    # 64 spread-out keys updated — a delta-sized tick
+    # BATCH_KEYS spread-out keys updated — a delta-sized tick
     return spark.range(BATCH_KEYS).select(
         (F.col("id") * (n // BATCH_KEYS)).alias("id"),
         F.lit("u").alias("grp"),

@@ -1016,3 +1016,76 @@ def test_changelog_quantiles_and_heavy_hitters_readers(spark, tmp_path):
         assert r["count_lo"] <= true_n <= r["count_hi"]
     with pytest.raises(ValueError, match="not histogram"):
         changelog_view_quantiles(spark, fd, [0.5])
+
+
+def test_bucketed_commit_never_reuses_epoch_dir_names(spark, tmp_path):
+    """Regression (r10 review): a fresh-checkpoint redrain's epoch 0 can
+    find a surviving m0.json as its basis while _CURRENT references the
+    dir that basis-derived naming would produce — commit must allocate a
+    NEVER-USED epoch dir instead of overwriting a live-referenced one."""
+    import os
+
+    from cdc_lite_spark.streaming.bucketed import BucketedReplica
+
+    root = str(tmp_path / "brep")
+    ddl = "id BIGINT, v DOUBLE"
+    brep = BucketedReplica(spark, root, 4, ["id"], ddl)
+    rows = spark.createDataFrame([(i, float(i)) for i in range(20)], ddl)
+    brep.init(rows)
+
+    batch1 = spark.createDataFrame([(1, -1.0)], ddl)
+    man0 = brep.manifest_for_epoch(0)
+    t1 = brep.touched_ids(batch1)
+    new1 = (
+        brep.read(man0, t1)
+        .join(batch1.select("id"), ["id"], "left_anti")
+        .unionByName(batch1)
+    )
+    m1 = brep.commit(new1, t1, man0, 0)
+    e1_dirs = {e for e in m1["buckets"].values()}
+    assert "e1" in e1_dirs
+    e1_files = sorted(os.listdir(f"{root}/e1"))
+
+    # simulated fresh-checkpoint redrain: epoch 0 again, basis m0 again
+    # (manifest_for_epoch(0) prefers the surviving m0.json), DIFFERENT batch
+    batch2 = spark.createDataFrame([(2, -2.0)], ddl)
+    man0_again = brep.manifest_for_epoch(0)
+    t2 = brep.touched_ids(batch2)
+    new2 = (
+        brep.read(man0_again, t2)
+        .join(batch2.select("id"), ["id"], "left_anti")
+        .unionByName(batch2)
+    )
+    m1b = brep.commit(new2, t2, man0_again, 0)
+    # the rewrite landed in a FRESH dir — never e1 (live-referenced) or e0
+    new_dirs = {
+        m1b["buckets"][str(b)] for b in t2 if str(b) in m1b["buckets"]
+    }
+    assert "e1" not in new_dirs and "e0" not in new_dirs
+    # e1 itself was never opened for overwrite while referenced: its file
+    # listing is intact for as long as it exists on disk
+    if os.path.isdir(f"{root}/e1"):
+        assert sorted(os.listdir(f"{root}/e1")) == e1_files
+
+
+def test_key_cols_mismatch_fails_and_old_pins_upgrade(spark, tmp_path):
+    """Regression (r10 review): key_cols is correctness-critical for every
+    kind — a restart with different key_cols than the pinned ones must
+    fail fast; a pre-key_cols pin (init never declared them) upgrades in
+    place on the first start and enforces thereafter."""
+    log = _write_log(spark, tmp_path, [_T1])
+    state_dir = str(tmp_path / "vstate_kc")
+    init_changelog_view(spark, state_dir, _DDL, ["grp"], "v")  # no key_cols pinned
+
+    def _start(kc, ck):
+        q = start_changelog_view(
+            stream_changes(spark, log, max_files_per_trigger=2),
+            "t", _DDL, kc, ["grp"], "v",
+            state_dir, str(tmp_path / ck), available_now=True,
+        )
+        q.awaitTermination()
+
+    _start(["id"], "ck_kc1")  # upgrades the pin with key_cols=["id"]
+    with pytest.raises(ValueError, match="initialized with"):
+        _start(["grp"], "ck_kc2")  # different identity key: refused
+    _start(["id"], "ck_kc3")  # matching restart still fine
