@@ -1089,3 +1089,40 @@ def test_key_cols_mismatch_fails_and_old_pins_upgrade(spark, tmp_path):
     with pytest.raises(ValueError, match="initialized with"):
         _start(["grp"], "ck_kc2")  # different identity key: refused
     _start(["id"], "ck_kc3")  # matching restart still fine
+
+
+def test_wire_join_agg_where_and_derive_compose(spark, tmp_path):
+    """where= and derive= ride the wire join agg like the engine's
+    join-agg views: derive extends both row images of the view-level I/D
+    records, where re-classifies boundary crossings — final state equals
+    the from-scratch filtered/derived aggregate of the final join."""
+    log = _write_join_log(spark, tmp_path, [(_F1, _D1), (_F2, _D2)])
+    agg = {
+        "group_keys": ["label"],
+        "value_col": "net",
+        "derive": {"net": "CAST(amount AS DOUBLE) * 0.5"},
+        "where": "amount > 15",
+    }
+    state_dir = _drain_join_agg(spark, log, tmp_path, agg, "wd")
+    got = {
+        r["label"]: (r["agg_sum"], r["agg_rows"])
+        for r in read_changelog_join_agg(spark, state_dir)
+        .select("label", F.col("agg_sum").cast("double").alias("agg_sum"), "agg_rows")
+        .collect()
+    }
+    f, d = _fact(spark, _F2), _dim(spark, _D2)
+    j = (
+        f.join(d, f["fk"] == d["did"], "inner")
+        .withColumn("net", F.col("amount").cast("double") * 0.5)
+        .filter("amount > 15")
+    )
+    want = {
+        r["label"]: (r["s"], r["n"])
+        for r in j.groupBy("label")
+        .agg(
+            F.sum("net").cast("double").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
