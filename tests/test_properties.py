@@ -1059,3 +1059,68 @@ def test_maintained_sample_equals_rebuild_under_random_histories(
     rebuilt2 = sample_state(cur.repartition(7), ["payload"], "value", ["id"], 3)
     as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
     assert as_set(folded) == as_set(rebuilt) == as_set(rebuilt2)
+
+
+@given(
+    fact_prev=FACT_ROWS, fact_cur=FACT_ROWS, dim_prev=DIM_ROWS, dim_cur=DIM_ROWS
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_maintained_left_outer_join_and_agg_match_rejoin_under_random_histories(
+    spark, fact_prev, fact_cur, dim_prev, dim_cur
+):
+    """The left-outer twin (r10): for ANY fact/dim snapshot transitions —
+    danglers inserted/resolved, dims deleted under their facts
+    (null-extension flips both ways), FK flips, group moves — the
+    maintained left-outer view equals a full left re-join, and an
+    aggregate over a DIM column folded from the view-level I/D records
+    (null-extended rows contribute rows but no values) equals a
+    from-scratch left-join+group-by."""
+    from cdc_lite_spark.operators.incremental import (
+        apply_delta,
+        maintain_join_with_changes,
+        sum_count_state,
+    )
+
+    def _fact(rows):
+        return spark.createDataFrame(rows, "o_id long, o_fk long, o_val long")
+
+    def _dim(rows):
+        # a numeric dim payload so the agg exercises null-extension
+        return spark.createDataFrame(
+            [(k, a, float(k)) for k, a in rows], "d_k long, d_attr string, d_w double"
+        )
+
+    fp, fc = _fact(fact_prev), _fact(fact_cur)
+    dp, dc = _dim(dim_prev), _dim(dim_cur)
+
+    def _join(f, d):
+        return f.join(d, f["o_fk"] == d["d_k"], "left_outer").select(
+            "o_id", "o_fk", "o_val", "d_k", "d_attr", "d_w"
+        )
+
+    m_old = _join(fp, dp).localCheckpoint()
+    state, view_changes, handles = maintain_join_with_changes(
+        m_old, fc, dc,
+        snapshot_diff(fp, fc, ["o_id"]),
+        snapshot_diff(dp, dc, ["d_k"]),
+        fact_key="o_id", fact_dim_col="o_fk", dim_key="d_k",
+        how="left_outer",
+    )
+    try:
+        expect = _join(fc, dc)
+        assert {tuple(r) for r in state.collect()} == {
+            tuple(r) for r in expect.collect()
+        }
+        # group by the (nullable) dim attr, sum the dim weight: danglers
+        # land in the NULL group with null-skipped sums
+        agg_old = sum_count_state(m_old, ["d_attr"], "d_w")
+        folded = apply_delta(agg_old, view_changes, ["d_attr"], "d_w")
+        rebuilt = sum_count_state(expect, ["d_attr"], "d_w")
+        assert {tuple(r) for r in folded.collect()} == {
+            tuple(r) for r in rebuilt.collect()
+        }
+    finally:
+        for h in handles:
+            h.unpersist()
