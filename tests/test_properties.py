@@ -1124,3 +1124,59 @@ def test_maintained_left_outer_join_and_agg_match_rejoin_under_random_histories(
     finally:
         for h in handles:
             h.unpersist()
+
+
+BUCKET_BATCHES = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),           # key
+            st.integers(min_value=-5, max_value=5) | st.none(),  # value
+            st.booleans(),                                    # is_delete
+        ),
+        min_size=0,
+        max_size=5,
+        unique_by=lambda r: r[0],
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches=BUCKET_BATCHES, n=st.integers(min_value=1, max_value=5))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_bucketed_replica_folds_random_histories(spark, batches, n, tmp_path_factory):
+    """The bucketed replica protocol under ANY batch sequence and bucket
+    count (including n=1 — every batch touches the only bucket — empty
+    batches, buckets draining empty, and NULL payloads): touched-bucket
+    advance + manifest carry-forward + GC must land on exactly the
+    keyed-dict fold of the history."""
+    from cdc_lite_spark.streaming.bucketed import BucketedReplica
+
+    root = str(tmp_path_factory.mktemp("brep_prop"))
+    ddl = "id BIGINT, v BIGINT"
+    brep = BucketedReplica(spark, root, n, ["id"], ddl)
+    brep.init(spark.createDataFrame([], "id BIGINT, v BIGINT"))
+
+    model: dict[int, "int | None"] = {}
+    for epoch, batch in enumerate(batches):
+        bdf = spark.createDataFrame(
+            [(k, v) for k, v, _ in batch], "id BIGINT, v BIGINT"
+        )
+        keys = bdf.select("id")
+        man = brep.manifest_for_epoch(epoch)
+        touched = brep.touched_ids(bdf)
+        survivors = brep.read(man, touched).join(keys, ["id"], "left_anti")
+        keep = spark.createDataFrame(
+            [(k, v) for k, v, d in batch if not d], "id BIGINT, v BIGINT"
+        )
+        brep.commit(survivors.unionByName(keep), touched, man, epoch)
+        for k, v, d in batch:
+            if d:
+                model.pop(k, None)
+            else:
+                model[k] = v
+
+    got = {r["id"]: r["v"] for r in brep.read(brep.current_manifest(), None).collect()}
+    assert got == model
