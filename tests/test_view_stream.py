@@ -731,8 +731,11 @@ def test_bucketed_replica_parity_with_flat(spark, tmp_path):
     kind whose retracting batches rebuild from the (bucketed) replica."""
     log = _write_log(spark, tmp_path, [_T1, _T2, _T3])
 
-    for kind in ("sum_count", "min_max"):
-        flat = _drain(spark, log, tmp_path, kind)
+    # sample: the third retraction discipline (in-group updates patch,
+    # deletes rebuild from the bucketed replica's full read)
+    for kind in ("sum_count", "min_max", "sample"):
+        kw = {"key_cols": ["id"]} if kind == "sample" else {}
+        flat = _drain(spark, log, tmp_path, kind, **kw)
         bk_state = str(tmp_path / f"vstate_bkp_{kind}")
         init_changelog_view(
             spark, bk_state, _DDL, ["grp"], "v", kind=kind,
