@@ -1660,7 +1660,13 @@ class CdcEngine:
         least/greatest, bucket counts add, HLL sketches union — all
         lossless; freq_items summaries merge with the count bracket
         preserved; per-partition bottom-k samples re-rank into the exact
-        global bottom-k, readable via :meth:`view_sample`).
+        global bottom-k, readable via :meth:`view_sample`).  The ``sample``
+        merge's exactness assumes ``pk_cols`` identify a row GLOBALLY —
+        unique across partitions, not just within one (the same contract
+        ``fact_key`` carries in join views); a pk living in two partitions
+        is collapsed deterministically (max value payload) before the
+        merge re-ranks, so the merged sample stays well-defined but that
+        pk's payload may differ from an arbitrary rebuild's pick.
 
         Self-healing without snapshot versions: the state commits with a
         ``_parts`` pointer recording the per-partition fingerprints it
@@ -1921,8 +1927,18 @@ class CdcEngine:
             # bottom-k of the per-partition bottom-ks IS the global
             # bottom-k: a group's k smallest hashes are each within their
             # own partition's k smallest.  O(|parts|·k) state rows re-rank
-            # through the ONE shared ranking definition.
-            return bottom_k(st.drop("__part"), gk, s.get("k", 64))
+            # through the ONE shared ranking definition.  A pk duplicated
+            # ACROSS partitions would contribute identical (__h, __pk)
+            # rows whose tie-break at the k boundary can diverge from a
+            # from-scratch rebuild (r10 ADVICE) — collapse them first
+            # (deterministically: max of the value payload), so the merge
+            # is exact whenever pk_cols are unique per partition and
+            # well-defined even when they aren't.
+            vcol = s["value_col"]
+            deduped = st.drop("__part").groupBy(*gk, "__pk", "__h").agg(
+                F.max(vcol).alias(vcol)
+            )
+            return bottom_k(deduped, gk, s.get("k", 64))
         # distinct_count: union the per-partition sketches, then surface
         # the estimate (the view_distinct_counts shape — readers want a
         # number, not sketch bytes)

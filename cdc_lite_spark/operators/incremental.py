@@ -373,12 +373,21 @@ def _join_maintenance_parts(
     assume_fk_integrity: bool,
     hint_broadcast: bool = True,
     how: str = "inner",
-) -> tuple[DataFrame, DataFrame]:
-    """(affected fact keys, refreshed view rows in ``m_old`` column order)
-    — the shared delta machinery behind :func:`maintain_join` and
-    :func:`join_view_changes`.  ``how`` is the refresh join's type: with
-    ``left_outer`` an affected fact with no dim match re-enters
-    null-extended instead of dropping."""
+    persist_shared: bool = False,
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """(affected fact keys, refreshed view rows in ``m_old`` column order,
+    persisted handles) — the shared delta machinery behind
+    :func:`maintain_join` and :func:`join_view_changes`.  ``how`` is the
+    refresh join's type: with ``left_outer`` an affected fact with no dim
+    match re-enters null-extended instead of dropping.
+
+    ``persist_shared=True`` additionally persists the left-outer branch's
+    delta-bounded intermediates (the pruned fact side and the hit dim
+    keys) and returns the handles: the outer refresh references the
+    pruned facts THREE times (inner leg, fk projection, anti leg) and the
+    dim table twice (inner leg, semi pass), so without pinning, every
+    consuming action multiplies the fact/dim scan cost (r10 ADVICE).  The
+    caller unpersists the handles when its actions are done."""
     if how not in ("inner", "left_outer"):
         raise ValueError(f"join view how must be inner or left_outer, got {how!r}")
     fk, fdc, dk = _cols(fact_key), _cols(fact_dim_col), _cols(dim_key)
@@ -412,6 +421,12 @@ def _join_maintenance_parts(
     # hot-dim-key workloads must be able to fall back to AQE strategy choice
     aff = F.broadcast(affected) if hint_broadcast else affected
     pruned_fact = fact_new.join(aff, fk, "left_semi")
+    handles: list[DataFrame] = []
+    if persist_shared and how == "left_outer":
+        # ≤ |affected| rows (fact_key unique) — the three-way reuse below
+        # re-scans fact_new per reference otherwise
+        pruned_fact = pruned_fact.persist()
+        handles.append(pruned_fact)
     refreshed = (
         F.broadcast(pruned_fact) if hint_broadcast else pruned_fact
     ).join(
@@ -445,6 +460,12 @@ def _join_maintenance_parts(
             ),
             "left_semi",
         ).select(*[F.col(f"__dim_{d}") for d in dk])
+        if persist_shared:
+            # delta-bounded (dim_key unique among the referenced keys) —
+            # pins the dim table's ONE narrow semi scan per tick so the
+            # anti leg and repeated actions never re-read the dim
+            dim_hit = dim_hit.persist()
+            handles.append(dim_hit)
         dh = F.broadcast(dim_hit) if hint_broadcast else dim_hit
         dim_types = {f.name: f.dataType for f in dim_new.schema.fields}
         null_ext = pruned_fact.join(
@@ -460,7 +481,7 @@ def _join_maintenance_parts(
             ]
         )
         refreshed = refreshed.unionByName(null_ext)
-    return affected, refreshed
+    return affected, refreshed, handles
 
 
 def join_view_changes(
@@ -541,7 +562,7 @@ def maintain_join_with_changes(
     from cdc_lite_spark.envelope import DELETE, INSERT
 
     fk = _cols(fact_key)
-    affected, refreshed = _join_maintenance_parts(
+    affected, refreshed, handles = _join_maintenance_parts(
         m_old,
         fact_new,
         dim_new,
@@ -553,8 +574,8 @@ def maintain_join_with_changes(
         assume_fk_integrity,
         hint_broadcast,
         how,
+        persist_shared=persist_shared,
     )
-    handles: list[DataFrame] = []
     try:
         if persist_shared:
             affected = affected.persist()

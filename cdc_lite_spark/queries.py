@@ -7814,10 +7814,124 @@ def q_incremental_join_agg_maintenance(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+# --- shared engine-loop join fixture (r10 verdict asks #2/#7) ---------------
+#
+# ONE memoized two-tick CdcEngine over orders_v (fact) ⋈ cust_v (dim) with
+# THREE registered views — the inner join ("om"), its grouped aggregate
+# ("seg_rev"), and the left-outer join ("om_left") — shared by
+# `engine_join_view_maintenance`, `engine_join_agg_view_maintenance`, and
+# `engine_left_join_view_maintenance`: the gates pay for ONE engine fixture
+# (capture + diff + folds per tick) instead of three, and their oracles
+# stay independent (join rows vs aggregate-over-join vs LEFT-join rows —
+# all recomputed from scratch over DIFFERENT projections of the same final
+# table states, which the tick-1 mutations never reach).
+#
+# Tick mutations (deterministic key-mod filters — every SF and re-run
+# produces the same state; the union of both prior gates' fixtures, so
+# each fold path sees every mutation class):
+#   orders_v: prev = ∖%7 keys, %13 prices +100          → cur = ∖%11 keys
+#   cust_v:   prev = ∖(%10==7) keys, %5 acctbal +50,
+#             %17 segment → "MOVED" (group-moving update) → cur = ∖(%10==3)
+# Facts referencing %10==7 customers are DANGLING in tick 1 and re-enter
+# when tick 2 inserts them (dangling→joined flip); facts referencing
+# %10==3 customers lose their dim row in tick 2 (joined→drop under inner,
+# joined→null-extended under left_outer).
+
+_ENGINE_JOIN_FIX: dict = {}
+
+
+def _engine_join_fixture(spark: SparkSession, sf_dir: str):
+    """The shared two-tick engine (built on first use, kept for the
+    process — state lives in an atexit-cleaned temp dir)."""
+    if sf_dir in _ENGINE_JOIN_FIX:
+        return _ENGINE_JOIN_FIX[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    from cdc_lite_spark.engine import CdcEngine
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    ok, ck = F.col("o_orderkey"), F.col("c_custkey")
+    fact_prev = orders.filter(ok % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(ok % 13 == 0, F.col("o_totalprice") + 100).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    fact_cur = orders.filter(ok % 11 != 0)
+    dim_prev = (
+        cust.filter(ck % 10 != 7)
+        .withColumn(
+            "c_acctbal",
+            F.when(ck % 5 == 0, F.col("c_acctbal") + 50).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        # the dim tick also MOVES keys across groups: a segment flip must
+        # retract from the old segment and add to the new one in seg_rev
+        .withColumn(
+            "c_mktsegment",
+            F.when(ck % 17 == 0, F.lit("MOVED")).otherwise(F.col("c_mktsegment")),
+        )
+    )
+    dim_cur = cust.filter(ck % 10 != 3)
+
+    td = tempfile.mkdtemp(prefix="cdc_engine_join_fix_")
+    atexit.register(shutil.rmtree, td, ignore_errors=True)
+    eng = CdcEngine(
+        spark,
+        output_dir=td + "/log",
+        state_dir=td + "/state",
+        # schema drift records are irrelevant to these gates and cost a
+        # latest-schema lookup per tick
+        emit_schema_changes=False,
+    )
+    eng.register_join_view(
+        "om",
+        fact_table="orders_v",
+        dim_table="cust_v",
+        fact_key="o_orderkey",
+        fact_dim_col="o_custkey",
+        dim_key="c_custkey",
+    )
+    eng.register_join_agg_view("seg_rev", "om", ["c_mktsegment"], "o_totalprice")
+    eng.register_join_view(
+        "om_left",
+        fact_table="orders_v",
+        dim_table="cust_v",
+        fact_key="o_orderkey",
+        fact_dim_col="o_custkey",
+        dim_key="c_custkey",
+        how="left_outer",
+    )
+    keys = {"orders_v": ["o_orderkey"], "cust_v": ["c_custkey"]}
+    # parallelism=2: the two tables' detect scans are independent jobs —
+    # overlapping them shaves the serial fingerprint latency per tick
+    eng.poll_once(
+        {"orders_v": fact_prev, "cust_v": dim_prev},
+        mode="diff", keys=keys, parallelism=2,
+    )
+    eng.poll_once(
+        {"orders_v": fact_cur, "cust_v": dim_cur},
+        mode="diff", keys=keys, parallelism=2,
+    )
+    _ENGINE_JOIN_FIX[sf_dir] = eng
+    return eng
+
+
 @register(
     "engine_join_view_maintenance",
     """
-    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
            c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE o_orderkey % 11 != 0 AND c_custkey % 10 != 3
@@ -7832,78 +7946,22 @@ def q_incremental_join_agg_maintenance(spark: SparkSession, sf_dir: str) -> Data
     tags=("cdc", "incremental", "join", "engine"),
 )
 def q_engine_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine-loop twin of incremental_join_maintenance (same fixture
-    tick, same oracle): tick 1 captures the prev state of fact AND dim,
-    tick 2 captures the cur state — the registered join view folds both
-    sides' snapshot diffs through maintain_join inside poll_once
-    (engine.py _maintain_join_views).  Per-tick work is affected-keys-
-    sized: the deltas broadcast, the fact side is semi-join-pruned, and
-    nothing re-joins the full tables (operators/incremental.py)."""
-    import shutil
-    import tempfile
-
-    from cdc_lite_spark.engine import CdcEngine
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+    """The engine-loop twin of incremental_join_maintenance (shared engine
+    fixture — see _engine_join_fixture): tick 1 captures the prev state of
+    fact AND dim, tick 2 captures the cur state — the registered join view
+    folds both sides' snapshot diffs through maintain_join inside
+    poll_once (engine.py _maintain_join_views).  Per-tick work is
+    affected-keys-sized: the deltas broadcast, the fact side is semi-join-
+    pruned, and nothing re-joins the full tables (operators/incremental.py)."""
+    eng = _engine_join_fixture(spark, sf_dir)
+    out = eng.view("om").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
     )
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal", "c_mktsegment"
-    )
-    ok, ck = F.col("o_orderkey"), F.col("c_custkey")
-    fact_prev = orders.filter(ok % 7 != 0).withColumn(
-        "o_totalprice",
-        F.when(ok % 13 == 0, F.col("o_totalprice") + 100).otherwise(
-            F.col("o_totalprice")
-        ),
-    )
-    fact_cur = orders.filter(ok % 11 != 0)
-    dim_prev = cust.filter(ck % 10 != 7).withColumn(
-        "c_acctbal",
-        F.when(ck % 5 == 0, F.col("c_acctbal") + 50).otherwise(F.col("c_acctbal")),
-    )
-    dim_cur = cust.filter(ck % 10 != 3)
-
-    td = tempfile.mkdtemp(prefix="cdc_join_view_")
-    try:
-        eng = CdcEngine(
-            spark,
-            output_dir=td + "/log",
-            state_dir=td + "/state",
-            # schema drift records are irrelevant to this gate and cost a
-            # latest-schema lookup per tick
-            emit_schema_changes=False,
-        )
-        eng.register_join_view(
-            "om",
-            fact_table="orders_v",
-            dim_table="cust_v",
-            fact_key="o_orderkey",
-            fact_dim_col="o_custkey",
-            dim_key="c_custkey",
-        )
-        keys = {"orders_v": ["o_orderkey"], "cust_v": ["c_custkey"]}
-        # parallelism=2: the two tables' detect scans are independent jobs —
-        # overlapping them shaves the serial fingerprint latency per tick
-        eng.poll_once(
-            {"orders_v": fact_prev, "cust_v": dim_prev},
-            mode="diff", keys=keys, parallelism=2,
-        )
-        eng.poll_once(
-            {"orders_v": fact_cur, "cust_v": dim_cur},
-            mode="diff", keys=keys, parallelism=2,
-        )
-        out = eng.view("om").select(
-            "o_orderkey",
-            F.col("o_totalprice").cast("double").alias("o_totalprice"),
-            "c_custkey",
-            F.col("c_acctbal").cast("double").alias("c_acctbal"),
-            "c_mktsegment",
-        )
-        # materialize before the temp state dir disappears
-        return out.localCheckpoint()
-    finally:
-        shutil.rmtree(td, ignore_errors=True)
+    return out.localCheckpoint()
 
 
 @register(
@@ -8054,72 +8112,74 @@ def q_incremental_minmax_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     tags=("cdc", "incremental", "join", "agg", "engine"),
 )
 def q_engine_join_agg_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-loop twin of incremental_join_agg_maintenance (same fixture
-    tick, same oracle): register_join_view + register_join_agg_view, two
-    diff-mode ticks, return the maintained aggregate.  Per-tick cost is
-    O(delta): view-level change records come from broadcast-pruned joins,
-    the fold aggregates |changes| rows, the merge joins the group-key
-    domain (engine.py _fold_join_agg_views)."""
-    import shutil
-    import tempfile
+    """Engine-loop twin of incremental_join_agg_maintenance (shared engine
+    fixture — see _engine_join_fixture; same oracle): register_join_view +
+    register_join_agg_view, two diff-mode ticks, return the maintained
+    aggregate.  Per-tick cost is O(delta): view-level change records come
+    from broadcast-pruned joins, the fold aggregates |changes| rows, the
+    merge joins the group-key domain (engine.py _fold_join_agg_views).
+    The fixture's dim tick moves %17 keys into segment "MOVED" — but only
+    in tick 1, so the oracle over the FINAL states never sees it; what it
+    pins is that the fold RETRACTED those moves correctly in tick 2."""
+    eng = _engine_join_fixture(spark, sf_dir)
+    out = eng.view("seg_rev").select(
+        "c_mktsegment",
+        F.col("agg_sum").cast("double").alias("agg_sum"),
+        "agg_count",
+        "agg_rows",
+    )
+    return out.localCheckpoint()
 
-    from cdc_lite_spark.engine import CdcEngine
 
-    orders = load_table(spark, sf_dir, "orders").select(
+@register(
+    "engine_left_join_view_maintenance",
+    """
+    WITH f AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders WHERE o_orderkey % 11 != 0
+    ),
+    d AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 != 3
+    )
+    SELECT f.o_orderkey, f.o_custkey,
+           CAST(f.o_totalprice AS DOUBLE) AS o_totalprice,
+           d.c_custkey, CAST(d.c_acctbal AS DOUBLE) AS c_acctbal,
+           d.c_mktsegment
+    FROM f LEFT JOIN d ON f.o_custkey = d.c_custkey
+    """,
+    "Engine-loop LEFT-OUTER join view gate (r10 verdict #2): the same two "
+    "real poll_once ticks as the inner gate (shared engine fixture) with "
+    "register_join_view(how=left_outer) — tick-1 facts referencing the "
+    "%10==7-absent customers are DANGLING (null-extended) and flip to "
+    "joined rows when tick 2 inserts those keys; tick 2's %10==3 dim "
+    "deletes flip their facts BACK to null-extended instead of dropping "
+    "them; the oracle recomputes LEFT JOIN from scratch over the final "
+    "table states and the engine-maintained state must match exactly",
+    tags=("cdc", "incremental", "join", "engine"),
+)
+def q_engine_left_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``how="left_outer"`` through the FULL engine loop — persisted
+    snapshots, the _basis pointer protocol, maintain_join's outer refresh
+    (inner ∪ null-extended-unmatched; operators/incremental.py) — against
+    a from-scratch LEFT JOIN oracle.  The dangling-FK dashboard shape:
+    every fact is always visible, dim coverage is a column predicate.
+    Scale shape is the inner gate's: the affected-key algebra is
+    unchanged, both refresh legs build on broadcast delta sets, and the
+    dim's one narrow semi scan per tick is pinned by persist (r10
+    ADVICE).  Cost: reads the shared fixture's third view — the fixture's
+    two ticks amortize across all three engine join gates."""
+    eng = _engine_join_fixture(spark, sf_dir)
+    out = eng.view("om_left").select(
         "o_orderkey",
         "o_custkey",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
-    )
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    ok, ck = F.col("o_orderkey"), F.col("c_custkey")
-    fact_prev = orders.filter(ok % 7 != 0).withColumn(
-        "o_totalprice",
-        F.when(ok % 13 == 0, F.col("o_totalprice") + 100).otherwise(
-            F.col("o_totalprice")
-        ),
-    )
-    fact_cur = orders.filter(ok % 11 != 0)
-    dim_prev = cust.filter(ck % 10 != 7).withColumn(
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
         "c_mktsegment",
-        F.when(ck % 17 == 0, F.lit("MOVED")).otherwise(F.col("c_mktsegment")),
     )
-    dim_cur = cust.filter(ck % 10 != 3)
-
-    td = tempfile.mkdtemp(prefix="cdc_join_agg_view_")
-    try:
-        eng = CdcEngine(
-            spark,
-            output_dir=td + "/log",
-            state_dir=td + "/state",
-            emit_schema_changes=False,
-        )
-        eng.register_join_view(
-            "om",
-            fact_table="orders_v",
-            dim_table="cust_v",
-            fact_key="o_orderkey",
-            fact_dim_col="o_custkey",
-            dim_key="c_custkey",
-        )
-        eng.register_join_agg_view("seg_rev", "om", ["c_mktsegment"], "o_totalprice")
-        keys = {"orders_v": ["o_orderkey"], "cust_v": ["c_custkey"]}
-        eng.poll_once(
-            {"orders_v": fact_prev, "cust_v": dim_prev},
-            mode="diff", keys=keys, parallelism=2,
-        )
-        eng.poll_once(
-            {"orders_v": fact_cur, "cust_v": dim_cur},
-            mode="diff", keys=keys, parallelism=2,
-        )
-        out = eng.view("seg_rev").select(
-            "c_mktsegment",
-            F.col("agg_sum").cast("double").alias("agg_sum"),
-            "agg_count",
-            "agg_rows",
-        )
-        return out.localCheckpoint()
-    finally:
-        shutil.rmtree(td, ignore_errors=True)
+    return out.localCheckpoint()
 
 
 @register(
@@ -9145,6 +9205,162 @@ def q_wire_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             td + "/vstate",
             td + "/ckpt",
             available_now=True,
+        )
+        q.awaitTermination()
+        out = read_changelog_join_view(spark, td + "/vstate").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "c_mktsegment",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
+@register(
+    "changelog_view_maintenance_bucketed",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS agg_sum,
+           CAST(count(o_totalprice) AS BIGINT) AS agg_count,
+           CAST(count(*) AS BIGINT) AS agg_rows
+    FROM orders
+    WHERE o_orderkey % 11 != 0
+    GROUP BY o_orderstatus
+    """,
+    "The bucketed-replica twin of changelog_view_maintenance (r10 verdict "
+    "#3): the SAME wire drain and oracle, but the consumer's latest-per-key "
+    "replica is laid out hash-bucketed (buckets=8) so each micro-batch "
+    "rewrites only the buckets its keys touch — the manifest/GC/"
+    "generation-counter protocol whose failure mode is silent state "
+    "corruption gets the strongest gate available: the maintained state "
+    "must still converge exactly to the from-scratch recompute",
+    tags=("cdc", "incremental", "streaming", "engine", "bucketed"),
+)
+def q_changelog_view_maintenance_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Identical drain to q_changelog_view_maintenance — shared memoized
+    two-tick wire log, same multi-batch availableNow consumer, same
+    final-state oracle — with ``buckets=8`` on init and start, so the
+    driver row exercises streaming/bucketed.py end-to-end (epoch dirs,
+    manifests, pointer swings, GC) instead of the flat v{N} rewrite.
+    100 TB shape: this is the layout that makes epoch cost ∝ batch
+    (probe: scripts/probe_bucketed_replica.py, SCALING.md r10) — the
+    parity pinned here is what lets a real deployment turn it on."""
+    import shutil
+    import tempfile
+
+    from cdc_lite_spark.sources.changelog import stream_changes
+    from cdc_lite_spark.streaming.view_stream import (
+        init_changelog_view,
+        read_changelog_view,
+        start_changelog_view,
+    )
+
+    log = _wire_log(spark, sf_dir)
+    td = tempfile.mkdtemp(prefix="cdc_changelog_view_bkt_")
+    try:
+        init_changelog_view(
+            spark, td + "/vstate", _WIRE_LOG_DDL_FACT, ["o_orderstatus"],
+            "o_totalprice", key_cols=["o_orderkey"], buckets=8,
+        )
+        q = start_changelog_view(
+            stream_changes(spark, log, max_files_per_trigger=24),
+            "orders_v",
+            _WIRE_LOG_DDL_FACT,
+            ["o_orderkey"],
+            ["o_orderstatus"],
+            "o_totalprice",
+            td + "/vstate",
+            td + "/ckpt",
+            available_now=True,
+            buckets=8,
+        )
+        q.awaitTermination()
+        out = read_changelog_view(spark, td + "/vstate").select(
+            "o_orderstatus",
+            F.col("agg_sum").cast("double").alias("agg_sum"),
+            "agg_count",
+            "agg_rows",
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
+@register(
+    "wire_left_join_view_maintenance",
+    """
+    WITH f AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders WHERE o_orderkey % 11 != 0
+    ),
+    d AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+        FROM customer WHERE c_custkey % 6 != 0
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus,
+           CAST(f.o_totalprice AS DOUBLE) AS o_totalprice,
+           d.c_mktsegment, CAST(d.c_acctbal AS DOUBLE) AS c_acctbal
+    FROM f LEFT JOIN d ON f.o_custkey = d.c_custkey
+    """,
+    "Wire-driven LEFT-OUTER join view maintenance (r10 verdict #2): same "
+    "shared two-tick wire log as the inner gate, how=left_outer — facts "
+    "whose customer is absent stay in the view null-extended, flip to "
+    "joined rows when their dim key arrives (tick-1 %5-dangling keys that "
+    "tick 2 inserts), and flip BACK to null-extended when a dim delete "
+    "retracts their customer (tick-2 %6 deletes); the oracle re-joins the "
+    "final table states from scratch with LEFT JOIN and the maintained "
+    "state must match exactly",
+    tags=("cdc", "incremental", "streaming", "engine", "join"),
+)
+def q_wire_left_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``how="left_outer"`` twin of q_wire_join_view_maintenance —
+    identical drain, identical replica folds, only the refresh join's
+    type differs (operators/incremental.py: inner ∪ null-extended-
+    unmatched, both legs broadcast-pruned; the affected-key algebra is
+    unchanged).  The dangling-FK dashboard shape: every fact is always
+    visible, dim coverage is a column predicate, and per-batch work stays
+    affected-keys-sized.  Reference parity: the reference engine cannot
+    join captured tables at all (duckdb_cdc.go:197-208)."""
+    import shutil
+    import tempfile
+
+    from cdc_lite_spark.sources.changelog import stream_changes
+    from cdc_lite_spark.streaming.view_stream import (
+        init_changelog_join_view,
+        read_changelog_join_view,
+        start_changelog_join_view,
+    )
+
+    log = _wire_log(spark, sf_dir)
+    td = tempfile.mkdtemp(prefix="cdc_wire_left_join_view_")
+    try:
+        init_changelog_join_view(
+            spark, td + "/vstate", "orders_v", "customer_v",
+            _WIRE_LOG_DDL_FACT, _WIRE_LOG_DDL_DIM,
+            ["o_orderkey"], ["o_custkey"], ["c_custkey"],
+            how="left_outer",
+        )
+        q = start_changelog_join_view(
+            stream_changes(spark, log, max_files_per_trigger=24),
+            "orders_v",
+            "customer_v",
+            _WIRE_LOG_DDL_FACT,
+            _WIRE_LOG_DDL_DIM,
+            ["o_orderkey"],
+            ["o_custkey"],
+            ["c_custkey"],
+            td + "/vstate",
+            td + "/ckpt",
+            available_now=True,
+            how="left_outer",
         )
         q.awaitTermination()
         out = read_changelog_join_view(spark, td + "/vstate").select(

@@ -269,13 +269,24 @@ class BucketedReplica:
         return new_manifest
 
     def gc(self, epoch: int, new_manifest: dict, basis: "dict | None" = None) -> None:
-        """Delete manifests older than the replayable epoch and bucket dirs
-        referenced by no live manifest: ``m{epoch}`` (may still be replayed
-        until epoch+1's checkpoint commits), ``m{epoch+1}``, and the BASIS
-        manifest this epoch folded against (a redrain's fallback basis is
-        ``_CURRENT``, not ``m{epoch}`` — a caller with lazy plans still
-        referencing it passes it here, or calls ``commit(gc=False)`` and
-        runs this after those plans executed)."""
+        """Delete manifests outside the replayable range and bucket dirs
+        referenced by no live manifest: keep ``m{epoch}`` (may still be
+        replayed until epoch+1's checkpoint commits) and ``m{epoch+1}``;
+        bucket-dir liveness additionally honors the BASIS manifest this
+        epoch folded against (a redrain's fallback basis is ``_CURRENT``,
+        not ``m{epoch}`` — a caller with lazy plans still referencing it
+        passes it here, or calls ``commit(gc=False)`` and runs this after
+        those plans executed).
+
+        Manifests with index > epoch+1 are stale leftovers of a LONGER
+        prior run whose checkpoint was discarded (fresh-checkpoint
+        redrain): the live checkpoint can never reach those epochs before
+        overwriting them, but the bucket-dir sweep below doesn't count
+        them as live — leaving them on disk would point at dirs this very
+        call may delete, making ``manifest_for_epoch`` correctness depend
+        on contiguous epoch numbering overwriting each one just in time
+        (r10 ADVICE).  Deleting them here removes that hazard and the
+        orphan JSON clutter in one pass."""
         live: set[tuple[str, int]] = set()
         for m in (basis,) if basis else ():
             for b, edir in m["buckets"].items():
@@ -292,7 +303,7 @@ class BucketedReplica:
                 name.startswith("m")
                 and name.endswith(".json")
                 and name[1:-5].isdigit()
-                and int(name[1:-5]) < epoch
+                and not epoch <= int(name[1:-5]) <= epoch + 1
             ):
                 import os
 
