@@ -51,10 +51,23 @@ the engine's own per-tick snapshot persistence; a production refinement
 is a merge-on-read keyed layout (Delta/Iceberg MERGE), which changes the
 write amplification, not this protocol.
 
-Ordering contract: log files must be consumed oldest-first (Structured
-Streaming's file source default) so a key's tick-N record never folds
-before its tick-(N-1) record; within a batch the timestamp collapse
-handles any mix of ticks.
+Ordering contract (r11 — the foreign-log guard): the engine's own log is
+per-key ordered by construction (per-file ordering, one record per key
+per tick) and folds exactly.  For a FOREIGN or replayed producer the
+consumers enforce per-key timestamp monotonicity instead of assuming it:
+each replica row carries ``__ts``, the key's last-applied capture
+timestamp, and a batch record STRICTLY OLDER than its key's ``__ts`` is
+dropped before it can advance the replica or fold into any state —
+a replayed-with-gaps or reordered log therefore converges to the same
+state as the in-order log whose newest-per-key records it contains.
+Drops are counted per table (``changelog_stale_dropped`` /
+``changelog_view_status``).  Two documented limits: (1) equal-timestamp
+rewrites of one key delivered in different batches are inherently
+ambiguous on this wire (last-folded wins); (2) a DELETE removes the
+key's row AND its timestamp, so a record older than the delete that
+arrives afterwards resurrects the key — retaining delete tombstones
+would close this at the cost of unbounded tombstone state; a foreign
+producer that replays across deletes should compact its log first.
 """
 
 from __future__ import annotations
@@ -164,6 +177,57 @@ def _pin_spec(spark: SparkSession, state_dir: str, spec: dict) -> None:
         fs.write_pointer(d, json.dumps(spec))
 
 
+def _bump_stale_status(
+    spark: SparkSession, state_dir: str, table: str, epoch: int, n: int
+) -> None:
+    """Cumulative per-table count of guard-dropped stale records (tiny
+    JSON pointer under ``_guard``).  Replay-safe: a re-run epoch ≤ the
+    recorded one is skipped, so at-least-once foreachBatch calls don't
+    double-count.  Operational metadata only — a lost write costs the
+    count, never state."""
+    import json
+
+    d = state_dir + "/_guard"
+    fs = fs_for(d, spark)
+    cur: dict = {}
+    if fs.dir_exists(d):
+        try:
+            cur = json.loads(fs.read_pointer(d))
+        except FileNotFoundError:
+            cur = {}
+    ent = cur.get(table, {"dropped": 0, "last_epoch": -1})
+    if epoch <= ent["last_epoch"]:
+        return
+    cur[table] = {"dropped": ent["dropped"] + int(n), "last_epoch": int(epoch)}
+    try:
+        fs.write_pointer(d, json.dumps(cur, sort_keys=True))
+    except FileNotFoundError:
+        import os
+
+        from cdc_lite_spark.streaming._state import _local_path
+
+        os.makedirs(_local_path(d), exist_ok=True)
+        fs.write_pointer(d, json.dumps(cur, sort_keys=True))
+
+
+def changelog_stale_dropped(spark: SparkSession, state_dir: str) -> dict:
+    """Per-table totals of records the monotonicity guard dropped (a
+    replayed-with-gaps or reordered wire log): ``{table: {"dropped": N,
+    "last_epoch": E}}``.  Empty when the log has only ever been in order
+    — the engine's own log is, by construction (per-file ordering, one
+    record per key per tick).  FS read only — no job."""
+    import json
+
+    d = state_dir + "/_guard"
+    fs = fs_for(d, spark)
+    if not fs.dir_exists(d):
+        return {}
+    try:
+        return json.loads(fs.read_pointer(d))
+    except FileNotFoundError:
+        return {}
+
+
 def _check_spec(
     spark: SparkSession,
     state_dir: str,
@@ -204,6 +268,24 @@ def _check_spec(
             )
             and set(persisted) <= set(spec)
         ):
+            # the upgrade path pins caller-supplied values onto a pre-r10
+            # state with nothing on disk to cross-check them against, and
+            # whatever lands here is ENFORCED on every later start — so
+            # sanity-check the one upgradable field before it becomes the
+            # pin: key_cols must name real schema columns (r10 ADVICE; a
+            # typo'd or partial key would otherwise become the permanent
+            # pin and reject every CORRECT restart)
+            if "key_cols" in missing and spec.get("schema_ddl"):
+                kc = spec.get("key_cols") or []
+                schema_cols = {
+                    f.name for f in T.StructType.fromDDL(spec["schema_ddl"]).fields
+                }
+                if not kc or not set(kc) <= schema_cols:
+                    raise ValueError(
+                        f"cannot upgrade the spec pin at {state_dir!r}: "
+                        f"key_cols {kc} is not a non-empty subset of the "
+                        f"pinned schema's columns {sorted(schema_cols)}"
+                    )
             _pin_spec(spark, state_dir, spec)
             return
         raise ValueError(
@@ -366,7 +448,10 @@ def _typed_latest(
     """Steps 1 of the batch protocol for one table: cast the wire's string
     map through the declared DDL and collapse to latest-per-key by capture
     timestamp (max_by — no sort); a key's intermediate values within the
-    batch cancel in the net fold."""
+    batch cancel in the net fold.  ``__ts`` carries the key's newest
+    capture timestamp out of the batch — the replica stores it so the
+    cross-batch monotonicity guard (``_classify``) can drop replayed
+    stale records."""
     non_key = [f.name for f in schema.fields if f.name not in key_cols]
     typed = batch.filter(
         (F.col("table") == table)
@@ -384,31 +469,67 @@ def _typed_latest(
         .agg(
             F.max_by(F.struct("operation", *non_key), F.col("timestamp")).alias(
                 "__r"
-            )
+            ),
+            F.max("timestamp").alias("__ts"),
         )
-        .select(*key_cols, "__r.*")
+        .select(*key_cols, "__r.*", "__ts")
     )
 
 
-def _diff_records(
-    latest: DataFrame,
-    replica: DataFrame,
-    key_cols: list[str],
-    non_key: list[str],
-    dtypes: dict,
+def _rep_ddl(schema_ddl: str) -> str:
+    """The replica's ON-DISK schema: the declared table columns plus the
+    per-key last-applied capture timestamp.  Reading a pre-r11 replica
+    (no ``__ts`` in its parquet) through this schema null-fills the
+    column — the guard treats NULL as "no recorded order", so legacy
+    states keep folding exactly as before and pick up timestamps as
+    their keys are next written."""
+    return schema_ddl + ", __ts timestamp"
+
+
+#: a batch record is STALE when its key exists in the replica with a
+#: NEWER last-applied timestamp — the reordered/replayed-log guard.
+#: Equal timestamps apply (the engine's own log emits one record per key
+#: per tick; a foreign log with same-second rewrites of one key is
+#: inherently ambiguous and documented as such).
+def _stale() -> F.Column:
+    return (
+        F.col("__present").isNotNull()
+        & F.col("__prev_ts").isNotNull()
+        & (F.col("__ts") < F.col("__prev_ts"))
+    )
+
+
+def _classify(
+    latest: DataFrame, replica: DataFrame, key_cols: list[str], non_key: list[str]
 ) -> DataFrame:
-    """Step 2: classify the batch's net rows against the replica into
-    diff-shaped records with ``prev_`` values (key in replica →
-    UPDATE/DELETE, absent → INSERT; DELETE of an absent key drops).  The
-    replica scan is map-side — the batch keys broadcast."""
+    """ONE broadcast join of the batch's net rows against the replica,
+    shared by the stale guard, the diff enrichment, and the replica
+    advance: each latest row gains its replica ``prev_`` image,
+    ``__prev_ts`` (the key's last-applied capture timestamp) and a
+    ``__present`` flag.  The replica scan is map-side — the batch keys
+    broadcast."""
     bkeys = latest.select(*key_cols)
     hit = replica.join(F.broadcast(bkeys), key_cols, "left_semi").select(
         *key_cols,
         *[F.col(c).alias(f"prev_{c}") for c in non_key],
+        F.col("__ts").alias("__prev_ts"),
         F.lit(True).alias("__present"),
     )
+    return latest.join(F.broadcast(hit), key_cols, "left_outer")
+
+
+def _diff_records(
+    joined: DataFrame,
+    key_cols: list[str],
+    non_key: list[str],
+    dtypes: dict,
+) -> DataFrame:
+    """Step 2: project the classified (``_classify``, stale-filtered)
+    batch rows into diff-shaped records with ``prev_`` values (key in
+    replica → UPDATE/DELETE, absent → INSERT; DELETE of an absent key
+    drops)."""
     return (
-        latest.join(F.broadcast(hit), key_cols, "left_outer")
+        joined
         .withColumn(
             "operation",
             F.when(
@@ -437,11 +558,17 @@ def _diff_records(
 def _advance_replica(
     replica: DataFrame, latest: DataFrame, key_cols: list[str], non_key: list[str]
 ) -> DataFrame:
-    """Step 4: (replica ∖ batch keys) ∪ latest non-DELETE rows."""
+    """Step 4: (replica ∖ batch keys) ∪ latest non-DELETE rows.  ``latest``
+    must be the stale-FILTERED net rows (a dropped stale record must
+    neither remove nor replace its key's replica row); surviving rows
+    carry ``__ts`` into the replica as the key's last-applied capture
+    timestamp."""
     bkeys = latest.select(*key_cols)
     kept = replica.join(F.broadcast(bkeys), key_cols, "left_anti")
     return kept.unionByName(
-        latest.filter(F.col("operation") != DELETE).select(*key_cols, *non_key)
+        latest.filter(F.col("operation") != DELETE).select(
+            *key_cols, *non_key, "__ts"
+        )
     )
 
 
@@ -487,6 +614,7 @@ def init_changelog_view(
     if where is not None and not str(where).strip():
         raise ValueError("where must be a non-empty SQL boolean expression")
     schema = T.StructType.fromDDL(schema_ddl)
+    _check_no_reserved(schema)
     rows = history if history is not None else spark.createDataFrame([], schema)
     # the replica stays UNFILTERED — it is the latest-per-key table the
     # wire implies, and the prev_-value enrichment needs every key to
@@ -516,6 +644,17 @@ def init_changelog_view(
             derive, key_cols, buckets,
         ),
     )
+
+
+def _check_no_reserved(*schemas: T.StructType) -> None:
+    """``__ts`` is the replica's guard bookkeeping column — a declared
+    table column with that name would collide on disk."""
+    for schema in schemas:
+        if any(f.name == "__ts" for f in schema.fields):
+            raise ValueError(
+                "column name __ts is reserved for the replica's "
+                "last-applied-timestamp bookkeeping — rename the column"
+            )
 
 
 def _check_bucket_params(buckets: "int | None", key_cols: "list[str] | None") -> None:
@@ -561,7 +700,9 @@ def read_changelog_view(spark: SparkSession, state_dir: str) -> DataFrame:
 
 def read_changelog_replica(spark: SparkSession, state_dir: str) -> DataFrame:
     """The current committed latest-per-key replica (flat or bucketed —
-    the pinned spec says which)."""
+    the pinned spec says which).  The guard's bookkeeping column
+    (``__ts``, the per-key last-applied capture timestamp) is internal
+    and stripped here."""
     spec = _read_pinned_spec(spark, state_dir)
     if spec and spec.get("buckets"):
         from cdc_lite_spark.streaming.bucketed import BucketedReplica
@@ -571,10 +712,10 @@ def read_changelog_replica(spark: SparkSession, state_dir: str) -> DataFrame:
             _replica_dir(state_dir),
             spec["buckets"],
             spec["key_cols"],
-            spec["schema_ddl"],
+            _rep_ddl(spec["schema_ddl"]),
         )
-        return brep.read(brep.current_manifest(), None)
-    return read_current(spark, _replica_dir(state_dir))
+        return brep.read(brep.current_manifest(), None).drop("__ts")
+    return read_current(spark, _replica_dir(state_dir)).drop("__ts")
 
 
 def _read_pinned_spec(spark: SparkSession, state_dir: str) -> "dict | None":
@@ -653,6 +794,7 @@ def start_changelog_view(
         ),
     )
     schema = T.StructType.fromDDL(schema_ddl)
+    _check_no_reserved(schema)
     non_key = [f.name for f in schema.fields if f.name not in key_cols]
     dtypes = {f.name: f.dataType for f in schema.fields}
 
@@ -660,7 +802,7 @@ def start_changelog_view(
         from cdc_lite_spark.streaming.bucketed import BucketedReplica
 
         return BucketedReplica(
-            spark, _replica_dir(state_dir), buckets, key_cols, schema_ddl
+            spark, _replica_dir(state_dir), buckets, key_cols, _rep_ddl(schema_ddl)
         )
 
     def _tick(batch: DataFrame, epoch: int) -> None:
@@ -673,6 +815,7 @@ def start_changelog_view(
         # GC) — a 1 s-trigger stream would accumulate executor storage
         # between GC cycles (r9 review)
         latest = _typed_latest(batch, table, schema, key_cols).persist()
+        joined = None
         try:
             if buckets:
                 # bucketed path: the enrichment READS and the advance
@@ -688,12 +831,21 @@ def start_changelog_view(
             else:
                 rep_fs = fs_for(_replica_dir(state_dir), spark)
                 replica = read_for_epoch(
-                    spark, _replica_dir(state_dir), epoch, rep_fs, schema=schema_ddl
+                    spark, _replica_dir(state_dir), epoch, rep_fs,
+                    schema=_rep_ddl(schema_ddl),
                 )
-            enriched = _diff_records(latest, replica, key_cols, non_key, dtypes)
+            # the foreign-log guard: classify ONCE against the replica,
+            # drop records older than their key's last-applied timestamp
+            # (a replayed-with-gaps or reordered producer), and fold only
+            # the survivors — replica advance and agg fold must see the
+            # SAME filtered batch or they'd diverge
+            joined = _classify(latest, replica, key_cols, non_key).persist()
+            fresh = joined.filter(~_stale())
+            enriched = _diff_records(fresh, key_cols, non_key, dtypes)
             agg_fs = fs_for(_agg_dir(state_dir), spark)
             agg_prev = read_for_epoch(spark, _agg_dir(state_dir), epoch, agg_fs)
-            new_replica = _advance_replica(replica, latest, key_cols, non_key)
+            fresh_latest = fresh.select(*key_cols, "operation", *non_key, "__ts")
+            new_replica = _advance_replica(replica, fresh_latest, key_cols, non_key)
             agg_new = _fold_state(
                 agg_prev,
                 enriched,
@@ -751,11 +903,20 @@ def start_changelog_view(
             else:
                 commit_version(new_replica, _replica_dir(state_dir), epoch, rep_fs)
                 commit_version(agg_new, _agg_dir(state_dir), epoch, agg_fs)
+            # operational counter, AFTER the commit (one cached scan of the
+            # batch-sized classify frame; a crash between commit and this
+            # write loses only the count, never state)
+            n_stale = joined.filter(_stale()).count()
+            if n_stale:
+                _bump_stale_status(spark, state_dir, table, epoch, n_stale)
         finally:
-            try:
-                latest.unpersist()
-            except Exception:  # noqa: BLE001 — cleanup best-effort
-                pass
+            for h in (latest, joined):
+                if h is None:
+                    continue
+                try:
+                    h.unpersist()
+                except Exception:  # noqa: BLE001 — cleanup best-effort
+                    pass
 
     writer = stream.writeStream.foreachBatch(_tick).option(
         "checkpointLocation", checkpoint_dir
@@ -819,6 +980,8 @@ def _join_spec_of(
     fact_dim_col: list[str],
     dim_key: list[str],
     how: str = "inner",
+    fact_buckets: "int | None" = None,
+    fk_buckets: "int | None" = None,
 ) -> dict:
     s = {
         "kind": "join",
@@ -832,7 +995,123 @@ def _join_spec_of(
     }
     if how != "inner":  # inner states pinned before the field keep matching
         s["how"] = how
+    if fact_buckets:  # dual-indexed layout: both bucket counts pinned
+        s["fact_buckets"] = int(fact_buckets)
+        s["fk_buckets"] = int(fk_buckets or fact_buckets)
     return s
+
+
+# --- dual-indexed fact replica (r10 verdict ask #5) --------------------------
+#
+# With ``fact_buckets=n`` the join consumer's fact replica is PK-bucketed
+# (streaming/bucketed.py) AND carries an FK POSTING INDEX: refcounted
+# ``(fk…, __fb, __cnt)`` rows — "__cnt facts whose FK is fk live in fact
+# bucket __fb" — themselves hash-bucketed BY FK into ``fk_buckets``.  The
+# two table-shaped fact terms of the flat tick disappear:
+#
+# - the fact-side classify/advance reads and rewrites only the PK buckets
+#   the batch touches (the single-table bucketed discipline);
+# - the dim-side affected-fact lookup — the scan SCALING.md r10 documented
+#   as unavoidable on a PK-only layout, because an FK semi-join can't
+#   prune PK buckets without missing reinstatements — becomes: dim-delta
+#   keys → their FK hash buckets of the posting index (pruned read) →
+#   the referenced fact bucket ids → read exactly those PK buckets.
+#
+# Per epoch the index folds a refcount delta computed from the SAME
+# classified batch the replica advance uses (fk membership changes only
+# on INSERT/DELETE/fk-moving UPDATE — a fact's bucket is a pure function
+# of its immutable PK), so maintenance is O(batch) rows into the touched
+# FK buckets.  Worst case (a dim delta whose fks post to every bucket)
+# degrades to exactly the flat scan, never more.
+
+
+def _fk_index_dir(state_dir: str) -> str:
+    return state_dir + "/fk_index"
+
+
+def _posting_ddl(fschema: T.StructType, fact_dim_col: list[str]) -> str:
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in fschema.fields
+        if f.name in fact_dim_col
+    )
+    return cols + ", __fb INT, __cnt BIGINT"
+
+
+def _posting_build(fact_rows: DataFrame, fact_brep, fact_dim_col: list[str]):
+    """From-scratch posting rows (init / rebuild): one refcounted row per
+    distinct (fk, fact bucket) pair — one aggregation over the facts."""
+    return (
+        fact_rows.select(*fact_dim_col, fact_brep.bucket_expr().alias("__fb"))
+        .groupBy(*fact_dim_col, "__fb")
+        .agg(F.count("*").alias("__cnt"))
+    )
+
+
+def _posting_delta(
+    fresh: DataFrame,
+    fact_brep,
+    fact_dim_col: list[str],
+    non_key: list[str],
+) -> DataFrame:
+    """Refcount delta from the classified (stale-filtered) fact batch:
+    +1 for each key entering an (fk, bucket) membership, −1 for each key
+    leaving one.  A key's bucket never changes (pure function of the PK),
+    so membership moves only on INSERT, DELETE, or an fk-moving UPDATE."""
+
+    def _prev(c: str) -> F.Column:
+        # an fk column inside the PK can never change for a key
+        return F.col(f"prev_{c}") if c in non_key else F.col(c)
+
+    fk_same = F.lit(True)
+    for c in fact_dim_col:
+        fk_same = fk_same & _prev(c).eqNullSafe(F.col(c))
+    fb = fact_brep.bucket_expr().alias("__fb")
+    adds = fresh.filter(
+        (F.col("operation") != DELETE)
+        & (F.col("__present").isNull() | ~fk_same)
+    ).select(*fact_dim_col, fb, F.lit(1).cast("bigint").alias("__cnt"))
+    subs = fresh.filter(
+        F.col("__present").isNotNull()
+        & ((F.col("operation") == DELETE) | ~fk_same)
+    ).select(
+        *[_prev(c).alias(c) for c in fact_dim_col],
+        fb,
+        F.lit(-1).cast("bigint").alias("__cnt"),
+    )
+    return adds.unionByName(subs)
+
+
+def _posting_fold(current: DataFrame, delta: DataFrame, fact_dim_col: list[str]):
+    """New content of the touched FK buckets: refcounts sum; zeros drop."""
+    return (
+        current.unionByName(delta)
+        .groupBy(*fact_dim_col, "__fb")
+        .agg(F.sum("__cnt").alias("__cnt"))
+        .filter(F.col("__cnt") != 0)
+    )
+
+
+def _posting_lookup(
+    posting_brep,
+    m_p: dict,
+    dim_delta_keys: DataFrame,
+    dim_key: list[str],
+    fact_dim_col: list[str],
+) -> list[int]:
+    """Fact bucket ids containing facts that reference the dim delta's
+    keys: prune the posting index to the delta's FK hash buckets (one
+    pruned scan), semi-join on the fk values, collect the distinct
+    ``__fb`` ids (≤ fact_buckets rows reach the driver)."""
+    fks = dim_delta_keys.select(
+        *[F.col(d).alias(f) for d, f in zip(dim_key, fact_dim_col)]
+    ).distinct()
+    fkb = posting_brep.touched_ids(fks)
+    posted = posting_brep.read(m_p, fkb)
+    hits = posted.join(F.broadcast(fks), fact_dim_col, "left_semi")
+    return sorted(
+        r[0] for r in hits.select("__fb").distinct().collect()
+    )
 
 
 def _norm_join_agg(
@@ -929,6 +1208,8 @@ def init_changelog_join_view(
     dim_history: DataFrame | None = None,
     how: str = "inner",
     agg: "dict | None" = None,
+    fact_buckets: "int | None" = None,
+    fk_buckets: "int | None" = None,
 ) -> None:
     """Lay down ``v0`` of both replicas and the join state: from history
     rows when the consumer joins mid-stream (one O(history) join), or
@@ -939,10 +1220,17 @@ def init_changelog_join_view(
     alongside it (the engine's ``register_join_agg_view`` surface as a
     dict: ``{"group_keys": [...], "value_col": ..., "kind": ...,`` plus
     kind parameters / ``where`` / ``derive``}) — read it back with
-    :func:`read_changelog_join_agg`."""
+    :func:`read_changelog_join_agg`.
+
+    ``fact_buckets=n`` lays the fact replica out PK-hash-bucketed WITH an
+    FK posting index in ``fk_buckets`` (default ``n``) FK-hash buckets —
+    the dual-indexed layout whose epoch cost is batch-proportional on
+    BOTH fact terms (see the module comment above ``_fk_index_dir``)."""
     fschema = T.StructType.fromDDL(fact_ddl)
     dschema = T.StructType.fromDDL(dim_ddl)
+    _check_no_reserved(fschema, dschema)
     _check_join_params(fschema, dschema, fact_key, fact_dim_col, dim_key)
+    _check_bucket_params(fact_buckets, fact_key)
     agg = _norm_join_agg(agg, fact_key, fschema, dschema)
     fact = (
         fact_history
@@ -952,10 +1240,23 @@ def init_changelog_join_view(
     dim = dim_history if dim_history is not None else spark.createDataFrame([], dschema)
     m0 = _initial_join(fact, dim, fact_dim_col, dim_key, how)
     targets = [
-        (_fact_replica_dir(state_dir), fact),
         (_dim_replica_dir(state_dir), dim),
         (_join_dir(state_dir), m0),
     ]
+    if fact_buckets:
+        from cdc_lite_spark.streaming.bucketed import BucketedReplica
+
+        f_brep = BucketedReplica(
+            spark, _fact_replica_dir(state_dir), int(fact_buckets), fact_key,
+            _rep_ddl(fact_ddl),
+        )
+        f_brep.init(fact)
+        BucketedReplica(
+            spark, _fk_index_dir(state_dir), int(fk_buckets or fact_buckets),
+            fact_dim_col, _posting_ddl(fschema, fact_dim_col),
+        ).init(_posting_build(fact, f_brep, fact_dim_col))
+    else:
+        targets.insert(0, (_fact_replica_dir(state_dir), fact))
     if agg is not None:
         targets.append((_agg_dir(state_dir), _join_agg_build(m0, agg, fact_key)))
     for d, df in targets:
@@ -963,7 +1264,7 @@ def init_changelog_join_view(
         repoint(d, "v0", fs_for(d, spark))
     spec = _join_spec_of(
         fact_table, dim_table, fact_ddl, dim_ddl, fact_key, fact_dim_col,
-        dim_key, how,
+        dim_key, how, fact_buckets, fk_buckets,
     )
     if agg is not None:
         spec["agg"] = agg
@@ -1019,6 +1320,26 @@ def read_changelog_join_view(spark: SparkSession, state_dir: str) -> DataFrame:
     return read_current(spark, _join_dir(state_dir))
 
 
+def read_changelog_fact_posting(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The dual-indexed layout's FK posting index as of its current
+    committed manifest: refcounted ``(fk…, __fb, __cnt)`` rows.  An
+    operational/debugging reader — the invariant worth checking is that
+    it equals a from-scratch ``_posting_build`` over the fact replica."""
+    from cdc_lite_spark.streaming.bucketed import BucketedReplica
+
+    spec = _read_pinned_spec(spark, state_dir)
+    if not spec or spec.get("kind") != "join" or not spec.get("fact_buckets"):
+        raise ValueError(
+            f"state at {state_dir!r} is not a dual-indexed join view"
+        )
+    fschema = T.StructType.fromDDL(spec["fact_ddl"])
+    p_brep = BucketedReplica(
+        spark, _fk_index_dir(state_dir), spec["fk_buckets"],
+        spec["fact_dim_col"], _posting_ddl(fschema, spec["fact_dim_col"]),
+    )
+    return p_brep.read(p_brep.current_manifest(), None)
+
+
 def start_changelog_join_view(
     stream: DataFrame,
     fact_table: str,
@@ -1035,6 +1356,8 @@ def start_changelog_join_view(
     hint_broadcast: bool = True,
     how: str = "inner",
     agg: "dict | None" = None,
+    fact_buckets: "int | None" = None,
+    fk_buckets: "int | None" = None,
 ) -> StreamingQuery:
     """Attach ``fact ⋈ dim`` maintenance to an A8 change stream carrying
     both tables' records.  ``fact_key`` must be unique in the fact table
@@ -1048,12 +1371,21 @@ def start_changelog_join_view(
     the batches' key sets as the affected sets, then commit fact replica
     → dim replica → join (the join commit is the epoch's externally
     visible barrier).  Replay recomputes bit-identical versions, so state
-    is exactly-once under foreachBatch's at-least-once calls."""
+    is exactly-once under foreachBatch's at-least-once calls.
+
+    ``fact_buckets=n`` (must match the init) activates the dual-indexed
+    fact layout: the classify/advance reads and the rewrite prune to the
+    batch's PK buckets, and the dim-side affected-fact lookup prunes
+    through the FK posting index to the referenced buckets — per-epoch
+    fact I/O is batch-fan-out-proportional instead of table-sized (see
+    the module comment above ``_fk_index_dir``)."""
     from cdc_lite_spark.operators.incremental import maintain_join_with_changes
 
     fschema = T.StructType.fromDDL(fact_ddl)
     dschema = T.StructType.fromDDL(dim_ddl)
+    _check_no_reserved(fschema, dschema)
     _check_join_params(fschema, dschema, fact_key, fact_dim_col, dim_key)
+    _check_bucket_params(fact_buckets, fact_key)
     agg = _norm_join_agg(agg, fact_key, fschema, dschema)
     spark = stream.sparkSession
     if not fs_for(_join_dir(state_dir), spark).dir_exists(_join_dir(state_dir)):
@@ -1066,7 +1398,7 @@ def start_changelog_join_view(
         raise ValueError(f"join view how must be inner or left_outer, got {how!r}")
     spec = _join_spec_of(
         fact_table, dim_table, fact_ddl, dim_ddl, fact_key, fact_dim_col,
-        dim_key, how,
+        dim_key, how, fact_buckets, fk_buckets,
     )
     if agg is not None:
         spec["agg"] = agg
@@ -1078,6 +1410,21 @@ def start_changelog_join_view(
         for f in [*fschema.fields, *dschema.fields]
     )
 
+    def _breps(spark):
+        from cdc_lite_spark.streaming.bucketed import BucketedReplica
+
+        return (
+            BucketedReplica(
+                spark, _fact_replica_dir(state_dir), int(fact_buckets),
+                fact_key, _rep_ddl(fact_ddl),
+            ),
+            BucketedReplica(
+                spark, _fk_index_dir(state_dir),
+                int(fk_buckets or fact_buckets), fact_dim_col,
+                _posting_ddl(fschema, fact_dim_col),
+            ),
+        )
+
     def _tick(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
         f_latest = _typed_latest(batch, fact_table, fschema, fact_key).persist()
@@ -1087,17 +1434,56 @@ def start_changelog_join_view(
             f_fs = fs_for(_fact_replica_dir(state_dir), spark)
             d_fs = fs_for(_dim_replica_dir(state_dir), spark)
             j_fs = fs_for(_join_dir(state_dir), spark)
-            f_rep = read_for_epoch(
-                spark, _fact_replica_dir(state_dir), epoch, f_fs, schema=fact_ddl
-            )
+            if fact_buckets:
+                # dual-indexed path: the classify/advance sees only the
+                # PK buckets the fact batch touches
+                f_brep, p_brep = _breps(spark)
+                m_f = f_brep.manifest_for_epoch(epoch)
+                m_p = p_brep.manifest_for_epoch(epoch)
+                touched = f_brep.touched_ids(f_latest)
+                f_rep = f_brep.read(m_f, touched)
+            else:
+                f_rep = read_for_epoch(
+                    spark, _fact_replica_dir(state_dir), epoch, f_fs,
+                    schema=_rep_ddl(fact_ddl),
+                )
             d_rep = read_for_epoch(
-                spark, _dim_replica_dir(state_dir), epoch, d_fs, schema=dim_ddl
+                spark, _dim_replica_dir(state_dir), epoch, d_fs,
+                schema=_rep_ddl(dim_ddl),
             )
             m_old = read_for_epoch(
                 spark, _join_dir(state_dir), epoch, j_fs, schema=join_ddl
             )
-            new_f = _advance_replica(f_rep, f_latest, fact_key, f_non_key)
-            new_d = _advance_replica(d_rep, d_latest, dim_key, d_non_key)
+            # foreign-log guard, per side (see the single-table tick):
+            # replayed stale records must neither advance a replica nor
+            # count as affected keys
+            f_joined = _classify(f_latest, f_rep, fact_key, f_non_key).persist()
+            d_joined = _classify(d_latest, d_rep, dim_key, d_non_key).persist()
+            handles.extend([f_joined, d_joined])
+            f_fresh = f_joined.filter(~_stale()).select(
+                *fact_key, "operation", *f_non_key, "__ts"
+            )
+            d_fresh = d_joined.filter(~_stale()).select(
+                *dim_key, "operation", *d_non_key, "__ts"
+            )
+            new_f = _advance_replica(f_rep, f_fresh, fact_key, f_non_key)
+            new_d = _advance_replica(d_rep, d_fresh, dim_key, d_non_key)
+            if fact_buckets:
+                # the dim-side affected-fact lookup: posting index →
+                # referenced fact bucket ids → read exactly those PK
+                # buckets.  fact_new = the advanced touched content ∪ the
+                # (untouched this epoch, hence current) posted buckets —
+                # a SUPERSET of every fact row the fold can reference, so
+                # maintain_join's algebra is unchanged; only its fact
+                # scan shrank from the table to the batch's fan-out.
+                posted = _posting_lookup(
+                    p_brep, m_p, d_fresh.select(*dim_key), dim_key,
+                    fact_dim_col,
+                )
+                extra = [b for b in posted if b not in set(touched)]
+                fact_new = new_f.unionByName(f_brep.read(m_f, extra))
+            else:
+                fact_new = new_f
             # the affected sets are just the batches' key sets — the fold
             # re-reads refreshed rows from the ADVANCED replicas, so no
             # prev_-enrichment is needed for the join itself.  With an agg
@@ -1107,10 +1493,10 @@ def start_changelog_join_view(
             # intermediates persisted once across all consuming actions.
             m_new, view_changes, shared = maintain_join_with_changes(
                 m_old,
-                new_f,
+                fact_new,
                 new_d,
-                f_latest,
-                d_latest,
+                f_fresh,
+                d_fresh,
                 fact_key,
                 fact_dim_col,
                 dim_key,
@@ -1131,13 +1517,38 @@ def start_changelog_join_view(
                     # join state (one aggregation, never a re-join; the
                     # engine's join-agg degradation)
                     agg_new = _join_agg_build(m_new, agg, fact_key)
-            # dependency order: replicas → join → agg LAST — each pointer
-            # implies everything it folded against committed
-            commit_version(new_f, _fact_replica_dir(state_dir), epoch, f_fs)
+            # dependency order: replicas (+ posting index) → join → agg
+            # LAST — each pointer implies everything it folded against
+            # committed
+            if fact_buckets:
+                new_m_f = f_brep.commit(new_f, touched, m_f, epoch, gc=False)
+                # the posting fold consumes the SAME classified batch the
+                # advance used: O(batch) refcount rows into the touched
+                # FK buckets
+                delta = _posting_delta(
+                    f_joined.filter(~_stale()), f_brep, fact_dim_col,
+                    f_non_key,
+                )
+                touched_fk = p_brep.touched_ids(delta)
+                new_p = _posting_fold(
+                    p_brep.read(m_p, touched_fk), delta, fact_dim_col
+                )
+                new_m_p = p_brep.commit(new_p, touched_fk, m_p, epoch, gc=False)
+            else:
+                commit_version(new_f, _fact_replica_dir(state_dir), epoch, f_fs)
             commit_version(new_d, _dim_replica_dir(state_dir), epoch, d_fs)
             commit_version(m_new, _join_dir(state_dir), epoch, j_fs)
             if agg_new is not None:
                 commit_version(agg_new, _agg_dir(state_dir), epoch, a_fs)
+            if fact_buckets:
+                # gc AFTER the downstream commits: their lazy plans read
+                # the basis manifests' bucket paths
+                f_brep.gc(epoch, new_m_f, m_f)
+                p_brep.gc(epoch, new_m_p, m_p)
+            for tbl, jn in ((fact_table, f_joined), (dim_table, d_joined)):
+                n_stale = jn.filter(_stale()).count()
+                if n_stale:
+                    _bump_stale_status(spark, state_dir, tbl, epoch, n_stale)
         finally:
             for h in (f_latest, d_latest, *handles):
                 try:
@@ -1161,7 +1572,14 @@ def changelog_view_status(spark: SparkSession, state_dir: str) -> dict:
     the wire-consumer twin of ``CdcEngine.view_status()``.  FS reads only
     (pointers + the spec), no parquet opened, no job run."""
     spec = _read_pinned_spec(spark, state_dir)
-    out: dict = {"state_dir": state_dir, "spec": spec, "states": {}}
+    out: dict = {
+        "state_dir": state_dir,
+        "spec": spec,
+        "states": {},
+        # per-table totals the monotonicity guard dropped (foreign /
+        # replayed-with-gaps logs); {} for an always-in-order log
+        "stale_dropped": changelog_stale_dropped(spark, state_dir),
+    }
     kind = (spec or {}).get("kind")
     dirs = (
         {

@@ -1129,3 +1129,370 @@ def test_wire_join_agg_where_and_derive_compose(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# --- r11: foreign / reordered wire-log guard ---------------------------------
+#
+# The consumers enforce per-key timestamp monotonicity (view_stream module
+# docstring, "Ordering contract"): a replayed or reordered log's stale
+# records are dropped before they can advance a replica or fold into any
+# state, and the drops are counted (changelog_stale_dropped).
+
+from cdc_lite_spark.streaming.view_stream import (  # noqa: E402
+    changelog_stale_dropped,
+    changelog_view_status,
+)
+
+_G1 = [(1, "a", 10.0), (2, "a", 20.0)]
+# both tick-1 keys change (value / group), one new key — replaying tick 1's
+# file afterwards must drop exactly the two changed keys' records
+_G2 = [(1, "a", 11.0), (2, "b", 20.0), (3, "c", 5.0)]
+
+
+def _json_parts(log_dir):
+    import glob
+
+    return sorted(glob.glob(str(log_dir) + "/part-*.json"))
+
+
+def test_stale_replayed_file_is_dropped_and_counted(spark, tmp_path):
+    """Replay an OLD log file after the drain (a foreign producer re-ships
+    tick 1): the guard drops its records — view and replica stay at the
+    converged state — and the per-table drop counter records them."""
+    import shutil
+
+    eng = CdcEngine(
+        spark,
+        output_dir=str(tmp_path / "log"),
+        state_dir=str(tmp_path / "estate"),
+        emit_schema_changes=False,
+    )
+    eng.poll_once({"t": _df(spark, _G1)}, mode="diff", keys={"t": ["id"]})
+    log = str(tmp_path / "log")
+    tick1_files = _json_parts(log)
+    eng.poll_once({"t": _df(spark, _G2)}, mode="diff", keys={"t": ["id"]})
+    state_dir = _drain(spark, log, tmp_path, "sum_count")
+    view0 = {tuple(r) for r in read_changelog_view(spark, state_dir).collect()}
+    rep0 = {tuple(r) for r in read_changelog_replica(spark, state_dir).collect()}
+    assert changelog_stale_dropped(spark, state_dir) == {}  # in-order so far
+
+    for i, f in enumerate(tick1_files):
+        shutil.copy(f, f"{log}/part-replayed-{i}.json")
+    # resume the SAME checkpointed stream: only the replayed file is new
+    q = start_changelog_view(
+        stream_changes(spark, log, max_files_per_trigger=2),
+        "t",
+        _DDL,
+        ["id"],
+        ["grp"],
+        "v",
+        state_dir,
+        str(tmp_path / "ckpt_sum_count"),
+        kind="sum_count",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    assert {
+        tuple(r) for r in read_changelog_view(spark, state_dir).collect()
+    } == view0
+    assert {
+        tuple(r) for r in read_changelog_replica(spark, state_dir).collect()
+    } == rep0
+    st = changelog_stale_dropped(spark, state_dir)
+    assert st["t"]["dropped"] == 2  # keys 1 and 2 — key 3 never had an old record
+    # and the status reader surfaces the same counters
+    assert changelog_view_status(spark, state_dir)["stale_dropped"] == st
+
+
+def test_reordered_foreign_log_converges_newest_wins(spark, tmp_path):
+    """Deliver a 2-tick log NEWEST FILE FIRST (a foreign producer with no
+    ordering guarantee): the guard makes the fold converge to the newest-
+    per-key state — identical to the in-order drain — instead of letting
+    the late tick-1 file overwrite tick-2 values."""
+    import os
+    import shutil
+    import time
+
+    eng = CdcEngine(
+        spark,
+        output_dir=str(tmp_path / "log0"),
+        state_dir=str(tmp_path / "estate0"),
+        emit_schema_changes=False,
+    )
+    eng.poll_once({"t": _df(spark, _G1)}, mode="diff", keys={"t": ["id"]})
+    tick1_files = _json_parts(tmp_path / "log0")
+    eng.poll_once({"t": _df(spark, _G2)}, mode="diff", keys={"t": ["id"]})
+    tick2_files = [
+        f for f in _json_parts(tmp_path / "log0") if f not in tick1_files
+    ]
+
+    # the foreign log: tick 2's file(s) listed/modified EARLIER than tick
+    # 1's, so the file source's oldest-mtime-first order delivers them
+    # reversed, in separate micro-batches (max_files_per_trigger=1)
+    foreign = tmp_path / "foreign"
+    foreign.mkdir()
+    now = time.time()
+    for i, f in enumerate(tick2_files):
+        dst = str(foreign / f"part-a{i}.json")
+        shutil.copy(f, dst)
+        os.utime(dst, (now - 120, now - 120))
+    for i, f in enumerate(tick1_files):
+        dst = str(foreign / f"part-b{i}.json")
+        shutil.copy(f, dst)
+        os.utime(dst, (now - 60, now - 60))
+
+    state_dir = str(tmp_path / "vstate_foreign")
+    init_changelog_view(spark, state_dir, _DDL, ["grp"], "v", kind="sum_count")
+    q = start_changelog_view(
+        stream_changes(spark, str(foreign), max_files_per_trigger=1),
+        "t",
+        _DDL,
+        ["id"],
+        ["grp"],
+        "v",
+        state_dir,
+        str(tmp_path / "ckpt_foreign"),
+        kind="sum_count",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    final = _df(spark, _G2)
+    got = {
+        r["grp"]: (r["agg_sum"], r["agg_count"], r["agg_rows"])
+        for r in read_changelog_view(spark, state_dir).collect()
+    }
+    want = {
+        r["grp"]: (r["agg_sum"], r["agg_count"], r["agg_rows"])
+        for r in final.groupBy("grp")
+        .agg(
+            F.sum("v").alias("agg_sum"),
+            F.count("v").alias("agg_count"),
+            F.count("*").alias("agg_rows"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert {
+        tuple(r) for r in read_changelog_replica(spark, state_dir).collect()
+    } == {tuple(r) for r in final.collect()}
+    assert changelog_stale_dropped(spark, state_dir)["t"]["dropped"] == 2
+
+
+# guard fixtures for the JOIN consumer: updates only (no deletes), so the
+# replayed tick-1 records are all strictly stale for the keys tick 2
+# touched — the delete-resurrection limit is documented, not tested here
+_GJ_F1 = [(1, 1, 10.0), (2, 1, 20.0)]
+_GJ_D1 = [(1, "a"), (2, "b")]
+_GJ_F2 = [(1, 1, 12.0), (2, 2, 20.0)]  # value update + FK move
+_GJ_D2 = [(1, "a2"), (2, "b")]  # dim 1 relabeled; dim 2 untouched
+
+
+def test_join_consumer_drops_stale_replay_per_side(spark, tmp_path):
+    """The two-replica join consumer applies the same guard per side: a
+    replayed tick-1 file neither regresses the replicas nor perturbs the
+    join state, and each table's drops are counted separately."""
+    import shutil
+
+    eng = CdcEngine(
+        spark,
+        output_dir=str(tmp_path / "jlog"),
+        state_dir=str(tmp_path / "jestate"),
+        emit_schema_changes=False,
+    )
+    keys = {"f": ["fid"], "d": ["did"]}
+    eng.poll_once(
+        {"f": _fact(spark, _GJ_F1), "d": _dim(spark, _GJ_D1)},
+        mode="diff", keys=keys,
+    )
+    log = str(tmp_path / "jlog")
+    tick1_files = _json_parts(log)
+    eng.poll_once(
+        {"f": _fact(spark, _GJ_F2), "d": _dim(spark, _GJ_D2)},
+        mode="diff", keys=keys,
+    )
+    state_dir = _drain_join(spark, log, tmp_path)
+    join0 = {tuple(r) for r in read_changelog_join_view(spark, state_dir).collect()}
+    assert join0 == _expected_join(spark, _GJ_F2, _GJ_D2)
+
+    for i, f in enumerate(tick1_files):
+        shutil.copy(f, f"{log}/part-replayed-{i}.json")
+    q = start_changelog_join_view(
+        stream_changes(spark, log, max_files_per_trigger=2),
+        "f",
+        "d",
+        _FACT_DDL,
+        _DIM_DDL,
+        ["fid"],
+        ["fk"],
+        ["did"],
+        state_dir,
+        str(tmp_path / "jckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    assert {
+        tuple(r) for r in read_changelog_join_view(spark, state_dir).collect()
+    } == join0
+    st = changelog_stale_dropped(spark, state_dir)
+    assert st["f"]["dropped"] == 2  # both tick-1 facts changed in tick 2
+    assert st["d"]["dropped"] == 1  # dim 1 changed; dim 2's replay is equal-ts
+
+
+# --- r11: dual-indexed wire-join fact replica (PK buckets + FK posting) ------
+
+from cdc_lite_spark.streaming.view_stream import (  # noqa: E402
+    read_changelog_fact_posting,
+)
+
+
+def _drain_join_dual(spark, log_dir, tmp_path, tag="dual", **kw):
+    state_dir = str(tmp_path / f"jvstate_{tag}")
+    init_changelog_join_view(
+        spark, state_dir, "f", "d", _FACT_DDL, _DIM_DDL, ["fid"], ["fk"], ["did"],
+        fact_buckets=4, fk_buckets=3, **kw,
+    )
+    q = start_changelog_join_view(
+        stream_changes(spark, log_dir, max_files_per_trigger=2),
+        "f",
+        "d",
+        _FACT_DDL,
+        _DIM_DDL,
+        ["fid"],
+        ["fk"],
+        ["did"],
+        state_dir,
+        str(tmp_path / f"jckpt_{tag}"),
+        available_now=True,
+        fact_buckets=4,
+        fk_buckets=3,
+        **kw,
+    )
+    q.awaitTermination()
+    return state_dir
+
+
+def test_dual_indexed_join_parity_with_flat(spark, tmp_path):
+    """The dual-indexed layout (PK-bucketed fact replica + FK posting
+    index) must produce EXACTLY the flat path's join state across a
+    multi-batch drain with dangling facts, fk moves, and deletes on both
+    sides — and its posting index must equal a from-scratch rebuild over
+    the final fact table."""
+    from cdc_lite_spark.streaming.bucketed import BucketedReplica
+    from cdc_lite_spark.streaming.view_stream import (
+        _posting_build,
+        _rep_ddl,
+    )
+
+    log = _write_join_log(
+        spark, tmp_path, [(_F1, _D1), (_F2, _D2), (_F3, _D3)]
+    )
+    flat_dir = _drain_join(spark, log, tmp_path)
+    dual_dir = _drain_join_dual(spark, log, tmp_path)
+    flat = {tuple(r) for r in read_changelog_join_view(spark, flat_dir).collect()}
+    dual = {tuple(r) for r in read_changelog_join_view(spark, dual_dir).collect()}
+    assert dual == flat == _expected_join(spark, _F3, _D3)
+
+    # posting invariant: committed index == rebuild over the final facts
+    f_brep = BucketedReplica(
+        spark, dual_dir + "/fact_replica", 4, ["fid"], _rep_ddl(_FACT_DDL)
+    )
+    final_fact = _fact(spark, _F3)
+    want = {
+        tuple(r)
+        for r in _posting_build(final_fact, f_brep, ["fk"]).collect()
+    }
+    got = {
+        tuple(r)
+        for r in read_changelog_fact_posting(spark, dual_dir).collect()
+    }
+    assert got == want
+    # refcounts are all positive and fid-bucket fan-out is consistent
+    assert all(r[-1] > 0 for r in got)
+
+
+def test_dual_indexed_dim_only_epoch_uses_posted_buckets(spark, tmp_path):
+    """A dim-only tick must still reinstate/retract the referencing facts
+    through the posting lookup (the pruned path that replaced the flat
+    fact scan): relabeling a dim fans out into its facts, deleting a dim
+    retracts them."""
+    f1 = [(1, 10, 1.0), (2, 20, 2.0), (3, 30, 3.0)]
+    d1 = [(10, "x"), (20, "y"), (30, "z")]
+    # tick 2 touches ONLY the dim table
+    d2 = [(10, "X"), (30, "z")]  # relabel 10, delete 20
+    eng = CdcEngine(
+        spark,
+        output_dir=str(tmp_path / "dlog"),
+        state_dir=str(tmp_path / "destate"),
+        emit_schema_changes=False,
+    )
+    keys = {"f": ["fid"], "d": ["did"]}
+    eng.poll_once(
+        {"f": _fact(spark, f1), "d": _dim(spark, d1)}, mode="diff", keys=keys
+    )
+    eng.poll_once(
+        {"f": _fact(spark, f1), "d": _dim(spark, d2)}, mode="diff", keys=keys
+    )
+    state_dir = _drain_join_dual(spark, str(tmp_path / "dlog"), tmp_path, tag="dimonly")
+    got = {tuple(r) for r in read_changelog_join_view(spark, state_dir).collect()}
+    assert got == _expected_join(spark, f1, d2)
+    assert not any(r[1] == 20 for r in got)  # dim 20's fact retracted
+    assert any(r[4] == "X" for r in got)  # relabel fanned out
+
+
+def test_dual_indexed_validation_and_spec_pin(spark, tmp_path):
+    """fact_buckets is pinned at init: a flat start on a dual state (and
+    vice versa, and a mismatched bucket count) must fail fast."""
+    log = _write_join_log(spark, tmp_path, [(_F1, _D1)])
+    state_dir = _drain_join_dual(spark, log, tmp_path, tag="pin")
+
+    def _start(**kw):
+        return start_changelog_join_view(
+            stream_changes(spark, log),
+            "f", "d", _FACT_DDL, _DIM_DDL, ["fid"], ["fk"], ["did"],
+            state_dir, str(tmp_path / "jckpt_pin2"),
+            available_now=True, **kw,
+        )
+
+    with pytest.raises(ValueError, match="initialized with"):
+        _start()  # flat start on a dual-indexed state
+    with pytest.raises(ValueError, match="initialized with"):
+        _start(fact_buckets=8, fk_buckets=3)  # wrong bucket count
+    with pytest.raises(ValueError, match="must be positive"):
+        init_changelog_join_view(
+            spark, str(tmp_path / "bad"), "f", "d", _FACT_DDL, _DIM_DDL,
+            ["fid"], ["fk"], ["did"], fact_buckets=0,
+        )
+
+
+def test_dual_indexed_redrain_fresh_checkpoint_converges(spark, tmp_path):
+    """Replay discipline carries over both structures: a fresh-checkpoint
+    redrain over surviving state reconverges to the same join state and
+    posting index."""
+    log = _write_join_log(
+        spark, tmp_path, [(_F1, _D1), (_F2, _D2), (_F3, _D3)]
+    )
+    state_dir = _drain_join_dual(spark, log, tmp_path, tag="redrain")
+    want_join = {
+        tuple(r) for r in read_changelog_join_view(spark, state_dir).collect()
+    }
+    want_post = {
+        tuple(r)
+        for r in read_changelog_fact_posting(spark, state_dir).collect()
+    }
+    q = start_changelog_join_view(
+        stream_changes(spark, log, max_files_per_trigger=2),
+        "f", "d", _FACT_DDL, _DIM_DDL, ["fid"], ["fk"], ["did"],
+        state_dir, str(tmp_path / "jckpt_redrain_fresh"),
+        available_now=True, fact_buckets=4, fk_buckets=3,
+    )
+    q.awaitTermination()
+    assert {
+        tuple(r) for r in read_changelog_join_view(spark, state_dir).collect()
+    } == want_join
+    assert {
+        tuple(r)
+        for r in read_changelog_fact_posting(spark, state_dir).collect()
+    } == want_post
