@@ -1029,6 +1029,13 @@ def _fk_index_dir(state_dir: str) -> str:
     return state_dir + "/fk_index"
 
 
+def _join_ddl_of(fschema: T.StructType, dschema: T.StructType) -> str:
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in [*fschema.fields, *dschema.fields]
+    )
+
+
 def _posting_ddl(fschema: T.StructType, fact_dim_col: list[str]) -> str:
     cols = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -1239,10 +1246,7 @@ def init_changelog_join_view(
     )
     dim = dim_history if dim_history is not None else spark.createDataFrame([], dschema)
     m0 = _initial_join(fact, dim, fact_dim_col, dim_key, how)
-    targets = [
-        (_dim_replica_dir(state_dir), dim),
-        (_join_dir(state_dir), m0),
-    ]
+    targets = [(_dim_replica_dir(state_dir), dim)]
     if fact_buckets:
         from cdc_lite_spark.streaming.bucketed import BucketedReplica
 
@@ -1255,8 +1259,16 @@ def init_changelog_join_view(
             spark, _fk_index_dir(state_dir), int(fk_buckets or fact_buckets),
             fact_dim_col, _posting_ddl(fschema, fact_dim_col),
         ).init(_posting_build(fact, f_brep, fact_dim_col))
+        # the join state is keyed by the (unique) fact PK, so it takes the
+        # SAME bucket count and key — an epoch's affected rows live in
+        # exactly the bucket ids the replica side already computed
+        BucketedReplica(
+            spark, _join_dir(state_dir), int(fact_buckets), fact_key,
+            _join_ddl_of(fschema, dschema),
+        ).init(m0)
     else:
         targets.insert(0, (_fact_replica_dir(state_dir), fact))
+        targets.append((_join_dir(state_dir), m0))
     if agg is not None:
         targets.append((_agg_dir(state_dir), _join_agg_build(m0, agg, fact_key)))
     for d, df in targets:
@@ -1315,8 +1327,22 @@ def read_changelog_join_agg(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 def read_changelog_join_view(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The current committed join state (join pointer — commits last, so
-    what it references was folded against committed replicas)."""
+    """The current committed join state (join pointer/manifest — commits
+    after the replicas, so what it references was folded against
+    committed replicas)."""
+    spec = _read_pinned_spec(spark, state_dir)
+    if spec and spec.get("fact_buckets"):
+        from cdc_lite_spark.streaming.bucketed import BucketedReplica
+
+        j_brep = BucketedReplica(
+            spark, _join_dir(state_dir), spec["fact_buckets"],
+            spec["fact_key"],
+            _join_ddl_of(
+                T.StructType.fromDDL(spec["fact_ddl"]),
+                T.StructType.fromDDL(spec["dim_ddl"]),
+            ),
+        )
+        return j_brep.read(j_brep.current_manifest(), None)
     return read_current(spark, _join_dir(state_dir))
 
 
@@ -1405,10 +1431,7 @@ def start_changelog_join_view(
     _check_spec(spark, state_dir, spec)
     f_non_key = [f.name for f in fschema.fields if f.name not in fact_key]
     d_non_key = [f.name for f in dschema.fields if f.name not in dim_key]
-    join_ddl = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in [*fschema.fields, *dschema.fields]
-    )
+    join_ddl = _join_ddl_of(fschema, dschema)
 
     def _breps(spark):
         from cdc_lite_spark.streaming.bucketed import BucketedReplica
@@ -1422,6 +1445,10 @@ def start_changelog_join_view(
                 spark, _fk_index_dir(state_dir),
                 int(fk_buckets or fact_buckets), fact_dim_col,
                 _posting_ddl(fschema, fact_dim_col),
+            ),
+            BucketedReplica(
+                spark, _join_dir(state_dir), int(fact_buckets), fact_key,
+                join_ddl,
             ),
         )
 
@@ -1437,9 +1464,10 @@ def start_changelog_join_view(
             if fact_buckets:
                 # dual-indexed path: the classify/advance sees only the
                 # PK buckets the fact batch touches
-                f_brep, p_brep = _breps(spark)
+                f_brep, p_brep, j_brep = _breps(spark)
                 m_f = f_brep.manifest_for_epoch(epoch)
                 m_p = p_brep.manifest_for_epoch(epoch)
+                m_j = j_brep.manifest_for_epoch(epoch)
                 touched = f_brep.touched_ids(f_latest)
                 f_rep = f_brep.read(m_f, touched)
             else:
@@ -1447,12 +1475,12 @@ def start_changelog_join_view(
                     spark, _fact_replica_dir(state_dir), epoch, f_fs,
                     schema=_rep_ddl(fact_ddl),
                 )
+                m_old = read_for_epoch(
+                    spark, _join_dir(state_dir), epoch, j_fs, schema=join_ddl
+                )
             d_rep = read_for_epoch(
                 spark, _dim_replica_dir(state_dir), epoch, d_fs,
                 schema=_rep_ddl(dim_ddl),
-            )
-            m_old = read_for_epoch(
-                spark, _join_dir(state_dir), epoch, j_fs, schema=join_ddl
             )
             # foreign-log guard, per side (see the single-table tick):
             # replayed stale records must neither advance a replica nor
@@ -1482,6 +1510,14 @@ def start_changelog_join_view(
                 )
                 extra = [b for b in posted if b not in set(touched)]
                 fact_new = new_f.unionByName(f_brep.read(m_f, extra))
+                # the join state shares the fact-PK bucketing, so EVERY
+                # affected view row (batch facts ∪ dim fan-out) lives in
+                # exactly these bucket ids: the fold reads them alone and
+                # the commit rewrites them alone — the flat path's m_old
+                # scan and full join rewrite both become batch-fan-out-
+                # sized
+                j_touched = sorted(set(touched) | set(posted))
+                m_old = j_brep.read(m_j, j_touched)
             else:
                 fact_new = new_f
             # the affected sets are just the batches' key sets — the fold
@@ -1515,8 +1551,23 @@ def start_changelog_join_view(
                     # degrading kind: the I/D encoding always carries
                     # DELETEs on a changed tick — rebuild from the NEW
                     # join state (one aggregation, never a re-join; the
-                    # engine's join-agg degradation)
-                    agg_new = _join_agg_build(m_new, agg, fact_key)
+                    # engine's join-agg degradation).  Bucketed: the new
+                    # full state = untouched buckets ∪ the fold's output
+                    # (the rebuild pays one full scan — the degradation's
+                    # cost, not the layout's)
+                    full = (
+                        j_brep.read(
+                            m_j,
+                            [
+                                b
+                                for b in map(int, m_j["buckets"])
+                                if b not in set(j_touched)
+                            ],
+                        ).unionByName(m_new)
+                        if fact_buckets
+                        else m_new
+                    )
+                    agg_new = _join_agg_build(full, agg, fact_key)
             # dependency order: replicas (+ posting index) → join → agg
             # LAST — each pointer implies everything it folded against
             # committed
@@ -1537,7 +1588,12 @@ def start_changelog_join_view(
             else:
                 commit_version(new_f, _fact_replica_dir(state_dir), epoch, f_fs)
             commit_version(new_d, _dim_replica_dir(state_dir), epoch, d_fs)
-            commit_version(m_new, _join_dir(state_dir), epoch, j_fs)
+            if fact_buckets:
+                # m_new is exactly the affected buckets' new content —
+                # the join rewrite prunes to them
+                new_m_j = j_brep.commit(m_new, j_touched, m_j, epoch, gc=False)
+            else:
+                commit_version(m_new, _join_dir(state_dir), epoch, j_fs)
             if agg_new is not None:
                 commit_version(agg_new, _agg_dir(state_dir), epoch, a_fs)
             if fact_buckets:
@@ -1545,6 +1601,7 @@ def start_changelog_join_view(
                 # the basis manifests' bucket paths
                 f_brep.gc(epoch, new_m_f, m_f)
                 p_brep.gc(epoch, new_m_p, m_p)
+                j_brep.gc(epoch, new_m_j, m_j)
             for tbl, jn in ((fact_table, f_joined), (dim_table, d_joined)):
                 n_stale = jn.filter(_stale()).count()
                 if n_stale:
