@@ -2585,7 +2585,10 @@ class CdcEngine:
             fact_dim_col=s["fact_dim_col"],
             dim_key=s["dim_key"],
             hint_broadcast=s["hint_broadcast"],
-            persist_shared=with_changes,
+            # left_outer persists even without dependent aggs: its refresh
+            # references the pruned facts three times and the dim twice
+            # per action (r10 ADVICE — the persist is the fix)
+            persist_shared=with_changes or s.get("how", "inner") == "left_outer",
             with_changes=with_changes,
             how=s.get("how", "inner"),
         )

@@ -1539,7 +1539,10 @@ def start_changelog_join_view(
                 hint_broadcast=hint_broadcast,
                 how=how,
                 with_changes=agg is not None,
-                persist_shared=agg is not None,
+                # left_outer persists even without an agg riding the view:
+                # its refresh references the pruned facts three times and
+                # the dim twice per consuming action (r10 ADVICE)
+                persist_shared=agg is not None or how == "left_outer",
             )
             handles.extend(shared)
             agg_new = None
