@@ -1645,6 +1645,7 @@ def changelog_view_status(spark: SparkSession, state_dir: str) -> dict:
         {
             "fact_replica": _fact_replica_dir(state_dir),
             "dim_replica": _dim_replica_dir(state_dir),
+            "fk_index": _fk_index_dir(state_dir),  # dual-indexed layouts
             "join": _join_dir(state_dir),
             "agg": _agg_dir(state_dir),
         }
