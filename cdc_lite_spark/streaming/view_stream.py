@@ -646,6 +646,20 @@ def init_changelog_view(
     )
 
 
+def _check_dim_bucket_params(
+    dim_buckets: "int | None", fact_buckets: "int | None", dim_key: list[str]
+) -> None:
+    if dim_buckets is None:
+        return
+    _check_bucket_params(dim_buckets, dim_key)
+    if not fact_buckets:
+        raise ValueError(
+            "dim_buckets requires fact_buckets — the pruned dim read "
+            "derives its needed-bucket set from the dual-indexed fact "
+            "delta machinery"
+        )
+
+
 def _check_no_reserved(*schemas: T.StructType) -> None:
     """``__ts`` is the replica's guard bookkeeping column — a declared
     table column with that name would collide on disk."""
@@ -982,6 +996,7 @@ def _join_spec_of(
     how: str = "inner",
     fact_buckets: "int | None" = None,
     fk_buckets: "int | None" = None,
+    dim_buckets: "int | None" = None,
 ) -> dict:
     s = {
         "kind": "join",
@@ -998,6 +1013,8 @@ def _join_spec_of(
     if fact_buckets:  # dual-indexed layout: both bucket counts pinned
         s["fact_buckets"] = int(fact_buckets)
         s["fk_buckets"] = int(fk_buckets or fact_buckets)
+    if dim_buckets:  # bucketed dim replica: pinned too
+        s["dim_buckets"] = int(dim_buckets)
     return s
 
 
@@ -1217,6 +1234,7 @@ def init_changelog_join_view(
     agg: "dict | None" = None,
     fact_buckets: "int | None" = None,
     fk_buckets: "int | None" = None,
+    dim_buckets: "int | None" = None,
 ) -> None:
     """Lay down ``v0`` of both replicas and the join state: from history
     rows when the consumer joins mid-stream (one O(history) join), or
@@ -1232,12 +1250,17 @@ def init_changelog_join_view(
     ``fact_buckets=n`` lays the fact replica out PK-hash-bucketed WITH an
     FK posting index in ``fk_buckets`` (default ``n``) FK-hash buckets —
     the dual-indexed layout whose epoch cost is batch-proportional on
-    BOTH fact terms (see the module comment above ``_fk_index_dir``)."""
+    BOTH fact terms (see the module comment above ``_fk_index_dir``).
+    ``dim_buckets=m`` additionally buckets the DIM replica by its key:
+    the refresh needs only the dims the delta's fk values name, so the
+    dim read AND rewrite prune to those buckets — the dual tick's last
+    size-coupled term gone.  Requires ``fact_buckets``."""
     fschema = T.StructType.fromDDL(fact_ddl)
     dschema = T.StructType.fromDDL(dim_ddl)
     _check_no_reserved(fschema, dschema)
     _check_join_params(fschema, dschema, fact_key, fact_dim_col, dim_key)
     _check_bucket_params(fact_buckets, fact_key)
+    _check_dim_bucket_params(dim_buckets, fact_buckets, dim_key)
     agg = _norm_join_agg(agg, fact_key, fschema, dschema)
     fact = (
         fact_history
@@ -1246,7 +1269,16 @@ def init_changelog_join_view(
     )
     dim = dim_history if dim_history is not None else spark.createDataFrame([], dschema)
     m0 = _initial_join(fact, dim, fact_dim_col, dim_key, how)
-    targets = [(_dim_replica_dir(state_dir), dim)]
+    targets = []
+    if dim_buckets:
+        from cdc_lite_spark.streaming.bucketed import BucketedReplica
+
+        BucketedReplica(
+            spark, _dim_replica_dir(state_dir), int(dim_buckets), dim_key,
+            _rep_ddl(dim_ddl),
+        ).init(dim)
+    else:
+        targets.append((_dim_replica_dir(state_dir), dim))
     if fact_buckets:
         from cdc_lite_spark.streaming.bucketed import BucketedReplica
 
@@ -1276,7 +1308,7 @@ def init_changelog_join_view(
         repoint(d, "v0", fs_for(d, spark))
     spec = _join_spec_of(
         fact_table, dim_table, fact_ddl, dim_ddl, fact_key, fact_dim_col,
-        dim_key, how, fact_buckets, fk_buckets,
+        dim_key, how, fact_buckets, fk_buckets, dim_buckets,
     )
     if agg is not None:
         spec["agg"] = agg
@@ -1384,6 +1416,7 @@ def start_changelog_join_view(
     agg: "dict | None" = None,
     fact_buckets: "int | None" = None,
     fk_buckets: "int | None" = None,
+    dim_buckets: "int | None" = None,
 ) -> StreamingQuery:
     """Attach ``fact ⋈ dim`` maintenance to an A8 change stream carrying
     both tables' records.  ``fact_key`` must be unique in the fact table
@@ -1412,6 +1445,7 @@ def start_changelog_join_view(
     _check_no_reserved(fschema, dschema)
     _check_join_params(fschema, dschema, fact_key, fact_dim_col, dim_key)
     _check_bucket_params(fact_buckets, fact_key)
+    _check_dim_bucket_params(dim_buckets, fact_buckets, dim_key)
     agg = _norm_join_agg(agg, fact_key, fschema, dschema)
     spark = stream.sparkSession
     if not fs_for(_join_dir(state_dir), spark).dir_exists(_join_dir(state_dir)):
@@ -1424,7 +1458,7 @@ def start_changelog_join_view(
         raise ValueError(f"join view how must be inner or left_outer, got {how!r}")
     spec = _join_spec_of(
         fact_table, dim_table, fact_ddl, dim_ddl, fact_key, fact_dim_col,
-        dim_key, how, fact_buckets, fk_buckets,
+        dim_key, how, fact_buckets, fk_buckets, dim_buckets,
     )
     if agg is not None:
         spec["agg"] = agg
@@ -1450,6 +1484,12 @@ def start_changelog_join_view(
                 spark, _join_dir(state_dir), int(fact_buckets), fact_key,
                 join_ddl,
             ),
+            BucketedReplica(
+                spark, _dim_replica_dir(state_dir), int(dim_buckets), dim_key,
+                _rep_ddl(dim_ddl),
+            )
+            if dim_buckets
+            else None,
         )
 
     def _tick(batch: DataFrame, epoch: int) -> None:
@@ -1461,10 +1501,11 @@ def start_changelog_join_view(
             f_fs = fs_for(_fact_replica_dir(state_dir), spark)
             d_fs = fs_for(_dim_replica_dir(state_dir), spark)
             j_fs = fs_for(_join_dir(state_dir), spark)
+            d_brep = None
             if fact_buckets:
                 # dual-indexed path: the classify/advance sees only the
                 # PK buckets the fact batch touches
-                f_brep, p_brep, j_brep = _breps(spark)
+                f_brep, p_brep, j_brep, d_brep = _breps(spark)
                 m_f = f_brep.manifest_for_epoch(epoch)
                 m_p = p_brep.manifest_for_epoch(epoch)
                 m_j = j_brep.manifest_for_epoch(epoch)
@@ -1478,10 +1519,17 @@ def start_changelog_join_view(
                 m_old = read_for_epoch(
                     spark, _join_dir(state_dir), epoch, j_fs, schema=join_ddl
                 )
-            d_rep = read_for_epoch(
-                spark, _dim_replica_dir(state_dir), epoch, d_fs,
-                schema=_rep_ddl(dim_ddl),
-            )
+            if d_brep is not None:
+                # bucketed dim replica: classify/advance prune to the dim
+                # batch's buckets
+                m_d = d_brep.manifest_for_epoch(epoch)
+                touched_d = d_brep.touched_ids(d_latest)
+                d_rep = d_brep.read(m_d, touched_d)
+            else:
+                d_rep = read_for_epoch(
+                    spark, _dim_replica_dir(state_dir), epoch, d_fs,
+                    schema=_rep_ddl(dim_ddl),
+                )
             # foreign-log guard, per side (see the single-table tick):
             # replayed stale records must neither advance a replica nor
             # count as affected keys
@@ -1496,6 +1544,26 @@ def start_changelog_join_view(
             )
             new_f = _advance_replica(f_rep, f_fresh, fact_key, f_non_key)
             new_d = _advance_replica(d_rep, d_fresh, dim_key, d_non_key)
+            if d_brep is not None:
+                # the refresh only ever joins dims the DELTA names: the
+                # dim batch's own keys plus the fk values of fresh fact
+                # rows (facts re-entering via the posting lookup carry an
+                # fk IN the dim batch by construction) — so the dim side
+                # handed to the fold is the advanced touched buckets plus
+                # exactly the extra buckets those fk values hash to
+                fk_as_dim = f_fresh.select(
+                    *[
+                        F.col(f).alias(d)
+                        for f, d in zip(fact_dim_col, dim_key)
+                    ]
+                )
+                needed_d = d_brep.touched_ids(
+                    d_fresh.select(*dim_key).unionByName(fk_as_dim)
+                )
+                extra_d = [b for b in needed_d if b not in set(touched_d)]
+                dim_new = new_d.unionByName(d_brep.read(m_d, extra_d))
+            else:
+                dim_new = new_d
             if fact_buckets:
                 # the dim-side affected-fact lookup: posting index →
                 # referenced fact bucket ids → read exactly those PK
@@ -1530,7 +1598,7 @@ def start_changelog_join_view(
             m_new, view_changes, shared = maintain_join_with_changes(
                 m_old,
                 fact_new,
-                new_d,
+                dim_new,
                 f_fresh,
                 d_fresh,
                 fact_key,
@@ -1590,7 +1658,10 @@ def start_changelog_join_view(
                 new_m_p = p_brep.commit(new_p, touched_fk, m_p, epoch, gc=False)
             else:
                 commit_version(new_f, _fact_replica_dir(state_dir), epoch, f_fs)
-            commit_version(new_d, _dim_replica_dir(state_dir), epoch, d_fs)
+            if d_brep is not None:
+                new_m_d = d_brep.commit(new_d, touched_d, m_d, epoch, gc=False)
+            else:
+                commit_version(new_d, _dim_replica_dir(state_dir), epoch, d_fs)
             if fact_buckets:
                 # m_new is exactly the affected buckets' new content —
                 # the join rewrite prunes to them
@@ -1605,6 +1676,8 @@ def start_changelog_join_view(
                 f_brep.gc(epoch, new_m_f, m_f)
                 p_brep.gc(epoch, new_m_p, m_p)
                 j_brep.gc(epoch, new_m_j, m_j)
+                if d_brep is not None:
+                    d_brep.gc(epoch, new_m_d, m_d)
             for tbl, jn in ((fact_table, f_joined), (dim_table, d_joined)):
                 n_stale = jn.filter(_stale()).count()
                 if n_stale:

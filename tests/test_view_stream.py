@@ -1496,3 +1496,33 @@ def test_dual_indexed_redrain_fresh_checkpoint_converges(spark, tmp_path):
         tuple(r)
         for r in read_changelog_fact_posting(spark, state_dir).collect()
     } == want_post
+
+
+def test_dim_bucketed_join_parity_and_validation(spark, tmp_path):
+    """dim_buckets= prunes the dim replica too: full triple-bucketed
+    layout (fact PK + FK posting + dim key) must still equal the flat
+    join state across the same multi-batch drain — including the
+    dangling-fact reinstatement, whose re-entering facts carry fks the
+    dim batch itself names — and the parameter is init-pinned and
+    requires fact_buckets."""
+    log = _write_join_log(
+        spark, tmp_path, [(_F1, _D1), (_F2, _D2), (_F3, _D3)]
+    )
+    state_dir = _drain_join_dual(
+        spark, log, tmp_path, tag="dimbkt", dim_buckets=2
+    )
+    got = {tuple(r) for r in read_changelog_join_view(spark, state_dir).collect()}
+    assert got == _expected_join(spark, _F3, _D3)
+
+    with pytest.raises(ValueError, match="requires fact_buckets"):
+        init_changelog_join_view(
+            spark, str(tmp_path / "bad_dim"), "f", "d", _FACT_DDL, _DIM_DDL,
+            ["fid"], ["fk"], ["did"], dim_buckets=2,
+        )
+    with pytest.raises(ValueError, match="initialized with"):
+        start_changelog_join_view(
+            stream_changes(spark, log),
+            "f", "d", _FACT_DDL, _DIM_DDL, ["fid"], ["fk"], ["did"],
+            state_dir, str(tmp_path / "jckpt_dimbkt2"),
+            available_now=True, fact_buckets=4, fk_buckets=3,  # missing dim_buckets
+        )
