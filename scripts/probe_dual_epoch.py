@@ -93,7 +93,14 @@ def _fingerprint(df):
 def _drain(spark, n, base, facts, dims, buckets) -> dict:
     tag = f"b{buckets or 0}"
     state = f"{base}/state_{tag}"
-    kw = dict(fact_buckets=buckets) if buckets else {}
+    kw = (
+        dict(
+            fact_buckets=buckets,
+            dim_buckets=max(4, n // FANOUT // ROWS_PER_BUCKET),
+        )
+        if buckets
+        else {}
+    )
     init_changelog_join_view(
         spark, state, "f", "d", FACT_DDL, DIM_DDL, ["fid"], ["fk"], ["dk"],
         fact_history=facts, dim_history=dims, **kw,
