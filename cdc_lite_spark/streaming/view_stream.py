@@ -63,11 +63,18 @@ state as the in-order log whose newest-per-key records it contains.
 Drops are counted per table (``changelog_stale_dropped`` /
 ``changelog_view_status``).  Two documented limits: (1) equal-timestamp
 rewrites of one key delivered in different batches are inherently
-ambiguous on this wire (last-folded wins); (2) a DELETE removes the
-key's row AND its timestamp, so a record older than the delete that
-arrives afterwards resurrects the key — retaining delete tombstones
-would close this at the cost of unbounded tombstone state; a foreign
-producer that replays across deletes should compact its log first.
+ambiguous on this wire (last-folded wins); (2) by default a DELETE
+removes the key's row AND its timestamp, so a record older than the
+delete that arrives afterwards resurrects the key.  Opt-in
+``tombstone_horizon_s=h`` bounds limit (2): each DELETE's (key, ts) is
+retained for ``h`` event-seconds (expiry driven by batch timestamps —
+deterministic on replay, never the wall clock), records older than a
+live tombstone are dropped like any stale record, and a delete that
+arrives BEFORE its key's insert (the out-of-order birth) tombstones the
+key so the late insert cannot land.  Beyond the horizon the default
+behavior returns — the bound is the contract, sized to the producer's
+maximum replay skew; a producer replaying further back should compact
+its log first.
 """
 
 from __future__ import annotations
@@ -129,6 +136,7 @@ def _spec_of(
     derive: "dict[str, str] | None" = None,
     pk_cols: "list[str] | None" = None,
     buckets: "int | None" = None,
+    tombstone_horizon_s: "float | None" = None,
 ) -> dict:
     s = {
         "schema_ddl": schema_ddl,
@@ -145,6 +153,8 @@ def _spec_of(
         s["key_cols"] = list(pk_cols)
     if buckets:  # bucketed replica layout: bucket count pinned too
         s["buckets"] = int(buckets)
+    if tombstone_horizon_s is not None:  # delete-tombstone retention pinned
+        s["tombstones"] = float(tombstone_horizon_s)
     if kind == "histogram":  # parameterized kinds pin their parameters
         s.update({"lo": lo, "hi": hi, "bins": bins})
     if kind == "distinct_count":
@@ -496,18 +506,30 @@ def _stale() -> F.Column:
         F.col("__present").isNotNull()
         & F.col("__prev_ts").isNotNull()
         & (F.col("__ts") < F.col("__prev_ts"))
+    ) | (
+        # key absent from the replica but covered by a delete tombstone:
+        # a record older than the delete must not resurrect the key
+        # (__tomb_ts is NULL when tombstones are off or the key has none)
+        F.col("__present").isNull()
+        & F.col("__tomb_ts").isNotNull()
+        & (F.col("__ts") < F.col("__tomb_ts"))
     )
 
 
 def _classify(
-    latest: DataFrame, replica: DataFrame, key_cols: list[str], non_key: list[str]
+    latest: DataFrame,
+    replica: DataFrame,
+    key_cols: list[str],
+    non_key: list[str],
+    tombs: "DataFrame | None" = None,
 ) -> DataFrame:
     """ONE broadcast join of the batch's net rows against the replica,
     shared by the stale guard, the diff enrichment, and the replica
     advance: each latest row gains its replica ``prev_`` image,
     ``__prev_ts`` (the key's last-applied capture timestamp) and a
-    ``__present`` flag.  The replica scan is map-side — the batch keys
-    broadcast."""
+    ``__present`` flag — plus ``__tomb_ts`` (the key's live delete
+    tombstone, when retention is on).  The replica and tombstone scans
+    are map-side — the batch keys broadcast."""
     bkeys = latest.select(*key_cols)
     hit = replica.join(F.broadcast(bkeys), key_cols, "left_semi").select(
         *key_cols,
@@ -515,7 +537,58 @@ def _classify(
         F.col("__ts").alias("__prev_ts"),
         F.lit(True).alias("__present"),
     )
-    return latest.join(F.broadcast(hit), key_cols, "left_outer")
+    joined = latest.join(F.broadcast(hit), key_cols, "left_outer")
+    if tombs is None:
+        return joined.withColumn("__tomb_ts", F.lit(None).cast("timestamp"))
+    th = tombs.join(F.broadcast(bkeys), key_cols, "left_semi").select(
+        *key_cols, F.col("__ts").alias("__tomb_ts")
+    )
+    return joined.join(F.broadcast(th), key_cols, "left_outer")
+
+
+def _tombs_dir(state_dir: str) -> str:
+    return state_dir + "/tombs"
+
+
+def _tombs_dir_for(state_dir: str, table: "str | None") -> str:
+    # the join consumer keeps one tombstone state per side
+    return _tombs_dir(state_dir) + (f"_{table}" if table else "")
+
+
+def _tombs_schema(schema: T.StructType, key_cols: list[str]) -> str:
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in schema.fields
+        if f.name in key_cols
+    )
+    return cols + ", __ts timestamp"
+
+
+def _advance_tombs(
+    tombs: DataFrame,
+    fresh: DataFrame,
+    key_cols: list[str],
+    horizon_s: float,
+) -> DataFrame:
+    """New tombstone state: drop entries whose key the batch re-applied
+    (the replica guard takes over), expire entries older than the batch's
+    newest capture timestamp minus the horizon (deterministic on replay —
+    "now" is batch content, not the wall clock), and add every fresh
+    DELETE's (key, ts) — INCLUDING deletes of keys the replica never had,
+    which is exactly the out-of-order delete-before-insert case the
+    tombstone closes."""
+    applied = fresh.filter(F.col("operation") != DELETE).select(*key_cols)
+    dels = fresh.filter(F.col("operation") == DELETE).select(*key_cols, "__ts")
+    mx = fresh.agg(F.max("__ts")).collect()[0][0]
+    kept = tombs.join(F.broadcast(applied), key_cols, "left_anti")
+    if mx is not None:
+        kept = kept.filter(
+            F.col("__ts")
+            >= F.lit(mx) - F.expr(f"INTERVAL {float(horizon_s)} SECONDS")
+        )
+    # a re-deleted key replaces its tombstone (newest delete wins)
+    kept = kept.join(F.broadcast(dels.select(*key_cols)), key_cols, "left_anti")
+    return kept.unionByName(dels)
 
 
 def _diff_records(
@@ -589,6 +662,7 @@ def init_changelog_view(
     derive: "dict[str, str] | None" = None,
     key_cols: "list[str] | None" = None,
     buckets: "int | None" = None,
+    tombstone_horizon_s: "float | None" = None,
 ) -> None:
     """Lay down ``v0`` of both states: from ``history`` rows when the
     consumer joins an existing table mid-stream (one O(history) pass), or
@@ -600,7 +674,15 @@ def init_changelog_view(
 
     ``buckets=n`` lays the replica out hash-bucketed (streaming/bucketed.py)
     so each epoch rewrites only the buckets its batch touches instead of
-    the whole table — requires ``key_cols``; the agg state stays flat."""
+    the whole table — requires ``key_cols``; the agg state stays flat.
+
+    ``tombstone_horizon_s=h`` (requires ``key_cols``) retains each
+    DELETE's (key, capture ts) for ``h`` seconds of event time, so a
+    reordered or replayed record OLDER than its key's delete cannot
+    resurrect the key — the bounded answer to the ordering contract's
+    second documented limit.  State cost: the deletes of the last ``h``
+    event-seconds; expiry is driven by batch timestamps (deterministic on
+    replay), never the wall clock."""
     if kind not in _KINDS:
         raise ValueError(f"changelog view kind must be one of {_KINDS}, got {kind!r}")
     if kind == "histogram":
@@ -611,6 +693,7 @@ def init_changelog_view(
         _check_edges(lo, hi, bins)
     _check_sample_params(kind, key_cols, group_keys, value_col, k)
     _check_bucket_params(buckets, key_cols)
+    _check_tombstone_params(tombstone_horizon_s, key_cols)
     if where is not None and not str(where).strip():
         raise ValueError("where must be a non-empty SQL boolean expression")
     schema = T.StructType.fromDDL(schema_ddl)
@@ -634,6 +717,12 @@ def init_changelog_view(
     )
     agg0.write.mode("overwrite").parquet(_agg_dir(state_dir) + "/v0")
     repoint(_agg_dir(state_dir), "v0", fs_for(_agg_dir(state_dir), spark))
+    if tombstone_horizon_s is not None:
+        t0 = spark.createDataFrame(
+            [], T.StructType.fromDDL(_tombs_schema(schema, key_cols))
+        )
+        t0.write.mode("overwrite").parquet(_tombs_dir(state_dir) + "/v0")
+        repoint(_tombs_dir(state_dir), "v0", fs_for(_tombs_dir(state_dir), spark))
     # pin what the state was BUILT with (the engine's _spec discipline) so
     # a later start with mismatched parameters fails fast, not mid-batch
     _pin_spec(
@@ -641,9 +730,25 @@ def init_changelog_view(
         state_dir,
         _spec_of(
             schema_ddl, group_keys, value_col, kind, lo, hi, bins, where, lgk, k,
-            derive, key_cols, buckets,
+            derive, key_cols, buckets, tombstone_horizon_s,
         ),
     )
+
+
+def _check_tombstone_params(
+    horizon_s: "float | None", key_cols: "list[str] | None"
+) -> None:
+    if horizon_s is None:
+        return
+    if not float(horizon_s) >= 0:
+        raise ValueError(
+            f"tombstone_horizon_s must be >= 0, got {horizon_s}"
+        )
+    if not key_cols:
+        raise ValueError(
+            "tombstone retention needs key_cols — tombstones are keyed "
+            "delete markers"
+        )
 
 
 def _check_dim_bucket_params(
@@ -765,6 +870,7 @@ def start_changelog_view(
     k: int = 64,
     derive: "dict[str, str] | None" = None,
     buckets: "int | None" = None,
+    tombstone_horizon_s: "float | None" = None,
 ) -> StreamingQuery:
     """Attach view maintenance to an A8 change stream (``stream_changes``
     output).  ``schema_ddl`` declares the monitored table's columns (the
@@ -790,6 +896,7 @@ def start_changelog_view(
         _check_edges(lo, hi, bins)
     _check_sample_params(kind, key_cols, group_keys, value_col, k)
     _check_bucket_params(buckets, key_cols)
+    _check_tombstone_params(tombstone_horizon_s, key_cols)
     spark = stream.sparkSession
     if not fs_for(_replica_dir(state_dir), spark).dir_exists(_replica_dir(state_dir)):
         raise ValueError(
@@ -804,7 +911,7 @@ def start_changelog_view(
         state_dir,
         _spec_of(
             schema_ddl, group_keys, value_col, kind, lo, hi, bins, where, lgk, k,
-            derive, key_cols, buckets,
+            derive, key_cols, buckets, tombstone_horizon_s,
         ),
     )
     schema = T.StructType.fromDDL(schema_ddl)
@@ -848,12 +955,20 @@ def start_changelog_view(
                     spark, _replica_dir(state_dir), epoch, rep_fs,
                     schema=_rep_ddl(schema_ddl),
                 )
-            # the foreign-log guard: classify ONCE against the replica,
-            # drop records older than their key's last-applied timestamp
-            # (a replayed-with-gaps or reordered producer), and fold only
+            # the foreign-log guard: classify ONCE against the replica
+            # (and the delete tombstones, when retained), drop records
+            # older than their key's last-applied timestamp (a
+            # replayed-with-gaps or reordered producer), and fold only
             # the survivors — replica advance and agg fold must see the
             # SAME filtered batch or they'd diverge
-            joined = _classify(latest, replica, key_cols, non_key).persist()
+            tombs = None
+            if tombstone_horizon_s is not None:
+                t_fs = fs_for(_tombs_dir(state_dir), spark)
+                tombs = read_for_epoch(
+                    spark, _tombs_dir(state_dir), epoch, t_fs,
+                    schema=_tombs_schema(schema, key_cols),
+                )
+            joined = _classify(latest, replica, key_cols, non_key, tombs).persist()
             fresh = joined.filter(~_stale())
             enriched = _diff_records(fresh, key_cols, non_key, dtypes)
             agg_fs = fs_for(_agg_dir(state_dir), spark)
@@ -917,6 +1032,13 @@ def start_changelog_view(
             else:
                 commit_version(new_replica, _replica_dir(state_dir), epoch, rep_fs)
                 commit_version(agg_new, _agg_dir(state_dir), epoch, agg_fs)
+            if tombs is not None:
+                commit_version(
+                    _advance_tombs(
+                        tombs, fresh_latest, key_cols, tombstone_horizon_s
+                    ),
+                    _tombs_dir(state_dir), epoch, t_fs,
+                )
             # operational counter, AFTER the commit (one cached scan of the
             # batch-sized classify frame; a crash between commit and this
             # write loses only the count, never state)
@@ -997,6 +1119,7 @@ def _join_spec_of(
     fact_buckets: "int | None" = None,
     fk_buckets: "int | None" = None,
     dim_buckets: "int | None" = None,
+    tombstone_horizon_s: "float | None" = None,
 ) -> dict:
     s = {
         "kind": "join",
@@ -1015,6 +1138,8 @@ def _join_spec_of(
         s["fk_buckets"] = int(fk_buckets or fact_buckets)
     if dim_buckets:  # bucketed dim replica: pinned too
         s["dim_buckets"] = int(dim_buckets)
+    if tombstone_horizon_s is not None:  # delete-tombstone retention pinned
+        s["tombstones"] = float(tombstone_horizon_s)
     return s
 
 
@@ -1235,6 +1360,7 @@ def init_changelog_join_view(
     fact_buckets: "int | None" = None,
     fk_buckets: "int | None" = None,
     dim_buckets: "int | None" = None,
+    tombstone_horizon_s: "float | None" = None,
 ) -> None:
     """Lay down ``v0`` of both replicas and the join state: from history
     rows when the consumer joins mid-stream (one O(history) join), or
@@ -1261,6 +1387,7 @@ def init_changelog_join_view(
     _check_join_params(fschema, dschema, fact_key, fact_dim_col, dim_key)
     _check_bucket_params(fact_buckets, fact_key)
     _check_dim_bucket_params(dim_buckets, fact_buckets, dim_key)
+    _check_tombstone_params(tombstone_horizon_s, fact_key)
     agg = _norm_join_agg(agg, fact_key, fschema, dschema)
     fact = (
         fact_history
@@ -1303,12 +1430,26 @@ def init_changelog_join_view(
         targets.append((_join_dir(state_dir), m0))
     if agg is not None:
         targets.append((_agg_dir(state_dir), _join_agg_build(m0, agg, fact_key)))
+    if tombstone_horizon_s is not None:
+        for tbl, sch, kc in (
+            (fact_table, fschema, fact_key),
+            (dim_table, dschema, dim_key),
+        ):
+            targets.append(
+                (
+                    _tombs_dir_for(state_dir, tbl),
+                    spark.createDataFrame(
+                        [], T.StructType.fromDDL(_tombs_schema(sch, kc))
+                    ),
+                )
+            )
     for d, df in targets:
         df.write.mode("overwrite").parquet(d + "/v0")
         repoint(d, "v0", fs_for(d, spark))
     spec = _join_spec_of(
         fact_table, dim_table, fact_ddl, dim_ddl, fact_key, fact_dim_col,
         dim_key, how, fact_buckets, fk_buckets, dim_buckets,
+        tombstone_horizon_s,
     )
     if agg is not None:
         spec["agg"] = agg
@@ -1417,6 +1558,7 @@ def start_changelog_join_view(
     fact_buckets: "int | None" = None,
     fk_buckets: "int | None" = None,
     dim_buckets: "int | None" = None,
+    tombstone_horizon_s: "float | None" = None,
 ) -> StreamingQuery:
     """Attach ``fact ⋈ dim`` maintenance to an A8 change stream carrying
     both tables' records.  ``fact_key`` must be unique in the fact table
@@ -1446,6 +1588,7 @@ def start_changelog_join_view(
     _check_join_params(fschema, dschema, fact_key, fact_dim_col, dim_key)
     _check_bucket_params(fact_buckets, fact_key)
     _check_dim_bucket_params(dim_buckets, fact_buckets, dim_key)
+    _check_tombstone_params(tombstone_horizon_s, fact_key)
     agg = _norm_join_agg(agg, fact_key, fschema, dschema)
     spark = stream.sparkSession
     if not fs_for(_join_dir(state_dir), spark).dir_exists(_join_dir(state_dir)):
@@ -1459,6 +1602,7 @@ def start_changelog_join_view(
     spec = _join_spec_of(
         fact_table, dim_table, fact_ddl, dim_ddl, fact_key, fact_dim_col,
         dim_key, how, fact_buckets, fk_buckets, dim_buckets,
+        tombstone_horizon_s,
     )
     if agg is not None:
         spec["agg"] = agg
@@ -1533,8 +1677,24 @@ def start_changelog_join_view(
             # foreign-log guard, per side (see the single-table tick):
             # replayed stale records must neither advance a replica nor
             # count as affected keys
-            f_joined = _classify(f_latest, f_rep, fact_key, f_non_key).persist()
-            d_joined = _classify(d_latest, d_rep, dim_key, d_non_key).persist()
+            f_tombs = d_tombs = None
+            if tombstone_horizon_s is not None:
+                ft_fs = fs_for(_tombs_dir_for(state_dir, fact_table), spark)
+                dt_fs = fs_for(_tombs_dir_for(state_dir, dim_table), spark)
+                f_tombs = read_for_epoch(
+                    spark, _tombs_dir_for(state_dir, fact_table), epoch,
+                    ft_fs, schema=_tombs_schema(fschema, fact_key),
+                )
+                d_tombs = read_for_epoch(
+                    spark, _tombs_dir_for(state_dir, dim_table), epoch,
+                    dt_fs, schema=_tombs_schema(dschema, dim_key),
+                )
+            f_joined = _classify(
+                f_latest, f_rep, fact_key, f_non_key, f_tombs
+            ).persist()
+            d_joined = _classify(
+                d_latest, d_rep, dim_key, d_non_key, d_tombs
+            ).persist()
             handles.extend([f_joined, d_joined])
             f_fresh = f_joined.filter(~_stale()).select(
                 *fact_key, "operation", *f_non_key, "__ts"
@@ -1670,6 +1830,19 @@ def start_changelog_join_view(
                 commit_version(m_new, _join_dir(state_dir), epoch, j_fs)
             if agg_new is not None:
                 commit_version(agg_new, _agg_dir(state_dir), epoch, a_fs)
+            if tombstone_horizon_s is not None:
+                commit_version(
+                    _advance_tombs(
+                        f_tombs, f_fresh, fact_key, tombstone_horizon_s
+                    ),
+                    _tombs_dir_for(state_dir, fact_table), epoch, ft_fs,
+                )
+                commit_version(
+                    _advance_tombs(
+                        d_tombs, d_fresh, dim_key, tombstone_horizon_s
+                    ),
+                    _tombs_dir_for(state_dir, dim_table), epoch, dt_fs,
+                )
             if fact_buckets:
                 # gc AFTER the downstream commits: their lazy plans read
                 # the basis manifests' bucket paths

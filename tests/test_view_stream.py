@@ -1526,3 +1526,199 @@ def test_dim_bucketed_join_parity_and_validation(spark, tmp_path):
             state_dir, str(tmp_path / "jckpt_dimbkt2"),
             available_now=True, fact_buckets=4, fk_buckets=3,  # missing dim_buckets
         )
+
+
+# --- r11: bounded delete-tombstone retention ---------------------------------
+
+from cdc_lite_spark.streaming.view_stream import _tombs_dir  # noqa: E402
+from cdc_lite_spark.streaming._state import read_current  # noqa: E402
+
+_TB1 = [(1, "a", 10.0), (2, "a", 20.0)]
+_TB2 = [(1, "a", 10.0)]  # tick 2 DELETEs key 2
+
+
+def _drain_tombs(spark, log, tmp_path, tag, horizon):
+    state_dir = str(tmp_path / f"vstate_{tag}")
+    init_changelog_view(
+        spark, state_dir, _DDL, ["grp"], "v", kind="sum_count",
+        key_cols=["id"], tombstone_horizon_s=horizon,
+    )
+    q = start_changelog_view(
+        stream_changes(spark, log, max_files_per_trigger=1),
+        "t", _DDL, ["id"], ["grp"], "v",
+        state_dir, str(tmp_path / f"ckpt_{tag}"),
+        kind="sum_count", available_now=True,
+        tombstone_horizon_s=horizon,
+    )
+    q.awaitTermination()
+    return state_dir
+
+
+def test_tombstones_block_replay_across_delete(spark, tmp_path):
+    """The ordering contract's limit (2), bounded: with retention on, a
+    replayed pre-delete file cannot resurrect the deleted key."""
+    import shutil
+
+    eng = CdcEngine(
+        spark, output_dir=str(tmp_path / "log"),
+        state_dir=str(tmp_path / "estate"), emit_schema_changes=False,
+    )
+    eng.poll_once({"t": _df(spark, _TB1)}, mode="diff", keys={"t": ["id"]})
+    log = str(tmp_path / "log")
+    tick1_files = _json_parts(log)
+    eng.poll_once({"t": _df(spark, _TB2)}, mode="diff", keys={"t": ["id"]})
+    state_dir = _drain_tombs(spark, log, tmp_path, "replay", 3600.0)
+    rep0 = {tuple(r) for r in read_changelog_replica(spark, state_dir).collect()}
+    assert not any(r[0] == 2 for r in rep0)  # deleted
+
+    for i, f in enumerate(tick1_files):
+        shutil.copy(f, f"{log}/part-replayed-{i}.json")
+    q = start_changelog_view(
+        stream_changes(spark, log, max_files_per_trigger=1),
+        "t", _DDL, ["id"], ["grp"], "v",
+        state_dir, str(tmp_path / "ckpt_replay"),
+        kind="sum_count", available_now=True, tombstone_horizon_s=3600.0,
+    )
+    q.awaitTermination()
+    rep1 = {tuple(r) for r in read_changelog_replica(spark, state_dir).collect()}
+    assert rep1 == rep0  # key 2 did NOT resurrect
+    st = changelog_stale_dropped(spark, state_dir)
+    assert st["t"]["dropped"] >= 1  # the replayed key-2 insert was dropped
+    # spec pin: a start WITHOUT retention on a tombstoned state fails
+    with pytest.raises(ValueError, match="initialized with"):
+        start_changelog_view(
+            stream_changes(spark, log), "t", _DDL, ["id"], ["grp"], "v",
+            state_dir, str(tmp_path / "ckpt_replay2"),
+            kind="sum_count", available_now=True,
+        )
+
+
+def test_tombstones_block_out_of_order_delete_before_insert(spark, tmp_path):
+    """A DELETE arriving before its key's INSERT (reordered foreign log)
+    tombstones the key even though the replica never had it — the late
+    insert is dropped and the final state equals the in-order drain's."""
+    import os
+    import shutil
+    import time
+
+    eng = CdcEngine(
+        spark, output_dir=str(tmp_path / "log0"),
+        state_dir=str(tmp_path / "estate0"), emit_schema_changes=False,
+    )
+    eng.poll_once({"t": _df(spark, _TB1)}, mode="diff", keys={"t": ["id"]})
+    tick1_files = _json_parts(tmp_path / "log0")
+    eng.poll_once({"t": _df(spark, _TB2)}, mode="diff", keys={"t": ["id"]})
+    tick2_files = [
+        f for f in _json_parts(tmp_path / "log0") if f not in tick1_files
+    ]
+    foreign = tmp_path / "foreign_tomb"
+    foreign.mkdir()
+    now = time.time()
+    for i, f in enumerate(tick2_files):  # the DELETE arrives first
+        dst = str(foreign / f"part-a{i}.json")
+        shutil.copy(f, dst)
+        os.utime(dst, (now - 120, now - 120))
+    for i, f in enumerate(tick1_files):  # the INSERTs arrive second
+        dst = str(foreign / f"part-b{i}.json")
+        shutil.copy(f, dst)
+        os.utime(dst, (now - 60, now - 60))
+    state_dir = _drain_tombs(spark, str(foreign), tmp_path, "ooo", 3600.0)
+    rep = {r[0] for r in read_changelog_replica(spark, state_dir).collect()}
+    assert rep == {1}  # key 2's late insert was tombstone-dropped
+    got = {
+        r["grp"]: r["agg_sum"]
+        for r in read_changelog_view(spark, state_dir).collect()
+    }
+    want = {
+        r["grp"]: r["agg_sum"]
+        for r in _df(spark, _TB2)
+        .groupBy("grp").agg(F.sum("v").alias("agg_sum")).collect()
+    }
+    assert got == want
+
+
+def test_tombstones_expire_past_the_horizon(spark, tmp_path):
+    """Retention is BOUNDED: once newer batch timestamps age a tombstone
+    past the horizon it is pruned (state stays small), and the default
+    resurrect-on-replay behavior honestly returns."""
+    import shutil
+
+    eng = CdcEngine(
+        spark, output_dir=str(tmp_path / "log"),
+        state_dir=str(tmp_path / "estate"), emit_schema_changes=False,
+    )
+    eng.poll_once({"t": _df(spark, _TB1)}, mode="diff", keys={"t": ["id"]})
+    log = str(tmp_path / "log")
+    tick1_files = _json_parts(log)
+    eng.poll_once({"t": _df(spark, _TB2)}, mode="diff", keys={"t": ["id"]})
+    import time as _time
+
+    _time.sleep(1.1)  # tick 3's capture ts must age tick 2's tombstone out
+    eng.poll_once(
+        {"t": _df(spark, [(1, "a", 11.0)])}, mode="diff", keys={"t": ["id"]}
+    )
+    state_dir = _drain_tombs(spark, log, tmp_path, "expire", 1.0)
+    tombs = read_current(spark, _tombs_dir(state_dir)).collect()
+    assert tombs == []  # pruned by tick 3's newer timestamps
+
+    for i, f in enumerate(tick1_files):
+        shutil.copy(f, f"{log}/part-replayed-{i}.json")
+    q = start_changelog_view(
+        stream_changes(spark, log, max_files_per_trigger=1),
+        "t", _DDL, ["id"], ["grp"], "v",
+        state_dir, str(tmp_path / "ckpt_expire"),
+        kind="sum_count", available_now=True, tombstone_horizon_s=1.0,
+    )
+    q.awaitTermination()
+    rep = {r[0] for r in read_changelog_replica(spark, state_dir).collect()}
+    assert 2 in rep  # beyond the horizon: documented default returns
+
+
+def test_join_consumer_tombstones_block_fact_resurrection(spark, tmp_path):
+    """Per-side tombstones in the join consumer: a replayed pre-delete
+    fact file cannot resurrect the deleted fact into the replica or the
+    join state."""
+    import shutil
+
+    f1, d1 = [(1, 1, 10.0), (2, 1, 20.0)], [(1, "a")]
+    f2, d2 = [(1, 1, 10.0)], [(1, "a")]  # fact 2 deleted
+    eng = CdcEngine(
+        spark, output_dir=str(tmp_path / "jlog"),
+        state_dir=str(tmp_path / "jestate"), emit_schema_changes=False,
+    )
+    keys = {"f": ["fid"], "d": ["did"]}
+    eng.poll_once(
+        {"f": _fact(spark, f1), "d": _dim(spark, d1)}, mode="diff", keys=keys
+    )
+    log = str(tmp_path / "jlog")
+    tick1_files = _json_parts(log)
+    eng.poll_once(
+        {"f": _fact(spark, f2), "d": _dim(spark, d2)}, mode="diff", keys=keys
+    )
+
+    state_dir = str(tmp_path / "jvstate_tomb")
+    kw = dict(tombstone_horizon_s=3600.0)
+    init_changelog_join_view(
+        spark, state_dir, "f", "d", _FACT_DDL, _DIM_DDL,
+        ["fid"], ["fk"], ["did"], **kw,
+    )
+
+    def _go(ck):
+        q = start_changelog_join_view(
+            stream_changes(spark, log, max_files_per_trigger=1),
+            "f", "d", _FACT_DDL, _DIM_DDL, ["fid"], ["fk"], ["did"],
+            state_dir, str(tmp_path / ck), available_now=True, **kw,
+        )
+        q.awaitTermination()
+
+    _go("jck_tomb1")
+    join0 = {tuple(r) for r in read_changelog_join_view(spark, state_dir).collect()}
+    assert join0 == _expected_join(spark, f2, d2)
+    for i, f in enumerate(tick1_files):
+        shutil.copy(f, f"{log}/part-replayed-{i}.json")
+    _go("jck_tomb2")
+    assert {
+        tuple(r) for r in read_changelog_join_view(spark, state_dir).collect()
+    } == join0
+    st = changelog_stale_dropped(spark, state_dir)
+    assert st["f"]["dropped"] >= 1
