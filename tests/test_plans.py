@@ -529,3 +529,38 @@ def test_dup_span_stats_single_md5_pass(spark):
     posexplode_outer (the infer rule skips outer generates)."""
     plan = _plan(spark, "dup_span_stats")
     assert plan.count("md5") == 1, plan
+
+
+def test_changelog_guard_classify_broadcasts_batch_keys(spark):
+    """The foreign-log guard rides ONE broadcast join per side (r11): the
+    replica and tombstone scans stay map-side — batch keys broadcast, the
+    replica never shuffles — so the guard adds no exchange to the epoch."""
+    import pyspark.sql.functions as F
+
+    from cdc_lite_spark.streaming.view_stream import (
+        _advance_replica,
+        _classify,
+    )
+
+    replica = spark.range(100_000).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("grp"),
+        (F.col("id") * 1.0).alias("v"),
+        F.current_timestamp().alias("__ts"),
+    )
+    latest = spark.range(8).select(
+        (F.col("id") * 1000).alias("id"), F.lit("UPDATE").alias("operation"),
+        F.lit("x").alias("grp"), F.lit(-1.0).alias("v"),
+        F.current_timestamp().alias("__ts"),
+    )
+    tombs = spark.range(4).select(
+        (F.col("id") * 13).alias("id"), F.current_timestamp().alias("__ts")
+    )
+    joined = _classify(latest, replica, ["id"], ["grp", "v"], tombs)
+    plan = explain_str(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    advanced = _advance_replica(replica, latest, ["id"], ["grp", "v"])
+    plan = explain_str(advanced)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
