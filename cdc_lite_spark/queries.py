@@ -9374,3 +9374,93 @@ def q_wire_left_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
         return out.localCheckpoint()
     finally:
         shutil.rmtree(td, ignore_errors=True)
+
+
+@register(
+    "wire_join_view_maintenance_dual",
+    """
+    WITH f AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders WHERE o_orderkey % 11 != 0
+    ),
+    d AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+        FROM customer WHERE c_custkey % 6 != 0
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus,
+           CAST(f.o_totalprice AS DOUBLE) AS o_totalprice,
+           d.c_mktsegment, CAST(d.c_acctbal AS DOUBLE) AS c_acctbal
+    FROM f JOIN d ON f.o_custkey = d.c_custkey
+    """,
+    "The DUAL-INDEXED twin of wire_join_view_maintenance (r11): the same "
+    "shared wire drain and from-scratch re-join oracle, but the consumer "
+    "runs the fully-bucketed layout — PK-bucketed fact replica, FK posting "
+    "index, fact-PK-bucketed join state, key-bucketed dim replica — so the "
+    "manifest/posting/generation protocol whose failure mode is silent "
+    "state corruption gets a driver row: the maintained join must still "
+    "converge exactly",
+    tags=("cdc", "incremental", "streaming", "engine", "join", "bucketed"),
+)
+def q_wire_join_view_maintenance_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical drain to q_wire_join_view_maintenance with
+    fact_buckets=4 / fk_buckets=3 / dim_buckets=2: every replica/state
+    read and write in the epoch prunes to the batch's fan-out
+    (streaming/bucketed.py + the posting index; probes in SCALING.md r11
+    — lookup exponent 0.074 vs flat 0.646 at 20M→200M facts, whole epoch
+    0.159 vs 0.285).  The oracle is unchanged: layout must never change
+    answers."""
+    import shutil
+    import tempfile
+
+    from cdc_lite_spark.sources.changelog import stream_changes
+    from cdc_lite_spark.streaming.view_stream import (
+        init_changelog_join_view,
+        read_changelog_join_view,
+        start_changelog_join_view,
+    )
+
+    log = _wire_log(spark, sf_dir)
+    td = tempfile.mkdtemp(prefix="cdc_wire_join_dual_")
+    # small bucket counts: the gate pins PROTOCOL correctness; the layout's
+    # per-epoch fixed cost (manifests, touched-ids collects, per-bucket
+    # files) scales with bucket count, which only pays off at >=10M rows
+    # (SCALING.md break-even) — at gate scale, keep it lean
+    bk = dict(fact_buckets=4, fk_buckets=3, dim_buckets=2)
+    try:
+        init_changelog_join_view(
+            spark, td + "/vstate", "orders_v", "customer_v",
+            _WIRE_LOG_DDL_FACT, _WIRE_LOG_DDL_DIM,
+            ["o_orderkey"], ["o_custkey"], ["c_custkey"],
+            **bk,
+        )
+        q = start_changelog_join_view(
+            # two micro-batches (the flat twin drives the many-batch path;
+            # here the subject is the bucketed manifest chain, which needs
+            # >=2 epochs to carry forward + GC, not >=4)
+            stream_changes(spark, log, max_files_per_trigger=48),
+            "orders_v",
+            "customer_v",
+            _WIRE_LOG_DDL_FACT,
+            _WIRE_LOG_DDL_DIM,
+            ["o_orderkey"],
+            ["o_custkey"],
+            ["c_custkey"],
+            td + "/vstate",
+            td + "/ckpt",
+            available_now=True,
+            **bk,
+        )
+        q.awaitTermination()
+        out = read_changelog_join_view(spark, td + "/vstate").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "c_mktsegment",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
