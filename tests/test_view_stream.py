@@ -1722,3 +1722,62 @@ def test_join_consumer_tombstones_block_fact_resurrection(spark, tmp_path):
     } == join0
     st = changelog_stale_dropped(spark, state_dir)
     assert st["f"]["dropped"] >= 1
+
+
+def test_any_file_order_converges_with_tombstones(spark, tmp_path):
+    """The full ordering contract, exhaustively at small scale: with the
+    guard + tombstone retention on, EVERY delivery order of a 3-tick
+    log's files (each file one micro-batch) converges to the in-order
+    final state — inserts, value/group updates, a delete, and a
+    re-insert all present in the history."""
+    import os
+    import shutil
+    import time
+
+    t1 = [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)]
+    t2 = [(1, "a", 11.0), (3, "c", 30.0)]  # upd 1, DELETE 2, move 3
+    t3 = [(1, "a", 11.0), (2, "b", 25.0), (3, "c", 30.0)]  # re-insert 2
+    eng = CdcEngine(
+        spark, output_dir=str(tmp_path / "log"),
+        state_dir=str(tmp_path / "estate"), emit_schema_changes=False,
+    )
+    files_by_tick = []
+    seen: list = []
+    for t in (t1, t2, t3):
+        eng.poll_once({"t": _df(spark, t)}, mode="diff", keys={"t": ["id"]})
+        cur = _json_parts(tmp_path / "log")
+        files_by_tick.append([f for f in cur if f not in seen])
+        seen = cur
+
+    final = _df(spark, t3)
+    want_rep = {tuple(r) for r in final.collect()}
+    orders = [(0, 1, 2), (2, 1, 0), (1, 2, 0), (2, 0, 1)]
+    for oi, order in enumerate(orders):
+        foreign = tmp_path / f"perm{oi}"
+        foreign.mkdir()
+        now = time.time()
+        k = 0
+        for tick in order:
+            for f in files_by_tick[tick]:
+                dst = str(foreign / f"part-{k:03d}.json")
+                shutil.copy(f, dst)
+                os.utime(dst, (now - 600 + k * 10, now - 600 + k * 10))
+                k += 1
+        state_dir = str(tmp_path / f"vstate_perm{oi}")
+        init_changelog_view(
+            spark, state_dir, _DDL, ["grp"], "v", kind="sum_count",
+            key_cols=["id"], tombstone_horizon_s=3600.0,
+        )
+        q = start_changelog_view(
+            stream_changes(spark, str(foreign), max_files_per_trigger=1),
+            "t", _DDL, ["id"], ["grp"], "v",
+            state_dir, str(tmp_path / f"ckpt_perm{oi}"),
+            kind="sum_count", available_now=True,
+            tombstone_horizon_s=3600.0,
+        )
+        q.awaitTermination()
+        got = {
+            tuple(r)
+            for r in read_changelog_replica(spark, state_dir).collect()
+        }
+        assert got == want_rep, f"order {order} diverged: {got}"
