@@ -1180,3 +1180,84 @@ def test_bucketed_replica_folds_random_histories(spark, batches, n, tmp_path_fac
 
     got = {r["id"]: r["v"] for r in brep.read(brep.current_manifest(), None).collect()}
     assert got == model
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.booleans(),                            # is_delete
+            st.integers(min_value=0, max_value=99),  # value
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    order=st.randoms(use_true_random=False),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_guard_converges_under_random_histories_and_delivery_orders(
+    spark, events, order
+):
+    """The r11 ordering-contract property, on the fold primitives the
+    streaming tick composes (_classify / _stale / _advance_replica /
+    _advance_tombs): for ANY per-key history (inserts, updates, deletes,
+    re-inserts — unique timestamps) delivered as ANY batching in ANY
+    batch order, the guarded fold with unbounded tombstone retention
+    converges to the newest-per-key state of the history."""
+    from datetime import datetime, timezone
+
+    from cdc_lite_spark.streaming.view_stream import (
+        _advance_replica,
+        _advance_tombs,
+        _classify,
+        _stale,
+    )
+
+    # unique, strictly increasing capture timestamps define the history
+    history = [
+        (k, datetime.fromtimestamp(1_700_000_000 + i * 60, tz=timezone.utc),
+         d, float(v))
+        for i, (k, d, v) in enumerate(events)
+    ]
+    # random batching, then random delivery order of the batches
+    batches: list[list] = [[]]
+    for ev in history:
+        if batches[-1] and order.random() < 0.5:
+            batches.append([])
+        batches[-1].append(ev)
+    order.shuffle(batches)
+
+    rep_ddl = "id BIGINT, v DOUBLE, __ts TIMESTAMP"
+    replica = spark.createDataFrame([], rep_ddl)
+    tombs = spark.createDataFrame([], "id BIGINT, __ts TIMESTAMP")
+    for batch in batches:
+        # per-batch latest-per-key collapse (what _typed_latest computes)
+        latest_rows: dict = {}
+        for k, ts, d, v in batch:
+            if k not in latest_rows or ts > latest_rows[k][1]:
+                latest_rows[k] = (k, ts, d, v)
+        latest = spark.createDataFrame(
+            [
+                (k, "DELETE" if d else "UPDATE", None if d else v, ts)
+                for k, ts, d, v in latest_rows.values()
+            ],
+            "id BIGINT, operation STRING, v DOUBLE, __ts TIMESTAMP",
+        )
+        joined = _classify(latest, replica, ["id"], ["v"], tombs)
+        fresh = joined.filter(~_stale()).select("id", "operation", "v", "__ts")
+        new_rep = _advance_replica(replica, fresh, ["id"], ["v"])
+        new_tombs = _advance_tombs(tombs, fresh, ["id"], 10**9)
+        replica = new_rep.localCheckpoint()
+        tombs = new_tombs.localCheckpoint()
+
+    newest: dict = {}
+    for k, ts, d, v in history:
+        newest[k] = (ts, d, v)
+    want = {
+        (k, v, ts) for k, (ts, d, v) in newest.items() if not d
+    }
+    got = {(r["id"], r["v"], r["__ts"].replace(tzinfo=timezone.utc))
+           for r in replica.collect()}
+    assert got == want
