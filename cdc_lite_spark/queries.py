@@ -7696,9 +7696,10 @@ def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal", "c_mktsegment"
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
-    ok, ck = F.col("o_orderkey"), F.col("c_custkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ok, ck, nk = F.col("o_orderkey"), F.col("c_custkey"), F.col("n_nationkey")
     fact_cur = orders.filter(ok % 11 != 0)
     fact_prev = orders.filter(ok % 7 != 0).withColumn(
         "o_totalprice",
@@ -7816,26 +7817,32 @@ def q_incremental_join_agg_maintenance(spark: SparkSession, sf_dir: str) -> Data
 
 # --- shared engine-loop join fixture (r10 verdict asks #2/#7) ---------------
 #
-# ONE memoized two-tick CdcEngine over orders_v (fact) ⋈ cust_v (dim) with
-# THREE registered views — the inner join ("om"), its grouped aggregate
-# ("seg_rev"), and the left-outer join ("om_left") — shared by
-# `engine_join_view_maintenance`, `engine_join_agg_view_maintenance`, and
-# `engine_left_join_view_maintenance`: the gates pay for ONE engine fixture
-# (capture + diff + folds per tick) instead of three, and their oracles
-# stay independent (join rows vs aggregate-over-join vs LEFT-join rows —
-# all recomputed from scratch over DIFFERENT projections of the same final
-# table states, which the tick-1 mutations never reach).
+# ONE memoized two-tick CdcEngine over orders_v (fact) ⋈ cust_v (dim)
+# [⋈ nation_v] with FIVE registered views — the inner join ("om"), its
+# grouped aggregate ("seg_rev"), its histogram aggregate ("seg_hist"),
+# the left-outer join ("om_left"), and the snowflake chain hop
+# ("ocn" = om ⋈ nation) — shared by `engine_join_view_maintenance`,
+# `engine_join_agg_view_maintenance`, `engine_join_histogram_view_
+# maintenance`, `engine_left_join_view_maintenance`, and
+# `engine_chain_join_view_maintenance`: the gates pay for ONE engine
+# fixture (capture + diff + folds per tick) instead of five, and their
+# oracles stay independent (inner rows / sum agg / histogram quantiles /
+# LEFT rows / three-way chain rows — all recomputed from scratch over
+# DIFFERENT projections of the same final table states, which the tick-1
+# mutations never reach).
 #
 # Tick mutations (deterministic key-mod filters — every SF and re-run
-# produces the same state; the union of both prior gates' fixtures, so
+# produces the same state; the union of all prior gates' fixtures, so
 # each fold path sees every mutation class):
 #   orders_v: prev = ∖%7 keys, %13 prices +100          → cur = ∖%11 keys
 #   cust_v:   prev = ∖(%10==7) keys, %5 acctbal +50,
 #             %17 segment → "MOVED" (group-moving update) → cur = ∖(%10==3)
+#   nation_v: prev = ∖(%5==2) keys, %3 names → "RENAMED" → cur = full
 # Facts referencing %10==7 customers are DANGLING in tick 1 and re-enter
 # when tick 2 inserts them (dangling→joined flip); facts referencing
 # %10==3 customers lose their dim row in tick 2 (joined→drop under inner,
-# joined→null-extended under left_outer).
+# joined→null-extended under left_outer); nation inserts/renames fan out
+# through the chain's second hop.
 
 _ENGINE_JOIN_FIX: dict = {}
 
@@ -7857,9 +7864,10 @@ def _engine_join_fixture(spark: SparkSession, sf_dir: str):
         F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
     )
     cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal", "c_mktsegment"
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
-    ok, ck = F.col("o_orderkey"), F.col("c_custkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ok, ck, nk = F.col("o_orderkey"), F.col("c_custkey"), F.col("n_nationkey")
     fact_prev = orders.filter(ok % 7 != 0).withColumn(
         "o_totalprice",
         F.when(ok % 13 == 0, F.col("o_totalprice") + 100).otherwise(
@@ -7883,6 +7891,11 @@ def _engine_join_fixture(spark: SparkSession, sf_dir: str):
         )
     )
     dim_cur = cust.filter(ck % 10 != 3)
+    d2_prev = nat.filter(nk % 5 != 2).withColumn(
+        "n_name",
+        F.when(nk % 3 == 0, F.lit("RENAMED")).otherwise(F.col("n_name")),
+    )
+    d2_cur = nat
 
     td = tempfile.mkdtemp(prefix="cdc_engine_join_fix_")
     atexit.register(shutil.rmtree, td, ignore_errors=True)
@@ -7903,6 +7916,10 @@ def _engine_join_fixture(spark: SparkSession, sf_dir: str):
         dim_key="c_custkey",
     )
     eng.register_join_agg_view("seg_rev", "om", ["c_mktsegment"], "o_totalprice")
+    eng.register_join_agg_view(
+        "seg_hist", "om", ["c_mktsegment"], "o_totalprice",
+        agg_kind="histogram", lo=0.0, hi=600000.0, bins=32,
+    )
     eng.register_join_view(
         "om_left",
         fact_table="orders_v",
@@ -7912,15 +7929,27 @@ def _engine_join_fixture(spark: SparkSession, sf_dir: str):
         dim_key="c_custkey",
         how="left_outer",
     )
-    keys = {"orders_v": ["o_orderkey"], "cust_v": ["c_custkey"]}
-    # parallelism=2: the two tables' detect scans are independent jobs —
+    eng.register_join_view(
+        "ocn",
+        fact_table="om",
+        dim_table="nation_v",
+        fact_key="o_orderkey",
+        fact_dim_col="c_nationkey",
+        dim_key="n_nationkey",
+    )
+    keys = {
+        "orders_v": ["o_orderkey"],
+        "cust_v": ["c_custkey"],
+        "nation_v": ["n_nationkey"],
+    }
+    # parallelism=2: the tables' detect scans are independent jobs —
     # overlapping them shaves the serial fingerprint latency per tick
     eng.poll_once(
-        {"orders_v": fact_prev, "cust_v": dim_prev},
+        {"orders_v": fact_prev, "cust_v": dim_prev, "nation_v": d2_prev},
         mode="diff", keys=keys, parallelism=2,
     )
     eng.poll_once(
-        {"orders_v": fact_cur, "cust_v": dim_cur},
+        {"orders_v": fact_cur, "cust_v": dim_cur, "nation_v": d2_cur},
         mode="diff", keys=keys, parallelism=2,
     )
     _ENGINE_JOIN_FIX[sf_dir] = eng
@@ -8499,7 +8528,8 @@ def q_engine_composite_join_view_maintenance(
 @register(
     "engine_chain_join_view_maintenance",
     """
-    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
            c_custkey, c_mktsegment, n_name
     FROM orders JOIN customer ON o_custkey = c_custkey
                 JOIN nation ON c_nationkey = n_nationkey
@@ -8515,99 +8545,35 @@ def q_engine_composite_join_view_maintenance(
 def q_engine_chain_join_view_maintenance(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Two-hop maintained join chain: the upstream view's persisted state
-    versions stand in for snapshot versions (engine.py _join_side), its
-    basis pointer is the commit point, and its own fold's view-level I/D
+    """Two-hop maintained join chain (shared engine fixture — see
+    _engine_join_fixture): the upstream view's persisted state versions
+    stand in for snapshot versions (engine.py _join_side), its basis
+    pointer is the commit point, and its own fold's view-level I/D
     records seed the downstream diff (the shared tick cache) — so BOTH
     hops fold O(delta) in one tick, never re-joining full tables.
     Registration order is dependency order; healing degrades hop-by-hop
     (a lagging v2 diffs v1's retained state versions, then rebuilds from
-    v1's current state — one join, never three-way)."""
-    import shutil
-    import tempfile
-
-    from cdc_lite_spark.engine import CdcEngine
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey", "c_mktsegment"
-    )
-    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    ok, ck, nk = F.col("o_orderkey"), F.col("c_custkey"), F.col("n_nationkey")
-    fact_prev = orders.filter(ok % 7 != 0).withColumn(
-        "o_totalprice",
-        F.when(ok % 13 == 0, F.col("o_totalprice") + 100).otherwise(
-            F.col("o_totalprice")
-        ),
-    )
-    fact_cur = orders.filter(ok % 11 != 0)
-    d1_prev = cust.filter(ck % 10 != 7).withColumn(
+    v1's current state — one join, never three-way).  The fixture's
+    nation tick renames %3 keys and inserts the %5==2 keys at tick 2, so
+    both chain-hop fold classes run before the oracle's final-state
+    recompute."""
+    eng = _engine_join_fixture(spark, sf_dir)
+    out = eng.view("ocn").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "c_custkey",
         "c_mktsegment",
-        F.when(ck % 17 == 0, F.lit("MOVED")).otherwise(F.col("c_mktsegment")),
-    )
-    d1_cur = cust.filter(ck % 10 != 3)
-    d2_prev = nat.filter(nk % 5 != 2).withColumn(
         "n_name",
-        F.when(nk % 3 == 0, F.lit("RENAMED")).otherwise(F.col("n_name")),
     )
-    d2_cur = nat
-
-    td = tempfile.mkdtemp(prefix="cdc_chain_join_view_")
-    try:
-        eng = CdcEngine(
-            spark,
-            output_dir=td + "/log",
-            state_dir=td + "/state",
-            emit_schema_changes=False,
-        )
-        eng.register_join_view(
-            "oc",
-            fact_table="orders_v",
-            dim_table="cust_v",
-            fact_key="o_orderkey",
-            fact_dim_col="o_custkey",
-            dim_key="c_custkey",
-        )
-        eng.register_join_view(
-            "ocn",
-            fact_table="oc",
-            dim_table="nation_v",
-            fact_key="o_orderkey",
-            fact_dim_col="c_nationkey",
-            dim_key="n_nationkey",
-        )
-        keys = {
-            "orders_v": ["o_orderkey"],
-            "cust_v": ["c_custkey"],
-            "nation_v": ["n_nationkey"],
-        }
-        eng.poll_once(
-            {"orders_v": fact_prev, "cust_v": d1_prev, "nation_v": d2_prev},
-            mode="diff", keys=keys, parallelism=2,
-        )
-        eng.poll_once(
-            {"orders_v": fact_cur, "cust_v": d1_cur, "nation_v": d2_cur},
-            mode="diff", keys=keys, parallelism=2,
-        )
-        out = eng.view("ocn").select(
-            "o_orderkey",
-            F.col("o_totalprice").cast("double").alias("o_totalprice"),
-            "c_custkey",
-            "c_mktsegment",
-            "n_name",
-        )
-        return out.localCheckpoint()
-    finally:
-        shutil.rmtree(td, ignore_errors=True)
+    return out.localCheckpoint()
 
 
 @register(
     "engine_join_histogram_view_maintenance",
     """
     WITH cur AS (
-        SELECT c_mktsegment, CAST(o_totalprice AS DOUBLE) AS v
+        SELECT c_mktsegment,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE o_orderkey % 11 != 0 AND c_custkey % 10 != 3
     ),
@@ -8645,72 +8611,19 @@ def q_engine_chain_join_view_maintenance(
 def q_engine_join_histogram_view_maintenance(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Histogram agg-over-join: the engine_join_agg_view_maintenance
-    machinery with the bucket-count kind (engine.py _fold_join_agg_views
-    dispatches through the shared _fold_agg_state), read back through
+    """Histogram agg-over-join (shared engine fixture — see
+    _engine_join_fixture): the engine_join_agg_view_maintenance machinery
+    with the bucket-count kind (engine.py _fold_join_agg_views dispatches
+    through the shared _fold_agg_state), read back through
     view_quantiles — estimates interpolate the maintained state alone,
     never the facts.  Bucket counts are exact integers, so the maintained
     state is bit-equal to the oracle's rebuild and the interpolation
-    (binary64 over literals + exact counts) is engine-portable."""
-    import shutil
-    import tempfile
-
-    from cdc_lite_spark.engine import CdcEngine
-
-    lo, hi, bins = 0.0, 600000.0, 32
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.col("o_totalprice").cast("double").alias("o_totalprice"),
-    )
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    ok, ck = F.col("o_orderkey"), F.col("c_custkey")
-    fact_prev = orders.filter(ok % 7 != 0).withColumn(
-        "o_totalprice",
-        F.when(ok % 13 == 0, F.col("o_totalprice") * 2).otherwise(
-            F.col("o_totalprice")
-        ),
-    )
-    fact_cur = orders.filter(ok % 11 != 0)
-    dim_prev = cust.filter(ck % 10 != 7).withColumn(
-        "c_mktsegment",
-        F.when(ck % 17 == 0, F.lit("MOVED")).otherwise(F.col("c_mktsegment")),
-    )
-    dim_cur = cust.filter(ck % 10 != 3)
-
-    td = tempfile.mkdtemp(prefix="cdc_join_hist_view_")
-    try:
-        eng = CdcEngine(
-            spark,
-            output_dir=td + "/log",
-            state_dir=td + "/state",
-            emit_schema_changes=False,
-        )
-        eng.register_join_view(
-            "om",
-            fact_table="orders_v",
-            dim_table="cust_v",
-            fact_key="o_orderkey",
-            fact_dim_col="o_custkey",
-            dim_key="c_custkey",
-        )
-        eng.register_join_agg_view(
-            "seg_hist", "om", ["c_mktsegment"], "o_totalprice",
-            agg_kind="histogram", lo=lo, hi=hi, bins=bins,
-        )
-        keys = {"orders_v": ["o_orderkey"], "cust_v": ["c_custkey"]}
-        eng.poll_once(
-            {"orders_v": fact_prev, "cust_v": dim_prev},
-            mode="diff", keys=keys, parallelism=2,
-        )
-        eng.poll_once(
-            {"orders_v": fact_cur, "cust_v": dim_cur},
-            mode="diff", keys=keys, parallelism=2,
-        )
-        out = eng.view_quantiles("seg_hist", [0.25, 0.5, 0.75, 0.95])
-        return out.localCheckpoint()
-    finally:
-        shutil.rmtree(td, ignore_errors=True)
+    (binary64 over literals + exact counts) is engine-portable.  The
+    fixture captures o_totalprice as DECIMAL(18,2); the oracle buckets
+    the identical round-tripped doubles."""
+    eng = _engine_join_fixture(spark, sf_dir)
+    out = eng.view_quantiles("seg_hist", [0.25, 0.5, 0.75, 0.95])
+    return out.localCheckpoint()
 
 
 # --- shared wire-log fixture (r9 verdict ask #8: engine-gate fixed cost) ----
