@@ -9206,6 +9206,148 @@ def q_changelog_view_maintenance_bucketed(
 
 
 @register(
+    "changelog_view_maintenance_reordered",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS agg_sum,
+           CAST(count(o_totalprice) AS BIGINT) AS agg_count,
+           CAST(count(*) AS BIGINT) AS agg_rows
+    FROM orders
+    WHERE o_orderkey % 11 != 0
+    GROUP BY o_orderstatus
+    """,
+    "The hostile-delivery twin of changelog_view_maintenance (r11 verdict "
+    "#1): the SAME wire records and from-scratch oracle, but delivered "
+    "newest-tick-first, with the newest tick's file replayed twice, one "
+    "key's records split across epochs out of order, and every tick-2 "
+    "DELETE arriving before its key's tick-1 INSERT — the per-key __ts "
+    "monotonicity guard plus tombstone_horizon_s must converge the state "
+    "to the in-order answer exactly, and the gate additionally asserts "
+    "the stale-drop counter fired (>0) so the guard provably ran",
+    tags=("cdc", "incremental", "streaming", "engine", "ordering"),
+)
+def q_changelog_view_maintenance_reordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver gate for the r11 ordering contract (view_stream.py module
+    docstring "Ordering contract"; guard at ``_stale``/``_classify``):
+    a foreign or replayed producer's log converges to the same state as
+    the in-order log whose newest-per-key records it contains.  The
+    hostile delivery is built from the shared memoized wire log's
+    orders_v records, one file per micro-batch (maxFilesPerTrigger=1,
+    mtime-ordered — Spark's file source processes oldest-mtime first):
+
+    - epoch 0: ALL of tick 2 (deletes before their keys ever inserted —
+      the delete-before-insert case ``tombstone_horizon_s`` closes; a
+      resurrected key here would be silent wrong state);
+    - epoch 1: tick 2 REPLAYED byte-identical (equal-__ts records
+      re-apply by contract and must fold to a net no-op);
+    - epoch 2: tick 1 minus one key K (every record stale vs the replica
+      — the whole epoch must drop);
+    - epoch 3: K's tick-1 record alone (K's records split across epochs,
+      newest first — the cross-epoch reorder).
+
+    Convergence to the SAME DuckDB oracle the in-order gate uses is the
+    claim; ``changelog_stale_dropped`` > 0 proves ``_stale`` fired, and
+    ``changelog_tombstone_status`` proves delete markers were retained.
+    Reference contract pinned: the downstream consumer of
+    duckdb_cdc.go:268-287's "files in a directory" must not assume the
+    engine's per-file ordering."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cdc_lite_spark.sources.changelog import read_changes, stream_changes
+    from cdc_lite_spark.streaming.view_stream import (
+        changelog_stale_dropped,
+        changelog_view_status,
+        init_changelog_view,
+        read_changelog_view,
+        start_changelog_view,
+    )
+
+    log = _wire_log(spark, sf_dir)
+    rec = read_changes(spark, log, table="orders_v")
+    t1, t2 = sorted(r[0] for r in rec.select("timestamp").distinct().collect())
+    kk = F.col("data")["o_orderkey"].cast("bigint")
+    # split key K: present in both ticks (INSERT@t1 + UPDATE@t2) — its
+    # tick-1 record arrives three epochs after its tick-2 record
+    split_k = (
+        rec.filter((F.col("timestamp") == t2) & (F.col("operation") == "UPDATE"))
+        .agg(F.min(kk))
+        .collect()[0][0]
+    )
+    tick1 = rec.filter(F.col("timestamp") == t1)
+    tick2 = rec.filter(F.col("timestamp") == t2)
+    hostile = tempfile.mkdtemp(prefix="cdc_hostile_log_")
+    td = tempfile.mkdtemp(prefix="cdc_changelog_view_reord_")
+
+    def _emit(df: DataFrame, name: str, mtime: float) -> str:
+        tmp = tempfile.mkdtemp(prefix="cdc_hostile_part_")
+        df.coalesce(1).write.mode("overwrite").json(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".json")]
+        dst = os.path.join(hostile, name)
+        shutil.move(os.path.join(tmp, part[0]), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (mtime, mtime))
+        return dst
+
+    try:
+        base = time.time() - 1000
+        f0 = _emit(tick2, "f0_tick2.json", base)
+        f1 = os.path.join(hostile, "f1_replay.json")
+        shutil.copy(f0, f1)  # byte-identical replay, same __ts inside
+        os.utime(f1, (base + 10, base + 10))
+        _emit(tick1.filter(kk != split_k), "f2_tick1.json", base + 20)
+        _emit(tick1.filter(kk == split_k), "f3_splitkey.json", base + 30)
+        # horizon must cover the producer's replay skew (here: the ticks'
+        # capture-timestamp gap, seconds) — sized generously, and expiry
+        # is event-time-driven so the gate is replay-deterministic
+        init_changelog_view(
+            spark, td + "/vstate", _WIRE_LOG_DDL_FACT, ["o_orderstatus"],
+            "o_totalprice", key_cols=["o_orderkey"],
+            tombstone_horizon_s=86400.0,
+        )
+        q = start_changelog_view(
+            stream_changes(spark, hostile, max_files_per_trigger=1),
+            "orders_v",
+            _WIRE_LOG_DDL_FACT,
+            ["o_orderkey"],
+            ["o_orderstatus"],
+            "o_totalprice",
+            td + "/vstate",
+            td + "/ckpt",
+            available_now=True,
+            tombstone_horizon_s=86400.0,
+        )
+        q.awaitTermination()
+        drops = changelog_stale_dropped(spark, td + "/vstate")
+        if not drops.get("orders_v", {}).get("dropped", 0) > 0:
+            raise AssertionError(
+                "ordering-guard gate ran without a single stale drop — "
+                f"the hostile delivery did not exercise _stale: {drops}"
+            )
+        ts = changelog_view_status(spark, td + "/vstate", with_tombstones=True)
+        tstat = ts["tombstones"]["states"].get("replica")
+        if not (tstat and tstat["live"] > 0 and tstat["watermark"]):
+            raise AssertionError(
+                "tombstone retention left no live delete markers — the "
+                f"delete-before-insert leg did not exercise tombstones: {ts}"
+            )
+        out = read_changelog_view(spark, td + "/vstate").select(
+            "o_orderstatus",
+            F.col("agg_sum").cast("double").alias("agg_sum"),
+            "agg_count",
+            "agg_rows",
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+        shutil.rmtree(hostile, ignore_errors=True)
+
+
+@register(
     "wire_left_join_view_maintenance",
     """
     WITH f AS (

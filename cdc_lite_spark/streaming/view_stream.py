@@ -1872,11 +1872,17 @@ def start_changelog_join_view(
     return writer.start()
 
 
-def changelog_view_status(spark: SparkSession, state_dir: str) -> dict:
+def changelog_view_status(
+    spark: SparkSession, state_dir: str, with_tombstones: bool = False
+) -> dict:
     """Operational status of a changelog-maintained view (single-table or
     join): the pinned spec plus each state's current committed version —
     the wire-consumer twin of ``CdcEngine.view_status()``.  FS reads only
-    (pointers + the spec), no parquet opened, no job run."""
+    (pointers + the spec), no parquet opened, no job run — EXCEPT with
+    ``with_tombstones=True``, which additionally runs one tiny aggregation
+    per tombstone state (count + max retained delete timestamp; the states
+    are bounded by the horizon's event-seconds of deletes) and reports it
+    under ``"tombstones"`` (see :func:`changelog_tombstone_status`)."""
     spec = _read_pinned_spec(spark, state_dir)
     out: dict = {
         "state_dir": state_dir,
@@ -1886,6 +1892,8 @@ def changelog_view_status(spark: SparkSession, state_dir: str) -> dict:
         # replayed-with-gaps logs); {} for an always-in-order log
         "stale_dropped": changelog_stale_dropped(spark, state_dir),
     }
+    if with_tombstones:
+        out["tombstones"] = changelog_tombstone_status(spark, state_dir)
     kind = (spec or {}).get("kind")
     dirs = (
         {
@@ -1906,6 +1914,43 @@ def changelog_view_status(spark: SparkSession, state_dir: str) -> dict:
             out["states"][label] = fs.read_pointer(d)
         except FileNotFoundError:
             out["states"][label] = None  # dir exists but never committed
+    return out
+
+
+def changelog_tombstone_status(spark: SparkSession, state_dir: str) -> dict:
+    """Live delete-tombstone observability (r11 verdict ask #7): per
+    tombstone state, how many delete markers are currently retained and
+    the newest retained delete's capture timestamp (the horizon's current
+    watermark — entries expire once the stream's event time passes
+    ``watermark + horizon_s``).  ``{"horizon_s": h, "states": {label:
+    {"live": N, "watermark": ts-or-None}}}``; ``horizon_s`` is ``None``
+    and ``states`` empty when retention was never enabled.  Cost: one
+    count+max aggregation per state over the horizon-bounded tombstone
+    parquet — never the replica or the log."""
+    spec = _read_pinned_spec(spark, state_dir)
+    horizon = (spec or {}).get("tombstones")
+    out: dict = {"horizon_s": horizon, "states": {}}
+    if horizon is None:
+        return out
+    if (spec or {}).get("kind") == "join":
+        dirs = {
+            t: _tombs_dir_for(state_dir, t)
+            for t in (spec["fact_table"], spec["dim_table"])
+        }
+    else:
+        dirs = {"replica": _tombs_dir(state_dir)}
+    for label, d in dirs.items():
+        if not fs_for(d, spark).dir_exists(d):
+            continue  # retention pinned but no epoch committed yet
+        row = (
+            read_current(spark, d)
+            .agg(F.count("*").alias("live"), F.max("__ts").alias("wm"))
+            .collect()[0]
+        )
+        out["states"][label] = {
+            "live": int(row["live"]),
+            "watermark": row["wm"].isoformat() if row["wm"] is not None else None,
+        }
     return out
 
 

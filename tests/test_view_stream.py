@@ -1722,6 +1722,40 @@ def test_join_consumer_tombstones_block_fact_resurrection(spark, tmp_path):
     } == join0
     st = changelog_stale_dropped(spark, state_dir)
     assert st["f"]["dropped"] >= 1
+    # r11 verdict ask #7: per-side tombstone observability on a join state
+    tb = changelog_view_status(spark, state_dir, with_tombstones=True)["tombstones"]
+    assert tb["horizon_s"] == 3600.0
+    assert tb["states"]["f"]["live"] >= 1  # fact 2's delete marker retained
+    assert tb["states"]["f"]["watermark"]
+    assert tb["states"]["d"]["live"] == 0  # dim never saw a delete
+    assert tb["states"]["d"]["watermark"] is None
+
+
+def test_tombstone_status_reader(spark, tmp_path):
+    """changelog_view_status(with_tombstones=True) reports live delete
+    markers and the horizon's watermark (r11 verdict ask #7); the default
+    call stays FS-reads-only and a retention-off state reports horizon
+    None with no states."""
+    eng = CdcEngine(
+        spark, output_dir=str(tmp_path / "log"),
+        state_dir=str(tmp_path / "estate"), emit_schema_changes=False,
+    )
+    eng.poll_once({"t": _df(spark, _TB1)}, mode="diff", keys={"t": ["id"]})
+    eng.poll_once({"t": _df(spark, _TB2)}, mode="diff", keys={"t": ["id"]})
+    state_dir = _drain_tombs(spark, str(tmp_path / "log"), tmp_path, "stat", 3600.0)
+    st = changelog_view_status(spark, state_dir, with_tombstones=True)
+    tb = st["tombstones"]
+    assert tb["horizon_s"] == 3600.0
+    rs = tb["states"]["replica"]
+    assert rs["live"] == 1  # key 2's delete, still inside the horizon
+    assert isinstance(rs["watermark"], str) and rs["watermark"]
+    assert "tombstones" not in changelog_view_status(spark, state_dir)
+
+    # retention-off state: horizon None, nothing to aggregate
+    sd2 = str(tmp_path / "vstate_off")
+    init_changelog_view(spark, sd2, _DDL, ["grp"], "v", kind="sum_count")
+    tb2 = changelog_view_status(spark, sd2, with_tombstones=True)["tombstones"]
+    assert tb2 == {"horizon_s": None, "states": {}}
 
 
 def test_any_file_order_converges_with_tombstones(spark, tmp_path):
