@@ -952,6 +952,12 @@ class CdcEngine:
             # must keep matching their persisted JSON
             if s.get("how", "inner") != "inner":
                 out["how"] = s["how"]
+            # the bucketed layout defines where the state LIVES — a start
+            # with a different bucket count (or flat) against a bucketed
+            # state must fail fast, not read a stale layout (r11 ask #2);
+            # conditional so flat states pinned earlier keep matching
+            if s.get("fact_buckets"):
+                out["fact_buckets"] = s["fact_buckets"]
             return out
         if s.get("kind") == "join_agg":
             fields = ("kind", "join_view", "group_keys", "value_col")
@@ -1058,10 +1064,17 @@ class CdcEngine:
                 raise ValueError(f"view {name!r} has no materialized state yet")
             return self.spark.read.parquet(f"{self._view_dir(name)}/v={v}")
         if name in self._join_views:
-            self._check_view_spec(name, self._join_views[name])
+            s = self._join_views[name]
+            self._check_view_spec(name, s)
             basis = self._read_join_basis(name)
             if basis is None:
                 raise ValueError(f"view {name!r} has no materialized state yet")
+            if s.get("fact_buckets"):
+                # bucketed layout: the basis names the committed manifest
+                # (m{v} if still on disk, else _CURRENT — ahead only in
+                # the crash window before a basis flip, where m{v} exists)
+                brep = self._join_brep(name, s, basis["ddl"])
+                return brep.read(brep.manifest_for_epoch(basis["v"]), None)
             return self.spark.read.parquet(f"{self._view_dir(name)}/v={basis['v']}")
         if name in self._part_agg_views:
             self._check_view_spec(name, self._part_agg_views[name])
@@ -2061,6 +2074,7 @@ class CdcEngine:
         dim_key: "str | list[str]",
         hint_broadcast: bool = True,
         how: str = "inner",
+        fact_buckets: "int | None" = None,
     ) -> None:
         """Declare a materialized many-to-one inner join ``fact ⋈ dim`` over
         TWO diff-mode monitored tables, maintained per tick from BOTH sides'
@@ -2089,6 +2103,22 @@ class CdcEngine:
         type differs), so every tick stays affected-keys-sized.  Aggregates
         registered over a left-outer view see the null-extended rows (a
         SUM over a dim column skips them; COUNT(*) counts every fact).
+
+        ``fact_buckets=n`` (r11 verdict ask #2) lays the view STATE out
+        hash-bucketed by ``fact_key`` (streaming/bucketed.py's manifest
+        protocol — the same layout the wire-join consumer uses) instead
+        of whole-view ``v=N`` rewrites: a tick whose fold touched 50 keys
+        rewrites only the buckets those keys hash into, so view-state
+        write I/O is ``O(affected + touched·view/n)`` instead of
+        ``O(view)`` — the engine tier's last table-sized write term
+        (SCALING.md r12 probe).  The fold algebra, the basis-pointer
+        commit discipline, healing, and every registered aggregate's
+        oracle are unchanged — layout must never change answers.  Size
+        ``n`` so a bucket is a task's worth (128-512 MB; see
+        ``suggest_layout``); break-even is ~10M view rows — below that
+        the flat rewrite is cheaper.  A bucketed view cannot be used as a
+        SIDE of a later snowflake registration (chain sides read ``v=N``
+        snapshots); register chains over flat views.
 
         SNOWFLAKE CHAINS: ``fact_table`` (or ``dim_table``) may name an
         ALREADY-REGISTERED join view instead of a monitored table — the
@@ -2154,9 +2184,21 @@ class CdcEngine:
                     f"{side!r} must be its fact_key {up['fact_key']} — the "
                     "one column set unique in a join view's state"
                 )
+            if up is not None and up.get("fact_buckets"):
+                raise ValueError(
+                    f"join view {name!r}: side {side!r} is a BUCKETED join "
+                    "view — chain sides read v=N snapshot dirs, which the "
+                    "manifest layout does not write; register the chain "
+                    "over a flat upstream view"
+                )
         if how not in ("inner", "left_outer"):
             raise ValueError(
                 f"join view {name!r}: how must be inner or left_outer, got {how!r}"
+            )
+        if fact_buckets is not None and not int(fact_buckets) > 0:
+            raise ValueError(
+                f"join view {name!r}: fact_buckets must be positive, "
+                f"got {fact_buckets}"
             )
         self._join_views[name] = {
             "kind": "join",
@@ -2167,6 +2209,7 @@ class CdcEngine:
             "dim_key": dk,
             "hint_broadcast": hint_broadcast,
             "how": how,
+            "fact_buckets": int(fact_buckets) if fact_buckets else None,
         }
 
     def register_join_agg_view(
@@ -2347,6 +2390,7 @@ class CdcEngine:
             return  # a side has no diff-mode snapshot yet: nothing to build on
         pinned = self._check_view_spec(name, s)
         basis = self._read_join_basis(name)
+        bucketed = bool(s.get("fact_buckets"))
         if basis is not None and basis["fact_v"] == fv and basis["dim_v"] == dv:
             # join view up to date (or replayed tick) — idempotence guard;
             # a crash between the state write and the spec pin still pins
@@ -2354,7 +2398,15 @@ class CdcEngine:
             # heal by one aggregation over the PERSISTED join state
             if not pinned:
                 self._pin_view_spec(name, s)
-            self._fold_join_agg_views(name, aggs, basis["v"], None, heal=True)
+            rjs = None
+            if bucketed:
+                hrep = self._join_brep(name, s, basis["ddl"])
+                rjs = lambda: hrep.read(  # noqa: E731 — tiny reader thunk
+                    hrep.manifest_for_epoch(basis["v"]), None
+                )
+            self._fold_join_agg_views(
+                name, aggs, basis["v"], None, heal=True, read_join_state=rjs
+            )
             return
         fact_new = self.spark.read.parquet(f"{snap_f}/v={fv}")
         dim_new = self.spark.read.parquet(f"{snap_d}/v={dv}")
@@ -2365,12 +2417,47 @@ class CdcEngine:
                 f"dim: {sorted(overlap)} — project distinct names before "
                 "monitoring"
             )
+        brep = join_ddl = None
+        if bucketed:
+            # the join state's on-disk DDL: fact columns then dim columns
+            # (the view's column contract).  PINNED at the first build in
+            # the basis pointer and reused verbatim afterwards — untouched
+            # buckets carry across epochs, so every epoch must read AND
+            # write one schema even when a tick's snapshot types drift
+            # (e.g. a decimal-widening expression changes 18,2 → 19,2:
+            # the flat path tolerates it because each v=N rewrite is
+            # self-describing; the manifest layout cannot).  Every commit
+            # casts through the pinned types; a column-NAME drift is a
+            # real schema change and fails the view (per-view isolation)
+            # until it is re-registered under a new name or its state dir
+            # deleted for a rebuild.
+            if basis is not None and basis.get("ddl"):
+                join_ddl = basis["ddl"]
+                pinned_names = [
+                    f.name for f in T.StructType.fromDDL(join_ddl).fields
+                ]
+                cur_names = [*fact_new.columns, *dim_new.columns]
+                if pinned_names != cur_names:
+                    raise ValueError(
+                        f"join view {name!r}: bucketed state is pinned to "
+                        f"columns {pinned_names} but the snapshots now "
+                        f"carry {cur_names} — schema drift requires a "
+                        "rebuild (delete the view state dir)"
+                    )
+            else:
+                join_ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in [*fact_new.schema.fields, *dim_new.schema.fields]
+                )
+            brep = self._join_brep(name, s, join_ddl)
         state = view_changes = None
+        bctx = None
         shared: list[DataFrame] = []
         if basis is not None:
-            state, view_changes, shared = self._fold_join_view(
+            state, view_changes, shared, bctx = self._fold_join_view(
                 name, s, basis, fv, dv, snap_f, snap_d, fact_new, dim_new,
                 with_changes=bool(aggs) or chained,
+                brep=brep,
             )
         if state is None:
             # initial build, or healing past snapshot/view retention: one
@@ -2389,9 +2476,33 @@ class CdcEngine:
         seeded = False
         try:
             new_k = (basis["v"] if basis is not None else 0) + 1
-            state.write.mode("overwrite").parquet(
-                f"{self._view_dir(name)}/v={new_k}"
-            )
+            rjs = None
+            if bucketed:
+                # fold tick: write ONLY the touched buckets' new content as
+                # a fresh epoch dir (manifest m{new_k} carries untouched
+                # entries forward); initial build / heal-rebuild writes
+                # every bucket against an empty carry-forward.  Manifest
+                # index == basis version, so replays read their original
+                # basis (manifest_for_epoch) and rewrite identical state.
+                if bctx is None:
+                    touched, man = list(range(s["fact_buckets"])), {"buckets": {}}
+                else:
+                    touched, man = bctx
+                # cast through the pinned DDL: kept rows already carry the
+                # pinned types (read with it) but refreshed rows carry the
+                # CURRENT snapshots' — one layout on disk, forever
+                state = state.select(
+                    *[
+                        F.col(f.name).cast(f.dataType)
+                        for f in T.StructType.fromDDL(join_ddl).fields
+                    ]
+                )
+                new_man = brep.commit(state, touched, man, epoch=new_k - 1)
+                rjs = lambda: brep.read(new_man, None)  # noqa: E731
+            else:
+                state.write.mode("overwrite").parquet(
+                    f"{self._view_dir(name)}/v={new_k}"
+                )
             # agg-over-join folds run BEFORE the basis flip: a crash in
             # between leaves the basis at the old version, and the retried
             # tick rewrites join v=new_k and every agg v=new_k (fold-path
@@ -2400,8 +2511,12 @@ class CdcEngine:
             self._fold_join_agg_views(
                 name, aggs, new_k, view_changes,
                 prev_k=basis["v"] if basis is not None else None,
+                read_join_state=rjs,
             )
-            self._write_join_basis(name, {"v": new_k, "fact_v": fv, "dim_v": dv})
+            new_basis = {"v": new_k, "fact_v": fv, "dim_v": dv}
+            if bucketed:
+                new_basis["ddl"] = join_ddl
+            self._write_join_basis(name, new_basis)
             if chained and view_changes is not None:
                 # seed the view's OWN change records for downstream chained
                 # folds (same cache the capture diff seeds for tables): a
@@ -2422,11 +2537,26 @@ class CdcEngine:
                         df.unpersist()
                     except Exception:  # noqa: BLE001 — cleanup must not mask errors
                         pass
-        self._gc_versions(self._view_dir(name), new_k, self.VIEW_VERSIONS_KEPT)
+        if not bucketed:  # the manifest protocol GCs its own epochs
+            self._gc_versions(self._view_dir(name), new_k, self.VIEW_VERSIONS_KEPT)
         if not pinned:
             # pin only after state actually materialized (register_agg_view
             # discipline): a registration whose fold fails stays correctable
             self._pin_view_spec(name, s)
+
+    def _join_brep(self, name: str, s: dict, ddl: str):
+        """The bucketed join-view state under ``<view_dir>/state`` —
+        streaming/bucketed.py's manifest protocol keyed by the fact PK,
+        manifest index tracking the basis version."""
+        from cdc_lite_spark.streaming.bucketed import BucketedReplica
+
+        return BucketedReplica(
+            self.spark,
+            f"{self._view_dir(name)}/state",
+            s["fact_buckets"],
+            s["fact_key"],
+            ddl,
+        )
 
     def _fold_join_agg_views(
         self,
@@ -2436,6 +2566,7 @@ class CdcEngine:
         view_changes: DataFrame | None,
         prev_k: int | None = None,
         heal: bool = False,
+        read_join_state=None,
     ) -> None:
         """Bring every aggregate over ``join_name`` to the join view's
         version ``k``: apply the view-level I/D records onto the agg state
@@ -2489,8 +2620,15 @@ class CdcEngine:
                     # the rebuild-from-view-state path
                     a_state = self._fold_agg_state(a_kind, prev_state, view_changes)
                 if a_state is None:
-                    joined = self.spark.read.parquet(
-                        f"{self._view_dir(join_name)}/v={k}"
+                    # rebuild from the PERSISTED join state at version k:
+                    # flat v=k parquet, or the bucketed manifest read the
+                    # caller provided (read_join_state — r11 ask #2)
+                    joined = (
+                        read_join_state()
+                        if read_join_state is not None
+                        else self.spark.read.parquet(
+                            f"{self._view_dir(join_name)}/v={k}"
+                        )
                     )
                     a_state = self._build_agg_state(a_kind, joined)
                 a_state.write.mode("overwrite").parquet(
@@ -2527,26 +2665,45 @@ class CdcEngine:
         fact_new: DataFrame,
         dim_new: DataFrame,
         with_changes: bool = False,
-    ) -> tuple[DataFrame | None, DataFrame | None, list[DataFrame]]:
+        brep=None,
+    ) -> tuple[DataFrame | None, DataFrame | None, list[DataFrame], "tuple | None"]:
         """The O(delta) fold: diff each side's basis snapshot against its
         latest and fold through ``maintain_join_with_changes``.  With
         ``with_changes`` the view-level I/D records the agg-over-join folds
         consume come from the SAME delta evaluation, with the delta-sized
         intermediates persisted once and returned as handles the caller
         unpersists after all consuming actions ran.  Returns
-        ``(None, None, [])`` when any input the fold needs (the basis
+        ``(None, None, [], None)`` when any input the fold needs (the basis
         snapshots, the view state itself) is gone — the caller rebuilds
-        from current snapshots."""
-        from cdc_lite_spark.operators.incremental import maintain_join_with_changes
+        from current snapshots.
 
-        old_state_dir = f"{self._view_dir(name)}/v={basis['v']}"
+        With ``brep`` (the bucketed layout, r11 ask #2) the affected-key
+        set is computed FIRST (one standalone delta-bounded plan), its
+        touched bucket ids collected (≤ n), and ``m_old`` is the PRUNED
+        read of exactly those buckets — every affected key's old row lives
+        in its key's bucket by construction, so the fold's ``kept ∪
+        refreshed`` IS the touched buckets' new content and the returned
+        ``state`` is commit-ready for ``BucketedReplica.commit``.  The
+        fourth return is ``(touched_ids, basis_manifest)``."""
+        from cdc_lite_spark.operators.incremental import (
+            affected_join_keys,
+            maintain_join_with_changes,
+        )
+
+        if brep is None:
+            old_state_dir = f"{self._view_dir(name)}/v={basis['v']}"
+            if not self._committed_dir(old_state_dir):
+                return None, None, [], None
+        else:
+            try:
+                man = brep.manifest_for_epoch(basis["v"])
+            except FileNotFoundError:
+                return None, None, [], None  # state gone: rebuild
         if not (
-            self._committed_dir(old_state_dir)
-            and self._committed_dir(f"{snap_f}/v={basis['fact_v']}")
+            self._committed_dir(f"{snap_f}/v={basis['fact_v']}")
             and self._committed_dir(f"{snap_d}/v={basis['dim_v']}")
         ):
-            return None, None, []
-        m_old = self.spark.read.parquet(old_state_dir)
+            return None, None, [], None
 
         def _changes(
             base_dir: str,
@@ -2575,6 +2732,18 @@ class CdcEngine:
         dim_changes = _changes(
             snap_d, basis["dim_v"], dv, dim_new, s["dim_key"], s["dim_table"]
         )
+        affected = bctx = None
+        if brep is None:
+            m_old = self.spark.read.parquet(old_state_dir)
+        else:
+            affected = affected_join_keys(
+                fact_new, fact_changes, dim_changes,
+                s["fact_key"], s["fact_dim_col"], s["dim_key"],
+                hint_broadcast=s["hint_broadcast"],
+            ).persist()
+            touched = brep.touched_ids(affected)
+            m_old = brep.read(man, touched)
+            bctx = (touched, man)
         state, changes, handles = maintain_join_with_changes(
             m_old,
             fact_new,
@@ -2591,8 +2760,11 @@ class CdcEngine:
             persist_shared=with_changes or s.get("how", "inner") == "left_outer",
             with_changes=with_changes,
             how=s.get("how", "inner"),
+            affected=affected,
         )
-        return state, changes, handles
+        if affected is not None:
+            handles.append(affected)  # tick-end lifecycle with the rest
+        return state, changes, handles, bctx
 
     def monitor(
         self,

@@ -361,6 +361,35 @@ def maintain_join(
     return state
 
 
+def affected_join_keys(
+    fact_new: DataFrame,
+    fact_changes: DataFrame,
+    dim_changes: DataFrame,
+    fact_key: "str | list[str]",
+    fact_dim_col: "str | list[str]",
+    dim_key: "str | list[str]",
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """The affected-fact-key set of a join-view tick — ``keys(Δfact) ∪
+    {facts referencing a key of Δdim}`` — as a standalone plan, so a
+    caller that needs it BEFORE the fold (the bucketed state layout
+    derives its touched-bucket set from it, then reads only those buckets
+    of the old view state) computes it once and injects it back via
+    ``maintain_join_with_changes(affected=...)``.  Same plan shape as the
+    internal computation: the delta-key sets broadcast, the fact scan is
+    one map-side semi-join, nothing shuffles."""
+    fk, fdc, dk = _cols(fact_key), _cols(fact_dim_col), _cols(dim_key)
+    fact_keys = fact_changes.select(*fk).distinct()
+    dim_keys = dim_changes.select(*dk).distinct()
+    dkeys = F.broadcast(dim_keys) if hint_broadcast else dim_keys
+    affected_via_dim = fact_new.join(
+        dkeys,
+        key_eq((fact_new[f], dim_keys[d]) for f, d in zip(fdc, dk)),
+        "left_semi",
+    ).select(*fk)
+    return fact_keys.unionByName(affected_via_dim).distinct()
+
+
 def _join_maintenance_parts(
     m_old: DataFrame,
     fact_new: DataFrame,
@@ -374,6 +403,7 @@ def _join_maintenance_parts(
     hint_broadcast: bool = True,
     how: str = "inner",
     persist_shared: bool = False,
+    affected: "DataFrame | None" = None,
 ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """(affected fact keys, refreshed view rows in ``m_old`` column order,
     persisted handles) — the shared delta machinery behind
@@ -396,17 +426,18 @@ def _join_maintenance_parts(
             f"fact_dim_col {fdc} and dim_key {dk} pair positionally — "
             "lengths must match"
         )
-    fact_keys = fact_changes.select(*fk).distinct()
-    dim_keys = dim_changes.select(*dk).distinct()
-    ref_side = m_old if assume_fk_integrity else fact_new
-    affected_via_dim = (
-        ref_side.join(
-            F.broadcast(dim_keys),
-            key_eq((ref_side[f], dim_keys[d]) for f, d in zip(fdc, dk)),
-            "left_semi",
-        ).select(*fk)
-    )
-    affected = fact_keys.unionByName(affected_via_dim).distinct()
+    if affected is None:
+        fact_keys = fact_changes.select(*fk).distinct()
+        dim_keys = dim_changes.select(*dk).distinct()
+        ref_side = m_old if assume_fk_integrity else fact_new
+        affected_via_dim = (
+            ref_side.join(
+                F.broadcast(dim_keys),
+                key_eq((ref_side[f], dim_keys[d]) for f, d in zip(fdc, dk)),
+                "left_semi",
+            ).select(*fk)
+        )
+        affected = fact_keys.unionByName(affected_via_dim).distinct()
     # prefix-rename the dim side before joining: the change sets share
     # lineage with dim_new/fact_new (they come from the same snapshots), so
     # qualified column refs would trip Spark's ambiguous-self-join check,
@@ -541,6 +572,7 @@ def maintain_join_with_changes(
     persist_shared: bool = False,
     with_changes: bool = True,
     how: str = "inner",
+    affected: "DataFrame | None" = None,
 ) -> tuple[DataFrame, DataFrame | None, list[DataFrame]]:
     """Both fold outputs from ONE delta evaluation:
     ``(new_view, view_changes, persisted_handles)``.
@@ -562,6 +594,9 @@ def maintain_join_with_changes(
     from cdc_lite_spark.envelope import DELETE, INSERT
 
     fk = _cols(fact_key)
+    # a caller-provided affected set (affected_join_keys) is owned by the
+    # caller: never re-persisted here, never handed back as a handle
+    owns_affected = affected is None
     affected, refreshed, handles = _join_maintenance_parts(
         m_old,
         fact_new,
@@ -575,9 +610,10 @@ def maintain_join_with_changes(
         hint_broadcast,
         how,
         persist_shared=persist_shared,
+        affected=affected,
     )
     try:
-        if persist_shared:
+        if persist_shared and owns_affected:
             affected = affected.persist()
             handles.append(affected)
             refreshed = refreshed.persist()

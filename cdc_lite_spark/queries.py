@@ -7937,6 +7937,18 @@ def _engine_join_fixture(spark: SparkSession, sf_dir: str):
         fact_dim_col="c_nationkey",
         dim_key="n_nationkey",
     )
+    # the BUCKETED twin of "om" (r11 verdict ask #2): same join, state
+    # laid out under the manifest protocol — one extra fold per tick on
+    # the shared fixture instead of a sixth engine
+    eng.register_join_view(
+        "om_bkt",
+        fact_table="orders_v",
+        dim_table="cust_v",
+        fact_key="o_orderkey",
+        fact_dim_col="o_custkey",
+        dim_key="c_custkey",
+        fact_buckets=8,
+    )
     keys = {
         "orders_v": ["o_orderkey"],
         "cust_v": ["c_custkey"],
@@ -7984,6 +7996,46 @@ def q_engine_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     pruned, and nothing re-joins the full tables (operators/incremental.py)."""
     eng = _engine_join_fixture(spark, sf_dir)
     out = eng.view("om").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return out.localCheckpoint()
+
+
+@register(
+    "engine_join_view_maintenance_bucketed",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 11 != 0 AND c_custkey % 10 != 3
+    """,
+    "The bucketed-state twin of engine_join_view_maintenance (r11 verdict "
+    "#2): the SAME engine ticks and from-scratch re-join oracle, but the "
+    "view state is laid out fact-PK-hash-bucketed (fact_buckets=8) so a "
+    "tick rewrites only the buckets its affected keys touch instead of "
+    "the whole view — the manifest/GC/basis protocol whose failure mode "
+    "is silent state corruption gets the strongest gate available: the "
+    "layout must never change answers",
+    tags=("cdc", "incremental", "join", "engine", "bucketed"),
+)
+def q_engine_join_view_maintenance_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Identical fixture ticks to q_engine_join_view_maintenance (the
+    "om_bkt" registration rides the shared five-view engine — one extra
+    fold per tick, not a sixth engine); the state commit goes through
+    streaming/bucketed.py's manifest protocol with manifest index ==
+    basis version, replays reading their original basis.  100 TB shape:
+    per-tick view-state write I/O becomes O(affected + touched·view/n)
+    — the engine tier's last table-sized write term (probe:
+    scripts/probe_engine_bucketed.py, SCALING.md r12)."""
+    eng = _engine_join_fixture(spark, sf_dir)
+    out = eng.view("om_bkt").select(
         "o_orderkey",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         "c_custkey",

@@ -54,6 +54,100 @@ from cdc_lite_spark.streaming._state import fs_for
 
 _BUCKET = "__b"
 
+#: measured break-evens on the reference box (SCALING.md r10/r11 probes):
+#: below ~10M rows the manifest/pointer overhead of a bucketed replica
+#: exceeds the rewrite it saves; the dual-indexed join family's fixed
+#: costs (four manifests, touched-id collects, two-stage pruned reads)
+#: cross under the flat scan in the ~100M-fact class.
+BREAK_EVEN_REPLICA_ROWS = 10_000_000
+BREAK_EVEN_JOIN_FACTS = 100_000_000
+#: size buckets as a task's worth of parquet (module docstring): n scales
+#: with the table so a bucket stays a fixed chunk, capped at 4096 (the
+#: manifest is O(n) driver-side JSON).
+TARGET_BUCKET_BYTES = 256 << 20
+MAX_BUCKETS = 4096
+
+
+def suggest_layout(
+    row_count: int,
+    fan_out: "float | None" = None,
+    row_bytes: int = 256,
+    dim_rows: "int | None" = None,
+) -> dict:
+    """Recommend state-layout parameters from table statistics — the
+    sizing knowledge of SCALING.md's probes as a callable (r11 verdict
+    ask #6), so a 100 TB deployment does not have to excavate break-even
+    tables from docs.
+
+    ``row_count`` is the replicated table's rows (the FACT side for a
+    join view); ``row_bytes`` its average encoded row width (Spark UI /
+    parquet footer; default 256 — a TPC-H-ish wide row).  Pass
+    ``fan_out`` (average facts per dim key) to also size the dual-indexed
+    join family, and ``dim_rows`` to size the dim replica.
+
+    Returns a dict of keyword-ready recommendations:
+
+    - ``"replica"``: ``{"buckets": n | None, "why": ...}`` — for
+      ``init_changelog_view(buckets=)`` and the engine's
+      ``register_join_view(fact_buckets=)`` view state (same ~10M-row
+      break-even class: both trade a whole-state rewrite for touched
+      buckets + manifest IO);
+    - ``"join"`` (with ``fan_out``): ``{"fact_buckets", "fk_buckets",
+      "dim_buckets", "why"}`` for ``init_changelog_join_view`` — ``None``
+      values mean flat is still cheaper at this size.
+
+    All numbers are box-measured defaults, not laws: re-probe with
+    ``scripts/probe_bucketed_replica.py`` / ``probe_dual_epoch.py`` /
+    ``probe_engine_join_buckets.py`` when the storage or cluster profile
+    differs materially."""
+    if row_count < 0:
+        raise ValueError(f"row_count must be >= 0, got {row_count}")
+    if row_bytes <= 0:
+        raise ValueError(f"row_bytes must be positive, got {row_bytes}")
+
+    def _n(rows: int, rb: int) -> int:
+        return max(8, min(MAX_BUCKETS, -(-rows * rb // TARGET_BUCKET_BYTES)))
+
+    out: dict = {"rows": row_count}
+    if row_count < BREAK_EVEN_REPLICA_ROWS:
+        out["replica"] = {
+            "buckets": None,
+            "why": f"below the ~{BREAK_EVEN_REPLICA_ROWS:,}-row break-even "
+                   "the manifest overhead exceeds the rewrite saved — flat",
+        }
+    else:
+        out["replica"] = {
+            "buckets": _n(row_count, row_bytes),
+            "why": f"~{TARGET_BUCKET_BYTES >> 20} MB per bucket at "
+                   f"{row_bytes} B/row",
+        }
+    if fan_out is not None:
+        if not fan_out > 0:
+            raise ValueError(f"fan_out must be positive, got {fan_out}")
+        if row_count < BREAK_EVEN_JOIN_FACTS:
+            out["join"] = {
+                "fact_buckets": None,
+                "fk_buckets": None,
+                "dim_buckets": None,
+                "why": f"below the ~{BREAK_EVEN_JOIN_FACTS:,}-fact "
+                       "break-even the dual index's fixed costs exceed "
+                       "the flat scan — flat",
+            }
+        else:
+            postings = int(row_count / fan_out)  # distinct fks, narrow rows
+            out["join"] = {
+                "fact_buckets": _n(row_count, row_bytes),
+                "fk_buckets": _n(max(postings, 1), 32),
+                "dim_buckets": (
+                    _n(dim_rows, row_bytes)
+                    if dim_rows and dim_rows >= BREAK_EVEN_REPLICA_ROWS
+                    else None
+                ),
+                "why": "fact/fk/dim sized independently; None = that side "
+                       "stays flat at its size",
+            }
+    return out
+
 
 class BucketedReplica:
     """One hash-bucketed replica under ``root`` with ``n`` buckets keyed by
@@ -321,4 +415,4 @@ class BucketedReplica:
                     self.fs.remove_dir(f"{self.root}/{name}")
 
 
-__all__ = ["BucketedReplica"]
+__all__ = ["BucketedReplica", "suggest_layout"]

@@ -1914,7 +1914,45 @@ def changelog_view_status(
             out["states"][label] = fs.read_pointer(d)
         except FileNotFoundError:
             out["states"][label] = None  # dir exists but never committed
+    # bucketed layouts: report bucket count vs occupancy (one tiny
+    # manifest-JSON read per layout) so a mis-sized layout — every bucket
+    # occupied and growing, or thousands sitting empty — is visible to
+    # operators without opening any parquet (r11 verdict ask #6 bonus)
+    lay: dict = {}
+    if kind == "join":
+        for field, label in (
+            ("fact_buckets", "fact_replica"),
+            ("fact_buckets", "join"),  # join state shares the fact-PK layout
+            ("fk_buckets", "fk_index"),
+            ("dim_buckets", "dim_replica"),
+        ):
+            n = (spec or {}).get(field)
+            if n:
+                lay[label] = _layout_occupancy(spark, dirs[label], n)
+    elif (spec or {}).get("buckets"):
+        lay["replica"] = _layout_occupancy(
+            spark, _replica_dir(state_dir), spec["buckets"]
+        )
+    if lay:
+        out["layout"] = lay
     return out
+
+
+def _layout_occupancy(spark: SparkSession, root: str, n: int) -> dict:
+    """``{"buckets": n, "occupied": k, "gen": g}`` from the layout's
+    current manifest — FS reads only."""
+    from cdc_lite_spark.streaming.bucketed import BucketedReplica
+
+    rep = BucketedReplica(spark, root, n, [], "")
+    try:
+        man = rep.current_manifest()
+    except FileNotFoundError:
+        return {"buckets": n, "occupied": None, "gen": None}  # never committed
+    return {
+        "buckets": n,
+        "occupied": len(man["buckets"]),
+        "gen": man.get("gen"),
+    }
 
 
 def changelog_tombstone_status(spark: SparkSession, state_dir: str) -> dict:

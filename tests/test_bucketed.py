@@ -53,3 +53,50 @@ def test_bucketed_snapshot_diff_shuffle_free(spark, tables, bucketed_orders):
     ops = {r["operation"] for r in diff.collect()}
     assert ops == {"UPDATE"}
     assert diff.count() == tables["orders"].filter("o_orderkey % 3 = 0").count()
+
+
+def test_suggest_layout_sizing():
+    """The SCALING.md break-even knowledge as a callable (r11 verdict
+    ask #6): flat below break-even, task-sized bucket counts above, the
+    dual-index join family gated at its own (higher) break-even."""
+    from cdc_lite_spark.streaming.bucketed import (
+        BREAK_EVEN_JOIN_FACTS,
+        BREAK_EVEN_REPLICA_ROWS,
+        MAX_BUCKETS,
+        suggest_layout,
+    )
+
+    # small table: everything flat
+    s = suggest_layout(1_000_000, fan_out=100)
+    assert s["replica"]["buckets"] is None
+    assert s["join"]["fact_buckets"] is None
+
+    # replica break-even crossed, join's not yet
+    s = suggest_layout(BREAK_EVEN_REPLICA_ROWS, fan_out=100)
+    assert s["replica"]["buckets"] is not None
+    assert s["join"]["fact_buckets"] is None
+
+    # 1B facts x 256B: replica+join bucketed, dim stays flat at 1M rows
+    s = suggest_layout(1_000_000_000, fan_out=1_000, dim_rows=1_000_000)
+    n = s["replica"]["buckets"]
+    assert 8 <= n <= MAX_BUCKETS
+    # ~256 GB / 256 MB = 1024 buckets
+    assert 512 <= n <= 2048
+    assert s["join"]["fact_buckets"] == n
+    assert s["join"]["fk_buckets"] >= 8  # 1M postings x 32B: floor
+    assert s["join"]["dim_buckets"] is None
+
+    # big dim gets its own buckets; cap respected at extreme sizes
+    s = suggest_layout(BREAK_EVEN_JOIN_FACTS, fan_out=2,
+                       dim_rows=BREAK_EVEN_REPLICA_ROWS)
+    assert s["join"]["dim_buckets"] is not None
+    assert suggest_layout(10**13)["replica"]["buckets"] == MAX_BUCKETS
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="row_count"):
+        suggest_layout(-1)
+    with _pytest.raises(ValueError, match="fan_out"):
+        suggest_layout(10**9, fan_out=0)
+    with _pytest.raises(ValueError, match="row_bytes"):
+        suggest_layout(10**9, row_bytes=0)

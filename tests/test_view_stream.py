@@ -805,6 +805,13 @@ def test_bucketed_epoch_writes_only_touched_buckets(spark, tmp_path):
         for r in read_changelog_view(spark, state_dir).collect()
     }
     assert float(agg["g"]) == float(sum(v for _, _, v in t2))
+    # layout observability (r11 verdict ask #6 bonus): the status reader
+    # reports bucket count vs occupancy from the manifest alone
+    st = changelog_view_status(spark, state_dir)
+    occ = st["layout"]["replica"]
+    assert occ["buckets"] == 8
+    assert occ["occupied"] == len(man["buckets"])
+    assert occ["gen"] == man["gen"]
 
 
 def test_bucketed_redrain_fresh_checkpoint_converges(spark, tmp_path):
