@@ -486,6 +486,17 @@ def _typed_latest(
     )
 
 
+def _conform(rows: DataFrame, schema: T.StructType) -> DataFrame:
+    """Cast caller-supplied history rows through the DECLARED schema — the
+    DDL is the state's on-disk contract, and a history frame carrying a
+    drifted-but-castable type (e.g. the decimal(19,2) an arithmetic
+    expression widens from a declared decimal(18,2)) must not leak a
+    different parquet physical layout into v0 that later epochs'
+    schema-pinned reads reject (FIXED_LEN_BYTE_ARRAY vs INT64 decimals).
+    Missing columns fail here (select), which is the right error."""
+    return rows.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+
+
 def _rep_ddl(schema_ddl: str) -> str:
     """The replica's ON-DISK schema: the declared table columns plus the
     per-key last-applied capture timestamp.  Reading a pre-r11 replica
@@ -698,7 +709,11 @@ def init_changelog_view(
         raise ValueError("where must be a non-empty SQL boolean expression")
     schema = T.StructType.fromDDL(schema_ddl)
     _check_no_reserved(schema)
-    rows = history if history is not None else spark.createDataFrame([], schema)
+    rows = (
+        _conform(history, schema)
+        if history is not None
+        else spark.createDataFrame([], schema)
+    )
     # the replica stays UNFILTERED — it is the latest-per-key table the
     # wire implies, and the prev_-value enrichment needs every key to
     # classify boundary-crossing updates; only the agg applies ``where``
@@ -1390,11 +1405,15 @@ def init_changelog_join_view(
     _check_tombstone_params(tombstone_horizon_s, fact_key)
     agg = _norm_join_agg(agg, fact_key, fschema, dschema)
     fact = (
-        fact_history
+        _conform(fact_history, fschema)
         if fact_history is not None
         else spark.createDataFrame([], fschema)
     )
-    dim = dim_history if dim_history is not None else spark.createDataFrame([], dschema)
+    dim = (
+        _conform(dim_history, dschema)
+        if dim_history is not None
+        else spark.createDataFrame([], dschema)
+    )
     m0 = _initial_join(fact, dim, fact_dim_col, dim_key, how)
     targets = []
     if dim_buckets:

@@ -130,9 +130,15 @@ def test_changelog_view_history_init_and_validation(spark, tmp_path):
     state_dir = str(tmp_path / "vstate_hist_init")
     # seed from tick-1 state, then drain the WHOLE log: the first batch's
     # INSERT-everything records fold as value-preserving no-op UPDATEs
-    # against the seeded replica, so convergence still holds
+    # against the seeded replica, so convergence still holds.  The history
+    # frame deliberately carries a DRIFTED-but-castable type (arithmetic
+    # widens decimal(10,2) to (11,2)): init must conform it to the
+    # declared DDL or the drain's schema-pinned replica read rejects the
+    # v0 parquet (r12 _conform — FLBA vs INT64 decimal physical layouts)
+    widened = _df(spark, _T1).withColumn("v", (F.col("v") + 1) - 1)
+    assert dict(widened.dtypes)["v"] != "decimal(10,2)"
     init_changelog_view(
-        spark, state_dir, _DDL, ["grp"], "v", history=_df(spark, _T1)
+        spark, state_dir, _DDL, ["grp"], "v", history=widened
     )
     q = start_changelog_view(
         stream_changes(spark, log, max_files_per_trigger=2),
