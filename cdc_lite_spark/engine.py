@@ -2019,23 +2019,33 @@ class CdcEngine:
             # basis version stands in for the snapshot version
             _, fv = self._join_side(s["fact_table"])
             _, dv = self._join_side(s["dim_table"])
-            out.append(
-                {
-                    "name": name,
-                    "kind": "join",
-                    "tables": [s["fact_table"], s["dim_table"]],
-                    "state_version": basis["v"] if basis else None,
-                    "basis": (
-                        {"fact_v": basis["fact_v"], "dim_v": basis["dim_v"]}
-                        if basis
-                        else None
-                    ),
-                    "table_version": {"fact_v": fv, "dim_v": dv},
-                    "lagging": basis is None
-                    or basis["fact_v"] != fv
-                    or basis["dim_v"] != dv,
-                }
-            )
+            ent = {
+                "name": name,
+                "kind": "join",
+                "tables": [s["fact_table"], s["dim_table"]],
+                "state_version": basis["v"] if basis else None,
+                "basis": (
+                    {"fact_v": basis["fact_v"], "dim_v": basis["dim_v"]}
+                    if basis
+                    else None
+                ),
+                "table_version": {"fact_v": fv, "dim_v": dv},
+                "lagging": basis is None
+                or basis["fact_v"] != fv
+                or basis["dim_v"] != dv,
+            }
+            if s.get("fact_buckets") and basis is not None:
+                # bucketed state: bucket count vs manifest occupancy (one
+                # tiny JSON read — the wire tier's observability, r12)
+                from cdc_lite_spark.streaming.view_stream import (
+                    _layout_occupancy,
+                )
+
+                ent["layout"] = _layout_occupancy(
+                    self.spark, f"{self._view_dir(name)}/state",
+                    s["fact_buckets"],
+                )
+            out.append(ent)
         for name, a in self._join_agg_views.items():
             basis = self._read_join_basis(a["join_view"])
             # the agg's commit point is the JOIN's basis (view() semantics):
