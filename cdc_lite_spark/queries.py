@@ -9630,3 +9630,169 @@ def q_wire_join_view_maintenance_dual(spark: SparkSession, sf_dir: str) -> DataF
         return out.localCheckpoint()
     finally:
         shutil.rmtree(td, ignore_errors=True)
+
+
+@register(
+    "wire_join_view_maintenance_reordered",
+    """
+    WITH f AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders WHERE o_orderkey % 11 != 0 AND o_orderkey % 3 = 0
+    ),
+    d AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal
+        FROM customer WHERE c_custkey % 6 != 0
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus,
+           CAST(f.o_totalprice AS DOUBLE) AS o_totalprice,
+           d.c_mktsegment, CAST(d.c_acctbal AS DOUBLE) AS c_acctbal
+    FROM f JOIN d ON f.o_custkey = d.c_custkey
+    """,
+    "The hostile-delivery twin of wire_join_view_maintenance: BOTH "
+    "tables' wire records delivered newest-tick-first, the newest tick "
+    "replayed byte-identical, one fact key's and one dim key's records "
+    "split across epochs out of order, and every tick-2 DELETE (fact AND "
+    "customer) arriving before its key's tick-1 INSERT — the per-SIDE "
+    "__ts monotonicity guards plus tombstone retention must converge the "
+    "maintained join to the from-scratch re-join of the final states, "
+    "and the gate asserts both sides' stale-drop counters and live "
+    "tombstones fired",
+    tags=("cdc", "incremental", "streaming", "engine", "join", "ordering"),
+)
+def q_wire_join_view_maintenance_reordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The JOIN-consumer leg of the ordering contract (the single-table
+    leg is changelog_view_maintenance_reordered): the two replicas guard
+    independently, the join fold always reads the ADVANCED replicas, so
+    any delivery order whose newest-per-key records survive converges —
+    including a fact whose dim arrives epochs later, a dim update applied
+    before the facts it fans out to, and deletes tombstoning keys the
+    replica never held.  Facts are the deterministic %3 third (hostile
+    classes are key-count-independent); the dim rides whole.  One file
+    per micro-batch: epoch 0 = tick 2 of both tables, epoch 1 = its
+    byte-identical replay (net no-op), epoch 2 = tick 1 minus the split
+    keys (wholly stale), epoch 3 = the split keys' tick-1 records."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cdc_lite_spark.sources.changelog import read_changes, stream_changes
+    from cdc_lite_spark.streaming.view_stream import (
+        changelog_stale_dropped,
+        changelog_view_status,
+        init_changelog_join_view,
+        read_changelog_join_view,
+        start_changelog_join_view,
+    )
+
+    log = _wire_log(spark, sf_dir)
+    ok = F.col("data")["o_orderkey"].cast("bigint")
+    ck = F.col("data")["c_custkey"].cast("bigint")
+    rec = (
+        read_changes(spark, log)
+        .filter((F.col("table") == "customer_v") | (ok % 3 == 0))
+        .persist()
+    )
+    ts = {}
+    for r in rec.select("table", "timestamp").distinct().collect():
+        ts.setdefault(r["table"], []).append(r["timestamp"])
+    t2 = {t: max(v) for t, v in ts.items()}
+    is_t2 = (
+        ((F.col("table") == "orders_v") & (F.col("timestamp") == t2["orders_v"]))
+        | (
+            (F.col("table") == "customer_v")
+            & (F.col("timestamp") == t2["customer_v"])
+        )
+    )
+    # split keys: one per side, present in BOTH ticks (UPDATE at tick 2)
+    split_f = (
+        rec.filter(is_t2 & (F.col("table") == "orders_v")
+                   & (F.col("operation") == "UPDATE"))
+        .agg(F.min(ok)).collect()[0][0]
+    )
+    split_d = (
+        rec.filter(is_t2 & (F.col("table") == "customer_v")
+                   & (F.col("operation") == "UPDATE"))
+        .agg(F.min(ck)).collect()[0][0]
+    )
+    is_split = ((F.col("table") == "orders_v") & (ok == split_f)) | (
+        (F.col("table") == "customer_v") & (ck == split_d)
+    )
+    hostile = tempfile.mkdtemp(prefix="cdc_hostile_join_log_")
+    td = tempfile.mkdtemp(prefix="cdc_wire_join_reord_")
+
+    def _emit(df: DataFrame, name: str, mtime: float) -> str:
+        tmp = tempfile.mkdtemp(prefix="cdc_hostile_part_")
+        df.coalesce(1).write.mode("overwrite").json(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".json")]
+        dst = os.path.join(hostile, name)
+        shutil.move(os.path.join(tmp, part[0]), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (mtime, mtime))
+        return dst
+
+    try:
+        base = time.time() - 1000
+        f0 = _emit(rec.filter(is_t2), "f0_tick2.json", base)
+        f1 = os.path.join(hostile, "f1_replay.json")
+        shutil.copy(f0, f1)
+        os.utime(f1, (base + 10, base + 10))
+        _emit(rec.filter(~is_t2 & ~is_split), "f2_tick1.json", base + 20)
+        _emit(rec.filter(~is_t2 & is_split), "f3_splitkeys.json", base + 30)
+        kw = dict(tombstone_horizon_s=86400.0)
+        init_changelog_join_view(
+            spark, td + "/vstate", "orders_v", "customer_v",
+            _WIRE_LOG_DDL_FACT, _WIRE_LOG_DDL_DIM,
+            ["o_orderkey"], ["o_custkey"], ["c_custkey"], **kw,
+        )
+        q = start_changelog_join_view(
+            stream_changes(spark, hostile, max_files_per_trigger=1),
+            "orders_v",
+            "customer_v",
+            _WIRE_LOG_DDL_FACT,
+            _WIRE_LOG_DDL_DIM,
+            ["o_orderkey"],
+            ["o_custkey"],
+            ["c_custkey"],
+            td + "/vstate",
+            td + "/ckpt",
+            available_now=True,
+            **kw,
+        )
+        q.awaitTermination()
+        drops = changelog_stale_dropped(spark, td + "/vstate")
+        for side in ("orders_v", "customer_v"):
+            if not drops.get(side, {}).get("dropped", 0) > 0:
+                raise AssertionError(
+                    f"join ordering-guard gate: no stale drop on {side} — "
+                    f"the hostile delivery did not exercise _stale: {drops}"
+                )
+        tb = changelog_view_status(spark, td + "/vstate", with_tombstones=True)[
+            "tombstones"
+        ]["states"]
+        for side in ("orders_v", "customer_v"):
+            if not (tb.get(side) and tb[side]["live"] > 0):
+                raise AssertionError(
+                    f"join ordering-guard gate: no live tombstones on "
+                    f"{side} — delete-before-insert not exercised: {tb}"
+                )
+        out = read_changelog_join_view(spark, td + "/vstate").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "c_mktsegment",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        return out.localCheckpoint()
+    finally:
+        try:
+            rec.unpersist()
+        except Exception:  # noqa: BLE001 — cleanup best-effort
+            pass
+        shutil.rmtree(td, ignore_errors=True)
+        shutil.rmtree(hostile, ignore_errors=True)
