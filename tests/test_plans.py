@@ -564,3 +564,55 @@ def test_changelog_guard_classify_broadcasts_batch_keys(spark):
     plan = explain_str(advanced)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_engine_bucketed_fold_prunes_mold_and_stays_broadcast(spark, tmp_path):
+    """The engine's bucketed join-view fold (r12): the pruned m_old read
+    touches ONLY the affected keys' bucket files (inputFiles-proven
+    pruning, not hope), and the fold plan over the pruned state keeps
+    every join broadcast — no sort-merge/shuffled-hash anywhere, so the
+    epoch adds no table shuffle."""
+    import pyspark.sql.functions as F
+
+    from cdc_lite_spark.operators.incremental import (
+        affected_join_keys,
+        maintain_join_with_changes,
+    )
+    from cdc_lite_spark.streaming.bucketed import BucketedReplica
+
+    ddl = "fid bigint, fk bigint, amt double, did bigint, label string"
+    m0 = spark.range(20_000).select(
+        F.col("id").alias("fid"), (F.col("id") % 5000).alias("fk"),
+        (F.col("id") * 1.0).alias("amt"), (F.col("id") % 5000).alias("did"),
+        (F.col("id") % 7).cast("string").alias("label"),
+    )
+    brep = BucketedReplica(spark, str(tmp_path / "jstate"), 8, ["fid"], ddl)
+    brep.init(m0)
+    man = brep.current_manifest()
+
+    fact_new = m0.select("fid", "fk", "amt")
+    dim_new = m0.select("did", "label").distinct()
+    fact_changes = spark.range(3).select((F.col("id") * 701).alias("fid"))
+    dim_changes = spark.range(1).select((F.col("id") + 7).alias("did"))
+    affected = affected_join_keys(
+        fact_new, fact_changes, dim_changes, ["fid"], ["fk"], ["did"]
+    )
+    plan = explain_str(affected)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    touched = brep.touched_ids(affected)
+    assert 0 < len(touched) < 8  # a delta tick must not touch every bucket
+    pruned = brep.read(man, touched)
+    pfiles = pruned.inputFiles()
+    allfiles = brep.read(man, None).inputFiles()
+    assert len(pfiles) < len(allfiles)
+    assert all(any(f"__b={b}/" in p for b in touched) for p in pfiles)
+
+    state, _, _ = maintain_join_with_changes(
+        pruned, fact_new, dim_new, fact_changes, dim_changes,
+        ["fid"], ["fk"], ["did"], with_changes=False, affected=affected,
+    )
+    plan = explain_str(state)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
