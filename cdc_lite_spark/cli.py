@@ -114,14 +114,19 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     p.add_argument(
         "--join-view",
         default="",
-        help="name=fact:dim:fact_key:fact_dim_col:dim_key[:how],... — "
-        "maintain a materialized fact⋈dim join view from both tables' "
-        "change records (diff mode only; both tables must be monitored "
-        "with keys; read it back with CdcEngine.view(name)).  Composite "
-        "keys are '+'-separated (fact_key=l_orderkey+l_linenumber); fact "
-        "or dim may name an EARLIER --join-view entry to chain "
-        "(snowflake: v2=v1:customer:...); how is inner (default) or "
-        "left_outer (danglers carried with null dim payloads)",
+        help="name=fact:dim:fact_key:fact_dim_col:dim_key[:how[:buckets]],"
+        "... — maintain a materialized fact⋈dim join view from both "
+        "tables' change records (diff mode only; both tables must be "
+        "monitored with keys; read it back with CdcEngine.view(name)).  "
+        "Composite keys are '+'-separated "
+        "(fact_key=l_orderkey+l_linenumber); fact or dim may name an "
+        "EARLIER --join-view entry to chain (snowflake: "
+        "v2=v1:customer:...); how is inner (default) or left_outer "
+        "(danglers carried with null dim payloads); buckets opts the view "
+        "STATE into the fact-PK-bucketed manifest layout so a tick "
+        "rewrites only the touched buckets — worth it above ~10M view "
+        "rows, size via cdc_lite_spark.streaming.bucketed.suggest_layout "
+        "(bucketed views cannot be chain sides)",
     )
     p.add_argument(
         "--join-agg-view",
@@ -305,16 +310,24 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     for kv in (s for s in args.join_view.split(",") if s):
         name, _, spec = kv.partition("=")
         parts = spec.split(":")
-        if not name or len(parts) not in (5, 6) or not all(parts):
+        if not name or len(parts) not in (5, 6, 7) or not all(parts):
             p.error(
                 f"--join-view entry {kv!r}: expected "
-                f"name=fact:dim:fact_key:fact_dim_col:dim_key[:how] "
+                f"name=fact:dim:fact_key:fact_dim_col:dim_key[:how[:buckets]] "
                 f"(composite keys '+'-separated; fact/dim may name an "
                 f"EARLIER --join-view entry to chain; how is inner or "
-                f"left_outer)"
+                f"left_outer; buckets = fact-PK-bucketed state layout)"
             )
         fact, dim, fkey, fdc, dkey = parts[:5]
-        how = parts[5] if len(parts) == 6 else "inner"
+        how = parts[5] if len(parts) >= 6 else "inner"
+        fbk = None
+        if len(parts) == 7:
+            if not parts[6].isdigit() or int(parts[6]) <= 0:
+                p.error(
+                    f"--join-view {name!r}: buckets must be a positive "
+                    f"integer, got {parts[6]!r}"
+                )
+            fbk = int(parts[6])
         key_lists = [k.split("+") for k in (fkey, fdc, dkey)]
         if any(not all(ks) for ks in key_lists):
             p.error(f"--join-view {name!r}: a key list has empty components")
@@ -339,7 +352,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             eng.register_join_view(
                 name, fact_table=fact, dim_table=dim,
                 fact_key=key_lists[0], fact_dim_col=key_lists[1],
-                dim_key=key_lists[2], how=how,
+                dim_key=key_lists[2], how=how, fact_buckets=fbk,
             )
         except ValueError as exc:  # e.g. name collides with an --agg-view
             p.error(f"--join-view {name!r}: {exc}")

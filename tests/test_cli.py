@@ -248,6 +248,26 @@ def test_cli_join_view_maintained_and_validated(spark, sf_dir, tmp_path):
         "nr2=nation:region:n_nationkey:n_regionkey:r_regionkey:left_outer",
     ], spark=spark)
     assert rc == 0
+    # the optional 7th :buckets segment opts the state into the bucketed
+    # manifest layout (r12) — registers, folds, reads back identically
+    rc = main(base + [
+        "--duration", "6", "--interval", "0.5",
+        "--join-view",
+        "nrb=nation:region:n_nationkey:n_regionkey:r_regionkey:inner:4",
+    ], spark=spark)
+    assert rc == 0
+    engb = CdcEngine(spark, output_dir=out, state_dir=state)
+    engb.register_join_view(
+        "nrb", fact_table="nation", dim_table="region",
+        fact_key="n_nationkey", fact_dim_col="n_regionkey",
+        dim_key="r_regionkey", fact_buckets=4,
+    )
+    assert engb.view("nrb").count() == 25
+    with pytest.raises(SystemExit):  # bad buckets suffix
+        main(base + [
+            "--join-view",
+            "nrx=nation:region:n_nationkey:n_regionkey:r_regionkey:inner:0",
+        ], spark=spark)
 
 
 def test_cli_agg_view_kind_suffix(spark, sf_dir, tmp_path):
