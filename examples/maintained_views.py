@@ -145,6 +145,23 @@ def main() -> int:
         fact_dim_col="team",
         dim_key="team_code",
     )
+    # BUCKETED STATE (r12): the same join, but the view state lives under
+    # the fact-PK-bucketed manifest layout — a tick rewrites only the
+    # buckets its affected keys touch instead of the whole view.  Worth it
+    # above ~10M view rows; size with suggest_layout:
+    #   from cdc_lite_spark.streaming.bucketed import suggest_layout
+    #   suggest_layout(row_count=2_000_000_000, row_bytes=180)
+    #   # -> {"replica": {"buckets": 1342, ...}, ...}
+    # (4 here only so the example runs visibly at toy scale)
+    eng.register_join_view(
+        "orders_teams_bucketed",
+        fact_table="orders",
+        dim_table="status_dim",
+        fact_key="id",
+        fact_dim_col="status",
+        dim_key="code",
+        fact_buckets=4,
+    )
     srcs = ConsistentSnapshotSource(spark, db).sources(
         ["orders", "status_dim", "team_dim"]
     )
@@ -195,6 +212,15 @@ def main() -> int:
     )
     orgs = eng.view("orders_orgs").groupBy("org").count()
     show("tick 2: chained view (orders ⋈ status ⋈ team_dim) rows per org", orgs)
+    # the bucketed twin serves identical rows — layout never changes
+    # answers; view_status shows its manifest occupancy
+    bkt = eng.view("orders_teams_bucketed")
+    assert bkt.count() == eng.view("orders_teams").count()
+    [occ] = [
+        r["layout"] for r in eng.view_status()
+        if r["name"] == "orders_teams_bucketed"
+    ]
+    print(f"-- bucketed twin: {bkt.count()} rows, layout {occ}")
 
     # CHANGELOG-DRIVEN consumer (r9): a downstream process — no engine —
     # folds the published A8 wire records into its own maintained view
