@@ -244,3 +244,35 @@ def test_engine_view_status_reports_bucket_occupancy(spark, tmp_path):
     assert occ["buckets"] == 4
     assert 1 <= occ["occupied"] <= 4
     assert occ["gen"] is not None
+
+
+def test_bucketed_late_agg_registration_heals_from_manifest(spark, tmp_path):
+    """An aggregate registered AFTER the bucketed join view materialized
+    heals on the next (quiet) tick by ONE aggregation over the manifest
+    state — the heal path's read_join_state routing, not a re-join."""
+    td = tmp_path / "late"
+    eng = CdcEngine(
+        spark, output_dir=str(td / "log"), state_dir=str(td / "state"),
+        emit_schema_changes=False,
+    )
+    eng.register_join_view("v", "f", "d", "fid", "fk", "did", fact_buckets=4)
+    keys = {"f": ["fid"], "d": ["did"]}
+    for i in range(2):
+        f, d = _tick_frames(spark, i)
+        eng.poll_once({"f": f, "d": d}, mode="diff", keys=keys)
+    eng.register_join_agg_view("late_agg", "v", ["label"], "amt")
+    f, d = _tick_frames(spark, 1)  # quiet tick: up-to-date heal branch
+    eng.poll_once({"f": f, "d": d}, mode="diff", keys=keys)
+    got = {
+        r["label"]: (float(r["agg_sum"]), r["agg_rows"])
+        for r in eng.view("late_agg").collect()
+    }
+    fexp, dexp = _tick_frames(spark, 1)
+    exp = {
+        r["label"]: (float(r["s"]), r["n"])
+        for r in fexp.join(dexp, fexp.fk == dexp.did)
+        .groupBy("label")
+        .agg(F.sum("amt").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp
