@@ -9638,7 +9638,7 @@ def q_wire_join_view_maintenance_dual(spark: SparkSession, sf_dir: str) -> DataF
     WITH f AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
                CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
-        FROM orders WHERE o_orderkey % 11 != 0 AND o_orderkey % 3 = 0
+        FROM orders WHERE o_orderkey % 11 != 0 AND o_orderkey % 6 = 0
     ),
     d AS (
         SELECT c_custkey, c_mktsegment,
@@ -9670,7 +9670,7 @@ def q_wire_join_view_maintenance_reordered(
     any delivery order whose newest-per-key records survive converges —
     including a fact whose dim arrives epochs later, a dim update applied
     before the facts it fans out to, and deletes tombstoning keys the
-    replica never held.  Facts are the deterministic %3 third (hostile
+    replica never held.  Facts are the deterministic %6 sixth (hostile
     classes are key-count-independent); the dim rides whole.  One file
     per micro-batch: epoch 0 = tick 2 of both tables, epoch 1 = its
     byte-identical replay (net no-op), epoch 2 = tick 1 minus the split
@@ -9694,7 +9694,7 @@ def q_wire_join_view_maintenance_reordered(
     ck = F.col("data")["c_custkey"].cast("bigint")
     rec = (
         read_changes(spark, log)
-        .filter((F.col("table") == "customer_v") | (ok % 3 == 0))
+        .filter((F.col("table") == "customer_v") | (ok % 6 == 0))
         .persist()
     )
     ts = {}
