@@ -1261,3 +1261,82 @@ def test_guard_converges_under_random_histories_and_delivery_orders(
     got = {(r["id"], r["v"], r["__ts"].replace(tzinfo=timezone.utc))
            for r in replica.collect()}
     assert got == want
+
+
+@given(
+    fact_prev=FACT_ROWS_COMPOSITE,
+    fact_cur=FACT_ROWS_COMPOSITE,
+    dim_prev=DIM_ROWS_COMPOSITE,
+    dim_cur=DIM_ROWS_COMPOSITE,
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_bucketed_pruned_fold_matches_rejoin_under_random_histories(
+    spark, fact_prev, fact_cur, dim_prev, dim_cur
+):
+    """The bucketed state layout's core algebra (r12, engine.py
+    `_fold_join_view` with `brep`): for ANY snapshot transition on both
+    sides, folding over ONLY the affected keys' buckets of the old view
+    — `affected_join_keys` → touched ids → pruned m_old, with the
+    affected set injected back via `maintain_join_with_changes(affected=)`
+    — and unioning the untouched buckets' rows verbatim equals a
+    from-scratch join of the new snapshots.  Two invariants at once: the
+    affected set is COMPLETE (no key outside the touched buckets ever
+    needs a new value) and the pruned fold over it is EXACT (kept ∪
+    refreshed IS the touched buckets' new content)."""
+    import pyspark.sql.functions as F
+
+    from cdc_lite_spark.operators.diff import snapshot_diff
+    from cdc_lite_spark.operators.incremental import (
+        affected_join_keys,
+        maintain_join_with_changes,
+    )
+
+    def _fact(rows):
+        return spark.createDataFrame(
+            rows, "o_id1 long, o_id2 long, o_fk1 long, o_fk2 long, o_val long"
+        )
+
+    def _dim(rows):
+        return spark.createDataFrame(rows, "d_k1 long, d_k2 long, d_attr string")
+
+    fp, fc = _fact(fact_prev), _fact(fact_cur)
+    dp, dc = _dim(dim_prev), _dim(dim_cur)
+    fk, fdc, dk = ["o_id1", "o_id2"], ["o_fk1", "o_fk2"], ["d_k1", "d_k2"]
+
+    def _join(f, d):
+        return f.join(
+            d,
+            (f["o_fk1"] == d["d_k1"]) & (f["o_fk2"] == d["d_k2"]),
+            "inner",
+        ).select(*f.columns, *d.columns)
+
+    n = 4
+    bexpr = F.pmod(
+        F.xxhash64(
+            F.concat_ws(
+                "\x1f",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in fk],
+            )
+        ),
+        F.lit(n),
+    ).cast("int")
+    m_old = _join(fp, dp).withColumn("__b", bexpr)
+    fact_changes = snapshot_diff(fp, fc, fk)
+    dim_changes = snapshot_diff(dp, dc, dk)
+    affected = affected_join_keys(fc, fact_changes, dim_changes, fk, fdc, dk)
+    touched = sorted(
+        r[0] for r in affected.select(bexpr.alias("__b")).distinct().collect()
+    )
+    pruned = m_old.filter(F.col("__b").isin(touched)).drop("__b")
+    state, _, _ = maintain_join_with_changes(
+        pruned, fc, dc, fact_changes, dim_changes, fk, fdc, dk,
+        with_changes=False, affected=affected,
+    )
+    final = state.unionByName(
+        m_old.filter(~F.col("__b").isin(touched)).drop("__b")
+    )
+    assert {tuple(r) for r in final.collect()} == {
+        tuple(r) for r in _join(fc, dc).collect()
+    }
