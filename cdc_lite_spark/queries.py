@@ -9796,3 +9796,103 @@ def q_wire_join_view_maintenance_reordered(
             pass
         shutil.rmtree(td, ignore_errors=True)
         shutil.rmtree(hostile, ignore_errors=True)
+
+
+@register(
+    "changelog_view_maintenance_parquet_log",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS agg_sum,
+           CAST(count(o_totalprice) AS BIGINT) AS agg_count,
+           CAST(count(*) AS BIGINT) AS agg_rows
+    FROM orders
+    WHERE o_orderkey % 11 != 0
+    GROUP BY o_orderstatus
+    """,
+    "The PARQUET-log twin of changelog_view_maintenance: the same wire "
+    "records re-laid as a parquet change log (LOG_FORMATS' documented "
+    "scale layout — columnar, typed without a read schema, footer-stats "
+    "prunable) and drained through the same consumer to the same "
+    "from-scratch oracle — the format a 100 TB deployment actually runs "
+    "gets a driver row, not just the pytest format matrix",
+    tags=("cdc", "incremental", "streaming", "engine", "format"),
+)
+def q_changelog_view_maintenance_parquet_log(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JSONL is reference parity (duckdb_cdc.go:268); parquet is the
+    scale layout (sources/changelog.py LOG_FORMATS — ~10x smaller for
+    wide envelopes, bounds pushed to footer min/max).  The gate re-lays
+    the shared log's orders records as one parquet append (a real
+    append_changes write, format-guarded) and drains it with
+    ``stream_changes(fmt="parquet")`` through the identical maintenance
+    protocol — listing, typed columnar read, multi-batch fold, and the
+    final state must still converge exactly.  100 TB relevance: a 1 s
+    trigger writes ~86k files/day/table; the columnar log is what keeps
+    consumer catch-up reads O(changed ticks) (read_changes_between)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cdc_lite_spark.sources.changelog import (
+        append_changes,
+        read_changes,
+        stream_changes,
+    )
+    from cdc_lite_spark.streaming.view_stream import (
+        init_changelog_view,
+        read_changelog_view,
+        start_changelog_view,
+    )
+
+    log = _wire_log(spark, sf_dir)
+    td = tempfile.mkdtemp(prefix="cdc_changelog_view_pq_")
+    rec = read_changes(spark, log, table="orders_v").persist()
+    try:
+        pq_log = td + "/pqlog"
+        # one append PER TICK with monotone mtimes — exactly a real
+        # producer's flush pattern, and what makes the drain order
+        # deterministic: a single bulk append would give every file one
+        # mtime, letting tick-2 DELETEs drain before tick-1 INSERTs
+        # (resurrection without tombstones — the ordering contract's
+        # documented limit, not this gate's subject)
+        ticks = sorted(r[0] for r in rec.select("timestamp").distinct().collect())
+        base = time.time() - 1000
+        for i, t in enumerate(ticks):
+            before = set(glob.glob(pq_log + "/*.parquet"))
+            append_changes(
+                rec.filter(F.col("timestamp") == t), pq_log, fmt="parquet"
+            )
+            for f in set(glob.glob(pq_log + "/*.parquet")) - before:
+                os.utime(f, (base + 10 * i, base + 10 * i))
+        init_changelog_view(
+            spark, td + "/vstate", _WIRE_LOG_DDL_FACT, ["o_orderstatus"],
+            "o_totalprice",
+        )
+        q = start_changelog_view(
+            stream_changes(spark, pq_log, max_files_per_trigger=4, fmt="parquet"),
+            "orders_v",
+            _WIRE_LOG_DDL_FACT,
+            ["o_orderkey"],
+            ["o_orderstatus"],
+            "o_totalprice",
+            td + "/vstate",
+            td + "/ckpt",
+            available_now=True,
+        )
+        q.awaitTermination()
+        out = read_changelog_view(spark, td + "/vstate").select(
+            "o_orderstatus",
+            F.col("agg_sum").cast("double").alias("agg_sum"),
+            "agg_count",
+            "agg_rows",
+        )
+        return out.localCheckpoint()
+    finally:
+        try:
+            rec.unpersist()
+        except Exception:  # noqa: BLE001 — cleanup best-effort
+            pass
+        shutil.rmtree(td, ignore_errors=True)
