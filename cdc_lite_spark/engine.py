@@ -2743,35 +2743,60 @@ class CdcEngine:
             snap_d, basis["dim_v"], dv, dim_new, s["dim_key"], s["dim_table"]
         )
         affected = bctx = None
-        if brep is None:
-            m_old = self.spark.read.parquet(old_state_dir)
-        else:
-            affected = affected_join_keys(
-                fact_new, fact_changes, dim_changes,
-                s["fact_key"], s["fact_dim_col"], s["dim_key"],
+        try:
+            if brep is None:
+                m_old = self.spark.read.parquet(old_state_dir)
+            else:
+                affected = affected_join_keys(
+                    fact_new, fact_changes, dim_changes,
+                    s["fact_key"], s["fact_dim_col"], s["dim_key"],
+                    hint_broadcast=s["hint_broadcast"],
+                ).persist()
+                # bucket ids hash the STRING rendering of the key values, so
+                # the affected keys must be cast through the PINNED key types
+                # before hashing — the committed state is bucketed after the
+                # pinned-DDL cast, and a castable key-type drift (decimal →
+                # double renders '5.00' vs '5.0') would otherwise prune the
+                # read to the wrong buckets and silently keep duplicates
+                pin = {
+                    f.name: f.dataType
+                    for f in T.StructType.fromDDL(brep.schema_ddl).fields
+                }
+                touched = brep.touched_ids(
+                    affected.select(
+                        *[F.col(c).cast(pin[c]) for c in s["fact_key"]]
+                    )
+                )
+                m_old = brep.read(man, touched)
+                bctx = (touched, man)
+            state, changes, handles = maintain_join_with_changes(
+                m_old,
+                fact_new,
+                dim_new,
+                fact_changes,
+                dim_changes,
+                fact_key=s["fact_key"],
+                fact_dim_col=s["fact_dim_col"],
+                dim_key=s["dim_key"],
                 hint_broadcast=s["hint_broadcast"],
-            ).persist()
-            touched = brep.touched_ids(affected)
-            m_old = brep.read(man, touched)
-            bctx = (touched, man)
-        state, changes, handles = maintain_join_with_changes(
-            m_old,
-            fact_new,
-            dim_new,
-            fact_changes,
-            dim_changes,
-            fact_key=s["fact_key"],
-            fact_dim_col=s["fact_dim_col"],
-            dim_key=s["dim_key"],
-            hint_broadcast=s["hint_broadcast"],
-            # left_outer persists even without dependent aggs: its refresh
-            # references the pruned facts three times and the dim twice
-            # per action (r10 ADVICE — the persist is the fix)
-            persist_shared=with_changes or s.get("how", "inner") == "left_outer",
-            with_changes=with_changes,
-            how=s.get("how", "inner"),
-            affected=affected,
-        )
+                # left_outer persists even without dependent aggs: its refresh
+                # references the pruned facts three times and the dim twice
+                # per action (r10 ADVICE — the persist is the fix)
+                persist_shared=with_changes or s.get("how", "inner") == "left_outer",
+                with_changes=with_changes,
+                how=s.get("how", "inner"),
+                affected=affected,
+            )
+        except Exception:
+            # maintain_join_with_changes releases only the handles IT
+            # registered; the caller-owned affected persist must not leak
+            # in the cache manager when touched_ids or the fold raises
+            if affected is not None:
+                try:
+                    affected.unpersist()
+                except Exception:  # noqa: BLE001 — cleanup best-effort
+                    pass
+            raise
         if affected is not None:
             handles.append(affected)  # tick-end lifecycle with the rest
         return state, changes, handles, bctx

@@ -613,9 +613,15 @@ def maintain_join_with_changes(
         affected=affected,
     )
     try:
-        if persist_shared and owns_affected:
-            affected = affected.persist()
-            handles.append(affected)
+        if persist_shared:
+            # only the affected persist is gated on ownership — a caller-
+            # provided affected set is already persisted by the caller, but
+            # ``refreshed`` is built HERE and must materialize once however
+            # the affected set arrived, or every consuming action (state
+            # commit + each agg fold) re-runs the pruned refresh join
+            if owns_affected:
+                affected = affected.persist()
+                handles.append(affected)
             refreshed = refreshed.persist()
             handles.append(refreshed)
         aff = F.broadcast(affected) if hint_broadcast else affected

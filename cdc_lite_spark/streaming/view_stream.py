@@ -943,6 +943,12 @@ def start_changelog_view(
 
     def _tick(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
+
+        def _phase(p: str) -> None:
+            # label the phase's jobs in the UI/event log (guide §1.5);
+            # thread-local, reset by the stream runner at each batch start
+            spark.sparkContext.setJobDescription(f"vstream {table}: {p}")
+
         # delta-sized — consumed by the enrichment join, the replica
         # advance, and (via enriched) the agg fold.  persist(), not
         # localCheckpoint(): the micro-batch file source is deterministic
@@ -1041,13 +1047,18 @@ def start_changelog_view(
                 # gc AFTER the agg commit: the agg plan lazily reads the
                 # basis manifest's bucket paths, which a pre-agg GC could
                 # delete on a redrain whose basis fell back to _CURRENT
+                _phase("replica commit (bucketed)")
                 new_man = brep.commit(new_replica, touched, man, epoch, gc=False)
+                _phase("agg commit")
                 commit_version(agg_new, _agg_dir(state_dir), epoch, agg_fs)
                 brep.gc(epoch, new_man, man)
             else:
+                _phase("replica commit")
                 commit_version(new_replica, _replica_dir(state_dir), epoch, rep_fs)
+                _phase("agg commit")
                 commit_version(agg_new, _agg_dir(state_dir), epoch, agg_fs)
             if tombs is not None:
+                _phase("tombs commit")
                 commit_version(
                     _advance_tombs(
                         tombs, fresh_latest, key_cols, tombstone_horizon_s
@@ -1057,6 +1068,7 @@ def start_changelog_view(
             # operational counter, AFTER the commit (one cached scan of the
             # batch-sized classify frame; a crash between commit and this
             # write loses only the count, never state)
+            _phase("stale count")
             n_stale = joined.filter(_stale()).count()
             if n_stale:
                 _bump_stale_status(spark, state_dir, table, epoch, n_stale)
@@ -1657,6 +1669,11 @@ def start_changelog_join_view(
 
     def _tick(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
+
+        def _phase(p: str) -> None:
+            # label the phase's jobs in the UI/event log (guide §1.5)
+            spark.sparkContext.setJobDescription(f"vjoin {fact_table}: {p}")
+
         f_latest = _typed_latest(batch, fact_table, fschema, fact_key).persist()
         d_latest = _typed_latest(batch, dim_table, dschema, dim_key).persist()
         handles: list = []
@@ -1822,6 +1839,7 @@ def start_changelog_join_view(
             # LAST — each pointer implies everything it folded against
             # committed
             if fact_buckets:
+                _phase("fact replica commit (bucketed)")
                 new_m_f = f_brep.commit(new_f, touched, m_f, epoch, gc=False)
                 # the posting fold consumes the SAME classified batch the
                 # advance used: O(batch) refcount rows into the touched
@@ -1830,17 +1848,21 @@ def start_changelog_join_view(
                     f_joined.filter(~_stale()), f_brep, fact_dim_col,
                     f_non_key,
                 )
+                _phase("posting index commit")
                 touched_fk = p_brep.touched_ids(delta)
                 new_p = _posting_fold(
                     p_brep.read(m_p, touched_fk), delta, fact_dim_col
                 )
                 new_m_p = p_brep.commit(new_p, touched_fk, m_p, epoch, gc=False)
             else:
+                _phase("fact replica commit")
                 commit_version(new_f, _fact_replica_dir(state_dir), epoch, f_fs)
+            _phase("dim replica commit")
             if d_brep is not None:
                 new_m_d = d_brep.commit(new_d, touched_d, m_d, epoch, gc=False)
             else:
                 commit_version(new_d, _dim_replica_dir(state_dir), epoch, d_fs)
+            _phase("join state commit")
             if fact_buckets:
                 # m_new is exactly the affected buckets' new content —
                 # the join rewrite prunes to them
@@ -1848,8 +1870,10 @@ def start_changelog_join_view(
             else:
                 commit_version(m_new, _join_dir(state_dir), epoch, j_fs)
             if agg_new is not None:
+                _phase("agg commit")
                 commit_version(agg_new, _agg_dir(state_dir), epoch, a_fs)
             if tombstone_horizon_s is not None:
+                _phase("tombs commit")
                 commit_version(
                     _advance_tombs(
                         f_tombs, f_fresh, fact_key, tombstone_horizon_s
@@ -1870,6 +1894,7 @@ def start_changelog_join_view(
                 j_brep.gc(epoch, new_m_j, m_j)
                 if d_brep is not None:
                     d_brep.gc(epoch, new_m_d, m_d)
+            _phase("stale count")
             for tbl, jn in ((fact_table, f_joined), (dim_table, d_joined)):
                 n_stale = jn.filter(_stale()).count()
                 if n_stale:

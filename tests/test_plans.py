@@ -598,7 +598,7 @@ def test_engine_bucketed_fold_prunes_mold_and_stays_broadcast(spark, tmp_path):
         fact_new, fact_changes, dim_changes, ["fid"], ["fk"], ["did"]
     )
     plan = explain_str(affected)
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
     touched = brep.touched_ids(affected)
