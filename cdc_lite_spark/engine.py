@@ -436,6 +436,11 @@ class CdcEngine:
         loop exits)."""
         _time = time  # module-level import (engine.py top)
 
+        #: (table, new_v, keys) capture records whose view folds + snapshot
+        #: GC run after ALL captures — independent per table, so they
+        #: overlap below instead of serializing inside the capture loop
+        deferred_folds: list[tuple[str, int, list[str]]] = []
+
         for table, df, current, err, detect_secs in detections:
             if err is not None:
                 print(f"cdc_lite_spark: error checking table {table}: {err}")
@@ -483,7 +488,7 @@ class CdcEngine:
                             f"diff mode needs a primary key for table "
                             f"{table!r}: pass keys={{{table!r}: [...]}}"
                         )
-                    self._capture_diff(table, df, keys[table])
+                    self._capture_diff(table, df, keys[table], deferred_folds)
                 else:
                     append_changes(self.snapshot(df, table), self.output_dir, fmt=self.log_format)
                 self.record_checksum(table, current)
@@ -495,6 +500,31 @@ class CdcEngine:
                     (table, True, False, detect_secs, _time.monotonic() - t0, str(exc))
                 )
         self._record_metrics(metrics)
+        # deferred per-table agg-view folds: each task is one table's
+        # fold+GC (per-table isolation preserved inside); tables overlap
+        if deferred_folds:
+
+            def _fold_table(rec: tuple[str, int, list[str]]) -> None:
+                table, new_v, keys_t = rec
+                try:
+                    self._maintain_views(table, new_v, keys_t)
+                    self._gc_versions(
+                        self._snapshot_path(table), new_v,
+                        self.SNAPSHOT_VERSIONS_KEPT,
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-table isolation
+                    print(
+                        f"cdc_lite_spark: error maintaining views for table "
+                        f"{table}: {exc}"
+                    )
+
+            if len(deferred_folds) == 1:
+                _fold_table(deferred_folds[0])
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    list(pool.map(_fold_table, deferred_folds))
         # join views fold AFTER all captures so a tick that mutated both
         # sides folds one combined delta; quiet ticks retry lagging views
         # (fully isolated — a view error never fails the tick)
@@ -623,7 +653,13 @@ class CdcEngine:
         )
         return agg, join
 
-    def _capture_diff(self, table: str, cur: DataFrame, keys: list[str]) -> None:
+    def _capture_diff(
+        self,
+        table: str,
+        cur: DataFrame,
+        keys: list[str],
+        defer_folds: "list | None" = None,
+    ) -> None:
         """Diff current state against the stored previous snapshot, emit
         per-row operation envelopes, then persist the new snapshot.
 
@@ -690,11 +726,19 @@ class CdcEngine:
                     shared = shared.persist()
                 self._tick_diffs[(table, prev_v, tuple(keys))] = shared
         # maintained views fold BEFORE snapshot GC so the healing diff can
-        # still read the version a lagging view was built against
-        self._maintain_views(table, new_v, keys)
-        self._gc_versions(
-            self._snapshot_path(table), new_v, self.SNAPSHOT_VERSIONS_KEPT
-        )
+        # still read the version a lagging view was built against.  When
+        # the caller collects deferred folds (poll_once), the fold+GC pair
+        # runs after ALL captures instead — different tables' folds are
+        # independent (own view dirs, own snapshot GC) and overlap there
+        # (guide §2.6); the per-table ordering (capture → fold → GC) is
+        # unchanged
+        if defer_folds is not None:
+            defer_folds.append((table, new_v, list(keys)))
+        else:
+            self._maintain_views(table, new_v, keys)
+            self._gc_versions(
+                self._snapshot_path(table), new_v, self.SNAPSHOT_VERSIONS_KEPT
+            )
 
     # -- maintained aggregate views -------------------------------------------
 
@@ -1202,37 +1246,55 @@ class CdcEngine:
             diffs[vv] = df
             return df
 
+        def _fold_one(name, s, vv, pinned, changes) -> None:
+            try:
+                state = None
+                if changes is not None:
+                    prev_state = self.spark.read.parquet(
+                        f"{self._view_dir(name)}/v={vv}"
+                    )
+                    # None = this kind cannot fold THIS delta (HLL
+                    # retraction): fall through to the rebuild
+                    state = self._fold_agg_state(s, prev_state, changes)
+                if state is None:
+                    state = self._build_agg_state(s, cur)
+                state.write.mode("overwrite").parquet(
+                    f"{self._view_dir(name)}/v={new_v}"
+                )
+                self._gc_versions(
+                    self._view_dir(name), new_v, self.VIEW_VERSIONS_KEPT
+                )
+                if not pinned:
+                    # pin only after state actually materialized — a
+                    # registration whose fold fails stays unpinned and
+                    # can simply be corrected
+                    self._pin_view_spec(name, s)
+            except Exception as exc:  # noqa: BLE001 — per-view isolation
+                print(f"cdc_lite_spark: error maintaining view {name}: {exc}")
+
         try:
+            # resolve each view's shared diff on THIS thread (the diffs
+            # dict and persist registration are not thread-safe), then run
+            # the independent per-view fold+write jobs concurrently — each
+            # writes its own view dir, the _SUCCESS marker stays the
+            # per-view commit point, and errors stay isolated per view
+            # (guide §2.6: overlap independent jobs so one view's write
+            # tail doesn't serialize the next view's whole fold behind it)
+            tasks = []
             for name, s, vv, pinned in lagging:
-                try:
-                    if s["kind"] == "sample":
-                        # row identity = this tick's diff keys; a transient
-                        # copy only — _stable_spec never pins pk_cols
-                        s = dict(s, pk_cols=keys)
-                    changes = _changes_from(vv) if vv is not None else None
-                    state = None
-                    if changes is not None:
-                        prev_state = self.spark.read.parquet(
-                            f"{self._view_dir(name)}/v={vv}"
-                        )
-                        # None = this kind cannot fold THIS delta (HLL
-                        # retraction): fall through to the rebuild
-                        state = self._fold_agg_state(s, prev_state, changes)
-                    if state is None:
-                        state = self._build_agg_state(s, cur)
-                    state.write.mode("overwrite").parquet(
-                        f"{self._view_dir(name)}/v={new_v}"
-                    )
-                    self._gc_versions(
-                        self._view_dir(name), new_v, self.VIEW_VERSIONS_KEPT
-                    )
-                    if not pinned:
-                        # pin only after state actually materialized — a
-                        # registration whose fold fails stays unpinned and
-                        # can simply be corrected
-                        self._pin_view_spec(name, s)
-                except Exception as exc:  # noqa: BLE001 — per-view isolation
-                    print(f"cdc_lite_spark: error maintaining view {name}: {exc}")
+                if s["kind"] == "sample":
+                    # row identity = this tick's diff keys; a transient
+                    # copy only — _stable_spec never pins pk_cols
+                    s = dict(s, pk_cols=keys)
+                changes = _changes_from(vv) if vv is not None else None
+                tasks.append((name, s, vv, pinned, changes))
+            if len(tasks) == 1:
+                _fold_one(*tasks[0])
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(3, len(tasks))) as pool:
+                    list(pool.map(lambda t: _fold_one(*t), tasks))
         finally:
             for df in persisted_diffs:
                 df.unpersist()
@@ -2362,13 +2424,46 @@ class CdcEngine:
         both deltas at once; quiet ticks retry lagging views for free.
 
         Registration order IS dependency order for snowflake chains (a view
-        used as a side must be registered first), so iterating the dict
-        maintains every upstream view before its consumers."""
-        for name, s in self._join_views.items():
+        used as a side must be registered first), so the fold proceeds in
+        topological LEVELS: every upstream view commits before any consumer
+        folds, and the independent views within a level run concurrently
+        (guide §2.6 — each writes its own state dir, per-view isolation is
+        kept inside the task).  A chained view's seeded change records
+        (``_tick_diffs``) are written by its upstream's level and only read
+        by strictly later levels, so the level barrier is the
+        synchronization."""
+        names = list(self._join_views)
+        level: dict[str, int] = {}
+
+        def _lvl(n: str) -> int:
+            if n not in level:
+                s = self._join_views[n]
+                deps = [
+                    t
+                    for t in (s["fact_table"], s["dim_table"])
+                    if t in self._join_views
+                ]
+                level[n] = 1 + max((_lvl(d) for d in deps), default=-1)
+            return level[n]
+
+        for n in names:
+            _lvl(n)
+
+        def _one(name: str) -> None:
             try:
-                self._maintain_one_join_view(name, s)
+                self._maintain_one_join_view(name, self._join_views[name])
             except Exception as exc:  # noqa: BLE001 — per-view isolation (H6)
                 print(f"cdc_lite_spark: error maintaining view {name}: {exc}")
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        for lv in sorted(set(level.values())):
+            grp = [n for n in names if level[n] == lv]
+            if len(grp) == 1:
+                _one(grp[0])
+            else:
+                with ThreadPoolExecutor(max_workers=min(3, len(grp))) as pool:
+                    list(pool.map(_one, grp))
 
     def _join_side(self, t: str) -> "tuple[str, int | None]":
         """(versioned state dir, latest committed version) for a join-view

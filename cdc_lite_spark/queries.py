@@ -5396,15 +5396,19 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, k=_TOPK, probe_flips=len(DEFAULT_BUCKET_DIMS)
     ).select("query_id", F.col("nbr_id").alias("__m"))
     t = truth.alias("t")
+    # the ANN sides are provably |Q|·k rows (top-k per probe query) —
+    # broadcast them so the two recall joins are map-side instead of the
+    # SortMergeJoin the (unknown-stats) aggregation outputs defaulted to:
+    # 2 SMJ → 2 BHJ, 4 fewer Exchange+Sort pairs (guide §3.1)
     joined = (
         t.join(
-            single.alias("s"),
+            F.broadcast(single).alias("s"),
             (F.col("t.query_id") == F.col("s.query_id"))
             & (F.col("t.nbr_id") == F.col("s.__s")),
             "left",
         )
         .join(
-            multi.alias("m"),
+            F.broadcast(multi).alias("m"),
             (F.col("t.query_id") == F.col("m.query_id"))
             & (F.col("t.nbr_id") == F.col("m.__m")),
             "left",
@@ -7954,15 +7958,15 @@ def _engine_join_fixture(spark: SparkSession, sf_dir: str):
         "cust_v": ["c_custkey"],
         "nation_v": ["n_nationkey"],
     }
-    # parallelism=2: the tables' detect scans are independent jobs —
+    # parallelism=3: the three tables' detect scans are independent jobs —
     # overlapping them shaves the serial fingerprint latency per tick
     eng.poll_once(
         {"orders_v": fact_prev, "cust_v": dim_prev, "nation_v": d2_prev},
-        mode="diff", keys=keys, parallelism=2,
+        mode="diff", keys=keys, parallelism=3,
     )
     eng.poll_once(
         {"orders_v": fact_cur, "cust_v": dim_cur, "nation_v": d2_cur},
-        mode="diff", keys=keys, parallelism=2,
+        mode="diff", keys=keys, parallelism=3,
     )
     _ENGINE_JOIN_FIX[sf_dir] = eng
     return eng

@@ -245,18 +245,57 @@ def read_for_epoch(
     return read_current(spark, state_dir, fs, schema)
 
 
-def commit_version(state: DataFrame, state_dir: str, epoch: int, fs=None) -> str:
-    """Write epoch ``epoch``'s RESULT as ``v{epoch+1}``, swing the pointer,
-    and GC versions a replay of this epoch can no longer read.  Returns the
-    new version name."""
-    fs = fs or fs_for(state_dir, state.sparkSession)
+def write_version(state: DataFrame, state_dir: str, epoch: int) -> str:
+    """Phase 1 of a commit: write epoch ``epoch``'s RESULT as ``v{epoch+1}``
+    WITHOUT swinging the pointer.  Until :func:`publish_version` runs, the
+    dir is an orphan no reader trusts (``read_for_epoch`` serves ``v{epoch}``
+    or ``_CURRENT``) and a replay simply overwrites it — so several states'
+    phase-1 writes can run CONCURRENTLY (guide §2.6) while their pointer
+    swings keep the dependency order the protocol documents."""
     new_version = f"v{epoch + 1}"
     state.write.mode("overwrite").parquet(state_dir + "/" + new_version)
+    return new_version
+
+
+def publish_version(state_dir: str, epoch: int, fs=None) -> str:
+    """Phase 2 of a commit: swing the pointer to ``v{epoch+1}`` and GC
+    versions a replay of this epoch can no longer read.  Pointer-ordering
+    across states (replica first, agg last) lives in the CALLER's publish
+    order — the writes themselves may have completed in any order."""
+    fs = fs or fs_for(state_dir)
+    new_version = f"v{epoch + 1}"
     repoint(state_dir, new_version, fs)
     for name in fs.list_names(state_dir):
         if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < epoch:
             fs.remove_dir(state_dir + "/" + name)
     return new_version
+
+
+def commit_version(state: DataFrame, state_dir: str, epoch: int, fs=None) -> str:
+    """Write epoch ``epoch``'s RESULT as ``v{epoch+1}``, swing the pointer,
+    and GC versions a replay of this epoch can no longer read.  Returns the
+    new version name."""
+    fs = fs or fs_for(state_dir, state.sparkSession)
+    write_version(state, state_dir, epoch)
+    return publish_version(state_dir, epoch, fs)
+
+
+def run_writes(writes: "list[tuple[str, callable]]", max_workers: int = 3) -> dict:
+    """Run independent phase-1 write thunks concurrently and return
+    ``{label: result}``.  Spark's scheduler interleaves concurrent jobs
+    across executor slots (guide §2.6): one state's write tail no longer
+    serializes behind another's, and driver-side planning of one overlaps
+    execution of the rest.  Any failure propagates BEFORE the caller
+    publishes anything — strictly tighter than the sequential
+    write-then-publish-each loop it replaces.  Each thunk labels its own
+    jobs (job descriptions are thread-local)."""
+    if len(writes) == 1:
+        return {writes[0][0]: writes[0][1]()}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(writes))) as pool:
+        futs = [(label, pool.submit(fn)) for label, fn in writes]
+        return {label: f.result() for label, f in futs}
 
 
 __all__ = [
@@ -265,7 +304,10 @@ __all__ = [
     "commit_version",
     "current",
     "fs_for",
+    "publish_version",
     "read_current",
     "read_for_epoch",
     "repoint",
+    "run_writes",
+    "write_version",
 ]

@@ -340,6 +340,22 @@ class BucketedReplica:
         epoch's STATE to be identical, not its directory name: a replay
         writes the same content under a fresh dir, atomically overwrites
         ``m{epoch+1}.json`` to reference it, and GC removes the orphan."""
+        new_manifest = self.write_epoch(new_touched, touched, manifest)
+        self.publish_epoch(new_manifest, epoch)
+        if gc:
+            self.gc(epoch, new_manifest, manifest)
+        return new_manifest
+
+    def write_epoch(
+        self, new_touched: DataFrame, touched: list[int], manifest: dict
+    ) -> dict:
+        """Phase 1 of :meth:`commit`: run the partitioned write job into a
+        fresh epoch dir and return the manifest that WOULD publish it.
+        Until :meth:`publish_epoch` lands ``m{epoch+1}.json`` and the
+        pointer, the dir is an orphan no manifest references (a replay
+        overwrites, GC removes) — so several replicas' phase-1 writes can
+        run concurrently while their publishes keep the protocol's
+        dependency order (guide §2.6)."""
         edir = self._next_edir()
         (
             new_touched.withColumn(_BUCKET, self.bucket_expr())
@@ -355,11 +371,14 @@ class BucketedReplica:
                 new_buckets[str(b)] = edir
             else:
                 new_buckets.pop(str(b), None)  # bucket drained empty
-        new_manifest = {"gen": int(edir[1:]), "buckets": new_buckets}
+        return {"gen": int(edir[1:]), "buckets": new_buckets}
+
+    def publish_epoch(self, new_manifest: dict, epoch: int) -> dict:
+        """Phase 2 of :meth:`commit`: atomically publish the manifest and
+        swing the pointer.  GC stays a separate call (the caller may have
+        lazy plans still reading the basis manifest's bucket dirs)."""
         self._write_manifest_file(f"m{epoch + 1}.json", new_manifest)
         self.fs.write_pointer(self.root, f"m{epoch + 1}.json")
-        if gc:
-            self.gc(epoch, new_manifest, manifest)
         return new_manifest
 
     def gc(self, epoch: int, new_manifest: dict, basis: "dict | None" = None) -> None:

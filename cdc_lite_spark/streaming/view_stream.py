@@ -88,9 +88,12 @@ from cdc_lite_spark.envelope import DELETE, INSERT, UPDATE
 from cdc_lite_spark.streaming._state import (
     commit_version,
     fs_for,
+    publish_version,
     read_current,
     read_for_epoch,
     repoint,
+    run_writes,
+    write_version,
 )
 
 #: abelian kinds fold TOTAL per batch; the degrading kinds (min_max /
@@ -590,13 +593,24 @@ def _advance_tombs(
     tombstone closes."""
     applied = fresh.filter(F.col("operation") != DELETE).select(*key_cols)
     dels = fresh.filter(F.col("operation") == DELETE).select(*key_cols, "__ts")
-    mx = fresh.agg(F.max("__ts")).collect()[0][0]
+    # the batch's newest capture timestamp rides along as a broadcast
+    # 1-row aggregate instead of a per-epoch collect(): the expiry filter
+    # folds into the tombstone commit's own job (guide §1.2 — one fewer
+    # action per epoch), and a NULL max (empty batch) keeps every entry,
+    # exactly the old "skip the filter" branch
+    mxf = fresh.agg(F.max("__ts").alias("__mx"))
     kept = tombs.join(F.broadcast(applied), key_cols, "left_anti")
-    if mx is not None:
-        kept = kept.filter(
-            F.col("__ts")
-            >= F.lit(mx) - F.expr(f"INTERVAL {float(horizon_s)} SECONDS")
+    kept = (
+        kept.join(F.broadcast(mxf), F.lit(True), "cross")
+        .filter(
+            F.col("__mx").isNull()
+            | (
+                F.col("__ts")
+                >= F.col("__mx") - F.expr(f"INTERVAL {float(horizon_s)} SECONDS")
+            )
         )
+        .drop("__mx")
+    )
     # a re-deleted key replaces its tombstone (newest delete wins)
     kept = kept.join(F.broadcast(dels.select(*key_cols)), key_cols, "left_anti")
     return kept.unionByName(dels)
@@ -1041,30 +1055,63 @@ def start_changelog_view(
                     derive,
                     key_cols,
                 )
-            # replica first, agg last: an agg pointer at v{e+1} implies the
-            # replica it folded against committed (readers read the agg)
+            # two-phase commit: every state's v{e+1} WRITE runs first (an
+            # unpublished dir is an orphan no reader trusts, so the writes
+            # are independent and run CONCURRENTLY — guide §2.6), then the
+            # pointers swing in dependency order: replica first, agg after
+            # — an agg pointer at v{e+1} still implies the replica it
+            # folded against committed (readers read the agg)
+            new_tombs = (
+                _advance_tombs(tombs, fresh_latest, key_cols, tombstone_horizon_s)
+                if tombs is not None
+                else None
+            )
+
+            def _labelled(label, fn):
+                def task():
+                    _phase(label)
+                    return fn()
+
+                return (label, task)
+
+            writes = [
+                _labelled(
+                    "replica write",
+                    (lambda: brep.write_epoch(new_replica, touched, man))
+                    if buckets
+                    else (
+                        lambda: write_version(
+                            new_replica, _replica_dir(state_dir), epoch
+                        )
+                    ),
+                ),
+                _labelled(
+                    "agg write",
+                    lambda: write_version(agg_new, _agg_dir(state_dir), epoch),
+                ),
+            ]
+            if new_tombs is not None:
+                writes.append(
+                    _labelled(
+                        "tombs write",
+                        lambda: write_version(
+                            new_tombs, _tombs_dir(state_dir), epoch
+                        ),
+                    )
+                )
+            done = run_writes(writes)
             if buckets:
-                # gc AFTER the agg commit: the agg plan lazily reads the
+                # gc AFTER the agg publish: the agg plan lazily read the
                 # basis manifest's bucket paths, which a pre-agg GC could
                 # delete on a redrain whose basis fell back to _CURRENT
-                _phase("replica commit (bucketed)")
-                new_man = brep.commit(new_replica, touched, man, epoch, gc=False)
-                _phase("agg commit")
-                commit_version(agg_new, _agg_dir(state_dir), epoch, agg_fs)
+                new_man = brep.publish_epoch(done["replica write"], epoch)
+                publish_version(_agg_dir(state_dir), epoch, agg_fs)
                 brep.gc(epoch, new_man, man)
             else:
-                _phase("replica commit")
-                commit_version(new_replica, _replica_dir(state_dir), epoch, rep_fs)
-                _phase("agg commit")
-                commit_version(agg_new, _agg_dir(state_dir), epoch, agg_fs)
-            if tombs is not None:
-                _phase("tombs commit")
-                commit_version(
-                    _advance_tombs(
-                        tombs, fresh_latest, key_cols, tombstone_horizon_s
-                    ),
-                    _tombs_dir(state_dir), epoch, t_fs,
-                )
+                publish_version(_replica_dir(state_dir), epoch, rep_fs)
+                publish_version(_agg_dir(state_dir), epoch, agg_fs)
+            if new_tombs is not None:
+                publish_version(_tombs_dir(state_dir), epoch, t_fs)
             # operational counter, AFTER the commit (one cached scan of the
             # batch-sized classify frame; a crash between commit and this
             # write loses only the count, never state)
@@ -1835,12 +1882,31 @@ def start_changelog_join_view(
                         else m_new
                     )
                     agg_new = _join_agg_build(full, agg, fact_key)
-            # dependency order: replicas (+ posting index) → join → agg
-            # LAST — each pointer implies everything it folded against
-            # committed
-            if fact_buckets:
-                _phase("fact replica commit (bucketed)")
-                new_m_f = f_brep.commit(new_f, touched, m_f, epoch, gc=False)
+            # two-phase commit: every state's v{e+1}/epoch-dir WRITE runs
+            # first — an unpublished dir is an orphan no reader trusts, so
+            # the up-to-seven writes are independent and run CONCURRENTLY
+            # (guide §2.6: one write's task tail no longer serializes the
+            # next write's whole job behind it) — then the pointers swing
+            # in the protocol's dependency order: replicas (+ posting
+            # index) → join → agg LAST, each pointer implying everything
+            # it folded against committed
+            new_f_tombs = new_d_tombs = None
+            if tombstone_horizon_s is not None:
+                new_f_tombs = _advance_tombs(
+                    f_tombs, f_fresh, fact_key, tombstone_horizon_s
+                )
+                new_d_tombs = _advance_tombs(
+                    d_tombs, d_fresh, dim_key, tombstone_horizon_s
+                )
+
+            def _labelled(label, fn):
+                def task():
+                    _phase(label)
+                    return fn()
+
+                return (label, task)
+
+            def _posting_write():
                 # the posting fold consumes the SAME classified batch the
                 # advance used: O(batch) refcount rows into the touched
                 # FK buckets
@@ -1848,46 +1914,95 @@ def start_changelog_join_view(
                     f_joined.filter(~_stale()), f_brep, fact_dim_col,
                     f_non_key,
                 )
-                _phase("posting index commit")
                 touched_fk = p_brep.touched_ids(delta)
                 new_p = _posting_fold(
                     p_brep.read(m_p, touched_fk), delta, fact_dim_col
                 )
-                new_m_p = p_brep.commit(new_p, touched_fk, m_p, epoch, gc=False)
-            else:
-                _phase("fact replica commit")
-                commit_version(new_f, _fact_replica_dir(state_dir), epoch, f_fs)
-            _phase("dim replica commit")
-            if d_brep is not None:
-                new_m_d = d_brep.commit(new_d, touched_d, m_d, epoch, gc=False)
-            else:
-                commit_version(new_d, _dim_replica_dir(state_dir), epoch, d_fs)
-            _phase("join state commit")
+                return p_brep.write_epoch(new_p, touched_fk, m_p)
+
+            writes = [
+                _labelled(
+                    "fact replica write",
+                    (lambda: f_brep.write_epoch(new_f, touched, m_f))
+                    if fact_buckets
+                    else (
+                        lambda: write_version(
+                            new_f, _fact_replica_dir(state_dir), epoch
+                        )
+                    ),
+                ),
+                _labelled(
+                    "dim replica write",
+                    (lambda: d_brep.write_epoch(new_d, touched_d, m_d))
+                    if d_brep is not None
+                    else (
+                        lambda: write_version(
+                            new_d, _dim_replica_dir(state_dir), epoch
+                        )
+                    ),
+                ),
+                _labelled(
+                    "join state write",
+                    # m_new is exactly the affected buckets' new content —
+                    # the join rewrite prunes to them
+                    (lambda: j_brep.write_epoch(m_new, j_touched, m_j))
+                    if fact_buckets
+                    else (
+                        lambda: write_version(m_new, _join_dir(state_dir), epoch)
+                    ),
+                ),
+            ]
             if fact_buckets:
-                # m_new is exactly the affected buckets' new content —
-                # the join rewrite prunes to them
-                new_m_j = j_brep.commit(m_new, j_touched, m_j, epoch, gc=False)
-            else:
-                commit_version(m_new, _join_dir(state_dir), epoch, j_fs)
+                writes.append(_labelled("posting index write", _posting_write))
             if agg_new is not None:
-                _phase("agg commit")
-                commit_version(agg_new, _agg_dir(state_dir), epoch, a_fs)
-            if tombstone_horizon_s is not None:
-                _phase("tombs commit")
-                commit_version(
-                    _advance_tombs(
-                        f_tombs, f_fresh, fact_key, tombstone_horizon_s
-                    ),
-                    _tombs_dir_for(state_dir, fact_table), epoch, ft_fs,
+                writes.append(
+                    _labelled(
+                        "agg write",
+                        lambda: write_version(
+                            agg_new, _agg_dir(state_dir), epoch
+                        ),
+                    )
                 )
-                commit_version(
-                    _advance_tombs(
-                        d_tombs, d_fresh, dim_key, tombstone_horizon_s
-                    ),
-                    _tombs_dir_for(state_dir, dim_table), epoch, dt_fs,
+            if new_f_tombs is not None:
+                writes.append(
+                    _labelled(
+                        "fact tombs write",
+                        lambda: write_version(
+                            new_f_tombs,
+                            _tombs_dir_for(state_dir, fact_table), epoch,
+                        ),
+                    )
                 )
+                writes.append(
+                    _labelled(
+                        "dim tombs write",
+                        lambda: write_version(
+                            new_d_tombs,
+                            _tombs_dir_for(state_dir, dim_table), epoch,
+                        ),
+                    )
+                )
+            done = run_writes(writes)
             if fact_buckets:
-                # gc AFTER the downstream commits: their lazy plans read
+                new_m_f = f_brep.publish_epoch(done["fact replica write"], epoch)
+                new_m_p = p_brep.publish_epoch(done["posting index write"], epoch)
+            else:
+                publish_version(_fact_replica_dir(state_dir), epoch, f_fs)
+            if d_brep is not None:
+                new_m_d = d_brep.publish_epoch(done["dim replica write"], epoch)
+            else:
+                publish_version(_dim_replica_dir(state_dir), epoch, d_fs)
+            if fact_buckets:
+                new_m_j = j_brep.publish_epoch(done["join state write"], epoch)
+            else:
+                publish_version(_join_dir(state_dir), epoch, j_fs)
+            if agg_new is not None:
+                publish_version(_agg_dir(state_dir), epoch, a_fs)
+            if new_f_tombs is not None:
+                publish_version(_tombs_dir_for(state_dir, fact_table), epoch, ft_fs)
+                publish_version(_tombs_dir_for(state_dir, dim_table), epoch, dt_fs)
+            if fact_buckets:
+                # gc AFTER the downstream publishes: their lazy plans read
                 # the basis manifests' bucket paths
                 f_brep.gc(epoch, new_m_f, m_f)
                 p_brep.gc(epoch, new_m_p, m_p)
