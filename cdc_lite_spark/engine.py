@@ -105,6 +105,14 @@ class CdcEngine:
         #: maintained aggregates OVER join views (see
         #: :meth:`register_join_agg_view`)
         self._join_agg_views: dict[str, dict] = {}
+        #: in-process mirror of the checksum state (None until the first
+        #: latest_checksums read).  The engine instance is the state dir's
+        #: single writer (the protocol's standing assumption), so after one
+        #: parquet read the mirror is exact and record_checksum keeps it
+        #: current — the per-tick latest-checksums scan+collect becomes a
+        #: dict copy (guide §1.2: don't recompute what the driver already
+        #: knows).  A restarted engine starts at None and re-reads.
+        self._checksums_cache: "dict[str, str] | None" = None
         #: tick-scoped cache of persisted prev→cur snapshot diffs, keyed
         #: (table, base_version, key-tuple) — shared by the change-log
         #: write and every view fold of the tick; cleared by poll_once
@@ -130,6 +138,14 @@ class CdcEngine:
     def checksum(self, df: DataFrame) -> str:
         """Order-insensitive whole-table fingerprint (C1-C3)."""
         return table_checksum_value(df)
+
+    def _jd(self, label: "str | None") -> None:
+        """Label subsequent jobs in the UI/event log (guide §1.5) — thread-
+        local, best-effort, reset by poll_once when the tick ends."""
+        try:
+            self.spark.sparkContext.setJobDescription(label)
+        except Exception:  # noqa: BLE001 — labels must never fail work
+            pass
 
     def diff(
         self, prev: DataFrame, cur: DataFrame, keys: list[str], fast_hash: bool = True
@@ -179,20 +195,90 @@ class CdcEngine:
         df = self._state_parquet(self._checksum_dir(), CHECKSUM_SCHEMA)
         return df if df is not None else self.spark.createDataFrame([], CHECKSUM_SCHEMA)
 
-    def latest_checksums(self) -> dict[str, str]:
-        """Latest recorded fingerprint per table (D1/G1 over state)."""
-        latest = latest_per_key(
-            self._state(), ["table_name"], ["timestamp"], via_agg=True
+    def _append_state_rows(self, dir_path: str, rows: list[tuple], schema) -> None:
+        """Append a handful of DRIVER-KNOWN metadata rows (checksum /
+        schema / metrics records) to an append-only state parquet dir.
+
+        On a local state dir this writes one tiny parquet part file
+        directly (pyarrow + atomic rename) instead of launching a Spark
+        job: the row content is already on the driver, so a distributed
+        write is pure scheduling overhead (~0.5 s/job measured at gate
+        scale, one per table per tick — guide §1.2).  The parquet logical
+        types match Spark's writer (UTC-adjusted MICROS timestamps), so
+        readers see one homogeneous directory.  Remote state dirs keep the
+        Spark write — its committer handles any Hadoop filesystem."""
+        from cdc_lite_spark.streaming._state import (
+            LocalStateFS,
+            _local_path,
+            fs_for,
         )
-        return {r["table_name"]: r["checksum"] for r in latest.collect()}
+
+        if not isinstance(fs_for(dir_path, self.spark), LocalStateFS):
+            self.spark.createDataFrame(rows, schema).write.mode("append").parquet(
+                dir_path
+            )
+            return
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA = {
+            T.StringType(): pa.string(),
+            T.BooleanType(): pa.bool_(),
+            T.DoubleType(): pa.float64(),
+            T.TimestampType(): pa.timestamp("us", tz="UTC"),
+        }
+        pa_schema = pa.schema(
+            [(f.name, _PA[f.dataType]) for f in schema.fields]
+        )
+        cols = {
+            f.name: [r[i] for r in rows]
+            for i, f in enumerate(schema.fields)
+        }
+        tbl = pa.Table.from_pydict(cols, schema=pa_schema)
+        d = _local_path(dir_path)
+        os.makedirs(d, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(d, f".{name}.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(d, name))
+
+    def latest_checksums(self) -> dict[str, str]:
+        """Latest recorded fingerprint per table (D1/G1 over state).  Served
+        from the single-writer in-process mirror after the first read — the
+        persisted state stays the source of truth across restarts, the
+        mirror just saves one scan+collect per tick."""
+        if self._checksums_cache is None:
+            df = self._state_parquet(self._checksum_dir(), CHECKSUM_SCHEMA)
+            if df is None:
+                # no state recorded yet — nothing to scan
+                self._checksums_cache = {}
+            else:
+                latest = latest_per_key(
+                    df, ["table_name"], ["timestamp"], via_agg=True
+                )
+                self._checksums_cache = {
+                    r["table_name"]: r["checksum"] for r in latest.collect()
+                }
+        return dict(self._checksums_cache)
 
     def record_checksum(self, table: str, checksum: str) -> None:
         """Append one state row (A7) — written *after* a successful capture,
         matching the reference's retry-on-failure ordering (duckdb_cdc.go:200-208)."""
-        row = self.spark.createDataFrame(
-            [(table, checksum)], "table_name string, checksum string"
-        ).withColumn("timestamp", F.current_timestamp())
-        row.write.mode("append").parquet(self._checksum_dir())
+        self._jd(f"engine {table}: checksum record")
+        from datetime import datetime, timezone
+
+        self._append_state_rows(
+            self._checksum_dir(),
+            [(table, checksum, datetime.now(timezone.utc))],
+            CHECKSUM_SCHEMA,
+        )
+        if self._checksums_cache is not None:
+            # keep the mirror current only after the write landed — a
+            # failed append must leave the next tick re-capturing
+            self._checksums_cache[table] = checksum
 
     # -- schema state (drift detection) --------------------------------------
 
@@ -215,12 +301,21 @@ class CdcEngine:
 
     def record_schema(self, table: str, schema: dict[str, str]) -> None:
         import json
+        from datetime import datetime, timezone
 
-        row = self.spark.createDataFrame(
-            [(table, json.dumps(schema, sort_keys=True))],
-            "table_name string, schema_json string",
-        ).withColumn("timestamp", F.current_timestamp())
-        row.write.mode("append").parquet(self._schema_dir())
+        self._append_state_rows(
+            self._schema_dir(),
+            [
+                (
+                    table,
+                    json.dumps(schema, sort_keys=True),
+                    datetime.now(timezone.utc),
+                )
+            ],
+            T.StructType.fromDDL(
+                "table_name string, schema_json string, timestamp timestamp"
+            ),
+        )
 
     def _emit_schema_drift(
         self, table: str, prev: "dict[str, str] | None", cur: dict[str, str]
@@ -382,6 +477,7 @@ class CdcEngine:
             """Phase 1 (parallelizable): the expensive full-scan fingerprint."""
             t0 = _time.monotonic()
             try:
+                self._jd(f"engine detect {table}")
                 df = self._resolve(source)
                 return table, df, self.checksum(df), None, _time.monotonic() - t0
             except Exception as exc:  # noqa: BLE001 — per-table isolation (H6)
@@ -426,6 +522,7 @@ class CdcEngine:
                     pass
             self._tick_diffs.clear()
             self._tick_handles.clear()
+            self._jd(None)
         return captured
 
     def _poll_tables(
@@ -440,6 +537,9 @@ class CdcEngine:
         #: GC run after ALL captures — independent per table, so they
         #: overlap below instead of serializing inside the capture loop
         deferred_folds: list[tuple[str, int, list[str]]] = []
+        #: diff-mode captures whose snapshot write is in flight on the pool
+        snap_pool = None
+        pending: list[tuple] = []
 
         for table, df, current, err, detect_secs in detections:
             if err is not None:
@@ -488,17 +588,55 @@ class CdcEngine:
                             f"diff mode needs a primary key for table "
                             f"{table!r}: pass keys={{{table!r}: [...]}}"
                         )
-                    self._capture_diff(table, df, keys[table], deferred_folds)
+                    # capture pipeline: the shared-log appends stay strictly
+                    # sequential (phase A), but each table's own snapshot
+                    # write (phase B) runs on a small pool so it overlaps
+                    # the NEXT table's log append (guide §2.6).  Per-table
+                    # ordering is intact: A → B → seed → checksum record,
+                    # and the record (the capture's commit point) still
+                    # lands only after that table's snapshot persisted.
+                    prev, prev_v, new_v = self._capture_diff_log(
+                        table, df, keys[table]
+                    )
+                    if snap_pool is None:
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        snap_pool = ThreadPoolExecutor(max_workers=2)
+                    fut = snap_pool.submit(
+                        self._capture_diff_snapshot, table, df, new_v
+                    )
+                    pending.append(
+                        (table, current, t0, detect_secs, fut, prev, prev_v,
+                         new_v, keys[table])
+                    )
                 else:
                     append_changes(self.snapshot(df, table), self.output_dir, fmt=self.log_format)
-                self.record_checksum(table, current)
-                captured.append(table)
-                metrics.append((table, True, True, detect_secs, _time.monotonic() - t0, None))
+                    self.record_checksum(table, current)
+                    captured.append(table)
+                    metrics.append((table, True, True, detect_secs, _time.monotonic() - t0, None))
             except Exception as exc:  # noqa: BLE001 — per-table isolation (H6)
                 print(f"cdc_lite_spark: error capturing table {table}: {exc}")
                 metrics.append(
                     (table, True, False, detect_secs, _time.monotonic() - t0, str(exc))
                 )
+        for table, current, t0, detect_secs, fut, prev, prev_v, new_v, keys_t in pending:
+            try:
+                fut.result()
+                self._capture_diff_seed(
+                    table, prev, prev_v, new_v, keys_t, deferred_folds
+                )
+                self.record_checksum(table, current)
+                captured.append(table)
+                metrics.append(
+                    (table, True, True, detect_secs, _time.monotonic() - t0, None)
+                )
+            except Exception as exc:  # noqa: BLE001 — per-table isolation (H6)
+                print(f"cdc_lite_spark: error capturing table {table}: {exc}")
+                metrics.append(
+                    (table, True, False, detect_secs, _time.monotonic() - t0, str(exc))
+                )
+        if snap_pool is not None:
+            snap_pool.shutdown(wait=True)
         self._record_metrics(metrics)
         # deferred per-table agg-view folds: each task is one table's
         # fold+GC (per-table isolation preserved inside); tables overlap
@@ -540,12 +678,13 @@ class CdcEngine:
         if not rows:
             return
         try:
-            df = self.spark.createDataFrame(
-                rows,
-                "table_name string, changed boolean, captured boolean, "
-                "detect_secs double, capture_secs double, error string",
-            ).withColumn("timestamp", F.current_timestamp())
-            df.write.mode("append").parquet(self._metrics_dir())
+            self._jd("engine: metrics record")
+            from datetime import datetime, timezone
+
+            ts = datetime.now(timezone.utc)
+            self._append_state_rows(
+                self._metrics_dir(), [(*r, ts) for r in rows], METRICS_SCHEMA
+            )
         except Exception as exc:  # noqa: BLE001
             print(f"cdc_lite_spark: metrics write failed: {exc}")
 
@@ -683,6 +822,18 @@ class CdcEngine:
         recorded state version doesn't contain (r8 review round 2).  The
         log keeps its own live diff, preserving the log-before-snapshot
         at-least-once ordering."""
+        prev, prev_v, new_v = self._capture_diff_log(table, cur, keys)
+        self._capture_diff_snapshot(table, cur, new_v)
+        self._capture_diff_seed(table, prev, prev_v, new_v, keys, defer_folds)
+
+    def _capture_diff_log(
+        self, table: str, cur: DataFrame, keys: list[str]
+    ) -> "tuple[DataFrame | None, int | None, int]":
+        """Phase A of the diff capture: live diff → envelope → LOG append.
+        Sequential across tables — concurrent append jobs to the shared log
+        dir would race on the file committer's staging directory.  Returns
+        ``(prev_snapshot_frame, prev_v, new_v)`` for the later phases."""
+        self._jd(f"engine {table}: log append")
         prev_v = self._latest_snapshot_version(table)
         if prev_v is not None:
             prev = self.spark.read.parquet(f"{self._snapshot_path(table)}/v={prev_v}")
@@ -690,6 +841,7 @@ class CdcEngine:
         else:
             # first sight: everything is an INSERT (reference's ErrNoRows
             # branch, duckdb_cdc.go:197-199 — but row-level, not SNAPSHOT)
+            prev = None
             changed = cur.withColumn("operation", F.lit("INSERT"))
         env = changed.select(
             F.current_timestamp().alias("timestamp"),
@@ -705,14 +857,33 @@ class CdcEngine:
             ).alias("data"),
         )
         append_changes(env, self.output_dir, fmt=self.log_format)
-        # persist new snapshot AFTER the log write (at-least-once ordering,
-        # duckdb_cdc.go:291) — one write job, no rewrite
-        new_v = (prev_v or 0) + 1
+        return prev, prev_v, (prev_v or 0) + 1
+
+    def _capture_diff_snapshot(self, table: str, cur: DataFrame, new_v: int) -> None:
+        """Phase B: persist the new snapshot AFTER the log write
+        (at-least-once ordering, duckdb_cdc.go:291) — one write job, no
+        rewrite.  Each table writes its OWN snapshot dir, so different
+        tables' phase-B jobs run concurrently in poll_once's capture
+        pipeline (guide §2.6) while the shared-dir log appends stay
+        sequential."""
+        self._jd(f"engine {table}: snapshot write")
         cur.write.mode("overwrite").parquet(f"{self._snapshot_path(table)}/v={new_v}")
-        # seed the shared view-fold diff from the two PERSISTED snapshots
-        # (deterministic lineage — see docstring); include_prev only when an
-        # agg view folds it (join folds read nothing but the key column),
-        # persist() only when more than one action will consume it
+
+    def _capture_diff_seed(
+        self,
+        table: str,
+        prev: "DataFrame | None",
+        prev_v: "int | None",
+        new_v: int,
+        keys: list[str],
+        defer_folds: "list | None" = None,
+    ) -> None:
+        """Phase C: seed the shared view-fold diff from the two PERSISTED
+        snapshots (deterministic lineage — see _capture_diff docstring);
+        include_prev only when an agg view folds it (join folds read
+        nothing but the key column), persist() only when more than one
+        action will consume it.  Needs phase B complete (the new snapshot's
+        footer is read here)."""
         if prev_v is not None:
             agg_w, join_w = self._view_consumers(table, keys)
             if agg_w + join_w > 0:
@@ -1248,6 +1419,7 @@ class CdcEngine:
 
         def _fold_one(name, s, vv, pinned, changes) -> None:
             try:
+                self._jd(f"engine view {name}: fold")
                 state = None
                 if changes is not None:
                     prev_state = self.spark.read.parquet(
@@ -2478,6 +2650,7 @@ class CdcEngine:
         return self._snapshot_path(t), self._latest_snapshot_version(t)
 
     def _maintain_one_join_view(self, name: str, s: dict) -> None:
+        self._jd(f"engine join view {name}: fold")
         aggs = [
             (n, a) for n, a in self._join_agg_views.items()
             if a["join_view"] == name
@@ -3084,11 +3257,14 @@ class CdcEngine:
     def record_partition_checksums(self, table: str, parts: dict[str, str]) -> None:
         if not parts:
             return
-        rows = self.spark.createDataFrame(
-            [(table, p, c) for p, c in parts.items()],
-            "table_name string, part string, checksum string",
-        ).withColumn("timestamp", F.current_timestamp())
-        rows.write.mode("append").parquet(self._part_checksum_dir())
+        from datetime import datetime, timezone
+
+        ts = datetime.now(timezone.utc)
+        self._append_state_rows(
+            self._part_checksum_dir(),
+            [(table, p, c, ts) for p, c in parts.items()],
+            T.StructType.fromDDL(self._PART_STATE_SCHEMA),
+        )
 
     def poll_partitions(
         self, table: str, source, part_col: str, advance_providers: bool = True
