@@ -113,6 +113,10 @@ class CdcEngine:
         #: dict copy (guide §1.2: don't recompute what the driver already
         #: knows).  A restarted engine starts at None and re-reads.
         self._checksums_cache: "dict[str, str] | None" = None
+        #: same single-writer mirror for the schema state (drift detection)
+        self._schemas_cache: "dict[str, dict[str, str]] | None" = None
+        #: same single-writer mirror, per table, for partition checksums
+        self._part_checksums_cache: dict[str, dict[str, str]] = {}
         #: tick-scoped cache of persisted prev→cur snapshot diffs, keyed
         #: (table, base_version, key-tuple) — shared by the change-log
         #: write and every view fold of the tick; cleared by poll_once
@@ -287,17 +291,26 @@ class CdcEngine:
 
     def latest_schemas(self) -> dict[str, dict[str, str]]:
         """Latest recorded column→type map per table (same top-1-per-key
-        shape as the checksum state; rows = number of monitored tables)."""
+        shape as the checksum state; rows = number of monitored tables).
+        Mirrored in-process after the first read exactly like
+        :meth:`latest_checksums` — same single-writer assumption, same
+        one-scan-per-process cost."""
         import json
 
-        schema = "table_name string, schema_json string, timestamp timestamp"
-        df = self._state_parquet(self._schema_dir(), schema)
-        if df is None:
-            return {}
-        latest = latest_per_key(df, ["table_name"], ["timestamp"], via_agg=True)
-        return {
-            r["table_name"]: json.loads(r["schema_json"]) for r in latest.collect()
-        }
+        if self._schemas_cache is None:
+            schema = "table_name string, schema_json string, timestamp timestamp"
+            df = self._state_parquet(self._schema_dir(), schema)
+            if df is None:
+                self._schemas_cache = {}
+            else:
+                latest = latest_per_key(
+                    df, ["table_name"], ["timestamp"], via_agg=True
+                )
+                self._schemas_cache = {
+                    r["table_name"]: json.loads(r["schema_json"])
+                    for r in latest.collect()
+                }
+        return {t: dict(s) for t, s in self._schemas_cache.items()}
 
     def record_schema(self, table: str, schema: dict[str, str]) -> None:
         import json
@@ -316,6 +329,8 @@ class CdcEngine:
                 "table_name string, schema_json string, timestamp timestamp"
             ),
         )
+        if self._schemas_cache is not None:
+            self._schemas_cache[table] = dict(schema)
 
     def _emit_schema_drift(
         self, table: str, prev: "dict[str, str] | None", cur: dict[str, str]
@@ -3240,19 +3255,29 @@ class CdcEngine:
 
     def latest_partition_checksums(self, table: str) -> dict[str, str]:
         """Latest fingerprint per partition value of ``table`` (vanished
-        partitions carry the tombstone '')."""
-        state = self._state_parquet(self._part_checksum_dir(), self._PART_STATE_SCHEMA)
-        if state is None:
-            return {}
-        from cdc_lite_spark.operators.latest import latest_per_key
+        partitions carry the tombstone '').  Mirrored in-process per table
+        after the first read — the :meth:`latest_checksums` single-writer
+        discipline; O(|partition values|) driver memory is this capture
+        mode's standing assumption."""
+        if table not in self._part_checksums_cache:
+            state = self._state_parquet(
+                self._part_checksum_dir(), self._PART_STATE_SCHEMA
+            )
+            if state is None:
+                self._part_checksums_cache[table] = {}
+            else:
+                from cdc_lite_spark.operators.latest import latest_per_key
 
-        latest = latest_per_key(
-            state.filter(F.col("table_name") == table),
-            ["part"],
-            ["timestamp"],
-            via_agg=True,
-        )
-        return {r["part"]: r["checksum"] for r in latest.collect()}
+                latest = latest_per_key(
+                    state.filter(F.col("table_name") == table),
+                    ["part"],
+                    ["timestamp"],
+                    via_agg=True,
+                )
+                self._part_checksums_cache[table] = {
+                    r["part"]: r["checksum"] for r in latest.collect()
+                }
+        return dict(self._part_checksums_cache[table])
 
     def record_partition_checksums(self, table: str, parts: dict[str, str]) -> None:
         if not parts:
@@ -3265,6 +3290,8 @@ class CdcEngine:
             [(table, p, c, ts) for p, c in parts.items()],
             T.StructType.fromDDL(self._PART_STATE_SCHEMA),
         )
+        if table in self._part_checksums_cache:
+            self._part_checksums_cache[table].update(parts)
 
     def poll_partitions(
         self, table: str, source, part_col: str, advance_providers: bool = True
