@@ -289,6 +289,13 @@ def run_writes(writes: "list[tuple[str, callable]]", max_workers: int = 3) -> di
     publishes anything — strictly tighter than the sequential
     write-then-publish-each loop it replaces.  Each thunk labels its own
     jobs (job descriptions are thread-local)."""
+    # NOTE (r14, measured): a same-thread shortcut for 2-write ticks was
+    # tried per the r13 verdict hypothesis (changelog_view_maintenance_bucketed
+    # +0.4 s blamed on pool setup) and REFUTED by interleaved A/B — the flat
+    # single-table gate lost ~1.5 s/run when its agg write stopped
+    # overlapping the O(table) replica write, and the bucketed gate did not
+    # recover the 0.4 s (box noise, not pool cost).  Only the trivial
+    # 1-write tick skips the pool.
     if len(writes) == 1:
         return {writes[0][0]: writes[0][1]()}
     from concurrent.futures import ThreadPoolExecutor

@@ -434,4 +434,27 @@ class BucketedReplica:
                     self.fs.remove_dir(f"{self.root}/{name}")
 
 
-__all__ = ["BucketedReplica", "suggest_layout"]
+def touched_ids_multi(pairs: "list[tuple[str, BucketedReplica, DataFrame]]") -> dict:
+    """Several replicas' touched-bucket sets in ONE collect: each
+    ``(tag, replica, delta)`` contributes its delta's distinct bucket ids
+    under its tag, unioned into a single tiny job — the dual-indexed tick
+    runs one driver round-trip where it ran one per set (guide §1.2: fewer
+    actions on the epoch's critical path).  Returns ``{tag: sorted ids}``
+    with every tag present (``[]`` when its delta is empty)."""
+    from functools import reduce
+
+    frames = [
+        df.select(F.lit(tag).alias("__t"), brep.bucket_expr().alias(_BUCKET))
+        for tag, brep, df in pairs
+    ]
+    # ONE distinct over the union — a single (tag, bucket) shuffle for the
+    # whole set instead of one per frame (same multiset: distinct commutes
+    # with union here because the tag column separates the frames)
+    u = reduce(lambda a, b: a.unionByName(b), frames).distinct()
+    out: dict = {tag: [] for tag, _, _ in pairs}
+    for r in u.collect():
+        out[r["__t"]].append(r[_BUCKET])
+    return {t: sorted(v) for t, v in out.items()}
+
+
+__all__ = ["BucketedReplica", "suggest_layout", "touched_ids_multi"]

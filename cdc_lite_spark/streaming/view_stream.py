@@ -1318,18 +1318,15 @@ def _posting_fold(current: DataFrame, delta: DataFrame, fact_dim_col: list[str])
 def _posting_lookup(
     posting_brep,
     m_p: dict,
-    dim_delta_keys: DataFrame,
-    dim_key: list[str],
+    fks: DataFrame,
     fact_dim_col: list[str],
+    fkb: list[int],
 ) -> list[int]:
     """Fact bucket ids containing facts that reference the dim delta's
-    keys: prune the posting index to the delta's FK hash buckets (one
-    pruned scan), semi-join on the fk values, collect the distinct
-    ``__fb`` ids (≤ fact_buckets rows reach the driver)."""
-    fks = dim_delta_keys.select(
-        *[F.col(d).alias(f) for d, f in zip(dim_key, fact_dim_col)]
-    ).distinct()
-    fkb = posting_brep.touched_ids(fks)
+    fk values ``fks``: prune the posting index to the delta's FK hash
+    buckets ``fkb`` (computed by the tick's fused touched-set collect),
+    semi-join on the fk values, collect the distinct ``__fb`` ids
+    (≤ fact_buckets rows reach the driver)."""
     posted = posting_brep.read(m_p, fkb)
     hits = posted.join(F.broadcast(fks), fact_dim_col, "left_semi")
     return sorted(
@@ -1716,6 +1713,8 @@ def start_changelog_join_view(
 
     def _tick(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
+        if fact_buckets:
+            from cdc_lite_spark.streaming.bucketed import touched_ids_multi
 
         def _phase(p: str) -> None:
             # label the phase's jobs in the UI/event log (guide §1.5)
@@ -1736,7 +1735,16 @@ def start_changelog_join_view(
                 m_f = f_brep.manifest_for_epoch(epoch)
                 m_p = p_brep.manifest_for_epoch(epoch)
                 m_j = j_brep.manifest_for_epoch(epoch)
-                touched = f_brep.touched_ids(f_latest)
+                _phase("touched sets (replicas)")
+                if d_brep is not None:
+                    # BOTH sides' touched-bucket sets in one collect
+                    # (guide §1.2 — one driver round-trip, not two)
+                    _t = touched_ids_multi(
+                        [("f", f_brep, f_latest), ("d", d_brep, d_latest)]
+                    )
+                    touched, touched_d = _t["f"], _t["d"]
+                else:
+                    touched = f_brep.touched_ids(f_latest)
                 f_rep = f_brep.read(m_f, touched)
             else:
                 f_rep = read_for_epoch(
@@ -1748,9 +1756,9 @@ def start_changelog_join_view(
                 )
             if d_brep is not None:
                 # bucketed dim replica: classify/advance prune to the dim
-                # batch's buckets
+                # batch's buckets (touched_d collected above, fused with
+                # the fact side's collect)
                 m_d = d_brep.manifest_for_epoch(epoch)
-                touched_d = d_brep.touched_ids(d_latest)
                 d_rep = d_brep.read(m_d, touched_d)
             else:
                 d_rep = read_for_epoch(
@@ -1785,25 +1793,56 @@ def start_changelog_join_view(
             d_fresh = d_joined.filter(~_stale()).select(
                 *dim_key, "operation", *d_non_key, "__ts"
             )
-            new_f = _advance_replica(f_rep, f_fresh, fact_key, f_non_key)
-            new_d = _advance_replica(d_rep, d_fresh, dim_key, d_non_key)
+            # both advanced replicas are consumed by SEVERAL actions in this
+            # tick — their own state write plus the join-state write (whose
+            # plan embeds fact_new/dim_new), and the agg rebuild path —
+            # so pin them once (guide §5: persist what multiple actions
+            # consume); without this every write re-runs the whole
+            # classify/advance subtree including its broadcast builds
+            new_f = _advance_replica(f_rep, f_fresh, fact_key, f_non_key).persist()
+            new_d = _advance_replica(d_rep, d_fresh, dim_key, d_non_key).persist()
+            handles.extend([new_f, new_d])
+            p_delta = None
+            if fact_buckets:
+                # every remaining touched-bucket set of this epoch is a
+                # function of the classified batches alone, so collect them
+                # ALL in one fused job (guide §1.2): the posting lookup's
+                # FK hash buckets, the posting delta's touched FK buckets,
+                # and (dim-bucketed) the dim buckets the refresh needs
+                fks = d_fresh.select(
+                    *[F.col(d).alias(f) for d, f in zip(dim_key, fact_dim_col)]
+                ).distinct()
+                p_delta = _posting_delta(
+                    f_joined.filter(~_stale()), f_brep, fact_dim_col, f_non_key
+                )
+                pairs = [("fkb", p_brep, fks), ("tfk", p_brep, p_delta)]
+                if d_brep is not None:
+                    # the refresh only ever joins dims the DELTA names: the
+                    # dim batch's own keys plus the fk values of fresh fact
+                    # rows (facts re-entering via the posting lookup carry
+                    # an fk IN the dim batch by construction)
+                    fk_as_dim = f_fresh.select(
+                        *[
+                            F.col(f).alias(d)
+                            for f, d in zip(fact_dim_col, dim_key)
+                        ]
+                    )
+                    pairs.append(
+                        (
+                            "needed_d",
+                            d_brep,
+                            d_fresh.select(*dim_key).unionByName(fk_as_dim),
+                        )
+                    )
+                _phase("touched sets (posting/dim)")
+                _ids = touched_ids_multi(pairs)
             if d_brep is not None:
-                # the refresh only ever joins dims the DELTA names: the
-                # dim batch's own keys plus the fk values of fresh fact
-                # rows (facts re-entering via the posting lookup carry an
-                # fk IN the dim batch by construction) — so the dim side
-                # handed to the fold is the advanced touched buckets plus
-                # exactly the extra buckets those fk values hash to
-                fk_as_dim = f_fresh.select(
-                    *[
-                        F.col(f).alias(d)
-                        for f, d in zip(fact_dim_col, dim_key)
-                    ]
-                )
-                needed_d = d_brep.touched_ids(
-                    d_fresh.select(*dim_key).unionByName(fk_as_dim)
-                )
-                extra_d = [b for b in needed_d if b not in set(touched_d)]
+                # the dim side handed to the fold is the advanced touched
+                # buckets plus exactly the extra buckets the delta's fk
+                # values hash to
+                extra_d = [
+                    b for b in _ids["needed_d"] if b not in set(touched_d)
+                ]
                 dim_new = new_d.unionByName(d_brep.read(m_d, extra_d))
             else:
                 dim_new = new_d
@@ -1815,10 +1854,8 @@ def start_changelog_join_view(
                 # a SUPERSET of every fact row the fold can reference, so
                 # maintain_join's algebra is unchanged; only its fact
                 # scan shrank from the table to the batch's fan-out.
-                posted = _posting_lookup(
-                    p_brep, m_p, d_fresh.select(*dim_key), dim_key,
-                    fact_dim_col,
-                )
+                _phase("posting lookup")
+                posted = _posting_lookup(p_brep, m_p, fks, fact_dim_col, _ids["fkb"])
                 extra = [b for b in posted if b not in set(touched)]
                 fact_new = new_f.unionByName(f_brep.read(m_f, extra))
                 # the join state shares the fact-PK bucketing, so EVERY
@@ -1909,14 +1946,10 @@ def start_changelog_join_view(
             def _posting_write():
                 # the posting fold consumes the SAME classified batch the
                 # advance used: O(batch) refcount rows into the touched
-                # FK buckets
-                delta = _posting_delta(
-                    f_joined.filter(~_stale()), f_brep, fact_dim_col,
-                    f_non_key,
-                )
-                touched_fk = p_brep.touched_ids(delta)
+                # FK buckets (both precomputed by the fused collect above)
+                touched_fk = _ids["tfk"]
                 new_p = _posting_fold(
-                    p_brep.read(m_p, touched_fk), delta, fact_dim_col
+                    p_brep.read(m_p, touched_fk), p_delta, fact_dim_col
                 )
                 return p_brep.write_epoch(new_p, touched_fk, m_p)
 
@@ -2010,8 +2043,21 @@ def start_changelog_join_view(
                 if d_brep is not None:
                     d_brep.gc(epoch, new_m_d, m_d)
             _phase("stale count")
-            for tbl, jn in ((fact_table, f_joined), (dim_table, d_joined)):
-                n_stale = jn.filter(_stale()).count()
+            # ONE job for both sides' counters (the frames are cached):
+            # two sequential counts were two driver round-trips per epoch
+            counts = {
+                r["t"]: r["n"]
+                for r in f_joined.filter(_stale())
+                .select(F.lit(fact_table).alias("t"))
+                .unionByName(
+                    d_joined.filter(_stale()).select(F.lit(dim_table).alias("t"))
+                )
+                .groupBy("t")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            for tbl in (fact_table, dim_table):
+                n_stale = counts.get(tbl, 0)
                 if n_stale:
                     _bump_stale_status(spark, state_dir, tbl, epoch, n_stale)
         finally:
