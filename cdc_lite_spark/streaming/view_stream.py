@@ -1080,8 +1080,12 @@ def start_changelog_view(
                     (lambda: brep.write_epoch(new_replica, touched, man))
                     if buckets
                     else (
+                        # rebalance: the advance plan is map-side (anti-join
+                        # ∪ batch) with no final shuffle — without it each
+                        # version lands as ~shuffle.partitions tiny files
                         lambda: write_version(
-                            new_replica, _replica_dir(state_dir), epoch
+                            new_replica, _replica_dir(state_dir), epoch,
+                            rebalance=True,
                         )
                     ),
                 ),
@@ -1095,7 +1099,8 @@ def start_changelog_view(
                     _labelled(
                         "tombs write",
                         lambda: write_version(
-                            new_tombs, _tombs_dir(state_dir), epoch
+                            new_tombs, _tombs_dir(state_dir), epoch,
+                            rebalance=True,
                         ),
                     )
                 )
@@ -1959,8 +1964,12 @@ def start_changelog_join_view(
                     (lambda: f_brep.write_epoch(new_f, touched, m_f))
                     if fact_buckets
                     else (
+                        # rebalance on every flat no-final-shuffle state
+                        # write (see write_version): replicas, join state,
+                        # tombs; the agg fold ends in its own shuffle
                         lambda: write_version(
-                            new_f, _fact_replica_dir(state_dir), epoch
+                            new_f, _fact_replica_dir(state_dir), epoch,
+                            rebalance=True,
                         )
                     ),
                 ),
@@ -1970,7 +1979,8 @@ def start_changelog_join_view(
                     if d_brep is not None
                     else (
                         lambda: write_version(
-                            new_d, _dim_replica_dir(state_dir), epoch
+                            new_d, _dim_replica_dir(state_dir), epoch,
+                            rebalance=True,
                         )
                     ),
                 ),
@@ -1981,7 +1991,9 @@ def start_changelog_join_view(
                     (lambda: j_brep.write_epoch(m_new, j_touched, m_j))
                     if fact_buckets
                     else (
-                        lambda: write_version(m_new, _join_dir(state_dir), epoch)
+                        lambda: write_version(
+                            m_new, _join_dir(state_dir), epoch, rebalance=True
+                        )
                     ),
                 ),
             ]
@@ -2003,6 +2015,7 @@ def start_changelog_join_view(
                         lambda: write_version(
                             new_f_tombs,
                             _tombs_dir_for(state_dir, fact_table), epoch,
+                            rebalance=True,
                         ),
                     )
                 )
@@ -2012,6 +2025,7 @@ def start_changelog_join_view(
                         lambda: write_version(
                             new_d_tombs,
                             _tombs_dir_for(state_dir, dim_table), epoch,
+                            rebalance=True,
                         ),
                     )
                 )
