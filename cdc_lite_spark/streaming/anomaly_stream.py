@@ -41,10 +41,13 @@ from pyspark.sql.streaming import StreamingQuery
 
 from cdc_lite_spark.operators.anomaly import WINDOW_HOURS, anomaly_flags, hourly_stats
 from cdc_lite_spark.streaming._state import (
-    commit_version,
+    fs_for,
+    publish_version,
     read_current,
     read_for_epoch,
     repoint,
+    run_writes,
+    write_version,
 )
 
 #: rows of slack kept beyond the trailing window (per key)
@@ -87,7 +90,8 @@ def start_anomaly_stream(
     def _tick(batch: DataFrame, epoch: int) -> None:
         from pyspark.sql import Window as W
 
-        state = read_for_epoch(spark, state_dir, epoch)
+        fs = fs_for(state_dir, spark)
+        state = read_for_epoch(spark, state_dir, epoch, fs)
         merged = (
             state.unionByName(hourly_stats(batch))
             .groupBy("event_type", "hour")
@@ -98,14 +102,38 @@ def start_anomaly_stream(
         rn = F.row_number().over(
             W.partitionBy("event_type").orderBy(F.desc("hour"))
         )
-        merged = merged.withColumn("__rn", rn).filter(F.col("__rn") <= keep).drop("__rn")
-        next_v = commit_version(merged, state_dir, epoch)
-        import os
-
-        snapshot = anomaly_flags(
-            spark.read.parquet(os.path.join(state_dir, next_v))
-        ).withColumn("epoch", F.lit(epoch).cast("long"))
-        snapshot.write.mode("overwrite").parquet(sink_path)
+        merged = (
+            merged.withColumn("__rn", rn)
+            .filter(F.col("__rn") <= keep)
+            .drop("__rn")
+            # consumed by TWO writes below (state version + flag snapshot):
+            # pin it so the merge/retention subtree runs once (guide §5)
+            .persist()
+        )
+        try:
+            # the flag snapshot is a deterministic function of the NEW state
+            # content, which is `merged` itself — computing it from the
+            # cached frame instead of re-reading the just-written parquet
+            # drops one read-back per epoch, and the two writes are
+            # independent phase-1 work (an unpublished v{e+1} is an orphan;
+            # the sink is epoch-idempotent), so they overlap (guide §2.6)
+            # before the pointer publishes — the commit semantics and every
+            # crash/replay window converge exactly as before
+            snapshot = anomaly_flags(merged).withColumn(
+                "epoch", F.lit(epoch).cast("long")
+            )
+            run_writes(
+                [
+                    ("state write", lambda: write_version(merged, state_dir, epoch)),
+                    (
+                        "sink write",
+                        lambda: snapshot.write.mode("overwrite").parquet(sink_path),
+                    ),
+                ]
+            )
+            publish_version(state_dir, epoch, fs)
+        finally:
+            merged.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_tick)
