@@ -12,7 +12,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "cdc_lite_spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "cdc_lite_spark",
+    cpus: int | None = None,
+    extra_conf: "dict[str, str] | None" = None,
+) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
     - AQE on: runtime coalescing, skew-join splitting, dynamic join
@@ -39,6 +43,11 @@ def get_spark(app_name: str = "cdc_lite_spark", cpus: int | None = None) -> Spar
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # caller-specific settings that must land before the JVM starts
+    # (e.g. the test session caps its heap and shortens the context
+    # cleaner's periodic-GC interval — settings read once at startup)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

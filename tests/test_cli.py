@@ -16,7 +16,7 @@ def test_cli_monitors_and_stops(spark, sf_dir, tmp_path):
             "--output-dir", out,
             "--state-dir", state,
             "--interval", "0.5",
-            "--duration", "12",
+            "--duration", "8",
         ],
         spark=spark,
     )
@@ -35,7 +35,7 @@ def test_cli_diff_mode_with_keys(spark, sf_dir, tmp_path):
             "--output-dir", out,
             "--state-dir", state,
             "--interval", "0.5",
-            "--duration", "12",
+            "--duration", "8",
             "--mode", "diff",
             "--keys", "region=r_regionkey",
         ],
@@ -144,7 +144,7 @@ def test_cli_agg_view_maintained_and_validated(spark, sf_dir, tmp_path):
             "--output-dir", out,
             "--state-dir", state,
             "--interval", "0.5",
-            "--duration", "12",
+            "--duration", "8",
             "--mode", "diff",
             "--keys", "region=r_regionkey",
             "--agg-view", "rk=region:r_name:r_regionkey",
@@ -197,7 +197,7 @@ def test_cli_join_view_maintained_and_validated(spark, sf_dir, tmp_path):
             "--output-dir", out,
             "--state-dir", state,
             "--interval", "0.5",
-            "--duration", "14",
+            "--duration", "8",
             "--mode", "diff",
             "--keys", "nation=n_nationkey,region=r_regionkey",
             "--join-view", "nr=nation:region:n_nationkey:n_regionkey:r_regionkey",
@@ -287,7 +287,7 @@ def test_cli_agg_view_kind_suffix(spark, sf_dir, tmp_path):
             "--output-dir", out,
             "--state-dir", state,
             "--interval", "0.5",
-            "--duration", "12",
+            "--duration", "8",
             "--mode", "diff",
             "--keys", "region=r_regionkey",
             "--agg-view", "mom=region:r_name:r_regionkey:moments",
@@ -339,7 +339,7 @@ def test_cli_partition_view_maintained_and_validated(spark, sf_dir, tmp_path):
             "--output-dir", out,
             "--state-dir", state,
             "--interval", "0.5",
-            "--duration", "12",
+            "--duration", "8",
             "--partition-cols", "region=r_regionkey",
             "--partition-view", "rn=region:r_name:r_regionkey",
         ],
@@ -391,7 +391,7 @@ def test_cli_join_agg_view_and_chain_specs(spark, sf_dir, tmp_path):
             "--interval", "0.5",
             # a tick is ~10 s on this box and a transiently-errored capture
             # tick is retried, not fatal — leave room for two real ticks
-            "--duration", "25",
+            "--duration", "12",
             "--mode", "diff",
             "--keys", "nation=n_nationkey,region=r_regionkey",
             "--join-view", "nr=nation:region:n_nationkey:n_regionkey:r_regionkey",
@@ -461,7 +461,7 @@ def test_cli_view_where(spark, sf_dir, tmp_path):
             "--output-dir", out,
             "--state-dir", state,
             "--interval", "0.5",
-            "--duration", "12",
+            "--duration", "8",
             "--mode", "diff",
             "--keys", "nation=n_nationkey",
             "--agg-view", "nk=nation:n_regionkey:n_nationkey",
@@ -525,7 +525,7 @@ def test_cli_view_derive(spark, sf_dir, tmp_path):
             "--output-dir", out,
             "--state-dir", state,
             "--interval", "0.5",
-            "--duration", "12",
+            "--duration", "8",
             "--mode", "diff",
             "--keys", "nation=n_nationkey",
             "--agg-view", "nk=nation:n_regionkey:doubled",

@@ -36,8 +36,15 @@ ROWS = st.lists(
     unique_by=lambda r: r[0],
 )
 
+# Example budgets are sized so the FULL suite stays well inside the round
+# driver's ~30-minute window (r13 VERIFY: the driver's pytest run died with
+# a JVM-channel EOFError at 30m02s, 645/901 tests in; the r13 verdict's
+# item #1 explicitly asks for "a hypothesis example budget that doesn't run
+# the gateway for 30+ min under -x").  Each example of these tests runs
+# several Spark jobs, so examples cost seconds, not microseconds; six
+# random histories still exercise every fold path and shrinking is intact.
 _SETTINGS = settings(
-    max_examples=12,
+    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -794,7 +801,7 @@ DIM_ROWS = st.lists(
 @given(
     fact_prev=FACT_ROWS, fact_cur=FACT_ROWS, dim_prev=DIM_ROWS, dim_cur=DIM_ROWS
 )
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=4, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 def test_maintained_join_and_agg_match_rejoin_under_random_histories(
@@ -879,7 +886,7 @@ DIM_ROWS_COMPOSITE = st.lists(
     dim_prev=DIM_ROWS_COMPOSITE,
     dim_cur=DIM_ROWS_COMPOSITE,
 )
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=4, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 def test_maintained_join_composite_keys_match_rejoin_under_random_histories(
@@ -1064,7 +1071,7 @@ def test_maintained_sample_equals_rebuild_under_random_histories(
 @given(
     fact_prev=FACT_ROWS, fact_cur=FACT_ROWS, dim_prev=DIM_ROWS, dim_cur=DIM_ROWS
 )
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=4, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 def test_maintained_left_outer_join_and_agg_match_rejoin_under_random_histories(
@@ -1143,7 +1150,7 @@ BUCKET_BATCHES = st.lists(
 
 
 @given(batches=BUCKET_BATCHES, n=st.integers(min_value=1, max_value=5))
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=3, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 def test_bucketed_replica_folds_random_histories(spark, batches, n, tmp_path_factory):
@@ -1194,7 +1201,7 @@ def test_bucketed_replica_folds_random_histories(spark, batches, n, tmp_path_fac
     ),
     order=st.randoms(use_true_random=False),
 )
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=4, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 def test_guard_converges_under_random_histories_and_delivery_orders(
@@ -1269,7 +1276,7 @@ def test_guard_converges_under_random_histories_and_delivery_orders(
     dim_prev=DIM_ROWS_COMPOSITE,
     dim_cur=DIM_ROWS_COMPOSITE,
 )
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=4, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 def test_bucketed_pruned_fold_matches_rejoin_under_random_histories(
